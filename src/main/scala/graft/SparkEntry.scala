@@ -1,13 +1,29 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Queries live in graft.ops registries (operator pipeline + DuckDB
+  * oracle side by side); this object just flattens them.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  def allQueries: Map[String, Q] =
+    VolumeQueries.queries ++ ChunkQueries.queries
+
+  /** Flagship: write sf0.001 voxels into encoded chunk payloads, read
+    * back the distinct labels through the codec path (A1 `unique`).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    ChunkEngine.uniqueLabels(
+      ChunkEngine.fromVoxels(Derived.voxels(spark, "/root/testdata/sf0.001")))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allQueries.map { case (k, q) => k -> q.fn }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    allQueries.collect { case (k, Q(_, Some(o))) => k -> o }
 }

@@ -1,0 +1,116 @@
+package graft.core
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.{GZIPInputStream, GZIPOutputStream, Deflater}
+
+/** Chunk payload codecs.
+  *
+  * The reference's `chunks.py:83-360` dispatches per-encoding; round 1
+  * covers `raw` (Fortran-order little-endian voxel bytes,
+  * chunks.py:323-325/353-354) and the second-stage gzip wrap
+  * (`datasource/precomputed/common.py:7-53`). Canonical in-memory voxel
+  * order is Fortran (x fastest), matching the wire format, so raw
+  * encode/decode is a flat copy.
+  */
+object Codec {
+
+  /** Decode a raw-encoded chunk into a Long-valued voxel array in
+    * Fortran order. dtypeBytes in {1,2,4,8}; values are zero-extended
+    * (uint semantics) except 8-byte which is passed through.
+    */
+  def decodeRawToLongs(payload: Array[Byte], dtypeBytes: Int): Array[Long] = {
+    require(payload.length % dtypeBytes == 0,
+      s"payload ${payload.length}B not a multiple of $dtypeBytes")
+    val n = payload.length / dtypeBytes
+    val out = new Array[Long](n)
+    val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    dtypeBytes match {
+      case 1 => while (i < n) { out(i) = buf.get(i) & 0xffL; i += 1 }
+      case 2 => while (i < n) { out(i) = buf.getShort(2 * i) & 0xffffL; i += 1 }
+      case 4 => while (i < n) { out(i) = buf.getInt(4 * i) & 0xffffffffL; i += 1 }
+      case 8 => while (i < n) { out(i) = buf.getLong(8 * i); i += 1 }
+      case d => throw new IllegalArgumentException(s"dtype bytes $d")
+    }
+    out
+  }
+
+  /** Encode voxels (Fortran order) to raw little-endian bytes. */
+  def encodeRawFromLongs(voxels: Array[Long], dtypeBytes: Int): Array[Byte] = {
+    val buf = ByteBuffer.allocate(voxels.length * dtypeBytes)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    dtypeBytes match {
+      case 1 => while (i < voxels.length) { buf.put((voxels(i) & 0xff).toByte); i += 1 }
+      case 2 => while (i < voxels.length) { buf.putShort((voxels(i) & 0xffff).toShort); i += 1 }
+      case 4 => while (i < voxels.length) { buf.putInt((voxels(i) & 0xffffffffL).toInt); i += 1 }
+      case 8 => while (i < voxels.length) { buf.putLong(voxels(i)); i += 1 }
+      case d => throw new IllegalArgumentException(s"dtype bytes $d")
+    }
+    buf.array()
+  }
+
+  /** Distinct labels of a raw chunk without materializing a row per
+    * voxel — the codec-level `labels()` pushdown (chunks.py:362-393).
+    */
+  def rawLabels(payload: Array[Byte], dtypeBytes: Int): Array[Long] = {
+    val vox = decodeRawToLongs(payload, dtypeBytes)
+    val seen = new java.util.HashSet[Long]()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var i = 0
+    while (i < vox.length) {
+      if (seen.add(vox(i))) out += vox(i)
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** `contains(label)` on a raw chunk (chunks.py:459-484). */
+  def rawContains(payload: Array[Byte], dtypeBytes: Int, label: Long): Boolean = {
+    val vox = decodeRawToLongs(payload, dtypeBytes)
+    var i = 0
+    while (i < vox.length) { if (vox(i) == label) return true; i += 1 }
+    false
+  }
+
+  /** Random access into a raw chunk: voxel at F-order position
+    * x + sx*(y + sy*z) (chunks.py:423-457 read_voxel).
+    */
+  def rawReadVoxel(payload: Array[Byte], dtypeBytes: Int,
+      x: Long, y: Long, z: Long, sx: Long, sy: Long): Long = {
+    val idx = (x + sx * (y + sy * z)).toInt
+    decodeRawToLongs(payload, dtypeBytes)(idx) // small chunks; fine for now
+  }
+
+  // ---- second-stage compression (datasource/precomputed/common.py) ----
+
+  def gzip(data: Array[Byte], level: Int = Deflater.DEFAULT_COMPRESSION)
+      : Array[Byte] = {
+    val bos = new ByteArrayOutputStream(data.length / 2 + 64)
+    val gz = new GZIPOutputStream(bos) {
+      `def`.setLevel(level)
+    }
+    gz.write(data); gz.close()
+    bos.toByteArray
+  }
+
+  def gunzip(data: Array[Byte]): Array[Byte] = {
+    val in = new GZIPInputStream(new ByteArrayInputStream(data))
+    val bos = new ByteArrayOutputStream(data.length * 3 + 64)
+    val buf = new Array[Byte](65536)
+    var n = in.read(buf)
+    while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+    bos.toByteArray
+  }
+
+  /** Default second-stage compression per encoding
+    * (datasource/precomputed/common.py:18-29 should_compress): lossless
+    * voxel codecs get gzip; already-compressed image codecs get none.
+    */
+  def shouldCompress(encoding: String): Boolean = encoding match {
+    case "raw" | "compressed_segmentation" | "compresso" | "crackle" => true
+    case "jpeg" | "jxl" | "png" | "fpzip" | "kempressed" | "zfpc" => false
+    case _ => false
+  }
+}

@@ -1,0 +1,535 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** One registry entry: the Spark pipeline and (when SQL-expressible)
+  * the equivalent DuckDB oracle over the same testdata parquet tables.
+  */
+final case class Q(fn: (SparkSession, String) => DataFrame, oracle: Option[String])
+
+/** SURVEY.md §2 operator inventory re-expressed over the driver's
+  * testdata tables (see Derived). Each query is the *relational shape*
+  * of the cited cloud-volume operation; the geometry/bit-math runs
+  * through graft.core via UDFs so the oracle checks the library, not
+  * just Spark built-ins.
+  */
+object VolumeQueries {
+  import Derived._
+
+  val queries: Map[String, Q] = Map(
+
+    // S2: chunk-name/grid enumeration covering request bboxes
+    // (image/common.py:137-174)
+    "s2_chunk_grid" -> Q(
+      (s, dir) => {
+        val b = boxes(s, dir)
+        b.withColumn("g",
+            explode(gridpointsUdf(col("x0"), col("y0"), col("z0"),
+              col("x1"), col("y1"), col("z1"))))
+          .select(col("id"), col("g._1").as("gx"), col("g._2").as("gy"),
+            col("g._3").as("gz"))
+          .withColumn("chunk_name", chunkNameUdf(col("gx"), col("gy"), col("gz")))
+      },
+      Some(s"""WITH $BoxesCte,
+        |cx AS (SELECT id, unnest(range(x0 // 16, (least(x1, 64) + 15) // 16)) AS gx,
+        |              y0, y1, z0, z1 FROM boxes),
+        |cxy AS (SELECT id, gx, unnest(range(y0 // 16, (least(y1, 64) + 15) // 16)) AS gy,
+        |              z0, z1 FROM cx),
+        |g AS (SELECT id, gx, gy, unnest(range(z0 // 8, (least(z1, 32) + 7) // 8)) AS gz FROM cxy)
+        |SELECT id, gx, gy, gz,
+        |       printf('%d-%d_%d-%d_%d-%d', gx*16, (gx+1)*16, gy*16, (gy+1)*16,
+        |              gz*8, (gz+1)*8) AS chunk_name
+        |FROM g""".stripMargin)),
+
+    // S3: bbox expand/shrink to chunk grid (lib.py:794-862)
+    "s3_bbox_align" -> Q(
+      (s, dir) => {
+        val b = boxes(s, dir)
+        b.withColumn("e", expandUdf(col("x0"), col("y0"), col("z0"),
+            col("x1"), col("y1"), col("z1")))
+          .withColumn("sh", shrinkUdf(col("x0"), col("y0"), col("z0"),
+            col("x1"), col("y1"), col("z1")))
+          .select(col("id"),
+            col("e._1").as("ex0"), col("e._2").as("ey0"), col("e._3").as("ez0"),
+            col("e._4").as("ex1"), col("e._5").as("ey1"), col("e._6").as("ez1"),
+            col("sh._1").as("sx0"), col("sh._2").as("sy0"), col("sh._3").as("sz0"),
+            col("sh._4").as("sx1"), col("sh._5").as("sy1"), col("sh._6").as("sz1"))
+      },
+      Some(s"""WITH $BoxesCte
+        |SELECT id,
+        |  (x0 // 16) * 16 AS ex0, (y0 // 16) * 16 AS ey0, (z0 // 8) * 8 AS ez0,
+        |  ((x1 + 15) // 16) * 16 AS ex1, ((y1 + 15) // 16) * 16 AS ey1,
+        |  ((z1 + 7) // 8) * 8 AS ez1,
+        |  ((x0 + 15) // 16) * 16 AS sx0, ((y0 + 15) // 16) * 16 AS sy0,
+        |  ((z0 + 7) // 8) * 8 AS sz0,
+        |  greatest(((x0 + 15) // 16) * 16, (x1 // 16) * 16) AS sx1,
+        |  greatest(((y0 + 15) // 16) * 16, (y1 // 16) * 16) AS sy1,
+        |  greatest(((z0 + 7) // 8) * 8, (z1 // 8) * 8) AS sz1
+        |FROM boxes""".stripMargin)),
+
+    // S7/W3: byte-range coalescing via gaps-and-islands
+    // (sharding.py:731-766)
+    "s7_range_coalesce" -> Q(
+      (s, dir) => {
+        val r = table(s, dir, "lineitem").select(
+          (col("l_suppkey") % 8).cast("long").as("path"),
+          ((col("l_orderkey") * 37 % 2000) * 50).cast("long").as("rstart"),
+          ((col("l_orderkey") * 37 % 2000) * 50 + 10 + col("l_partkey") % 90)
+            .cast("long").as("rend"))
+        val byStart = Window.partitionBy("path").orderBy("rstart", "rend")
+        val prevMax = max(col("rend")).over(
+          byStart.rowsBetween(Window.unboundedPreceding, -1))
+        val gapped = r.withColumn("is_gap",
+          when(prevMax.isNull || col("rstart") > prevMax, 1L).otherwise(0L))
+        val island = sum(col("is_gap")).over(
+          byStart.rowsBetween(Window.unboundedPreceding, 0))
+        gapped.withColumn("island", island)
+          .groupBy("path", "island")
+          .agg(min("rstart").as("i_start"), max("rend").as("i_end"),
+            count(lit(1)).as("n_ranges"))
+      },
+      Some("""WITH ranges AS (
+        |  SELECT l_suppkey % 8 AS path,
+        |         (l_orderkey * 37 % 2000) * 50 AS rstart,
+        |         (l_orderkey * 37 % 2000) * 50 + 10 + l_partkey % 90 AS rend
+        |  FROM lineitem),
+        |gapped AS (
+        |  SELECT *, CASE WHEN max(rend) OVER (PARTITION BY path ORDER BY rstart, rend
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |              OR rstart > max(rend) OVER (PARTITION BY path ORDER BY rstart, rend
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |            THEN 1 ELSE 0 END AS is_gap
+        |  FROM ranges),
+        |isl AS (
+        |  SELECT *, CAST(sum(is_gap) OVER (PARTITION BY path ORDER BY rstart, rend
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+        |  FROM gapped)
+        |SELECT path, island, min(rstart) AS i_start, max(rend) AS i_end,
+        |       count(*) AS n_ranges
+        |FROM isl GROUP BY path, island""".stripMargin)),
+
+    // A8/S13: exists probe — expected grid minus stored chunks
+    // (image/__init__.py:484-513)
+    "a8_exists" -> Q(
+      (s, dir) => {
+        val stored = voxelChunks(s, dir).filter(col("label") < 2)
+          .select("gx", "gy", "gz").distinct()
+        val grid = s.range(GridX * GridY * GridZ).select(
+          (col("id") % GridX).as("gx"),
+          (idiv(col("id"), GridX) % GridY).as("gy"),
+          idiv(col("id"), GridX * GridY).as("gz"))
+        grid.join(stored, Seq("gx", "gy", "gz"), "left_anti")
+          .withColumn("chunk_name", chunkNameUdf(col("gx"), col("gy"), col("gz")))
+      },
+      Some(s"""WITH $VoxelChunksCte,
+        |stored AS (SELECT DISTINCT gx, gy, gz FROM vchunks WHERE label < 2),
+        |ax AS (SELECT unnest(range(0, 4)) AS gx),
+        |axy AS (SELECT gx, unnest(range(0, 4)) AS gy FROM ax),
+        |grid AS (SELECT gx, gy, unnest(range(0, 4)) AS gz FROM axy)
+        |SELECT g.gx, g.gy, g.gz,
+        |       printf('%d-%d_%d-%d_%d-%d', g.gx*16, (g.gx+1)*16, g.gy*16,
+        |              (g.gy+1)*16, g.gz*8, (g.gz+1)*8) AS chunk_name
+        |FROM grid g LEFT JOIN stored s
+        |  ON g.gx = s.gx AND g.gy = s.gy AND g.gz = s.gz
+        |WHERE s.gx IS NULL""".stripMargin)),
+
+    // A9/S14: black-chunk test (tx.py:445-450)
+    "a9_black_chunks" -> Q(
+      (s, dir) => voxelChunks(s, dir)
+        .groupBy("gx", "gy", "gz")
+        .agg(bool_or(col("label") =!= 0).as("has_data"),
+          count(lit(1)).as("n_vox")),
+      Some(s"""WITH $VoxelChunksCte
+        |SELECT gx, gy, gz, bool_or(label <> 0) AS has_data, count(*) AS n_vox
+        |FROM vchunks GROUP BY gx, gy, gz""".stripMargin)),
+
+    // A1: distinct labels within a bbox (the marquee `unique`,
+    // frontends/precomputed.py:590-628)
+    "a1_unique" -> Q(
+      (s, dir) => voxels(s, dir)
+        .filter(col("x").between(8, 39) && col("y").between(16, 47) &&
+          col("z").between(4, 19))
+        .select("label").distinct(),
+      Some(s"""WITH $VoxelsCte
+        |SELECT DISTINCT label FROM voxels
+        |WHERE x BETWEEN 8 AND 39 AND y BETWEEN 16 AND 47 AND z BETWEEN 4 AND 19""".stripMargin)),
+
+    // A2/W4: renumber — dense relabeling of the distinct set
+    // (rx.py:326-351)
+    "a2_renumber" -> Q(
+      (s, dir) => voxels(s, dir)
+        .filter(col("x").between(8, 39) && col("y").between(16, 47) &&
+          col("z").between(4, 19))
+        .select("label").distinct()
+        .withColumn("renumbered",
+          dense_rank().over(Window.orderBy("label")).cast("long")),
+      Some(s"""WITH $VoxelsCte,
+        |u AS (SELECT DISTINCT label FROM voxels
+        |      WHERE x BETWEEN 8 AND 39 AND y BETWEEN 16 AND 47 AND z BETWEEN 4 AND 19)
+        |SELECT label, CAST(dense_rank() OVER (ORDER BY label) AS BIGINT) AS renumbered
+        |FROM u""".stripMargin)),
+
+    // A4: per-label enclosing bbox via min/max union
+    // (spatial_index.py:697-761, lib.py:701-707)
+    "a4_bbox_union" -> Q(
+      (s, dir) => voxels(s, dir).groupBy("label")
+        .agg(min("x").as("x0"), min("y").as("y0"), min("z").as("z0"),
+          (max("x") + 1).as("x1"), (max("y") + 1).as("y1"),
+          (max("z") + 1).as("z1")),
+      Some(s"""WITH $VoxelsCte
+        |SELECT label, min(x) AS x0, min(y) AS y0, min(z) AS z0,
+        |       max(x) + 1 AS x1, max(y) + 1 AS y1, max(z) + 1 AS z1
+        |FROM voxels GROUP BY label""".stripMargin)),
+
+    // A3/J1: spatial-index query — labels intersecting a bbox through
+    // the (label, file) index join (spatial_index.py:725-731,837-923)
+    "a3_spatial_query" -> Q(
+      (s, dir) => {
+        val fileLookup = voxelChunks(s, dir)
+          .select(col("label"),
+            (col("gx") + col("gy") * GridX + col("gz") * (GridX * GridY)).as("fid"))
+          .distinct()
+        val indexFiles = s.range(GridX * GridY * GridZ).select(
+            col("id").as("fid"), (col("id") % GridX).as("gx"),
+            (idiv(col("id"), GridX) % GridY).as("gy"),
+            idiv(col("id"), GridX * GridY).as("gz"))
+          .filter(col("gx") < 2 && col("gy") < 2 && col("gz") < 2)
+        fileLookup.join(broadcast(indexFiles), Seq("fid"))
+          .select("label").distinct()
+      },
+      Some(s"""WITH $VoxelChunksCte,
+        |file_lookup AS (SELECT DISTINCT label, gx + 4*gy + 16*gz AS fid FROM vchunks),
+        |index_files AS (SELECT unnest(range(0, 64)) AS fid),
+        |idx AS (SELECT fid, fid % 4 AS gx, (fid // 4) % 4 AS gy, fid // 16 AS gz
+        |        FROM index_files)
+        |SELECT DISTINCT fl.label
+        |FROM file_lookup fl JOIN idx ON fl.fid = idx.fid
+        |WHERE idx.gx < 2 AND idx.gy < 2 AND idx.gz < 2""".stripMargin)),
+
+    // A5/J2: file locations per label (spatial_index.py:763-835)
+    "a5_file_locations" -> Q(
+      (s, dir) => voxelChunks(s, dir)
+        .select(col("label"),
+          (col("gx") + col("gy") * GridX + col("gz") * (GridX * GridY)).as("fid"))
+        .distinct()
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_files"), min("fid").as("min_fid"),
+          max("fid").as("max_fid"),
+          concat_ws(",", transform(sort_array(collect_list(col("fid"))),
+            _.cast("string"))).as("files")),
+      Some(s"""WITH $VoxelChunksCte,
+        |fl AS (SELECT DISTINCT label, gx + 4*gy + 16*gz AS fid FROM vchunks)
+        |SELECT label, count(*) AS n_files, min(fid) AS min_fid,
+        |       max(fid) AS max_fid,
+        |       string_agg(CAST(fid AS VARCHAR), ',' ORDER BY fid) AS files
+        |FROM fl GROUP BY label""".stripMargin)),
+
+    // J4: remap labels through an {old -> new} map, preserving missing
+    // (chunks.remap:395-421)
+    "j4_remap" -> Q(
+      (s, dir) => {
+        val mapping = table(s, dir, "part")
+          .select((col("p_partkey") % 1000).cast("long").as("old"),
+            (col("p_partkey") % 97).cast("long").as("cand"))
+          .filter(col("old") < 500)
+          .groupBy("old").agg(min("cand").as("new"))
+        voxels(s, dir)
+          .join(broadcast(mapping), col("label") === col("old"), "left")
+          .select(coalesce(col("new"), col("label")).as("new_label"))
+          .groupBy("new_label").agg(count(lit(1)).as("n"))
+      },
+      Some(s"""WITH $VoxelsCte,
+        |mapping AS (
+        |  SELECT p_partkey % 1000 AS old, min(p_partkey % 97) AS new
+        |  FROM part WHERE p_partkey % 1000 < 500 GROUP BY p_partkey % 1000)
+        |SELECT coalesce(m.new, v.label) AS new_label, count(*) AS n
+        |FROM voxels v LEFT JOIN mapping m ON v.label = m.old
+        |GROUP BY coalesce(m.new, v.label)""".stripMargin)),
+
+    // O2/A7: (label, size) descending top-k (sharding.py:814-820)
+    "o2_top_labels" -> Q(
+      (s, dir) => voxels(s, dir).groupBy("label")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("label"))
+        .limit(20),
+      Some(s"""WITH $VoxelsCte
+        |SELECT label, count(*) AS n FROM voxels GROUP BY label
+        |ORDER BY n DESC, label LIMIT 20""".stripMargin)),
+
+    // T1: core/shell chunk partition of an expanded request
+    // (rx.py:915-929)
+    "t1_core_shell" -> Q(
+      (s, dir) => {
+        val (qx0, qy0, qz0, qx1, qy1, qz1) = (10L, 6L, 3L, 58L, 62L, 29L)
+        s.range(GridX * GridY * GridZ).select(
+            (col("id") % GridX).as("gx"),
+            (idiv(col("id"), GridX) % GridY).as("gy"),
+            idiv(col("id"), GridX * GridY).as("gz"))
+          .filter(col("gx") * CsX < qx1 && (col("gx") + 1) * CsX > qx0 &&
+            col("gy") * CsY < qy1 && (col("gy") + 1) * CsY > qy0 &&
+            col("gz") * CsZ < qz1 && (col("gz") + 1) * CsZ > qz0)
+          .withColumn("is_core",
+            col("gx") * CsX >= qx0 && (col("gx") + 1) * CsX <= qx1 &&
+              col("gy") * CsY >= qy0 && (col("gy") + 1) * CsY <= qy1 &&
+              col("gz") * CsZ >= qz0 && (col("gz") + 1) * CsZ <= qz1)
+      },
+      Some("""WITH ax AS (SELECT unnest(range(0, 4)) AS gx),
+        |axy AS (SELECT gx, unnest(range(0, 4)) AS gy FROM ax),
+        |grid AS (SELECT gx, gy, unnest(range(0, 4)) AS gz FROM axy)
+        |SELECT gx, gy, gz,
+        |       (gx*16 >= 10 AND (gx+1)*16 <= 58 AND gy*16 >= 6 AND (gy+1)*16 <= 62
+        |        AND gz*8 >= 3 AND (gz+1)*8 <= 29) AS is_core
+        |FROM grid
+        |WHERE gx*16 < 58 AND (gx+1)*16 > 10 AND gy*16 < 62 AND (gy+1)*16 > 6
+        |  AND gz*8 < 29 AND (gz+1)*8 > 3""".stripMargin)),
+
+    // F1: compressed morton code, regular + irregular grids
+    // (datasource/precomputed/common.py:55-86)
+    "f1_morton" -> Q(
+      (s, dir) => {
+        val g444 = s.range(64).select(lit("g444").as("tag"),
+          (col("id") % 4).as("gx"), (idiv(col("id"), 4) % 4).as("gy"),
+          idiv(col("id"), 16).as("gz"), lit(4L).as("nx"), lit(4L).as("ny"),
+          lit(4L).as("nz"))
+        val g842 = s.range(64).select(lit("g842").as("tag"),
+          (col("id") % 8).as("gx"), (idiv(col("id"), 8) % 4).as("gy"),
+          idiv(col("id"), 32).as("gz"), lit(8L).as("nx"), lit(4L).as("ny"),
+          lit(2L).as("nz"))
+        g444.unionAll(g842)
+          .withColumn("code", mortonUdf(col("gx"), col("gy"), col("gz"),
+            col("nx"), col("ny"), col("nz")))
+          .drop("nx", "ny", "nz")
+      },
+      Some("""WITH ids AS (SELECT unnest(range(0, 64)) AS i),
+        |g444 AS (SELECT 'g444' AS tag, i % 4 AS gx, (i // 4) % 4 AS gy, i // 16 AS gz
+        |         FROM ids),
+        |g842 AS (SELECT 'g842' AS tag, i % 8 AS gx, (i // 8) % 4 AS gy, i // 32 AS gz
+        |         FROM ids),
+        |m444 AS (SELECT tag, gx, gy, gz,
+        |    (gx & 1) + ((gy & 1) << 1) + ((gz & 1) << 2)
+        |    + (((gx >> 1) & 1) << 3) + (((gy >> 1) & 1) << 4)
+        |    + (((gz >> 1) & 1) << 5) AS code FROM g444),
+        |m842 AS (SELECT tag, gx, gy, gz,
+        |    (gx & 1) + ((gy & 1) << 1) + ((gz & 1) << 2)
+        |    + (((gx >> 1) & 1) << 3) + (((gy >> 1) & 1) << 4)
+        |    + (((gx >> 2) & 1) << 5) AS code FROM g842)
+        |SELECT * FROM m444 UNION ALL SELECT * FROM m842""".stripMargin)),
+
+    // F3/S6: shard location with identity hash (sharding.py:154-162)
+    "f3_shard_location" -> Q(
+      (s, dir) => {
+        val spec = graft.core.ShardingSpec(preshiftBits = 2, minishardBits = 3,
+          shardBits = 3)
+        val locUdf = udf((label: Long) => {
+          val (sh, mini) = spec.shardLocation(label)
+          (sh, mini, spec.shardFilename(sh))
+        })
+        voxels(s, dir).select("label").distinct()
+          .withColumn("loc", locUdf(col("label")))
+          .select(col("label"), col("loc._1").as("shard_no"),
+            col("loc._2").as("minishard_no"), col("loc._3").as("shard_file"))
+      },
+      Some(s"""WITH $VoxelsCte,
+        |u AS (SELECT DISTINCT label FROM voxels)
+        |SELECT label, ((label >> 2) >> 3) & 7 AS shard_no,
+        |       (label >> 2) & 7 AS minishard_no,
+        |       printf('%x', ((label >> 2) >> 3) & 7) || '.shard' AS shard_file
+        |FROM u""".stripMargin)),
+
+    // W2: minishard-index delta encoding (sharding.py:902-932)
+    "w2_minishard_delta" -> Q(
+      (s, dir) => {
+        val u = voxels(s, dir).select("label").distinct()
+          .withColumn("minishard_no", col("label") % 8)
+          .withColumn("shard_no", idiv(col("label"), 8) % 4)
+        val w = Window.partitionBy("shard_no", "minishard_no").orderBy("label")
+        u.withColumn("delta",
+          col("label") - coalesce(lag(col("label"), 1).over(w), lit(0L)))
+      },
+      Some(s"""WITH $VoxelsCte,
+        |u AS (SELECT DISTINCT label FROM voxels),
+        |m AS (SELECT label, label % 8 AS minishard_no, (label // 8) % 4 AS shard_no
+        |      FROM u)
+        |SELECT label, minishard_no, shard_no,
+        |       label - coalesce(lag(label, 1) OVER (
+        |         PARTITION BY shard_no, minishard_no ORDER BY label), 0) AS delta
+        |FROM m""".stripMargin)),
+
+    // F5: filename <-> bbox codec round trip (lib.py:520-601)
+    "f5_filename_codec" -> Q(
+      (s, dir) => {
+        val named = boxes(s, dir).withColumn("chunk_name",
+          concat_ws("_",
+            concat_ws("-", col("x0"), col("x1")),
+            concat_ws("-", col("y0"), col("y1")),
+            concat_ws("-", col("z0"), col("z1"))))
+        named.withColumn("p", parseFilenameUdf(col("chunk_name")))
+          .select(col("id"), col("chunk_name"),
+            col("p._1").as("px0"), col("p._2").as("py0"), col("p._3").as("pz0"),
+            col("p._4").as("px1"), col("p._5").as("py1"), col("p._6").as("pz1"))
+      },
+      Some(s"""WITH $BoxesCte
+        |SELECT id,
+        |  printf('%d-%d_%d-%d_%d-%d', x0, x1, y0, y1, z0, z1) AS chunk_name,
+        |  x0 AS px0, y0 AS py0, z0 AS pz0, x1 AS px1, y1 AS py1, z1 AS pz1
+        |FROM boxes""".stripMargin)),
+
+    // F7: bbox_to_mip iterative floor/ceil over 3 levels
+    // (metadata.py:675-700)
+    "f7_mip_bbox" -> Q(
+      (s, dir) => boxes(s, dir)
+        .withColumn("m", mipUdf(col("x0"), col("y0"), col("z0"),
+          col("x1"), col("y1"), col("z1")))
+        .select(col("id"),
+          col("m._1").as("mx0"), col("m._2").as("my0"), col("m._3").as("mz0"),
+          col("m._4").as("mx1"), col("m._5").as("my1"), col("m._6").as("mz1")),
+      Some(s"""WITH $BoxesCte
+        |SELECT id,
+        |  ((x0 // 2) // 2) // 2 AS mx0, ((y0 // 2) // 2) // 2 AS my0,
+        |  (z0 // 2) AS mz0,
+        |  ((((x1 + 1) // 2 + 1) // 2) + 1) // 2 AS mx1,
+        |  ((((y1 + 1) // 2 + 1) // 2) + 1) // 2 AS my1,
+        |  (z1 + 1) // 2 AS mz1
+        |FROM boxes""".stripMargin)),
+
+    // F9: graphene label bit codec (datasource/graphene/metadata.py:183-250)
+    "f9_graphene_labels" -> Q(
+      (s, dir) => {
+        val src = table(s, dir, "customer")
+          .filter(col("c_custkey") % 10 < 3)
+          .select(col("c_custkey"),
+            (lit(1) + col("c_custkey") % 4).cast("int").as("layer"),
+            (col("c_custkey") % 600).cast("long").as("cx"),
+            ((col("c_nationkey") * 31) % 800).cast("long").as("cy"),
+            ((col("c_custkey") * 7) % 900).cast("long").as("cz"),
+            col("c_custkey").cast("long").as("segid"))
+        src.withColumn("glabel", grapheneEncodeUdf(col("layer"), col("cx"),
+            col("cy"), col("cz"), col("segid")))
+          .withColumn("d", grapheneDecodeUdf(col("glabel")))
+          .select(col("c_custkey"), col("glabel"),
+            col("d._1").cast("long").as("dlayer"), col("d._2").as("dx"),
+            col("d._3").as("dy"), col("d._4").as("dz"), col("d._5").as("dsegid"))
+      },
+      Some("""WITH src AS (
+        |  SELECT c_custkey, 1 + c_custkey % 4 AS layer, c_custkey % 600 AS cx,
+        |         (c_nationkey * 31) % 800 AS cy, (c_custkey * 7) % 900 AS cz,
+        |         c_custkey AS segid
+        |  FROM customer WHERE c_custkey % 10 < 3)
+        |SELECT c_custkey,
+        |  layer * 72057594037927936 + cx * 70368744177664 + cy * 68719476736
+        |    + cz * 67108864 + segid AS glabel,
+        |  layer AS dlayer, cx AS dx, cy AS dy, cz AS dz, segid AS dsegid
+        |FROM src""".stripMargin)),
+
+    // J5: graphene root resolution — iterative parent-edge join to
+    // fixpoint (frontends/graphene.py:721-784)
+    "j5_graphene_roots" -> Q(
+      (s, dir) => {
+        val leaves = table(s, dir, "supplier")
+          .select(col("s_suppkey").cast("long").as("leaf"))
+        val e1 = leaves.select(col("leaf").as("child"),
+          (lit(100000L) + idiv(col("leaf"), 10)).as("parent"))
+        val e2 = e1.select(col("parent").as("child")).distinct()
+          .select(col("child"),
+            (lit(200000L) + idiv(col("child") - 100000L, 10)).as("parent"))
+        val edges = e1.unionAll(e2).cache()
+        // iterate child->parent until fixpoint (bounded depth)
+        var frontier = leaves.select(col("leaf"), col("leaf").as("node"))
+        var done = false
+        var depth = 0
+        while (!done && depth < 10) {
+          val stepped = frontier.join(edges, col("node") === col("child"), "left")
+            .select(col("leaf"),
+              coalesce(col("parent"), col("node")).as("next"),
+              col("parent").isNotNull.as("moved"))
+          val nMoved = stepped.filter(col("moved")).limit(1).count()
+          frontier = stepped.select(col("leaf"), col("next").as("node"))
+          done = nMoved == 0
+          depth += 1
+        }
+        frontier.select(col("leaf"), col("node").as("root"))
+      },
+      Some("""SELECT s_suppkey AS leaf,
+        |       200000 + (s_suppkey // 100) AS root
+        |FROM supplier""".stripMargin)),
+
+    // P8: annotation bbox crop with geometry-aware predicates
+    // (annotation/metadata.py:62-111)
+    "p8_annotation_crop" -> Q(
+      (s, dir) => {
+        val pts = table(s, dir, "events").filter(col("event_id") % 20 === 0)
+          .select(lit("point").as("atype"), col("event_id").as("aid"),
+            (col("event_id") % 64).cast("long").as("ax"),
+            (col("user_id") % 64).cast("long").as("ay"),
+            (idiv(col("event_id"), 64) % 32).as("az"))
+          .filter(col("ax").between(8, 47) && col("ay").between(8, 47) &&
+            col("az").between(4, 27))
+        val lines = table(s, dir, "orders").filter(col("o_orderkey") % 50 === 0)
+          .select(lit("line").as("atype"), col("o_orderkey").as("aid"),
+            (col("o_orderkey") % 64).cast("long").as("ax"),
+            (col("o_custkey") % 64).cast("long").as("ay"),
+            (col("o_orderkey") % 32).cast("long").as("az"),
+            ((col("o_orderkey") * 3) % 64).cast("long").as("bx"),
+            ((col("o_custkey") * 5) % 64).cast("long").as("by"),
+            (col("o_custkey") % 32).cast("long").as("bz"))
+          .filter(
+            (col("ax").between(8, 47) && col("ay").between(8, 47) &&
+              col("az").between(4, 27)) ||
+            (col("bx").between(8, 47) && col("by").between(8, 47) &&
+              col("bz").between(4, 27)))
+          .select("atype", "aid", "ax", "ay", "az")
+        pts.unionAll(lines)
+      },
+      Some("""WITH pts AS (
+        |  SELECT 'point' AS atype, event_id AS aid, event_id % 64 AS ax,
+        |         user_id % 64 AS ay, (event_id // 64) % 32 AS az
+        |  FROM events WHERE event_id % 20 = 0),
+        |cpts AS (SELECT * FROM pts
+        |  WHERE ax BETWEEN 8 AND 47 AND ay BETWEEN 8 AND 47 AND az BETWEEN 4 AND 27),
+        |lns AS (
+        |  SELECT 'line' AS atype, o_orderkey AS aid, o_orderkey % 64 AS ax,
+        |         o_custkey % 64 AS ay, o_orderkey % 32 AS az,
+        |         (o_orderkey * 3) % 64 AS bx, (o_custkey * 5) % 64 AS by,
+        |         o_custkey % 32 AS bz
+        |  FROM orders WHERE o_orderkey % 50 = 0),
+        |clns AS (SELECT atype, aid, ax, ay, az FROM lns
+        |  WHERE (ax BETWEEN 8 AND 47 AND ay BETWEEN 8 AND 47 AND az BETWEEN 4 AND 27)
+        |     OR (bx BETWEEN 8 AND 47 AND by BETWEEN 8 AND 47 AND bz BETWEEN 4 AND 27))
+        |SELECT * FROM cpts UNION ALL SELECT * FROM clns""".stripMargin)),
+
+    // W1: centered moving average (lib.py:1120-1137)
+    "w1_moving_avg" -> Q(
+      (s, dir) => {
+        val e = table(s, dir, "events").select(col("event_id"), col("user_id"),
+          col("ts"), round(col("value") * 100).cast("long").as("vc"))
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(-3, 3)
+        e.select(col("event_id"),
+          round(sum(col("vc")).over(w) / lit(100.0) / count(lit(1)).over(w), 6)
+            .as("mavg"))
+      },
+      Some("""WITH e AS (
+        |  SELECT event_id, user_id, ts, CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events)
+        |SELECT event_id,
+        |  round(CAST(sum(vc) OVER w AS DOUBLE) / 100.0 / count(*) OVER w, 6) AS mavg
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)""".stripMargin)),
+
+    // Q1-style pricing summary — headline scan+agg for the bench
+    "q1_pricing" -> Q(
+      (s, dir) => table(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_c"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_c"),
+          count(lit(1)).as("n")),
+      Some("""SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+  )
+}
