@@ -9,7 +9,9 @@ import graft.ops._
   */
 object SparkEntry {
   def allQueries: Map[String, Q] =
-    VolumeQueries.queries ++ ChunkQueries.queries
+    VolumeQueries.queries ++ ChunkQueries.queries ++
+      TextQueries.queries ++ SimilarityQueries.queries ++
+      MultimodalOps.queries
 
   /** Flagship: write sf0.001 voxels into encoded chunk payloads, read
     * back the distinct labels through the codec path (A1 `unique`).

@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the `embeddings` table (Array[Float], 64-d).
+  *
+  * Embedding components are quantized to integer milli-units before any
+  * dot product, so sums are exact integers and independent of addition
+  * order — the only way a distributed engine and a single-threaded
+  * oracle agree bit-for-bit on floating-point reductions. The final
+  * cosine is one double division + sqrt (deterministic IEEE ops).
+  *
+  * Scale notes: brute-force top-k is the correctness baseline (O(Q*N)
+  * with a broadcast of the query set — no shuffle of the corpus);
+  * the LSH-bucket variant is the scale path: bucket assignment is a
+  * narrow map, candidate generation joins within buckets only.
+  */
+object SimilarityQueries {
+  import Derived.table
+
+  /** embedding -> integer milli-quantized array (exact, order-safe). */
+  private val QuantExpr =
+    "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
+  val queries: Map[String, Q] = Map(
+
+    // Brute-force cosine top-k: the ANN correctness baseline
+    "sim_topk_bruteforce" -> Q(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+          .select(col("vec_id"), expr(QuantExpr).as("q"))
+          .withColumn("nrm", expr("aggregate(q, 0L, (acc, v) -> acc + v * v)"))
+        val qs = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("q").as("qa"),
+            col("nrm").as("na"))
+        val cand = e.select(col("vec_id").as("cid"), col("q").as("qb"),
+          col("nrm").as("nb"))
+        val scored = broadcast(qs).join(cand, col("qid") =!= col("cid"))
+          .withColumn("dot", expr(
+            "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+          .withColumn("cosine", round(col("dot") /
+            sqrt(col("na").cast("double") * col("nb").cast("double")), 6))
+        scored.withColumn("rank", row_number().over(
+            Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid")))
+            .cast("long"))
+          .filter(col("rank") <= 5)
+          .select("qid", "cid", "rank", "cosine")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |t AS (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS k FROM e),
+        |q AS (SELECT vec_id, k,
+        |        CAST(round(embedding[k]::DOUBLE * 1000) AS BIGINT) AS qv FROM t),
+        |nrm AS (SELECT vec_id, sum(qv * qv) AS nrm FROM q GROUP BY vec_id),
+        |pairs AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+        |         sum(qa.qv * qb.qv) AS dot
+        |  FROM e a JOIN e b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
+        |  JOIN q qa ON qa.vec_id = a.vec_id
+        |  JOIN q qb ON qb.vec_id = b.vec_id AND qb.k = qa.k
+        |  GROUP BY a.vec_id, b.vec_id),
+        |scored AS (
+        |  SELECT qid, cid,
+        |    round(dot / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)), 6)
+        |      AS cosine
+        |  FROM pairs JOIN nrm na ON na.vec_id = qid
+        |  JOIN nrm nb ON nb.vec_id = cid),
+        |ranked AS (
+        |  SELECT qid, cid, cosine, CAST(row_number() OVER (
+        |    PARTITION BY qid ORDER BY cosine DESC, cid) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT qid, cid, rank, cosine FROM ranked WHERE rank <= 5""".stripMargin)),
+
+    // LSH bucketing by random-hyperplane signs (deterministic planes)
+    "sim_lsh_buckets" -> Q(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+          .select(col("vec_id"), expr(QuantExpr).as("q"))
+        val dots = (0 until 8).foldLeft(e) { (df, j) =>
+          df.withColumn(s"d$j", expr(
+            s"aggregate(zip_with(q, transform(sequence(0, 63), " +
+              s"i -> CAST((i * 31 + $j * 17) % 7 - 3 AS BIGINT)), " +
+              s"(x, p) -> x * p), 0L, (acc, v) -> acc + v)"))
+        }
+        val bucketed = dots.select(col("vec_id"),
+          (0 until 8).map(j => when(col(s"d$j") > 0, lit(1L << j))
+            .otherwise(0L)).reduce(_ + _).as("bucket"))
+        bucketed.withColumn("n_bucket",
+          count(lit(1)).over(Window.partitionBy("bucket")))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |t AS (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS k FROM e),
+        |q AS (SELECT vec_id, k,
+        |        CAST(round(embedding[k]::DOUBLE * 1000) AS BIGINT) AS qv FROM t),
+        |tj AS (SELECT vec_id, k, qv, unnest(generate_series(0, 7)) AS j FROM q),
+        |dots AS (SELECT vec_id, j,
+        |           sum(qv * (((k - 1) * 31 + j * 17) % 7 - 3)) AS d
+        |         FROM tj GROUP BY vec_id, j),
+        |b AS (SELECT vec_id,
+        |        CAST(sum(CASE WHEN d > 0 THEN 1 << j ELSE 0 END) AS BIGINT)
+        |          AS bucket
+        |      FROM dots GROUP BY vec_id)
+        |SELECT vec_id, bucket, count(*) OVER (PARTITION BY bucket) AS n_bucket
+        |FROM b""".stripMargin)),
+
+    // Embedding near-dup pairs above a cosine threshold
+    "dedup_cosine_nn" -> Q(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings").filter(col("vec_id") < 100)
+          .select(col("vec_id"), expr(QuantExpr).as("q"))
+          .withColumn("nrm", expr("aggregate(q, 0L, (acc, v) -> acc + v * v)"))
+        val a = e.select(col("vec_id").as("a"), col("q").as("qa"),
+          col("nrm").as("na"))
+        val b = e.select(col("vec_id").as("b"), col("q").as("qb"),
+          col("nrm").as("nb"))
+        a.join(b, col("a") < col("b"))
+          .withColumn("cosine", round(
+            expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)") /
+              sqrt(col("na").cast("double") * col("nb").cast("double")), 6))
+          .filter(col("cosine") >= 0.30)
+          .select("a", "b", "cosine")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),
+        |t AS (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS k FROM e),
+        |q AS (SELECT vec_id, k,
+        |        CAST(round(embedding[k]::DOUBLE * 1000) AS BIGINT) AS qv FROM t),
+        |nrm AS (SELECT vec_id, sum(qv * qv) AS nrm FROM q GROUP BY vec_id),
+        |pairs AS (
+        |  SELECT qa.vec_id AS a, qb.vec_id AS b, sum(qa.qv * qb.qv) AS dot
+        |  FROM q qa JOIN q qb ON qa.vec_id < qb.vec_id AND qa.k = qb.k
+        |  GROUP BY qa.vec_id, qb.vec_id)
+        |SELECT a, b,
+        |  round(dot / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)), 6)
+        |    AS cosine
+        |FROM pairs JOIN nrm na ON na.vec_id = a JOIN nrm nb ON nb.vec_id = b
+        |WHERE round(dot / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)), 6)
+        |      >= 0.30""".stripMargin)),
+  )
+}

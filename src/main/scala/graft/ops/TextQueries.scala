@@ -1,0 +1,341 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline text operators over the `documents` table:
+  * exact + near deduplication (MinHash-LSH, SimHash, n-gram Jaccard),
+  * language-ID, quality scoring, token counting, fingerprinting.
+  *
+  * All hashing goes through md5 → 48-bit int so Spark and DuckDB agree
+  * bit-for-bit; every ratio is derived from integer counts so floats
+  * stay deterministic.
+  *
+  * Scale notes: every operator here is shuffle-minimal — shingling is
+  * a narrow map, signatures are a single hash aggregate per doc, LSH
+  * candidate generation joins on band keys (not all-pairs), and the
+  * only all-pairs work (n-gram Jaccard) runs on LSH-size candidate
+  * sets. That is the shape that survives 100 TB: no operator compares
+  * every document to every document.
+  */
+object TextQueries {
+  import Derived.table
+
+  /** Dirty corpus: originals plus near-duplicates (even doc_ids with
+    * the first word dropped, id+10000) — gives dedup real work.
+    */
+  private def corpus(s: SparkSession, dir: String): DataFrame = {
+    val d = table(s, dir, "documents").select("doc_id", "text")
+    d.unionAll(
+      d.filter(col("doc_id") % 2 === 0).select(
+        (col("doc_id") + 10000).as("doc_id"),
+        expr("substr(text, instr(text, ' ') + 1)").as("text")))
+  }
+
+  private val CorpusCte: String =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id,
+      |         substr(text, strpos(text, ' ') + 1) AS text
+      |  FROM documents WHERE doc_id % 2 = 0)""".stripMargin
+
+  /** Exact-dup corpus: byte-identical copies (every 3rd doc, id+10000). */
+  private val ExactCorpusCte: String =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id, text
+      |  FROM documents WHERE doc_id % 3 = 0)""".stripMargin
+
+  /** Word 3-gram shingles with 48-bit md5-derived hash, as Spark cols.
+    * Input must have (doc_id, text); output (doc_id, hv).
+    */
+  private def shingleHashes(c: DataFrame): DataFrame =
+    c.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 3), " +
+          "i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))")).as("s"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("s").cast("binary")), 1, 12), 16, 10)
+          .cast("long").as("hv"))
+
+  private val ShinglesSql: String =
+    """ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+      |wf AS (SELECT * FROM ws WHERE len(w) >= 3),
+      |sh AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM wf),
+      |shs AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM sh),
+      |hv AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 12))::BIGINT AS hv FROM shs)""".stripMargin
+
+  // (a, b) coefficients of the 4 minhash permutations
+  private val MinhashFns = Seq((3L, 1L), (5L, 8L), (7L, 15L), (9L, 22L))
+  private val P = 2147483647L
+
+  val queries: Map[String, Q] = Map(
+
+    // Exact dedup: hash-groupBy on content, keep lowest id
+    "dedup_exact" -> Q(
+      (s, dir) => {
+        val d = table(s, dir, "documents").select("doc_id", "text")
+        val c = d.unionAll(d.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        c.groupBy(md5(col("text").cast("binary")).as("text_hash"))
+          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      },
+      Some(s"""WITH $ExactCorpusCte
+        |SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+        |       count(*) AS n_copies
+        |FROM corpus GROUP BY md5(text)""".stripMargin)),
+
+    // MinHash + LSH banding: signature -> band -> bucket self-join
+    "dedup_minhash_lsh" -> Q(
+      (s, dir) => {
+        val mhAggs = MinhashFns.zipWithIndex.map { case ((a, b), i) =>
+          min((col("hv") * a + b) % P).as(s"mh$i")
+        }
+        val mh = shingleHashes(corpus(s, dir)).groupBy("doc_id")
+          .agg(mhAggs.head, mhAggs.tail: _*)
+        val bands = mh.select(col("doc_id"), lit(1L).as("bid"),
+            concat_ws("_", col("mh0"), col("mh1")).as("band"))
+          .unionAll(mh.select(col("doc_id"), lit(2L).as("bid"),
+            concat_ws("_", col("mh2"), col("mh3")).as("band")))
+        val x = bands.as("x"); val y = bands.as("y")
+        x.join(y, col("x.band") === col("y.band") &&
+            col("x.bid") === col("y.bid") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .distinct()
+      },
+      Some(s"""WITH $CorpusCte,
+        |$ShinglesSql,
+        |mh AS (SELECT doc_id,
+        |${MinhashFns.zipWithIndex.map { case ((a, b), i) =>
+            s"  min((hv * $a + $b) % $P) AS mh$i" }.mkString(",\n")}
+        |  FROM hv GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 1 AS bid, mh0 || '_' || mh1 AS band FROM mh
+        |  UNION ALL
+        |  SELECT doc_id, 2 AS bid, mh2 || '_' || mh3 AS band FROM mh)
+        |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |FROM bands x JOIN bands y
+        |  ON x.band = y.band AND x.bid = y.bid AND x.doc_id < y.doc_id""".stripMargin)),
+
+    // SimHash (16-bit) per doc + hamming distance to its near-dup
+    "dedup_simhash" -> Q(
+      (s, dir) => {
+        val words = corpus(s, dir)
+          .select(col("doc_id"), explode(array_distinct(
+            split(col("text"), " "))).as("wd"))
+          .select(col("doc_id"),
+            conv(substring(md5(col("wd").cast("binary")), 1, 12), 16, 10)
+              .cast("long").as("hv"))
+        val bitAggs = (0 until 16).map { k =>
+          sum(when(shiftright(col("hv"), k) % 2 === 1, 1L).otherwise(-1L))
+            .as(s"b$k")
+        }
+        val bitSums = words.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+        val sim = bitSums.select(col("doc_id"),
+          (0 until 16).map { k =>
+            when(col(s"b$k") > 0, lit(1L << k)).otherwise(0L)
+          }.reduce(_ + _).as("simhash"))
+        val a = sim.filter(col("doc_id") < 10000 && col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("a"), col("simhash").as("sim_a"))
+        val b = sim.filter(col("doc_id") >= 10000)
+          .select((col("doc_id") - 10000).as("a"), col("simhash").as("sim_b"))
+        a.join(b, "a").select(col("a"), col("sim_a"), col("sim_b"),
+          expr("bit_count(sim_a ^ sim_b)").cast("long").as("hamming"))
+      },
+      Some(s"""WITH $CorpusCte,
+        |wd AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+        |       FROM corpus),
+        |hw AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 12))::BIGINT AS hv FROM wd),
+        |bs AS (SELECT doc_id,
+        |${(0 until 16).map { k =>
+            s"  sum(CASE WHEN (hv >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS b$k" }
+            .mkString(",\n")}
+        |  FROM hw GROUP BY doc_id),
+        |sim AS (SELECT doc_id,
+        |${(0 until 16).map { k =>
+            s"  (CASE WHEN b$k > 0 THEN ${1L << k} ELSE 0 END)" }
+            .mkString(" +\n")}
+        |  AS simhash FROM bs)
+        |SELECT a.doc_id AS a, a.simhash AS sim_a, b.simhash AS sim_b,
+        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM sim a JOIN sim b ON b.doc_id = a.doc_id + 10000
+        |WHERE a.doc_id < 10000 AND a.doc_id % 2 = 0""".stripMargin)),
+
+    // Exact n-gram Jaccard on the candidate pairs
+    "dedup_ngram_jaccard" -> Q(
+      (s, dir) => {
+        val sh = shingleHashes(corpus(s, dir)).distinct()
+        val a = sh.filter(col("doc_id") < 10000 && col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("a"), col("hv"))
+        val b = sh.filter(col("doc_id") >= 10000)
+          .select((col("doc_id") - 10000).as("ab"), col("hv").as("hvb"))
+        val inter = a.join(b, a("hv") === b("hvb") && a("a") === b("ab"))
+          .groupBy("a").agg(count(lit(1)).as("n_inter"))
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val szA = sizes.filter(col("doc_id") < 10000 && col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("a"), col("sz").as("sz_a"))
+        val szB = sizes.filter(col("doc_id") >= 10000)
+          .select((col("doc_id") - 10000).as("a"), col("sz").as("sz_b"))
+        szA.join(szB, "a").join(inter, Seq("a"), "left")
+          .select(col("a"), (col("a") + 10000).as("b"),
+            coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+            (col("sz_a") + col("sz_b") - coalesce(col("n_inter"), lit(0L)))
+              .as("n_union"))
+          .withColumn("jaccard",
+            round(col("n_inter").cast("double") / col("n_union"), 6))
+      },
+      Some(s"""WITH $CorpusCte,
+        |$ShinglesSql,
+        |shd AS (SELECT DISTINCT doc_id, hv FROM hv),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a, count(*) AS n_inter
+        |  FROM shd a JOIN shd b ON b.doc_id = a.doc_id + 10000 AND a.hv = b.hv
+        |  WHERE a.doc_id < 10000 AND a.doc_id % 2 = 0
+        |  GROUP BY a.doc_id),
+        |base AS (
+        |  SELECT sa.doc_id AS a, sa.doc_id + 10000 AS b, sa.sz AS sz_a,
+        |         sb.sz AS sz_b
+        |  FROM sizes sa JOIN sizes sb ON sb.doc_id = sa.doc_id + 10000
+        |  WHERE sa.doc_id < 10000 AND sa.doc_id % 2 = 0)
+        |SELECT base.a, base.b, coalesce(i.n_inter, 0) AS n_inter,
+        |       sz_a + sz_b - coalesce(i.n_inter, 0) AS n_union,
+        |       round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+        |             / (sz_a + sz_b - coalesce(i.n_inter, 0)), 6) AS jaccard
+        |FROM base LEFT JOIN inter i ON base.a = i.a""".stripMargin)),
+
+    // Language ID by stopword-marker voting (n-gram heuristic)
+    "text_langid" -> Q(
+      (s, dir) => {
+        val markers = Seq(
+          "en" -> Seq("the", "a", "of"), "de" -> Seq("der", "die", "und"),
+          "fr" -> Seq("le", "la", "et"), "es" -> Seq("el", "los", "y"),
+          "it" -> Seq("il", "di", "che"))
+        val d = table(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+        val scored = markers.foldLeft(d) { case (df, (lang, ws)) =>
+          df.withColumn(s"s_$lang",
+            size(filter(col("w"),
+              x => ws.map(x === _).reduce(_ || _))).cast("long"))
+        }
+        val best = markers.map { case (lang, _) => (col(s"s_$lang"), lang) }
+          .foldLeft((lit(-1L), lit("unknown"))) {
+            case ((bs, bl), (sc, lang)) =>
+              (when(sc > bs, sc).otherwise(bs),
+                when(sc > bs, lit(lang)).otherwise(bl))
+          }
+        scored.withColumn("pred_lang",
+            when(best._1 <= 0, lit("unknown")).otherwise(best._2))
+          .select(col("doc_id"), col("pred_lang"),
+            col("s_en"), col("s_de"), col("s_fr"), col("s_es"), col("s_it"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(list_filter(w, x -> x = 'the' OR x = 'a' OR x = 'of')) AS s_en,
+        |  len(list_filter(w, x -> x = 'der' OR x = 'die' OR x = 'und')) AS s_de,
+        |  len(list_filter(w, x -> x = 'le' OR x = 'la' OR x = 'et')) AS s_fr,
+        |  len(list_filter(w, x -> x = 'el' OR x = 'los' OR x = 'y')) AS s_es,
+        |  len(list_filter(w, x -> x = 'il' OR x = 'di' OR x = 'che')) AS s_it
+        |  FROM w)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_it) <= 0 THEN 'unknown'
+        |       WHEN s_en >= greatest(s_de, s_fr, s_es, s_it) THEN 'en'
+        |       WHEN s_de >= greatest(s_fr, s_es, s_it) THEN 'de'
+        |       WHEN s_fr >= greatest(s_es, s_it) THEN 'fr'
+        |       WHEN s_es >= s_it THEN 'es'
+        |       ELSE 'it' END AS pred_lang,
+        |  s_en, s_de, s_fr, s_es, s_it
+        |FROM s""".stripMargin)),
+
+    // Quality scoring from integer-derived ratios
+    "text_quality" -> Q(
+      (s, dir) => {
+        val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+        table(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("w"),
+            col("text"))
+          .withColumn("n_words", size(col("w")).cast("long"))
+          .withColumn("sum_wlen", (col("n_chars") - (col("n_words") - 1)))
+          .withColumn("n_stop", size(filter(col("w"),
+            x => stops.map(x === _).reduce(_ || _))).cast("long"))
+          .withColumn("n_punct",
+            (length(col("text")) -
+              length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))).cast("long"))
+          // ppm integers via floor: both engines compute the identical
+          // IEEE double (same ops, same order), and floor has no
+          // round-half ambiguity the way round(x, 6) does
+          .withColumn("avg_wlen_ppm",
+            floor(col("sum_wlen").cast("double") / col("n_words") * 1e6)
+              .cast("long"))
+          .withColumn("stop_ratio_ppm",
+            floor(col("n_stop").cast("double") / col("n_words") * 1e6)
+              .cast("long"))
+          .withColumn("quality_ppm", floor(
+            (least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.4 +
+              (lit(1.0) - col("n_stop").cast("double") / col("n_words")) * 0.3 +
+              least(col("sum_wlen").cast("double") / col("n_words") / 8.0,
+                lit(1.0)) * 0.3) * 1e6).cast("long"))
+          .select("doc_id", "n_words", "sum_wlen", "n_stop", "n_punct",
+            "avg_wlen_ppm", "stop_ratio_ppm", "quality_ppm")
+      },
+      Some("""WITH w AS (SELECT doc_id, n_chars, text,
+        |              string_split(text, ' ') AS w FROM documents),
+        |m AS (SELECT doc_id, n_chars, text, len(w) AS n_words,
+        |  n_chars - (len(w) - 1) AS sum_wlen,
+        |  len(list_filter(w, x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and'
+        |      OR x = 'to' OR x = 'in' OR x = 'is')) AS n_stop,
+        |  length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
+        |    AS n_punct
+        |  FROM w)
+        |SELECT doc_id, n_words, sum_wlen, n_stop, n_punct,
+        |  CAST(floor(CAST(sum_wlen AS DOUBLE) / n_words * 1e6) AS BIGINT)
+        |    AS avg_wlen_ppm,
+        |  CAST(floor(CAST(n_stop AS DOUBLE) / n_words * 1e6) AS BIGINT)
+        |    AS stop_ratio_ppm,
+        |  CAST(floor((least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4
+        |    + (1.0 - CAST(n_stop AS DOUBLE) / n_words) * 0.3
+        |    + least(CAST(sum_wlen AS DOUBLE) / n_words / 8.0, 1.0) * 0.3) * 1e6)
+        |    AS BIGINT) AS quality_ppm
+        |FROM m""".stripMargin)),
+
+    // Token counting: whitespace words + regex token runs
+    "text_tokens" -> Q(
+      (s, dir) => table(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_ws"),
+          regexp_count(col("text"), lit("[a-z0-9]+")).cast("long").as("n_tok"),
+          col("n_chars")),
+      Some("""SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_ws,
+        |  len(regexp_extract_all(text, '[a-z0-9]+')) AS n_tok, n_chars
+        |FROM documents""".stripMargin)),
+
+    // Rolling-hash document fingerprint (position-sensitive)
+    "text_fingerprint" -> Q(
+      (s, dir) => table(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos"),
+          conv(substring(md5(col("col").cast("binary")), 1, 12), 16, 10)
+            .cast("long").as("hv"))
+        .select(col("doc_id"),
+          ((col("hv") % 1048576L) *
+            when(col("pos") % 4 === 0, 1L).otherwise(
+              when(col("pos") % 4 === 1, 31L).otherwise(
+                when(col("pos") % 4 === 2, 961L).otherwise(29791L))))
+            .as("term"))
+        .groupBy("doc_id").agg((sum("term") % 1048576L).as("fp")),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |p AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM w),
+        |t AS (SELECT doc_id,
+        |  (('0x' || substr(md5(w[i]), 1, 12))::BIGINT % 1048576)
+        |    * (CASE (i - 1) % 4 WHEN 0 THEN 1 WHEN 1 THEN 31 WHEN 2 THEN 961
+        |       ELSE 29791 END) AS term
+        |  FROM p)
+        |SELECT doc_id, CAST(sum(term) % 1048576 AS BIGINT) AS fp
+        |FROM t GROUP BY doc_id""".stripMargin)),
+  )
+}
