@@ -103,32 +103,66 @@ object SimilarityQueries {
         |SELECT vec_id, bucket, count(*) OVER (PARTITION BY bucket) AS n_bucket
         |FROM b""".stripMargin)),
 
-    // Embedding near-dup pairs above a cosine threshold
+    // Embedding near-dup pairs above a cosine threshold.
+    // Scale-safe: candidates come from LSH buckets (4 hash tables of
+    // 8 signed-random-hyperplane bits each, OR-amplified — a pair is a
+    // candidate if it shares a full signature in ANY table), then each
+    // candidate is exact-cosine verified. No all-pairs join anywhere;
+    // the whole corpus participates (no row cap needed).
     "dedup_cosine_nn" -> Q(
       (s, dir) => {
-        val e = table(s, dir, "embeddings").filter(col("vec_id") < 100)
+        val e = table(s, dir, "embeddings")
           .select(col("vec_id"), expr(QuantExpr).as("q"))
           .withColumn("nrm", expr("aggregate(q, 0L, (acc, v) -> acc + v * v)"))
-        val a = e.select(col("vec_id").as("a"), col("q").as("qa"),
+        val sigs = (0 until 4).map { t =>
+          val dots = (0 until 8).foldLeft(e.select(col("vec_id"), col("q"))) {
+            (df, j) =>
+              df.withColumn(s"d$j", expr(
+                s"aggregate(zip_with(q, transform(sequence(0, 63), " +
+                  s"i -> CAST((i * 31 + $j * 17 + $t * 53) % 7 - 3 AS BIGINT)), " +
+                  s"(x, p) -> x * p), 0L, (acc, v) -> acc + v)"))
+          }
+          dots.select(col("vec_id"), lit(t.toLong).as("tbl"),
+            (0 until 8).map(j => when(col(s"d$j") > 0, lit(1L << j))
+              .otherwise(0L)).reduce(_ + _).as("sig"))
+        }.reduce(_ unionAll _)
+        val x = sigs.as("x"); val y = sigs.as("y")
+        val cands = x.join(y, col("x.tbl") === col("y.tbl") &&
+            col("x.sig") === col("y.sig") && col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+          .distinct()
+        val ea = e.select(col("vec_id").as("a"), col("q").as("qa"),
           col("nrm").as("na"))
-        val b = e.select(col("vec_id").as("b"), col("q").as("qb"),
+        val eb = e.select(col("vec_id").as("b"), col("q").as("qb"),
           col("nrm").as("nb"))
-        a.join(b, col("a") < col("b"))
+        cands.join(ea, Seq("a")).join(eb, Seq("b"))
           .withColumn("cosine", round(
             expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)") /
               sqrt(col("na").cast("double") * col("nb").cast("double")), 6))
           .filter(col("cosine") >= 0.30)
           .select("a", "b", "cosine")
       },
-      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |t AS (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS k FROM e),
         |q AS (SELECT vec_id, k,
         |        CAST(round(embedding[k]::DOUBLE * 1000) AS BIGINT) AS qv FROM t),
         |nrm AS (SELECT vec_id, sum(qv * qv) AS nrm FROM q GROUP BY vec_id),
-        |pairs AS (
-        |  SELECT qa.vec_id AS a, qb.vec_id AS b, sum(qa.qv * qb.qv) AS dot
-        |  FROM q qa JOIN q qb ON qa.vec_id < qb.vec_id AND qa.k = qb.k
-        |  GROUP BY qa.vec_id, qb.vec_id)
+        |qt AS (SELECT vec_id, k, qv, unnest(generate_series(0, 3)) AS tbl FROM q),
+        |qtj AS (SELECT vec_id, tbl, k, qv, unnest(generate_series(0, 7)) AS j FROM qt),
+        |dots AS (SELECT vec_id, tbl, j,
+        |           sum(qv * (((k - 1) * 31 + j * 17 + tbl * 53) % 7 - 3)) AS d
+        |         FROM qtj GROUP BY vec_id, tbl, j),
+        |sig AS (SELECT vec_id, tbl,
+        |          CAST(sum(CASE WHEN d > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS sig
+        |        FROM dots GROUP BY vec_id, tbl),
+        |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+        |         FROM sig x JOIN sig y
+        |           ON x.tbl = y.tbl AND x.sig = y.sig AND x.vec_id < y.vec_id),
+        |pairs AS (SELECT c.a, c.b, sum(qa.qv * qb.qv) AS dot
+        |          FROM cand c
+        |          JOIN q qa ON qa.vec_id = c.a
+        |          JOIN q qb ON qb.vec_id = c.b AND qb.k = qa.k
+        |          GROUP BY c.a, c.b)
         |SELECT a, b,
         |  round(dot / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)), 6)
         |    AS cosine

@@ -71,6 +71,9 @@ object TextQueries {
   // (a, b) coefficients of the 4 minhash permutations
   private val MinhashFns = Seq((3L, 1L), (5L, 8L), (7L, 15L), (9L, 22L))
   private val P = 2147483647L
+  // LSH mega-bucket cap: band buckets above this size are degenerate
+  // (boilerplate keys) and dropped before the candidate self-join
+  private val MaxBucket = 100L
 
   val queries: Map[String, Q] = Map(
 
@@ -100,7 +103,16 @@ object TextQueries {
             concat_ws("_", col("mh0"), col("mh1")).as("band"))
           .unionAll(mh.select(col("doc_id"), lit(2L).as("bid"),
             concat_ws("_", col("mh2"), col("mh3")).as("band")))
-        val x = bands.as("x"); val y = bands.as("y")
+        // Mega-bucket guard: a degenerate band key (boilerplate-heavy
+        // corpus) makes the self-join quadratic on that key. Cap bucket
+        // size; oversized buckets are dropped (standard LSH practice —
+        // such keys carry no near-dup signal, only skew).
+        val sized = bands.join(
+          bands.groupBy("bid", "band")
+            .agg(count(lit(1)).as("bucket_n"))
+            .filter(col("bucket_n") <= MaxBucket),
+          Seq("bid", "band"))
+        val x = sized.as("x"); val y = sized.as("y")
         x.join(y, col("x.band") === col("y.band") &&
             col("x.bid") === col("y.bid") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -116,9 +128,13 @@ object TextQueries {
         |bands AS (
         |  SELECT doc_id, 1 AS bid, mh0 || '_' || mh1 AS band FROM mh
         |  UNION ALL
-        |  SELECT doc_id, 2 AS bid, mh2 || '_' || mh3 AS band FROM mh)
+        |  SELECT doc_id, 2 AS bid, mh2 || '_' || mh3 AS band FROM mh),
+        |ok AS (SELECT bid, band FROM bands GROUP BY bid, band
+        |       HAVING count(*) <= $MaxBucket),
+        |sized AS (SELECT b.* FROM bands b JOIN ok
+        |          ON b.bid = ok.bid AND b.band = ok.band)
         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        |FROM bands x JOIN bands y
+        |FROM sized x JOIN sized y
         |  ON x.band = y.band AND x.bid = y.bid AND x.doc_id < y.doc_id""".stripMargin)),
 
     // SimHash (16-bit) per doc + hamming distance to its near-dup

@@ -157,14 +157,20 @@ object VolumeQueries {
         |WHERE x BETWEEN 8 AND 39 AND y BETWEEN 16 AND 47 AND z BETWEEN 4 AND 19""".stripMargin)),
 
     // A2/W4: renumber — dense relabeling of the distinct set
-    // (rx.py:326-351)
+    // (rx.py:326-351). Scale-safe: a range-partitioned distributed
+    // sort + zipWithIndex instead of a global window (which would
+    // funnel every label through one task).
     "a2_renumber" -> Q(
-      (s, dir) => voxels(s, dir)
-        .filter(col("x").between(8, 39) && col("y").between(16, 47) &&
-          col("z").between(4, 19))
-        .select("label").distinct()
-        .withColumn("renumbered",
-          dense_rank().over(Window.orderBy("label")).cast("long")),
+      (s, dir) => {
+        import s.implicits._
+        val u = voxels(s, dir)
+          .filter(col("x").between(8, 39) && col("y").between(16, 47) &&
+            col("z").between(4, 19))
+          .select("label").distinct()
+        u.as[Long].rdd.sortBy(identity)
+          .zipWithIndex.map { case (l, i) => (l, i + 1L) }
+          .toDF("label", "renumbered")
+      },
       Some(s"""WITH $VoxelsCte,
         |u AS (SELECT DISTINCT label FROM voxels
         |      WHERE x BETWEEN 8 AND 39 AND y BETWEEN 16 AND 47 AND z BETWEEN 4 AND 19)
@@ -435,21 +441,31 @@ object VolumeQueries {
           .select(col("child"),
             (lit(200000L) + idiv(col("child") - 100000L, 10)).as("parent"))
         val edges = e1.unionAll(e2).cache()
-        // iterate child->parent until fixpoint (bounded depth)
+        // Iterate child->parent to fixpoint over the UNSETTLED frontier
+        // only: rows whose node has no parent edge are settled and
+        // leave the loop; the remainder re-joins next pass. Each pass
+        // materializes once via eager localCheckpoint, which also cuts
+        // lineage so plan size stays O(1) in depth instead of O(depth).
         var frontier = leaves.select(col("leaf"), col("leaf").as("node"))
-        var done = false
+        var settled: DataFrame = null
         var depth = 0
-        while (!done && depth < 10) {
-          val stepped = frontier.join(edges, col("node") === col("child"), "left")
-            .select(col("leaf"),
-              coalesce(col("parent"), col("node")).as("next"),
-              col("parent").isNotNull.as("moved"))
-          val nMoved = stepped.filter(col("moved")).limit(1).count()
-          frontier = stepped.select(col("leaf"), col("next").as("node"))
-          done = nMoved == 0
+        var empty = false
+        while (!empty && depth < 10) {
+          val stepped = frontier
+            .join(edges, col("node") === col("child"), "left")
+            .select(col("leaf"), col("node"), col("parent"))
+            .localCheckpoint() // the single action per iteration
+          val done = stepped.filter(col("parent").isNull)
+            .select(col("leaf"), col("node").as("root"))
+          settled = if (settled == null) done else settled.unionAll(done)
+          frontier = stepped.filter(col("parent").isNotNull)
+            .select(col("leaf"), col("parent").as("node"))
+          empty = frontier.isEmpty // cheap: reads the checkpointed rows
           depth += 1
         }
-        frontier.select(col("leaf"), col("node").as("root"))
+        // depth cap safety: anything still unsettled resolves to itself
+        val rest = frontier.select(col("leaf"), col("node").as("root"))
+        settled.unionAll(rest).select(col("leaf"), col("root"))
       },
       Some("""SELECT s_suppkey AS leaf,
         |       200000 + (s_suppkey // 100) AS root
