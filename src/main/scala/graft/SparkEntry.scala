@@ -11,7 +11,7 @@ object SparkEntry {
   def allQueries: Map[String, Q] =
     VolumeQueries.queries ++ ChunkQueries.queries ++
       TextQueries.queries ++ SimilarityQueries.queries ++
-      MultimodalOps.queries
+      MultimodalOps.queries ++ RealLayerQueries.queries
 
   /** Flagship: write sf0.001 voxels into encoded chunk payloads, read
     * back the distinct labels through the codec path (A1 `unique`).

@@ -15,6 +15,8 @@ final case class ShardingSpec(
     minishardBits: Int,
     shardBits: Int,
     hashName: String = "identity", // or "murmurhash3_x86_128"
+    minishardIndexEncoding: String = "raw", // or "gzip"
+    dataEncoding: String = "raw", // or "gzip"
 ) {
   require(preshiftBits >= 0 && minishardBits >= 0 && shardBits >= 0)
   require(hashName == "identity" || hashName == "murmurhash3_x86_128",

@@ -1,0 +1,246 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import graft.core._
+
+/** DataSource V2 `neuroglancer` format (S1 plugin-dispatch open,
+  * cloudvolume.py:78-302 + registry `:25-35`): one chunk object per
+  * row over a precomputed layer directory.
+  *
+  * Spark-first design choices:
+  *  - Chunk-key **filter pushdown** (SupportsPushDownFilters):
+  *    comparisons on gx/gy/gz — and the bbox-overlap forms x1 > lo /
+  *    x0 < hi — narrow the grid enumerated at *planning* time, the
+  *    DSv2 analog of the reference never listing the bucket for reads
+  *    (image/common.py:137-155). A cutout over 0.1% of a 100 TB layer
+  *    plans 0.1% of the chunks; no task ever sees the rest.
+  *  - **Column pruning** (SupportsPushDownRequiredColumns): when
+  *    `payload` is not required (exists probes, grid listings) no
+  *    chunk object is opened at all — pure metadata execution.
+  *  - Grid coordinates are evenly range-split across input partitions
+  *    so a 1000-executor scan load-balances without a shuffle.
+  *
+  * Options: `mip` (default 0), `fill_missing` (default false — missing
+  * chunk objects raise, per EmptyVolumeException rx.py:864-870; true
+  * yields a null payload the consumer background-fills, S15).
+  */
+class NeuroglancerSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "neuroglancer"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Neuroglancer.Schema
+  override def supportsExternalMetadata(): Boolean = false
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new NgTable(properties.asScala.toMap)
+}
+
+object Neuroglancer {
+  val Schema: StructType = StructType(Seq(
+    StructField("gx", LongType, nullable = false),
+    StructField("gy", LongType, nullable = false),
+    StructField("gz", LongType, nullable = false),
+    StructField("x0", LongType, nullable = false),
+    StructField("y0", LongType, nullable = false),
+    StructField("z0", LongType, nullable = false),
+    StructField("x1", LongType, nullable = false),
+    StructField("y1", LongType, nullable = false),
+    StructField("z1", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true)))
+}
+
+final class NgTable(props: Map[String, String]) extends Table with SupportsRead {
+  private val path: String = props.getOrElse("path",
+    throw new IllegalArgumentException("neuroglancer source requires a path"))
+    .stripPrefix("file://")
+
+  override def name(): String = s"neuroglancer:$path"
+  override def schema(): StructType = Neuroglancer.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new NgScanBuilder(path,
+      options.getInt("mip", props.get("mip").map(_.toInt).getOrElse(0)),
+      options.getBoolean("fill_missing",
+        props.get("fill_missing").exists(_.toBoolean)))
+}
+
+final class NgScanBuilder(layerDir: String, mip: Int, fillMissing: Boolean)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = Neuroglancer.Schema
+  private var accepted: Array[Filter] = Array.empty
+  // inclusive grid-coordinate bounds per axis, tightened by pushdown
+  private val glo = Array(Long.MinValue, Long.MinValue, Long.MinValue)
+  private val ghi = Array(Long.MaxValue, Long.MaxValue, Long.MaxValue)
+
+  private val meta = VolumeMeta.readInfo(layerDir)
+  private val scale = meta.scale(mip)
+
+  private def axisOf(attr: String): Int = attr match {
+    case "gx" | "x0" | "x1" => 0
+    case "gy" | "y0" | "y1" => 1
+    case "gz" | "z0" | "z1" => 2
+    case _ => -1
+  }
+
+  private def cs(axis: Int): Long = scale.chunkSize.toArray(axis)
+  private def off(axis: Int): Long = scale.voxelOffset.toArray(axis)
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case n: Number => Some(n.longValue)
+    case _ => None
+  }
+
+  private def tightenLo(axis: Int, g: Long): Unit =
+    glo(axis) = math.max(glo(axis), g)
+  private def tightenHi(axis: Int, g: Long): Unit =
+    ghi(axis) = math.min(ghi(axis), g)
+
+  /** Translate one comparison into a grid bound; true if understood. */
+  private def tryPush(f: Filter): Boolean = f match {
+    case EqualTo(a, v) if a.startsWith("g") && axisOf(a) >= 0 =>
+      asLong(v).exists { x => tightenLo(axisOf(a), x); tightenHi(axisOf(a), x); true }
+    case GreaterThan(a, v) if a.startsWith("g") && axisOf(a) >= 0 =>
+      asLong(v).exists { x => tightenLo(axisOf(a), x + 1); true }
+    case GreaterThanOrEqual(a, v) if a.startsWith("g") && axisOf(a) >= 0 =>
+      asLong(v).exists { x => tightenLo(axisOf(a), x); true }
+    case LessThan(a, v) if a.startsWith("g") && axisOf(a) >= 0 =>
+      asLong(v).exists { x => tightenHi(axisOf(a), x - 1); true }
+    case LessThanOrEqual(a, v) if a.startsWith("g") && axisOf(a) >= 0 =>
+      asLong(v).exists { x => tightenHi(axisOf(a), x); true }
+    // bbox-overlap forms: x1 > lo  =>  gx >= floor((lo - off) / cs)
+    case GreaterThan(a, v) if a.endsWith("1") && axisOf(a) >= 0 =>
+      val ax = axisOf(a)
+      asLong(v).exists { x => tightenLo(ax, Math.floorDiv(x - off(ax), cs(ax))); true }
+    case GreaterThanOrEqual(a, v) if a.endsWith("1") && axisOf(a) >= 0 =>
+      val ax = axisOf(a)
+      asLong(v).exists { x => tightenLo(ax, Math.floorDiv(x - 1 - off(ax), cs(ax))); true }
+    //                     x0 < hi  =>  gx <= floor((hi - 1 - off) / cs)
+    case LessThan(a, v) if a.endsWith("0") && axisOf(a) >= 0 =>
+      val ax = axisOf(a)
+      asLong(v).exists { x => tightenHi(ax, Math.floorDiv(x - 1 - off(ax), cs(ax))); true }
+    case LessThanOrEqual(a, v) if a.endsWith("0") && axisOf(a) >= 0 =>
+      val ax = axisOf(a)
+      asLong(v).exists { x => tightenHi(ax, Math.floorDiv(x - off(ax), cs(ax))); true }
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    accepted = filters.filter(tryPush)
+    // conservative: Spark re-evaluates everything post-scan
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val grid = scale.gridSize
+    val lo = Vec3(math.max(0L, glo(0)), math.max(0L, glo(1)), math.max(0L, glo(2)))
+    val hi = Vec3(math.min(grid.x - 1, ghi(0)), math.min(grid.y - 1, ghi(1)),
+      math.min(grid.z - 1, ghi(2)))
+    new NgScan(layerDir, scale, meta.dtypeBytes, lo, hi, required, fillMissing)
+  }
+}
+
+final case class NgInputPartition(
+    layerDir: String, key: String, chunks: Array[Array[Long]],
+    boundsMin: Array[Long], boundsMax: Array[Long], chunkSize: Array[Long])
+  extends InputPartition
+
+final class NgScan(layerDir: String, scale: ScaleMeta, dtypeBytes: Int,
+    lo: Vec3, hi: Vec3, required: StructType, fillMissing: Boolean)
+  extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"neuroglancer $layerDir key=${scale.key} grid=[$lo..$hi] cols=${required.fieldNames.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val pts = for {
+      gz <- lo.z to hi.z
+      gy <- lo.y to hi.y
+      gx <- lo.x to hi.x
+    } yield Array(gx, gy, gz)
+    if (pts.isEmpty) return Array.empty
+    val parallelism = math.max(SparkSession.active.sparkContext.defaultParallelism, 1)
+    val nParts = math.min(pts.size, math.max(parallelism, pts.size / 64))
+    val b = scale.bounds
+    pts.grouped(Geom.ceilDiv(pts.size, nParts).toInt).map { group =>
+      NgInputPartition(layerDir, scale.key, group.toArray,
+        b.minpt.toArray, b.maxpt.toArray, scale.chunkSize.toArray)
+        : InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new NgReaderFactory(required, fillMissing)
+}
+
+final class NgReaderFactory(required: StructType, fillMissing: Boolean)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new NgPartitionReader(p.asInstanceOf[NgInputPartition], required, fillMissing)
+}
+
+/** Executor-side reader: one file open per chunk, gunzip, emit row.
+  * Skips IO entirely when `payload` was pruned away.
+  */
+final class NgPartitionReader(part: NgInputPartition, required: StructType,
+    fillMissing: Boolean) extends PartitionReader[InternalRow] {
+
+  private val needPayload = required.fieldNames.contains("payload")
+  private val fieldIdx: Array[Int] = required.fieldNames.map {
+    case "gx" => 0; case "gy" => 1; case "gz" => 2
+    case "x0" => 3; case "y0" => 4; case "z0" => 5
+    case "x1" => 6; case "y1" => 7; case "z1" => 8
+    case "payload" => 9
+  }
+  private val bounds = Bbox(
+    Vec3(part.boundsMin(0), part.boundsMin(1), part.boundsMin(2)),
+    Vec3(part.boundsMax(0), part.boundsMax(1), part.boundsMax(2)))
+  private val cs = Vec3(part.chunkSize(0), part.chunkSize(1), part.chunkSize(2))
+
+  private var i = -1
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    i += 1
+    if (i >= part.chunks.length) return false
+    val c = part.chunks(i)
+    val g = Vec3(c(0), c(1), c(2))
+    val cb = Geom.chunkBbox(g, bounds, cs)
+    val payload: Array[Byte] =
+      if (!needPayload) null
+      else {
+        val p = java.nio.file.Paths.get(part.layerDir, part.key, cb.toFilename)
+        val gz = java.nio.file.Paths.get(p.toString + ".gz")
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.readAllBytes(p)
+        else if (java.nio.file.Files.exists(gz))
+          Codec.gunzip(java.nio.file.Files.readAllBytes(gz))
+        else if (fillMissing) null
+        else throw new java.io.FileNotFoundException(
+          s"missing chunk ${cb.toFilename} (set fill_missing=true to background-fill)")
+      }
+    val all: Array[Any] = Array(g.x, g.y, g.z,
+      cb.minpt.x, cb.minpt.y, cb.minpt.z, cb.maxpt.x, cb.maxpt.y, cb.maxpt.z,
+      payload)
+    row = new GenericInternalRow(fieldIdx.map(all(_)))
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
+}

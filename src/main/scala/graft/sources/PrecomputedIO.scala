@@ -1,0 +1,148 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** Real Neuroglancer precomputed layer I/O on a filesystem.
+  *
+  * A layer is a directory: `info` JSON at the root plus one directory
+  * per scale `key` holding chunk objects named "x0-x1_y0-y1_z0-z1"
+  * (image/common.py:137-155). Chunk payloads are encoded per the
+  * scale's `encoding` and second-stage compressed per
+  * `should_compress` (datasource/precomputed/common.py:18-29); on a
+  * filesystem the compressed objects carry a `.gz` suffix (as the
+  * reference's file fixtures under test_seg_unsharded/8_8_40/ do).
+  *
+  * Write path = S9 aligned write (image/tx.py:193-260): the chunk
+  * DataFrame is already partitioned by chunk key, so each executor
+  * task encodes and writes only its own chunks — the same shape a
+  * 1000-executor object-store ingest uses (PUT per chunk, no driver
+  * funnel). Read path = S4/S8 (image/rx.py:239-379): grid enumeration
+  * is metadata-sized and happens at planning time; file reads happen
+  * in executor tasks. For object stores, the file read becomes a GET —
+  * the plan shape is identical.
+  */
+object PrecomputedIO {
+
+  /** Write `info` (metadata.py:295-334 commit_info). */
+  def writeInfo(layerDir: String, meta: VolumeMeta): Unit = {
+    Files.createDirectories(Paths.get(layerDir))
+    Files.writeString(Paths.get(layerDir, "info"), VolumeMeta.toJson(meta))
+  }
+
+  def readInfo(layerDir: String): VolumeMeta = VolumeMeta.readInfo(layerDir)
+
+  /** Chunk object path (without compression suffix) for a grid point. */
+  def chunkPath(layerDir: String, scale: ScaleMeta, g: Vec3): Path = {
+    val name = Geom.chunkBbox(g, scale.bounds, scale.chunkSize).toFilename
+    Paths.get(layerDir, scale.key, name)
+  }
+
+  /** Read one chunk object; tries `name` then `name.gz` (gunzipping).
+    * Returns None when the object is missing (S15 fill_missing decides
+    * what that means upstream).
+    */
+  def readChunkBytes(layerDir: String, scale: ScaleMeta, g: Vec3): Option[Array[Byte]] = {
+    val p = chunkPath(layerDir, scale, g)
+    val gz = Paths.get(p.toString + ".gz")
+    if (Files.exists(p)) Some(Files.readAllBytes(p))
+    else if (Files.exists(gz)) Some(Codec.gunzip(Files.readAllBytes(gz)))
+    else None
+  }
+
+  /** S9 aligned write: chunk rows (gx, gy, gz, payload) — payload
+    * already encoded for the scale's encoding — written as real chunk
+    * objects. Executor-side, one file per chunk (tx.py:314-475
+    * threaded_upload_chunks; Spark tasks replace the thread pool).
+    * With `deleteBlack`, all-background chunks are elided (S14,
+    * tx.py:445-456) — pass background payload bytes to compare.
+    */
+  def writeChunks(chunks: DataFrame, layerDir: String, meta: VolumeMeta,
+      mip: Int, deleteBlack: Option[Array[Byte]] = None): Unit = {
+    val scale = meta.scale(mip)
+    val dir = Paths.get(layerDir, scale.key)
+    Files.createDirectories(dir)
+    val gzipped = Codec.shouldCompress(scale.encoding)
+    val bounds = scale.bounds
+    val cs = scale.chunkSize
+    val dirStr = dir.toString
+    chunks.select(col("gx"), col("gy"), col("gz"), col("payload"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.foreach { r =>
+          val g = Vec3(r.getLong(0), r.getLong(1), r.getLong(2))
+          val payload = r.getAs[Array[Byte]](3)
+          val black = deleteBlack.exists(bg => java.util.Arrays.equals(bg, payload))
+          if (!black) {
+            val name = Geom.chunkBbox(g, bounds, cs).toFilename
+            if (gzipped)
+              Files.write(Paths.get(dirStr, name + ".gz"), Codec.gzip(payload))
+            else
+              Files.write(Paths.get(dirStr, name), payload)
+          }
+        }
+      }
+  }
+
+  /** S8 raw-file read via the DSv2 source: chunk rows over a bbox
+    * (or the whole volume) without decoding. Filters on gx/gy/gz are
+    * pushed into the scan (partition pruning); dropping `payload`
+    * skips file IO entirely.
+    */
+  def readChunks(spark: SparkSession, layerDir: String, mip: Int = 0,
+      fillMissing: Boolean = false): DataFrame =
+    spark.read.format("neuroglancer")
+      .option("mip", mip)
+      .option("fill_missing", fillMissing)
+      .load(layerDir)
+
+  /** S4 cutout read: decode chunks intersecting `bbox` into clipped
+    * voxel rows (x, y, z, label). Decode happens once per chunk in the
+    * scan projection; the voxel explosion is for oracle-checkability —
+    * production cutouts stay at chunk granularity (rx.py:239-379).
+    */
+  def cutoutVoxels(spark: SparkSession, layerDir: String, bbox: Bbox,
+      mip: Int = 0, fillMissing: Boolean = false): DataFrame = {
+    val meta = readInfo(layerDir)
+    val scale = meta.scale(mip)
+    val dtb = meta.dtypeBytes
+    val cs = scale.chunkSize
+    val bounds = scale.bounds
+    val chunks = readChunks(spark, layerDir, mip, fillMissing)
+      .filter(col("x1") > bbox.minpt.x && col("x0") < bbox.maxpt.x &&
+        col("y1") > bbox.minpt.y && col("y0") < bbox.maxpt.y &&
+        col("z1") > bbox.minpt.z && col("z0") < bbox.maxpt.z)
+    val decodeUdf = udf((x0: Long, y0: Long, z0: Long, x1: Long, y1: Long,
+        z1: Long, payload: Array[Byte]) => {
+      val sx = x1 - x0; val sy = y1 - y0; val sz = z1 - z0
+      val vox =
+        if (payload == null) new Array[Long]((sx * sy * sz).toInt)
+        else Codec.decodeRawToLongs(payload, dtb)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      val lox = math.max(x0, bbox.minpt.x); val hix = math.min(x1, bbox.maxpt.x)
+      val loy = math.max(y0, bbox.minpt.y); val hiy = math.min(y1, bbox.maxpt.y)
+      val loz = math.max(z0, bbox.minpt.z); val hiz = math.min(z1, bbox.maxpt.z)
+      var z = loz
+      while (z < hiz) {
+        var y = loy
+        while (y < hiy) {
+          var x = lox
+          while (x < hix) {
+            val i = (x - x0) + sx * ((y - y0) + sy * (z - z0))
+            out += ((x, y, z, vox(i.toInt)))
+            x += 1
+          }
+          y += 1
+        }
+        z += 1
+      }
+      out.toSeq
+    })
+    chunks
+      .select(explode(decodeUdf(col("x0"), col("y0"), col("z0"),
+        col("x1"), col("y1"), col("z1"), col("payload"))).as("vx"))
+      .select(col("vx._1").as("x"), col("vx._2").as("y"),
+        col("vx._3").as("z"), col("vx._4").as("label"))
+  }
+}

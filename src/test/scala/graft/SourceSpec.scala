@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.core._
+import graft.sources.PrecomputedIO
+
+/** DSv2 `neuroglancer` source behaviors that the oracle rows can't
+  * see: planning-time partition pruning, column-pruning-skips-IO,
+  * fill_missing semantics, info redirects.
+  */
+class SourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val dir = Files.createTempDirectory("ng_spec").toString
+  private val layer = s"$dir/layer"
+
+  private val meta = VolumeMeta(
+    layerType = "segmentation", dataType = "uint32", numChannels = 1,
+    scales = Seq(ScaleMeta(
+      key = "1_1_1", encoding = "raw", resolution = Seq(1, 1, 1),
+      chunkSize = Vec3(4, 4, 4), size = Vec3(10, 8, 4),
+      voxelOffset = Vec3(0, 0, 0))))
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // 3x2x1 grid; label = morton-ish id of the chunk; boundary chunks
+    // clamped (x tail 2-wide)
+    val s = spark
+    import s.implicits._
+    val chunks = (for {
+      gz <- 0 until 1; gy <- 0 until 2; gx <- 0 until 3
+    } yield {
+      val cb = Geom.chunkBbox(Vec3(gx, gy, gz), meta.scale(0).bounds,
+        meta.scale(0).chunkSize)
+      val n = cb.volume.toInt
+      (gx.toLong, gy.toLong, gz.toLong,
+        Codec.encodeRawFromLongs(Array.fill(n)(gx + 10L * gy), 4))
+    }).toDF("gx", "gy", "gz", "payload")
+    PrecomputedIO.writeInfo(layer, meta)
+    PrecomputedIO.writeChunks(chunks, layer, meta, 0)
+  }
+
+  override def afterAll(): Unit = { if (spark != null) spark.stop() }
+
+  test("round-trip: written chunk files read back with clamped sizes") {
+    val df = PrecomputedIO.readChunks(spark, layer)
+    assert(df.count() == 6)
+    val tail = df.filter(col("gx") === 2).select("x0", "x1", "payload")
+      .collect()
+    tail.foreach { r =>
+      assert(r.getLong(0) == 8 && r.getLong(1) == 10) // clamped 2-wide
+      assert(r.getAs[Array[Byte]](2).length == 2 * 4 * 4 * 4)
+    }
+  }
+
+  test("gzip second stage actually on disk (.gz objects)") {
+    assert(Files.exists(Paths.get(layer, "1_1_1", "0-4_0-4_0-4.gz")))
+    assert(!Files.exists(Paths.get(layer, "1_1_1", "0-4_0-4_0-4")))
+  }
+
+  test("filter pushdown narrows the planned grid (partition pruning)") {
+    val df = PrecomputedIO.readChunks(spark, layer)
+      .filter(col("gx") === 2 && col("gy") >= 1)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("grid=[Vec3(2,1,0)..Vec3(2,1,0)]"), plan)
+    assert(df.count() == 1)
+  }
+
+  test("bbox-overlap filters (x1 > lo, x0 < hi) prune too") {
+    val df = PrecomputedIO.readChunks(spark, layer)
+      .filter(col("x1") > 5 && col("x0") < 7)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("grid=[Vec3(1,0,0)..Vec3(1,1,0)]"), plan)
+    assert(df.count() == 2)
+  }
+
+  test("column pruning skips chunk IO entirely") {
+    // remove one object; metadata-only projection must still succeed
+    val victim = Paths.get(layer, "1_1_1", "8-10_4-8_0-4.gz")
+    val bytes = Files.readAllBytes(victim)
+    Files.delete(victim)
+    try {
+      val keysOnly = PrecomputedIO.readChunks(spark, layer)
+        .select("gx", "gy", "gz")
+      assert(keysOnly.collect().length == 6) // no payload -> no file opens
+      val withPayload = PrecomputedIO.readChunks(spark, layer)
+      val e = intercept[Throwable] {
+        withPayload.select("gx", "payload").collect()
+      }
+      def chain(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: chain(x.getCause))
+      assert(chain(e).exists(m => m != null && m.contains("missing chunk")))
+      // fill_missing: null payload instead of an error (S15)
+      val filled = PrecomputedIO.readChunks(spark, layer, fillMissing = true)
+      assert(filled.filter(col("payload").isNull).count() == 1)
+    } finally Files.write(victim, bytes)
+  }
+
+  test("info redirect following with cycle detection") {
+    val a = s"$dir/redir_a"; val b = s"$dir/redir_b"
+    Files.createDirectories(Paths.get(a)); Files.createDirectories(Paths.get(b))
+    Files.writeString(Paths.get(a, "info"), s"""{"redirect": "$b"}""")
+    Files.writeString(Paths.get(b, "info"), VolumeMeta.toJson(meta))
+    assert(VolumeMeta.readInfo(a).dataType == "uint32")
+    // cycle
+    Files.writeString(Paths.get(b, "info"), s"""{"redirect": "$a"}""")
+    val e = intercept[IllegalStateException] { VolumeMeta.readInfo(a) }
+    assert(e.getMessage.contains("cycle"))
+  }
+
+  test("info JSON round-trips through canonical commit") {
+    val m2 = VolumeMeta.fromJson(VolumeMeta.toJson(meta))
+    assert(m2 == meta)
+  }
+
+  test("reference fixture info parses (test_cv, 5 scales, cseg)") {
+    val m = VolumeMeta.fromJson(Files.readString(
+      Paths.get("/root/reference/test/test_cv/info")))
+    assert(m.dataType == "uint32" && m.scales.size >= 4)
+    assert(m.scales.head.encoding == "compressed_segmentation")
+    assert(m.scales.head.csegBlockSize.contains(Vec3(8, 8, 8)))
+    assert(m.scales.head.chunkSize == Vec3(128, 128, 64))
+  }
+}
