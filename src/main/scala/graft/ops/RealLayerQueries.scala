@@ -24,6 +24,7 @@ object RealLayerQueries {
 
   val Root = "/tmp/graft_fixture/seg_small"
   val LayerDir = s"$Root/layer"
+  val LayerCsegDir = s"$Root/layer_cseg"
   val VoxelsDir = s"$Root/voxels"
 
   // volume geometry: size NOT a multiple of chunk size on any axis
@@ -36,6 +37,15 @@ object RealLayerQueries {
       key = "1_1_1", encoding = "raw", resolution = Seq(1, 1, 1),
       chunkSize = Vec3(CX, CY, CZ), size = Vec3(SX, SY, SZ),
       voxelOffset = Vec3(0, 0, 0))))
+
+  /** Same volume, compressed_segmentation-encoded with 8x8x8 palette
+    * blocks (the reference's flagship segmentation encoding,
+    * chunks.py:104-107). Boundary chunks have partial blocks.
+    */
+  val CsegBlock: Vec3 = Vec3(8, 8, 8)
+  val metaCseg: VolumeMeta = meta.copy(scales = Seq(meta.scale(0).copy(
+    encoding = "compressed_segmentation",
+    csegBlockSize = Some(CsegBlock))))
 
   /** Dense voxel table (one row per voxel position; collisions resolve
     * to max label; background 0) derived from the sf's lineitem.
@@ -90,10 +100,16 @@ object RealLayerQueries {
         vs.foreach { case (x, y, z, l) =>
           arr(((x - cb.minpt.x) + w * ((y - cb.minpt.y) + h * (z - cb.minpt.z))).toInt) = l
         }
-        (gx, gy, gz, Codec.encodeRawFromLongs(arr, 4))
-      }.toDF("gx", "gy", "gz", "payload")
+        (gx, gy, gz, Codec.encodeRawFromLongs(arr, 4),
+          Cseg.encode(arr, cb.size, CsegBlock, 4))
+      }.toDF("gx", "gy", "gz", "payload", "cseg").cache()
     PrecomputedIO.writeInfo(LayerDir, meta)
     PrecomputedIO.writeChunks(chunks, LayerDir, meta, mip = 0)
+    PrecomputedIO.writeInfo(LayerCsegDir, metaCseg)
+    PrecomputedIO.writeChunks(
+      chunks.select(col("gx"), col("gy"), col("gz"), col("cseg").as("payload")),
+      LayerCsegDir, metaCseg, mip = 0)
+    chunks.unpersist()
     dense.unpersist()
     Files.writeString(marker, sfDir)
   }
@@ -216,6 +232,36 @@ object RealLayerQueries {
       Some(s"""SELECT x // 16 AS gx, y // 16 AS gy, z // 8 AS gz,
         |       count(*) * 4 AS nbytes
         |FROM $Sidecar GROUP BY 1, 2, 3""".stripMargin)),
+
+    // A1 over the compressed_segmentation layer via the cseg
+    // labels() pushdown — headers + palette tables only, no voxel
+    // materialization (chunks.labels:362-393)
+    "a1_unique_cseg" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        val csegLabelsUdf = udf(
+          (x0: Long, y0: Long, z0: Long, x1: Long, y1: Long, z1: Long,
+              p: Array[Byte]) =>
+            Cseg.labels(p, Vec3(x1 - x0, y1 - y0, z1 - z0), CsegBlock, 4))
+        PrecomputedIO.readChunks(s, LayerCsegDir)
+          .select(explode(csegLabelsUdf(col("x0"), col("y0"), col("z0"),
+            col("x1"), col("y1"), col("z1"), col("payload"))).as("label"))
+          .distinct()
+      },
+      Some(s"SELECT DISTINCT label FROM $Sidecar")),
+
+    // S4 cutout decoding real compressed_segmentation chunk files —
+    // proves the palette-block codec end-to-end (encode -> gzip ->
+    // file -> read -> decode) including partial edge blocks
+    "s4_cutout_cseg" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        PrecomputedIO.cutoutVoxels(s, LayerCsegDir,
+          Bbox(Vec3(11, 2, 5), Vec3(59, 44, 27)))
+      },
+      Some(s"""SELECT x, y, z, label FROM $Sidecar
+        |WHERE x BETWEEN 11 AND 58 AND y BETWEEN 2 AND 43
+        |  AND z BETWEEN 5 AND 26""".stripMargin)),
 
     // A10 num_chunks / num_voxels from parsed info metadata alone
     // (metadata.py:504-506, lib.py:864-867) — zero file IO

@@ -107,6 +107,8 @@ object PrecomputedIO {
     val meta = readInfo(layerDir)
     val scale = meta.scale(mip)
     val dtb = meta.dtypeBytes
+    val enc = scale.encoding
+    val csegBs = scale.csegBlockSize.getOrElse(Vec3(8, 8, 8))
     val cs = scale.chunkSize
     val bounds = scale.bounds
     val chunks = readChunks(spark, layerDir, mip, fillMissing)
@@ -118,6 +120,8 @@ object PrecomputedIO {
       val sx = x1 - x0; val sy = y1 - y0; val sz = z1 - z0
       val vox =
         if (payload == null) new Array[Long]((sx * sy * sz).toInt)
+        else if (enc == "compressed_segmentation")
+          Cseg.decode(payload, Vec3(sx, sy, sz), csegBs, dtb)
         else Codec.decodeRawToLongs(payload, dtb)
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
       val lox = math.max(x0, bbox.minpt.x); val hix = math.min(x1, bbox.maxpt.x)
