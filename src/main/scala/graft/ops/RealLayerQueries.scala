@@ -47,6 +47,20 @@ object RealLayerQueries {
     encoding = "compressed_segmentation",
     csegBlockSize = Some(CsegBlock))))
 
+  /** Same volume again, sharded (S5/S6/S12): 4x4x4 grid = 64 morton
+    * codes split into 4 shard files x 4 minishards (identity hash so
+    * the DuckDB oracle can replay the assignment in SQL); gzip on both
+    * the minishard indices and chunk data exercises the decompression
+    * paths (sharding.py defaults).
+    */
+  val shardSpec: ShardingSpec = ShardingSpec(
+    preshiftBits = 0, minishardBits = 2, shardBits = 2,
+    hashName = "identity",
+    minishardIndexEncoding = "gzip", dataEncoding = "gzip")
+  val metaSharded: VolumeMeta = meta.copy(scales = Seq(meta.scale(0).copy(
+    sharding = Some(shardSpec))))
+  val LayerShardedDir = s"$Root/layer_sharded"
+
   /** Dense voxel table (one row per voxel position; collisions resolve
     * to max label; background 0) derived from the sf's lineitem.
     */
@@ -109,6 +123,10 @@ object RealLayerQueries {
     PrecomputedIO.writeChunks(
       chunks.select(col("gx"), col("gy"), col("gz"), col("cseg").as("payload")),
       LayerCsegDir, metaCseg, mip = 0)
+    PrecomputedIO.writeInfo(LayerShardedDir, metaSharded)
+    graft.sources.ShardedIO.writeSharded(
+      chunks.select(col("gx"), col("gy"), col("gz"), col("payload")),
+      LayerShardedDir, metaSharded, mip = 0)
     chunks.unpersist()
     dense.unpersist()
     Files.writeString(marker, sfDir)
@@ -262,6 +280,63 @@ object RealLayerQueries {
       Some(s"""SELECT x, y, z, label FROM $Sidecar
         |WHERE x BETWEEN 11 AND 58 AND y BETWEEN 2 AND 43
         |  AND z BETWEEN 5 AND 26""".stripMargin)),
+
+    // A7: label inventory straight from shard minishard indices —
+    // only index regions are read, never chunk data
+    // (sharding.py:790-820 list_labels)
+    "a7_shard_labels" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        graft.sources.ShardedIO.minishardIndexDF(s, LayerShardedDir)
+          .select("shard_file", "minishard", "label")
+      },
+      // replay morton + shard location (identity hash, preshift 0) in
+      // SQL on the 4x4x4 grid: morton = interleave x-first
+      Some(s"""WITH chunks AS (
+        |  SELECT DISTINCT x // 16 AS gx, y // 16 AS gy, z // 8 AS gz
+        |  FROM $Sidecar),
+        |m AS (SELECT gx, gy, gz,
+        |        (gx % 2) + 2 * (gy % 2) + 4 * (gz % 2)
+        |        + 8 * (gx // 2) + 16 * (gy // 2) + 32 * (gz // 2) AS morton
+        |      FROM chunks)
+        |SELECT printf('%01x.shard', (morton >> 2) & 3) AS shard_file,
+        |       morton & 3 AS minishard, morton AS label
+        |FROM m""".stripMargin)),
+
+    // J3: shard existence probe — labels joined against the minishard
+    // index DataFrame (sharding.py:527-589 exists)
+    "j3_shard_exists" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        val probes = s.range(0, 80).select(col("id").as("label"))
+        val idx = graft.sources.ShardedIO
+          .minishardIndexDF(s, LayerShardedDir)
+          .select(col("label"), lit(true).as("present"))
+        probes.join(broadcast(idx), Seq("label"), "left")
+          .select(col("label"),
+            coalesce(col("present"), lit(false)).as("exists"))
+      },
+      Some(s"""WITH chunks AS (
+        |  SELECT DISTINCT x // 16 AS gx, y // 16 AS gy, z // 8 AS gz
+        |  FROM $Sidecar),
+        |m AS (SELECT (gx % 2) + 2 * (gy % 2) + 4 * (gz % 2)
+        |        + 8 * (gx // 2) + 16 * (gy // 2) + 32 * (gz // 2) AS morton
+        |      FROM chunks)
+        |SELECT l.label, (l.label IN (SELECT morton FROM m)) AS "exists"
+        |FROM (SELECT unnest(range(0, 80)) AS label) l""".stripMargin)),
+
+    // S5: sharded cutout — index reads + coalesced byte-range data
+    // reads + gzip + decode, end-to-end vs the sidecar
+    // (rx.download_sharded, image/rx.py:39-155)
+    "s5_cutout_sharded" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        graft.sources.ShardedIO.cutoutVoxelsSharded(s, LayerShardedDir,
+          Bbox(Vec3(9, 13, 2), Vec3(51, 47, 23)))
+      },
+      Some(s"""SELECT x, y, z, label FROM $Sidecar
+        |WHERE x BETWEEN 9 AND 50 AND y BETWEEN 13 AND 46
+        |  AND z BETWEEN 2 AND 22""".stripMargin)),
 
     // A10 num_chunks / num_voxels from parsed info metadata alone
     // (metadata.py:504-506, lib.py:864-867) — zero file IO

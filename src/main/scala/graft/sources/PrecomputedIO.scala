@@ -106,15 +106,20 @@ object PrecomputedIO {
       mip: Int = 0, fillMissing: Boolean = false): DataFrame = {
     val meta = readInfo(layerDir)
     val scale = meta.scale(mip)
-    val dtb = meta.dtypeBytes
-    val enc = scale.encoding
-    val csegBs = scale.csegBlockSize.getOrElse(Vec3(8, 8, 8))
-    val cs = scale.chunkSize
-    val bounds = scale.bounds
     val chunks = readChunks(spark, layerDir, mip, fillMissing)
       .filter(col("x1") > bbox.minpt.x && col("x0") < bbox.maxpt.x &&
         col("y1") > bbox.minpt.y && col("y0") < bbox.maxpt.y &&
         col("z1") > bbox.minpt.z && col("z0") < bbox.maxpt.z)
+    decodeToVoxels(chunks, bbox, scale, meta.dtypeBytes)
+  }
+
+  /** Shared decode stage: chunk rows (x0..z1, payload) -> voxel rows
+    * clipped to `bbox`, dispatching on the scale's encoding.
+    */
+  def decodeToVoxels(chunks: DataFrame, bbox: Bbox, scale: ScaleMeta,
+      dtb: Int): DataFrame = {
+    val enc = scale.encoding
+    val csegBs = scale.csegBlockSize.getOrElse(Vec3(8, 8, 8))
     val decodeUdf = udf((x0: Long, y0: Long, z0: Long, x1: Long, y1: Long,
         z1: Long, payload: Array[Byte]) => {
       val sx = x1 - x0; val sy = y1 - y0; val sz = z1 - z0

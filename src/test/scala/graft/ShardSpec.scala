@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+
+/** Shard synthesis <-> reader invertibility (test_sharding.py:244-286
+  * shape) plus fixed/minishard index structural checks.
+  */
+class ShardSpec extends AnyFunSuite {
+
+  private val rng = new scala.util.Random(5)
+
+  private def randomGroup(spec: ShardingSpec, shard: Long, n: Int)
+      : Seq[(Long, Array[Byte])] = {
+    // draw labels that land in `shard` under the spec
+    Iterator.continually(rng.nextLong().abs % 100000)
+      .filter(l => spec.shardLocation(l)._1 == shard)
+      .distinct.take(n)
+      .map(l => l -> Array.fill(rng.nextInt(50) + 1)(rng.nextInt.toByte))
+      .toSeq
+  }
+
+  for (
+    (miEnc, dEnc) <- Seq(("raw", "raw"), ("gzip", "gzip"));
+    hash <- Seq("identity", "murmurhash3_x86_128")
+  ) test(s"synthesize -> read round-trip (index=$miEnc data=$dEnc hash=$hash)") {
+    val spec = ShardingSpec(preshiftBits = 1, minishardBits = 3,
+      shardBits = 4, hashName = hash,
+      minishardIndexEncoding = miEnc, dataEncoding = dEnc)
+    val group = randomGroup(spec, shard = 3, n = 40)
+    val shard = ShardCodec.synthesizeShard(spec, group)
+    // every label's payload comes back byte-identical
+    group.foreach { case (label, bytes) =>
+      assert(ShardCodec.getData(shard, spec, label).get.toSeq == bytes.toSeq)
+    }
+    // absent labels (same shard) return None
+    val absent = Iterator.continually(rng.nextLong().abs % 100000 + 100000)
+      .filter(l => spec.shardLocation(l)._1 == 3).take(5)
+    absent.foreach(l => assert(ShardCodec.getData(shard, spec, l).isEmpty))
+    // inventory: all labels present, ascending within each minishard
+    val entries = ShardCodec.allEntries(shard, spec)
+    assert(entries.map(_._2.label).toSet == group.map(_._1).toSet)
+    entries.groupBy(_._1).values.foreach { es =>
+      val ls = es.map(_._2.label)
+      assert(ls == ls.sorted)
+      // minishard number consistent with the spec
+      es.foreach { case (msn, e) =>
+        assert(spec.shardLocation(e.label)._2 == msn)
+      }
+    }
+  }
+
+  test("empty minishards have zero-length index ranges") {
+    val spec = ShardingSpec(0, 2, 2, "identity")
+    // labels 0 and 1 -> minishards 0 and 1 of shard 0; 2,3 empty
+    val shard = ShardCodec.synthesizeShard(spec,
+      Seq(0L -> Array[Byte](1), 1L -> Array[Byte](2)))
+    val fixed = ShardCodec.decodeFixedIndex(
+      shard.take(ShardCodec.indexLength(spec).toInt), spec)
+    assert(fixed(0)._2 > fixed(0)._1)
+    assert(fixed(1)._2 > fixed(1)._1)
+    assert(fixed(2)._2 == fixed(2)._1)
+    assert(fixed(3)._2 == fixed(3)._1)
+  }
+
+  test("delta encoding in the wire bytes (labels ascending, first absolute)") {
+    val spec = ShardingSpec(0, 0, 0, "identity") // single shard+minishard
+    val shard = ShardCodec.synthesizeShard(spec,
+      Seq(10L -> Array[Byte](1), 17L -> Array[Byte](2, 2), 40L -> Array[Byte](3)))
+    // index region is the tail: 3 labels * 3 runs * 8 bytes = 72
+    val idxBytes = shard.takeRight(72)
+    val bb = java.nio.ByteBuffer.wrap(idxBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(Seq(bb.getLong(0), bb.getLong(8), bb.getLong(16)) == Seq(10L, 7L, 23L))
+    assert(Seq(bb.getLong(48), bb.getLong(56), bb.getLong(64)) == Seq(1L, 2L, 1L))
+  }
+}
