@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.ops.SimilarityQueries
+
+/** ANN quality gate: the LSH top-k path must recall a healthy fraction
+  * of the exact brute-force top-k (image of the reference's promise
+  * that approximate search is a faster view of the same neighborhood,
+  * not a different answer). Recall here is deterministic — the
+  * hyperplanes are fixed — so this is a regression test, not a flake.
+  */
+class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = { if (spark != null) spark.stop() }
+
+  private def topkSet(name: String): Map[Long, Set[Long]] =
+    SimilarityQueries.queries(name).fn(spark, sfDir)
+      .select("qid", "cid").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(_.getLong(1)).toSet
+      }
+
+  test("sim_topk_lsh recalls >= 60% of brute-force top-5 on average") {
+    val exact = topkSet("sim_topk_bruteforce")
+    val approx = topkSet("sim_topk_lsh")
+    assert(exact.keySet == approx.keySet,
+      "LSH path must produce results for every query id")
+    val recalls = exact.map { case (q, ex) =>
+      (approx(q) & ex).size.toDouble / ex.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"mean recall@5 = $mean%.3f over ${recalls.size} queries")
+    assert(mean >= 0.60, f"mean recall@5 $mean%.3f below 0.60")
+  }
+}
