@@ -11,8 +11,8 @@ object SparkEntry {
   def allQueries: Map[String, Q] =
     VolumeQueries.queries ++ ChunkQueries.queries ++
       TextQueries.queries ++ SimilarityQueries.queries ++
-      MultimodalOps.queries ++ RealLayerQueries.queries ++
-      WriteQueries.queries
+      MultimodalOps.queries ++ RealLayerQueries.queries ++ AnnotationQueries.queries ++
+      WriteQueries.queries ++ MeshQueries.queries
 
   /** Flagship: write sf0.001 voxels into encoded chunk payloads, read
     * back the distinct labels through the codec path (A1 `unique`).

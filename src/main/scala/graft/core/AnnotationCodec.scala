@@ -1,0 +1,137 @@
+package graft.core
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Neuroglancer precomputed annotation binary codec (pure Scala).
+  *
+  * Multi-annotation (spatial/by-relationship) encoding per
+  * annotation/reader.py:151-181 `_decode_annotations`:
+  *
+  *   u64le count
+  *   count x record:
+  *     geometry: ndim f32 (POINT) or 2*ndim f32 (LINE / AABB /
+  *               ELLIPSOID center+radii)
+  *     properties: declared order, dtype sizes per
+  *                 annotation/metadata.py:27-39 (_PROPERTY_DTYPES)
+  *     padding:  property block padded to 4-byte alignment
+  *               (annotation/metadata.py:41-60)
+  *   count x u64le annotation ids
+  *
+  * Property values are carried as Double in memory (exact for the
+  * integer-valued fixtures and for f32-representable values); rgb/rgba
+  * occupy 3/4 doubles.
+  */
+object AnnotationCodec {
+
+  /** One typed property: id + dtype name. */
+  final case class PropSpec(id: String, dtype: String) {
+    def byteSize: Int = dtype match {
+      case "uint8" | "int8" => 1
+      case "uint16" | "int16" => 2
+      case "uint32" | "int32" | "float32" => 4
+      case "rgb" => 3
+      case "rgba" => 4
+      case d => throw new IllegalArgumentException(s"property dtype $d")
+    }
+    /** Number of Double slots this property occupies in a record. */
+    def slots: Int = dtype match {
+      case "rgb" => 3
+      case "rgba" => 4
+      case _ => 1
+    }
+  }
+
+  /** Layer-level codec spec: geometry type + property schema. */
+  final case class AnnotationSpec(
+      annotationType: String, // POINT | LINE | AXIS_ALIGNED_BOUNDING_BOX | ELLIPSOID
+      ndim: Int,
+      properties: Seq[PropSpec]) {
+
+    def geometryFloats: Int = annotationType match {
+      case "POINT" => ndim
+      case "LINE" | "AXIS_ALIGNED_BOUNDING_BOX" | "ELLIPSOID" => 2 * ndim
+      case t => throw new IllegalArgumentException(s"annotation type $t")
+    }
+
+    def propBytesUnpadded: Int = properties.map(_.byteSize).sum
+
+    /** Bytes of one record: geometry + properties + pad-to-4. */
+    def recordBytes: Int = {
+      val p = propBytesUnpadded
+      4 * geometryFloats + p + (if (p % 4 == 0) 0 else 4 - p % 4)
+    }
+  }
+
+  /** One annotation: id, geometry floats, property values (flattened
+    * Double slots in property order).
+    */
+  final case class Annotation(id: Long, geometry: Array[Float], props: Array[Double])
+
+  def encode(spec: AnnotationSpec, anns: Seq[Annotation]): Array[Byte] = {
+    val buf = ByteBuffer.allocate(8 + anns.length * (spec.recordBytes + 8))
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.putLong(anns.length.toLong)
+    anns.foreach { a =>
+      require(a.geometry.length == spec.geometryFloats,
+        s"geometry ${a.geometry.length} != ${spec.geometryFloats}")
+      a.geometry.foreach(buf.putFloat)
+      var slot = 0
+      spec.properties.foreach { p =>
+        p.dtype match {
+          case "uint8" | "int8" => buf.put(a.props(slot).toInt.toByte)
+          case "uint16" | "int16" => buf.putShort(a.props(slot).toInt.toShort)
+          case "uint32" | "int32" => buf.putInt(a.props(slot).toLong.toInt)
+          case "float32" => buf.putFloat(a.props(slot).toFloat)
+          case "rgb" =>
+            (0 until 3).foreach(i => buf.put(a.props(slot + i).toInt.toByte))
+          case "rgba" =>
+            (0 until 4).foreach(i => buf.put(a.props(slot + i).toInt.toByte))
+        }
+        slot += p.slots
+      }
+      val pad = spec.recordBytes - 4 * spec.geometryFloats - spec.propBytesUnpadded
+      (0 until pad).foreach(_ => buf.put(0.toByte))
+    }
+    anns.foreach(a => buf.putLong(a.id))
+    buf.array()
+  }
+
+  def decode(spec: AnnotationSpec, binary: Array[Byte]): Seq[Annotation] = {
+    val buf = ByteBuffer.wrap(binary).order(ByteOrder.LITTLE_ENDIAN)
+    val n = buf.getLong()
+    require(n >= 0 && n <= Int.MaxValue, s"bad count $n")
+    require(binary.length == 8 + n * (spec.recordBytes + 8),
+      s"length ${binary.length} != expected ${8 + n * (spec.recordBytes + 8)}")
+    val geoms = new Array[Array[Float]](n.toInt)
+    val props = new Array[Array[Double]](n.toInt)
+    (0 until n.toInt).foreach { i =>
+      val g = new Array[Float](spec.geometryFloats)
+      g.indices.foreach(j => g(j) = buf.getFloat())
+      geoms(i) = g
+      val pv = new Array[Double](spec.properties.map(_.slots).sum)
+      var slot = 0
+      spec.properties.foreach { p =>
+        p.dtype match {
+          case "uint8" => pv(slot) = (buf.get() & 0xff).toDouble
+          case "int8" => pv(slot) = buf.get().toDouble
+          case "uint16" => pv(slot) = (buf.getShort() & 0xffff).toDouble
+          case "int16" => pv(slot) = buf.getShort().toDouble
+          case "uint32" => pv(slot) = (buf.getInt() & 0xffffffffL).toDouble
+          case "int32" => pv(slot) = buf.getInt().toDouble
+          case "float32" => pv(slot) = buf.getFloat().toDouble
+          case "rgb" =>
+            (0 until 3).foreach(i => pv(slot + i) = (buf.get() & 0xff).toDouble)
+          case "rgba" =>
+            (0 until 4).foreach(i => pv(slot + i) = (buf.get() & 0xff).toDouble)
+        }
+        slot += p.slots
+      }
+      props(i) = pv
+      val pad = spec.recordBytes - 4 * spec.geometryFloats - spec.propBytesUnpadded
+      (0 until pad).foreach(_ => buf.get())
+    }
+    val ids = Array.fill(n.toInt)(buf.getLong())
+    require(!buf.hasRemaining)
+    (0 until n.toInt).map(i => Annotation(ids(i), geoms(i), props(i)))
+  }
+}

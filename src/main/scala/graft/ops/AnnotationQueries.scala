@@ -1,0 +1,231 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession, Row}
+import org.apache.spark.sql.functions._
+import graft.core.AnnotationCodec
+import graft.core.AnnotationCodec.{Annotation, AnnotationSpec, PropSpec}
+
+/** Annotation layers over REAL binary chunk files (F18 + P8 extended
+  * to AABB/ELLIPSOID predicates).
+  *
+  * Fixture: three annotation layers (POINT with a full property
+  * schema, AXIS_ALIGNED_BOUNDING_BOX, ELLIPSOID) deterministically
+  * derived from events/orders/customer, encoded to the little-endian
+  * multi-annotation wire format (annotation/reader.py:151-181) and
+  * written as spatial-tile files. Queries decode the real bytes; the
+  * DuckDB oracle re-derives expected rows from the source tables —
+  * independent of the writer — so green rows prove encode → file →
+  * decode → filter end-to-end, including property dtype handling and
+  * the 4-byte record padding.
+  *
+  * Scale shape: tile files scan as independent tasks; decode emits
+  * annotation rows (annotations are already tabular — SURVEY §1.1);
+  * crop predicates are plain filters Catalyst can push.
+  */
+object AnnotationQueries {
+  import Derived.{table, idiv}
+
+  val Root = "/tmp/graft_fixture/annotations"
+
+  val PointSpec: AnnotationSpec = AnnotationSpec("POINT", 3, Seq(
+    PropSpec("score", "uint8"), PropSpec("weight", "uint16"),
+    PropSpec("conf", "float32"), PropSpec("color", "rgb")))
+  val AabbSpec: AnnotationSpec =
+    AnnotationSpec("AXIS_ALIGNED_BOUNDING_BOX", 3, Seq.empty)
+  val EllipsoidSpec: AnnotationSpec =
+    AnnotationSpec("ELLIPSOID", 3, Seq(PropSpec("w", "float32")))
+
+  /** POINT annotations from events (mirrored in PtsCte). */
+  private def pointsDf(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events").filter(col("event_id") % 5 === 0).select(
+      col("event_id").cast("long").as("aid"),
+      (col("event_id") % 64).cast("long").as("ax"),
+      (col("user_id") % 64).cast("long").as("ay"),
+      (idiv(col("event_id"), 64) % 32).cast("long").as("az"),
+      (col("event_id") % 256).cast("long").as("score"),
+      ((col("event_id") * 7) % 60000).cast("long").as("weight"),
+      (col("user_id") % 100).cast("long").as("conf"),
+      (col("user_id") % 256).cast("long").as("r"),
+      ((col("user_id") * 3) % 256).cast("long").as("g"),
+      ((col("user_id") * 7) % 256).cast("long").as("b"))
+
+  private val PtsCte =
+    """pts AS (
+      |  SELECT event_id AS aid, event_id % 64 AS ax, user_id % 64 AS ay,
+      |         (event_id // 64) % 32 AS az, event_id % 256 AS score,
+      |         (event_id * 7) % 60000 AS weight, user_id % 100 AS conf,
+      |         user_id % 256 AS r, (user_id * 3) % 256 AS g,
+      |         (user_id * 7) % 256 AS b
+      |  FROM events WHERE event_id % 5 = 0)""".stripMargin
+
+  /** AABB annotations from orders (mirrored in AabbCte). */
+  private def aabbDf(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders").filter(col("o_orderkey") % 10 === 0).select(
+      col("o_orderkey").cast("long").as("aid"),
+      (col("o_orderkey") % 50).cast("long").as("ax"),
+      (col("o_custkey") % 50).cast("long").as("ay"),
+      (col("o_orderkey") % 25).cast("long").as("az"))
+      .withColumn("bx", col("ax") + 1 + col("aid") % 8)
+      .withColumn("by", col("ay") + 1 + (col("aid") * 3) % 8)
+      .withColumn("bz", col("az") + 1 + col("aid") % 6)
+
+  private val AabbCte =
+    """ab AS (
+      |  SELECT o_orderkey AS aid, o_orderkey % 50 AS ax, o_custkey % 50 AS ay,
+      |         o_orderkey % 25 AS az,
+      |         o_orderkey % 50 + 1 + o_orderkey % 8 AS bx,
+      |         o_custkey % 50 + 1 + (o_orderkey * 3) % 8 AS by,
+      |         o_orderkey % 25 + 1 + o_orderkey % 6 AS bz
+      |  FROM orders WHERE o_orderkey % 10 = 0)""".stripMargin
+
+  /** ELLIPSOID annotations (center + radii) from customer. */
+  private def ellipsoidDf(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "customer").filter(col("c_custkey") % 4 === 0).select(
+      col("c_custkey").cast("long").as("aid"),
+      (col("c_custkey") % 60).cast("long").as("cx"),
+      ((col("c_custkey") * 3) % 60).cast("long").as("cy"),
+      (col("c_custkey") % 30).cast("long").as("cz"),
+      (lit(1L) + col("c_custkey") % 5).cast("long").as("rx"),
+      (lit(1L) + col("c_custkey") % 7).cast("long").as("ry"),
+      (lit(1L) + col("c_custkey") % 3).cast("long").as("rz"),
+      (col("c_custkey") % 50).cast("long").as("w"))
+
+  private val ElCte =
+    """el AS (
+      |  SELECT c_custkey AS aid, c_custkey % 60 AS cx, (c_custkey * 3) % 60 AS cy,
+      |         c_custkey % 30 AS cz, 1 + c_custkey % 5 AS rx,
+      |         1 + c_custkey % 7 AS ry, 1 + c_custkey % 3 AS rz,
+      |         c_custkey % 50 AS w
+      |  FROM customer WHERE c_custkey % 4 = 0)""".stripMargin
+
+  /** Encode grouped annotation rows and write one file per tile,
+    * executor-side. `geomCols` then `propCols` are read in order.
+    */
+  private def writeLayer(df: DataFrame, layerDir: String, spec: AnnotationSpec,
+      tile: org.apache.spark.sql.Column, geomCols: Seq[String],
+      propCols: Seq[String]): Unit = {
+    Files.createDirectories(Paths.get(layerDir))
+    val cols = Seq(col("aid")) ++ geomCols.map(col) ++ propCols.map(col)
+    val grouped = df.withColumn("tile", tile)
+      .groupBy("tile")
+      .agg(sort_array(collect_list(struct(cols: _*))).as("anns"))
+    grouped.foreachPartition { rows: Iterator[Row] =>
+      rows.foreach { r =>
+        val anns = r.getSeq[Row](1).map { a =>
+          Annotation(a.getLong(0),
+            geomCols.indices.map(i => a.getLong(1 + i).toFloat).toArray,
+            propCols.indices.map(i =>
+              a.getLong(1 + geomCols.length + i).toDouble).toArray)
+        }
+        Files.write(Paths.get(layerDir, r.getAs[String]("tile")),
+          AnnotationCodec.encode(spec, anns))
+      }
+    }
+  }
+
+  def ensure(s: SparkSession, sfDir: String): Unit = synchronized {
+    val marker = Paths.get(Root, ".built_from")
+    if (Files.exists(marker) && Files.readString(marker) == sfDir) return
+    val rootP = Paths.get(Root)
+    if (Files.exists(rootP)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(rootP).iterator.asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+    Files.createDirectories(rootP)
+    writeLayer(pointsDf(s, sfDir), s"$Root/points", PointSpec,
+      concat_ws("_", idiv(col("ax"), 32), idiv(col("ay"), 32)),
+      Seq("ax", "ay", "az"),
+      Seq("score", "weight", "conf", "r", "g", "b"))
+    writeLayer(aabbDf(s, sfDir), s"$Root/aabbs", AabbSpec,
+      lit("0_0"), Seq("ax", "ay", "az", "bx", "by", "bz"), Seq.empty)
+    writeLayer(ellipsoidDf(s, sfDir), s"$Root/ellipsoids", EllipsoidSpec,
+      lit("0_0"), Seq("cx", "cy", "cz", "rx", "ry", "rz"), Seq("w"))
+    Files.writeString(marker, sfDir)
+  }
+
+  /** Decode a layer directory into annotation rows: aid, geometry
+    * floats (as long — fixture values are integers), property slots.
+    */
+  private def decodeLayer(s: SparkSession, layerDir: String,
+      spec: AnnotationSpec, outCols: Seq[String]): DataFrame = {
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    val names = Files.list(Paths.get(layerDir)).iterator.asScala
+      .map(_.getFileName.toString).toSeq.sorted
+    val rows = names.toDS()
+      .repartition(math.max(names.size / 2, 1))
+      .flatMap { n =>
+        AnnotationCodec.decode(spec,
+          Files.readAllBytes(Paths.get(layerDir, n))).map { a =>
+          (a.id, a.geometry.map(_.toLong).toSeq, a.props.map(_.toLong).toSeq)
+        }
+      }.toDF("aid", "geom", "props")
+    val geomCols = (0 until spec.geometryFloats).map(i =>
+      col("geom").getItem(i).as(outCols(i)))
+    val propCols = (0 until spec.properties.map(_.slots).sum).map(i =>
+      col("props").getItem(i).as(outCols(spec.geometryFloats + i)))
+    rows.select(col("aid") +: (geomCols ++ propCols): _*)
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    // F18: annotation binary round-trip with a full property schema
+    // (uint8 + uint16 + float32 + rgb, 4-byte record padding) — the
+    // oracle derives the same rows from `events` directly
+    "f18_annotation_decode" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        decodeLayer(s, s"$Root/points", PointSpec,
+          Seq("ax", "ay", "az", "score", "weight", "conf", "r", "g", "b"))
+      },
+      Some(s"""WITH $PtsCte
+        |SELECT aid, ax, ay, az, score, weight, conf, r, g, b
+        |FROM pts""".stripMargin)),
+
+    // P8 (AABB variant): geometry-aware crop — keep the box if either
+    // corner is inside the (inclusive) crop box, or the box straddles
+    // it entirely on every axis (annotation/metadata.py:83-103)
+    "p8b_annotation_crop_aabb" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        val d = decodeLayer(s, s"$Root/aabbs", AabbSpec,
+          Seq("ax", "ay", "az", "bx", "by", "bz"))
+        def inBox(x: String, y: String, z: String) =
+          col(x).between(10, 40) && col(y).between(10, 40) &&
+            col(z).between(5, 20)
+        def straddles(lo: Seq[String], hi: Seq[String]) =
+          col(lo(0)) <= 10 && col(lo(1)) <= 10 && col(lo(2)) <= 5 &&
+            col(hi(0)) >= 40 && col(hi(1)) >= 40 && col(hi(2)) >= 20
+        d.filter(inBox("ax", "ay", "az") || inBox("bx", "by", "bz") ||
+          straddles(Seq("ax", "ay", "az"), Seq("bx", "by", "bz")) ||
+          straddles(Seq("bx", "by", "bz"), Seq("ax", "ay", "az")))
+      },
+      Some(s"""WITH $AabbCte
+        |SELECT aid, ax, ay, az, bx, by, bz FROM ab
+        |WHERE (ax BETWEEN 10 AND 40 AND ay BETWEEN 10 AND 40
+        |       AND az BETWEEN 5 AND 20)
+        |   OR (bx BETWEEN 10 AND 40 AND by BETWEEN 10 AND 40
+        |       AND bz BETWEEN 5 AND 20)
+        |   OR (ax <= 10 AND ay <= 10 AND az <= 5
+        |       AND bx >= 40 AND by >= 40 AND bz >= 20)
+        |   OR (bx <= 10 AND by <= 10 AND bz <= 5
+        |       AND ax >= 40 AND ay >= 40 AND az >= 20)""".stripMargin)),
+
+    // P8 (ELLIPSOID variant): center-in-box crop
+    // (annotation/metadata.py:104-109)
+    "p8c_annotation_crop_ellipsoid" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        decodeLayer(s, s"$Root/ellipsoids", EllipsoidSpec,
+          Seq("cx", "cy", "cz", "rx", "ry", "rz", "w"))
+          .filter(col("cx").between(10, 50) && col("cy").between(10, 50) &&
+            col("cz").between(5, 25))
+      },
+      Some(s"""WITH $ElCte
+        |SELECT aid, cx, cy, cz, rx, ry, rz, w FROM el
+        |WHERE cx BETWEEN 10 AND 50 AND cy BETWEEN 10 AND 50
+        |  AND cz BETWEEN 5 AND 25""".stripMargin)),
+  )
+}

@@ -1,0 +1,357 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core._
+import graft.core.MeshCodec.MeshFragment
+
+/** Mesh pipeline over REAL precomputed mesh binaries on disk
+  * (F16/F17/A6/P9/W5/O3).
+  *
+  * Fixture: ~40 meshes deterministically derived from the `part`
+  * table, each split into two fragments, encoded with the precomputed
+  * binary codec (mesh.py:174-230) and written as real fragment files
+  * plus a `<segid>:0` manifest JSON (mesh/unsharded.py:66-85) and a
+  * multires `.index` manifest binary (mesh/multilod.py:327-466). The
+  * DuckDB oracle re-derives every expected row straight from `part` —
+  * fully independent of the writer — so a green row proves the whole
+  * encode → file → scan → decode pipeline plus the relational algebra.
+  *
+  * Scale shape: fragment files scan as independent binaryFile tasks
+  * (one row per object — at 100 TB this is the same listing-partitioned
+  * scan Spark uses for any object store); all windows partition by
+  * segid (mesh-sized groups, no global window); the vertex-dedup and
+  * face-remap joins shuffle on (segid, position)/(segid, vid) keys.
+  */
+object MeshQueries {
+  import Derived.{table, idiv}
+
+  val Root = "/tmp/graft_fixture/mesh"
+  val MeshDir = s"$Root/mesh"
+  val MultiresDir = s"$Root/multires"
+
+  private val NSeg = 40L
+
+  /** Vertex derivation (mirrored verbatim in the oracle CTEs): one
+    * vertex per part row; coarse coordinates so positions repeat and
+    * A6 dedup has real work.
+    */
+  private def baseVertices(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "part").select(
+      col("p_partkey").cast("long").as("pk"),
+      (col("p_partkey") % NSeg).cast("long").as("segid"),
+      (idiv(col("p_partkey"), NSeg) % 2).cast("long").as("frag"),
+      (col("p_partkey") % 7).cast("long").as("x"),
+      (idiv(col("p_partkey"), 7) % 6).cast("long").as("y"),
+      (idiv(col("p_partkey"), 42) % 5).cast("long").as("z"))
+
+  private val VertCte =
+    """v AS (
+      |  SELECT p_partkey AS pk, p_partkey % 40 AS segid,
+      |         (p_partkey // 40) % 2 AS frag,
+      |         p_partkey % 7 AS x, (p_partkey // 7) % 6 AS y,
+      |         (p_partkey // 42) % 5 AS z
+      |  FROM part),
+      |g AS (SELECT *, row_number() OVER (
+      |        PARTITION BY segid ORDER BY frag, pk) - 1 AS vid FROM v)""".stripMargin
+
+  /** Global face table CTE: per-fragment chained faces (i, i+1, i+2)
+    * with concatenation offsets (mesh.py:129-146) in sorted fragment
+    * order (O3, mesh/unsharded.py:99).
+    */
+  private val FaceCte = VertCte +
+    """,
+      |c AS (SELECT segid, frag, count(*) AS n FROM v GROUP BY segid, frag),
+      |o AS (SELECT segid, frag, n,
+      |        CAST(coalesce(sum(n) OVER (PARTITION BY segid ORDER BY frag
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |          AS off
+      |      FROM c),
+      |fl AS (SELECT segid, frag, off,
+      |         unnest(range(0, greatest(n - 2, 0))) AS i FROM o),
+      |f AS (SELECT segid, frag, i, off + i AS v0, off + i + 1 AS v1,
+      |        off + i + 2 AS v2,
+      |        row_number() OVER (PARTITION BY segid ORDER BY frag, i) - 1 AS fid
+      |      FROM fl)""".stripMargin
+
+  /** Write mesh fragment binaries + manifests if not yet built for
+    * this sf (marker-keyed, same pattern as RealLayerQueries.ensure).
+    */
+  def ensure(s: SparkSession, sfDir: String): Unit = synchronized {
+    val marker = Paths.get(Root, ".built_from")
+    if (Files.exists(marker) && Files.readString(marker) == sfDir) return
+    val rootP = Paths.get(Root)
+    if (Files.exists(rootP)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(rootP).iterator.asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+    Files.createDirectories(Paths.get(MeshDir))
+    Files.createDirectories(Paths.get(MultiresDir))
+    import s.implicits._
+    val meshDirStr = MeshDir
+    val frags = baseVertices(s, sfDir)
+      .groupBy("segid", "frag")
+      .agg(sort_array(collect_list(struct(col("pk"), col("x"), col("y"),
+        col("z")))).as("vs"))
+      .as[(Long, Long, Seq[(Long, Long, Long, Long)])]
+      .map { case (segid, frag, vs) =>
+        val verts = new Array[Float](3 * vs.length)
+        vs.zipWithIndex.foreach { case ((_, x, y, z), i) =>
+          verts(3 * i) = x.toFloat
+          verts(3 * i + 1) = y.toFloat
+          verts(3 * i + 2) = z.toFloat
+        }
+        val nf = math.max(vs.length - 2, 0)
+        val faces = new Array[Int](3 * nf)
+        (0 until nf).foreach { i =>
+          faces(3 * i) = i; faces(3 * i + 1) = i + 1; faces(3 * i + 2) = i + 2
+        }
+        (segid, frag, MeshCodec.encode(MeshFragment(verts, faces)), vs.length.toLong)
+      }.toDF("segid", "frag", "binary", "nv").cache()
+    // fragment files written executor-side (tasks replace the
+    // reference's upload thread pool, tx-style)
+    frags.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      rows.foreach { r =>
+        val name = s"${r.getLong(0)}:0:${r.getLong(1)}"
+        Files.write(Paths.get(meshDirStr, name), r.getAs[Array[Byte]](2))
+      }
+    }
+    // manifests are metadata-sized: collect (segid, frag, nbytes, nv)
+    val stats = frags.select(col("segid"), col("frag"),
+        length(col("binary")).cast("long").as("nbytes"), col("nv")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    frags.unpersist()
+    stats.groupBy(_._1).foreach { case (segid, fs) =>
+      val sorted = fs.sortBy(_._2)
+      // manifest JSON {"fragments": [...]} (mesh/unsharded.py:66-85)
+      val names = sorted.map(f => s""""$segid:0:${f._2}"""").mkString(",")
+      Files.writeString(Paths.get(MeshDir, s"$segid:0"),
+        s"""{"fragments":[$names]}""")
+      // multires manifest: lod0 = the real fragments (byte sizes from
+      // the files), lod1 = one synthetic coarse fragment whose size is
+      // the vertex section of a merged mesh (deterministic in SQL)
+      val lod1Bytes = 4 + 12 * sorted.map(_._4).sum
+      val m = MeshCodec.MultiresManifest(
+        chunkShape = Array(7f, 6f, 5f),
+        gridOrigin = Array(0f, 0f, 0f),
+        lodScales = Array(1f, 2f),
+        vertexOffsets = Array.fill(6)(0f),
+        fragmentPositions = Seq(
+          sorted.flatMap(f => Array(f._2.toInt, (segid % 3).toInt, 0)).toArray,
+          Array(0, (segid % 3).toInt, 1)),
+        fragmentOffsets = Seq(
+          sorted.map(_._3.toInt).toArray,
+          Array(lod1Bytes.toInt)))
+      Files.write(Paths.get(MultiresDir, s"$segid.index"),
+        MeshCodec.encodeManifest(m))
+    }
+    Files.writeString(marker, sfDir)
+  }
+
+  // ---- decode helpers (shared by all queries) ----
+
+  private val decodeUdf = udf((b: Array[Byte]) => {
+    val m = MeshCodec.decode(b)
+    (m.vertices, m.faces)
+  })
+
+  /** Scan fragment files -> (segid, frag, verts, faces, nv, off) with
+    * the concatenation offset from a per-segid window over fragments
+    * in sorted-filename order (O3).
+    *
+    * Listing is metadata-sized and driver-side (the object-store
+    * listing API at scale); the byte reads + decode run in executor
+    * tasks. Hadoop's binaryFile source rejects the reference's
+    * colon-bearing fragment names ("<segid>:0:<frag>"), so the read is
+    * a plain task-side file read — the same IO the DSv2 chunk source
+    * does.
+    */
+  private def fragmentRows(s: SparkSession): DataFrame = {
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    val meshDirStr = MeshDir
+    val names = Files.list(Paths.get(MeshDir)).iterator.asScala
+      .map(_.getFileName.toString)
+      .filter(_.matches("\\d+:0:\\d+"))
+      .toSeq.sorted
+    val files = names.map { n =>
+      val parts = n.split(":")
+      (parts(0).toLong, parts(2).toLong, n)
+    }.toDS().repartition(s.sparkContext.defaultParallelism)
+      .map { case (segid, frag, name) =>
+        (segid, frag, Files.readAllBytes(Paths.get(meshDirStr, name)))
+      }.toDF("segid", "frag", "content")
+      .select(col("segid"), col("frag"), decodeUdf(col("content")).as("m"))
+      .select(col("segid"), col("frag"),
+        col("m._1").as("verts"), col("m._2").as("faces"))
+      .withColumn("nv", (size(col("verts")) / 3).cast("long"))
+    val w = Window.partitionBy("segid").orderBy("frag")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files.withColumn("off", coalesce(sum(col("nv")).over(w), lit(0L)))
+  }
+
+  private val vertRowsUdf = udf((vs: Seq[Float]) =>
+    vs.grouped(3).zipWithIndex.map { case (v, i) =>
+      (i.toLong, v(0).toLong, v(1).toLong, v(2).toLong)
+    }.toSeq)
+
+  private val faceRowsUdf = udf((fs: Seq[Int]) =>
+    fs.grouped(3).zipWithIndex.map { case (f, i) =>
+      (i.toLong, f(0).toLong, f(1).toLong, f(2).toLong)
+    }.toSeq)
+
+  /** Decoded global vertex table (segid, vid, x, y, z). */
+  def globalVertices(s: SparkSession): DataFrame =
+    fragmentRows(s)
+      .select(col("segid"), col("off"),
+        explode(vertRowsUdf(col("verts"))).as("v"))
+      .select(col("segid"), (col("off") + col("v._1")).as("vid"),
+        col("v._2").as("x"), col("v._3").as("y"), col("v._4").as("z"))
+
+  /** Decoded global face table (segid, fid, v0, v1, v2) with
+    * concatenation index offsets applied (mesh.py:129-146).
+    */
+  def globalFaces(s: SparkSession): DataFrame =
+    fragmentRows(s)
+      .select(col("segid"), col("frag"), col("off"),
+        explode(faceRowsUdf(col("faces"))).as("f"))
+      .withColumn("fid", (row_number().over(
+        Window.partitionBy("segid").orderBy("frag", "f._1")) - 1).cast("long"))
+      .select(col("segid"), col("fid"),
+        (col("off") + col("f._2")).as("v0"),
+        (col("off") + col("f._3")).as("v1"),
+        (col("off") + col("f._4")).as("v2"))
+
+  val queries: Map[String, Q] = Map(
+
+    // F16: precomputed mesh binary decode + fragment concatenation —
+    // real fragment files scanned and decoded, vertices re-indexed
+    // into the concatenated mesh (mesh.py:174-206,129-146)
+    "f16_mesh_decode" -> Q(
+      (s, dir) => { ensure(s, dir); globalVertices(s) },
+      Some(s"""WITH $VertCte
+        |SELECT segid, vid, x, y, z FROM g""".stripMargin)),
+
+    // O3/W5-shape: deterministic fragment decode order (sort by
+    // filename, mesh/unsharded.py:99) drives the face index offsets —
+    // the faces of fragment k are shifted by the vertex counts of
+    // fragments 0..k-1 (prefix-sum window)
+    "o3_mesh_concat" -> Q(
+      (s, dir) => { ensure(s, dir); globalFaces(s) },
+      Some(s"""WITH $FaceCte
+        |SELECT segid, fid, v0, v1, v2 FROM f""".stripMargin)),
+
+    // A6: consolidate — np.unique on vertex rows (lexicographic rank
+    // per segid), faces remapped through the inverse map, then
+    // deduplicated (mesh.py:148-172)
+    "a6_mesh_consolidate" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        val verts = globalVertices(s)
+        val ranked = verts.withColumn("nidx", (dense_rank().over(
+          Window.partitionBy("segid").orderBy("x", "y", "z")) - 1).cast("long"))
+          .select(col("segid"), col("vid"), col("nidx"))
+        val faces = globalFaces(s)
+        def m(c: String) = ranked
+          .withColumnRenamed("vid", c)
+          .withColumnRenamed("nidx", s"n$c")
+        faces.join(m("v0"), Seq("segid", "v0"))
+          .join(m("v1"), Seq("segid", "v1"))
+          .join(m("v2"), Seq("segid", "v2"))
+          .select(col("segid"), col("nv0"), col("nv1"), col("nv2"))
+          .distinct()
+      },
+      Some(s"""WITH $FaceCte,
+        |r AS (SELECT segid, vid, dense_rank() OVER (
+        |        PARTITION BY segid ORDER BY x, y, z) - 1 AS nidx FROM g)
+        |SELECT DISTINCT f.segid, r0.nidx AS nv0, r1.nidx AS nv1, r2.nidx AS nv2
+        |FROM f
+        |JOIN r r0 ON r0.segid = f.segid AND r0.vid = f.v0
+        |JOIN r r1 ON r1.segid = f.segid AND r1.vid = f.v1
+        |JOIN r r2 ON r2.segid = f.segid AND r2.vid = f.v2""".stripMargin)),
+
+    // P9: mesh crop — drop vertices outside the (inclusive,
+    // lib.py:869-881 contains) bbox, drop faces touching dropped
+    // vertices, reindex surviving vertices densely (mesh.py:421-470)
+    "p9_mesh_crop" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        val keepCond = col("x").between(1, 5) && col("y").between(1, 4) &&
+          col("z").between(1, 3)
+        val kept = globalVertices(s).filter(keepCond)
+          .withColumn("nvid", (row_number().over(
+            Window.partitionBy("segid").orderBy("vid")) - 1).cast("long"))
+          .select(col("segid"), col("vid"), col("nvid"))
+        def m(c: String) = kept
+          .withColumnRenamed("vid", c)
+          .withColumnRenamed("nvid", s"n$c")
+        globalFaces(s)
+          .join(m("v0"), Seq("segid", "v0"))
+          .join(m("v1"), Seq("segid", "v1"))
+          .join(m("v2"), Seq("segid", "v2"))
+          .select(col("segid"), col("fid"), col("nv0"), col("nv1"), col("nv2"))
+      },
+      Some(s"""WITH $FaceCte,
+        |k AS (SELECT segid, vid, row_number() OVER (
+        |        PARTITION BY segid ORDER BY vid) - 1 AS nvid
+        |      FROM g
+        |      WHERE x BETWEEN 1 AND 5 AND y BETWEEN 1 AND 4
+        |        AND z BETWEEN 1 AND 3)
+        |SELECT f.segid, f.fid, k0.nvid AS nv0, k1.nvid AS nv1, k2.nvid AS nv2
+        |FROM f
+        |JOIN k k0 ON k0.segid = f.segid AND k0.vid = f.v0
+        |JOIN k k1 ON k1.segid = f.segid AND k1.vid = f.v1
+        |JOIN k k2 ON k2.segid = f.segid AND k2.vid = f.v2""".stripMargin)),
+
+    // F17/W5: multires manifest binary decode + per-fragment running
+    // byte offsets (prefix-sum window over (lod, frag) order) locating
+    // each fragment in the concatenated blob (multilod.py:276-289)
+    "w5_multires_offsets" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        val manUdf = udf((b: Array[Byte]) => {
+          val m = MeshCodec.decodeManifest(b)
+          (0 until m.numLods).flatMap { lod =>
+            val pos = m.fragmentPositions(lod)
+            val offs = m.fragmentOffsets(lod)
+            offs.indices.map { i =>
+              (lod.toLong, i.toLong, pos(3 * i).toLong, pos(3 * i + 1).toLong,
+                pos(3 * i + 2).toLong, offs(i).toLong)
+            }
+          }
+        })
+        val rows = s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.index")
+          .load(MultiresDir)
+          .select(
+            regexp_extract(element_at(split(col("path"), "/"), -1),
+              "^(\\d+)", 1).cast("long").as("segid"),
+            explode(manUdf(col("content"))).as("r"))
+          .select(col("segid"), col("r._1").as("lod"), col("r._2").as("fidx"),
+            col("r._3").as("px"), col("r._4").as("py"), col("r._5").as("pz"),
+            col("r._6").as("nbytes"))
+        val w = Window.partitionBy("segid").orderBy("lod", "fidx")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        rows.withColumn("byte_start",
+          coalesce(sum(col("nbytes")).over(w), lit(0L)))
+      },
+      Some(s"""WITH $VertCte,
+        |c AS (SELECT segid, frag, count(*) AS n FROM v GROUP BY segid, frag),
+        |lod0 AS (SELECT segid, 0 AS lod, frag AS fidx, frag AS px,
+        |           segid % 3 AS py, 0 AS pz,
+        |           4 + 12 * n + 12 * greatest(n - 2, 0) AS nbytes
+        |         FROM c),
+        |lod1 AS (SELECT segid, 1 AS lod, 0 AS fidx, 0 AS px, segid % 3 AS py,
+        |           1 AS pz, CAST(4 + 12 * sum(n) AS BIGINT) AS nbytes
+        |         FROM c GROUP BY segid),
+        |m AS (SELECT * FROM lod0 UNION ALL SELECT * FROM lod1)
+        |SELECT segid, lod, fidx, px, py, pz, nbytes,
+        |  CAST(coalesce(sum(nbytes) OVER (PARTITION BY segid ORDER BY lod, fidx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS byte_start
+        |FROM m""".stripMargin)),
+  )
+}
