@@ -78,7 +78,7 @@ object WriteQueries {
   }
 
   /** Copy the fixture layer's chunk objects into a fresh target. */
-  private def cloneLayer(s: SparkSession, target: String): Unit = {
+  private[ops] def cloneLayer(s: SparkSession, target: String): Unit = {
     val root = Paths.get(target)
     if (Files.exists(root)) {
       import scala.jdk.CollectionConverters._

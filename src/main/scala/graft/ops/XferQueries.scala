@@ -1,0 +1,179 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.sources.{PrecomputedIO, ShardedIO}
+
+/** Layer lifecycle operators over the real fixture layer:
+  *
+  * S16 transfer/transcode (image/__init__.py:607-678 transfer_to,
+  * xfer.py:59-493, chunks.transcode:486-600): read the source layer's
+  * chunk rows, re-encode each chunk payload to the target encoding in
+  * the scan's executor tasks (no voxel-row explosion — one decode +
+  * one encode per chunk), write the target layer, read it back. Two
+  * pathways covered: raw -> compressed_segmentation re-encode, and
+  * unsharded -> sharded re-grouping (the shard-synthesis shuffle).
+  *
+  * S13 delete (image/__init__.py:484-557): alignment-checked bulk
+  * delete of the chunk objects in a bbox; exists summary afterwards.
+  *
+  * S15 fill_missing (image/rx.py:864-870): deleted chunks read back
+  * as background zeros instead of erroring.
+  *
+  * S17 memory_cutout (image/__init__.py:559-601): a cutout pinned as
+  * a cached temp view — Spark's storage layer replaces the mem://
+  * throwaway volume.
+  *
+  * Scale shape: every path is chunk-granular (decode+encode inside the
+  * scan task), deletes/writes run in `foreachPartition`, and the only
+  * shuffle is the shard-synthesis `groupByKey(shard)` — the same plan
+  * a 1000-executor transfer of a petabyte layer needs.
+  */
+object XferQueries {
+  import RealLayerQueries.{ensure, LayerDir, meta, metaCseg, metaSharded,
+    CsegBlock, SX, SY, SZ, CX, CY, CZ}
+
+  private val Sidecar =
+    s"read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')"
+
+  /** Chunk-aligned delete region: grid cells gx,gy in {1,2}, gz in {1,2}. */
+  private val DeleteBox = Bbox(Vec3(16, 16, 8), Vec3(48, 48, 24))
+
+  private def deleteChunks(s: SparkSession, target: String, bbox: Bbox): Unit = {
+    val scale = PrecomputedIO.readInfo(target).scale(0)
+    require(bbox == bbox.expandToChunkSize(scale.chunkSize, scale.voxelOffset),
+      s"delete bbox $bbox not chunk-aligned") // image/__init__.py:529-533
+    val pts = Geom.gridpoints(bbox, scale.bounds, scale.chunkSize)
+    import s.implicits._
+    s.createDataset(pts.map(g => (g.x, g.y, g.z)))
+      .foreachPartition { it: Iterator[(Long, Long, Long)] =>
+        it.foreach { case (gx, gy, gz) =>
+          val p = PrecomputedIO.chunkPath(target, scale, Vec3(gx, gy, gz))
+          Files.deleteIfExists(p)
+          Files.deleteIfExists(Paths.get(p.toString + ".gz"))
+        }
+      }
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    // S16 pathway 1: transcode raw -> compressed_segmentation; the
+    // chunk stream is re-encoded in-flight (one task per chunk batch)
+    // and the new layer is read back through the cseg decode path
+    "s16_transcode" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        val target = s"${RealLayerQueries.Root}/layer_s16_cseg"
+        val bounds = meta.scale(0).bounds
+        val cs = meta.scale(0).chunkSize
+        val bs = CsegBlock
+        val transcodeUdf = udf((x0: Long, y0: Long, z0: Long, x1: Long,
+            y1: Long, z1: Long, p: Array[Byte]) =>
+          Cseg.encode(Codec.decodeRawToLongs(p, 4),
+            Vec3(x1 - x0, y1 - y0, z1 - z0), bs, 4))
+        PrecomputedIO.writeInfo(target, metaCseg)
+        PrecomputedIO.writeChunks(
+          PrecomputedIO.readChunks(s, LayerDir)
+            .select(col("gx"), col("gy"), col("gz"),
+              transcodeUdf(col("x0"), col("y0"), col("z0"),
+                col("x1"), col("y1"), col("z1"), col("payload")).as("payload")),
+          target, metaCseg, 0)
+        PrecomputedIO.cutoutVoxels(s, target, Bbox(Vec3(0, 0, 0), Vec3(SX, SY, SZ)))
+      },
+      Some(s"SELECT x, y, z, label FROM $Sidecar")),
+
+    // S16 pathway 2: unsharded -> sharded transfer — the chunk stream
+    // regroups by shard (one shuffle) and each task synthesizes its
+    // shard file; read back through the sharded cutout path
+    "s16_transfer_sharded" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        val target = s"${RealLayerQueries.Root}/layer_s16_sharded"
+        val root = Paths.get(target)
+        if (Files.exists(root)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(root).iterator.asScala.toSeq.reverse
+            .foreach(p => Files.deleteIfExists(p))
+        }
+        PrecomputedIO.writeInfo(target, metaSharded)
+        ShardedIO.writeSharded(
+          PrecomputedIO.readChunks(s, LayerDir)
+            .select(col("gx"), col("gy"), col("gz"), col("payload")),
+          target, metaSharded, 0)
+        ShardedIO.cutoutVoxelsSharded(s, target,
+          Bbox(Vec3(3, 5, 2), Vec3(55, 49, 26)))
+      },
+      Some(s"""SELECT x, y, z, label FROM $Sidecar
+        |WHERE x BETWEEN 3 AND 54 AND y BETWEEN 5 AND 48
+        |  AND z BETWEEN 2 AND 25""".stripMargin)),
+
+    // S13: aligned bulk delete + exists summary over the full grid
+    "s13_delete" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        val target = s"${RealLayerQueries.Root}/layer_s13"
+        WriteQueries.cloneLayer(s, target)
+        deleteChunks(s, target, DeleteBox)
+        // exists probe: the planned grid left-joined against the
+        // surviving chunk OBJECTS (object-store listing; the listing
+        // is metadata-sized, image/__init__.py:484-513)
+        import scala.jdk.CollectionConverters._
+        val scale = meta.scale(0)
+        val names = Files.list(Paths.get(target, scale.key)).iterator.asScala
+          .map(_.getFileName.toString.stripSuffix(".gz")).toSeq
+        import s.implicits._
+        val present = names.toDF("name")
+          .withColumn("b", Derived.parseFilenameUdf(col("name")))
+          .select(
+            (col("b._1") / CX).cast("long").as("gx"),
+            (col("b._2") / CY).cast("long").as("gy"),
+            (col("b._3") / CZ).cast("long").as("gz"),
+            lit(true).as("present"))
+        s.range(4 * 4 * 4).select(
+            (col("id") % 4).as("gx"),
+            ((col("id") / 4).cast("long") % 4).as("gy"),
+            (col("id") / 16).cast("long").as("gz"))
+          .join(broadcast(present), Seq("gx", "gy", "gz"), "left")
+          .select(col("gx"), col("gy"), col("gz"),
+            coalesce(col("present"), lit(false)).as("exists"))
+      },
+      Some(s"""WITH g AS (SELECT DISTINCT x // $CX AS gx, y // $CY AS gy,
+        |    z // $CZ AS gz FROM $Sidecar)
+        |SELECT gx, gy, gz,
+        |  NOT (gx BETWEEN 1 AND 2 AND gy BETWEEN 1 AND 2
+        |       AND gz BETWEEN 1 AND 2) AS "exists"
+        |FROM g""".stripMargin)),
+
+    // S15: fill_missing — the deleted region reads back as background
+    // zeros through the DSv2 scan's null-payload rows
+    "s15_fill_missing" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        val target = s"${RealLayerQueries.Root}/layer_s15"
+        WriteQueries.cloneLayer(s, target)
+        deleteChunks(s, target, DeleteBox)
+        PrecomputedIO.cutoutVoxels(s, target,
+          Bbox(Vec3(0, 0, 0), Vec3(SX, SY, SZ)), fillMissing = true)
+      },
+      Some(s"""SELECT x, y, z,
+        |  CASE WHEN x // $CX BETWEEN 1 AND 2 AND y // $CY BETWEEN 1 AND 2
+        |            AND z // $CZ BETWEEN 1 AND 2
+        |       THEN 0 ELSE label END AS label
+        |FROM $Sidecar""".stripMargin)),
+
+    // S17: memory cutout — cutout pinned via cache + temp view
+    "s17_memory_cutout" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        val cut = PrecomputedIO.cutoutVoxels(s, LayerDir,
+          Bbox(Vec3(8, 4, 6), Vec3(40, 36, 22))).cache()
+        cut.createOrReplaceTempView("graft_mem_cutout")
+        s.table("graft_mem_cutout")
+      },
+      Some(s"""SELECT x, y, z, label FROM $Sidecar
+        |WHERE x BETWEEN 8 AND 39 AND y BETWEEN 4 AND 35
+        |  AND z BETWEEN 6 AND 21""".stripMargin)),
+  )
+}
