@@ -12,7 +12,8 @@ object SparkEntry {
     VolumeQueries.queries ++ ChunkQueries.queries ++
       TextQueries.queries ++ SimilarityQueries.queries ++
       MultimodalOps.queries ++ RealLayerQueries.queries ++ AnnotationQueries.queries ++
-      WriteQueries.queries ++ MeshQueries.queries ++ XferQueries.queries
+      WriteQueries.queries ++ MeshQueries.queries ++ XferQueries.queries ++
+      MetaQueries.queries ++ GrapheneQueries.queries
 
   /** Flagship: write sf0.001 voxels into encoded chunk payloads, read
     * back the distinct labels through the codec path (A1 `unique`).

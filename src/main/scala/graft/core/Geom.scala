@@ -46,6 +46,13 @@ final case class Bbox(minpt: Vec3, maxpt: Vec3) {
       p.y >= minpt.y && p.y < maxpt.y &&
       p.z >= minpt.z && p.z < maxpt.z
 
+  /** Inclusive-boundary overlap test (lib.py:889-895 overlaps_bbox;
+    * used by overlaps_roi, metadata.py:702-722).
+    */
+  def overlapsBbox(o: Bbox): Boolean =
+    !(maxpt.x < o.minpt.x || maxpt.y < o.minpt.y || maxpt.z < o.minpt.z ||
+      o.maxpt.x < minpt.x || o.maxpt.y < minpt.y || o.maxpt.z < minpt.z)
+
   def containsBbox(o: Bbox): Boolean =
     o.minpt.x >= minpt.x && o.maxpt.x <= maxpt.x &&
       o.minpt.y >= minpt.y && o.maxpt.y <= maxpt.y &&
@@ -89,6 +96,20 @@ final case class Bbox(minpt: Vec3, maxpt: Vec3) {
 }
 
 object Bbox {
+  /** Reference-exact intersection (lib.py:447-470): the classmethod
+    * returns the ZERO box when the (strict) intersects test fails,
+    * unlike the instance-method algebra above which may return an
+    * inverted box. Used by autocrop (datasource/__init__.py:73-79).
+    */
+  def intersectionZero(a: Bbox, b: Bbox): Bbox = {
+    val strictOverlap =
+      a.minpt.x < b.maxpt.x && a.maxpt.x > b.minpt.x &&
+        a.minpt.y < b.maxpt.y && a.maxpt.y > b.minpt.y &&
+        a.minpt.z < b.maxpt.z && a.maxpt.z > b.minpt.z
+    if (!strictOverlap) Bbox(Vec3(0, 0, 0), Vec3(0, 0, 0))
+    else Bbox(a.minpt.max(b.minpt), a.maxpt.min(b.maxpt))
+  }
+
   private val FilenameRe =
     """(-?\d+)-(-?\d+)_(-?\d+)-(-?\d+)_(-?\d+)-(-?\d+)""".r
 
@@ -141,6 +162,45 @@ object Geom {
     * (metadata.py:675-679 point_to_mip): floor(p * res_ratio).
     */
   def pointToMip(p: Vec3, factor: Vec3): Vec3 = p.floorDiv(factor)
+
+  /** F8 find_closest_divisor (lib.py:170-204): per axis, the divisor
+    * of n closest to the target; ties resolve to the FIRST encountered
+    * in the reference's enumeration order (i then n/i for i ascending),
+    * because its comparison is strict `<`.
+    */
+  def findClosestDivisor(toDivide: Vec3, closestTo: Vec3): Vec3 = {
+    def one(n: Long, ct: Long): Long = {
+      var best = n
+      var minDist = n
+      var i = 1L
+      while (i * i <= n) {
+        if (n % i == 0) {
+          if (math.abs(i - ct) < minDist) { minDist = math.abs(i - ct); best = i }
+          val j = n / i
+          if (j != i && math.abs(j - ct) < minDist) {
+            minDist = math.abs(j - ct); best = j
+          }
+        }
+        i += 1
+      }
+      best
+    }
+    Vec3(one(toDivide.x, closestTo.x), one(toDivide.y, closestTo.y),
+      one(toDivide.z, closestTo.z))
+  }
+
+  /** P1 slice reification for one axis (lib.py:618-699 reify_slices
+    * with autocrop): None start/stop bind to the bounds, scalars become
+    * unit slices upstream, autocrop clamps into [lo, hi]; negative
+    * steps are rejected like the reference. Returns (start, stop, step).
+    */
+  def reifySlice(start: Option[Long], stop: Option[Long], step: Option[Long],
+      lo: Long, hi: Long): (Long, Long, Long) = {
+    val st = step.getOrElse(1L)
+    require(st > 0, s"Negative step sizes are not supported. Got: $st")
+    def clamp(v: Long): Long = math.max(lo, math.min(v, hi))
+    (clamp(start.getOrElse(lo)), clamp(stop.getOrElse(hi)), st)
+  }
 
   /** bbox_to_mip (metadata.py:680-700): iterative per-level floor/floor
     * of min and ceil of max — NOT a single divide; each level divides by

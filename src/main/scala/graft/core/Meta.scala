@@ -23,7 +23,9 @@ final case class ScaleMeta(
     size: Vec3,
     voxelOffset: Vec3,
     csegBlockSize: Option[Vec3] = None,
-    sharding: Option[ShardingSpec] = None) {
+    sharding: Option[ShardingSpec] = None,
+    locked: Boolean = false,
+    rois: Option[Seq[Bbox]] = None) {
 
   /** Volume bounds of this scale in voxel space (metadata.py bounds). */
   def bounds: Bbox = Bbox(voxelOffset, voxelOffset + size)
@@ -56,6 +58,36 @@ final case class VolumeMeta(
     case "uint32" | "float32" => 4
     case "uint64" | "float64" => 8
     case d => throw new IllegalArgumentException(s"unsupported data_type $d")
+  }
+
+  /** Write locks per mip (metadata.py:840-885 lock_mips /
+    * locked_mips): scales carry a `locked` flag in the info JSON.
+    */
+  def lockedMips: Set[Int] =
+    scales.zipWithIndex.collect { case (s, i) if s.locked => i }.toSet
+
+  /** ROIs of mip 0, z-sorted at parse time like parse_rois
+    * (metadata.py:191-201). None = the whole volume is in-ROI.
+    */
+  def sortedRois: Option[Seq[Bbox]] =
+    scales.headOption.flatMap(_.rois).map(_.sortBy(_.minpt.z))
+
+  /** F8 add_scale (metadata.py:743-838): derive the scale for
+    * `factor` relative to mip 0 — resolution scales by the factor,
+    * voxel_offset floors, size ceils, key joins the new resolution.
+    */
+  def addScale(factor: Vec3): ScaleMeta = {
+    val full = scales.head
+    val res = Seq(full.resolution(0) * factor.x, full.resolution(1) * factor.y,
+      full.resolution(2) * factor.z)
+    val key = res.map(r =>
+      if (r == math.floor(r)) r.toLong.toString else r.toString).mkString("_")
+    full.copy(
+      key = key,
+      resolution = res,
+      chunkSize = Geom.findClosestDivisor(full.chunkSize, Vec3(64, 64, 64)),
+      voxelOffset = full.voxelOffset.floorDiv(factor),
+      size = full.size.ceilDiv(factor))
   }
 }
 
@@ -90,7 +122,17 @@ object VolumeMeta {
     size = vec3(n.get("size")),
     voxelOffset = Option(n.get("voxel_offset")).map(vec3).getOrElse(Vec3(0, 0, 0)),
     csegBlockSize = Option(n.get("compressed_segmentation_block_size")).map(vec3),
-    sharding = Option(n.get("sharding")).map(parseSharding))
+    sharding = Option(n.get("sharding")).map(parseSharding),
+    locked = Option(n.get("locked")).exists(_.asBoolean),
+    // rois render as [x0,y0,z0,x1,y1,z1] lists (Bbox.from_list,
+    // metadata.py:191-199)
+    rois = Option(n.get("rois")).map { r =>
+      (0 until r.size).map { i =>
+        val b = r.get(i)
+        Bbox(Vec3(b.get(0).asLong, b.get(1).asLong, b.get(2).asLong),
+          Vec3(b.get(3).asLong, b.get(4).asLong, b.get(5).asLong))
+      }
+    })
 
   def fromJson(json: String): VolumeMeta = {
     val root = om.readTree(json)
@@ -139,6 +181,15 @@ object VolumeMeta {
     }
     putVec(o, "voxel_offset", s.voxelOffset)
     putVec(o, "size", s.size)
+    if (s.locked) o.put("locked", true)
+    s.rois.foreach { rs =>
+      val arr = o.putArray("rois")
+      rs.foreach { b =>
+        val e = arr.addArray()
+        e.add(b.minpt.x); e.add(b.minpt.y); e.add(b.minpt.z)
+        e.add(b.maxpt.x); e.add(b.maxpt.y); e.add(b.maxpt.z)
+      }
+    }
     s.csegBlockSize.foreach(putVec(o, "compressed_segmentation_block_size", _))
     s.sharding.foreach { sp =>
       val sh = o.putObject("sharding")

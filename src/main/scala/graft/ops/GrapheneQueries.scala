@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.sources.PrecomputedIO
+
+/** Graphene agglomeration as data (J6/J7): the reference's graph
+  * server calls become joins over an edge table (SURVEY §1.1).
+  *
+  * J6 leaves-of-root (frontends/graphene.py:918-963): descend the
+  * hierarchy from root labels to nodes at stop_layer, constrained to a
+  * bbox via the spatial bits packed in each label (the server does the
+  * same chunk-position filtering).
+  *
+  * J7 agglomerate cutout (frontends/graphene.py:648-682): cutout ->
+  * distinct labels -> resolve roots -> remap the cutout in place. The
+  * cutout reads REAL chunk files; root resolution joins are broadcast
+  * (label sets are small relative to voxels at any scale — they are
+  * the distinct set).
+  *
+  * Labels are bit-packed per GrapheneLabelSpec (layer 8 bits, 10
+  * spatial bits per axis — datasource/graphene/metadata.py:183-250).
+  */
+object GrapheneQueries {
+  import Derived.{table, grapheneSpec, idiv}
+
+  // bit-shift constants mirrored in the oracle SQL
+  // layer << 56 | x << 46 | y << 36 | z << 26 | segid
+  private val L = 72057594037927936L // 1 << 56
+  private val X = 70368744177664L // 1 << 46
+  private val Y = 68719476736L // 1 << 36
+  private val Z = 67108864L // 1 << 26
+
+  /** 3-level hierarchy from supplier: leaf (layer 1, spatial bits from
+    * the supplier key) -> layer-2 parent -> layer-3 root.
+    */
+  private def edges(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val enc = Derived.grapheneEncodeUdf
+    val leaves = table(s, dir, "supplier").select(
+      col("s_suppkey").cast("long").as("sk"))
+      .select(col("sk"),
+        enc(lit(1), col("sk") % 20, (col("sk") * 3) % 20, col("sk") % 10,
+          col("sk")).as("leaf"),
+        idiv(col("sk"), 10).as("p2"),
+        idiv(col("sk"), 100).as("p3"))
+      .withColumn("parent", enc(lit(2), col("p2") % 10, (col("p2") * 3) % 10,
+        col("p2") % 5, col("p2")))
+      .withColumn("root", enc(lit(3), col("p3") % 5, (col("p3") * 3) % 5,
+        col("p3") % 3, col("p3")))
+    val e1 = leaves.select(col("leaf").as("child"), col("parent"))
+    val e2 = leaves.select(col("parent").as("child"), col("root").as("parent"))
+      .distinct()
+    (leaves, e1.unionAll(e2))
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    // J6: leaves of every root within bbox x<10, y<10, z<5 at
+    // stop_layer 1 — iterative downward frontier join with the
+    // spatial-bit filter applied at the leaf layer
+    "j6_leaves_of_root" -> Q(
+      (s, dir) => {
+        val (_, es) = edges(s, dir)
+        val down = es.select(col("parent").as("node"), col("child"))
+        val roots = es.select(col("parent")).filter(
+          shiftrightunsigned(col("parent"), 56) === 3)
+          .distinct().select(col("parent").as("root"), col("parent").as("node"))
+        // fixed-depth descent (hierarchy depth is in the graphene meta,
+        // graphene/metadata.py:116-123): 2 joins root->l2->leaf; each
+        // level's frontier joins only its own children
+        var frontier = roots
+        (0 until 2).foreach { _ =>
+          frontier = frontier.join(down, Seq("node"))
+            .select(col("root"), col("child").as("node"))
+        }
+        val dec = Derived.grapheneDecodeUdf
+        frontier
+          .withColumn("d", dec(col("node")))
+          .filter(col("d._2") < 10 && col("d._3") < 10 && col("d._4") < 5)
+          .select(col("root"), col("node").as("leaf"))
+      },
+      Some(s"""WITH lf AS (
+        |  SELECT s_suppkey AS sk, s_suppkey % 20 AS lx,
+        |         (s_suppkey * 3) % 20 AS ly, s_suppkey % 10 AS lz,
+        |         s_suppkey // 100 AS r
+        |  FROM supplier)
+        |SELECT 3 * $L + (r % 5) * $X + ((r * 3) % 5) * $Y + (r % 3) * $Z + r
+        |         AS root,
+        |       1 * $L + lx * $X + ly * $Y + lz * $Z + sk AS leaf
+        |FROM lf WHERE lx < 10 AND ly < 10 AND lz < 5""".stripMargin)),
+
+    // J7: agglomerate cutout — real-layer cutout, distinct labels
+    // resolve through a 2-level mapping, voxels remapped in place
+    "j7_agglomerate_cutout" -> Q(
+      (s, dir) => {
+        RealLayerQueries.ensure(s, dir)
+        val cut = PrecomputedIO.cutoutVoxels(s, RealLayerQueries.LayerDir,
+          Bbox(Vec3(6, 10, 4), Vec3(50, 42, 20)))
+        // distinct labels of the cutout (A1) -> arithmetic edge tables
+        // (the graph-server state as data) -> root per label
+        val labels = cut.select(col("label")).distinct()
+        val l2 = labels.select(col("label"),
+          (lit(1000000L) + idiv(col("label"), 10)).as("parent"))
+        val mapping = l2.select(col("label"),
+          (lit(2000000L) + idiv(col("parent") - 1000000L, 10)).as("root"))
+        cut.join(broadcast(mapping), Seq("label"))
+          .select(col("x"), col("y"), col("z"), col("root"))
+      },
+      Some(s"""SELECT x, y, z,
+        |  2000000 + (label // 100) AS root
+        |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')
+        |WHERE x BETWEEN 6 AND 49 AND y BETWEEN 10 AND 41
+        |  AND z BETWEEN 4 AND 19""".stripMargin)),
+  )
+}

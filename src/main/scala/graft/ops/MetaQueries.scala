@@ -1,0 +1,309 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.sources.PrecomputedIO
+
+/** Metadata / projection / scalar-function operators (F6, F8, F19,
+  * F20, P1-P5, O4, A11) — the scale math, slicing, ROI, and utility
+  * surface of the reference frontend.
+  *
+  * Scale shape: everything here is either metadata-sized (mip tables,
+  * ROIs — driver-computed via the pure core library, then
+  * parallelized) or a narrow map over a fact table (stride filters,
+  * normalize, batching) with at most one aggregate.
+  */
+object MetaQueries {
+  import Derived.{table, boxes, BoxesCte, idiv}
+
+  /** Test volume for the scale math: offset NOT divisible by the mip
+    * factors, so voxel_offset flooring is exercised
+    * (metadata.py:786-792 comment block).
+    */
+  private val ScaleVol = VolumeMeta(
+    layerType = "segmentation", dataType = "uint32", numChannels = 1,
+    scales = Seq(ScaleMeta(
+      key = "4_4_40", encoding = "raw", resolution = Seq(4, 4, 40),
+      chunkSize = Vec3(16, 16, 8), size = Vec3(60, 60, 28),
+      voxelOffset = Vec3(3, 5, 2))))
+
+  /** Shifted boxes: every 7th box pushed past the volume so the
+    * no-overlap branch of autocrop/oob has real rows.
+    */
+  private def shiftedBoxes(s: SparkSession, dir: String): DataFrame = {
+    val sh = when(col("id") % 7 === 0, lit(60L)).otherwise(lit(0L))
+    boxes(s, dir).select(col("id"),
+      (col("x0") + sh).as("x0"), (col("y0") + sh).as("y0"),
+      (col("z0") + sh).as("z0"), (col("x1") + sh).as("x1"),
+      (col("y1") + sh).as("y1"), (col("z1") + sh).as("z1"))
+  }
+
+  private val ShiftedBoxesCte = BoxesCte +
+    """,
+      |sboxes AS (
+      |  SELECT id, x0 + sh AS x0, y0 + sh AS y0, z0 + sh AS z0,
+      |         x1 + sh AS x1, y1 + sh AS y1, z1 + sh AS z1
+      |  FROM (SELECT *, CASE WHEN id % 7 = 0 THEN 60 ELSE 0 END AS sh
+      |        FROM boxes))""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+
+    // F6: unit conversion vx -> physical nm via the scale resolution
+    // (lib.py:372-413 Vec unit algebra; resolution from the info)
+    "f6_unit_conversion" -> Q(
+      (s, dir) => {
+        val res = ScaleVol.scale(0).resolution.map(_.toLong)
+        boxes(s, dir).select(col("id"),
+          (col("x0") * res(0)).as("nx0"), (col("y0") * res(1)).as("ny0"),
+          (col("z0") * res(2)).as("nz0"), (col("x1") * res(0)).as("nx1"),
+          (col("y1") * res(1)).as("ny1"), (col("z1") * res(2)).as("nz1"))
+      },
+      Some(s"""WITH $BoxesCte
+        |SELECT id, x0 * 4 AS nx0, y0 * 4 AS ny0, z0 * 40 AS nz0,
+        |       x1 * 4 AS nx1, y1 * 4 AS ny1, z1 * 40 AS nz1
+        |FROM boxes""".stripMargin)),
+
+    // F8: add_scale mip pyramid math (metadata.py:743-838): size
+    // ceils, voxel_offset floors, resolution scales, key re-renders;
+    // chunk size via find_closest_divisor (lib.py:170-204)
+    "f8_downscale" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        (1 to 4).map { m =>
+          val f = Vec3(1L << m, 1L << m, 1L << math.max(m - 2, 0))
+          val sc = ScaleVol.addScale(f)
+          (m.toLong, sc.key, sc.resolution(0).toLong, sc.resolution(1).toLong,
+            sc.resolution(2).toLong, sc.chunkSize.x, sc.chunkSize.y,
+            sc.chunkSize.z, sc.voxelOffset.x, sc.voxelOffset.y,
+            sc.voxelOffset.z, sc.size.x, sc.size.y, sc.size.z)
+        }.toDF("mip", "key", "rx", "ry", "rz", "csx", "csy", "csz",
+          "ox", "oy", "oz", "sx", "sy", "sz")
+      },
+      Some("""WITH m AS (SELECT unnest(range(1, 5)) AS mip),
+        |f AS (SELECT mip, 1 << mip AS fx, 1 << mip AS fy,
+        |        1 << greatest(mip - 2, 0) AS fz FROM m)
+        |SELECT mip,
+        |  (4 * fx) || '_' || (4 * fy) || '_' || (40 * fz) AS key,
+        |  4 * fx AS rx, 4 * fy AS ry, 40 * fz AS rz,
+        |  16 AS csx, 16 AS csy, 8 AS csz,
+        |  3 // fx AS ox, 5 // fy AS oy, 2 // fz AS oz,
+        |  (60 + fx - 1) // fx AS sx, (60 + fy - 1) // fy AS sy,
+        |  (28 + fz - 1) // fz AS sz
+        |FROM f""".stripMargin)),
+
+    // F8: find_closest_divisor with the reference's first-encountered
+    // tie-break (strict < over the i, n/i enumeration — lib.py:186-198)
+    "f8_closest_divisor" -> Q(
+      (s, dir) => {
+        val divUdf = udf((n: Long, ct: Long) =>
+          Geom.findClosestDivisor(Vec3(n, n, n), Vec3(ct, ct, ct)).x)
+        table(s, dir, "part").select(
+          (lit(1L) + col("p_partkey") % 96).as("n"),
+          (lit(1L) + col("p_partkey") % 17).as("ct")).distinct()
+          .withColumn("closest", divUdf(col("n"), col("ct")))
+      },
+      Some("""WITH src AS (SELECT DISTINCT 1 + p_partkey % 96 AS n,
+        |         1 + p_partkey % 17 AS ct FROM part),
+        |d AS (SELECT n, ct, unnest(range(1, n + 1)) AS dv FROM src),
+        |dd AS (SELECT n, ct, dv FROM d WHERE n % dv = 0),
+        |rk AS (SELECT n, ct, dv, row_number() OVER (
+        |         PARTITION BY n, ct
+        |         ORDER BY abs(dv - ct), least(dv, n // dv),
+        |                  CASE WHEN dv * dv <= n THEN 0 ELSE 1 END) AS r
+        |       FROM dd)
+        |SELECT n, ct, dv AS closest FROM rk WHERE r = 1""".stripMargin)),
+
+    // P1: slice reification (lib.py:618-699 reify_slices with
+    // autocrop): None binds to the bounds, out-of-range clamps, step
+    // passes through
+    "p1_slice_reify" -> Q(
+      (s, dir) => {
+        val reifyUdf = udf((start: java.lang.Long, stop: java.lang.Long,
+            step: java.lang.Long) => {
+          val r = Geom.reifySlice(Option(start).map(_.toLong),
+            Option(stop).map(_.toLong), Option(step).map(_.toLong), 0L, 64L)
+          (r._1, r._2, r._3)
+        })
+        table(s, dir, "orders").select(col("o_orderkey").as("id"),
+          when(col("o_orderkey") % 5 === 0, lit(null))
+            .otherwise(col("o_orderkey") % 80 - 8).cast("long").as("sstart"),
+          when(col("o_custkey") % 5 === 0, lit(null))
+            .otherwise(col("o_custkey") % 90 - 5).cast("long").as("sstop"),
+          (lit(1L) + col("o_orderkey") % 3).as("sstep"))
+          .withColumn("r", reifyUdf(col("sstart"), col("sstop"), col("sstep")))
+          .select(col("id"), col("r._1").as("rstart"),
+            col("r._2").as("rstop"), col("r._3").as("rstep"))
+      },
+      Some("""WITH src AS (
+        |  SELECT o_orderkey AS id,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN NULL
+        |         ELSE o_orderkey % 80 - 8 END AS sstart,
+        |    CASE WHEN o_custkey % 5 = 0 THEN NULL
+        |         ELSE o_custkey % 90 - 5 END AS sstop,
+        |    1 + o_orderkey % 3 AS sstep
+        |  FROM orders)
+        |SELECT id,
+        |  CASE WHEN sstart IS NULL THEN 0
+        |       ELSE greatest(0, least(sstart, 64)) END AS rstart,
+        |  CASE WHEN sstop IS NULL THEN 64
+        |       ELSE greatest(0, least(sstop, 64)) END AS rstop,
+        |  sstep AS rstep
+        |FROM src""".stripMargin)),
+
+    // P3: autocrop — reference-exact intersection with the volume
+    // bounds; disjoint requests collapse to the zero box
+    // (lib.py:447-470, datasource/__init__.py:73-79)
+    "p3_autocrop" -> Q(
+      (s, dir) => {
+        val vol = Bbox(Vec3(0, 0, 0), Vec3(64, 64, 32))
+        val cropUdf = udf((x0: Long, y0: Long, z0: Long, x1: Long, y1: Long,
+            z1: Long) => {
+          val b = Bbox.intersectionZero(
+            Bbox(Vec3(x0, y0, z0), Vec3(x1, y1, z1)), vol)
+          (b.minpt.x, b.minpt.y, b.minpt.z, b.maxpt.x, b.maxpt.y, b.maxpt.z)
+        })
+        shiftedBoxes(s, dir)
+          .withColumn("c", cropUdf(col("x0"), col("y0"), col("z0"),
+            col("x1"), col("y1"), col("z1")))
+          .select(col("id"), col("c._1").as("cx0"), col("c._2").as("cy0"),
+            col("c._3").as("cz0"), col("c._4").as("cx1"),
+            col("c._5").as("cy1"), col("c._6").as("cz1"))
+      },
+      Some(s"""WITH $ShiftedBoxesCte,
+        |o AS (SELECT *, (x0 < 64 AND x1 > 0 AND y0 < 64 AND y1 > 0
+        |                 AND z0 < 32 AND z1 > 0) AS ov FROM sboxes)
+        |SELECT id,
+        |  CASE WHEN ov THEN greatest(x0, 0) ELSE 0 END AS cx0,
+        |  CASE WHEN ov THEN greatest(y0, 0) ELSE 0 END AS cy0,
+        |  CASE WHEN ov THEN greatest(z0, 0) ELSE 0 END AS cz0,
+        |  CASE WHEN ov THEN least(x1, 64) ELSE 0 END AS cx1,
+        |  CASE WHEN ov THEN least(y1, 64) ELSE 0 END AS cy1,
+        |  CASE WHEN ov THEN least(z1, 32) ELSE 0 END AS cz1
+        |FROM o""".stripMargin)),
+
+    // P4: bounded / out-of-bounds check (image/__init__.py:82-100,
+    // lib.py:497-502): containment is inclusive of the upper face
+    "p4_oob" -> Q(
+      (s, dir) => {
+        val vol = Bbox(Vec3(0, 0, 0), Vec3(64, 64, 32))
+        shiftedBoxes(s, dir).select(col("id"),
+          (col("x0") >= vol.minpt.x && col("y0") >= vol.minpt.y &&
+            col("z0") >= vol.minpt.z && col("x1") <= vol.maxpt.x &&
+            col("y1") <= vol.maxpt.y && col("z1") <= vol.maxpt.z)
+            .as("in_bounds"))
+      },
+      Some(s"""WITH $ShiftedBoxesCte
+        |SELECT id, (x0 >= 0 AND y0 >= 0 AND z0 >= 0 AND x1 <= 64
+        |            AND y1 <= 64 AND z1 <= 32) AS in_bounds
+        |FROM sboxes""".stripMargin)),
+
+    // P5: ROI overlap predicate — the ROIs come from the REAL parsed
+    // info of the fixture layer (F15), overlap is inclusive-boundary
+    // (metadata.py:702-722 overlaps_roi, lib.py:889-895)
+    "p5_roi_overlap" -> Q(
+      (s, dir) => {
+        RealLayerQueries.ensure(s, dir)
+        val rois = PrecomputedIO.readInfo(RealLayerQueries.LayerDir)
+          .sortedRois.get
+        val overlap = rois.map { r =>
+          col("x1") >= r.minpt.x && lit(r.maxpt.x) >= col("x0") &&
+            col("y1") >= r.minpt.y && lit(r.maxpt.y) >= col("y0") &&
+            col("z1") >= r.minpt.z && lit(r.maxpt.z) >= col("z0")
+        }.reduce(_ || _)
+        boxes(s, dir).select(col("id"), overlap.as("in_roi"))
+      },
+      Some(s"""WITH $BoxesCte,
+        |rois(rx0, ry0, rz0, rx1, ry1, rz1) AS (VALUES
+        |  (30, 4, 16, 58, 30, 26), (2, 2, 2, 20, 24, 12),
+        |  (10, 36, 8, 40, 58, 20))
+        |SELECT id, EXISTS (SELECT 1 FROM rois
+        |  WHERE x1 >= rx0 AND rx1 >= x0 AND y1 >= ry0 AND ry1 >= y0
+        |    AND z1 >= rz0 AND rz1 >= z0) AS in_roi
+        |FROM boxes""".stripMargin)),
+
+    // P2: strided cutout projection (frontends/precomputed.py:582-588
+    // final [::sx,::sy,::sz] view) over the real layer
+    "p2_stride_cutout" -> Q(
+      (s, dir) => {
+        RealLayerQueries.ensure(s, dir)
+        PrecomputedIO.cutoutVoxels(s, RealLayerQueries.LayerDir,
+          Bbox(Vec3(4, 6, 2), Vec3(52, 46, 24)))
+          .filter((col("x") - 4) % 2 === 0 && (col("y") - 6) % 3 === 0 &&
+            (col("z") - 2) % 2 === 0)
+      },
+      Some(s"""SELECT x, y, z, label
+        |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')
+        |WHERE x BETWEEN 4 AND 51 AND y BETWEEN 6 AND 45
+        |  AND z BETWEEN 2 AND 23
+        |  AND (x - 4) % 2 = 0 AND (y - 6) % 3 = 0
+        |  AND (z - 2) % 2 = 0""".stripMargin)),
+
+    // O4: ROI list z-sorted at parse time (metadata.py:191-201)
+    "o4_roi_sort" -> Q(
+      (s, dir) => {
+        RealLayerQueries.ensure(s, dir)
+        import s.implicits._
+        PrecomputedIO.readInfo(RealLayerQueries.LayerDir)
+          .sortedRois.get.zipWithIndex.map { case (b, i) =>
+            (i.toLong, b.minpt.x, b.minpt.y, b.minpt.z,
+              b.maxpt.x, b.maxpt.y, b.maxpt.z)
+          }.toDF("rank", "rx0", "ry0", "rz0", "rx1", "ry1", "rz1")
+      },
+      Some("""SELECT * FROM (VALUES
+        |  (0, 2, 2, 2, 20, 24, 12),
+        |  (1, 10, 36, 8, 40, 58, 20),
+        |  (2, 30, 4, 16, 58, 30, 26))
+        |  AS t(rank, rx0, ry0, rz0, rx1, ry1, rz1)""".stripMargin)),
+
+    // A11: cache stats — files + (uncompressed) bytes per mip of the
+    // real layer (cacheservice.py:98-130 num_files/num_bytes)
+    "a11_cache_stats" -> Q(
+      (s, dir) => {
+        RealLayerQueries.ensure(s, dir)
+        PrecomputedIO.readChunks(s, RealLayerQueries.LayerDir)
+          .agg(count(lit(1)).as("num_files"),
+            sum(length(col("payload")).cast("long")).as("num_bytes"))
+          .select(lit(0L).as("mip"), col("num_files"), col("num_bytes"))
+      },
+      Some(s"""SELECT CAST(0 AS BIGINT) AS mip,
+        |  count(DISTINCT (x // 16, y // 16, z // 8)) AS num_files,
+        |  count(*) * 4 AS num_bytes
+        |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')""".stripMargin)),
+
+    // F19: save_images-style global min-max normalization to u8
+    // (lib.py:1015-1117), integer-exact in both engines
+    "f19_normalize" -> Q(
+      (s, dir) => {
+        val v = Derived.voxels(s, dir)
+        val stats = v.agg(min(col("label")).as("mn"), max(col("label")).as("mx"))
+        v.crossJoin(broadcast(stats))
+          .select(col("x"), col("y"), col("z"),
+            floor((col("label") - col("mn")) * 255 / (col("mx") - col("mn")))
+              .cast("long").as("norm"))
+      },
+      Some(s"""WITH ${Derived.VoxelsCte},
+        |stats AS (SELECT min(label) AS mn, max(label) AS mx FROM voxels)
+        |SELECT x, y, z,
+        |  (label - mn) * 255 // (mx - mn) AS norm
+        |FROM voxels, stats""".stripMargin)),
+
+    // F20: misc utils — sip fixed-size batching (id div n), scatter
+    // round-robin (id mod n), duplicates detection (lib.py:50-118,206-232)
+    "f20_batching" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        table(s, dir, "orders").select(col("o_orderkey").as("id"),
+          idiv(col("o_orderkey"), 100).as("batch"),
+          (col("o_orderkey") % 8).as("worker"),
+          col("o_custkey"))
+          .withColumn("is_dup",
+            count(lit(1)).over(Window.partitionBy("o_custkey")) > 1)
+          .select("id", "batch", "worker", "is_dup")
+      },
+      Some("""SELECT o_orderkey AS id, o_orderkey // 100 AS batch,
+        |  o_orderkey % 8 AS worker,
+        |  count(*) OVER (PARTITION BY o_custkey) > 1 AS is_dup
+        |FROM orders""".stripMargin)),
+  )
+}

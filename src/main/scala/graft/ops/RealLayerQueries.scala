@@ -31,12 +31,21 @@ object RealLayerQueries {
   val SX = 60L; val SY = 60L; val SZ = 28L
   val CX = 16L; val CY = 16L; val CZ = 8L
 
+  /** Declared regions-of-interest (P5/O4): written to the info JSON
+    * deliberately un-sorted in z — parse_rois z-sorts them
+    * (metadata.py:191-201).
+    */
+  val Rois: Seq[Bbox] = Seq(
+    Bbox(Vec3(30, 4, 16), Vec3(58, 30, 26)),
+    Bbox(Vec3(2, 2, 2), Vec3(20, 24, 12)),
+    Bbox(Vec3(10, 36, 8), Vec3(40, 58, 20)))
+
   val meta: VolumeMeta = VolumeMeta(
     layerType = "segmentation", dataType = "uint32", numChannels = 1,
     scales = Seq(ScaleMeta(
       key = "1_1_1", encoding = "raw", resolution = Seq(1, 1, 1),
       chunkSize = Vec3(CX, CY, CZ), size = Vec3(SX, SY, SZ),
-      voxelOffset = Vec3(0, 0, 0))))
+      voxelOffset = Vec3(0, 0, 0), rois = Some(Rois))))
 
   /** Same volume, compressed_segmentation-encoded with 8x8x8 palette
     * blocks (the reference's flagship segmentation encoding,
@@ -84,7 +93,10 @@ object RealLayerQueries {
     */
   def ensure(s: SparkSession, sfDir: String): Unit = synchronized {
     val marker = Paths.get(Root, ".built_from")
-    if (Files.exists(marker) && Files.readString(marker) == sfDir &&
+    // marker carries a fixture-format version: bump when the layer
+    // metadata/layout changes so stale fixtures regenerate
+    val markerVal = s"$sfDir|v2"
+    if (Files.exists(marker) && Files.readString(marker) == markerVal &&
       Files.exists(Paths.get(LayerDir, "info"))) return
     // rebuild from scratch
     val rootP = Paths.get(Root)
@@ -129,7 +141,7 @@ object RealLayerQueries {
       LayerShardedDir, metaSharded, mip = 0)
     chunks.unpersist()
     dense.unpersist()
-    Files.writeString(marker, sfDir)
+    Files.writeString(marker, markerVal)
   }
 
   private val Sidecar = s"read_parquet('$VoxelsDir/*.parquet')"

@@ -61,6 +61,11 @@ object PrecomputedIO {
     */
   def writeChunks(chunks: DataFrame, layerDir: String, meta: VolumeMeta,
       mip: Int, deleteBlack: Option[Array[Byte]] = None): Unit = {
+    // P10 write-lock guard (metadata.py:840-885, frontends/
+    // precomputed.py:57-59): refuse writes to locked mips
+    if (meta.lockedMips.contains(mip))
+      throw new IllegalStateException(
+        s"mip $mip is write-locked (scale ${meta.scale(mip).key})")
     val scale = meta.scale(mip)
     val dir = Paths.get(layerDir, scale.key)
     Files.createDirectories(dir)
