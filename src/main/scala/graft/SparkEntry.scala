@@ -13,7 +13,8 @@ object SparkEntry {
       TextQueries.queries ++ SimilarityQueries.queries ++
       MultimodalOps.queries ++ RealLayerQueries.queries ++ AnnotationQueries.queries ++
       WriteQueries.queries ++ MeshQueries.queries ++ XferQueries.queries ++
-      MetaQueries.queries ++ GrapheneQueries.queries
+      MetaQueries.queries ++ GrapheneQueries.queries ++
+      Zarr3Queries.queries ++ StreamQueries.queries
 
   /** Flagship: write sf0.001 voxels into encoded chunk payloads, read
     * back the distinct labels through the codec path (A1 `unique`).

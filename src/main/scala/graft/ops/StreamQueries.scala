@@ -1,0 +1,119 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming surface (SURVEY §2.9). The reference has no
+  * streaming engine; these are the streaming analogues it motivates:
+  *
+  * st1: event-time tumbling-window aggregation over the events table
+  * replayed through a file stream source — the zarr3 time-axis /
+  * t-chunked micro-batch shape (zarr3/metadata.py:211-261).
+  *
+  * st2: chunk-arrival ingestion — the real precomputed layer's chunk
+  * objects consumed by a binaryFile stream, decoded, and folded into a
+  * streaming distinct-label state (the incremental-A1 north star;
+  * dropDuplicates is the stateful dedup operator).
+  *
+  * Both run with Trigger.AvailableNow into a memory sink and return
+  * the final table, so the driver's batch oracle can check them like
+  * any other query. Watermark/late-data semantics are exercised in
+  * StreamSpec where event times are controlled.
+  *
+  * Scale shape: file stream sources list incrementally and checkpoint;
+  * the window aggregation shuffles on (window, key) exactly like the
+  * batch plan; dropDuplicates keeps one state row per label.
+  */
+object StreamQueries {
+
+  private val Root = "/tmp/graft_stream"
+
+  /** Stage events.parquet into a stream-source directory (file stream
+    * sources consume directories).
+    */
+  private def stageEvents(s: SparkSession, sfDir: String): String =
+    synchronized {
+      val dir = Paths.get(Root, "events")
+      val marker = Paths.get(Root, ".built_from")
+      if (!Files.exists(marker) || Files.readString(marker) != sfDir) {
+        if (Files.exists(dir)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(dir).iterator.asScala.toSeq.reverse
+            .foreach(p => Files.deleteIfExists(p))
+        }
+        Files.createDirectories(dir)
+        Files.copy(Paths.get(sfDir, "events.parquet"),
+          dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+        Files.writeString(marker, sfDir)
+      }
+      dir.toString
+    }
+
+  private def runToTable(s: SparkSession, df: DataFrame, name: String,
+      outputMode: String): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    // §2.9: tumbling 1-hour event-time windows, counts + integer-cent
+    // sums per event type (complete mode -> every window emitted, so
+    // the batch oracle can compare exactly)
+    "st1_window_counts" -> Q(
+      (s, dir) => {
+        val src = stageEvents(s, dir)
+        val schema = s.read.parquet(src).schema
+        val stream = s.readStream.schema(schema).parquet(src)
+          // ts arrives as raw nanos (legacy nanosAsLong); floor to
+          // micros for an event-time column
+          .select(timestamp_micros((col("ts") / 1000).cast("long")).as("ets"),
+            col("event_type"),
+            round(col("value") * 100).cast("long").as("vc"))
+          .groupBy(window(col("ets"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("vc")).as("sum_vc"))
+          .select(unix_micros(col("window.start")).as("wstart_us"),
+            col("event_type"), col("n"), col("sum_vc"))
+        runToTable(s, stream, "graft_st1", "complete")
+      },
+      Some("""SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT)
+        |         AS wstart_us,
+        |       event_type, count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_vc
+        |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // §2.9 chunk-arrival ingestion: stream the real layer's chunk
+    // objects, decode labels, maintain streaming distinct state
+    "st2_stream_chunk_labels" -> Q(
+      (s, dir) => {
+        RealLayerQueries.ensure(s, dir)
+        val scaleDir = s"${RealLayerQueries.LayerDir}/1_1_1"
+        val labelsUdf = udf((b: Array[Byte]) =>
+          graft.core.Codec.rawLabels(graft.core.Codec.gunzip(b), 4))
+        import org.apache.spark.sql.types._
+        val binSchema = StructType(Seq(
+          StructField("path", StringType),
+          StructField("modificationTime", TimestampType),
+          StructField("length", LongType),
+          StructField("content", BinaryType)))
+        val stream = s.readStream.format("binaryFile")
+          .schema(binSchema)
+          .option("pathGlobFilter", "*.gz")
+          .load(scaleDir)
+          .select(explode(labelsUdf(col("content"))).as("label"))
+          .dropDuplicates("label")
+        runToTable(s, stream, "graft_st2", "append")
+      },
+      Some(s"""SELECT DISTINCT label
+        |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')""".stripMargin)),
+  )
+}

@@ -1,0 +1,79 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.sources.Zarr3IO
+import graft.sources.Zarr3IO.Zarr3Meta
+
+/** Zarr v3 scan (S18) over a REAL zarr array on disk: `zarr.json` +
+  * gzipped C-order chunk objects under `c/x/y/z`, built from the same
+  * dense voxel derivation as the precomputed fixture so the DuckDB
+  * oracle (over the parquet sidecar) is shared. Edge chunks are
+  * full-size and fill_value-padded per the zarr spec — the read path
+  * must clip them, which is exactly what the oracle checks.
+  */
+object Zarr3Queries {
+  import RealLayerQueries.{SX, SY, SZ, CX, CY, CZ}
+
+  val Root = "/tmp/graft_fixture/zarr3"
+  val ArrayDir = s"$Root/array"
+
+  val zmeta: Zarr3Meta = Zarr3Meta(
+    shape = Vec3(SX, SY, SZ), chunkShape = Vec3(CX, CY, CZ),
+    dataType = "uint32", fillValue = 0L, gzipped = true)
+
+  def ensure(s: SparkSession, sfDir: String): Unit = synchronized {
+    val marker = Paths.get(Root, ".built_from")
+    if (Files.exists(marker) && Files.readString(marker) == sfDir) return
+    val rootP = Paths.get(Root)
+    if (Files.exists(rootP)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(rootP).iterator.asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+    // reuse the precomputed fixture's dense voxels (and its sidecar as
+    // the oracle input)
+    RealLayerQueries.ensure(s, sfDir)
+    val dense = s.read.parquet(RealLayerQueries.VoxelsDir)
+    import s.implicits._
+    val cs = zmeta.chunkShape
+    val chunks = dense
+      .select(Derived.idiv(col("x"), CX).as("gx"),
+        Derived.idiv(col("y"), CY).as("gy"),
+        Derived.idiv(col("z"), CZ).as("gz"),
+        col("x"), col("y"), col("z"), col("label"))
+      .groupBy("gx", "gy", "gz")
+      .agg(collect_list(struct(col("x"), col("y"), col("z"), col("label")))
+        .as("vox"))
+      .as[(Long, Long, Long, Seq[(Long, Long, Long, Long)])]
+      .map { case (gx, gy, gz, vs) =>
+        // FULL-size chunk, fill_value padding beyond the array bounds
+        val arr = new Array[Long]((cs.x * cs.y * cs.z).toInt)
+        vs.foreach { case (x, y, z, l) =>
+          arr(((x - gx * cs.x) + cs.x * ((y - gy * cs.y) + cs.y *
+            (z - gz * cs.z))).toInt) = l
+        }
+        (gx, gy, gz, arr.toSeq)
+      }.toDF("gx", "gy", "gz", "vox")
+    Zarr3IO.writeMeta(ArrayDir, zmeta)
+    Zarr3IO.writeChunks(chunks, ArrayDir, zmeta)
+    Files.writeString(marker, sfDir)
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    // S18: zarr3 cutout — C-order decode + edge-chunk clipping vs the
+    // shared sidecar oracle
+    "s18_zarr3_cutout" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        Zarr3IO.cutoutVoxels(s, ArrayDir, Bbox(Vec3(7, 3, 5), Vec3(57, 53, 27)))
+      },
+      Some(s"""SELECT x, y, z, label
+        |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')
+        |WHERE x BETWEEN 7 AND 56 AND y BETWEEN 3 AND 52
+        |  AND z BETWEEN 5 AND 26""".stripMargin)),
+  )
+}

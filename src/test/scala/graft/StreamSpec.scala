@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Watermark + late-data semantics (SURVEY §2.9): with a 10-minute
+  * watermark and append mode, a window is emitted once the watermark
+  * passes its end, and events arriving later than the watermark are
+  * dropped rather than reopening the window.
+  */
+class StreamSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-stream-test")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("windowed agg with watermark drops late events in append mode") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Long, Long)] // (event-time seconds, value)
+    val agg = mem.toDF.toDF("tsec", "v")
+      .select(timestamp_seconds(col("tsec")).as("ets"), col("v"))
+      .withWatermark("ets", "10 minutes")
+      .groupBy(window(col("ets"), "1 hour"))
+      .agg(sum(col("v")).as("sv"))
+      .select(unix_timestamp(col("window.start")).as("wstart"), col("sv"))
+    val q = agg.writeStream.format("memory").queryName("wm_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: two events in hour-0, one in hour-1
+      mem.addData((600L, 1L), (1200L, 2L), (4000L, 10L))
+      q.processAllAvailable()
+      // nothing emitted yet: watermark = 4000 - 600 = 3400 < 3600
+      assert(s.table("wm_test").count() === 0)
+      // batch 2: event at 2h commits the watermark past hour-0's end
+      mem.addData((7600L, 100L))
+      q.processAllAvailable()
+      // hour-0 window emitted; a LATE event for hour-0 now arrives
+      mem.addData((1800L, 1000L))
+      q.processAllAvailable()
+      mem.addData((12000L, 5L)) // push watermark past hour-1 too
+      q.processAllAvailable()
+      val rows = s.table("wm_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      // hour-0 sum is 3, NOT 1003 — the late event was dropped
+      assert(rows(0L) === 3L)
+      assert(rows(3600L) === 10L)
+    } finally q.stop()
+  }
+
+  test("streaming dropDuplicates keeps one state row per key") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Long]
+    val distinct = mem.toDF.toDF("label").dropDuplicates("label")
+    val q = distinct.writeStream.format("memory").queryName("dd_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(1L, 2L, 2L, 3L)
+      q.processAllAvailable()
+      mem.addData(2L, 3L, 4L)
+      q.processAllAvailable()
+      val got = s.table("dd_test").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === Seq(1L, 2L, 3L, 4L))
+    } finally q.stop()
+  }
+}
