@@ -14,7 +14,7 @@ object SparkEntry {
       MultimodalOps.queries ++ RealLayerQueries.queries ++ AnnotationQueries.queries ++
       WriteQueries.queries ++ MeshQueries.queries ++ XferQueries.queries ++
       MetaQueries.queries ++ GrapheneQueries.queries ++
-      Zarr3Queries.queries ++ StreamQueries.queries
+      Zarr3Queries.queries ++ StreamQueries.queries ++ FormatQueries.queries
 
   /** Flagship: write sf0.001 voxels into encoded chunk payloads, read
     * back the distinct labels through the codec path (A1 `unique`).

@@ -104,6 +104,44 @@ object Codec {
     bos.toByteArray
   }
 
+  /** F12: zstd second-stage wrap via the zstd-jni already on the Spark
+    * classpath (datasource/precomputed/common.py:7-53 lists gzip, br,
+    * zstd; brotli has no JVM-native impl here and stays unimplemented,
+    * documented).
+    */
+  def zstd(data: Array[Byte], level: Int = 3): Array[Byte] =
+    com.github.luben.zstd.Zstd.compress(data, level)
+
+  def unzstd(data: Array[Byte]): Array[Byte] = {
+    val n = com.github.luben.zstd.Zstd.getFrameContentSize(data)
+    com.github.luben.zstd.Zstd.decompress(data, n.toInt)
+  }
+
+  /** F10 PNG codec for uint8 voxels: the 3-D chunk is reshaped to a
+    * 2-D grayscale image (x wide, y*z tall — the reference's as2d,
+    * chunks.py:279-284) and round-trips losslessly through the
+    * JDK's ImageIO PNG support.
+    */
+  def encodePng(voxels: Array[Byte], sx: Int): Array[Byte] = {
+    require(voxels.length % sx == 0, s"${voxels.length} not a multiple of $sx")
+    val h = voxels.length / sx
+    val img = new java.awt.image.BufferedImage(
+      sx, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, sx, h, voxels)
+    val bos = new ByteArrayOutputStream(voxels.length / 2 + 64)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  def decodePng(payload: Array[Byte]): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(payload))
+    require(img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY,
+      s"expected 8-bit gray png, got type ${img.getType}")
+    val out = new Array[Byte](img.getWidth * img.getHeight)
+    img.getRaster.getDataElements(0, 0, img.getWidth, img.getHeight, out)
+    out
+  }
+
   /** Default second-stage compression per encoding
     * (datasource/precomputed/common.py:18-29 should_compress): lossless
     * voxel codecs get gzip; already-compressed image codecs get none.

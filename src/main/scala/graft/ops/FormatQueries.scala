@@ -1,0 +1,171 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.sources.{GraftVolume, PrecomputedIO}
+
+/** Format frontend operators: S1 cloudpath parse + dispatch, J8
+  * morton<->bbox, F4 bbox algebra completions, F13 compression policy,
+  * F10 png codec read path.
+  */
+object FormatQueries {
+  import Derived.{table, boxes, BoxesCte}
+
+  val queries: Map[String, Q] = Map(
+
+    // S1: cloudpath parse — render deterministic FORMAT://PROTOCOL://
+    // BUCKET/DATASET/LAYER strings, parse them with the core parser
+    // (paths.py:13-120), emit the components; format defaults to
+    // precomputed when the first token is a protocol
+    "s1_path_parse" -> Q(
+      (s, dir) => {
+        val parseUdf = udf((p: String) => {
+          val c = CloudPath.parse(p)
+          (c.format, c.protocol, c.bucket, c.dataset, c.layer)
+        })
+        table(s, dir, "part").filter(col("p_partkey") % 5 === 0)
+          .select(col("p_partkey").as("id"),
+            concat(
+              when(col("p_partkey") % 3 === 0, lit(""))
+                .when(col("p_partkey") % 3 === 1, lit("zarr3://"))
+                .otherwise(lit("graphene://")),
+              when(col("p_partkey") % 2 === 0, lit("gs://"))
+                .otherwise(lit("file://")),
+              lit("bucket"), col("p_partkey") % 7, lit("/ds"),
+              col("p_partkey") % 4, lit("/layer"), col("p_partkey") % 9)
+              .as("cloudpath"))
+          .withColumn("c", parseUdf(col("cloudpath")))
+          .select(col("id"), col("c._1").as("format"),
+            col("c._2").as("protocol"), col("c._3").as("bucket"),
+            col("c._4").as("dataset"), col("c._5").as("layer"))
+      },
+      Some("""SELECT p_partkey AS id,
+        |  CASE WHEN p_partkey % 3 = 0 THEN 'precomputed'
+        |       WHEN p_partkey % 3 = 1 THEN 'zarr3'
+        |       ELSE 'graphene' END AS format,
+        |  CASE WHEN p_partkey % 2 = 0 THEN 'gs' ELSE 'file' END AS protocol,
+        |  'bucket' || (p_partkey % 7) AS bucket,
+        |  'ds' || (p_partkey % 4) AS dataset,
+        |  'layer' || (p_partkey % 9) AS layer
+        |FROM part WHERE p_partkey % 5 = 0""".stripMargin)),
+
+    // S1: dispatch open — the fixture layer opened through the
+    // cloudpath registry (format -> reader), then A1 distinct labels
+    "s1_open_dispatch" -> Q(
+      (s, dir) => {
+        RealLayerQueries.ensure(s, dir)
+        val labelsUdf = udf((p: Array[Byte]) => Codec.rawLabels(p, 4))
+        GraftVolume.open(s,
+          s"precomputed://file://${RealLayerQueries.LayerDir}")
+          .select(explode(labelsUdf(col("payload"))).as("label"))
+          .distinct()
+      },
+      Some(s"""SELECT DISTINCT label
+        |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')""".stripMargin)),
+
+    // F10/S4: cutout through the png codec layer (uint8 image values
+    // label % 251); proves encode -> file -> decode through ImageIO
+    "s4_cutout_png" -> Q(
+      (s, dir) => {
+        RealLayerQueries.ensure(s, dir)
+        PrecomputedIO.cutoutVoxels(s, RealLayerQueries.LayerPngDir,
+          Bbox(Vec3(3, 9, 2), Vec3(51, 47, 25)))
+      },
+      Some(s"""SELECT x, y, z, label % 251 AS label
+        |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')
+        |WHERE x BETWEEN 3 AND 50 AND y BETWEEN 9 AND 46
+        |  AND z BETWEEN 2 AND 24""".stripMargin)),
+
+    // J8: morton -> chunk bbox map for the fixture grid (rx.py:77-84,
+    // common.py:88-98 morton_code_to_bbox); clamped edge chunks
+    "j8_morton_bbox" -> Q(
+      (s, dir) => {
+        val grid = Vec3(4, 4, 4)
+        val bounds = Bbox(Vec3(0, 0, 0),
+          Vec3(RealLayerQueries.SX, RealLayerQueries.SY, RealLayerQueries.SZ))
+        val cs = Vec3(RealLayerQueries.CX, RealLayerQueries.CY,
+          RealLayerQueries.CZ)
+        val decodeUdf = udf((m: Long) => {
+          val g = Morton.decode(m, grid)
+          val b = Geom.chunkBbox(g, bounds, cs)
+          (g.x, g.y, g.z, b.minpt.x, b.minpt.y, b.minpt.z,
+            b.maxpt.x, b.maxpt.y, b.maxpt.z)
+        })
+        s.range(64).select(col("id").as("morton"))
+          .withColumn("d", decodeUdf(col("morton")))
+          .select(col("morton"), col("d._1").as("gx"), col("d._2").as("gy"),
+            col("d._3").as("gz"), col("d._4").as("x0"), col("d._5").as("y0"),
+            col("d._6").as("z0"), col("d._7").as("x1"), col("d._8").as("y1"),
+            col("d._9").as("z1"))
+      },
+      Some("""WITH m AS (SELECT unnest(range(0, 64)) AS morton),
+        |g AS (SELECT morton,
+        |        (morton % 2) + 2 * ((morton // 8) % 2) AS gx,
+        |        ((morton // 2) % 2) + 2 * ((morton // 16) % 2) AS gy,
+        |        ((morton // 4) % 2) + 2 * ((morton // 32) % 2) AS gz
+        |      FROM m)
+        |SELECT morton, gx, gy, gz,
+        |  gx * 16 AS x0, gy * 16 AS y0, gz * 8 AS z0,
+        |  least((gx + 1) * 16, 60) AS x1, least((gy + 1) * 16, 60) AS y1,
+        |  least((gz + 1) * 8, 28) AS z1
+        |FROM g""".stripMargin)),
+
+    // F4: bbox algebra completions — strict intersects, inclusive
+    // containment, near_edge (lib.py:460-475)
+    "f4_bbox_algebra" -> Q(
+      (s, dir) => {
+        val vol = Bbox(Vec3(0, 0, 0), Vec3(64, 64, 32))
+        val algUdf = udf((x0: Long, y0: Long, z0: Long, x1: Long, y1: Long,
+            z1: Long) => {
+          val b = Bbox(Vec3(x0, y0, z0), Vec3(x1, y1, z1))
+          val strictIntersects =
+            b.minpt.x < vol.maxpt.x && b.maxpt.x > vol.minpt.x &&
+              b.minpt.y < vol.maxpt.y && b.maxpt.y > vol.minpt.y &&
+              b.minpt.z < vol.maxpt.z && b.maxpt.z > vol.minpt.z
+          val nearEdge = // any |minpt delta| <= 2 or any |maxpt delta| <= 2
+            math.abs(b.minpt.x - vol.minpt.x) <= 2 ||
+              math.abs(b.minpt.y - vol.minpt.y) <= 2 ||
+              math.abs(b.minpt.z - vol.minpt.z) <= 2 ||
+              math.abs(b.maxpt.x - vol.maxpt.x) <= 2 ||
+              math.abs(b.maxpt.y - vol.maxpt.y) <= 2 ||
+              math.abs(b.maxpt.z - vol.maxpt.z) <= 2
+          (strictIntersects, vol.containsBbox(b), nearEdge, b.volume)
+        })
+        boxes(s, dir)
+          .withColumn("a", algUdf(col("x0"), col("y0"), col("z0"),
+            col("x1"), col("y1"), col("z1")))
+          .select(col("id"), col("a._1").as("intersects"),
+            col("a._2").as("contained"), col("a._3").as("near_edge"),
+            col("a._4").as("volume"))
+      },
+      Some(s"""WITH $BoxesCte
+        |SELECT id,
+        |  (x0 < 64 AND x1 > 0 AND y0 < 64 AND y1 > 0 AND z0 < 32 AND z1 > 0)
+        |    AS intersects,
+        |  (x0 >= 0 AND y0 >= 0 AND z0 >= 0 AND x1 <= 64 AND y1 <= 64
+        |   AND z1 <= 32) AS contained,
+        |  (abs(x0) <= 2 OR abs(y0) <= 2 OR abs(z0) <= 2
+        |   OR abs(x1 - 64) <= 2 OR abs(y1 - 64) <= 2 OR abs(z1 - 32) <= 2)
+        |    AS near_edge,
+        |  greatest(x1 - x0, 0) * greatest(y1 - y0, 0) * greatest(z1 - z0, 0)
+        |    AS volume
+        |FROM boxes""".stripMargin)),
+
+    // F13: should_compress policy by encoding
+    // (datasource/precomputed/common.py:18-29)
+    "f13_should_compress" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Seq("raw", "compressed_segmentation", "compresso", "crackle",
+          "jpeg", "jxl", "png", "fpzip", "kempressed", "zfpc")
+          .map(e => (e, Codec.shouldCompress(e)))
+          .toDF("encoding", "gzip_default")
+      },
+      Some("""SELECT * FROM (VALUES
+        |  ('raw', true), ('compressed_segmentation', true),
+        |  ('compresso', true), ('crackle', true), ('jpeg', false),
+        |  ('jxl', false), ('png', false), ('fpzip', false),
+        |  ('kempressed', false), ('zfpc', false))
+        |  AS t(encoding, gzip_default)""".stripMargin)),
+  )
+}

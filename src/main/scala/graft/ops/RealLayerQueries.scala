@@ -62,6 +62,17 @@ object RealLayerQueries {
     * the minishard indices and chunk data exercises the decompression
     * paths (sharding.py defaults).
     */
+  /** Same volume as uint8 image, png-encoded (F10; chunks.py:279-284
+    * encode_png reshapes the chunk to 2-D). Values are label % 251.
+    */
+  val LayerPngDir = s"$Root/layer_png"
+  val metaPng: VolumeMeta = VolumeMeta(
+    layerType = "image", dataType = "uint8", numChannels = 1,
+    scales = Seq(ScaleMeta(
+      key = "1_1_1", encoding = "png", resolution = Seq(1, 1, 1),
+      chunkSize = Vec3(CX, CY, CZ), size = Vec3(SX, SY, SZ),
+      voxelOffset = Vec3(0, 0, 0))))
+
   val shardSpec: ShardingSpec = ShardingSpec(
     preshiftBits = 0, minishardBits = 2, shardBits = 2,
     hashName = "identity",
@@ -95,7 +106,7 @@ object RealLayerQueries {
     val marker = Paths.get(Root, ".built_from")
     // marker carries a fixture-format version: bump when the layer
     // metadata/layout changes so stale fixtures regenerate
-    val markerVal = s"$sfDir|v2"
+    val markerVal = s"$sfDir|v3"
     if (Files.exists(marker) && Files.readString(marker) == markerVal &&
       Files.exists(Paths.get(LayerDir, "info"))) return
     // rebuild from scratch
@@ -126,15 +137,21 @@ object RealLayerQueries {
         vs.foreach { case (x, y, z, l) =>
           arr(((x - cb.minpt.x) + w * ((y - cb.minpt.y) + h * (z - cb.minpt.z))).toInt) = l
         }
+        val u8 = arr.map(l => ((l % 251) & 0xff).toByte)
         (gx, gy, gz, Codec.encodeRawFromLongs(arr, 4),
-          Cseg.encode(arr, cb.size, CsegBlock, 4))
-      }.toDF("gx", "gy", "gz", "payload", "cseg").cache()
+          Cseg.encode(arr, cb.size, CsegBlock, 4),
+          Codec.encodePng(u8, cb.size.x.toInt))
+      }.toDF("gx", "gy", "gz", "payload", "cseg", "png").cache()
     PrecomputedIO.writeInfo(LayerDir, meta)
     PrecomputedIO.writeChunks(chunks, LayerDir, meta, mip = 0)
     PrecomputedIO.writeInfo(LayerCsegDir, metaCseg)
     PrecomputedIO.writeChunks(
       chunks.select(col("gx"), col("gy"), col("gz"), col("cseg").as("payload")),
       LayerCsegDir, metaCseg, mip = 0)
+    PrecomputedIO.writeInfo(LayerPngDir, metaPng)
+    PrecomputedIO.writeChunks(
+      chunks.select(col("gx"), col("gy"), col("gz"), col("png").as("payload")),
+      LayerPngDir, metaPng, mip = 0)
     PrecomputedIO.writeInfo(LayerShardedDir, metaSharded)
     graft.sources.ShardedIO.writeSharded(
       chunks.select(col("gx"), col("gy"), col("gz"), col("payload")),

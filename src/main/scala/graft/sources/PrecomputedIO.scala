@@ -132,6 +132,8 @@ object PrecomputedIO {
         if (payload == null) new Array[Long]((sx * sy * sz).toInt)
         else if (enc == "compressed_segmentation")
           Cseg.decode(payload, Vec3(sx, sy, sz), csegBs, dtb)
+        else if (enc == "png")
+          Codec.decodeRawToLongs(Codec.decodePng(payload), 1)
         else Codec.decodeRawToLongs(payload, dtb)
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
       val lox = math.max(x0, bbox.minpt.x); val hix = math.min(x1, bbox.maxpt.x)

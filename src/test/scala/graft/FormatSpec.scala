@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+
+/** Cloudpath parse (S1) + png/zstd codec (F10/F12) unit tests. */
+class FormatSpec extends AnyFunSuite {
+
+  test("cloudpath with explicit format") {
+    val p = CloudPath.parse("graphene://https://example.com/image/em")
+    assert(p === CloudPath("graphene", "https", "example.com", "image", "em"))
+    assert(p.render === "graphene://https://example.com/image/em")
+  }
+
+  test("bare protocol defaults the format to precomputed") {
+    val p = CloudPath.parse("gs://test_bucket/em")
+    assert(p.format === "precomputed")
+    assert(p.protocol === "gs")
+    assert(p.bucket === "test_bucket")
+    assert(p.dataset === "")
+    assert(p.layer === "em")
+  }
+
+  test("file paths with deep datasets") {
+    val p = CloudPath.parse("zarr3://file:///tmp/fixtures/ds/sub/layer1")
+    assert(p.format === "zarr3")
+    assert(p.bucket === "tmp")
+    assert(p.dataset === "fixtures/ds/sub")
+    assert(p.layer === "layer1")
+    assert(p.localPath === "/tmp/fixtures/ds/sub/layer1")
+  }
+
+  test("double format and unknown tokens are rejected (paths.py errors)") {
+    intercept[IllegalArgumentException] {
+      CloudPath.parse("gs://graphene://bucket/x") // format after protocol
+    }
+    intercept[IllegalArgumentException] { CloudPath.parse("wow://bucket/x") }
+    intercept[IllegalArgumentException] { CloudPath.parse("just/a/path") }
+  }
+
+  test("png codec round-trips uint8 chunks losslessly") {
+    val vox = Array.tabulate(16 * 16 * 8)(i => ((i * 31 + 7) % 251).toByte)
+    val png = Codec.encodePng(vox, 16)
+    // real png container
+    assert(png.take(4).toSeq === Seq[Byte](-119, 'P', 'N', 'G'))
+    assert(Codec.decodePng(png).toSeq === vox.toSeq)
+  }
+
+  test("zstd second-stage round-trip") {
+    val data = Array.tabulate(100000)(i => (i % 97).toByte)
+    val z = Codec.zstd(data)
+    assert(z.length < data.length / 2)
+    assert(Codec.unzstd(z).toSeq === data.toSeq)
+  }
+
+  test("zarr3 C<->F transpose round-trip") {
+    import graft.sources.Zarr3IO
+    val cs = Vec3(4, 3, 2)
+    val f = Array.tabulate(24)(_.toLong)
+    val enc = Zarr3IO.encodeChunkFromF(f, cs, 4)
+    assert(Zarr3IO.decodeChunkToF(enc, cs, 4).toSeq === f.toSeq)
+    // C order: last dim (z) fastest — element (x=1,y=0,z=0) sits at
+    // C-index 1*3*2=6; F-index of that voxel is 1
+    val c = Codec.decodeRawToLongs(enc, 4)
+    assert(c(6) === f(1))
+  }
+}
