@@ -90,6 +90,37 @@ object GrapheneQueries {
         |       1 * $L + lx * $X + ly * $Y + lz * $Z + sk AS leaf
         |FROM lf WHERE lx < 10 AND ly < 10 AND lz < 5""".stripMargin)),
 
+    // J5 as-of variant: proofreading-timestamp root resolution
+    // (frontends/graphene.py:37-54,721-746 — "query the state of the
+    // graph as of T"). Edges carry [valid_from, valid_to) validity; a
+    // leaf's parent flips from the v1 to the v2 agglomeration at its
+    // edit time. The as-of join is a plain validity filter before the
+    // resolution join — the temporal predicate Spark pushes into the
+    // edge scan.
+    "j5b_roots_asof" -> Q(
+      (s, dir) => {
+        val T = 50L
+        val leaves = table(s, dir, "supplier")
+          .select(col("s_suppkey").cast("long").as("leaf"),
+            (col("s_suppkey") % 100).cast("long").as("tedit"))
+        val v1 = leaves.select(col("leaf").as("child"),
+          (lit(100000L) + idiv(col("leaf"), 10)).as("parent"),
+          lit(0L).as("valid_from"), col("tedit").as("valid_to"))
+        val v2 = leaves.select(col("leaf").as("child"),
+          (lit(150000L) + idiv(col("leaf"), 20)).as("parent"),
+          col("tedit").as("valid_from"), lit(9999L).as("valid_to"))
+        val edges = v1.unionAll(v2)
+          .filter(col("valid_from") <= T && col("valid_to") > T)
+        leaves.select(col("leaf"))
+          .join(edges, col("leaf") === col("child"))
+          .select(col("leaf"), col("parent").as("root_asof"))
+      },
+      Some("""SELECT s_suppkey AS leaf,
+        |  CASE WHEN s_suppkey % 100 <= 50
+        |       THEN 150000 + s_suppkey // 20
+        |       ELSE 100000 + s_suppkey // 10 END AS root_asof
+        |FROM supplier""".stripMargin)),
+
     // J7: agglomerate cutout — real-layer cutout, distinct labels
     // resolve through a 2-level mapping, voxels remapped in place
     "j7_agglomerate_cutout" -> Q(

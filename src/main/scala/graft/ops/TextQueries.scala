@@ -68,6 +68,43 @@ object TextQueries {
       |shs AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM sh),
       |hv AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 12))::BIGINT AS hv FROM shs)""".stripMargin
 
+  /** 16-bit SimHash per doc: majority vote per bit over 48-bit word
+    * hashes. Input (doc_id, text) -> (doc_id, simhash).
+    */
+  private def simhashes(c: DataFrame): DataFrame = {
+    val words = c
+      .select(col("doc_id"), explode(array_distinct(
+        split(col("text"), " "))).as("wd"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("wd").cast("binary")), 1, 12), 16, 10)
+          .cast("long").as("hv"))
+    val bitAggs = (0 until 16).map { k =>
+      sum(when(shiftright(col("hv"), k) % 2 === 1, 1L).otherwise(-1L))
+        .as(s"b$k")
+    }
+    words.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map { k =>
+          when(col(s"b$k") > 0, lit(1L << k)).otherwise(0L)
+        }.reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash CTE fragment (expects a `corpus` CTE upstream). */
+  private val SimhashSql: String =
+    s"""wd AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+      |       FROM corpus),
+      |hw AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 12))::BIGINT AS hv FROM wd),
+      |bs AS (SELECT doc_id,
+      |${(0 until 16).map { k =>
+        s"  sum(CASE WHEN (hv >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS b$k" }
+        .mkString(",\n")}
+      |  FROM hw GROUP BY doc_id),
+      |sim AS (SELECT doc_id,
+      |${(0 until 16).map { k =>
+        s"  (CASE WHEN b$k > 0 THEN ${1L << k} ELSE 0 END)" }
+        .mkString(" +\n")}
+      |  AS simhash FROM bs)""".stripMargin
+
   // (a, b) coefficients of the 4 minhash permutations
   private val MinhashFns = Seq((3L, 1L), (5L, 8L), (7L, 15L), (9L, 22L))
   private val P = 2147483647L
@@ -140,21 +177,7 @@ object TextQueries {
     // SimHash (16-bit) per doc + hamming distance to its near-dup
     "dedup_simhash" -> Q(
       (s, dir) => {
-        val words = corpus(s, dir)
-          .select(col("doc_id"), explode(array_distinct(
-            split(col("text"), " "))).as("wd"))
-          .select(col("doc_id"),
-            conv(substring(md5(col("wd").cast("binary")), 1, 12), 16, 10)
-              .cast("long").as("hv"))
-        val bitAggs = (0 until 16).map { k =>
-          sum(when(shiftright(col("hv"), k) % 2 === 1, 1L).otherwise(-1L))
-            .as(s"b$k")
-        }
-        val bitSums = words.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-        val sim = bitSums.select(col("doc_id"),
-          (0 until 16).map { k =>
-            when(col(s"b$k") > 0, lit(1L << k)).otherwise(0L)
-          }.reduce(_ + _).as("simhash"))
+        val sim = simhashes(corpus(s, dir))
         val a = sim.filter(col("doc_id") < 10000 && col("doc_id") % 2 === 0)
           .select(col("doc_id").as("a"), col("simhash").as("sim_a"))
         val b = sim.filter(col("doc_id") >= 10000)
@@ -163,23 +186,66 @@ object TextQueries {
           expr("bit_count(sim_a ^ sim_b)").cast("long").as("hamming"))
       },
       Some(s"""WITH $CorpusCte,
-        |wd AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
-        |       FROM corpus),
-        |hw AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 12))::BIGINT AS hv FROM wd),
-        |bs AS (SELECT doc_id,
-        |${(0 until 16).map { k =>
-            s"  sum(CASE WHEN (hv >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS b$k" }
-            .mkString(",\n")}
-        |  FROM hw GROUP BY doc_id),
-        |sim AS (SELECT doc_id,
-        |${(0 until 16).map { k =>
-            s"  (CASE WHEN b$k > 0 THEN ${1L << k} ELSE 0 END)" }
-            .mkString(" +\n")}
-        |  AS simhash FROM bs)
+        |$SimhashSql
         |SELECT a.doc_id AS a, a.simhash AS sim_a, b.simhash AS sim_b,
         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
         |FROM sim a JOIN sim b ON b.doc_id = a.doc_id + 10000
         |WHERE a.doc_id < 10000 AND a.doc_id % 2 = 0""".stripMargin)),
+
+    // General hamming-ball near-dup search: no prior knowledge of
+    // which pairs are dups. 16-bit simhash split into 3 bands
+    // (6/5/5 bits) — pigeonhole guarantees every pair with hamming
+    // <= 2 shares at least one full band, so band-bucket joins find
+    // ALL such pairs; candidates are then exact-verified with
+    // bit_count. Mega-buckets are capped like the minhash path.
+    "dedup_simhash_hamming" -> Q(
+      (s, dir) => {
+        // localCheckpoint: the signature table feeds 3 band
+        // projections + 2 verify sides — materialize once
+        val sim = simhashes(corpus(s, dir)).localCheckpoint()
+        val bandDefs = Seq((0, 63L), (6, 31L), (11, 31L))
+        val bands = bandDefs.zipWithIndex.map { case ((lo, mask), bi) =>
+          sim.select(col("doc_id"), lit(bi.toLong).as("bid"),
+            shiftright(col("simhash"), lo).bitwiseAND(mask).as("band"))
+        }.reduce(_ unionAll _)
+        val ok = bands.groupBy("bid", "band")
+          .agg(count(lit(1)).as("n")).filter(col("n") <= MaxBucket)
+          .select("bid", "band")
+        val sized = bands.join(ok, Seq("bid", "band"))
+        val cands = sized.as("x").join(sized.as("y"),
+            col("x.bid") === col("y.bid") && col("x.band") === col("y.band") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .distinct()
+        cands
+          .join(sim.select(col("doc_id").as("a"), col("simhash").as("sa")), "a")
+          .join(sim.select(col("doc_id").as("b"), col("simhash").as("sb")), "b")
+          .select(col("a"), col("b"),
+            expr("bit_count(sa ^ sb)").cast("long").as("hamming"))
+          .filter(col("hamming") <= 2)
+      },
+      Some(s"""WITH $CorpusCte,
+        |$SimhashSql,
+        |bands AS (
+        |  SELECT doc_id, 0 AS bid, (simhash >> 0) & 63 AS band FROM sim
+        |  UNION ALL
+        |  SELECT doc_id, 1 AS bid, (simhash >> 6) & 31 AS band FROM sim
+        |  UNION ALL
+        |  SELECT doc_id, 2 AS bid, (simhash >> 11) & 31 AS band FROM sim),
+        |ok AS (SELECT bid, band FROM bands GROUP BY bid, band
+        |       HAVING count(*) <= $MaxBucket),
+        |sized AS (SELECT b.* FROM bands b JOIN ok
+        |          ON b.bid = ok.bid AND b.band = ok.band),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |         FROM sized x JOIN sized y
+        |           ON x.bid = y.bid AND x.band = y.band
+        |          AND x.doc_id < y.doc_id)
+        |SELECT c.a, c.b,
+        |  CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+        |FROM cand c
+        |JOIN sim sa ON sa.doc_id = c.a
+        |JOIN sim sb ON sb.doc_id = c.b
+        |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 2""".stripMargin)),
 
     // Exact n-gram Jaccard on the candidate pairs
     "dedup_ngram_jaccard" -> Q(
