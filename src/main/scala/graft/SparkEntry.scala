@@ -14,7 +14,8 @@ object SparkEntry {
       MultimodalOps.queries ++ RealLayerQueries.queries ++ AnnotationQueries.queries ++
       WriteQueries.queries ++ MeshQueries.queries ++ XferQueries.queries ++
       MetaQueries.queries ++ GrapheneQueries.queries ++
-      Zarr3Queries.queries ++ StreamQueries.queries ++ FormatQueries.queries
+      Zarr3Queries.queries ++ StreamQueries.queries ++ FormatQueries.queries ++
+      SkeletonQueries.queries
 
   /** Flagship: write sf0.001 voxels into encoded chunk payloads, read
     * back the distinct labels through the codec path (A1 `unique`).

@@ -1,0 +1,152 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.SkeletonCodec
+import graft.core.SkeletonCodec.Skeleton
+
+/** Skeleton pipeline over REAL precomputed skeleton binaries
+  * (§1.1 Skeleton, §3.3 skeleton fetch; format per SkeletonCodec).
+  *
+  * Fixture: ~30 skeletons derived from `customer`, one path-chain per
+  * segid (consecutive vertices joined by edges), with an f32 radius
+  * attribute — encoded and written one file per segid
+  * (skeleton/unsharded.py names files by segid). The oracle re-derives
+  * everything from `customer` directly.
+  */
+object SkeletonQueries {
+  import Derived.{table, idiv}
+
+  val Root = "/tmp/graft_fixture/skeletons"
+  val SkelDir = s"$Root/skeletons"
+
+  private val NSeg = 30L
+
+  /** Vertex derivation, mirrored in VertCte. */
+  private def baseVertices(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "customer").select(
+      col("c_custkey").cast("long").as("ck"),
+      (col("c_custkey") % NSeg).cast("long").as("segid"),
+      (col("c_custkey") % 40).cast("long").as("x"),
+      ((col("c_custkey") * 3) % 40).cast("long").as("y"),
+      (col("c_custkey") % 20).cast("long").as("z"),
+      (lit(1L) + col("c_custkey") % 10).cast("long").as("radius"))
+
+  private val VertCte =
+    """v AS (
+      |  SELECT c_custkey AS ck, c_custkey % 30 AS segid,
+      |         c_custkey % 40 AS x, (c_custkey * 3) % 40 AS y,
+      |         c_custkey % 20 AS z, 1 + c_custkey % 10 AS radius
+      |  FROM customer),
+      |g AS (SELECT *, row_number() OVER (
+      |        PARTITION BY segid ORDER BY ck) - 1 AS vid FROM v)""".stripMargin
+
+  def ensure(s: SparkSession, sfDir: String): Unit = synchronized {
+    val marker = Paths.get(Root, ".built_from")
+    if (Files.exists(marker) && Files.readString(marker) == sfDir) return
+    val rootP = Paths.get(Root)
+    if (Files.exists(rootP)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(rootP).iterator.asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+    Files.createDirectories(Paths.get(SkelDir))
+    import s.implicits._
+    val dirStr = SkelDir
+    baseVertices(s, sfDir)
+      .groupBy("segid")
+      .agg(sort_array(collect_list(struct(col("ck"), col("x"), col("y"),
+        col("z"), col("radius")))).as("vs"))
+      .as[(Long, Seq[(Long, Long, Long, Long, Long)])]
+      .map { case (segid, vs) =>
+        val verts = new Array[Float](3 * vs.length)
+        val radii = new Array[Float](vs.length)
+        vs.zipWithIndex.foreach { case ((_, x, y, z, r), i) =>
+          verts(3 * i) = x.toFloat
+          verts(3 * i + 1) = y.toFloat
+          verts(3 * i + 2) = z.toFloat
+          radii(i) = r.toFloat
+        }
+        val edges = new Array[Int](2 * math.max(vs.length - 1, 0))
+        (0 until vs.length - 1).foreach { i =>
+          edges(2 * i) = i; edges(2 * i + 1) = i + 1
+        }
+        (segid, SkeletonCodec.encode(Skeleton(verts, edges, radii)))
+      }
+      .foreachPartition { it: Iterator[(Long, Array[Byte])] =>
+        it.foreach { case (segid, bin) =>
+          Files.write(Paths.get(dirStr, segid.toString), bin)
+        }
+      }
+    Files.writeString(marker, sfDir)
+  }
+
+  /** Scan + decode all skeleton files (listing driver-side, reads in
+    * executor tasks) -> (segid, skeleton struct columns).
+    */
+  private def decoded(s: SparkSession): DataFrame = {
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    val dirStr = SkelDir
+    val names = Files.list(Paths.get(SkelDir)).iterator.asScala
+      .map(_.getFileName.toString).filter(_.matches("\\d+")).toSeq.sorted
+    names.toDS().repartition(math.max(names.size / 2, 1))
+      .map { n =>
+        val sk = SkeletonCodec.decode(Files.readAllBytes(Paths.get(dirStr, n)))
+        (n.toLong, sk.vertices, sk.edges, sk.radii)
+      }.toDF("segid", "verts", "edges", "radii")
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    // Skeleton binary decode: vertices + radius attribute round-trip
+    "skel_decode" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        val vertRows = udf((vs: Seq[Float], rs: Seq[Float]) =>
+          rs.indices.map(i => (i.toLong, vs(3 * i).toLong,
+            vs(3 * i + 1).toLong, vs(3 * i + 2).toLong, rs(i).toLong)))
+        decoded(s)
+          .select(col("segid"),
+            explode(vertRows(col("verts"), col("radii"))).as("v"))
+          .select(col("segid"), col("v._1").as("vid"), col("v._2").as("x"),
+            col("v._3").as("y"), col("v._4").as("z"),
+            col("v._5").as("radius"))
+      },
+      Some(s"""WITH $VertCte
+        |SELECT segid, vid, x, y, z, radius FROM g""".stripMargin)),
+
+    // Skeleton edges + per-skeleton cable metric: edge list decode and
+    // the sum of squared segment lengths (integer-exact across
+    // engines; the reference's cable_length is the sqrt-sum analog)
+    "skel_cable" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        val edgeRows = udf((vs: Seq[Float], es: Seq[Int]) =>
+          (0 until es.length / 2).map { i =>
+            val a = es(2 * i); val b = es(2 * i + 1)
+            val dx = (vs(3 * a) - vs(3 * b)).toLong
+            val dy = (vs(3 * a + 1) - vs(3 * b + 1)).toLong
+            val dz = (vs(3 * a + 2) - vs(3 * b + 2)).toLong
+            (i.toLong, a.toLong, b.toLong, dx * dx + dy * dy + dz * dz)
+          })
+        decoded(s)
+          .select(col("segid"),
+            explode(edgeRows(col("verts"), col("edges"))).as("e"))
+          .groupBy("segid")
+          .agg(count(lit(1)).as("n_edges"),
+            sum(col("e._4")).as("cable_len2"))
+      },
+      Some(s"""WITH $VertCte,
+        |e AS (SELECT a.segid,
+        |        (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |          + (a.z - b.z) * (a.z - b.z) AS len2
+        |      FROM g a JOIN g b
+        |        ON a.segid = b.segid AND b.vid = a.vid + 1)
+        |SELECT segid, count(*) AS n_edges,
+        |       CAST(sum(len2) AS BIGINT) AS cable_len2
+        |FROM e GROUP BY segid""".stripMargin)),
+  )
+}
