@@ -255,9 +255,10 @@ object MeshQueries {
           Window.partitionBy("segid").orderBy("x", "y", "z")) - 1).cast("long"))
           .select(col("segid"), col("vid"), col("nidx"))
         val faces = globalFaces(s)
-        def m(c: String) = ranked
+        // the rank map is mesh-metadata-sized -> broadcast hash joins
+        def m(c: String) = broadcast(ranked
           .withColumnRenamed("vid", c)
-          .withColumnRenamed("nidx", s"n$c")
+          .withColumnRenamed("nidx", s"n$c"))
         faces.join(m("v0"), Seq("segid", "v0"))
           .join(m("v1"), Seq("segid", "v1"))
           .join(m("v2"), Seq("segid", "v2"))
@@ -285,9 +286,9 @@ object MeshQueries {
           .withColumn("nvid", (row_number().over(
             Window.partitionBy("segid").orderBy("vid")) - 1).cast("long"))
           .select(col("segid"), col("vid"), col("nvid"))
-        def m(c: String) = kept
+        def m(c: String) = broadcast(kept
           .withColumnRenamed("vid", c)
-          .withColumnRenamed("nvid", s"n$c")
+          .withColumnRenamed("nvid", s"n$c"))
         globalFaces(s)
           .join(m("v0"), Seq("segid", "v0"))
           .join(m("v1"), Seq("segid", "v1"))

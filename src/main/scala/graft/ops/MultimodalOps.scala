@@ -56,6 +56,70 @@ object MultimodalOps {
     }.toDF()
   }
 
+  final case class PooledRow(doc_id: Long, pooled_h: Long, pooled_w: Long,
+      pooled_sum: Long)
+  final case class FrameRow(doc_id: Long, frame_idx: Long, frame_sum: Long)
+
+  /** 2x2 average-pool "resize" over the payload interpreted as a
+    * width-16 u8 image (zero-padded). The pixel interpretation is the
+    * deterministic stand-in for a decoded image; the pooling math,
+    * partition-wise batch iteration, and integer-exact output are the
+    * real downsample shape (floor-average, like a uint8 area resize).
+    */
+  def resizePooled(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val w = 16
+        val h = (r.payload.length + w - 1) / w
+        val ph = (h + 1) / 2
+        val pw = w / 2
+        def px(row: Int, colIdx: Int): Long = {
+          val i = row * w + colIdx
+          if (row < 0 || row >= h || colIdx < 0 || colIdx >= w ||
+            i >= r.payload.length) 0L
+          else r.payload(i) & 0xffL
+        }
+        var sum = 0L
+        var pr = 0
+        while (pr < ph) {
+          var pc = 0
+          while (pc < pw) {
+            sum += (px(2 * pr, 2 * pc) + px(2 * pr, 2 * pc + 1) +
+              px(2 * pr + 1, 2 * pc) + px(2 * pr + 1, 2 * pc + 1)) / 4
+            pc += 1
+          }
+          pr += 1
+        }
+        PooledRow(r.doc_id, ph.toLong, pw.toLong, sum)
+      }
+    }.toDF()
+  }
+
+  /** Frame sampling over the payload interpreted as a 64-byte-per-
+    * frame "video": keep every 3rd frame, emit per-frame byte sums —
+    * the sample-then-featurize shape of a video ingest pipeline (one
+    * row per kept frame, exploded in the executor pass).
+    */
+  def sampleFrames(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        val fsz = 64
+        val nframes = (r.payload.length + fsz - 1) / fsz
+        (0 until nframes by 3).map { f =>
+          var sum = 0L
+          var i = f * fsz
+          val end = math.min((f + 1) * fsz, r.payload.length)
+          while (i < end) { sum += r.payload(i) & 0xffL; i += 1 }
+          FrameRow(r.doc_id, f.toLong, sum)
+        }
+      }
+    }.toDF()
+  }
+
   val queries: Map[String, Q] = Map(
     // Multimodal decode/feature-extract plumbing (stubbed decode)
     "mm_decode_features" -> Q(
@@ -69,5 +133,44 @@ object MultimodalOps {
         |SELECT d.doc_id, d.n_chars AS byte_len, c.checksum,
         |       d.n_chars % 640 AS width, d.n_chars // 100 + 1 AS frames
         |FROM documents d JOIN c USING (doc_id)""".stripMargin)),
+
+    // mm resize: 2x2 floor-average pooling over the width-16 pixel
+    // interpretation — integer-exact, replayed cell-by-cell in SQL
+    "mm_resize_pool" -> Q(
+      (s, dir) => resizePooled(mediaTable(s, dir)),
+      Some("""WITH d AS (SELECT doc_id, text, length(text) AS len,
+        |         (length(text) + 15) // 16 AS h FROM documents),
+        |cells AS (SELECT doc_id, text, len, h,
+        |            unnest(range(0, (h + 1) // 2)) AS pr FROM d),
+        |cells2 AS (SELECT doc_id, text, len, h, pr,
+        |             unnest(range(0, 8)) AS pc FROM cells),
+        |px AS (SELECT doc_id, h, pr, pc,
+        |  (CASE WHEN 2*pr*16 + 2*pc < len AND 2*pr < h
+        |        THEN unicode(substr(text, 2*pr*16 + 2*pc + 1, 1)) ELSE 0 END
+        |   + CASE WHEN 2*pr*16 + 2*pc + 1 < len AND 2*pr < h
+        |        THEN unicode(substr(text, 2*pr*16 + 2*pc + 2, 1)) ELSE 0 END
+        |   + CASE WHEN (2*pr+1)*16 + 2*pc < len AND 2*pr+1 < h
+        |        THEN unicode(substr(text, (2*pr+1)*16 + 2*pc + 1, 1)) ELSE 0 END
+        |   + CASE WHEN (2*pr+1)*16 + 2*pc + 1 < len AND 2*pr+1 < h
+        |        THEN unicode(substr(text, (2*pr+1)*16 + 2*pc + 2, 1)) ELSE 0 END
+        |  ) // 4 AS pv
+        |  FROM cells2)
+        |SELECT doc_id, (h + 1) // 2 AS pooled_h, 8 AS pooled_w,
+        |       CAST(sum(pv) AS BIGINT) AS pooled_sum
+        |FROM px GROUP BY doc_id, h""".stripMargin)),
+
+    // mm frame sampling: every 3rd 64-byte frame, per-frame byte sums
+    "mm_frame_sample" -> Q(
+      (s, dir) => sampleFrames(mediaTable(s, dir)),
+      Some("""WITH d AS (SELECT doc_id, text, length(text) AS len,
+        |         (length(text) + 63) // 64 AS nf FROM documents),
+        |fr AS (SELECT doc_id, text, len, unnest(range(0, nf)) AS f FROM d),
+        |kept AS (SELECT * FROM fr WHERE f % 3 = 0),
+        |b AS (SELECT doc_id, f, text, len,
+        |        unnest(range(f * 64, least((f + 1) * 64, len))) AS i
+        |      FROM kept)
+        |SELECT doc_id, f AS frame_idx,
+        |       CAST(sum(unicode(substr(text, i + 1, 1))) AS BIGINT) AS frame_sum
+        |FROM b GROUP BY doc_id, f""".stripMargin)),
   )
 }

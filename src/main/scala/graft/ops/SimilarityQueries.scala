@@ -31,6 +31,65 @@ object SimilarityQueries {
   private val AnnTables = 16
   private val AnnBits = 5
 
+  /** All AnnTables x AnnBits signed-hyperplane signatures in ONE
+    * compiled pass per row. Spark's higher-order array functions
+    * (aggregate/zip_with) are interpreted, not codegen'd — 80 of them
+    * per row dominated the r02 bench — so the hot loop is a primitive
+    * Scala UDF computing the identical integer math the oracle SQL
+    * replays: plane(i,j,t) = ((i*1000003 + j*10007 + t*101)
+    * * 2654435761) % 1000000007 % 13 - 6.
+    */
+  private val annSigsUdf = udf((q: Seq[Long]) => {
+    val arr = q.toArray
+    val sigs = new Array[Long](AnnTables)
+    var t = 0
+    while (t < AnnTables) {
+      var sig = 0L
+      var j = 0
+      while (j < AnnBits) {
+        var dot = 0L
+        var i = 0
+        while (i < arr.length) {
+          val p = (i * 1000003L + j * 10007L + t * 101L) *
+            2654435761L % 1000000007L % 13L - 6L
+          dot += arr(i) * p
+          i += 1
+        }
+        if (dot > 0) sig |= 1L << j
+        j += 1
+      }
+      sigs(t) = sig
+      t += 1
+    }
+    sigs
+  })
+
+  /** 4 tables x 8 bits signatures for the near-dup path:
+    * plane(i,j,t) = (i*31 + j*17 + t*53) % 7 - 3.
+    */
+  private val nnSigsUdf = udf((q: Seq[Long]) => {
+    val arr = q.toArray
+    val sigs = new Array[Long](4)
+    var t = 0
+    while (t < 4) {
+      var sig = 0L
+      var j = 0
+      while (j < 8) {
+        var dot = 0L
+        var i = 0
+        while (i < arr.length) {
+          dot += arr(i) * ((i * 31L + j * 17L + t * 53L) % 7L - 3L)
+          i += 1
+        }
+        if (dot > 0) sig |= 1L << j
+        j += 1
+      }
+      sigs(t) = sig
+      t += 1
+    }
+    sigs
+  })
+
   val queries: Map[String, Q] = Map(
 
     // Brute-force cosine top-k: the ANN correctness baseline
@@ -125,20 +184,9 @@ object SimilarityQueries {
         val e = table(s, dir, "embeddings")
           .select(col("vec_id"), expr(QuantExpr).as("q"))
           .withColumn("nrm", expr("aggregate(q, 0L, (acc, v) -> acc + v * v)"))
-        // all TablesxBits hyperplane dots in ONE projection (single
-        // scan, whole-stage codegen keeps it a narrow map)
-        val withSigs = e.select(col("vec_id") +: (0 until AnnTables).map { t =>
-          (0 until AnnBits).map { j =>
-            val dot = expr(
-              s"aggregate(zip_with(q, transform(sequence(0, 63), " +
-                s"i -> CAST((i * 1000003 + $j * 10007 + $t * 101) * 2654435761 " +
-                s"% 1000000007 % 13 - 6 AS BIGINT)), " +
-                s"(x, p) -> x * p), 0L, (acc, v) -> acc + v)")
-            when(dot > 0, lit(1L << j)).otherwise(0L)
-          }.reduce(_ + _).as(s"sig$t")
-        }: _*)
-        val sigs = withSigs.select(col("vec_id"), posexplode(
-            array((0 until AnnTables).map(t => col(s"sig$t")): _*)))
+        // all TablesxBits hyperplane dots in ONE compiled pass
+        val sigs = e.select(col("vec_id"),
+            posexplode(annSigsUdf(col("q"))))
           .select(col("vec_id"), col("pos").cast("long").as("tbl"),
             col("col").as("sig"))
         val qsig = sigs.filter(col("vec_id") < 10)
@@ -205,18 +253,10 @@ object SimilarityQueries {
         val e = table(s, dir, "embeddings")
           .select(col("vec_id"), expr(QuantExpr).as("q"))
           .withColumn("nrm", expr("aggregate(q, 0L, (acc, v) -> acc + v * v)"))
-        val sigs = (0 until 4).map { t =>
-          val dots = (0 until 8).foldLeft(e.select(col("vec_id"), col("q"))) {
-            (df, j) =>
-              df.withColumn(s"d$j", expr(
-                s"aggregate(zip_with(q, transform(sequence(0, 63), " +
-                  s"i -> CAST((i * 31 + $j * 17 + $t * 53) % 7 - 3 AS BIGINT)), " +
-                  s"(x, p) -> x * p), 0L, (acc, v) -> acc + v)"))
-          }
-          dots.select(col("vec_id"), lit(t.toLong).as("tbl"),
-            (0 until 8).map(j => when(col(s"d$j") > 0, lit(1L << j))
-              .otherwise(0L)).reduce(_ + _).as("sig"))
-        }.reduce(_ unionAll _)
+        val sigs = e.select(col("vec_id"), posexplode(nnSigsUdf(col("q"))))
+          .select(col("vec_id"), col("pos").cast("long").as("tbl"),
+            col("col").as("sig"))
+          .localCheckpoint() // feeds both sides of the band self-join
         val x = sigs.as("x"); val y = sigs.as("y")
         val cands = x.join(y, col("x.tbl") === col("y.tbl") &&
             col("x.sig") === col("y.sig") && col("x.vec_id") < col("y.vec_id"))

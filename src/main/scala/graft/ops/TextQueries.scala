@@ -136,10 +136,15 @@ object TextQueries {
         }
         val mh = shingleHashes(corpus(s, dir)).groupBy("doc_id")
           .agg(mhAggs.head, mhAggs.tail: _*)
+        // localCheckpoint: the band table feeds the bucket-size agg
+        // and both sides of the candidate self-join — materialize the
+        // shingle+minhash pipeline once instead of 4x (at cluster
+        // scale this is persist() on the signature table)
         val bands = mh.select(col("doc_id"), lit(1L).as("bid"),
             concat_ws("_", col("mh0"), col("mh1")).as("band"))
           .unionAll(mh.select(col("doc_id"), lit(2L).as("bid"),
             concat_ws("_", col("mh2"), col("mh3")).as("band")))
+          .localCheckpoint()
         // Mega-bucket guard: a degenerate band key (boilerplate-heavy
         // corpus) makes the self-join quadratic on that key. Cap bucket
         // size; oversized buckets are dropped (standard LSH practice —
