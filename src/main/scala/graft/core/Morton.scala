@@ -42,6 +42,13 @@ object Morton {
     code
   }
 
+  /** Flat-arg variant for codegen callsites (Janino resolves Scala
+    * object methods through the static forwarder on `graft.core.Morton`).
+    */
+  def encodeRaw(gx: Long, gy: Long, gz: Long,
+      nx: Long, ny: Long, nz: Long): Long =
+    encode(Vec3(gx, gy, gz), Vec3(nx, ny, nz))
+
   /** Inverse of [[encode]] (common.py:100-124 morton_code_to_gridpt). */
   def decode(code: Long, grid: Vec3): Vec3 = {
     val bits = Array(bitsFor(grid.x), bitsFor(grid.y), bitsFor(grid.z))

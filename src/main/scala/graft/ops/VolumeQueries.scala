@@ -292,9 +292,12 @@ object VolumeQueries {
         |  AND gz*8 < 29 AND (gz+1)*8 > 3""".stripMargin)),
 
     // F1: compressed morton code, regular + irregular grids
-    // (datasource/precomputed/common.py:55-86)
+    // (datasource/precomputed/common.py:55-86) — computed by the
+    // native Catalyst expression (graft.functions.MortonCodeExpr,
+    // codegen'd; SURVEY §2.10), not a UDF
     "f1_morton" -> Q(
       (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
         val g444 = s.range(64).select(lit("g444").as("tag"),
           (col("id") % 4).as("gx"), (idiv(col("id"), 4) % 4).as("gy"),
           idiv(col("id"), 16).as("gz"), lit(4L).as("nx"), lit(4L).as("ny"),
@@ -304,8 +307,7 @@ object VolumeQueries {
           idiv(col("id"), 32).as("gz"), lit(8L).as("nx"), lit(4L).as("ny"),
           lit(2L).as("nz"))
         g444.unionAll(g842)
-          .withColumn("code", mortonUdf(col("gx"), col("gy"), col("gz"),
-            col("nx"), col("ny"), col("nz")))
+          .withColumn("code", expr("graft_morton(gx, gy, gz, nx, ny, nz)"))
           .drop("nx", "ny", "nz")
       },
       Some("""WITH ids AS (SELECT unnest(range(0, 64)) AS i),

@@ -62,7 +62,67 @@ object Zarr3Queries {
     Files.writeString(marker, sfDir)
   }
 
+  // ---- n5 sibling (clamped edge blocks, big-endian headers) ----
+
+  val N5Dir = s"$Root/n5_array"
+
+  val n5meta: graft.sources.N5IO.N5Meta = graft.sources.N5IO.N5Meta(
+    dimensions = Vec3(SX, SY, SZ), blockSize = Vec3(CX, CY, CZ),
+    dataType = "uint32", gzipped = true)
+
+  def ensureN5(s: SparkSession, sfDir: String): Unit = synchronized {
+    val marker = Paths.get(Root, ".built_n5_from")
+    if (Files.exists(marker) && Files.readString(marker) == sfDir) return
+    RealLayerQueries.ensure(s, sfDir)
+    val n5root = Paths.get(N5Dir)
+    if (Files.exists(n5root)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(n5root).iterator.asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+    val dense = s.read.parquet(RealLayerQueries.VoxelsDir)
+    import s.implicits._
+    val bounds = Bbox(Vec3(0, 0, 0), n5meta.dimensions)
+    val bs = n5meta.blockSize
+    val chunks = dense
+      .select(Derived.idiv(col("x"), CX).as("gx"),
+        Derived.idiv(col("y"), CY).as("gy"),
+        Derived.idiv(col("z"), CZ).as("gz"),
+        col("x"), col("y"), col("z"), col("label"))
+      .groupBy("gx", "gy", "gz")
+      .agg(collect_list(struct(col("x"), col("y"), col("z"), col("label")))
+        .as("vox"))
+      .as[(Long, Long, Long, Seq[(Long, Long, Long, Long)])]
+      .map { case (gx, gy, gz, vs) =>
+        // CLAMPED edge blocks (n5 blocks may be smaller at the edge;
+        // the clamped dims go in the block header)
+        val cb = Geom.chunkBbox(Vec3(gx, gy, gz), bounds, bs)
+        val arr = new Array[Long](cb.volume.toInt)
+        vs.foreach { case (x, y, z, l) =>
+          arr(((x - cb.minpt.x) + cb.size.x * ((y - cb.minpt.y) +
+            cb.size.y * (z - cb.minpt.z))).toInt) = l
+        }
+        (gx, gy, gz, arr.toSeq)
+      }.toDF("gx", "gy", "gz", "vox")
+    graft.sources.N5IO.writeMeta(N5Dir, n5meta)
+    graft.sources.N5IO.writeBlocks(chunks, N5Dir, n5meta)
+    Files.writeString(marker, sfDir)
+  }
+
   val queries: Map[String, Q] = Map(
+
+    // S18: n5 cutout — big-endian block headers, clamped edge blocks,
+    // gzip body, F-order voxels (datasource/n5/image.py:44-90)
+    "s18_n5_cutout" -> Q(
+      (s, dir) => {
+        ensureN5(s, dir)
+        graft.sources.N5IO.cutoutVoxels(s, N5Dir,
+          Bbox(Vec3(2, 8, 3), Vec3(58, 50, 26)))
+      },
+      Some(s"""SELECT x, y, z, label
+        |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')
+        |WHERE x BETWEEN 2 AND 57 AND y BETWEEN 8 AND 49
+        |  AND z BETWEEN 3 AND 25""".stripMargin)),
 
     // S18: zarr3 cutout — C-order decode + edge-chunk clipping vs the
     // shared sidecar oracle

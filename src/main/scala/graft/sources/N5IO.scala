@@ -1,0 +1,155 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core._
+
+/** N5 read/write (S18) — the subset the reference's n5 datasource
+  * implements (datasource/n5/image.py:44-90 parse_chunk,
+  * metadata.py:38-115):
+  *
+  * - root + per-scale `attributes.json` (dataType, blockSize,
+  *   dimensions, compression {type: gzip|raw})
+  * - block objects at `s<mip>/<x>/<y>/<z>`
+  * - block binary: BIG-endian header u16 mode(=0) | u16 ndim |
+  *   u32 dims[ndim] (edge blocks carry their clamped dims), then the
+  *   (gzip-wrapped) voxel data, F-order like precomputed raw
+  *   (image.py:53-87 — the reference decodes with encoding='raw').
+  */
+object N5IO {
+
+  final case class N5Meta(
+      dimensions: Vec3,
+      blockSize: Vec3,
+      dataType: String,
+      gzipped: Boolean) {
+    def dtypeBytes: Int = dataType match {
+      case "uint8" => 1
+      case "uint16" => 2
+      case "uint32" => 4
+      case "uint64" => 8
+      case d => throw new IllegalArgumentException(s"n5 dataType $d")
+    }
+  }
+
+  private val om = new ObjectMapper()
+
+  def writeMeta(dir: String, m: N5Meta): Unit = {
+    Files.createDirectories(Paths.get(dir, "s0"))
+    val root = om.createObjectNode()
+    root.put("n5", "2.0.0")
+    Files.writeString(Paths.get(dir, "attributes.json"),
+      om.writerWithDefaultPrettyPrinter.writeValueAsString(root))
+    val s0 = om.createObjectNode()
+    s0.put("dataType", m.dataType)
+    val bs = s0.putArray("blockSize")
+    bs.add(m.blockSize.x); bs.add(m.blockSize.y); bs.add(m.blockSize.z)
+    val dims = s0.putArray("dimensions")
+    dims.add(m.dimensions.x); dims.add(m.dimensions.y); dims.add(m.dimensions.z)
+    s0.putObject("compression")
+      .put("type", if (m.gzipped) "gzip" else "raw")
+    Files.writeString(Paths.get(dir, "s0", "attributes.json"),
+      om.writerWithDefaultPrettyPrinter.writeValueAsString(s0))
+  }
+
+  def readMeta(dir: String): N5Meta = {
+    val s0 = om.readTree(Files.readString(Paths.get(dir, "s0", "attributes.json")))
+    val dims = s0.get("dimensions")
+    val bs = s0.get("blockSize")
+    N5Meta(
+      dimensions = Vec3(dims.get(0).asLong, dims.get(1).asLong, dims.get(2).asLong),
+      blockSize = Vec3(bs.get(0).asLong, bs.get(1).asLong, bs.get(2).asLong),
+      dataType = s0.get("dataType").asText,
+      gzipped = Option(s0.get("compression"))
+        .exists(_.get("type").asText == "gzip"))
+  }
+
+  /** Encode one block: big-endian header + (gzip) LE F-order data. */
+  def encodeBlock(vox: Array[Long], dims: Vec3, dtb: Int,
+      gzipped: Boolean): Array[Byte] = {
+    val data = Codec.encodeRawFromLongs(vox, dtb)
+    val body = if (gzipped) Codec.gzip(data) else data
+    val buf = ByteBuffer.allocate(16 + body.length).order(ByteOrder.BIG_ENDIAN)
+    buf.putShort(0) // mode
+    buf.putShort(3) // ndim
+    buf.putInt(dims.x.toInt); buf.putInt(dims.y.toInt); buf.putInt(dims.z.toInt)
+    buf.put(body)
+    buf.array()
+  }
+
+  /** Decode one block -> (clamped dims, F-order voxels). */
+  def decodeBlock(binary: Array[Byte], dtb: Int, gzipped: Boolean)
+      : (Vec3, Array[Long]) = {
+    val buf = ByteBuffer.wrap(binary).order(ByteOrder.BIG_ENDIAN)
+    val mode = buf.getShort()
+    require(mode == 0, s"n5 mode $mode unsupported (image.py:55-61)")
+    val ndim = buf.getShort()
+    require(ndim == 3, s"ndim $ndim")
+    val dims = Vec3(buf.getInt().toLong, buf.getInt().toLong, buf.getInt().toLong)
+    val body = java.util.Arrays.copyOfRange(binary, 16, binary.length)
+    val data = if (gzipped) Codec.gunzip(body) else body
+    val vox = Codec.decodeRawToLongs(data, dtb)
+    require(vox.length == dims.x * dims.y * dims.z,
+      s"block ${vox.length} voxels != ${dims}")
+    (dims, vox)
+  }
+
+  /** Write chunk rows (gx, gy, gz, vox clamped-F-order) as blocks. */
+  def writeBlocks(chunks: DataFrame, dir: String, m: N5Meta): Unit = {
+    val bs = m.blockSize
+    val dims = m.dimensions
+    val dtb = m.dtypeBytes
+    val gz = m.gzipped
+    val dirStr = dir
+    chunks.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      rows.foreach { r =>
+        val g = Vec3(r.getLong(0), r.getLong(1), r.getLong(2))
+        val cb = Geom.chunkBbox(g, Bbox(Vec3(0, 0, 0), dims), bs)
+        val p = Paths.get(dirStr, "s0", g.x.toString, g.y.toString)
+        Files.createDirectories(p)
+        Files.write(p.resolve(g.z.toString),
+          encodeBlock(r.getSeq[Long](3).toArray, cb.size, dtb, gz))
+      }
+    }
+  }
+
+  /** S18 n5 cutout: pruned grid at planning time, block reads +
+    * decode in tasks, clipped voxel rows.
+    */
+  def cutoutVoxels(spark: SparkSession, dir: String, bbox: Bbox): DataFrame = {
+    val m = readMeta(dir)
+    val bs = m.blockSize
+    val dtb = m.dtypeBytes
+    val isGz = m.gzipped
+    val bounds = Bbox(Vec3(0, 0, 0), m.dimensions)
+    val pts = Geom.gridpoints(bbox, bounds, bs)
+    val clip = bbox.intersection(bounds)
+    val dirStr = dir
+    import spark.implicits._
+    spark.createDataset(pts.map(g => (g.x, g.y, g.z)))
+      .repartition(math.max(pts.size / 4, 1))
+      .flatMap { case (gx, gy, gz) =>
+        val p = Paths.get(dirStr, "s0", gx.toString, gy.toString, gz.toString)
+        val (dims, vox) = decodeBlock(Files.readAllBytes(p), dtb, isGz)
+        val lo = Vec3(gx * bs.x, gy * bs.y, gz * bs.z)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        var z = math.max(lo.z, clip.minpt.z)
+        while (z < math.min(lo.z + dims.z, clip.maxpt.z)) {
+          var y = math.max(lo.y, clip.minpt.y)
+          while (y < math.min(lo.y + dims.y, clip.maxpt.y)) {
+            var x = math.max(lo.x, clip.minpt.x)
+            while (x < math.min(lo.x + dims.x, clip.maxpt.x)) {
+              out += ((x, y, z,
+                vox(((x - lo.x) + dims.x * ((y - lo.y) + dims.y * (z - lo.z))).toInt)))
+              x += 1
+            }
+            y += 1
+          }
+          z += 1
+        }
+        out
+      }.toDF("x", "y", "z", "label")
+  }
+}
