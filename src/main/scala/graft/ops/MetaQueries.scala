@@ -256,20 +256,30 @@ object MetaQueries {
         |  (2, 30, 4, 16, 58, 30, 26))
         |  AS t(rank, rx0, ry0, rz0, rx1, ry1, rz1)""".stripMargin)),
 
-    // A11: cache stats — files + (uncompressed) bytes per mip of the
-    // real layer (cacheservice.py:98-130 num_files/num_bytes)
+    // A11: cache stats — files + (uncompressed) bytes PER MIP of the
+    // real two-scale layer (cacheservice.py:98-130 num_files/num_bytes)
     "a11_cache_stats" -> Q(
       (s, dir) => {
         RealLayerQueries.ensure(s, dir)
-        PrecomputedIO.readChunks(s, RealLayerQueries.LayerDir)
-          .agg(count(lit(1)).as("num_files"),
-            sum(length(col("payload")).cast("long")).as("num_bytes"))
-          .select(lit(0L).as("mip"), col("num_files"), col("num_bytes"))
+        def one(mip: Int) =
+          PrecomputedIO.readChunks(s, RealLayerQueries.LayerDir, mip)
+            .agg(count(lit(1)).as("num_files"),
+              sum(length(col("payload")).cast("long")).as("num_bytes"))
+            .select(lit(mip.toLong).as("mip"), col("num_files"),
+              col("num_bytes"))
+        one(0).unionAll(one(1))
       },
-      Some(s"""SELECT CAST(0 AS BIGINT) AS mip,
+      Some(s"""WITH v AS (
+        |  SELECT * FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')),
+        |m0 AS (SELECT CAST(0 AS BIGINT) AS mip,
         |  count(DISTINCT (x // 16, y // 16, z // 8)) AS num_files,
-        |  count(*) * 4 AS num_bytes
-        |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')""".stripMargin)),
+        |  count(*) * 4 AS num_bytes FROM v),
+        |m1 AS (SELECT CAST(1 AS BIGINT) AS mip,
+        |  count(DISTINCT ((x // 2) // 16, (y // 2) // 16, (z // 2) // 8))
+        |    AS num_files,
+        |  count(*) * 4 AS num_bytes FROM v
+        |  WHERE x % 2 = 0 AND y % 2 = 0 AND z % 2 = 0)
+        |SELECT * FROM m0 UNION ALL SELECT * FROM m1""".stripMargin)),
 
     // F19: save_images-style global min-max normalization to u8
     // (lib.py:1015-1117), integer-exact in both engines

@@ -40,12 +40,22 @@ object RealLayerQueries {
     Bbox(Vec3(2, 2, 2), Vec3(20, 24, 12)),
     Bbox(Vec3(10, 36, 8), Vec3(40, 58, 20)))
 
-  val meta: VolumeMeta = VolumeMeta(
-    layerType = "segmentation", dataType = "uint32", numChannels = 1,
-    scales = Seq(ScaleMeta(
-      key = "1_1_1", encoding = "raw", resolution = Seq(1, 1, 1),
-      chunkSize = Vec3(CX, CY, CZ), size = Vec3(SX, SY, SZ),
-      voxelOffset = Vec3(0, 0, 0), rois = Some(Rois))))
+  private val scale0 = ScaleMeta(
+    key = "1_1_1", encoding = "raw", resolution = Seq(1, 1, 1),
+    chunkSize = Vec3(CX, CY, CZ), size = Vec3(SX, SY, SZ),
+    voxelOffset = Vec3(0, 0, 0), rois = Some(Rois))
+
+  /** Two-scale pyramid: mip 1 is the F8 add_scale of mip 0 (factor
+    * 2,2,2 — size ceils to 30x30x14), populated by [::2,::2,::2]
+    * nearest-neighbor striding (P2's stride semantics used as the
+    * downsample, so the oracle can replay it).
+    */
+  val meta: VolumeMeta = {
+    val base = VolumeMeta(
+      layerType = "segmentation", dataType = "uint32", numChannels = 1,
+      scales = Seq(scale0))
+    base.copy(scales = Seq(scale0, base.addScale(Vec3(2, 2, 2))))
+  }
 
   /** Same volume, compressed_segmentation-encoded with 8x8x8 palette
     * blocks (the reference's flagship segmentation encoding,
@@ -106,7 +116,7 @@ object RealLayerQueries {
     val marker = Paths.get(Root, ".built_from")
     // marker carries a fixture-format version: bump when the layer
     // metadata/layout changes so stale fixtures regenerate
-    val markerVal = s"$sfDir|v3"
+    val markerVal = s"$sfDir|v4"
     if (Files.exists(marker) && Files.readString(marker) == markerVal &&
       Files.exists(Paths.get(LayerDir, "info"))) return
     // rebuild from scratch
@@ -144,6 +154,30 @@ object RealLayerQueries {
       }.toDF("gx", "gy", "gz", "payload", "cseg", "png").cache()
     PrecomputedIO.writeInfo(LayerDir, meta)
     PrecomputedIO.writeChunks(chunks, LayerDir, meta, mip = 0)
+    // mip 1: [::2,::2,::2] strided downsample, clamped chunks
+    val sc1 = meta.scale(1)
+    val b1 = sc1.bounds
+    val cs1 = sc1.chunkSize
+    val chunks1 = dense
+      .filter(col("x") % 2 === 0 && col("y") % 2 === 0 && col("z") % 2 === 0)
+      .select((col("x") / 2).cast("long").as("x"),
+        (col("y") / 2).cast("long").as("y"),
+        (col("z") / 2).cast("long").as("z"), col("label"))
+      .select(idiv(col("x"), CX).as("gx"), idiv(col("y"), CY).as("gy"),
+        idiv(col("z"), CZ).as("gz"), col("x"), col("y"), col("z"), col("label"))
+      .groupBy("gx", "gy", "gz")
+      .agg(collect_list(struct(col("x"), col("y"), col("z"), col("label"))).as("vox"))
+      .as[(Long, Long, Long, Seq[(Long, Long, Long, Long)])]
+      .map { case (gx, gy, gz, vs) =>
+        val cb = Geom.chunkBbox(Vec3(gx, gy, gz), b1, cs1)
+        val w = cb.size.x; val h = cb.size.y
+        val arr = new Array[Long](cb.volume.toInt)
+        vs.foreach { case (x, y, z, l) =>
+          arr(((x - cb.minpt.x) + w * ((y - cb.minpt.y) + h * (z - cb.minpt.z))).toInt) = l
+        }
+        (gx, gy, gz, Codec.encodeRawFromLongs(arr, 4))
+      }.toDF("gx", "gy", "gz", "payload")
+    PrecomputedIO.writeChunks(chunks1, LayerDir, meta, mip = 1)
     PrecomputedIO.writeInfo(LayerCsegDir, metaCseg)
     PrecomputedIO.writeChunks(
       chunks.select(col("gx"), col("gy"), col("gz"), col("cseg").as("payload")),
@@ -229,6 +263,21 @@ object RealLayerQueries {
       Some(s"""SELECT x, y, z, label FROM $Sidecar
         |WHERE x BETWEEN 5 AND 36 AND y BETWEEN 7 AND 40
         |  AND z BETWEEN 3 AND 18""".stripMargin)),
+
+    // S4 at mip 1: the multi-scale info's second scale read through
+    // the same DSv2 source (`mip` option); the oracle replays the
+    // [::2,::2,::2] downsample from the mip-0 sidecar
+    "s4_cutout_mip1" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        PrecomputedIO.cutoutVoxels(s, LayerDir,
+          Bbox(Vec3(2, 3, 1), Vec3(28, 27, 13)), mip = 1)
+      },
+      Some(s"""SELECT x // 2 AS x, y // 2 AS y, z // 2 AS z, label
+        |FROM $Sidecar
+        |WHERE x % 2 = 0 AND y % 2 = 0 AND z % 2 = 0
+        |  AND x // 2 BETWEEN 2 AND 27 AND y // 2 BETWEEN 3 AND 26
+        |  AND z // 2 BETWEEN 1 AND 12""".stripMargin)),
 
     // P6 binary-label mask read (rx.decode_binary_image:756-806):
     // chunks that fail the codec-level contains() gate emit zeros

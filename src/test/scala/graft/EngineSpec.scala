@@ -35,11 +35,15 @@ class EngineSpec extends AnyFunSuite {
     assert(joined.filter($"label" =!= $"explabel").count() === 0)
   }
 
-  test("all registered queries run and agree with declared oracles on columns") {
+  test("all registered queries run and return rows (non-vacuous)") {
+    // queries legitimately empty at sf0.001 (tiny fixture): p9's crop
+    // keeps no complete face below ~5 vertices per fragment
+    val mayBeEmpty = Set("p9_mesh_crop")
     SparkEntry.allQueries.foreach { case (name, q) =>
       val df = q.fn(spark, sf)
       assert(df.columns.nonEmpty, name)
-      assert(df.count() >= 0, name)
+      val n = df.count()
+      if (!mayBeEmpty.contains(name)) assert(n > 0, s"$name returned 0 rows")
     }
   }
 
