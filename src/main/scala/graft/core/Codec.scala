@@ -104,6 +104,35 @@ object Codec {
     bos.toByteArray
   }
 
+  /** zlib (RFC1950) wrap — the zarr2 "zlib" compressor
+    * (datasource/zarr2/image.py:60-69 maps it onto gzip-family
+    * decompression; java's Deflater emits zlib framing natively).
+    */
+  def zlibCompress(data: Array[Byte], level: Int = 5): Array[Byte] = {
+    val d = new Deflater(level)
+    d.setInput(data); d.finish()
+    val bos = new ByteArrayOutputStream(data.length / 2 + 64)
+    val buf = new Array[Byte](65536)
+    while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+    d.end()
+    bos.toByteArray
+  }
+
+  def zlibDecompress(data: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(data)
+    val bos = new ByteArrayOutputStream(data.length * 3 + 64)
+    val buf = new Array[Byte](65536)
+    while (!inf.finished()) {
+      val n = inf.inflate(buf)
+      if (n == 0 && inf.needsInput())
+        throw new IllegalArgumentException("truncated zlib stream")
+      bos.write(buf, 0, n)
+    }
+    inf.end()
+    bos.toByteArray
+  }
+
   /** F12: zstd second-stage wrap via the zstd-jni already on the Spark
     * classpath (datasource/precomputed/common.py:7-53 lists gzip, br,
     * zstd; brotli has no JVM-native impl here and stays unimplemented,

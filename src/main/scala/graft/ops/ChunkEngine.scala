@@ -35,6 +35,15 @@ object ChunkEngine {
   /** Aligned write: voxel rows -> dense raw-encoded chunk payloads.
     * Voxel collisions resolve to the max label (deterministic);
     * unwritten voxels get background 0.
+    *
+    * Scale shape: ONE shuffle — `repartition(chunk key)` +
+    * `sortWithinPartitions` + a streaming `mapPartitions` that holds
+    * exactly one chunk's voxel array at a time. No `collect_list`
+    * aggregation buffer: at real chunk sizes (128^3 x 8 B = 16 MiB) a
+    * per-chunk struct list would dominate task memory; the sorted
+    * stream assembles each payload in place (the plan the reference's
+    * upload_aligned + generate_chunks iterator implies,
+    * image/tx.py:193-260).
     */
   def fromVoxels(voxels: DataFrame, dtypeBytes: Int = 8): DataFrame = {
     val s = voxels.sparkSession
@@ -46,17 +55,27 @@ object ChunkEngine {
       ((col("x") % CsX) + ((col("y") % CsY) + (col("z") % CsZ) * CsY) * CsX)
         .cast("int").as("vidx"),
       col("label"))
-    val grouped = withChunk
-      .groupBy("gx", "gy", "gz", "vidx").agg(max("label").as("label"))
-      .groupBy("gx", "gy", "gz")
-      .agg(collect_list(struct(col("vidx"), col("label"))).as("vox"))
     import s.implicits._
-    grouped.as[(Long, Long, Long, Seq[(Int, Long)])].map {
-      case (gx, gy, gz, vs) =>
-        val vox = new Array[Long](nVox)
-        vs.foreach { case (i, l) => vox(i) = l }
-        (gx, gy, gz, Codec.encodeRawFromLongs(vox, dtypeBytes))
-    }.toDF("gx", "gy", "gz", "payload")
+    withChunk.as[(Long, Long, Long, Int, Long)]
+      .repartition(col("gx"), col("gy"), col("gz"))
+      .sortWithinPartitions("gx", "gy", "gz", "vidx")
+      .mapPartitions { it =>
+        val b = it.buffered
+        new Iterator[(Long, Long, Long, Array[Byte])] {
+          override def hasNext: Boolean = b.hasNext
+          override def next(): (Long, Long, Long, Array[Byte]) = {
+            val (gx, gy, gz, _, _) = b.head
+            val vox = new Array[Long](nVox)
+            while (b.hasNext && b.head._1 == gx && b.head._2 == gy &&
+              b.head._3 == gz) {
+              val r = b.next()
+              // same-vidx collisions arrive adjacent (sorted): max wins
+              if (r._5 > vox(r._4)) vox(r._4) = r._5
+            }
+            (gx, gy, gz, Codec.encodeRawFromLongs(vox, dtypeBytes))
+          }
+        }
+      }.toDF("gx", "gy", "gz", "payload")
   }
 
   /** A1 `unique`: distinct labels across chunk payloads via the

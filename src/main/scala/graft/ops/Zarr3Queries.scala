@@ -24,22 +24,14 @@ object Zarr3Queries {
     shape = Vec3(SX, SY, SZ), chunkShape = Vec3(CX, CY, CZ),
     dataType = "uint32", fillValue = 0L, gzipped = true)
 
-  def ensure(s: SparkSession, sfDir: String): Unit = synchronized {
-    val marker = Paths.get(Root, ".built_from")
-    if (Files.exists(marker) && Files.readString(marker) == sfDir) return
-    val rootP = Paths.get(Root)
-    if (Files.exists(rootP)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(rootP).iterator.asScala.toSeq.reverse
-        .foreach(p => Files.deleteIfExists(p))
-    }
-    // reuse the precomputed fixture's dense voxels (and its sidecar as
-    // the oracle input)
-    RealLayerQueries.ensure(s, sfDir)
+  /** FULL-size (fill_value-padded) chunk rows from the shared dense
+    * sidecar — the zarr chunk shape, reused by zarr2 and zarr3.
+    */
+  private def fullChunks(s: SparkSession): DataFrame = {
     val dense = s.read.parquet(RealLayerQueries.VoxelsDir)
     import s.implicits._
     val cs = zmeta.chunkShape
-    val chunks = dense
+    dense
       .select(Derived.idiv(col("x"), CX).as("gx"),
         Derived.idiv(col("y"), CY).as("gy"),
         Derived.idiv(col("z"), CZ).as("gz"),
@@ -57,8 +49,23 @@ object Zarr3Queries {
         }
         (gx, gy, gz, arr.toSeq)
       }.toDF("gx", "gy", "gz", "vox")
+  }
+
+  def ensure(s: SparkSession, sfDir: String): Unit = synchronized {
+    val marker = Paths.get(Root, ".built_from")
+    if (Files.exists(marker) && Files.readString(marker) == sfDir) return
+    val arrP = Paths.get(ArrayDir)
+    if (Files.exists(arrP)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(arrP).iterator.asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+    Files.createDirectories(Paths.get(Root))
+    // reuse the precomputed fixture's dense voxels (and its sidecar as
+    // the oracle input)
+    RealLayerQueries.ensure(s, sfDir)
     Zarr3IO.writeMeta(ArrayDir, zmeta)
-    Zarr3IO.writeChunks(chunks, ArrayDir, zmeta)
+    Zarr3IO.writeChunks(fullChunks(s), ArrayDir, zmeta)
     Files.writeString(marker, sfDir)
   }
 
@@ -109,7 +116,42 @@ object Zarr3Queries {
     Files.writeString(marker, sfDir)
   }
 
+  // ---- zarr2 sibling (zlib compressor, dot-separated chunk names) ----
+
+  val Zarr2Dir = s"$Root/zarr2_array"
+
+  val z2meta: graft.sources.Zarr2IO.Zarr2Meta = graft.sources.Zarr2IO.Zarr2Meta(
+    shape = Vec3(SX, SY, SZ), chunkShape = Vec3(CX, CY, CZ),
+    dtype = "<u4", fillValue = 0L, zlib = true)
+
+  def ensureZarr2(s: SparkSession, sfDir: String): Unit = synchronized {
+    val marker = Paths.get(Root, ".built_z2_from")
+    if (Files.exists(marker) && Files.readString(marker) == sfDir) return
+    ensure(s, sfDir) // reuses the zarr3 full-chunk assembly below
+    val z2root = Paths.get(Zarr2Dir)
+    if (Files.exists(z2root)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(z2root).iterator.asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+    graft.sources.Zarr2IO.writeMeta(Zarr2Dir, z2meta)
+    graft.sources.Zarr2IO.writeChunks(fullChunks(s), Zarr2Dir, z2meta)
+    Files.writeString(marker, sfDir)
+  }
+
   val queries: Map[String, Q] = Map(
+
+    // S18: zarr2 cutout — zlib chunks, dot names, C-order transpose
+    "s18_zarr2_cutout" -> Q(
+      (s, dir) => {
+        ensureZarr2(s, dir)
+        graft.sources.Zarr2IO.cutoutVoxels(s, Zarr2Dir,
+          Bbox(Vec3(5, 2, 4), Vec3(55, 58, 25)))
+      },
+      Some(s"""SELECT x, y, z, label
+        |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')
+        |WHERE x BETWEEN 5 AND 54 AND y BETWEEN 2 AND 57
+        |  AND z BETWEEN 4 AND 24""".stripMargin)),
 
     // S18: n5 cutout — big-endian block headers, clamped edge blocks,
     // gzip body, F-order voxels (datasource/n5/image.py:44-90)

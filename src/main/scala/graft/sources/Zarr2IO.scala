@@ -1,0 +1,123 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core._
+
+/** Zarr v2 array I/O (S18) — the subset the reference's zarr2
+  * datasource reads (datasource/zarr2/metadata.py:205-235,
+  * image.py:55-75): `.zarray` JSON (shape, chunks, dtype, compressor,
+  * order, dimension_separator), chunk objects named
+  * `<gx>.<gy>.<gz>`, full-size fill_value-padded edge chunks, C-order
+  * layout (shared with zarr3 — Zarr3IO does the C<->F transpose), and
+  * the `zlib` compressor.
+  */
+object Zarr2IO {
+
+  final case class Zarr2Meta(
+      shape: Vec3,
+      chunkShape: Vec3,
+      dtype: String, // numpy-style, e.g. "<u4"
+      fillValue: Long,
+      zlib: Boolean) {
+    def dtypeBytes: Int = dtype match {
+      case "|u1" => 1
+      case "<u2" => 2
+      case "<u4" => 4
+      case "<u8" => 8
+      case d => throw new IllegalArgumentException(s"zarr2 dtype $d")
+    }
+  }
+
+  private val om = new ObjectMapper()
+
+  def writeMeta(dir: String, m: Zarr2Meta): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val z = om.createObjectNode()
+    z.put("zarr_format", 2)
+    val sh = z.putArray("shape")
+    sh.add(m.shape.x); sh.add(m.shape.y); sh.add(m.shape.z)
+    val ch = z.putArray("chunks")
+    ch.add(m.chunkShape.x); ch.add(m.chunkShape.y); ch.add(m.chunkShape.z)
+    z.put("dtype", m.dtype)
+    if (m.zlib) {
+      val c = z.putObject("compressor")
+      c.put("id", "zlib"); c.put("level", 5)
+    } else z.putNull("compressor")
+    z.put("fill_value", m.fillValue)
+    z.put("order", "C")
+    z.put("dimension_separator", ".")
+    z.putNull("filters")
+    Files.writeString(Paths.get(dir, ".zarray"),
+      om.writerWithDefaultPrettyPrinter.writeValueAsString(z))
+  }
+
+  def readMeta(dir: String): Zarr2Meta = {
+    val z = om.readTree(Files.readString(Paths.get(dir, ".zarray")))
+    require(z.get("zarr_format").asInt == 2, "not a zarr v2 array")
+    require(z.get("order").asText == "C", "only C order supported")
+    val sh = z.get("shape")
+    val ch = z.get("chunks")
+    val comp = Option(z.get("compressor")).filter(!_.isNull)
+    Zarr2Meta(
+      shape = Vec3(sh.get(0).asLong, sh.get(1).asLong, sh.get(2).asLong),
+      chunkShape = Vec3(ch.get(0).asLong, ch.get(1).asLong, ch.get(2).asLong),
+      dtype = z.get("dtype").asText,
+      fillValue = Option(z.get("fill_value")).map(_.asLong).getOrElse(0L),
+      zlib = comp.exists(_.get("id").asText == "zlib"))
+  }
+
+  /** Write chunk rows (gx, gy, gz, vox F-order full-chunk array). */
+  def writeChunks(chunks: DataFrame, dir: String, m: Zarr2Meta): Unit = {
+    val cs = m.chunkShape
+    val dtb = m.dtypeBytes
+    val zl = m.zlib
+    val dirStr = dir
+    chunks.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      rows.foreach { r =>
+        val bytes = Zarr3IO.encodeChunkFromF(r.getSeq[Long](3).toArray, cs, dtb)
+        val payload = if (zl) Codec.zlibCompress(bytes) else bytes
+        Files.write(Paths.get(dirStr,
+          s"${r.getLong(0)}.${r.getLong(1)}.${r.getLong(2)}"), payload)
+      }
+    }
+  }
+
+  /** S18 zarr2 cutout (same plan shape as zarr3). */
+  def cutoutVoxels(spark: SparkSession, dir: String, bbox: Bbox): DataFrame = {
+    val m = readMeta(dir)
+    val cs = m.chunkShape
+    val dtb = m.dtypeBytes
+    val zl = m.zlib
+    val bounds = Bbox(Vec3(0, 0, 0), m.shape)
+    val pts = Geom.gridpoints(bbox, bounds, cs)
+    val clip = bbox.intersection(bounds)
+    val dirStr = dir
+    import spark.implicits._
+    spark.createDataset(pts.map(g => (g.x, g.y, g.z)))
+      .repartition(math.max(pts.size / 4, 1))
+      .flatMap { case (gx, gy, gz) =>
+        val raw = Files.readAllBytes(Paths.get(dirStr, s"$gx.$gy.$gz"))
+        val vox = Zarr3IO.decodeChunkToF(
+          if (zl) Codec.zlibDecompress(raw) else raw, cs, dtb)
+        val lo = Vec3(gx * cs.x, gy * cs.y, gz * cs.z)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        var z = math.max(lo.z, clip.minpt.z)
+        while (z < math.min(lo.z + cs.z, clip.maxpt.z)) {
+          var y = math.max(lo.y, clip.minpt.y)
+          while (y < math.min(lo.y + cs.y, clip.maxpt.y)) {
+            var x = math.max(lo.x, clip.minpt.x)
+            while (x < math.min(lo.x + cs.x, clip.maxpt.x)) {
+              out += ((x, y, z,
+                vox(((x - lo.x) + cs.x * ((y - lo.y) + cs.y * (z - lo.z))).toInt)))
+              x += 1
+            }
+            y += 1
+          }
+          z += 1
+        }
+        out
+      }.toDF("x", "y", "z", "label")
+  }
+}
