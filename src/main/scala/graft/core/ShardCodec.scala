@@ -79,7 +79,12 @@ object ShardCodec {
     val indices = mutable.ArrayBuffer.empty[Array[Long]] // flat (3,N) C-order
     val datas = mutable.ArrayBuffer.empty[Array[Byte]]
     byMinishard.foreach { case (msn, grp) =>
-      val sorted = grp.sortBy(_._1)
+      // uint64 label space: sort UNSIGNED like the reference's numpy
+      // uint64 sort (sharding.py:902; SURVEY §7 risk register) — a
+      // signed Long sort would misorder labels >= 2^63 and corrupt the
+      // ascending delta encoding
+      val sorted = grp.sortWith((a, b) =>
+        java.lang.Long.compareUnsigned(a._1, b._1) < 0)
       val n = sorted.size
       val idx = new Array[Long](3 * n)
       val out = new java.io.ByteArrayOutputStream()
