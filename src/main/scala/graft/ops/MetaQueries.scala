@@ -222,6 +222,19 @@ object MetaQueries {
         |    AND z1 >= rz0 AND rz1 >= z0) AS in_roi
         |FROM boxes""".stripMargin)),
 
+    // P5 short-circuit: a cutout entirely outside the declared ROIs
+    // returns a background buffer with zero chunk IO (rx.py:281-285;
+    // the fixture's ROIs all end by z=26, the request sits at z=27)
+    "p5b_roi_shortcircuit" -> Q(
+      (s, dir) => {
+        RealLayerQueries.ensure(s, dir)
+        PrecomputedIO.cutoutVoxels(s, RealLayerQueries.LayerDir,
+          Bbox(Vec3(0, 0, 27), Vec3(60, 60, 28)))
+      },
+      Some(s"""SELECT x, y, z, CAST(0 AS BIGINT) AS label
+        |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')
+        |WHERE z = 27""".stripMargin)),
+
     // P2: strided cutout projection (frontends/precomputed.py:582-588
     // final [::sx,::sy,::sz] view) over the real layer
     "p2_stride_cutout" -> Q(

@@ -111,6 +111,25 @@ object PrecomputedIO {
       mip: Int = 0, fillMissing: Boolean = false): DataFrame = {
     val meta = readInfo(layerDir)
     val scale = meta.scale(mip)
+    // ROI coarse-pruning short-circuit (metadata.py:702-722
+    // overlaps_roi, used rx.py:63-67,281-285): a request entirely
+    // outside the declared ROIs returns a background buffer with ZERO
+    // chunk IO — the planning-time check SURVEY §4 calls for. Mip>0
+    // requests are first lifted to mip 0 where ROIs are declared.
+    val inRoi = meta.sortedRois match {
+      case Some(rois) if mip == 0 => rois.exists(_.overlapsBbox(bbox))
+      case _ => true // no ROI list (or non-0 mip in this subset) = all in
+    }
+    if (!inRoi) {
+      val clip = bbox.intersection(scale.bounds)
+      import spark.implicits._
+      val sz = clip.size
+      return spark.range(math.max(sz.x * sz.y * sz.z, 0L)).select(
+        (col("id") % sz.x + clip.minpt.x).as("x"),
+        ((col("id") / sz.x).cast("long") % sz.y + clip.minpt.y).as("y"),
+        ((col("id") / (sz.x * sz.y)).cast("long") + clip.minpt.z).as("z"),
+        lit(0L).as("label"))
+    }
     val chunks = readChunks(spark, layerDir, mip, fillMissing)
       .filter(col("x1") > bbox.minpt.x && col("x0") < bbox.maxpt.x &&
         col("y1") > bbox.minpt.y && col("y0") < bbox.maxpt.y &&
