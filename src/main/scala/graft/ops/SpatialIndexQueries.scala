@@ -1,0 +1,162 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core._
+
+/** Spatial index over REAL `.spatial` JSON tile files
+  * (spatial_index.py:248-307): each tile file is named by its physical
+  * bbox ("x0-x1_y0-y1_z0-z1.spatial") and holds a JSON map
+  * `{segid: [x0,y0,z0,x1,y1,z1]}`. A label appears in EVERY tile its
+  * bbox overlaps (task enumeration writes per-tile maps).
+  *
+  * The read side is Spark-native JSON handling (F15): wholetext scan →
+  * `from_json` with an explicit MapType schema (dynamic segid keys) →
+  * explode — no JSON UDF. The DuckDB oracle re-derives labels + boxes
+  * + tile assignment straight from `part`.
+  */
+object SpatialIndexQueries {
+  import Derived.table
+
+  val Root = "/tmp/graft_fixture/spatial"
+  val TileDir = s"$Root/spatial0"
+
+  // spatial grid: 2x2x2 tiles of (32,32,16) over the 64x64x32 volume
+  private val TX = 32L; private val TY = 32L; private val TZ = 16L
+
+  /** Label bbox derivation (mirrored in LblCte). */
+  private def labelBoxes(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "part").select(col("p_partkey").cast("long").as("label"))
+      .distinct()
+      .select(col("label"),
+        (col("label") % 50).as("x0"), ((col("label") * 3) % 50).as("y0"),
+        (col("label") % 25).as("z0"))
+      .withColumn("x1", col("x0") + 1 + col("label") % 10)
+      .withColumn("y1", col("y0") + 1 + (col("label") * 7) % 12)
+      .withColumn("z1", col("z0") + 1 + col("label") % 6)
+
+  private val LblCte =
+    """lbl AS (
+      |  SELECT DISTINCT p_partkey AS label,
+      |         p_partkey % 50 AS x0, (p_partkey * 3) % 50 AS y0,
+      |         p_partkey % 25 AS z0,
+      |         p_partkey % 50 + 1 + p_partkey % 10 AS x1,
+      |         (p_partkey * 3) % 50 + 1 + (p_partkey * 7) % 12 AS y1,
+      |         p_partkey % 25 + 1 + p_partkey % 6 AS z1
+      |  FROM part)""".stripMargin
+
+  /** label -> overlapped tiles (half-open boxes) + tile filename. */
+  private def withTiles(boxes: DataFrame): DataFrame = {
+    val s = boxes.sparkSession
+    val cells = s.range(8).select(
+      (col("id") % 2).as("tx"), ((col("id") / 2).cast("long") % 2).as("ty"),
+      (col("id") / 4).cast("long").as("tz"))
+    boxes.crossJoin(broadcast(cells))
+      .filter(col("x0") < (col("tx") + 1) * TX && col("x1") > col("tx") * TX &&
+        col("y0") < (col("ty") + 1) * TY && col("y1") > col("ty") * TY &&
+        col("z0") < (col("tz") + 1) * TZ && col("z1") > col("tz") * TZ)
+      .withColumn("filename", concat(
+        col("tx") * TX, lit("-"), (col("tx") + 1) * TX, lit("_"),
+        col("ty") * TY, lit("-"), (col("ty") + 1) * TY, lit("_"),
+        col("tz") * TZ, lit("-"), (col("tz") + 1) * TZ, lit(".spatial")))
+  }
+
+  private val TileCte = LblCte +
+    """,
+      |cells AS (SELECT tx, ty, tz FROM
+      |  (SELECT unnest(range(0, 2)) AS tx) ,
+      |  (SELECT unnest(range(0, 2)) AS ty) ,
+      |  (SELECT unnest(range(0, 2)) AS tz)),
+      |tiled AS (
+      |  SELECT l.*, c.tx, c.ty, c.tz,
+      |    printf('%d-%d_%d-%d_%d-%d.spatial', c.tx * 32, (c.tx + 1) * 32,
+      |      c.ty * 32, (c.ty + 1) * 32, c.tz * 16, (c.tz + 1) * 16) AS filename
+      |  FROM lbl l, cells c
+      |  WHERE l.x0 < (c.tx + 1) * 32 AND l.x1 > c.tx * 32
+      |    AND l.y0 < (c.ty + 1) * 32 AND l.y1 > c.ty * 32
+      |    AND l.z0 < (c.tz + 1) * 16 AND l.z1 > c.tz * 16)""".stripMargin
+
+  def ensure(s: SparkSession, sfDir: String): Unit = synchronized {
+    val marker = Paths.get(Root, ".built_from")
+    if (Files.exists(marker) && Files.readString(marker) == sfDir) return
+    val rootP = Paths.get(Root)
+    if (Files.exists(rootP)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(rootP).iterator.asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+    Files.createDirectories(Paths.get(TileDir))
+    val dirStr = TileDir
+    withTiles(labelBoxes(s, sfDir))
+      .groupBy("filename")
+      .agg(sort_array(collect_list(struct(col("label"), col("x0"), col("y0"),
+        col("z0"), col("x1"), col("y1"), col("z1")))).as("entries"))
+      .foreachPartition { rows: Iterator[Row] =>
+        rows.foreach { r =>
+          val sb = new StringBuilder("{")
+          val entries = r.getSeq[Row](1)
+          entries.zipWithIndex.foreach { case (e, i) =>
+            if (i > 0) sb.append(',')
+            sb.append('"').append(e.getLong(0)).append("\":[")
+              .append((1 to 6).map(e.getLong).mkString(",")).append(']')
+          }
+          sb.append('}')
+          Files.writeString(Paths.get(dirStr, r.getString(0)), sb.toString)
+        }
+      }
+    Files.writeString(marker, sfDir)
+  }
+
+  /** Scan + parse the tile files: (filename, label, x0..z1). */
+  private def tileRows(s: SparkSession): DataFrame = {
+    val mapType = MapType(StringType, ArrayType(LongType))
+    s.read.option("wholetext", "true").text(TileDir)
+      .withColumn("filename", element_at(
+        split(input_file_name(), "/"), -1))
+      .select(col("filename"),
+        explode(from_json(col("value"), mapType)).as(Seq("label", "b")))
+      .select(col("filename"), col("label").cast("long").as("label"),
+        col("b").getItem(0).as("x0"), col("b").getItem(1).as("y0"),
+        col("b").getItem(2).as("z0"), col("b").getItem(3).as("x1"),
+        col("b").getItem(4).as("y1"), col("b").getItem(5).as("z1"))
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    // A3 over real tile files: labels intersecting a query bbox —
+    // only tiles overlapping the query need parsing (tile-name prune
+    // happens at planning time in the reference; the filter on decoded
+    // rows is the same predicate)
+    "a3_spatial_real" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        tileRows(s)
+          .filter(col("x0") < 40 && col("x1") > 8 &&
+            col("y0") < 44 && col("y1") > 6 && col("z0") < 20 && col("z1") > 3)
+          .select("label").distinct()
+      },
+      Some(s"""WITH $LblCte
+        |SELECT DISTINCT label FROM lbl
+        |WHERE x0 < 40 AND x1 > 8 AND y0 < 44 AND y1 > 6
+        |  AND z0 < 20 AND z1 > 3""".stripMargin)),
+
+    // J2 over real tile files: label -> sorted list of tile files
+    // (file_locations_per_label, spatial_index.py:763-835)
+    "j2_file_inversion_real" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        tileRows(s)
+          .groupBy("label")
+          .agg(sort_array(collect_list(col("filename"))).as("files"),
+            count(lit(1)).as("n_tiles"))
+          .select(col("label"), concat_ws(",", col("files")).as("files"),
+            col("n_tiles"))
+      },
+      Some(s"""WITH $TileCte
+        |SELECT label, string_agg(filename, ',' ORDER BY filename) AS files,
+        |       count(*) AS n_tiles
+        |FROM tiled GROUP BY label""".stripMargin)),
+  )
+}
