@@ -81,7 +81,8 @@ object MeshQueries {
     */
   def ensure(s: SparkSession, sfDir: String): Unit = synchronized {
     val marker = Paths.get(Root, ".built_from")
-    if (Files.exists(marker) && Files.readString(marker) == sfDir) return
+    val markerVal = s"$sfDir|v2" // v2: adds the multires .blob files
+    if (Files.exists(marker) && Files.readString(marker) == markerVal) return
     val rootP = Paths.get(Root)
     if (Files.exists(rootP)) {
       import scala.jdk.CollectionConverters._
@@ -147,8 +148,22 @@ object MeshQueries {
           Array(lod1Bytes.toInt)))
       Files.write(Paths.get(MultiresDir, s"$segid.index"),
         MeshCodec.encodeManifest(m))
+      // the concatenated fragment blob the manifest's running offsets
+      // index into (multilod.py:276-289): lod0 fragments in order,
+      // then the lod1 coarse fragment (all vertices, no faces)
+      val lod0 = sorted.flatMap(f =>
+        Files.readAllBytes(Paths.get(MeshDir, s"$segid:0:${f._2}")))
+      val allVerts = sorted.flatMap { f =>
+        MeshCodec.decode(
+          Files.readAllBytes(Paths.get(MeshDir, s"$segid:0:${f._2}"))).vertices
+      }
+      val lod1 = MeshCodec.encode(MeshFragment(allVerts.toArray, Array.empty))
+      require(lod1.length == lod1Bytes,
+        s"lod1 fragment ${lod1.length}B != manifest $lod1Bytes")
+      Files.write(Paths.get(MultiresDir, s"$segid.blob"),
+        lod0.toArray ++ lod1)
     }
-    Files.writeString(marker, sfDir)
+    Files.writeString(marker, markerVal)
   }
 
   // ---- decode helpers (shared by all queries) ----
@@ -306,6 +321,43 @@ object MeshQueries {
         |JOIN k k0 ON k0.segid = f.segid AND k0.vid = f.v0
         |JOIN k k1 ON k1.segid = f.segid AND k1.vid = f.v1
         |JOIN k k2 ON k2.segid = f.segid AND k2.vid = f.v2""".stripMargin)),
+
+    // W5 proof-of-offsets: slice the lod0 fragments OUT of the
+    // concatenated blob using the manifest's running byte offsets,
+    // decode each slice, and reproduce the full global vertex table —
+    // the multires read path end-to-end (multilod.py:230-319)
+    "w5b_multires_slice" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        import s.implicits._
+        import scala.jdk.CollectionConverters._
+        val mrDir = MultiresDir
+        val segids = Files.list(Paths.get(MultiresDir)).iterator.asScala
+          .map(_.getFileName.toString).filter(_.endsWith(".index"))
+          .map(_.stripSuffix(".index").toLong).toSeq.sorted
+        segids.toDS().repartition(math.max(segids.size / 2, 1))
+          .flatMap { segid =>
+            val man = MeshCodec.decodeManifest(
+              Files.readAllBytes(Paths.get(mrDir, s"$segid.index")))
+            val blob = Files.readAllBytes(Paths.get(mrDir, s"$segid.blob"))
+            val offs = man.fragmentOffsets(0)
+            var start = 0L
+            var vidBase = 0L
+            offs.toSeq.flatMap { sz =>
+              val frag = MeshCodec.decode(java.util.Arrays.copyOfRange(
+                blob, start.toInt, (start + sz).toInt))
+              start += sz
+              val rows = frag.vertices.grouped(3).zipWithIndex.map {
+                case (v, i) =>
+                  (segid, vidBase + i, v(0).toLong, v(1).toLong, v(2).toLong)
+              }.toSeq
+              vidBase += frag.vertices.length / 3
+              rows
+            }
+          }.toDF("segid", "vid", "x", "y", "z")
+      },
+      Some(s"""WITH $VertCte
+        |SELECT segid, vid, x, y, z FROM g""".stripMargin)),
 
     // F17/W5: multires manifest binary decode + per-fragment running
     // byte offsets (prefix-sum window over (lod, frag) order) locating

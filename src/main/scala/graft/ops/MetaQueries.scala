@@ -311,6 +311,41 @@ object MetaQueries {
         |  (label - mn) * 255 // (mx - mn) AS norm
         |FROM voxels, stats""".stripMargin)),
 
+    // W6 (pipeline extension): gaps-and-islands sessionization of the
+    // events stream — a new session starts after a >30-minute gap per
+    // user; the same window shape as S7's range bundling, applied to
+    // the training-data log-processing case
+    "w6_sessionize" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = table(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts").cast("long"))
+        val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        e.withColumn("prev_ts", lag(col("ts"), 1).over(wOrd))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull ||
+              col("ts") - col("prev_ts") > 1800L * 1000000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_idx", sum(col("new_sess")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+          .select(col("event_id"), col("user_id"), col("session_idx"))
+      },
+      Some("""WITH e AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) AS tns FROM events),
+        |g AS (SELECT event_id, user_id, tns,
+        |        lag(tns) OVER w AS prev_ts
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)),
+        |n AS (SELECT event_id, user_id, tns,
+        |        CASE WHEN prev_ts IS NULL
+        |                  OR tns - prev_ts > 1800000000000 THEN 1
+        |             ELSE 0 END AS new_sess
+        |      FROM g)
+        |SELECT event_id, user_id,
+        |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tns, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_idx
+        |FROM n""".stripMargin)),
+
     // F20: misc utils — sip fixed-size batching (id div n), scatter
     // round-robin (id mod n), duplicates detection (lib.py:50-118,206-232)
     "f20_batching" -> Q(

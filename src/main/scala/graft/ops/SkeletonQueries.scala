@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.core.SkeletonCodec
+import graft.core.{ShardCodec, ShardingSpec, SkeletonCodec}
 import graft.core.SkeletonCodec.Skeleton
 
 /** Skeleton pipeline over REAL precomputed skeleton binaries
@@ -99,7 +99,81 @@ object SkeletonQueries {
       }.toDF("segid", "verts", "edges", "radii")
   }
 
+  // Sharded skeleton container (skeleton/sharded.py:38-71): the same
+  // uint64-sharded file format images use, keyed by segid. Built from
+  // the unsharded fixture files.
+  val ShardedDir = s"$Root/skeletons_sharded"
+  val skelShardSpec: ShardingSpec = ShardingSpec(
+    preshiftBits = 0, minishardBits = 2, shardBits = 1,
+    hashName = "murmurhash3_x86_128",
+    minishardIndexEncoding = "gzip", dataEncoding = "gzip")
+
+  def ensureSharded(s: SparkSession, sfDir: String): Unit = synchronized {
+    val marker = Paths.get(Root, ".built_sharded_from")
+    if (Files.exists(marker) && Files.readString(marker) == sfDir) return
+    ensure(s, sfDir)
+    val shP = Paths.get(ShardedDir)
+    if (Files.exists(shP)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(shP).iterator.asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+    Files.createDirectories(shP)
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    val skelDirStr = SkelDir
+    val shardedStr = ShardedDir
+    val spec = skelShardSpec
+    val names = Files.list(Paths.get(SkelDir)).iterator.asScala
+      .map(_.getFileName.toString).filter(_.matches("\\d+")).toSeq.sorted
+    // group skeleton binaries by shard, synthesize each shard file in
+    // its own task (S12 shuffle shape, non-image payloads)
+    names.toDS()
+      .map { n =>
+        (spec.shardLocation(n.toLong)._1, n.toLong,
+          Files.readAllBytes(Paths.get(skelDirStr, n)))
+      }
+      .groupByKey(_._1)
+      .mapGroups { (shard, it) =>
+        val items = it.map(t => (t._2, t._3)).toSeq
+        (shard, ShardCodec.synthesizeShard(spec, items))
+      }
+      .foreach { t: (Long, Array[Byte]) =>
+        Files.write(Paths.get(shardedStr, spec.shardFilename(t._1)), t._2)
+        ()
+      }
+    Files.writeString(marker, sfDir)
+  }
+
   val queries: Map[String, Q] = Map(
+
+    // Sharded skeleton fetch: segid -> shard file -> minishard index
+    // -> byte range -> decode; output matches the unsharded derivation
+    "skel_sharded_decode" -> Q(
+      (s, dir) => {
+        ensureSharded(s, dir)
+        import s.implicits._
+        import scala.jdk.CollectionConverters._
+        val shardedStr = ShardedDir
+        val spec = skelShardSpec
+        val segids = (0L until NSeg)
+        s.createDataset(segids.toSeq)
+          .repartition(4)
+          .flatMap { segid =>
+            val shardFile = spec.shardFilename(spec.shardLocation(segid)._1)
+            val shard = Files.readAllBytes(Paths.get(shardedStr, shardFile))
+            ShardCodec.getData(shard, spec, segid).toSeq.flatMap { bin =>
+              val sk = SkeletonCodec.decode(bin)
+              (0 until sk.nv).map { i =>
+                (segid, i.toLong, sk.vertices(3 * i).toLong,
+                  sk.vertices(3 * i + 1).toLong, sk.vertices(3 * i + 2).toLong,
+                  sk.radii(i).toLong)
+              }
+            }
+          }.toDF("segid", "vid", "x", "y", "z", "radius")
+      },
+      Some(s"""WITH $VertCte
+        |SELECT segid, vid, x, y, z, radius FROM g""".stripMargin)),
 
     // Skeleton binary decode: vertices + radius attribute round-trip
     "skel_decode" -> Q(
