@@ -54,6 +54,39 @@ class StreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("custom state via flatMapGroupsWithState: incremental distinct count") {
+    // the SURVEY §2.9 north star: per-group state maintained across
+    // micro-batches (incremental A1 — new-labels-only emission)
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Long, Long)] // (chunk_id, label)
+    val novel = mem.toDS()
+      .groupByKey(_._2 % 4) // label shard as the state key
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[(Long, Long)], state: GroupState[Set[Long]]) =>
+          val seen = state.getOption.getOrElse(Set.empty[Long])
+          val fresh = rows.map(_._2).toSet -- seen
+          state.update(seen ++ fresh)
+          fresh.iterator
+      }
+    val q = novel.toDF("label").writeStream.format("memory")
+      .queryName("fmgws_test").outputMode("append").start()
+    try {
+      mem.addData((0L, 10L), (0L, 11L), (1L, 10L))
+      q.processAllAvailable()
+      assert(s.table("fmgws_test").collect().map(_.getLong(0)).sorted.toSeq
+        === Seq(10L, 11L))
+      // second batch: only the genuinely new label is emitted
+      mem.addData((2L, 11L), (2L, 12L))
+      q.processAllAvailable()
+      assert(s.table("fmgws_test").collect().map(_.getLong(0)).sorted.toSeq
+        === Seq(10L, 11L, 12L))
+    } finally q.stop()
+  }
+
   test("streaming dropDuplicates keeps one state row per key") {
     val s = spark
     import s.implicits._
