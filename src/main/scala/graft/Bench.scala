@@ -113,6 +113,9 @@ object Bench {
     // (alphabetically a10_counts in r02: 13.5 s of which ~13 s was
     // fixture build) times only its own pipeline.
     graft.ops.RealLayerQueries.ensure(spark, sfDir)
+    // JIT/codegen warmup so the first timed query isn't charged
+    // Spark's first-job setup (the driver compares per-query seconds)
+    SparkEntry.queries.get("q1_pricing").foreach(_(spark, sfDir).count())
 
     val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

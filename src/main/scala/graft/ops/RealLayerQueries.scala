@@ -112,12 +112,23 @@ object RealLayerQueries {
     * idempotent and happens inside the query fns so the layer always
     * matches whatever sf the harness is running.
     */
+  /** Current build stamp of this fixture (sf + format version + build
+    * nonce). Derived fixtures (zarr/n5/...) record it so they rebuild
+    * whenever THIS fixture (their source sidecar) was rebuilt.
+    */
+  def stamp: String = {
+    val marker = Paths.get(Root, ".built_from")
+    if (Files.exists(marker)) Files.readString(marker) else ""
+  }
+
   def ensure(s: SparkSession, sfDir: String): Unit = synchronized {
     val marker = Paths.get(Root, ".built_from")
-    // marker carries a fixture-format version: bump when the layer
-    // metadata/layout changes so stale fixtures regenerate
-    val markerVal = s"$sfDir|v4"
-    if (Files.exists(marker) && Files.readString(marker) == markerVal &&
+    // marker carries a fixture-format version (bump when the layout
+    // changes) plus a per-build nonce for downstream staleness checks
+    val markerPrefix = s"$sfDir|v4|"
+    val markerVal = markerPrefix + System.nanoTime()
+    if (Files.exists(marker) &&
+      Files.readString(marker).startsWith(markerPrefix) &&
       Files.exists(Paths.get(LayerDir, "info"))) return
     // rebuild from scratch
     val rootP = Paths.get(Root)
@@ -278,6 +289,45 @@ object RealLayerQueries {
         |WHERE x % 2 = 0 AND y % 2 = 0 AND z % 2 = 0
         |  AND x // 2 BETWEEN 2 AND 27 AND y // 2 BETWEEN 3 AND 26
         |  AND z // 2 BETWEEN 1 AND 12""".stripMargin)),
+
+    // S4 single-voxel fast path (rx.py:293-300,381-430
+    // download_single_voxel; chunks.read_voxel:423-457): point lookups
+    // grouped by owning chunk, each resolved by RANDOM ACCESS into the
+    // encoded cseg payload — palette-block indexing, no full decode
+    "s4_point_lookup" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        val pts = Derived.table(s, dir, "orders")
+          .filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey").cast("long").as("pid"),
+            (col("o_orderkey") % SX).cast("long").as("x"),
+            (col("o_custkey") % SY).cast("long").as("y"),
+            (col("o_orderkey") % SZ).cast("long").as("z"))
+        import s.implicits._
+        val csegDir = LayerCsegDir
+        val scale = metaCseg.scale(0)
+        val bs = CsegBlock
+        pts.as[(Long, Long, Long, Long)]
+          .groupByKey(t => (t._2 / CX, t._3 / CY, t._4 / CZ))
+          .flatMapGroups { (key: (Long, Long, Long),
+              it: Iterator[(Long, Long, Long, Long)]) =>
+            val g = Vec3(key._1, key._2, key._3)
+            val payload =
+              PrecomputedIO.readChunkBytes(csegDir, scale, g).get
+            val cb = Geom.chunkBbox(g, scale.bounds, scale.chunkSize)
+            it.map { case (pid, x, y, z) =>
+              (pid, x, y, z, Cseg.readVoxel(payload, cb.size, bs, 4,
+                x - cb.minpt.x, y - cb.minpt.y, z - cb.minpt.z))
+            }
+          }.toDF("pid", "x", "y", "z", "label")
+      },
+      Some(s"""WITH pts AS (
+        |  SELECT o_orderkey AS pid, o_orderkey % 60 AS x,
+        |         o_custkey % 60 AS y, o_orderkey % 28 AS z
+        |  FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT p.pid, p.x, p.y, p.z, v.label
+        |FROM pts p JOIN $Sidecar v
+        |  ON v.x = p.x AND v.y = p.y AND v.z = p.z""".stripMargin)),
 
     // P6 binary-label mask read (rx.decode_binary_image:756-806):
     // chunks that fail the codec-level contains() gate emit zeros

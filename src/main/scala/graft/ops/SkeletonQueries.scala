@@ -43,9 +43,17 @@ object SkeletonQueries {
       |g AS (SELECT *, row_number() OVER (
       |        PARTITION BY segid ORDER BY ck) - 1 AS vid FROM v)""".stripMargin
 
+  /** Build stamp for downstream (sharded) fixture staleness checks. */
+  def stamp: String = {
+    val marker = Paths.get(Root, ".built_from")
+    if (Files.exists(marker)) Files.readString(marker) else ""
+  }
+
   def ensure(s: SparkSession, sfDir: String): Unit = synchronized {
     val marker = Paths.get(Root, ".built_from")
-    if (Files.exists(marker) && Files.readString(marker) == sfDir) return
+    val markerPrefix = s"$sfDir|"
+    if (Files.exists(marker) &&
+      Files.readString(marker).startsWith(markerPrefix)) return
     val rootP = Paths.get(Root)
     if (Files.exists(rootP)) {
       import scala.jdk.CollectionConverters._
@@ -80,7 +88,7 @@ object SkeletonQueries {
           Files.write(Paths.get(dirStr, segid.toString), bin)
         }
       }
-    Files.writeString(marker, sfDir)
+    Files.writeString(marker, markerPrefix + System.nanoTime())
   }
 
   /** Scan + decode all skeleton files (listing driver-side, reads in
@@ -109,9 +117,10 @@ object SkeletonQueries {
     minishardIndexEncoding = "gzip", dataEncoding = "gzip")
 
   def ensureSharded(s: SparkSession, sfDir: String): Unit = synchronized {
-    val marker = Paths.get(Root, ".built_sharded_from")
-    if (Files.exists(marker) && Files.readString(marker) == sfDir) return
     ensure(s, sfDir)
+    val want = stamp // rebuild when the unsharded source rebuilt
+    val marker = Paths.get(Root, ".built_sharded_from")
+    if (Files.exists(marker) && Files.readString(marker) == want) return
     val shP = Paths.get(ShardedDir)
     if (Files.exists(shP)) {
       import scala.jdk.CollectionConverters._
@@ -142,7 +151,7 @@ object SkeletonQueries {
         Files.write(Paths.get(shardedStr, spec.shardFilename(t._1)), t._2)
         ()
       }
-    Files.writeString(marker, sfDir)
+    Files.writeString(marker, want)
   }
 
   val queries: Map[String, Q] = Map(

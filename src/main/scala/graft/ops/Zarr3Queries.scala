@@ -52,8 +52,11 @@ object Zarr3Queries {
   }
 
   def ensure(s: SparkSession, sfDir: String): Unit = synchronized {
+    // rebuild whenever the SOURCE sidecar was rebuilt (stamp check)
+    RealLayerQueries.ensure(s, sfDir)
+    val want = RealLayerQueries.stamp
     val marker = Paths.get(Root, ".built_from")
-    if (Files.exists(marker) && Files.readString(marker) == sfDir) return
+    if (Files.exists(marker) && Files.readString(marker) == want) return
     val arrP = Paths.get(ArrayDir)
     if (Files.exists(arrP)) {
       import scala.jdk.CollectionConverters._
@@ -61,12 +64,9 @@ object Zarr3Queries {
         .foreach(p => Files.deleteIfExists(p))
     }
     Files.createDirectories(Paths.get(Root))
-    // reuse the precomputed fixture's dense voxels (and its sidecar as
-    // the oracle input)
-    RealLayerQueries.ensure(s, sfDir)
     Zarr3IO.writeMeta(ArrayDir, zmeta)
     Zarr3IO.writeChunks(fullChunks(s), ArrayDir, zmeta)
-    Files.writeString(marker, sfDir)
+    Files.writeString(marker, want)
   }
 
   // ---- n5 sibling (clamped edge blocks, big-endian headers) ----
@@ -78,9 +78,10 @@ object Zarr3Queries {
     dataType = "uint32", gzipped = true)
 
   def ensureN5(s: SparkSession, sfDir: String): Unit = synchronized {
-    val marker = Paths.get(Root, ".built_n5_from")
-    if (Files.exists(marker) && Files.readString(marker) == sfDir) return
     RealLayerQueries.ensure(s, sfDir)
+    val want = RealLayerQueries.stamp
+    val marker = Paths.get(Root, ".built_n5_from")
+    if (Files.exists(marker) && Files.readString(marker) == want) return
     val n5root = Paths.get(N5Dir)
     if (Files.exists(n5root)) {
       import scala.jdk.CollectionConverters._
@@ -113,7 +114,7 @@ object Zarr3Queries {
       }.toDF("gx", "gy", "gz", "vox")
     graft.sources.N5IO.writeMeta(N5Dir, n5meta)
     graft.sources.N5IO.writeBlocks(chunks, N5Dir, n5meta)
-    Files.writeString(marker, sfDir)
+    Files.writeString(marker, want)
   }
 
   // ---- zarr2 sibling (zlib compressor, dot-separated chunk names) ----
@@ -125,9 +126,10 @@ object Zarr3Queries {
     dtype = "<u4", fillValue = 0L, zlib = true)
 
   def ensureZarr2(s: SparkSession, sfDir: String): Unit = synchronized {
-    val marker = Paths.get(Root, ".built_z2_from")
-    if (Files.exists(marker) && Files.readString(marker) == sfDir) return
     ensure(s, sfDir) // reuses the zarr3 full-chunk assembly below
+    val want = RealLayerQueries.stamp
+    val marker = Paths.get(Root, ".built_z2_from")
+    if (Files.exists(marker) && Files.readString(marker) == want) return
     val z2root = Paths.get(Zarr2Dir)
     if (Files.exists(z2root)) {
       import scala.jdk.CollectionConverters._
@@ -136,7 +138,7 @@ object Zarr3Queries {
     }
     graft.sources.Zarr2IO.writeMeta(Zarr2Dir, z2meta)
     graft.sources.Zarr2IO.writeChunks(fullChunks(s), Zarr2Dir, z2meta)
-    Files.writeString(marker, sfDir)
+    Files.writeString(marker, want)
   }
 
   val queries: Map[String, Q] = Map(
