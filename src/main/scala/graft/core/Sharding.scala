@@ -51,6 +51,31 @@ final case class ShardingSpec(
   }
 }
 
+object ShardingSpec {
+  /** Static flat-arg shard/minishard computation for codegen callsites
+    * (graft.functions — Janino resolves these through the static
+    * forwarders on `graft.core.ShardingSpec`).
+    */
+  def shardOf(label: Long, preshiftBits: Int, minishardBits: Int,
+      shardBits: Int, mmh3: Boolean): Long = {
+    val chunkId = hashOf(label, preshiftBits, mmh3)
+    val minishardMask = if (minishardBits == 0) 0L else (1L << minishardBits) - 1L
+    val full = (1L << (minishardBits + shardBits)) - 1L
+    ((chunkId & (full ^ minishardMask)) >>> minishardBits)
+  }
+
+  def minishardOf(label: Long, preshiftBits: Int, minishardBits: Int,
+      mmh3: Boolean): Long = {
+    val chunkId = hashOf(label, preshiftBits, mmh3)
+    chunkId & (if (minishardBits == 0) 0L else (1L << minishardBits) - 1L)
+  }
+
+  private def hashOf(label: Long, preshiftBits: Int, mmh3: Boolean): Long = {
+    val v = label >>> preshiftBits
+    if (mmh3) MurmurHash3_128.hashUint64LE(v) else v
+  }
+}
+
 object ShardIndex {
   /** Delta-encode an ascending label list: first label absolute, then
     * successive differences (sharding.py:902-932).

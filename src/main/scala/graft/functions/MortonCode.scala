@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{DataType, LongType}
+import graft.core.{Morton, MurmurHash3_128, ShardingSpec}
 
 /** Native Catalyst expression for the compressed morton code (F1,
   * datasource/precomputed/common.py:55-86) — SURVEY §2.10's top custom
@@ -14,9 +15,25 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * longs (no boxing, no serialized closure, null-safety handled by the
   * generated prologue).
   */
-case class MortonCodeExpr(children: Seq[Expression]) extends Expression {
+case class MortonCodeExpr(children: Seq[Expression]) extends StaticLongCallExpr {
   require(children.length == 6,
     "graft_morton(gx, gy, gz, nx, ny, nz) takes 6 arguments")
+  override def staticCall: String = "graft.core.Morton.encodeRaw"
+  override def evalStatic(args: Seq[Long]): Long =
+    Morton.encodeRaw(args(0), args(1), args(2), args(3), args(4), args(5))
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
+/** Shared shape for the codegen'd long-valued expression family
+  * (§2.10: morton_code, mmh3_64, shard_location): children evaluate to
+  * longs, the result is one static call with primitive args.
+  */
+abstract class StaticLongCallExpr extends Expression {
+  /** Fully-qualified static method the generated code calls. */
+  def staticCall: String
+  def evalStatic(args: Seq[Long]): Long
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = children.exists(_.nullable)
@@ -24,10 +41,7 @@ case class MortonCodeExpr(children: Seq[Expression]) extends Expression {
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val vs = children.map(_.eval(input))
     if (vs.contains(null)) null
-    else graft.core.Morton.encodeRaw(
-      vs(0).asInstanceOf[Long], vs(1).asInstanceOf[Long],
-      vs(2).asInstanceOf[Long], vs(3).asInstanceOf[Long],
-      vs(4).asInstanceOf[Long], vs(5).asInstanceOf[Long])
+    else evalStatic(vs.map(_.asInstanceOf[Long]))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -40,31 +54,84 @@ case class MortonCodeExpr(children: Seq[Expression]) extends Expression {
       |boolean ${ev.isNull} = $anyNull;
       |long ${ev.value} = -1L;
       |if (!${ev.isNull}) {
-      |  ${ev.value} = graft.core.Morton.encodeRaw($args);
+      |  ${ev.value} = $staticCall($args);
       |}""".stripMargin)
   }
+}
 
+/** F2: murmurhash3_x86_128 low-64 of the uint64-LE bytes (the sharded
+  * format's hash, mmh3.py; sharding.py:77).
+  */
+case class Mmh3Expr(children: Seq[Expression]) extends StaticLongCallExpr {
+  require(children.length == 1, "graft_mmh3(label) takes 1 argument")
+  override def staticCall: String = "graft.core.MurmurHash3_128.hashUint64LE"
+  override def evalStatic(args: Seq[Long]): Long =
+    MurmurHash3_128.hashUint64LE(args.head)
   override protected def withNewChildrenInternal(
-      newChildren: IndexedSeq[Expression]): Expression =
-    copy(children = newChildren)
+      newChildren: IndexedSeq[Expression]): Expression = copy(newChildren)
+}
+
+/** F3: shard number of a label
+  * (graft_shard_of(label, preshift, minishardBits, shardBits, mmh3)).
+  */
+case class ShardOfExpr(children: Seq[Expression]) extends StaticLongCallExpr {
+  require(children.length == 5, "graft_shard_of takes 5 arguments")
+  override def staticCall: String = "graft.functions.ShardOfExpr.call"
+  override def evalStatic(args: Seq[Long]): Long =
+    ShardOfExpr.call(args(0), args(1), args(2), args(3), args(4))
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(newChildren)
+}
+
+object ShardOfExpr {
+  def call(label: Long, pre: Long, msb: Long, sb: Long, mmh3: Long): Long =
+    ShardingSpec.shardOf(label, pre.toInt, msb.toInt, sb.toInt, mmh3 != 0L)
+}
+
+/** F3: minishard number of a label
+  * (graft_minishard_of(label, preshift, minishardBits, mmh3)).
+  */
+case class MinishardOfExpr(children: Seq[Expression]) extends StaticLongCallExpr {
+  require(children.length == 4, "graft_minishard_of takes 4 arguments")
+  override def staticCall: String = "graft.functions.MinishardOfExpr.call"
+  override def evalStatic(args: Seq[Long]): Long =
+    MinishardOfExpr.call(args(0), args(1), args(2), args(3))
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(newChildren)
+}
+
+object MinishardOfExpr {
+  def call(label: Long, pre: Long, msb: Long, mmh3: Long): Long =
+    ShardingSpec.minishardOf(label, pre.toInt, msb.toInt, mmh3 != 0L)
 }
 
 /** Registration: per-session (runtime) or via
   * `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 object GraftFunctions {
-  val mortonInfo = new ExpressionInfo(classOf[MortonCodeExpr].getName,
-    "graft_morton")
+  private def info(name: String, cls: Class[_]) =
+    new ExpressionInfo(cls.getName, name)
+
+  val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_morton", info("graft_morton", classOf[MortonCodeExpr]),
+      (args: Seq[Expression]) => MortonCodeExpr(args)),
+    ("graft_mmh3", info("graft_mmh3", classOf[Mmh3Expr]),
+      (args: Seq[Expression]) => Mmh3Expr(args)),
+    ("graft_shard_of", info("graft_shard_of", classOf[ShardOfExpr]),
+      (args: Seq[Expression]) => ShardOfExpr(args)),
+    ("graft_minishard_of", info("graft_minishard_of", classOf[MinishardOfExpr]),
+      (args: Seq[Expression]) => MinishardOfExpr(args)))
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_morton"), mortonInfo,
-      (args: Seq[Expression]) => MortonCodeExpr(args))
+    all.foreach { case (name, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), inf, builder)
+    }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction((FunctionIdentifier("graft_morton"),
-      GraftFunctions.mortonInfo,
-      (args: Seq[Expression]) => MortonCodeExpr(args)))
+    GraftFunctions.all.foreach { case (name, inf, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), inf, builder))
+    }
 }

@@ -328,16 +328,15 @@ object VolumeQueries {
     // F3/S6: shard location with identity hash (sharding.py:154-162)
     "f3_shard_location" -> Q(
       (s, dir) => {
-        val spec = graft.core.ShardingSpec(preshiftBits = 2, minishardBits = 3,
-          shardBits = 3)
-        val locUdf = udf((label: Long) => {
-          val (sh, mini) = spec.shardLocation(label)
-          (sh, mini, spec.shardFilename(sh))
-        })
+        // shard/minishard via the native codegen'd expressions
+        // (graft.functions, §2.10); only the hex filename render stays
+        // a built-in format_string
+        graft.functions.GraftFunctions.register(s)
         voxels(s, dir).select("label").distinct()
-          .withColumn("loc", locUdf(col("label")))
-          .select(col("label"), col("loc._1").as("shard_no"),
-            col("loc._2").as("minishard_no"), col("loc._3").as("shard_file"))
+          .withColumn("shard_no", expr("graft_shard_of(label, 2, 3, 3, 0)"))
+          .withColumn("minishard_no", expr("graft_minishard_of(label, 2, 3, 0)"))
+          .withColumn("shard_file",
+            concat(format_string("%x", col("shard_no")), lit(".shard")))
       },
       Some(s"""WITH $VoxelsCte,
         |u AS (SELECT DISTINCT label FROM voxels)

@@ -34,6 +34,26 @@ class MortonExprSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_mmh3 / graft_shard_of match the core implementations") {
+    val s = spark
+    graft.functions.GraftFunctions.register(s)
+    import graft.core.ShardingSpec
+    val spec = ShardingSpec(preshiftBits = 2, minishardBits = 3,
+      shardBits = 3, hashName = "murmurhash3_x86_128")
+    val rows = s.sql(
+      """SELECT id, graft_mmh3(id) AS h,
+        |  graft_shard_of(id, 2, 3, 3, 1) AS sh,
+        |  graft_minishard_of(id, 2, 3, 1) AS msn
+        |FROM range(0, 100)""".stripMargin).collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) === graft.core.MurmurHash3_128.hashUint64LE(id))
+      val (sh, msn) = spec.shardLocation(id)
+      assert(r.getLong(2) === sh)
+      assert(r.getLong(3) === msn)
+    }
+  }
+
   test("graft_morton propagates nulls") {
     val s = spark
     graft.functions.GraftFunctions.register(s)
