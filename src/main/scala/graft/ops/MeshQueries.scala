@@ -219,9 +219,10 @@ object MeshQueries {
     }.toSeq)
 
   /** Decoded global vertex table (segid, vid, x, y, z). */
-  def globalVertices(s: SparkSession): DataFrame =
-    fragmentRows(s)
-      .select(col("segid"), col("off"),
+  def globalVertices(s: SparkSession): DataFrame = verticesOf(fragmentRows(s))
+
+  private def verticesOf(fr: DataFrame): DataFrame =
+    fr.select(col("segid"), col("off"),
         explode(vertRowsUdf(col("verts"))).as("v"))
       .select(col("segid"), (col("off") + col("v._1")).as("vid"),
         col("v._2").as("x"), col("v._3").as("y"), col("v._4").as("z"))
@@ -229,9 +230,10 @@ object MeshQueries {
   /** Decoded global face table (segid, fid, v0, v1, v2) with
     * concatenation index offsets applied (mesh.py:129-146).
     */
-  def globalFaces(s: SparkSession): DataFrame =
-    fragmentRows(s)
-      .select(col("segid"), col("frag"), col("off"),
+  def globalFaces(s: SparkSession): DataFrame = facesOf(fragmentRows(s))
+
+  private def facesOf(fr: DataFrame): DataFrame =
+    fr.select(col("segid"), col("frag"), col("off"),
         explode(faceRowsUdf(col("faces"))).as("f"))
       .withColumn("fid", (row_number().over(
         Window.partitionBy("segid").orderBy("frag", "f._1")) - 1).cast("long"))
@@ -265,11 +267,13 @@ object MeshQueries {
     "a6_mesh_consolidate" -> Q(
       (s, dir) => {
         ensure(s, dir)
-        val verts = globalVertices(s)
+        // one decode pass feeds both the vertex rank map and the faces
+        val fr = fragmentRows(s).localCheckpoint()
+        val verts = verticesOf(fr)
         val ranked = verts.withColumn("nidx", (dense_rank().over(
           Window.partitionBy("segid").orderBy("x", "y", "z")) - 1).cast("long"))
           .select(col("segid"), col("vid"), col("nidx"))
-        val faces = globalFaces(s)
+        val faces = facesOf(fr)
         // the rank map is mesh-metadata-sized -> broadcast hash joins
         def m(c: String) = broadcast(ranked
           .withColumnRenamed("vid", c)
@@ -295,16 +299,17 @@ object MeshQueries {
     "p9_mesh_crop" -> Q(
       (s, dir) => {
         ensure(s, dir)
+        val fr = fragmentRows(s).localCheckpoint()
         val keepCond = col("x").between(1, 5) && col("y").between(1, 4) &&
           col("z").between(1, 3)
-        val kept = globalVertices(s).filter(keepCond)
+        val kept = verticesOf(fr).filter(keepCond)
           .withColumn("nvid", (row_number().over(
             Window.partitionBy("segid").orderBy("vid")) - 1).cast("long"))
           .select(col("segid"), col("vid"), col("nvid"))
         def m(c: String) = broadcast(kept
           .withColumnRenamed("vid", c)
           .withColumnRenamed("nvid", s"n$c"))
-        globalFaces(s)
+        facesOf(fr)
           .join(m("v0"), Seq("segid", "v0"))
           .join(m("v1"), Seq("segid", "v1"))
           .join(m("v2"), Seq("segid", "v2"))

@@ -106,8 +106,16 @@ object TextQueries {
       |  AS simhash FROM bs)""".stripMargin
 
   // (a, b) coefficients of the 4 minhash permutations
-  private val MinhashFns = Seq((3L, 1L), (5L, 8L), (7L, 15L), (9L, 22L))
+  private val MinhashFns = Seq(
+    (3L, 1L), (5L, 8L), (7L, 15L), (9L, 22L),
+    (11L, 29L), (13L, 36L), (17L, 43L), (19L, 50L))
   private val P = 2147483647L
+  /** LSH banding: rows-per-band = 2 -> NumBands bands over the
+    * signature. The (band count, row count) pair sets the match
+    * S-curve; 8 perms x 4 bands is the standard small config rather
+    * than a toy 4x2.
+    */
+  private val NumBands = MinhashFns.length / 2
   // LSH mega-bucket cap: band buckets above this size are degenerate
   // (boilerplate keys) and dropped before the candidate self-join
   private val MaxBucket = 100L
@@ -140,10 +148,11 @@ object TextQueries {
         // and both sides of the candidate self-join — materialize the
         // shingle+minhash pipeline once instead of 4x (at cluster
         // scale this is persist() on the signature table)
-        val bands = mh.select(col("doc_id"), lit(1L).as("bid"),
-            concat_ws("_", col("mh0"), col("mh1")).as("band"))
-          .unionAll(mh.select(col("doc_id"), lit(2L).as("bid"),
-            concat_ws("_", col("mh2"), col("mh3")).as("band")))
+        val bands = (0 until NumBands).map { b =>
+          mh.select(col("doc_id"), lit(b.toLong + 1).as("bid"),
+            concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))
+              .as("band"))
+        }.reduce(_ unionAll _)
           .localCheckpoint()
         // Mega-bucket guard: a degenerate band key (boilerplate-heavy
         // corpus) makes the self-join quadratic on that key. Cap bucket
@@ -168,9 +177,10 @@ object TextQueries {
             s"  min((hv * $a + $b) % $P) AS mh$i" }.mkString(",\n")}
         |  FROM hv GROUP BY doc_id),
         |bands AS (
-        |  SELECT doc_id, 1 AS bid, mh0 || '_' || mh1 AS band FROM mh
-        |  UNION ALL
-        |  SELECT doc_id, 2 AS bid, mh2 || '_' || mh3 AS band FROM mh),
+        |${(0 until NumBands).map { b =>
+            s"  SELECT doc_id, ${b + 1} AS bid, " +
+              s"mh${2 * b} || '_' || mh${2 * b + 1} AS band FROM mh"
+          }.mkString("\n  UNION ALL\n")}),
         |ok AS (SELECT bid, band FROM bands GROUP BY bid, band
         |       HAVING count(*) <= $MaxBucket),
         |sized AS (SELECT b.* FROM bands b JOIN ok
