@@ -91,6 +91,73 @@ object StreamQueries {
         |         AS sum_vc
         |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // §2.9 time-axis ingest: the zarr3 t-chunked write as a micro-batch
+    // sink (zarr3/metadata.py:211-261 — "a t-chunked write is a
+    // micro-batch sink partitioned by time chunk"). Events aggregate
+    // into 16x16 per-hour count frames; foreachBatch writes one frame
+    // object per time chunk; the frames are then read back and decoded
+    // like any chunk table.
+    "st3_time_chunked_ingest" -> Q(
+      (s, dir) => {
+        val src = stageEvents(s, dir)
+        val frameDir = Paths.get(Root, "tchunks")
+        if (Files.exists(frameDir)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(frameDir).iterator.asScala.toSeq.reverse
+            .foreach(p => Files.deleteIfExists(p))
+        }
+        Files.createDirectories(frameDir)
+        val frameDirStr = frameDir.toString
+        val schema = s.read.parquet(src).schema
+        val frames = s.readStream.schema(schema).parquet(src)
+          .select((col("ts") / 3600000000000L).cast("long").as("t"),
+            (col("user_id") % 16).cast("long").as("fx"),
+            (length(col("event_type")) % 16).cast("long").as("fy"))
+          .groupBy("t", "fx", "fy").agg(count(lit(1)).as("n"))
+        val q = frames.writeStream
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            // one dense 16x16 u32 frame object per time chunk
+            batch.groupBy("t")
+              .agg(collect_list(struct(col("fx"), col("fy"), col("n")))
+                .as("cells"))
+              .foreachPartition {
+                rows: Iterator[org.apache.spark.sql.Row] =>
+                rows.foreach { r =>
+                  val arr = new Array[Long](256)
+                  r.getSeq[org.apache.spark.sql.Row](1).foreach { c =>
+                    arr((c.getLong(0) + 16 * c.getLong(1)).toInt) = c.getLong(2)
+                  }
+                  Files.write(
+                    Paths.get(frameDirStr, s"t${r.getLong(0)}"),
+                    graft.core.Codec.encodeRawFromLongs(arr, 4))
+                }
+              }
+          }
+          .start()
+        q.awaitTermination()
+        // batch read-back: decode every frame, emit nonzero cells
+        import s.implicits._
+        import scala.jdk.CollectionConverters._
+        val names = Files.list(frameDir).iterator.asScala
+          .map(_.getFileName.toString).filter(_.startsWith("t")).toSeq.sorted
+        names.toDS().repartition(8)
+          .flatMap { nme =>
+            val t = nme.drop(1).toLong
+            val arr = graft.core.Codec.decodeRawToLongs(
+              Files.readAllBytes(Paths.get(frameDirStr, nme)), 4)
+            arr.indices.collect {
+              case i if arr(i) != 0 =>
+                (t, (i % 16).toLong, (i / 16).toLong, arr(i))
+            }
+          }.toDF("t", "fx", "fy", "n")
+      },
+      Some("""SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS t,
+        |       user_id % 16 AS fx, length(event_type) % 16 AS fy,
+        |       count(*) AS n
+        |FROM events GROUP BY 1, 2, 3""".stripMargin)),
+
     // §2.9 chunk-arrival ingestion: stream the real layer's chunk
     // objects, decode labels, maintain streaming distinct state
     "st2_stream_chunk_labels" -> Q(
