@@ -171,6 +171,48 @@ object Codec {
     out
   }
 
+  /** F10 JPEG codec for uint8 image chunks (chunks.py:286-301
+    * encode_jpeg; same as2d reshape as png). LOSSY — the reference
+    * treats jpeg layers as approximate (test_cloudvolume lossy
+    * transfers); round-trips bound the error, never assert equality.
+    */
+  def encodeJpeg(voxels: Array[Byte], sx: Int, quality: Float = 0.85f)
+      : Array[Byte] = {
+    require(voxels.length % sx == 0)
+    val h = voxels.length / sx
+    val img = new java.awt.image.BufferedImage(
+      sx, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, sx, h, voxels)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val bos = new ByteArrayOutputStream(voxels.length / 4 + 64)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  def decodeJpeg(payload: Array[Byte]): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(payload))
+    val gray =
+      if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) img
+      else {
+        val g = new java.awt.image.BufferedImage(img.getWidth, img.getHeight,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val gr = g.createGraphics()
+        gr.drawImage(img, 0, 0, null)
+        gr.dispose()
+        g
+      }
+    val out = new Array[Byte](gray.getWidth * gray.getHeight)
+    gray.getRaster.getDataElements(0, 0, gray.getWidth, gray.getHeight, out)
+    out
+  }
+
   /** Default second-stage compression per encoding
     * (datasource/precomputed/common.py:18-29 should_compress): lossless
     * voxel codecs get gzip; already-compressed image codecs get none.

@@ -46,6 +46,21 @@ class FormatSpec extends AnyFunSuite {
     assert(Codec.decodePng(png).toSeq === vox.toSeq)
   }
 
+  test("jpeg codec round-trips with bounded error (lossy by design)") {
+    // smooth gradient — jpeg's friendly case; assert bounded error and
+    // exact dimensions, never equality (chunks.py jpeg is lossy)
+    val sx = 64
+    val vox = Array.tabulate(sx * 64)(i => ((i / sx) * 4 % 256).toByte)
+    val jpg = Codec.encodeJpeg(vox, sx)
+    assert(jpg.take(2).toSeq === Seq[Byte](-1, -40)) // SOI marker
+    val back = Codec.decodeJpeg(jpg)
+    assert(back.length === vox.length)
+    val meanErr = vox.zip(back)
+      .map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }.sum.toDouble /
+      vox.length
+    assert(meanErr < 4.0, s"mean abs error $meanErr")
+  }
+
   test("zstd second-stage round-trip") {
     val data = Array.tabulate(100000)(i => (i % 97).toByte)
     val z = Codec.zstd(data)
