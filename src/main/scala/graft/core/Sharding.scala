@@ -82,7 +82,9 @@ object ShardIndex {
     */
   def deltaEncode(labels: Seq[Long]): Seq[Long] =
     if (labels.isEmpty) Seq.empty
-    else labels.head +: labels.sliding(2).map { case Seq(a, b) => b - a }.toSeq
+    // note: sliding(2) on a 1-element list yields a single 1-element
+    // window, so pair off explicitly (a singleton list is just its head)
+    else labels.head +: labels.zip(labels.tail).map { case (a, b) => b - a }
 
   /** Inverse: cumulative sum (sharding.py:401-417). */
   def deltaDecode(deltas: Seq[Long]): Seq[Long] =
