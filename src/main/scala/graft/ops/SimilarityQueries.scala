@@ -242,6 +242,85 @@ object SimilarityQueries {
         |  FROM scored)
         |SELECT qid, cid, rank, cosine FROM ranked WHERE rank <= 5""".stripMargin)),
 
+    // ANN top-k via IVF (the coarse-quantizer scale path alongside
+    // LSH): 10 fixed seed centroids (every 50th vector — deterministic,
+    // so the oracle can replay the quantizer), each corpus vector is
+    // assigned to its nearest centroid by exact integer L2 (inverted
+    // lists = a bucketed table); a query probes its nProbe=2 nearest
+    // cells and exact-cosine ranks only those lists. At scale the
+    // assignment is one broadcast-centroids narrow map and the probe
+    // touches ~nProbe/nCells of the corpus.
+    "sim_topk_ivf" -> Q(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+          .select(col("vec_id"), expr(QuantExpr).as("q"))
+          .withColumn("nrm", expr("aggregate(q, 0L, (acc, v) -> acc + v * v)"))
+        val cents = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("cid_c"), col("q").as("qc"))
+        // exact integer squared-L2 to every centroid; keep rank info
+        def dist2(qa: String, qb: String) = expr(
+          s"aggregate(zip_with($qa, $qb, (x, y) -> (x - y) * (x - y)), " +
+            "0L, (acc, v) -> acc + v)")
+        val assigned = e.crossJoin(broadcast(cents))
+          .withColumn("d2", dist2("q", "qc"))
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+              .orderBy(col("d2"), col("cid_c"))))
+        val lists = assigned.filter(col("rk") === 1)
+          .select(col("vec_id"), col("cid_c").as("cell"))
+        val probes = assigned.filter(col("vec_id") < 10 && col("rk") <= 2)
+          .select(col("vec_id").as("qid"), col("cid_c").as("cell"))
+        val cands = probes.join(lists, Seq("cell"))
+          .filter(col("qid") =!= col("vec_id"))
+          .select(col("qid"), col("vec_id").as("cid")).distinct()
+        val qa = e.filter(col("vec_id") < 10).select(
+          col("vec_id").as("qid"), col("q").as("qa"), col("nrm").as("na"))
+        val cb = e.select(col("vec_id").as("cid"), col("q").as("qb"),
+          col("nrm").as("nb"))
+        cands.join(broadcast(qa), Seq("qid")).join(cb, Seq("cid"))
+          .withColumn("cosine", round(
+            expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)") /
+              sqrt(col("na").cast("double") * col("nb").cast("double")), 6))
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("qid")
+              .orderBy(col("cosine").desc, col("cid"))).cast("long"))
+          .filter(col("rank") <= 5)
+          .select("qid", "cid", "rank", "cosine")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |t AS (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS k FROM e),
+        |q AS (SELECT vec_id, k,
+        |        CAST(round(embedding[k]::DOUBLE * 1000) AS BIGINT) AS qv FROM t),
+        |nrm AS (SELECT vec_id, sum(qv * qv) AS nrm FROM q GROUP BY vec_id),
+        |d2 AS (SELECT a.vec_id, c.vec_id AS cid_c,
+        |         sum((qa.qv - qc.qv) * (qa.qv - qc.qv)) AS d2
+        |       FROM e a JOIN e c ON c.vec_id % 50 = 0
+        |       JOIN q qa ON qa.vec_id = a.vec_id
+        |       JOIN q qc ON qc.vec_id = c.vec_id AND qc.k = qa.k
+        |       GROUP BY a.vec_id, c.vec_id),
+        |rk AS (SELECT vec_id, cid_c, row_number() OVER (
+        |         PARTITION BY vec_id ORDER BY d2, cid_c) AS rk FROM d2),
+        |lists AS (SELECT vec_id, cid_c AS cell FROM rk WHERE rk = 1),
+        |probes AS (SELECT vec_id AS qid, cid_c AS cell FROM rk
+        |           WHERE vec_id < 10 AND rk <= 2),
+        |cand AS (SELECT DISTINCT p.qid, l.vec_id AS cid
+        |         FROM probes p JOIN lists l ON l.cell = p.cell
+        |         WHERE l.vec_id <> p.qid),
+        |pairs AS (SELECT c.qid, c.cid, sum(qa.qv * qb.qv) AS dot
+        |          FROM cand c
+        |          JOIN q qa ON qa.vec_id = c.qid
+        |          JOIN q qb ON qb.vec_id = c.cid AND qb.k = qa.k
+        |          GROUP BY c.qid, c.cid),
+        |scored AS (SELECT qid, cid,
+        |    round(dot / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)), 6)
+        |      AS cosine
+        |  FROM pairs JOIN nrm na ON na.vec_id = qid
+        |  JOIN nrm nb ON nb.vec_id = cid),
+        |ranked AS (SELECT qid, cid, cosine, CAST(row_number() OVER (
+        |    PARTITION BY qid ORDER BY cosine DESC, cid) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT qid, cid, rank, cosine FROM ranked WHERE rank <= 5""".stripMargin)),
+
     // Embedding near-dup pairs above a cosine threshold.
     // Scale-safe: candidates come from LSH buckets (4 hash tables of
     // 8 signed-random-hyperplane bits each, OR-amplified — a pair is a
