@@ -159,6 +159,45 @@ object MultimodalOps {
         |       CAST(sum(pv) AS BIGINT) AS pooled_sum
         |FROM px GROUP BY doc_id, h""".stripMargin)),
 
+    // mm audio energy: payload as u8 "samples" around a 128 midpoint,
+    // per-256-sample-window energy (sum of squared deviations) — the
+    // windowed feature pass of an audio ingest, integer-exact
+    "mm_audio_energy" -> Q(
+      (s, dir) => {
+        val media = mediaTable(s, dir)
+        val sess = media.sparkSession
+        import sess.implicits._
+        media.as[MediaRow].mapPartitions { rows =>
+          rows.flatMap { r =>
+            val wsz = 256
+            val nw = (r.payload.length + wsz - 1) / wsz
+            (0 until nw).map { w =>
+              var energy = 0L
+              var i = w * wsz
+              val end = math.min((w + 1) * wsz, r.payload.length)
+              while (i < end) {
+                val d = (r.payload(i) & 0xffL) - 128L
+                energy += d * d
+                i += 1
+              }
+              (r.doc_id, w.toLong, energy)
+            }
+          }
+        }.toDF("doc_id", "window_idx", "energy")
+      },
+      Some("""WITH d AS (SELECT doc_id, text, length(text) AS len,
+        |         (length(text) + 255) // 256 AS nw FROM documents),
+        |w AS (SELECT doc_id, text, len, unnest(range(0, nw)) AS wi FROM d),
+        |b AS (SELECT doc_id, wi, text,
+        |        unnest(range(wi * 256, least((wi + 1) * 256, len))) AS i
+        |      FROM w),
+        |e AS (SELECT doc_id, wi,
+        |        sum((unicode(substr(text, i + 1, 1)) - 128)
+        |            * (unicode(substr(text, i + 1, 1)) - 128)) AS energy
+        |      FROM b GROUP BY doc_id, wi)
+        |SELECT doc_id, wi AS window_idx, CAST(energy AS BIGINT) AS energy
+        |FROM e""".stripMargin)),
+
     // mm frame sampling: every 3rd 64-byte frame, per-frame byte sums
     "mm_frame_sample" -> Q(
       (s, dir) => sampleFrames(mediaTable(s, dir)),
