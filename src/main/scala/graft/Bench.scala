@@ -108,11 +108,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Fixture construction is test setup, not operator work: build the
-    // real-layer fixtures once up front so the first query measured
-    // (alphabetically a10_counts in r02: 13.5 s of which ~13 s was
-    // fixture build) times only its own pipeline.
-    graft.ops.RealLayerQueries.ensure(spark, sfDir)
+    // Fixture construction is test setup, not operator work: build
+    // EVERY fixture family once up front so the first query of each
+    // family (alphabetically a10_counts in r02: 13.5 s of which ~13 s
+    // was fixture build) times only its own pipeline.
+    graft.ops.Fixtures.ensureAll(spark, sfDir)
     // JIT/codegen warmup so the first timed query isn't charged
     // Spark's first-job setup (the driver compares per-query seconds)
     SparkEntry.queries.get("q1_pricing").foreach(_(spark, sfDir).count())

@@ -43,13 +43,12 @@ object CloudPath {
       throw new IllegalArgumentException(s"no protocol in $cloudpath"))
     val (fmt, proto, rest) =
       if (AllowedProtocols.contains(tok1)) {
-        // a format token AFTER the protocol is an error, e.g.
-        // gs://graphene:// (paths.py:117-118)
+        // ANY scheme token after the protocol is an error — known
+        // formats are misordered (gs://graphene://, paths.py:117-118)
+        // and unknown ones would silently become a garbage bucket
         popProtocol(rest1)._1.foreach { second =>
-          if (AllowedFormats.contains(second) ||
-            AllowedProtocols.contains(second))
-            throw new IllegalArgumentException(
-              s"misordered scheme tokens in $cloudpath")
+          throw new IllegalArgumentException(
+            s"unexpected scheme token $second:// after protocol in $cloudpath")
         }
         ("precomputed", tok1, rest1)
       }

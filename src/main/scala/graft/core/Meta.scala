@@ -87,7 +87,14 @@ final case class VolumeMeta(
       resolution = res,
       chunkSize = Geom.findClosestDivisor(full.chunkSize, Vec3(64, 64, 64)),
       voxelOffset = full.voxelOffset.floorDiv(factor),
-      size = full.size.ceilDiv(factor))
+      size = full.size.ceilDiv(factor),
+      // the reference's newscale dict carries none of these
+      // (metadata.py:803-809): rois are mip-0-coordinate boxes, locks
+      // are per-mip, sharding is per-scale — leaking them would lock
+      // or mis-mask the derived mip
+      locked = false,
+      rois = None,
+      sharding = None)
   }
 }
 

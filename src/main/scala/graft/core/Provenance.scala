@@ -48,7 +48,11 @@ object Provenance {
     val so = root.putArray("sources"); p.sources.foreach(so.add)
     val pr = root.putArray("processing")
     p.processing.foreach { e =>
-      if (e.trim.startsWith("{")) pr.add(om.readTree(e)) else pr.add(e)
+      val t = e.trim
+      // re-embed any canonical-JSON entry (object OR array) so the
+      // commit round-trip preserves the original JSON type
+      if (t.startsWith("{") || t.startsWith("[")) pr.add(om.readTree(e))
+      else pr.add(e)
     }
     val ow = root.putArray("owners"); p.owners.foreach(ow.add)
     om.writerWithDefaultPrettyPrinter.writeValueAsString(root)

@@ -38,10 +38,24 @@ abstract class StaticLongCallExpr extends Expression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = children.exists(_.nullable)
 
+  /** Widen integral inputs like the codegen path does (Java widens int
+    * args into the long-typed static call) — otherwise interpreted
+    * eval (ConstantFolding on int literals) would ClassCastException
+    * while the compiled path silently worked.
+    */
+  private def toLong(v: Any): Long = v match {
+    case l: java.lang.Long => l
+    case i: java.lang.Integer => i.toLong
+    case s: java.lang.Short => s.toLong
+    case b: java.lang.Byte => b.toLong
+    case other => throw new IllegalArgumentException(
+      s"$prettyName expects integral arguments, got ${other.getClass}")
+  }
+
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val vs = children.map(_.eval(input))
     if (vs.contains(null)) null
-    else evalStatic(vs.map(_.asInstanceOf[Long]))
+    else evalStatic(vs.map(toLong))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {

@@ -70,7 +70,11 @@ object ChunkEngine {
               b.head._3 == gz) {
               val r = b.next()
               // same-vidx collisions arrive adjacent (sorted): max wins
-              if (r._5 > vox(r._4)) vox(r._4) = r._5
+              // — UNSIGNED max, so uint64 labels >= 2^63 (negative as
+              // Long) still beat the 0 background (uint64 policy;
+              // signed compare would silently drop them)
+              if (java.lang.Long.compareUnsigned(r._5, vox(r._4)) > 0)
+                vox(r._4) = r._5
             }
             (gx, gy, gz, Codec.encodeRawFromLongs(vox, dtypeBytes))
           }

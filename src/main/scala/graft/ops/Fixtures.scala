@@ -1,0 +1,20 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+
+/** Pre-build every fixture family (bench setup): fixture construction
+  * is test scaffolding, not operator work, so the bench hoists it out
+  * of the per-query timings for ALL families, not just the real layer.
+  */
+object Fixtures {
+  def ensureAll(s: SparkSession, sfDir: String): Unit = {
+    RealLayerQueries.ensure(s, sfDir)
+    MeshQueries.ensure(s, sfDir)
+    AnnotationQueries.ensure(s, sfDir)
+    SkeletonQueries.ensureSharded(s, sfDir) // also builds the unsharded set
+    SpatialIndexQueries.ensure(s, sfDir)
+    Zarr3Queries.ensureZarr2(s, sfDir) // also builds the zarr3 array
+    Zarr3Queries.ensureN5(s, sfDir)
+    StreamQueries.prepare(s, sfDir)
+  }
+}

@@ -30,6 +30,9 @@ object StreamQueries {
 
   private val Root = "/tmp/graft_stream"
 
+  /** Bench setup hook: stage the stream-source directory up front. */
+  def prepare(s: SparkSession, sfDir: String): Unit = stageEvents(s, sfDir)
+
   /** Stage events.parquet into a stream-source directory (file stream
     * sources consume directories).
     */
@@ -74,8 +77,9 @@ object StreamQueries {
         val schema = s.read.parquet(src).schema
         val stream = s.readStream.schema(schema).parquet(src)
           // ts arrives as raw nanos (legacy nanosAsLong); floor to
-          // micros for an event-time column
-          .select(timestamp_micros((col("ts") / 1000).cast("long")).as("ets"),
+          // micros with INTEGRAL division — `/` on longs goes through
+          // double (exact only below 2^53; epoch-nanos are ~1.7e18)
+          .select(timestamp_micros(expr("ts div 1000")).as("ets"),
             col("event_type"),
             round(col("value") * 100).cast("long").as("vc"))
           .groupBy(window(col("ets"), "1 hour"), col("event_type"))
@@ -110,7 +114,8 @@ object StreamQueries {
         val frameDirStr = frameDir.toString
         val schema = s.read.parquet(src).schema
         val frames = s.readStream.schema(schema).parquet(src)
-          .select((col("ts") / 3600000000000L).cast("long").as("t"),
+          // integral hour bucket (see st1: long `/` is double-backed)
+          .select(expr("ts div 3600000000000").as("t"),
             (col("user_id") % 16).cast("long").as("fx"),
             (length(col("event_type")) % 16).cast("long").as("fy"))
           .groupBy("t", "fx", "fy").agg(count(lit(1)).as("n"))

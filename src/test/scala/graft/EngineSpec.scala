@@ -47,6 +47,19 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("fromVoxels keeps uint64 labels above 2^63 (unsigned max vs background)") {
+    import spark.implicits._
+    val big = java.lang.Long.parseUnsignedLong("9223372036854775813") // 2^63+5
+    val vox = Seq((1L, 2L, 3L, big, 0L), (1L, 2L, 3L, 7L, 0L))
+      .toDF("x", "y", "z", "label", "v")
+    val labels = ChunkEngine.uniqueLabels(ChunkEngine.fromVoxels(vox))
+      .collect().map(_.getLong(0)).toSet
+    // the >= 2^63 label survives assembly AND wins the collision
+    // (unsigned max); signed compare would have dropped it for 7
+    assert(labels.contains(big))
+    assert(!labels.contains(7L))
+  }
+
   test("remap preserves missing and maps present") {
     val chunks = ChunkEngine.fromVoxels(Derived.voxels(spark, sf))
     val remapped = ChunkEngine.remapPayloads(chunks,

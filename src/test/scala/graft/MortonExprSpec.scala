@@ -54,6 +54,16 @@ class MortonExprSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_morton accepts int literals (interpreted constant folding)") {
+    val s = spark
+    graft.functions.GraftFunctions.register(s)
+    // all-literal call is constant-folded through interpreted eval,
+    // which must widen Integer args like codegen does
+    val r = s.sql("SELECT graft_morton(1, 2, 3, 4, 4, 4) AS m").collect()
+    assert(r.head.getLong(0) ===
+      Morton.encode(Vec3(1, 2, 3), Vec3(4, 4, 4)))
+  }
+
   test("graft_morton propagates nulls") {
     val s = spark
     graft.functions.GraftFunctions.register(s)
