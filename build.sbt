@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses the LAST line of runMain output as the JSON
+// result, so (a) don't print "[success] Total time: ..." after the run
+// and (b) pass the forked JVM's stdout through raw instead of
+// re-logging every line with an "[info] " prefix.
+ThisBuild / showSuccess := false
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -19,12 +19,13 @@ object Codec {
     * Fortran order. dtypeBytes in {1,2,4,8}; values are zero-extended
     * (uint semantics) except 8-byte which is passed through.
     */
-  def decodeRawToLongs(payload: Array[Byte], dtypeBytes: Int): Array[Long] = {
+  def decodeRawToLongs(payload: Array[Byte], dtypeBytes: Int,
+      order: ByteOrder = ByteOrder.LITTLE_ENDIAN): Array[Long] = {
     require(payload.length % dtypeBytes == 0,
       s"payload ${payload.length}B not a multiple of $dtypeBytes")
     val n = payload.length / dtypeBytes
     val out = new Array[Long](n)
-    val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    val buf = ByteBuffer.wrap(payload).order(order)
     var i = 0
     dtypeBytes match {
       case 1 => while (i < n) { out(i) = buf.get(i) & 0xffL; i += 1 }
@@ -37,9 +38,10 @@ object Codec {
   }
 
   /** Encode voxels (Fortran order) to raw little-endian bytes. */
-  def encodeRawFromLongs(voxels: Array[Long], dtypeBytes: Int): Array[Byte] = {
+  def encodeRawFromLongs(voxels: Array[Long], dtypeBytes: Int,
+      order: ByteOrder = ByteOrder.LITTLE_ENDIAN): Array[Byte] = {
     val buf = ByteBuffer.allocate(voxels.length * dtypeBytes)
-      .order(ByteOrder.LITTLE_ENDIAN)
+      .order(order)
     var i = 0
     dtypeBytes match {
       case 1 => while (i < voxels.length) { buf.put((voxels(i) & 0xff).toByte); i += 1 }

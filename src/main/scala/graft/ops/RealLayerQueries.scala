@@ -125,7 +125,7 @@ object RealLayerQueries {
     val marker = Paths.get(Root, ".built_from")
     // marker carries a fixture-format version (bump when the layout
     // changes) plus a per-build nonce for downstream staleness checks
-    val markerPrefix = s"$sfDir|v5|" // v5: mip-1 scale no longer leaks rois
+    val markerPrefix = s"$sfDir|v6|" // v6: n5 payload now big-endian
     val markerVal = markerPrefix + System.nanoTime()
     if (Files.exists(marker) &&
       Files.readString(marker).startsWith(markerPrefix) &&

@@ -16,7 +16,9 @@ import graft.core._
   * - block binary: BIG-endian header u16 mode(=0) | u16 ndim |
   *   u32 dims[ndim] (edge blocks carry their clamped dims), then the
   *   (gzip-wrapped) voxel data, F-order like precomputed raw
-  *   (image.py:53-87 — the reference decodes with encoding='raw').
+  *   (image.py:53-87), stored BIG-endian per the canonical N5 spec —
+  *   see encodeBlock for the deliberate deviation from the reference's
+  *   native-endian decode.
   */
 object N5IO {
 
@@ -66,10 +68,16 @@ object N5IO {
         .exists(_.get("type").asText == "gzip"))
   }
 
-  /** Encode one block: big-endian header + (gzip) LE F-order data. */
+  /** Encode one block: big-endian header + (gzip) BIG-endian F-order
+    * data, matching the canonical N5 on-disk format (blocks written by
+    * the standard Java N5 library are big-endian). This deliberately
+    * deviates from the reference, which decodes with numpy's native
+    * (little) endianness (n5/image.py:85) and so would misread
+    * canonical uint16/32/64 N5 volumes.
+    */
   def encodeBlock(vox: Array[Long], dims: Vec3, dtb: Int,
       gzipped: Boolean): Array[Byte] = {
-    val data = Codec.encodeRawFromLongs(vox, dtb)
+    val data = Codec.encodeRawFromLongs(vox, dtb, ByteOrder.BIG_ENDIAN)
     val body = if (gzipped) Codec.gzip(data) else data
     val buf = ByteBuffer.allocate(16 + body.length).order(ByteOrder.BIG_ENDIAN)
     buf.putShort(0) // mode
@@ -90,7 +98,7 @@ object N5IO {
     val dims = Vec3(buf.getInt().toLong, buf.getInt().toLong, buf.getInt().toLong)
     val body = java.util.Arrays.copyOfRange(binary, 16, binary.length)
     val data = if (gzipped) Codec.gunzip(body) else body
-    val vox = Codec.decodeRawToLongs(data, dtb)
+    val vox = Codec.decodeRawToLongs(data, dtb, ByteOrder.BIG_ENDIAN)
     require(vox.length == dims.x * dims.y * dims.z,
       s"block ${vox.length} voxels != ${dims}")
     (dims, vox)

@@ -94,13 +94,21 @@ object Zarr2IO {
     val pts = Geom.gridpoints(bbox, bounds, cs)
     val clip = bbox.intersection(bounds)
     val dirStr = dir
+    val fill = m.fillValue
     import spark.implicits._
     spark.createDataset(pts.map(g => (g.x, g.y, g.z)))
       .repartition(math.max(pts.size / 4, 1))
       .flatMap { case (gx, gy, gz) =>
-        val raw = Files.readAllBytes(Paths.get(dirStr, s"$gx.$gy.$gz"))
-        val vox = Zarr3IO.decodeChunkToF(
-          if (zl) Codec.zlibDecompress(raw) else raw, cs, dtb)
+        val p = Paths.get(dirStr, s"$gx.$gy.$gz")
+        // absent chunk key = fill_value chunk (zarr v2 semantics; the
+        // reference's fill_missing path, zarr2/image.py:55-75)
+        val vox =
+          if (!Files.exists(p)) Array.fill((cs.x * cs.y * cs.z).toInt)(fill)
+          else {
+            val raw = Files.readAllBytes(p)
+            Zarr3IO.decodeChunkToF(
+              if (zl) Codec.zlibDecompress(raw) else raw, cs, dtb)
+          }
         val lo = Vec3(gx * cs.x, gy * cs.y, gz * cs.z)
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
         var z = math.max(lo.z, clip.minpt.z)

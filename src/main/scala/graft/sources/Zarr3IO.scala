@@ -87,6 +87,11 @@ object Zarr3IO {
     val codecNames = (0 until codecs.size).map(codecs.get(_).get("name").asText)
     require(codecNames.headOption.contains("bytes"),
       s"unsupported codec chain $codecNames")
+    // the engine decodes little-endian only; a big-endian array would
+    // otherwise be silently misread, so reject it here
+    val endian = Option(codecs.get(0).get("configuration"))
+      .flatMap(c => Option(c.get("endian"))).map(_.asText).getOrElse("little")
+    require(endian == "little", s"unsupported bytes endian '$endian'")
     Zarr3Meta(
       shape = Vec3(sh.get(0).asLong, sh.get(1).asLong, sh.get(2).asLong),
       chunkShape = Vec3(cs.get(0).asLong, cs.get(1).asLong, cs.get(2).asLong),
@@ -174,13 +179,21 @@ object Zarr3IO {
     val pts = Geom.gridpoints(bbox, bounds, cs)
     val dirStr = dir
     val clip = bbox.intersection(bounds)
+    val fill = m.fillValue
     import spark.implicits._
     spark.createDataset(pts.map(g => (g.x, g.y, g.z)))
       .repartition(math.max(pts.size / 4, 1))
       .flatMap { case (gx, gy, gz) =>
         val p = Paths.get(dirStr, "c", gx.toString, gy.toString, gz.toString)
-        val raw = Files.readAllBytes(p)
-        val vox = decodeChunkToF(if (isGz) Codec.gunzip(raw) else raw, cs, dtb)
+        // zarr defines an absent chunk key as a fill_value-filled chunk
+        // (the reference raises EmptyVolumeException unless
+        // fill_missing; zarr3/image.py:49-139)
+        val vox =
+          if (!Files.exists(p)) Array.fill((cs.x * cs.y * cs.z).toInt)(fill)
+          else {
+            val raw = Files.readAllBytes(p)
+            decodeChunkToF(if (isGz) Codec.gunzip(raw) else raw, cs, dtb)
+          }
         val lo = Vec3(gx * cs.x, gy * cs.y, gz * cs.z)
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
         var z = math.max(lo.z, clip.minpt.z)

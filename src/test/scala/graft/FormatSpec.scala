@@ -1,5 +1,6 @@
 package graft
 
+import java.nio.file.{Files, Paths}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.core._
 
@@ -78,5 +79,31 @@ class FormatSpec extends AnyFunSuite {
     // C-index 1*3*2=6; F-index of that voxel is 1
     val c = Codec.decodeRawToLongs(enc, 4)
     assert(c(6) === f(1))
+  }
+
+  test("zarr3 meta rejects a big-endian bytes codec") {
+    import graft.sources.Zarr3IO
+    val dir = Files.createTempDirectory("zarr3_be").toString
+    Files.writeString(Paths.get(dir, "zarr.json"),
+      """{"zarr_format":3,"node_type":"array","shape":[4,4,4],
+        |"data_type":"uint16",
+        |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[4,4,4]}},
+        |"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},
+        |"fill_value":0,
+        |"codecs":[{"name":"bytes","configuration":{"endian":"big"}}]}"""
+        .stripMargin)
+    val e = intercept[IllegalArgumentException] { Zarr3IO.readMeta(dir) }
+    assert(e.getMessage.contains("endian"))
+  }
+
+  test("n5 block payload is big-endian (canonical spec, not numpy-native)") {
+    import graft.sources.N5IO
+    val vox = Array(0x0102L, 0xBEEFL)
+    val block = N5IO.encodeBlock(vox, Vec3(2, 1, 1), 2, gzipped = false)
+    // 16-byte header then u16 voxels, most significant byte first
+    assert(block.drop(16).toSeq ===
+      Seq[Byte](0x01, 0x02, 0xBE.toByte, 0xEF.toByte))
+    val (dims, back) = N5IO.decodeBlock(block, 2, gzipped = false)
+    assert(dims === Vec3(2, 1, 1) && back.toSeq === vox.toSeq)
   }
 }

@@ -121,6 +121,24 @@ class SourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m2 == meta)
   }
 
+  test("zarr2/zarr3 absent chunk keys read as fill_value") {
+    import graft.sources.{Zarr2IO, Zarr3IO}
+    val z3 = s"$dir/zarr3_fill"
+    Zarr3IO.writeMeta(z3, Zarr3IO.Zarr3Meta(
+      shape = Vec3(4, 4, 4), chunkShape = Vec3(4, 4, 4),
+      dataType = "uint16", fillValue = 7, gzipped = false))
+    val r3 = Zarr3IO.cutoutVoxels(spark, z3, Bbox(Vec3(0, 0, 0), Vec3(4, 4, 4)))
+      .collect()
+    assert(r3.length == 64 && r3.forall(_.getLong(3) == 7))
+    val z2 = s"$dir/zarr2_fill"
+    Zarr2IO.writeMeta(z2, Zarr2IO.Zarr2Meta(
+      shape = Vec3(4, 4, 4), chunkShape = Vec3(4, 4, 4),
+      dtype = "<u2", fillValue = 3, zlib = false))
+    val r2 = Zarr2IO.cutoutVoxels(spark, z2, Bbox(Vec3(0, 0, 0), Vec3(4, 4, 4)))
+      .collect()
+    assert(r2.length == 64 && r2.forall(_.getLong(3) == 3))
+  }
+
   test("reference fixture info parses (test_cv, 5 scales, cseg)") {
     val m = VolumeMeta.fromJson(Files.readString(
       Paths.get("/root/reference/test/test_cv/info")))
