@@ -16,6 +16,7 @@ run / fork := true
 // and (b) pass the forked JVM's stdout through raw instead of
 // re-logging every line with an "[info] " prefix.
 ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess // read by commands, not tasks
 run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

