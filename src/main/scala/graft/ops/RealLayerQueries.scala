@@ -290,6 +290,38 @@ object RealLayerQueries {
         |  AND x // 2 BETWEEN 2 AND 27 AND y // 2 BETWEEN 3 AND 26
         |  AND z // 2 BETWEEN 1 AND 12""".stripMargin)),
 
+    // F8 extension: COUNTLESS-style mode-pooling downsample — the
+    // segmentation downsample that fills the scale F8's add_scale
+    // declares (2x2x2 majority vote, ties to the smallest label;
+    // mip 1 in this layer uses stride-sampling, so this computes a
+    // genuinely different pyramid). Fully distributed, no window:
+    // per-cell partial label counts (map-side combine) then a single
+    // argmax aggregate — the same two-shuffle shape at 100 TB.
+    "f8b_downsample_mode" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        PrecomputedIO.cutoutVoxels(s, LayerDir,
+            Bbox(Vec3(0, 0, 0), Vec3(SX, SY, SZ)))
+          .select(shiftright(col("x"), 1).as("px"),
+            shiftright(col("y"), 1).as("py"),
+            shiftright(col("z"), 1).as("pz"), col("label"))
+          .groupBy("px", "py", "pz", "label").agg(count(lit(1)).as("cnt"))
+          .groupBy("px", "py", "pz")
+          // lexicographic max of (cnt, -label) = most frequent label,
+          // smallest label on ties — deterministic for the oracle
+          .agg(max_by(col("label"),
+            struct(col("cnt"), negate(col("label")))).as("label"))
+      },
+      Some(s"""WITH pooled AS (
+        |  SELECT x // 2 AS px, y // 2 AS py, z // 2 AS pz, label,
+        |         count(*) AS cnt
+        |  FROM $Sidecar GROUP BY 1, 2, 3, 4),
+        |ranked AS (
+        |  SELECT px, py, pz, label, row_number() OVER (
+        |    PARTITION BY px, py, pz ORDER BY cnt DESC, label ASC) AS rn
+        |  FROM pooled)
+        |SELECT px, py, pz, label FROM ranked WHERE rn = 1""".stripMargin)),
+
     // S4 single-voxel fast path (rx.py:293-300,381-430
     // download_single_voxel; chunks.read_voxel:423-457): point lookups
     // grouped by owning chunk, each resolved by RANDOM ACCESS into the

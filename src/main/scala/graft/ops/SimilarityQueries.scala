@@ -379,5 +379,49 @@ object SimilarityQueries {
         |FROM pairs JOIN nrm na ON na.vec_id = a JOIN nrm nb ON nb.vec_id = b
         |WHERE round(dot / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)), 6)
         |      >= 0.30""".stripMargin)),
+
+    // K-means assignment step (one Lloyd iteration's E-step) over the
+    // embedding corpus: centroids are the first 8 vectors (a
+    // deterministic seeding so the oracle can replay it), every vector
+    // goes to its nearest centroid by exact integer squared-L2 on the
+    // milli-quantized arrays; ties break to the smallest centroid id.
+    // Scale shape: centroids are collected (tiny — k x dim) and closed
+    // over by ONE compiled UDF, so assignment is a narrow map over the
+    // corpus — no join, no shuffle, no k-times row blowup; exactly how
+    // a 100 TB clustering pass distributes.
+    "cluster_kmeans_assign" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val e = table(s, dir, "embeddings")
+          .select(col("vec_id"), expr(QuantExpr).as("q"))
+        val cents: Array[(Long, Array[Long])] =
+          e.filter(col("vec_id") < 8).as[(Long, Array[Long])]
+            .collect().sortBy(_._1)
+        val assignUdf = udf { (q: Seq[Long]) =>
+          var best = -1L; var bestD = Long.MaxValue
+          cents.foreach { case (cid, cv) =>
+            var d = 0L; var i = 0
+            while (i < cv.length) {
+              val diff = q(i) - cv(i); d += diff * diff; i += 1
+            }
+            if (d < bestD) { bestD = d; best = cid } // sorted: tie -> min cid
+          }
+          (best, bestD)
+        }
+        e.select(col("vec_id"), assignUdf(col("q")).as("a"))
+          .select(col("vec_id"), col("a._1").as("cluster"),
+            col("a._2").as("d2"))
+      },
+      Some("""WITH t AS (SELECT vec_id, embedding,
+        |         unnest(generate_series(1, 64)) AS k FROM embeddings),
+        |q AS (SELECT vec_id, k,
+        |        CAST(round(embedding[k]::DOUBLE * 1000) AS BIGINT) AS qv FROM t),
+        |c AS (SELECT vec_id AS cid, k, qv AS cv FROM q WHERE vec_id < 8),
+        |d AS (SELECT q.vec_id, c.cid,
+        |        CAST(sum((qv - cv) * (qv - cv)) AS BIGINT) AS d2
+        |      FROM q JOIN c ON c.k = q.k GROUP BY q.vec_id, c.cid),
+        |r AS (SELECT vec_id, cid, d2, row_number() OVER (
+        |        PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn FROM d)
+        |SELECT vec_id, cid AS cluster, d2 FROM r WHERE rn = 1""".stripMargin)),
   )
 }

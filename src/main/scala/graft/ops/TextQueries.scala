@@ -411,6 +411,35 @@ object TextQueries {
         |  len(regexp_extract_all(text, '[a-z0-9]+')) AS n_tok, n_chars
         |FROM documents""".stripMargin)),
 
+    // Cross-corpus dedup: drop documents whose normalized content
+    // hash appears in a reference corpus (decontamination against an
+    // eval/"already trained on" set). The reference set is normally
+    // orders of magnitude smaller than the corpus, so its hash set is
+    // BROADCAST and the anti-join is map-side — zero shuffle of the
+    // big side. (When even the hash set won't broadcast, the same
+    // shape runs with a bloom-filter prefilter + shuffle anti-join of
+    // the survivors.) Here the reference set is every third document.
+    "dedup_cross" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        def contentHash(c: org.apache.spark.sql.Column) =
+          conv(substring(md5(lower(trim(c)).cast("binary")), 1, 12), 16, 10)
+            .cast("long")
+        val hashed = docs.select(col("doc_id"),
+          contentHash(col("text")).as("h"))
+        val ref = hashed.filter(col("doc_id") % 3 === 0)
+          .select("h").distinct()
+        hashed.join(broadcast(ref), Seq("h"), "left_anti")
+          .select("doc_id", "h")
+      },
+      Some("""WITH c AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(lower(trim(text))), 1, 12))::BIGINT AS h
+        |  FROM documents)
+        |SELECT doc_id, h FROM c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM c r WHERE r.doc_id % 3 = 0 AND r.h = c.h)""".stripMargin)),
+
     // Rolling-hash document fingerprint (position-sensitive)
     "text_fingerprint" -> Q(
       (s, dir) => table(s, dir, "documents")
