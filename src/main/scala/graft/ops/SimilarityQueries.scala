@@ -423,5 +423,67 @@ object SimilarityQueries {
         |r AS (SELECT vec_id, cid, d2, row_number() OVER (
         |        PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn FROM d)
         |SELECT vec_id, cid AS cluster, d2 FROM r WHERE rn = 1""".stripMargin)),
+
+    // kNN label prediction over the embedding corpus: majority vote of
+    // the 5 nearest neighbors (exact cosine, self excluded), ties to
+    // the smallest label — the eval-time companion of the ANN ops
+    // (classify new vectors against a labeled corpus). Same broadcast
+    // query-set shape as sim_topk_bruteforce: O(Q*N) scoring with no
+    // corpus shuffle; at scale the scoring stage swaps in the IVF/LSH
+    // candidate generation unchanged.
+    "sim_knn_classify" -> Q(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+          .select(col("vec_id"), expr(QuantExpr).as("q"),
+            col("label").cast("long").as("lbl"))
+          .withColumn("nrm", expr("aggregate(q, 0L, (acc, v) -> acc + v * v)"))
+        val qs = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("q").as("qa"),
+            col("nrm").as("na"))
+        val cand = e.select(col("vec_id").as("cid"), col("q").as("qb"),
+          col("nrm").as("nb"), col("lbl"))
+        val scored = broadcast(qs).join(cand, col("qid") =!= col("cid"))
+          .withColumn("dot", expr(
+            "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+          .withColumn("cosine", round(col("dot") /
+            sqrt(col("na").cast("double") * col("nb").cast("double")), 6))
+        scored.withColumn("rank", row_number().over(
+            Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))))
+          .filter(col("rank") <= 5)
+          .groupBy("qid", "lbl").agg(count(lit(1)).as("votes"))
+          .groupBy("qid")
+          .agg(max_by(col("lbl"),
+            struct(col("votes"), negate(col("lbl")))).as("pred"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |t AS (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS k FROM e),
+        |q AS (SELECT vec_id, k,
+        |        CAST(round(embedding[k]::DOUBLE * 1000) AS BIGINT) AS qv FROM t),
+        |nrm AS (SELECT vec_id, sum(qv * qv) AS nrm FROM q GROUP BY vec_id),
+        |pairs AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+        |         sum(qa.qv * qb.qv) AS dot
+        |  FROM e a JOIN e b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
+        |  JOIN q qa ON qa.vec_id = a.vec_id
+        |  JOIN q qb ON qb.vec_id = b.vec_id AND qb.k = qa.k
+        |  GROUP BY a.vec_id, b.vec_id),
+        |scored AS (
+        |  SELECT qid, cid,
+        |    round(dot / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)), 6)
+        |      AS cosine
+        |  FROM pairs JOIN nrm na ON na.vec_id = qid
+        |  JOIN nrm nb ON nb.vec_id = cid),
+        |ranked AS (
+        |  SELECT qid, cid, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+        |  FROM scored),
+        |votes AS (
+        |  SELECT r.qid, emb.label::BIGINT AS lbl, count(*) AS votes
+        |  FROM ranked r JOIN embeddings emb ON emb.vec_id = r.cid
+        |  WHERE r.rank <= 5 GROUP BY 1, 2),
+        |best AS (
+        |  SELECT qid, lbl, row_number() OVER (
+        |    PARTITION BY qid ORDER BY votes DESC, lbl ASC) AS rn FROM votes)
+        |SELECT qid, lbl AS pred FROM best WHERE rn = 1""".stripMargin)),
   )
 }

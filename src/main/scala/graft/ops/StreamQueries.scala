@@ -30,8 +30,10 @@ object StreamQueries {
 
   private val Root = "/tmp/graft_stream"
 
-  /** Bench setup hook: stage the stream-source directory up front. */
-  def prepare(s: SparkSession, sfDir: String): Unit = stageEvents(s, sfDir)
+  /** Bench setup hook: stage the stream-source directories up front. */
+  def prepare(s: SparkSession, sfDir: String): Unit = {
+    stageEvents(s, sfDir); stageDocs(s, sfDir)
+  }
 
   /** Stage events.parquet into a stream-source directory (file stream
     * sources consume directories).
@@ -49,6 +51,25 @@ object StreamQueries {
         Files.createDirectories(dir)
         Files.copy(Paths.get(sfDir, "events.parquet"),
           dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+        Files.writeString(marker, sfDir)
+      }
+      dir.toString
+    }
+
+  /** Stage the documents corpus (plus synthesized exact duplicates —
+    * even doc_ids re-keyed to +10000 with identical text) as a stream
+    * source for st4.
+    */
+  private def stageDocs(s: SparkSession, sfDir: String): String =
+    synchronized {
+      val dir = Paths.get(Root, "docs")
+      val marker = Paths.get(Root, ".docs_from")
+      if (!Files.exists(marker) || Files.readString(marker) != sfDir) {
+        val docs = s.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        docs.unionAll(docs.filter(col("doc_id") % 2 === 0)
+            .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+          .write.mode("overwrite").parquet(dir.toString)
         Files.writeString(marker, sfDir)
       }
       dir.toString
@@ -187,5 +208,32 @@ object StreamQueries {
       },
       Some(s"""SELECT DISTINCT label
         |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')""".stripMargin)),
+
+    // §2.9 streaming corpus dedup — the streaming analogue of
+    // dedup_exact: documents arrive as a file stream, state keeps one
+    // row per distinct normalized content hash (keeper = smallest
+    // doc_id seen, plus the copy count). State size tracks the
+    // DISTINCT corpus, not the stream length — the property that lets
+    // an ingest-time dedup run forever at 100 TB.
+    "st4_stream_dedup" -> Q(
+      (s, dir) => {
+        val src = stageDocs(s, dir)
+        val schema = s.read.parquet(src).schema
+        val stream = s.readStream.schema(schema).parquet(src)
+          .select(col("doc_id"),
+            conv(substring(md5(lower(trim(col("text"))).cast("binary")),
+              1, 12), 16, 10).cast("long").as("h"))
+          .groupBy("h")
+          .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+        runToTable(s, stream, "graft_st4", "complete")
+      },
+      Some("""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 2 = 0)
+        |SELECT ('0x' || substr(md5(lower(trim(text))), 1, 12))::BIGINT AS h,
+        |       min(doc_id) AS keeper, count(*) AS n_copies
+        |FROM corpus GROUP BY 1""".stripMargin)),
   )
 }
