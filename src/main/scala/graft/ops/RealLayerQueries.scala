@@ -322,6 +322,24 @@ object RealLayerQueries {
         |  FROM pooled)
         |SELECT px, py, pz, label FROM ranked WHERE rn = 1""".stripMargin)),
 
+    // Extension: distributed 6-connected components over the layer's
+    // foreground voxels (pointer-jumping min-label propagation,
+    // O(log diameter) rounds — see ConnectedComponents). No DuckDB
+    // oracle: full CC is not tractably SQL-expressible (a recursive
+    // min-propagation CTE is quadratic in component size), so the
+    // driver records the rows-only check; correctness is pinned by
+    // CcSpec's known-answer volumes instead.
+    "cc_components" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        val fg = PrecomputedIO.cutoutVoxels(s, LayerDir,
+            Bbox(Vec3(0, 0, 0), Vec3(SX, SY, SZ)))
+          .filter(col("label") =!= 0)
+          .select("x", "y", "z")
+        ConnectedComponents.label6(s, fg, SX, SY)
+      },
+      None),
+
     // S4 single-voxel fast path (rx.py:293-300,381-430
     // download_single_voxel; chunks.read_voxel:423-457): point lookups
     // grouped by owning chunk, each resolved by RANDOM ACCESS into the
