@@ -424,6 +424,52 @@ object SimilarityQueries {
         |        PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn FROM d)
         |SELECT vec_id, cid AS cluster, d2 FROM r WHERE rn = 1""".stripMargin)),
 
+    // K-means M-step completing the Lloyd iteration: per-cluster
+    // member count and per-dimension INTEGER sum of the quantized
+    // vectors (the new centroid is sum/n — kept as exact integers so
+    // the oracle hashes bit-for-bit; the division is a trivial final
+    // map). Shape: assignment is the same narrow map as
+    // cluster_kmeans_assign, then ONE partial-aggregated shuffle of
+    // k x dim rows — centroid updates cost nothing next to the scan.
+    "cluster_kmeans_update" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val e = table(s, dir, "embeddings")
+          .select(col("vec_id"), expr(QuantExpr).as("q"))
+        val cents: Array[(Long, Array[Long])] =
+          e.filter(col("vec_id") < 8).as[(Long, Array[Long])]
+            .collect().sortBy(_._1)
+        val assignUdf = udf { (q: Seq[Long]) =>
+          var best = -1L; var bestD = Long.MaxValue
+          cents.foreach { case (cid, cv) =>
+            var d = 0L; var i = 0
+            while (i < cv.length) {
+              val diff = q(i) - cv(i); d += diff * diff; i += 1
+            }
+            if (d < bestD) { bestD = d; best = cid }
+          }
+          best
+        }
+        e.select(assignUdf(col("q")).as("cluster"), posexplode(col("q")))
+          .groupBy(col("cluster"), (col("pos") + 1).cast("long").as("k"))
+          .agg(sum("col").as("sum_qv"), count(lit(1)).as("n"))
+      },
+      Some("""WITH t AS (SELECT vec_id, embedding,
+        |         unnest(generate_series(1, 64)) AS k FROM embeddings),
+        |q AS (SELECT vec_id, k,
+        |        CAST(round(embedding[k]::DOUBLE * 1000) AS BIGINT) AS qv FROM t),
+        |c AS (SELECT vec_id AS cid, k, qv AS cv FROM q WHERE vec_id < 8),
+        |d AS (SELECT q.vec_id, c.cid,
+        |        CAST(sum((qv - cv) * (qv - cv)) AS BIGINT) AS d2
+        |      FROM q JOIN c ON c.k = q.k GROUP BY q.vec_id, c.cid),
+        |r AS (SELECT vec_id, cid, row_number() OVER (
+        |        PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn FROM d),
+        |assign AS (SELECT vec_id, cid AS cluster FROM r WHERE rn = 1)
+        |SELECT a.cluster, q.k, CAST(sum(q.qv) AS BIGINT) AS sum_qv,
+        |       count(*) AS n
+        |FROM assign a JOIN q ON q.vec_id = a.vec_id
+        |GROUP BY 1, 2""".stripMargin)),
+
     // kNN label prediction over the embedding corpus: majority vote of
     // the 5 nearest neighbors (exact cosine, self excluded), ties to
     // the smallest label — the eval-time companion of the ANN ops
