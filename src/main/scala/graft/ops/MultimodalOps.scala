@@ -6,13 +6,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: opaque binary payloads with typed
   * metadata, processed batch-wise in executors.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * STUB — a deterministic fake derived from the payload bytes (marked
-  * below). Everything around it is the real Spark shape a multimodal
-  * pipeline needs at 100 TB: binary column + metadata struct, a
-  * partition-wise typed map (the Scala analog of mapInPandas: one
-  * iterator pass per partition, no per-row UDF dispatch), and
-  * integer-exact features an oracle can replay.
+  * Two decode paths are REAL end-to-end: mm_decode_png and
+  * mm_decode_wav synthesize genuine PNG images (javax.imageio) and
+  * RIFF/WAVE PCM audio (javax.sound.sampled) into the binary column,
+  * decode them through the platform decoders in a partition-wise pass,
+  * and the oracle checks the decoded features against the generation
+  * parameters — lossless round-trip through the actual formats. The
+  * remaining ops use a STUB decode (deterministic fake features from
+  * raw bytes; the exotic codecs — jxl, video containers — aren't in
+  * the container) around the same real plumbing: binary column +
+  * metadata struct, one iterator pass per partition (the Scala analog
+  * of mapInPandas), integer-exact features an oracle can replay.
   */
 object MultimodalOps {
   import Derived.table
@@ -120,7 +124,147 @@ object MultimodalOps {
     }.toDF()
   }
 
+  /** doc_id -> deterministic grayscale test image dims/pixels (the
+    * oracle replays these formulas; PNG is lossless so decode must
+    * recover them exactly).
+    */
+  private def pngDims(docId: Long): (Int, Int) =
+    ((8 + docId % 25).toInt, (6 + docId % 17).toInt)
+  private def pngPixel(docId: Long, x: Int, y: Int): Int =
+    ((docId * 31 + x * 7 + y * 13) % 256).toInt
+
+  /** Real image modality: synthesize PNG bytes per document
+    * (executor-side), producing an (id, payload) binary column like an
+    * ingested image corpus.
+    */
+  def pngTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents").select(col("doc_id").cast("long"))
+      .as[Long].mapPartitions { ids =>
+        ids.map { id =>
+          val (w, h) = pngDims(id)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y, 0, pngPixel(id, x, y)); x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** doc_id -> deterministic 16-bit PCM samples. */
+  private def wavSamples(docId: Long): Array[Short] =
+    Array.tabulate((256 + docId % 256).toInt) { i =>
+      (((docId * 7 + i * 31) % 4096 - 2048) * 8).toShort
+    }
+
+  /** Real audio modality: synthesize RIFF/WAVE bytes (16-bit mono PCM)
+    * per document via javax.sound.sampled.
+    */
+  def wavTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents").select(col("doc_id").cast("long"))
+      .as[Long].mapPartitions { ids =>
+        val fmt = new javax.sound.sampled.AudioFormat(
+          8000f, 16, 1, true, false) // 8 kHz, s16le, mono
+        ids.map { id =>
+          val samples = wavSamples(id)
+          val pcm = new Array[Byte](samples.length * 2)
+          var i = 0
+          while (i < samples.length) {
+            pcm(2 * i) = (samples(i) & 0xff).toByte
+            pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+            i += 1
+          }
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          (id, bos.toByteArray)
+        }
+      }.toDF("doc_id", "payload")
+  }
+
   val queries: Map[String, Q] = Map(
+    // REAL image decode: the binary column holds genuine PNG bytes;
+    // ImageIO decodes them in a partition-wise pass; the oracle
+    // replays the generation formulas — decode must recover width,
+    // height, and every pixel (summed) exactly
+    "mm_decode_png" -> Q(
+      (s, dir) => {
+        val sess = s
+        import sess.implicits._
+        pngTable(s, dir).as[(Long, Array[Byte])].mapPartitions { rows =>
+          rows.map { case (id, payload) =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload))
+            val raster = img.getRaster
+            var sum = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                sum += raster.getSample(x, y, 0); x += 1
+              }
+              y += 1
+            }
+            (id, img.getWidth.toLong, img.getHeight.toLong, sum)
+          }
+        }.toDF("doc_id", "width", "height", "pix_sum")
+      },
+      Some("""WITH d AS (SELECT doc_id, 8 + doc_id % 25 AS w,
+        |               6 + doc_id % 17 AS h FROM documents),
+        |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+        |ys AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs)
+        |SELECT doc_id, w AS width, h AS height,
+        |  CAST(sum((doc_id * 31 + x * 7 + y * 13) % 256) AS BIGINT)
+        |    AS pix_sum
+        |FROM ys GROUP BY 1, 2, 3""".stripMargin)),
+
+    // REAL audio decode: genuine RIFF/WAVE PCM bytes decoded through
+    // AudioSystem; sample count + integer energy must match the
+    // generation formulas exactly (PCM is lossless)
+    "mm_decode_wav" -> Q(
+      (s, dir) => {
+        val sess = s
+        import sess.implicits._
+        wavTable(s, dir).as[(Long, Array[Byte])].mapPartitions { rows =>
+          rows.map { case (id, payload) =>
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            val fmt = ais.getFormat
+            require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1)
+            val pcm = ais.readAllBytes()
+            var energy = 0L
+            var i = 0
+            while (i + 1 < pcm.length) {
+              val v = ((pcm(i) & 0xff) | (pcm(i + 1) << 8)).toShort.toLong
+              energy += v * v
+              i += 2
+            }
+            (id, (pcm.length / 2).toLong, energy)
+          }
+        }.toDF("doc_id", "n_samples", "energy")
+      },
+      Some("""WITH d AS (SELECT doc_id, 256 + doc_id % 256 AS n
+        |        FROM documents),
+        |i AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d)
+        |SELECT doc_id, n AS n_samples,
+        |  CAST(sum(((doc_id * 7 + i * 31) % 4096 - 2048) * 8
+        |         * (((doc_id * 7 + i * 31) % 4096 - 2048) * 8))
+        |       AS BIGINT) AS energy
+        |FROM i GROUP BY 1, 2""".stripMargin)),
+
     // Multimodal decode/feature-extract plumbing (stubbed decode)
     "mm_decode_features" -> Q(
       (s, dir) => extractFeatures(mediaTable(s, dir)),
