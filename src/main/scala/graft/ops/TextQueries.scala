@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline text operators over the `documents` table:
@@ -439,6 +440,64 @@ object TextQueries {
         |SELECT doc_id, h FROM c
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM c r WHERE r.doc_id % 3 = 0 AND r.h = c.h)""".stripMargin)),
+
+    // Corpus mixing: deterministic stratified sampling to per-source
+    // target rates (how a training mix up/down-weights domains). The
+    // keep decision is a pure hash of (source, doc_id) against the
+    // source's per-mille rate — a narrow map with NO shuffle and no
+    // RNG state, so the same mix reproduces on any cluster layout and
+    // resumes mid-corpus. Rates here derive from the source name so
+    // the oracle can replay them.
+    "sample_mix" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val h = conv(substring(md5(concat(col("source"), lit(":"),
+          col("doc_id").cast("string")).cast("binary")), 1, 12), 16, 10)
+          .cast("long")
+        docs.select(col("doc_id"), col("source"),
+            pmod(h, lit(1000)).as("bucket"),
+            (lit(100L) + pmod(
+              expr("CAST(substr(source, 4, 10) AS INT)").cast("long") * 37,
+              lit(800L))).as("rate_permille"))
+          .filter(col("bucket") < col("rate_permille"))
+      },
+      Some("""WITH h AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5(source || ':' || CAST(doc_id AS VARCHAR)),
+        |      1, 12))::BIGINT % 1000 AS bucket,
+        |    100 + (CAST(substr(source, 4, 10) AS BIGINT) * 37) % 800
+        |      AS rate_permille
+        |  FROM documents)
+        |SELECT doc_id, source, bucket, rate_permille
+        |FROM h WHERE bucket < rate_permille""".stripMargin)),
+
+    // Sequence packing: concatenate each source's documents in doc_id
+    // order and split at fixed 512-token windows (the concat-then-chunk
+    // packing of GPT-style pretraining). One window cumsum partitioned
+    // by source — at 100 TB the partition key is (source, shard) and
+    // shard-local offsets are composed with per-shard totals computed
+    // in a second tiny pass, keeping every window bounded.
+    "pack_sequences" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents").select(col("doc_id"),
+          col("source"), size(split(col("text"), " ")).cast("long")
+            .as("n_tokens"))
+        val w = Window.partitionBy("source").orderBy("doc_id")
+        docs.withColumn("cum_before",
+            sum("n_tokens").over(w) - col("n_tokens"))
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            expr("cum_before div 512").as("seq_id"),
+            pmod(col("cum_before"), lit(512L)).as("seq_offset"))
+      },
+      Some("""WITH t AS (SELECT doc_id, source,
+        |         len(string_split(text, ' ')) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |        CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          - n_tokens AS BIGINT) AS cum_before
+        |      FROM t)
+        |SELECT doc_id, source, n_tokens, cum_before // 512 AS seq_id,
+        |       cum_before % 512 AS seq_offset FROM c""".stripMargin)),
 
     // Rolling-hash document fingerprint (position-sensitive)
     "text_fingerprint" -> Q(
