@@ -7,51 +7,61 @@ import org.apache.spark.sql.functions._
   * volumetric labeling pass the reference ecosystem runs downstream of
   * cutouts (connected-components relabeling of a segmentation mask).
   * The reference itself delegates to an in-memory library; a 100 TB
-  * volume needs the distributed formulation:
+  * volume needs the distributed formulation.
   *
-  * - nodes: foreground voxels, id = x + sx*(y + sy*z)
-  * - edges: face-adjacency (+x, +y, +z shifts), built with three
-  *   equi-joins on coordinates — no broadcast of the voxel set
-  * - labels: iterative min-label propagation with POINTER JUMPING
-  *   (comp := comp(comp) each round), so convergence is O(log
-  *   diameter) rounds rather than O(diameter) — the standard
-  *   MapReduce-CC trick, each round two shuffle joins
-  * - every round is localCheckpoint()ed: lineage stays flat, the next
-  *   round's joins read shuffle output, not a growing DAG (the j5
-  *   graphene fixpoint lesson)
+  * Two-level design (the classic block-local + boundary-merge CC):
+  *
+  * 1. LOCAL: voxels are grouped by B³ block (one shuffle) and each
+  *    block runs an in-memory union-find over its intra-block
+  *    face-adjacencies. This collapses almost all structure for free:
+  *    a 100 TB volume has ~voxels/B³ blocks, each independent, and the
+  *    surviving graph has one node per block-local component instead
+  *    of one per voxel.
+  * 2. GLOBAL: only block-boundary adjacencies (the 2/B face fraction
+  *    of voxels) are joined across blocks, yielding edges between
+  *    local roots. Iterative min-label propagation with POINTER
+  *    JUMPING (comp := comp(comp) each round) over that small root
+  *    graph converges in O(log diameter-in-blocks) rounds; each round
+  *    is localCheckpoint()ed so lineage stays flat (the j5 graphene
+  *    fixpoint lesson), and convergence is detected with a cheap
+  *    monotone aggregate (labels only ever decrease, so the comp sum
+  *    strictly decreases until fixpoint) instead of a compare join.
+  * 3. RELABEL: one join maps each voxel's local root to its global
+  *    component.
   *
   * The final component id of a voxel is the minimum voxel id of its
   * component — deterministic, so results are comparable across runs
-  * and engines.
+  * and engines. (The component's minimum vid is always a local root
+  * in its own block, so propagating min over the root graph returns
+  * exactly it.)
   */
 object ConnectedComponents {
 
-  /** @param fg foreground voxel rows (x, y, z) — caller pre-filters
-    *           background
-    * @return (x, y, z, comp) with comp = min voxel id in the 6-connected
-    *         component
+  /** Block edge length of the local union-find pass. 32³ = 32k voxels
+    * max per group — far below executor memory at any real chunk size.
     */
-  def label6(s: SparkSession, fg: DataFrame, sx: Long, sy: Long): DataFrame = {
-    val v = fg.select(col("x"), col("y"), col("z"),
-      (col("x") + lit(sx) * (col("y") + lit(sy) * col("z"))).as("vid"))
-      .localCheckpoint()
+  private val B = 32L
 
-    // face-adjacent neighbor pairs, emitted in both directions
-    val half = Seq((1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L)).map {
-      case (dx, dy, dz) =>
-        val a = v.select(col("x"), col("y"), col("z"), col("vid"))
-        val b = v.select((col("x") - dx).as("x"), (col("y") - dy).as("y"),
-          (col("z") - dz).as("z"), col("vid").as("nvid"))
-        a.join(b, Seq("x", "y", "z")).select(col("vid"), col("nvid"))
-    }.reduce(_ unionAll _)
-    val edges = half.unionAll(
-      half.select(col("nvid").as("vid"), col("vid").as("nvid")))
+  /** Iterative min-label propagation with pointer jumping over an
+    * arbitrary undirected graph. Shared by volumetric CC and the
+    * corpus dedup-cluster operator.
+    *
+    * @param edges directed edge rows (vid, nvid) — callers emit both
+    *              directions
+    * @param nodes node rows (vid)
+    * @return (vid, comp) with comp = min vid reachable from vid
+    */
+  def propagateMin(s: SparkSession, edges0: DataFrame, nodes: DataFrame): DataFrame = {
+    val edges = edges0.localCheckpoint()
+    var comp = nodes.select(col("vid"), col("vid").as("comp"))
       .localCheckpoint()
-
-    var comp = v.select(col("vid"), col("vid").as("comp"))
-      .localCheckpoint()
-    var changed = true
-    while (changed) {
+    // convergence probe: per-node labels are non-increasing (least()
+    // then jump to comp(comp) <= comp), so the global sum strictly
+    // decreases every non-converged round. decimal(38,0) keeps the
+    // sum exact at any node count / id range.
+    var prev: java.math.BigDecimal = null
+    var done = false
+    while (!done) {
       // round part 1: take the min comp over the neighborhood
       val nbrMin = edges.as("e")
         .join(comp.as("c"), col("e.nvid") === col("c.vid"))
@@ -66,18 +76,109 @@ object ConnectedComponents {
         .select(col("s.vid").as("vid"),
           coalesce(col("p.ccomp"), col("s.comp")).as("comp"))
         .localCheckpoint()
-      // convergence probe: one short-circuit action per O(log d) round
-      changed = jumped.as("n")
-        .join(comp.as("o"), col("n.vid") === col("o.vid"))
-        .filter(col("n.comp") =!= col("o.comp")).limit(1).count() > 0
+      val cur = jumped
+        .agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+      done = prev != null && cur.compareTo(prev) == 0
+      prev = cur
       comp = jumped
     }
-    // vid -> coordinates is pure arithmetic; no join back to the
-    // input. `div` keeps the division integral (long `/` is
-    // double-backed, exact only below 2^53)
-    comp.select(pmod(col("vid"), lit(sx)).as("x"),
+    comp
+  }
+
+  /** @param fg foreground voxel rows (x, y, z) — caller pre-filters
+    *           background
+    * @return (x, y, z, comp) with comp = min voxel id of its 6-connected
+    *         component, vid = x + sx*(y + sy*z)
+    */
+  def label6(s: SparkSession, fg: DataFrame, sx: Long, sy: Long): DataFrame = {
+    import s.implicits._
+    val b = B
+    val pts0 = fg.select(col("x").cast("long"), col("y").cast("long"),
+      col("z").cast("long")).as[(Long, Long, Long)]
+
+    // stage 1: block-local union-find; emit (vid, root) with root =
+    // min vid of the block-local component
+    val local = pts0
+      .groupByKey(t => (t._1 / b, t._2 / b, t._3 / b))
+      .flatMapGroups { (_: (Long, Long, Long), it: Iterator[(Long, Long, Long)]) =>
+        val pts = it.toArray
+        val n = pts.length
+        val vids = new Array[Long](n)
+        val idx = new java.util.HashMap[java.lang.Long, Integer](n * 2)
+        var i = 0
+        while (i < n) {
+          val (x, y, z) = pts(i)
+          val vid = x + sx * (y + sy * z)
+          vids(i) = vid; idx.put(vid, i); i += 1
+        }
+        val parent = Array.tabulate(n)(identity)
+        def find(a: Int): Int = {
+          var r = a
+          while (parent(r) != r) r = parent(r)
+          var c = a
+          while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        // union keeps the smaller VID as root, so local roots are
+        // component-minimum vids by construction
+        def union(a: Int, bb: Int): Unit = {
+          val ra = find(a); val rb = find(bb)
+          if (ra != rb) {
+            if (vids(ra) < vids(rb)) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        i = 0
+        while (i < n) {
+          val (x, y, z) = pts(i)
+          if ((x + 1) % b != 0) {
+            val j = idx.get(x + 1 + sx * (y + sy * z))
+            if (j != null) union(i, j)
+          }
+          if ((y + 1) % b != 0) {
+            val j = idx.get(x + sx * (y + 1 + sy * z))
+            if (j != null) union(i, j)
+          }
+          if ((z + 1) % b != 0) {
+            val j = idx.get(x + sx * (y + sy * (z + 1)))
+            if (j != null) union(i, j)
+          }
+          i += 1
+        }
+        (0 until n).iterator.map(k => (vids(k), vids(find(k))))
+      }.toDF("vid", "root")
+      .localCheckpoint()
+
+    // stage 2: cross-block adjacencies — only block-face voxels join
+    // (a 2/B fraction per axis), emitting edges between local roots
+    val withXyz = local.select(col("vid"), col("root"),
+      pmod(col("vid"), lit(sx)).as("x"),
       pmod(expr(s"vid div $sx"), lit(sy)).as("y"),
-      expr(s"vid div ${sx * sy}").as("z"),
-      col("comp"))
+      expr(s"vid div ${sx * sy}").as("z"))
+    val half = Seq(
+      (1L, 0L, 0L, "x"), (0L, 1L, 0L, "y"), (0L, 0L, 1L, "z")).map {
+      case (dx, dy, dz, axis) =>
+        val hi = withXyz.filter(pmod(col(axis), lit(b)) === b - 1)
+          .select(col("x"), col("y"), col("z"), col("root"))
+        val lo = withXyz.filter(pmod(col(axis), lit(b)) === 0)
+          .select((col("x") - dx).as("x"), (col("y") - dy).as("y"),
+            (col("z") - dz).as("z"), col("root").as("nroot"))
+        hi.join(lo, Seq("x", "y", "z"))
+          .select(col("root").as("vid"), col("nroot").as("nvid"))
+    }.reduce(_ unionAll _).filter(col("vid") =!= col("nvid"))
+    val edges = half.unionAll(
+      half.select(col("nvid").as("vid"), col("vid").as("nvid"))).distinct()
+
+    // stage 3: min propagation over the (small) root graph
+    val nodes = local.select(col("root").as("vid")).distinct()
+    val rootComp = propagateMin(s, edges, nodes)
+
+    // stage 4: relabel voxels; vid -> coordinates is pure arithmetic
+    // (`div` keeps the division integral — long `/` is double-backed,
+    // exact only below 2^53)
+    local.join(rootComp.withColumnRenamed("vid", "root"), Seq("root"))
+      .select(pmod(col("vid"), lit(sx)).as("x"),
+        pmod(expr(s"vid div $sx"), lit(sy)).as("y"),
+        expr(s"vid div ${sx * sy}").as("z"),
+        col("comp"))
   }
 }

@@ -121,6 +121,67 @@ object TextQueries {
   // (boilerplate keys) and dropped before the candidate self-join
   private val MaxBucket = 100L
 
+  /** MinHash-LSH candidate pairs (a < b) over the dirty corpus —
+    * signature → band → capped-bucket self-join. Shared by the pair
+    * query and the cluster/keeper stage downstream.
+    */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val mhAggs = MinhashFns.zipWithIndex.map { case ((a, b), i) =>
+      min((col("hv") * a + b) % P).as(s"mh$i")
+    }
+    val mh = shingleHashes(corpus(s, dir)).groupBy("doc_id")
+      .agg(mhAggs.head, mhAggs.tail: _*)
+    // localCheckpoint: the band table feeds the bucket-size agg
+    // and both sides of the candidate self-join — materialize the
+    // shingle+minhash pipeline once instead of 4x (at cluster
+    // scale this is persist() on the signature table)
+    val bands = (0 until NumBands).map { b =>
+      mh.select(col("doc_id"), lit(b.toLong + 1).as("bid"),
+        concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))
+          .as("band"))
+    }.reduce(_ unionAll _)
+      .localCheckpoint()
+    // Mega-bucket guard: a degenerate band key (boilerplate-heavy
+    // corpus) makes the self-join quadratic on that key. Cap bucket
+    // size; oversized buckets are dropped (standard LSH practice —
+    // such keys carry no near-dup signal, only skew).
+    val sized = bands.join(
+      bands.groupBy("bid", "band")
+        .agg(count(lit(1)).as("bucket_n"))
+        .filter(col("bucket_n") <= MaxBucket),
+      Seq("bid", "band"))
+    val x = sized.as("x"); val y = sized.as("y")
+    x.join(y, col("x.band") === col("y.band") &&
+        col("x.bid") === col("y.bid") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+  }
+
+  /** DuckDB CTE chain ending in `pairs(a, b)` — the oracle twin of
+    * [[minhashPairs]]. Callers prepend WITH [RECURSIVE].
+    */
+  private val PairsCtes: String =
+    s"""$CorpusCte,
+      |$ShinglesSql,
+      |mh AS (SELECT doc_id,
+      |${MinhashFns.zipWithIndex.map { case ((a, b), i) =>
+          s"  min((hv * $a + $b) % $P) AS mh$i" }.mkString(",\n")}
+      |  FROM hv GROUP BY doc_id),
+      |bands AS (
+      |${(0 until NumBands).map { b =>
+          s"  SELECT doc_id, ${b + 1} AS bid, " +
+            s"mh${2 * b} || '_' || mh${2 * b + 1} AS band FROM mh"
+        }.mkString("\n  UNION ALL\n")}),
+      |ok AS (SELECT bid, band FROM bands GROUP BY bid, band
+      |       HAVING count(*) <= $MaxBucket),
+      |sized AS (SELECT b.* FROM bands b JOIN ok
+      |          ON b.bid = ok.bid AND b.band = ok.band),
+      |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |          FROM sized x JOIN sized y
+      |            ON x.band = y.band AND x.bid = y.bid
+      |           AND x.doc_id < y.doc_id)""".stripMargin
+
   val queries: Map[String, Q] = Map(
 
     // Exact dedup: hash-groupBy on content, keep lowest id
@@ -139,56 +200,38 @@ object TextQueries {
 
     // MinHash + LSH banding: signature -> band -> bucket self-join
     "dedup_minhash_lsh" -> Q(
+      (s, dir) => minhashPairs(s, dir),
+      Some(s"""WITH $PairsCtes
+        |SELECT a, b FROM pairs""".stripMargin)),
+
+    // Duplicate-cluster resolution: the standard final step of corpus
+    // dedup — treat LSH candidate pairs as an undirected graph, find
+    // its connected components, and elect one keeper per cluster (the
+    // min doc_id). Transitivity matters: A~B and B~C must collapse to
+    // ONE cluster even when A and C never collide in any band. Reuses
+    // the pointer-jumping min-label propagation from the volumetric CC
+    // operator — O(log diameter) shuffle rounds over a graph that is
+    // only as big as the near-dup pair set, never the corpus. The
+    // DuckDB oracle walks the same graph with a recursive CTE
+    // (tractable here because dedup clusters are small; the propagation
+    // side has no such bound and is the 100 TB path).
+    "dedup_cluster" -> Q(
       (s, dir) => {
-        val mhAggs = MinhashFns.zipWithIndex.map { case ((a, b), i) =>
-          min((col("hv") * a + b) % P).as(s"mh$i")
-        }
-        val mh = shingleHashes(corpus(s, dir)).groupBy("doc_id")
-          .agg(mhAggs.head, mhAggs.tail: _*)
-        // localCheckpoint: the band table feeds the bucket-size agg
-        // and both sides of the candidate self-join — materialize the
-        // shingle+minhash pipeline once instead of 4x (at cluster
-        // scale this is persist() on the signature table)
-        val bands = (0 until NumBands).map { b =>
-          mh.select(col("doc_id"), lit(b.toLong + 1).as("bid"),
-            concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))
-              .as("band"))
-        }.reduce(_ unionAll _)
-          .localCheckpoint()
-        // Mega-bucket guard: a degenerate band key (boilerplate-heavy
-        // corpus) makes the self-join quadratic on that key. Cap bucket
-        // size; oversized buckets are dropped (standard LSH practice —
-        // such keys carry no near-dup signal, only skew).
-        val sized = bands.join(
-          bands.groupBy("bid", "band")
-            .agg(count(lit(1)).as("bucket_n"))
-            .filter(col("bucket_n") <= MaxBucket),
-          Seq("bid", "band"))
-        val x = sized.as("x"); val y = sized.as("y")
-        x.join(y, col("x.band") === col("y.band") &&
-            col("x.bid") === col("y.bid") &&
-            col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-          .distinct()
+        val pairs = minhashPairs(s, dir)
+        val edges = pairs.select(col("a").as("vid"), col("b").as("nvid"))
+          .unionAll(pairs.select(col("b").as("vid"), col("a").as("nvid")))
+        val nodes = edges.select("vid").distinct()
+        ConnectedComponents.propagateMin(s, edges, nodes)
+          .select(col("vid").as("doc_id"), col("comp").as("cluster"))
       },
-      Some(s"""WITH $CorpusCte,
-        |$ShinglesSql,
-        |mh AS (SELECT doc_id,
-        |${MinhashFns.zipWithIndex.map { case ((a, b), i) =>
-            s"  min((hv * $a + $b) % $P) AS mh$i" }.mkString(",\n")}
-        |  FROM hv GROUP BY doc_id),
-        |bands AS (
-        |${(0 until NumBands).map { b =>
-            s"  SELECT doc_id, ${b + 1} AS bid, " +
-              s"mh${2 * b} || '_' || mh${2 * b + 1} AS band FROM mh"
-          }.mkString("\n  UNION ALL\n")}),
-        |ok AS (SELECT bid, band FROM bands GROUP BY bid, band
-        |       HAVING count(*) <= $MaxBucket),
-        |sized AS (SELECT b.* FROM bands b JOIN ok
-        |          ON b.bid = ok.bid AND b.band = ok.band)
-        |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        |FROM sized x JOIN sized y
-        |  ON x.band = y.band AND x.bid = y.bid AND x.doc_id < y.doc_id""".stripMargin)),
+      Some(s"""WITH RECURSIVE $PairsCtes,
+        |edges AS (SELECT a, b FROM pairs
+        |          UNION SELECT b AS a, a AS b FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT a AS id, a AS r FROM edges
+        |  UNION
+        |  SELECT t.id, e.b AS r FROM reach t JOIN edges e ON e.a = t.r)
+        |SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id""".stripMargin)),
 
     // SimHash (16-bit) per doc + hamming distance to its near-dup
     "dedup_simhash" -> Q(
@@ -411,6 +454,105 @@ object TextQueries {
         |  len(string_split(text, ' ')) AS n_ws,
         |  len(regexp_extract_all(text, '[a-z0-9]+')) AS n_tok, n_chars
         |FROM documents""".stripMargin)),
+
+    // Repetition-based quality signals (the Gopher repetition rules):
+    // fraction of word occurrences belonging to repeated words, and
+    // the share of the most frequent bigram. Two per-doc hash
+    // aggregates (words, bigrams) joined back — fully partial-
+    // aggregated, no window, no doc-level collect; ratios are floor'd
+    // ppm integers so both engines agree bit-for-bit.
+    "text_repetition" -> Q(
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+        val bstats = d.filter(size(col("w")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(w) - 2), " +
+              "i -> concat(w[i], ' ', w[i+1]))")).as("bg"))
+          .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(max("c").as("top_bigram_n"),
+            sum("c").as("n_bigrams"))
+        val wstats = d
+          .select(col("doc_id"), explode(col("w")).as("wd"))
+          .groupBy("doc_id", "wd").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(
+            sum(when(col("c") >= 2, col("c")).otherwise(0L))
+              .as("n_dup_words"),
+            sum("c").as("n_words"))
+        wstats.join(bstats, "doc_id")
+          .select(col("doc_id"), col("n_words"), col("n_dup_words"),
+            col("n_bigrams"), col("top_bigram_n"),
+            floor(col("n_dup_words").cast("double") / col("n_words") * 1e6)
+              .cast("long").as("dup_word_ppm"),
+            floor(col("top_bigram_n").cast("double") / col("n_bigrams") * 1e6)
+              .cast("long").as("top_bigram_ppm"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |bi AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bg FROM (
+        |         SELECT doc_id, w,
+        |                unnest(generate_series(1, len(w) - 1)) AS i
+        |         FROM w WHERE len(w) >= 2)),
+        |bc AS (SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY 1, 2),
+        |bstats AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_n,
+        |             CAST(sum(c) AS BIGINT) AS n_bigrams
+        |           FROM bc GROUP BY 1),
+        |wd AS (SELECT doc_id, unnest(w) AS wd FROM w),
+        |wc AS (SELECT doc_id, wd, count(*) AS c FROM wd GROUP BY 1, 2),
+        |wstats AS (SELECT doc_id,
+        |             CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+        |               AS n_dup_words,
+        |             CAST(sum(c) AS BIGINT) AS n_words
+        |           FROM wc GROUP BY 1)
+        |SELECT doc_id, n_words, n_dup_words, n_bigrams, top_bigram_n,
+        |  CAST(floor(CAST(n_dup_words AS DOUBLE) / n_words * 1e6) AS BIGINT)
+        |    AS dup_word_ppm,
+        |  CAST(floor(CAST(top_bigram_n AS DOUBLE) / n_bigrams * 1e6) AS BIGINT)
+        |    AS top_bigram_ppm
+        |FROM wstats JOIN bstats USING (doc_id)""".stripMargin)),
+
+    // Partial-overlap decontamination (the GPT-3 appendix-C shape):
+    // flag corpus documents sharing ANY shingle with a held-out eval
+    // set — catches paraphrased/embedded leakage that exact-hash
+    // dedup_cross misses. The eval shingle set is tiny next to the
+    // corpus, so it is BROADCAST and the probe is a map-side
+    // semi-join: the corpus side never shuffles. Eval set here: every
+    // 97th document.
+    "decontaminate_ngram" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents").select("doc_id", "text")
+        val sh = shingleHashes(docs).distinct()
+        val evalSh = sh.filter(col("doc_id") % 97 === 0)
+          .select("hv").distinct()
+        val hits = sh.filter(col("doc_id") % 97 =!= 0)
+          .join(broadcast(evalSh), "hv")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+        docs.filter(col("doc_id") % 97 =!= 0)
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            when(coalesce(col("n_hits"), lit(0L)) > 0, 1L).otherwise(0L)
+              .as("contaminated"))
+      },
+      Some("""WITH corpus AS (SELECT doc_id, text FROM documents),
+        |ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        |wf AS (SELECT * FROM ws WHERE len(w) >= 3),
+        |sh AS (SELECT doc_id, w,
+        |         unnest(generate_series(1, len(w) - 2)) AS i FROM wf),
+        |shs AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |        FROM sh),
+        |hv AS (SELECT doc_id,
+        |         ('0x' || substr(md5(s), 1, 12))::BIGINT AS hv FROM shs),
+        |shd AS (SELECT DISTINCT doc_id, hv FROM hv),
+        |ev AS (SELECT DISTINCT hv FROM shd WHERE doc_id % 97 = 0),
+        |hits AS (SELECT doc_id, count(*) AS n_hits
+        |         FROM shd JOIN ev USING (hv)
+        |         WHERE doc_id % 97 <> 0 GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  CAST(CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS contaminated
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |WHERE d.doc_id % 97 <> 0""".stripMargin)),
 
     // Cross-corpus dedup: drop documents whose normalized content
     // hash appears in a reference corpus (decontamination against an

@@ -69,4 +69,30 @@ class CcSpec extends AnyFunSuite with BeforeAndAfterAll {
     val comp = run(col0)
     assert(comp.values.toSet == Set(4L + SX * 4L))
   }
+
+  test("components spanning block boundaries merge across blocks") {
+    // the local pass runs per 32^3 block; these shapes force the
+    // boundary-root merge: a line crossing x=31/32, 63/64, 95/96, an
+    // L crossing both an x and a y block boundary, and a separate
+    // line one voxel away from the first (must NOT merge)
+    val s = spark
+    import s.implicits._
+    val bigSX = 100L; val bigSY = 100L
+    val lineA = (0L until 100L).map(x => (x, 0L, 0L))
+    val lineB = (0L until 100L).map(x => (x, 2L, 0L)) // gap at y=1
+    val ell = (20L to 40L).map(x => (x, 30L, 1L)) ++
+      (30L to 34L).map(y => (30L, y, 1L))
+    val all = (lineA ++ lineB ++ ell).distinct
+    val comp = ConnectedComponents
+      .label6(s, all.toDF("x", "y", "z"), bigSX, bigSY)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
+      .toMap
+    assert(comp.size == all.size)
+    val vidOf = (p: (Long, Long, Long)) => p._1 + bigSX * (p._2 + bigSY * p._3)
+    assert(lineA.map(comp).toSet == Set(lineA.map(vidOf).min))
+    assert(lineB.map(comp).toSet == Set(lineB.map(vidOf).min))
+    assert(ell.map(comp).toSet == Set(ell.map(vidOf).min))
+    assert(Set(comp(lineA.head), comp(lineB.head), comp(ell.head)).size == 3)
+  }
 }
