@@ -19,9 +19,46 @@ import org.apache.spark.sql.expressions.Window
 object SimilarityQueries {
   import Derived.table
 
-  /** embedding -> integer milli-quantized array (exact, order-safe). */
-  private val QuantExpr =
-    "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+  /** embedding -> integer milli-quantized array (exact, order-safe).
+    * Compiled replacement for the interpreted `transform(...)` HOF
+    * (Spark's array higher-order functions never enter codegen — they
+    * dominated this family's profile). Reproduces Spark/DuckDB
+    * `round()` (HALF_UP, away from zero) exactly: the inputs are
+    * float-mantissa values times 1000 (<= ~34 significant bits), so
+    * the +-0.5 adjustment below cannot hit the Math.round
+    * nearest-representable-half trap, which needs a full 53-bit
+    * mantissa to construct.
+    */
+  private val quantUdf = udf { (e: Seq[Float]) =>
+    val out = new Array[Long](e.length)
+    var i = 0
+    while (i < e.length) {
+      val d = e(i).toDouble * 1000.0
+      out(i) = (if (d >= 0) math.floor(d + 0.5) else math.ceil(d - 0.5)).toLong
+      i += 1
+    }
+    out
+  }
+
+  /** Compiled integer dot / norm / squared-L2 primitives — same
+    * rationale as [[quantUdf]]: one tight loop per row instead of an
+    * interpreted `aggregate(zip_with(...))` expression tree.
+    */
+  private val dotUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
+    var s = 0L; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+  private val norm2Udf = udf { (a: Seq[Long]) =>
+    var s = 0L; var i = 0
+    while (i < a.length) { s += a(i) * a(i); i += 1 }
+    s
+  }
+  private val dist2Udf = udf { (a: Seq[Long], b: Seq[Long]) =>
+    var s = 0L; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
 
   /** sim_topk_lsh amplification: more tables -> higher recall, more
     * candidates verified. 16x5 clears the AnnSpec recall@5 gate on
@@ -96,16 +133,15 @@ object SimilarityQueries {
     "sim_topk_bruteforce" -> Q(
       (s, dir) => {
         val e = table(s, dir, "embeddings")
-          .select(col("vec_id"), expr(QuantExpr).as("q"))
-          .withColumn("nrm", expr("aggregate(q, 0L, (acc, v) -> acc + v * v)"))
+          .select(col("vec_id"), quantUdf(col("embedding")).as("q"))
+          .withColumn("nrm", norm2Udf(col("q")))
         val qs = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("q").as("qa"),
             col("nrm").as("na"))
         val cand = e.select(col("vec_id").as("cid"), col("q").as("qb"),
           col("nrm").as("nb"))
         val scored = broadcast(qs).join(cand, col("qid") =!= col("cid"))
-          .withColumn("dot", expr(
-            "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+          .withColumn("dot", dotUdf(col("qa"), col("qb")))
           .withColumn("cosine", round(col("dot") /
             sqrt(col("na").cast("double") * col("nb").cast("double")), 6))
         scored.withColumn("rank", row_number().over(
@@ -142,16 +178,12 @@ object SimilarityQueries {
     "sim_lsh_buckets" -> Q(
       (s, dir) => {
         val e = table(s, dir, "embeddings")
-          .select(col("vec_id"), expr(QuantExpr).as("q"))
-        val dots = (0 until 8).foldLeft(e) { (df, j) =>
-          df.withColumn(s"d$j", expr(
-            s"aggregate(zip_with(q, transform(sequence(0, 63), " +
-              s"i -> CAST((i * 31 + $j * 17) % 7 - 3 AS BIGINT)), " +
-              s"(x, p) -> x * p), 0L, (acc, v) -> acc + v)"))
-        }
-        val bucketed = dots.select(col("vec_id"),
-          (0 until 8).map(j => when(col(s"d$j") > 0, lit(1L << j))
-            .otherwise(0L)).reduce(_ + _).as("bucket"))
+          .select(col("vec_id"), quantUdf(col("embedding")).as("q"))
+        // table 0 of the 4x8 near-dup signature family IS this
+        // bucket (plane(i,j,0) = (i*31 + j*17) % 7 - 3): one compiled
+        // pass instead of 8 interpreted HOF dot products
+        val bucketed = e.select(col("vec_id"),
+          element_at(nnSigsUdf(col("q")), 1).as("bucket"))
         bucketed.withColumn("n_bucket",
           count(lit(1)).over(Window.partitionBy("bucket")))
       },
@@ -182,8 +214,8 @@ object SimilarityQueries {
     "sim_topk_lsh" -> Q(
       (s, dir) => {
         val e = table(s, dir, "embeddings")
-          .select(col("vec_id"), expr(QuantExpr).as("q"))
-          .withColumn("nrm", expr("aggregate(q, 0L, (acc, v) -> acc + v * v)"))
+          .select(col("vec_id"), quantUdf(col("embedding")).as("q"))
+          .withColumn("nrm", norm2Udf(col("q")))
         // all TablesxBits hyperplane dots in ONE compiled pass
         val sigs = e.select(col("vec_id"),
             posexplode(annSigsUdf(col("q"))))
@@ -200,7 +232,7 @@ object SimilarityQueries {
           col("nrm").as("nb"))
         cands.join(broadcast(qa), Seq("qid")).join(cb, Seq("cid"))
           .withColumn("cosine", round(
-            expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)") /
+            dotUdf(col("qa"), col("qb")) /
               sqrt(col("na").cast("double") * col("nb").cast("double")), 6))
           .withColumn("rank", row_number().over(
             Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid")))
@@ -253,16 +285,13 @@ object SimilarityQueries {
     "sim_topk_ivf" -> Q(
       (s, dir) => {
         val e = table(s, dir, "embeddings")
-          .select(col("vec_id"), expr(QuantExpr).as("q"))
-          .withColumn("nrm", expr("aggregate(q, 0L, (acc, v) -> acc + v * v)"))
+          .select(col("vec_id"), quantUdf(col("embedding")).as("q"))
+          .withColumn("nrm", norm2Udf(col("q")))
         val cents = e.filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("cid_c"), col("q").as("qc"))
         // exact integer squared-L2 to every centroid; keep rank info
-        def dist2(qa: String, qb: String) = expr(
-          s"aggregate(zip_with($qa, $qb, (x, y) -> (x - y) * (x - y)), " +
-            "0L, (acc, v) -> acc + v)")
         val assigned = e.crossJoin(broadcast(cents))
-          .withColumn("d2", dist2("q", "qc"))
+          .withColumn("d2", dist2Udf(col("q"), col("qc")))
           .withColumn("rk", row_number().over(
             org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
               .orderBy(col("d2"), col("cid_c"))))
@@ -279,7 +308,7 @@ object SimilarityQueries {
           col("nrm").as("nb"))
         cands.join(broadcast(qa), Seq("qid")).join(cb, Seq("cid"))
           .withColumn("cosine", round(
-            expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)") /
+            dotUdf(col("qa"), col("qb")) /
               sqrt(col("na").cast("double") * col("nb").cast("double")), 6))
           .withColumn("rank", row_number().over(
             org.apache.spark.sql.expressions.Window.partitionBy("qid")
@@ -330,8 +359,8 @@ object SimilarityQueries {
     "dedup_cosine_nn" -> Q(
       (s, dir) => {
         val e = table(s, dir, "embeddings")
-          .select(col("vec_id"), expr(QuantExpr).as("q"))
-          .withColumn("nrm", expr("aggregate(q, 0L, (acc, v) -> acc + v * v)"))
+          .select(col("vec_id"), quantUdf(col("embedding")).as("q"))
+          .withColumn("nrm", norm2Udf(col("q")))
         val sigs = e.select(col("vec_id"), posexplode(nnSigsUdf(col("q"))))
           .select(col("vec_id"), col("pos").cast("long").as("tbl"),
             col("col").as("sig"))
@@ -347,7 +376,7 @@ object SimilarityQueries {
           col("nrm").as("nb"))
         cands.join(ea, Seq("a")).join(eb, Seq("b"))
           .withColumn("cosine", round(
-            expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)") /
+            dotUdf(col("qa"), col("qb")) /
               sqrt(col("na").cast("double") * col("nb").cast("double")), 6))
           .filter(col("cosine") >= 0.30)
           .select("a", "b", "cosine")
@@ -393,7 +422,7 @@ object SimilarityQueries {
       (s, dir) => {
         import s.implicits._
         val e = table(s, dir, "embeddings")
-          .select(col("vec_id"), expr(QuantExpr).as("q"))
+          .select(col("vec_id"), quantUdf(col("embedding")).as("q"))
         val cents: Array[(Long, Array[Long])] =
           e.filter(col("vec_id") < 8).as[(Long, Array[Long])]
             .collect().sortBy(_._1)
@@ -435,7 +464,7 @@ object SimilarityQueries {
       (s, dir) => {
         import s.implicits._
         val e = table(s, dir, "embeddings")
-          .select(col("vec_id"), expr(QuantExpr).as("q"))
+          .select(col("vec_id"), quantUdf(col("embedding")).as("q"))
         val cents: Array[(Long, Array[Long])] =
           e.filter(col("vec_id") < 8).as[(Long, Array[Long])]
             .collect().sortBy(_._1)
@@ -480,17 +509,16 @@ object SimilarityQueries {
     "sim_knn_classify" -> Q(
       (s, dir) => {
         val e = table(s, dir, "embeddings")
-          .select(col("vec_id"), expr(QuantExpr).as("q"),
+          .select(col("vec_id"), quantUdf(col("embedding")).as("q"),
             col("label").cast("long").as("lbl"))
-          .withColumn("nrm", expr("aggregate(q, 0L, (acc, v) -> acc + v * v)"))
+          .withColumn("nrm", norm2Udf(col("q")))
         val qs = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("q").as("qa"),
             col("nrm").as("na"))
         val cand = e.select(col("vec_id").as("cid"), col("q").as("qb"),
           col("nrm").as("nb"), col("lbl"))
         val scored = broadcast(qs).join(cand, col("qid") =!= col("cid"))
-          .withColumn("dot", expr(
-            "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+          .withColumn("dot", dotUdf(col("qa"), col("qb")))
           .withColumn("cosine", round(col("dot") /
             sqrt(col("na").cast("double") * col("nb").cast("double")), 6))
         scored.withColumn("rank", row_number().over(

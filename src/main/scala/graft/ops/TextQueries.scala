@@ -217,7 +217,9 @@ object TextQueries {
     // side has no such bound and is the 100 TB path).
     "dedup_cluster" -> Q(
       (s, dir) => {
-        val pairs = minhashPairs(s, dir)
+        // localCheckpoint: pairs feeds both edge directions AND the
+        // node set — materialize the LSH pipeline once, not 3x
+        val pairs = minhashPairs(s, dir).localCheckpoint()
         val edges = pairs.select(col("a").as("vid"), col("b").as("nvid"))
           .unionAll(pairs.select(col("b").as("vid"), col("a").as("nvid")))
         val nodes = edges.select("vid").distinct()
