@@ -643,6 +643,70 @@ object TextQueries {
         |SELECT doc_id, source, n_tokens, cum_before // 512 AS seq_id,
         |       cum_before % 512 AS seq_offset FROM c""".stripMargin)),
 
+    // Deterministic global shuffle into training shards: shard by one
+    // content-independent hash, order within shard by a second — the
+    // final materialization step of a pretraining pipeline. Pure hash
+    // of doc_id (no RNG state), so the same shuffle reproduces on any
+    // cluster layout; the only wide op is the per-shard rank, whose
+    // window is bounded by shard size (at 100 TB the shard count
+    // scales with the corpus so shards stay ~fixed-size).
+    "shuffle_shards" -> Q(
+      (s, dir) => {
+        def h(tag: String) = conv(substring(md5(concat(lit(tag),
+          col("doc_id").cast("string")).cast("binary")), 1, 12), 16, 10)
+          .cast("long")
+        table(s, dir, "documents")
+          .select(col("doc_id"), pmod(h("shard:"), lit(16L)).as("shard"),
+            h("pos:").as("hpos"))
+          .withColumn("pos", row_number().over(
+            Window.partitionBy("shard").orderBy("hpos", "doc_id"))
+            .cast("long"))
+          .select("doc_id", "shard", "pos")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        |  ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 12))
+        |    ::BIGINT % 16 AS shard,
+        |  ('0x' || substr(md5('pos:' || CAST(doc_id AS VARCHAR)), 1, 12))
+        |    ::BIGINT AS hpos
+        |FROM documents)
+        |SELECT doc_id, shard, CAST(row_number() OVER (
+        |  PARTITION BY shard ORDER BY hpos, doc_id) AS BIGINT) AS pos
+        |FROM t""".stripMargin)),
+
+    // Vocabulary build + out-of-vocabulary rate: the canonical corpus
+    // wordcount (one partial-aggregated groupBy), a top-64 vocab
+    // (Spark plans orderBy+limit as TakeOrdered — per-partition top-k
+    // merged on the driver, never a global sort), then a BROADCAST
+    // anti-join scores each doc's OOV fraction. Ties at the vocab
+    // boundary break lexicographically so both engines agree.
+    "vocab_oov" -> Q(
+      (s, dir) => {
+        val words = table(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("wd"))
+        val vocab = words.groupBy("wd").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("wd")).limit(64).select("wd")
+        val oov = words.join(broadcast(vocab), Seq("wd"), "left_anti")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_oov"))
+        words.groupBy("doc_id").agg(count(lit(1)).as("n_words"))
+          .join(oov, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_words"),
+            coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+            floor(coalesce(col("n_oov"), lit(0L)).cast("double") /
+              col("n_words") * 1e6).cast("long").as("oov_ppm"))
+      },
+      Some("""WITH wd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+        |         FROM documents),
+        |counts AS (SELECT wd, count(*) AS c FROM wd GROUP BY 1),
+        |vocab AS (SELECT wd FROM counts ORDER BY c DESC, wd LIMIT 64),
+        |tot AS (SELECT doc_id, count(*) AS n_words FROM wd GROUP BY 1),
+        |oov AS (SELECT doc_id, count(*) AS n_oov FROM wd
+        |        WHERE wd NOT IN (SELECT wd FROM vocab) GROUP BY 1)
+        |SELECT t.doc_id, CAST(t.n_words AS BIGINT) AS n_words,
+        |  CAST(coalesce(o.n_oov, 0) AS BIGINT) AS n_oov,
+        |  CAST(floor(CAST(coalesce(o.n_oov, 0) AS DOUBLE) / t.n_words * 1e6)
+        |    AS BIGINT) AS oov_ppm
+        |FROM tot t LEFT JOIN oov o USING (doc_id)""".stripMargin)),
+
     // Rolling-hash document fingerprint (position-sensitive)
     "text_fingerprint" -> Q(
       (s, dir) => table(s, dir, "documents")

@@ -70,6 +70,55 @@ class CcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(comp.values.toSet == Set(4L + SX * 4L))
   }
 
+  test("random volumes match an in-memory union-find reference") {
+    // seeded random foreground over a 40x40x3 volume (spans 2x2 of
+    // the 32^3 local blocks) checked against a sequential union-find
+    // over the same 6-adjacency — pins the full two-level pipeline,
+    // not hand-picked shapes
+    val s = spark
+    import s.implicits._
+    val bigSX = 40L; val bigSY = 40L
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 2) {
+      val pts = (for {
+        z <- 0L until 3L; y <- 0L until 40L; x <- 0L until 40L
+        if rnd.nextDouble() < 0.45
+      } yield (x, y, z)).toVector
+      val vidOf = (p: (Long, Long, Long)) => p._1 + bigSX * (p._2 + bigSY * p._3)
+      // sequential reference: union-find keeping min vid as root
+      val parent = scala.collection.mutable.Map(
+        pts.map(p => vidOf(p) -> vidOf(p)): _*)
+      def find(v: Long): Long = {
+        var r = v
+        while (parent(r) != r) r = parent(r)
+        var c = v
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      for (p <- pts; d <- Seq((1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L))) {
+        val q = (p._1 + d._1, p._2 + d._2, p._3 + d._3)
+        // bounds check BEFORE the vid lookup: vidOf(40, y, z) aliases
+        // vidOf(0, y+1, z) — without it the reference phantom-merges
+        // across the volume edge
+        if (q._1 < bigSX && q._2 < bigSY && parent.contains(vidOf(q))) {
+          val (ra, rb) = (find(vidOf(p)), find(vidOf(q)))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+      }
+      val expected = pts.map(p => p -> find(vidOf(p))).toMap
+      val got = ConnectedComponents
+        .label6(s, pts.toDF("x", "y", "z"), bigSX, bigSY)
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
+        .toMap
+      val onlyGot = got.toSet.diff(expected.toSet).take(12)
+      val onlyExp = expected.toSet.diff(got.toSet).take(12)
+      assert(got == expected,
+        s"\nsizes got=${got.size} exp=${expected.size}" +
+          s"\nonly in got: $onlyGot\nonly in expected: $onlyExp")
+    }
+  }
+
   test("components spanning block boundaries merge across blocks") {
     // the local pass runs per 32^3 block; these shapes force the
     // boundary-root merge: a line crossing x=31/32, 63/64, 95/96, an
