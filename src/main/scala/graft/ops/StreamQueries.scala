@@ -235,5 +235,33 @@ object StreamQueries {
         |SELECT ('0x' || substr(md5(lower(trim(text))), 1, 12))::BIGINT AS h,
         |       min(doc_id) AS keeper, count(*) AS n_copies
         |FROM corpus GROUP BY 1""".stripMargin)),
+
+    // §2.9 stream-static enrichment join: the arriving event stream is
+    // joined per micro-batch against a BROADCAST static dimension
+    // (customer -> nation), then aggregated — the canonical streaming
+    // enrichment shape (Spark joins the static side statelessly each
+    // batch; no stream-stream state). At 100 TB the dimension stays
+    // broadcast-sized while the fact stream scales out.
+    "st5_stream_static_join" -> Q(
+      (s, dir) => {
+        val src = stageEvents(s, dir)
+        val schema = s.read.parquet(src).schema
+        val cust = broadcast(Derived.table(s, dir, "customer")
+          .select(col("c_custkey").cast("long").as("user_id"),
+            col("c_nationkey").cast("long").as("nation")))
+        val stream = s.readStream.schema(schema).parquet(src)
+          .select(col("user_id"),
+            round(col("value") * 100).cast("long").as("vc"))
+          .join(cust, Seq("user_id"))
+          .groupBy("nation")
+          .agg(count(lit(1)).as("n"), sum("vc").as("sum_vc"))
+        runToTable(s, stream, "graft_st5", "complete")
+      },
+      Some("""SELECT CAST(c.c_nationkey AS BIGINT) AS nation,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_vc
+        |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        |GROUP BY 1""".stripMargin)),
   )
 }
