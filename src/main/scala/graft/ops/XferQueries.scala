@@ -109,6 +109,65 @@ object XferQueries {
         |WHERE x BETWEEN 3 AND 54 AND y BETWEEN 5 AND 48
         |  AND z BETWEEN 2 AND 25""".stripMargin)),
 
+    // S16 pathway 3: transfer WITH downsample — the reference's
+    // transfer_to builds lower mips in the same pass (xfer.py:59-493 +
+    // igneous-style downsample cascade). Mode-pool 2x2x2 (the f8b
+    // COUNTLESS analog, two partial-agg shuffles), re-chunk the pooled
+    // voxels onto the half-resolution grid (one groupBy), encode and
+    // write a new single-scale layer, then read it back through the
+    // standard cutout path. Oracle: the same majority vote computed by
+    // DuckDB from the voxel sidecar.
+    "s16_transfer_downsample" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        import s.implicits._
+        import Derived.idiv
+        val target = s"${RealLayerQueries.Root}/layer_s16_ds"
+        val sc1 = meta.scale(1)
+        val metaDs = meta.copy(scales = Seq(sc1))
+        val pooled = PrecomputedIO.cutoutVoxels(s, LayerDir,
+            Bbox(Vec3(0, 0, 0), Vec3(SX, SY, SZ)))
+          .select(shiftright(col("x"), 1).as("x"),
+            shiftright(col("y"), 1).as("y"),
+            shiftright(col("z"), 1).as("z"), col("label"))
+          .groupBy("x", "y", "z", "label").agg(count(lit(1)).as("cnt"))
+          .groupBy("x", "y", "z")
+          // lexicographic max of (cnt, -label) = most frequent label,
+          // smallest label on ties — deterministic for the oracle
+          .agg(max_by(col("label"),
+            struct(col("cnt"), negate(col("label")))).as("label"))
+        val chunksDs = pooled
+          .select(idiv(col("x"), CX).as("gx"), idiv(col("y"), CY).as("gy"),
+            idiv(col("z"), CZ).as("gz"),
+            col("x"), col("y"), col("z"), col("label"))
+          .groupBy("gx", "gy", "gz")
+          .agg(collect_list(
+            struct(col("x"), col("y"), col("z"), col("label"))).as("vox"))
+          .as[(Long, Long, Long, Seq[(Long, Long, Long, Long)])]
+          .map { case (gx, gy, gz, vs) =>
+            val cb = Geom.chunkBbox(Vec3(gx, gy, gz), sc1.bounds, sc1.chunkSize)
+            val w = cb.size.x; val h = cb.size.y
+            val arr = new Array[Long](cb.volume.toInt)
+            vs.foreach { case (x, y, z, l) =>
+              arr(((x - cb.minpt.x) + w *
+                ((y - cb.minpt.y) + h * (z - cb.minpt.z))).toInt) = l
+            }
+            (gx, gy, gz, Codec.encodeRawFromLongs(arr, 4))
+          }.toDF("gx", "gy", "gz", "payload")
+        PrecomputedIO.writeInfo(target, metaDs)
+        PrecomputedIO.writeChunks(chunksDs, target, metaDs, mip = 0)
+        PrecomputedIO.cutoutVoxels(s, target, sc1.bounds)
+      },
+      Some(s"""WITH pooled AS (
+        |  SELECT x // 2 AS x, y // 2 AS y, z // 2 AS z, label,
+        |         count(*) AS cnt
+        |  FROM $Sidecar GROUP BY 1, 2, 3, 4),
+        |ranked AS (
+        |  SELECT x, y, z, label, row_number() OVER (
+        |    PARTITION BY x, y, z ORDER BY cnt DESC, label ASC) AS rn
+        |  FROM pooled)
+        |SELECT x, y, z, label FROM ranked WHERE rn = 1""".stripMargin)),
+
     // S13: aligned bulk delete + exists summary over the full grid
     "s13_delete" -> Q(
       (s, dir) => {
