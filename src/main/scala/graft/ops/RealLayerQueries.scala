@@ -379,6 +379,23 @@ object RealLayerQueries {
         |FROM pts p JOIN $Sidecar v
         |  ON v.x = p.x AND v.y = p.y AND v.z = p.z""".stripMargin)),
 
+    // P6 via the OPTIMIZER: the same codec contains() gate, but
+    // injected automatically by graft.functions.ContainsGateRule — a
+    // Rule[LogicalPlan] on the session that rewrites any
+    // `cutout.filter(label === K)` to probe each cseg payload's
+    // palette blocks before decode. The query itself is the naive
+    // user formulation; GateRuleSpec asserts the gate lands in the
+    // optimized plan and that results are identical with the rule off.
+    "p6b_label_mask_rule" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        graft.functions.ContainsGateRule.install(s)
+        PrecomputedIO.cutoutVoxels(s, LayerCsegDir,
+            Bbox(Vec3(0, 0, 0), Vec3(SX, SY, SZ)))
+          .filter(col("label") === 7L)
+      },
+      Some(s"SELECT x, y, z, label FROM $Sidecar WHERE label = 7")),
+
     // P6 binary-label mask read (rx.decode_binary_image:756-806):
     // chunks that fail the codec-level contains() gate emit zeros
     // without a full decode (chunks.contains:459-484)

@@ -147,6 +147,10 @@ object PrecomputedIO {
       dtb: Int): DataFrame = {
     val enc = scale.encoding
     val csegBs = scale.csegBlockSize.getOrElse(Vec3(8, 8, 8))
+    // the UDF name carries the codec parameters so the ContainsGateRule
+    // optimizer rule can synthesize a payload-level contains() gate
+    // for label-equality filters above this decode (see
+    // graft.functions.ContainsGateRule)
     val decodeUdf = udf((x0: Long, y0: Long, z0: Long, x1: Long, y1: Long,
         z1: Long, payload: Array[Byte]) => {
       val sx = x1 - x0; val sy = y1 - y0; val sz = z1 - z0
@@ -176,7 +180,8 @@ object PrecomputedIO {
         z += 1
       }
       out.toSeq
-    })
+    }).withName(s"graft_decode_voxels:$enc:$dtb:" +
+      s"${csegBs.x}_${csegBs.y}_${csegBs.z}")
     chunks
       .select(explode(decodeUdf(col("x0"), col("y0"), col("z0"),
         col("x1"), col("y1"), col("z1"), col("payload"))).as("vx"))
