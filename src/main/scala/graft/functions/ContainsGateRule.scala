@@ -53,9 +53,9 @@ object ContainsGateRule extends Rule[LogicalPlan] with PredicateHelper {
         gen @ Generate(Explode(u: ScalaUDF), _, _, _, genOut, gchild))
         if u.udfName.exists(_.startsWith(DecodePrefix)) &&
           !alreadyGated(gchild) =>
-      labelEq(cond, genOut) match {
-        case Some(k) =>
-          mkGate(u, k)
+      labelSet(cond, genOut) match {
+        case Some(ks) =>
+          mkGate(u, ks)
             .map(g => f.copy(child = gen.copy(child = Filter(g, gchild))))
             .getOrElse(f)
         case None => f
@@ -67,25 +67,34 @@ object ContainsGateRule extends Rule[LogicalPlan] with PredicateHelper {
     case _ => false
   }
 
-  /** Extract K from a conjunct `vx._4 = K` (either literal order) where
-    * vx is this Generate's output struct and ordinal 3 is the label.
+  /** Extract the label set from a membership conjunct over this
+    * Generate's output struct (ordinal 3 = label): `vx._4 = K`
+    * (either literal order), `vx._4 IN (...)`, or its InSet form.
     */
-  private def labelEq(cond: Expression, genOut: Seq[Attribute]): Option[Long] = {
+  private def labelSet(cond: Expression,
+      genOut: Seq[Attribute]): Option[Seq[Long]] = {
     val vx = genOut.headOption.map(_.exprId)
+    def isLabel(e: Expression): Boolean = e match {
+      case GetStructField(a: AttributeReference, 3, _) => vx.contains(a.exprId)
+      case _ => false
+    }
     splitConjunctivePredicates(cond).collectFirst {
-      case EqualTo(g @ GetStructField(a: AttributeReference, 3, _),
-          Literal(k: Long, LongType))
-          if vx.contains(a.exprId) => k
-      case EqualTo(Literal(k: Long, LongType),
-          g @ GetStructField(a: AttributeReference, 3, _))
-          if vx.contains(a.exprId) => k
+      case EqualTo(g, Literal(k: Long, LongType)) if isLabel(g) => Seq(k)
+      case EqualTo(Literal(k: Long, LongType), g) if isLabel(g) => Seq(k)
+      case In(g, vs) if isLabel(g) &&
+          vs.forall { case Literal(_: Long, LongType) => true; case _ => false } =>
+        vs.map { case Literal(k: Long, LongType) => k }
+      case InSet(g, hset) if isLabel(g) &&
+          hset.forall(_.isInstanceOf[Long]) =>
+        hset.toSeq.map(_.asInstanceOf[Long])
     }
   }
 
   /** Build the gate ScalaUDF over the SAME children as the decode UDF
-    * (x0, y0, z0, x1, y1, z1, payload).
+    * (x0, y0, z0, x1, y1, z1, payload): pass iff the payload contains
+    * ANY of the sought labels.
     */
-  private def mkGate(u: ScalaUDF, k: Long): Option[Expression] = {
+  private def mkGate(u: ScalaUDF, ks: Seq[Long]): Option[Expression] = {
     val parts = u.udfName.get.stripPrefix(DecodePrefix).split(":")
     val enc = parts(0)
     val dtb = parts(1).toInt
@@ -94,12 +103,15 @@ object ContainsGateRule extends Rule[LogicalPlan] with PredicateHelper {
       case _ => return None
     }
     if (enc != "raw" && enc != "compressed_segmentation") return None
+    if (ks.isEmpty) return None
+    val karr = ks.toArray
     val fn = (x0: Long, y0: Long, z0: Long, x1: Long, y1: Long, z1: Long,
         p: Array[Byte]) =>
-      if (p == null) k == 0L
-      else if (enc == "compressed_segmentation")
-        Cseg.labels(p, Vec3(x1 - x0, y1 - y0, z1 - z0), bs, dtb).contains(k)
-      else Codec.rawContains(p, dtb, k)
+      if (p == null) karr.contains(0L)
+      else if (enc == "compressed_segmentation") {
+        val ls = Cseg.labels(p, Vec3(x1 - x0, y1 - y0, z1 - z0), bs, dtb)
+        karr.exists(ls.contains)
+      } else karr.exists(k => Codec.rawContains(p, dtb, k))
     Some(ScalaUDF(fn, BooleanType, u.children, Nil, None, Some(GateName),
       false, true))
   }

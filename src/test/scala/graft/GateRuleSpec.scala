@@ -69,6 +69,23 @@ class GateRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cutoutFiltered(999999L).count() == 0)
   }
 
+  test("IN-list filters gate on any-of membership") {
+    val base = PrecomputedIO.cutoutVoxels(spark, RealLayerQueries.LayerCsegDir,
+      Bbox(Vec3(0, 0, 0),
+        Vec3(RealLayerQueries.SX, RealLayerQueries.SY, RealLayerQueries.SZ)))
+    val without = base.filter(col("label").isin(7L, 9L, 999999L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    ContainsGateRule.install(spark)
+    val df = base.filter(col("label").isin(7L, 9L, 999999L))
+    assert(df.queryExecution.optimizedPlan.toString
+      .contains(ContainsGateRule.GateName))
+    val withRule = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(withRule == without && withRule.nonEmpty)
+  }
+
   test("non-equality filters are left untouched") {
     ContainsGateRule.install(spark)
     val df = PrecomputedIO.cutoutVoxels(spark, RealLayerQueries.LayerCsegDir,
