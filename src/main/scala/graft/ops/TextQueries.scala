@@ -235,6 +235,35 @@ object TextQueries {
         |  SELECT t.id, e.b AS r FROM reach t JOIN edges e ON e.a = t.r)
         |SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id""".stripMargin)),
 
+    // The dedup endpoint a pipeline actually consumes: the CLEANED
+    // corpus. Non-keeper cluster members (cluster root != doc_id) are
+    // anti-joined away; the removal set is only as big as the near-dup
+    // population, so it broadcasts and the corpus side never shuffles.
+    "dedup_keep" -> Q(
+      (s, dir) => {
+        val pairs = minhashPairs(s, dir).localCheckpoint()
+        val edges = pairs.select(col("a").as("vid"), col("b").as("nvid"))
+          .unionAll(pairs.select(col("b").as("vid"), col("a").as("nvid")))
+        val nodes = edges.select("vid").distinct()
+        val drop = ConnectedComponents.propagateMin(s, edges, nodes)
+          .filter(col("vid") =!= col("comp"))
+          .select(col("vid").as("doc_id"))
+        corpus(s, dir).select("doc_id")
+          .join(broadcast(drop), Seq("doc_id"), "left_anti")
+      },
+      Some(s"""WITH RECURSIVE $PairsCtes,
+        |edges AS (SELECT a, b FROM pairs
+        |          UNION SELECT b AS a, a AS b FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT a AS id, a AS r FROM edges
+        |  UNION
+        |  SELECT t.id, e.b AS r FROM reach t JOIN edges e ON e.a = t.r),
+        |clusters AS (SELECT id AS doc_id, min(r) AS cluster
+        |             FROM reach GROUP BY id),
+        |drop AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster)
+        |SELECT c.doc_id FROM corpus c
+        |WHERE NOT EXISTS (SELECT 1 FROM drop d WHERE d.doc_id = c.doc_id)""".stripMargin)),
+
     // SimHash (16-bit) per doc + hamming distance to its near-dup
     "dedup_simhash" -> Q(
       (s, dir) => {
