@@ -69,6 +69,59 @@ object Zarr3Queries {
     Files.writeString(marker, want)
   }
 
+  // ---- sharded sibling (zarr v3 sharding_indexed codec) ----
+
+  val ShardedDir = s"$Root/sharded_array"
+
+  /** Outer shard 32x32x16 (8 shards over 60x60x28), inner chunks
+    * 8x8x8 (4x4x2 = 32 per shard). The reference DETECTS this codec
+    * but refuses it (zarr3/image.py:150-151 NotImplementedError);
+    * supporting it is deliberate beyond-reference coverage — large
+    * public zarr3 volumes are sharded precisely so readers can
+    * range-read inner chunks instead of listing millions of objects.
+    */
+  val zShardedMeta: Zarr3Meta = Zarr3Meta(
+    shape = Vec3(SX, SY, SZ), chunkShape = Vec3(32, 32, 16),
+    dataType = "uint32", fillValue = 0L, gzipped = true,
+    innerChunkShape = Some(Vec3(8, 8, 8)))
+
+  def ensureSharded(s: SparkSession, sfDir: String): Unit = synchronized {
+    RealLayerQueries.ensure(s, sfDir)
+    val want = RealLayerQueries.stamp
+    val marker = Paths.get(Root, ".built_sharded_from")
+    if (Files.exists(marker) && Files.readString(marker) == want) return
+    val shRoot = Paths.get(ShardedDir)
+    if (Files.exists(shRoot)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(shRoot).iterator.asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+    val dense = s.read.parquet(RealLayerQueries.VoxelsDir)
+    import s.implicits._
+    val cs = zShardedMeta.chunkShape
+    val shards = dense
+      .select(Derived.idiv(col("x"), cs.x).as("sx"),
+        Derived.idiv(col("y"), cs.y).as("sy"),
+        Derived.idiv(col("z"), cs.z).as("sz"),
+        col("x"), col("y"), col("z"), col("label"))
+      .groupBy("sx", "sy", "sz")
+      .agg(collect_list(struct(col("x"), col("y"), col("z"), col("label")))
+        .as("vox"))
+      .as[(Long, Long, Long, Seq[(Long, Long, Long, Long)])]
+      .map { case (sx, sy, sz, vs) =>
+        // FULL-size outer shard, fill-padded beyond the array bounds
+        val arr = new Array[Long]((cs.x * cs.y * cs.z).toInt)
+        vs.foreach { case (x, y, z, l) =>
+          arr(((x - sx * cs.x) + cs.x * ((y - sy * cs.y) + cs.y *
+            (z - sz * cs.z))).toInt) = l
+        }
+        (sx, sy, sz, arr.toSeq)
+      }.toDF("sx", "sy", "sz", "vox")
+    Zarr3IO.writeMeta(ShardedDir, zShardedMeta)
+    Zarr3IO.writeShards(shards, ShardedDir, zShardedMeta)
+    Files.writeString(marker, want)
+  }
+
   // ---- n5 sibling (clamped edge blocks, big-endian headers) ----
 
   val N5Dir = s"$Root/n5_array"
@@ -166,6 +219,20 @@ object Zarr3Queries {
       Some(s"""SELECT x, y, z, label
         |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')
         |WHERE x BETWEEN 2 AND 57 AND y BETWEEN 8 AND 49
+        |  AND z BETWEEN 3 AND 25""".stripMargin)),
+
+    // S18+: zarr3 SHARDED cutout (sharding_indexed) — per-shard
+    // crc-checked index read + inner-chunk range reads; the reference
+    // refuses this codec, so this is beyond-reference coverage
+    "s18_zarr3_sharded_cutout" -> Q(
+      (s, dir) => {
+        ensureSharded(s, dir)
+        Zarr3IO.cutoutVoxels(s, ShardedDir,
+          Bbox(Vec3(4, 6, 3), Vec3(58, 54, 26)))
+      },
+      Some(s"""SELECT x, y, z, label
+        |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')
+        |WHERE x BETWEEN 4 AND 57 AND y BETWEEN 6 AND 53
         |  AND z BETWEEN 3 AND 25""".stripMargin)),
 
     // S18: zarr3 cutout — C-order decode + edge-chunk clipping vs the

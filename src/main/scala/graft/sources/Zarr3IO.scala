@@ -26,12 +26,21 @@ import graft.core._
   */
 object Zarr3IO {
 
+  /** @param chunkShape the chunk_grid shape — for a sharded array this
+    *                    is the OUTER shard shape (voxels per shard
+    *                    object)
+    * @param innerChunkShape Some(inner) when the top-level codec is
+    *                    `sharding_indexed` (zarr v3 sharding spec):
+    *                    each shard object packs outer/inner sub-chunks
+    *                    plus a trailing (offset, nbytes) index
+    */
   final case class Zarr3Meta(
       shape: Vec3, // logical (x, y, z)
       chunkShape: Vec3,
       dataType: String,
       fillValue: Long,
-      gzipped: Boolean) {
+      gzipped: Boolean,
+      innerChunkShape: Option[Vec3] = None) {
     def dtypeBytes: Int = dataType match {
       case "uint8" => 1
       case "uint16" => 2
@@ -40,6 +49,15 @@ object Zarr3IO {
       case d => throw new IllegalArgumentException(s"zarr data_type $d")
     }
     def gridSize: Vec3 = shape.ceilDiv(chunkShape)
+    /** inner chunks per shard, per axis (sharded arrays only) */
+    def innerGrid: Vec3 = {
+      val inner = innerChunkShape.get
+      require(chunkShape.x % inner.x == 0 && chunkShape.y % inner.y == 0 &&
+        chunkShape.z % inner.z == 0,
+        s"shard shape $chunkShape not a multiple of inner $inner")
+      Vec3(chunkShape.x / inner.x, chunkShape.y / inner.y,
+        chunkShape.z / inner.z)
+    }
   }
 
   private val om = new ObjectMapper()
@@ -60,13 +78,40 @@ object Zarr3IO {
     cke.putObject("configuration").put("separator", "/")
     root.put("fill_value", m.fillValue)
     val codecs = root.putArray("codecs")
-    val bytesCodec = codecs.addObject()
-    bytesCodec.put("name", "bytes")
-    bytesCodec.putObject("configuration").put("endian", "little")
-    if (m.gzipped) {
-      val gz = codecs.addObject()
-      gz.put("name", "gzip")
-      gz.putObject("configuration").put("level", 5)
+    m.innerChunkShape match {
+      case Some(inner) =>
+        // zarr v3 sharding spec: sharding_indexed wraps the inner
+        // codec chain; the (offset, nbytes) index is bytes-le +
+        // crc32c, stored at the end of each shard object
+        val sh3 = codecs.addObject()
+        sh3.put("name", "sharding_indexed")
+        val conf = sh3.putObject("configuration")
+        val ics = conf.putArray("chunk_shape")
+        ics.add(inner.x); ics.add(inner.y); ics.add(inner.z)
+        val innerCodecs = conf.putArray("codecs")
+        val ib = innerCodecs.addObject()
+        ib.put("name", "bytes")
+        ib.putObject("configuration").put("endian", "little")
+        if (m.gzipped) {
+          val gz = innerCodecs.addObject()
+          gz.put("name", "gzip")
+          gz.putObject("configuration").put("level", 5)
+        }
+        val idxCodecs = conf.putArray("index_codecs")
+        val idxB = idxCodecs.addObject()
+        idxB.put("name", "bytes")
+        idxB.putObject("configuration").put("endian", "little")
+        idxCodecs.addObject().put("name", "crc32c")
+        conf.put("index_location", "end")
+      case None =>
+        val bytesCodec = codecs.addObject()
+        bytesCodec.put("name", "bytes")
+        bytesCodec.putObject("configuration").put("endian", "little")
+        if (m.gzipped) {
+          val gz = codecs.addObject()
+          gz.put("name", "gzip")
+          gz.putObject("configuration").put("level", 5)
+        }
     }
     val names = root.putArray("dimension_names")
     names.add("x"); names.add("y"); names.add("z")
@@ -83,7 +128,25 @@ object Zarr3IO {
     val grid = root.get("chunk_grid")
     require(grid.get("name").asText == "regular")
     val cs = grid.get("configuration").get("chunk_shape")
-    val codecs = root.get("codecs")
+    val codecs0 = root.get("codecs")
+    // unwrap sharding_indexed: the inner codec chain decodes the
+    // sub-chunks; the index_codecs must be bytes-le (+ crc32c)
+    val isSharded =
+      codecs0.get(0).get("name").asText == "sharding_indexed"
+    val (codecs, innerShape) = if (isSharded) {
+      val conf = codecs0.get(0).get("configuration")
+      val ics = conf.get("chunk_shape")
+      val idx = conf.get("index_codecs")
+      val idxNames = (0 until idx.size).map(idx.get(_).get("name").asText)
+      require(idxNames.headOption.contains("bytes") &&
+        idxNames.drop(1).forall(_ == "crc32c"),
+        s"unsupported index_codecs $idxNames")
+      val loc = Option(conf.get("index_location")).map(_.asText)
+        .getOrElse("end")
+      require(loc == "end", s"unsupported index_location '$loc'")
+      (conf.get("codecs"),
+        Some(Vec3(ics.get(0).asLong, ics.get(1).asLong, ics.get(2).asLong)))
+    } else (codecs0, None)
     val codecNames = (0 until codecs.size).map(codecs.get(_).get("name").asText)
     require(codecNames.headOption.contains("bytes"),
       s"unsupported codec chain $codecNames")
@@ -97,7 +160,132 @@ object Zarr3IO {
       chunkShape = Vec3(cs.get(0).asLong, cs.get(1).asLong, cs.get(2).asLong),
       dataType = root.get("data_type").asText,
       fillValue = Option(root.get("fill_value")).map(_.asLong).getOrElse(0L),
-      gzipped = codecNames.contains("gzip"))
+      gzipped = codecNames.contains("gzip"),
+      innerChunkShape = innerShape)
+  }
+
+  // ---- sharding_indexed (zarr v3 sharding spec) ----
+
+  private val Missing = -1L // 0xFFFFFFFFFFFFFFFF: absent inner chunk
+
+  /** Index slot of inner-grid coords (C order: z fastest). */
+  private def innerSlot(c: Vec3, ig: Vec3): Int =
+    ((c.x * ig.y + c.y) * ig.z + c.z).toInt
+
+  private def crc32c(b: Array[Byte], len: Int): Int = {
+    val c = new java.util.zip.CRC32C()
+    c.update(b, 0, len)
+    c.getValue.toInt
+  }
+
+  /** Synthesize one shard object: encoded inner chunks back to back,
+    * then the (offset, nbytes) uint64-le index in C order of the inner
+    * grid, then the index's crc32c (le). Inner chunks whose voxels are
+    * ALL fill_value are elided (written as Missing/Missing — the
+    * sharding spec's representation of an absent sub-chunk).
+    */
+  def synthesizeShard(outerVox: Array[Long], m: Zarr3Meta): Array[Byte] = {
+    val inner = m.innerChunkShape.get
+    val ig = m.innerGrid
+    val cs = m.chunkShape
+    val dtb = m.dtypeBytes
+    val n = (ig.x * ig.y * ig.z).toInt
+    val offsets = new Array[Long](n)
+    val sizes = new Array[Long](n)
+    val parts = new Array[Array[Byte]](n)
+    var pos = 0L
+    for (cx <- 0L until ig.x; cy <- 0L until ig.y; cz <- 0L until ig.z) {
+      val slot = innerSlot(Vec3(cx, cy, cz), ig)
+      val sub = new Array[Long]((inner.x * inner.y * inner.z).toInt)
+      var allFill = true
+      var z = 0L
+      while (z < inner.z) {
+        var y = 0L
+        while (y < inner.y) {
+          var x = 0L
+          while (x < inner.x) {
+            val v = outerVox(((cx * inner.x + x) + cs.x *
+              ((cy * inner.y + y) + cs.y * (cz * inner.z + z))).toInt)
+            sub((x + inner.x * (y + inner.y * z)).toInt) = v
+            if (v != m.fillValue) allFill = false
+            x += 1
+          }
+          y += 1
+        }
+        z += 1
+      }
+      if (allFill) { offsets(slot) = Missing; sizes(slot) = Missing }
+      else {
+        val enc0 = encodeChunkFromF(sub, inner, dtb)
+        val enc = if (m.gzipped) Codec.gzip(enc0) else enc0
+        parts(slot) = enc
+        offsets(slot) = pos
+        sizes(slot) = enc.length.toLong
+        pos += enc.length
+      }
+    }
+    val idxBytes = new Array[Byte](16 * n + 4)
+    val bb = java.nio.ByteBuffer.wrap(idxBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < n) { bb.putLong(offsets(i)); bb.putLong(sizes(i)); i += 1 }
+    bb.putInt(crc32c(idxBytes, 16 * n))
+    val out = new java.io.ByteArrayOutputStream(pos.toInt + idxBytes.length)
+    parts.foreach(p => if (p != null) out.write(p))
+    out.write(idxBytes)
+    out.toByteArray
+  }
+
+  /** Parse a shard's trailing index; verifies the crc32c. */
+  def readShardIndex(file: java.nio.file.Path, m: Zarr3Meta): Array[(Long, Long)] = {
+    val ig = m.innerGrid
+    val n = (ig.x * ig.y * ig.z).toInt
+    val idxLen = 16 * n + 4
+    val ch = java.nio.channels.FileChannel.open(file)
+    try {
+      val sz = ch.size()
+      require(sz >= idxLen, s"shard smaller than its index ($sz < $idxLen)")
+      val bb = java.nio.ByteBuffer.allocate(idxLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      ch.position(sz - idxLen)
+      while (bb.hasRemaining) ch.read(bb)
+      bb.flip()
+      val raw = bb.array()
+      val want = java.nio.ByteBuffer.wrap(raw, 16 * n, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      val got = crc32c(raw, 16 * n)
+      if (want != got)
+        throw new IllegalStateException(
+          s"shard index crc32c mismatch: stored $want computed $got")
+      (0 until n).map(i => (bb.getLong(i * 16), bb.getLong(i * 16 + 8))).toArray
+    } finally ch.close()
+  }
+
+  /** Range-read one inner chunk's encoded bytes from a shard file. */
+  private def readRange(file: java.nio.file.Path, off: Long, len: Long): Array[Byte] = {
+    val ch = java.nio.channels.FileChannel.open(file)
+    try {
+      val bb = java.nio.ByteBuffer.allocate(len.toInt)
+      ch.position(off)
+      while (bb.hasRemaining) ch.read(bb)
+      bb.array()
+    } finally ch.close()
+  }
+
+  /** Write shard rows (sx, sy, sz, vox: F-order full OUTER-shard Long
+    * array) as shard objects `c/<sx>/<sy>/<sz>`.
+    */
+  def writeShards(shards: DataFrame, dir: String, m: Zarr3Meta): Unit = {
+    val dirStr = dir
+    shards.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      rows.foreach { r =>
+        val bytes = synthesizeShard(r.getSeq[Long](3).toArray, m)
+        val p = Paths.get(dirStr, "c", r.getLong(0).toString,
+          r.getLong(1).toString)
+        Files.createDirectories(p)
+        Files.write(p.resolve(r.getLong(2).toString), bytes)
+      }
+    }
   }
 
   /** C-order chunk bytes -> F-order Long voxels (the bytes-codec
@@ -168,10 +356,13 @@ object Zarr3IO {
 
   /** S18 cutout: enumerate the pruned grid at planning time, read +
     * decode chunk objects in executor tasks, clip padded edge voxels
-    * to the array shape and the request bbox.
+    * to the array shape and the request bbox. Sharded arrays dispatch
+    * to the index-driven range-read path.
     */
   def cutoutVoxels(spark: SparkSession, dir: String, bbox: Bbox): DataFrame = {
     val m = readMeta(dir)
+    if (m.innerChunkShape.isDefined)
+      return cutoutVoxelsSharded(spark, dir, m, bbox)
     val cs = m.chunkShape
     val dtb = m.dtypeBytes
     val isGz = m.gzipped
@@ -209,6 +400,90 @@ object Zarr3IO {
             y += 1
           }
           z += 1
+        }
+        out
+      }.toDF("x", "y", "z", "label")
+  }
+
+  /** Sharded cutout: one task per NEEDED shard (planning-time grid
+    * pruning), each reading the trailing index once (crc-checked) and
+    * then range-reading only the inner chunks that intersect the
+    * request — never the whole shard object. Absent shard files and
+    * Missing index slots read as fill_value (the sharded analog of the
+    * unsharded absent-chunk-key rule).
+    */
+  private def cutoutVoxelsSharded(spark: SparkSession, dir: String,
+      m: Zarr3Meta, bbox: Bbox): DataFrame = {
+    val inner = m.innerChunkShape.get
+    val ig = m.innerGrid
+    val cs = m.chunkShape
+    val dtb = m.dtypeBytes
+    val isGz = m.gzipped
+    val fill = m.fillValue
+    val bounds = Bbox(Vec3(0, 0, 0), m.shape)
+    val clip = bbox.intersection(bounds)
+    val shardPts = Geom.gridpoints(bbox, bounds, cs)
+    val dirStr = dir
+    import spark.implicits._
+    spark.createDataset(shardPts.map(g => (g.x, g.y, g.z)))
+      .repartition(math.max(shardPts.size / 2, 1))
+      .flatMap { case (sx, sy, sz) =>
+        val file = Paths.get(dirStr, "c", sx.toString, sy.toString,
+          sz.toString)
+        val shardLo = Vec3(sx * cs.x, sy * cs.y, sz * cs.z)
+        val index: Option[Array[(Long, Long)]] =
+          if (Files.exists(file)) Some(readShardIndex(file, m)) else None
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long)]
+        var cx = 0L
+        while (cx < ig.x) {
+          var cy = 0L
+          while (cy < ig.y) {
+            var cz = 0L
+            while (cz < ig.z) {
+              val lo = Vec3(shardLo.x + cx * inner.x,
+                shardLo.y + cy * inner.y, shardLo.z + cz * inner.z)
+              val x0 = math.max(lo.x, clip.minpt.x)
+              val x1 = math.min(lo.x + inner.x, clip.maxpt.x)
+              val y0 = math.max(lo.y, clip.minpt.y)
+              val y1 = math.min(lo.y + inner.y, clip.maxpt.y)
+              val z0 = math.max(lo.z, clip.minpt.z)
+              val z1 = math.min(lo.z + inner.z, clip.maxpt.z)
+              if (x0 < x1 && y0 < y1 && z0 < z1) {
+                val vox = index match {
+                  case None => null // whole shard absent -> fill
+                  case Some(idx) =>
+                    val (off, len) = idx(innerSlot(Vec3(cx, cy, cz), ig))
+                    if (off == Missing) null
+                    else {
+                      val raw = readRange(file, off, len)
+                      decodeChunkToF(if (isGz) Codec.gunzip(raw) else raw,
+                        inner, dtb)
+                    }
+                }
+                var z = z0
+                while (z < z1) {
+                  var y = y0
+                  while (y < y1) {
+                    var x = x0
+                    while (x < x1) {
+                      val v =
+                        if (vox == null) fill
+                        else vox(((x - lo.x) + inner.x *
+                          ((y - lo.y) + inner.y * (z - lo.z))).toInt)
+                      out += ((x, y, z, v))
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  z += 1
+                }
+              }
+              cz += 1
+            }
+            cy += 1
+          }
+          cx += 1
         }
         out
       }.toDF("x", "y", "z", "label")

@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Vec3
+import graft.sources.Zarr3IO
+import graft.sources.Zarr3IO.Zarr3Meta
+
+/** zarr v3 sharding_indexed container: shard synthesis + index
+  * round-trip, all-fill inner-chunk elision (Missing/Missing slots),
+  * and crc32c index corruption detection. Spark-free — exercises the
+  * pure codec layer the sharded cutout path is built on.
+  */
+class Zarr3ShardSpec extends AnyFunSuite {
+
+  private val m = Zarr3Meta(
+    shape = Vec3(16, 16, 8), chunkShape = Vec3(16, 16, 8),
+    dataType = "uint32", fillValue = 0L, gzipped = true,
+    innerChunkShape = Some(Vec3(8, 8, 4)))
+  // inner grid 2x2x2 = 8 slots
+
+  private def mkVox(): Array[Long] = {
+    val vox = new Array[Long]((16 * 16 * 8).toInt)
+    // leave inner chunk (cx=1, cy=0, cz=0) = x in [8,16), y in [0,8),
+    // z in [0,4) ALL ZERO (fill) so its slot must be Missing
+    for (z <- 0 until 8; y <- 0 until 16; x <- 0 until 16)
+      if (!(x >= 8 && y < 8 && z < 4))
+        vox(x + 16 * (y + 16 * z)) = (x + 31L * y + 57L * z) % 251
+    vox
+  }
+
+  test("shard round-trips through index + range slicing") {
+    val vox = mkVox()
+    val shard = Zarr3IO.synthesizeShard(vox, m)
+    val dir = Files.createTempDirectory("z3shard")
+    val f = dir.resolve("0")
+    Files.write(f, shard)
+    val idx = Zarr3IO.readShardIndex(f, m)
+    assert(idx.length == 8)
+    // the all-fill inner chunk is elided
+    val missing = idx.count { case (o, n) => o == -1L && n == -1L }
+    assert(missing == 1, s"expected exactly 1 Missing slot, got $missing")
+    // decode every present inner chunk via the index and compare voxels
+    val inner = m.innerChunkShape.get
+    val ig = m.innerGrid
+    for (cx <- 0L until ig.x; cy <- 0L until ig.y; cz <- 0L until ig.z) {
+      val slot = ((cx * ig.y + cy) * ig.z + cz).toInt
+      val (off, len) = idx(slot)
+      if (off != -1L) {
+        val bytes = java.util.Arrays.copyOfRange(shard, off.toInt,
+          (off + len).toInt)
+        val sub = Zarr3IO.decodeChunkToF(
+          graft.core.Codec.gunzip(bytes), inner, m.dtypeBytes)
+        for (z <- 0L until inner.z; y <- 0L until inner.y;
+            x <- 0L until inner.x) {
+          val gx = cx * inner.x + x; val gy = cy * inner.y + y
+          val gz = cz * inner.z + z
+          assert(sub((x + inner.x * (y + inner.y * z)).toInt) ==
+            vox((gx + 16 * (gy + 16 * gz)).toInt),
+            s"voxel ($gx,$gy,$gz)")
+        }
+      }
+    }
+  }
+
+  test("corrupted index crc32c is detected") {
+    val shard = Zarr3IO.synthesizeShard(mkVox(), m)
+    shard(shard.length - 20) = (shard(shard.length - 20) ^ 0x1).toByte
+    val dir = Files.createTempDirectory("z3shardbad")
+    val f = dir.resolve("0")
+    Files.write(f, shard)
+    val e = intercept[IllegalStateException](Zarr3IO.readShardIndex(f, m))
+    assert(e.getMessage.contains("crc32c"))
+  }
+
+  test("meta round-trips the sharding_indexed codec") {
+    val dir = Files.createTempDirectory("z3meta").toString
+    Zarr3IO.writeMeta(dir, m)
+    val back = Zarr3IO.readMeta(dir)
+    assert(back == m)
+    val json = Files.readString(Paths.get(dir, "zarr.json"))
+    assert(json.contains("sharding_indexed") && json.contains("crc32c"))
+  }
+}
