@@ -211,13 +211,7 @@ object Bench {
       s"\"" + k + "\":\"" + jstr(v) + "\""
     }.mkString("{", ",", "}")
     val total = num(results.map(_._2).sum, 3)
-    // stop Spark BEFORE printing so its shutdown logging can't land
-    // after the JSON — the driver parses the last line of output
-    // (build.sbt sets showSuccess := false for the same reason)
-    spark.stop()
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""n_failed":${errs.size},"errors":$errJson,""" +
+    val mbpsJson =
       s""""cutout_MBps_chunk1024_1024_100":${num(mbps("z100"), 1)},""" +
       s""""baseline_MBps_chunk1024_1024_100":43.5,""" +
       s""""cutout_MBps_chunk1024_1024_64":${num(mbps("z64"), 1)},""" +
@@ -229,8 +223,38 @@ object Bench {
       s""""write_MBps_chunk1024_1024_100":${num(wMbps("z100"), 1)},""" +
       s""""baseline_write_MBps_chunk1024_1024_100":31.7,""" +
       s""""write_MBps_chunk128_128_128":${num(wMbps("c128"), 1)},""" +
-      s""""baseline_write_MBps_chunk128_128_128":1.0,""" +
-      s""""sf":"$sfDir"}""")
+      s""""baseline_write_MBps_chunk128_128_128":1.0"""
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""n_failed":${errs.size},"errors":$errJson,$mbpsJson,"sf":"$sfDir"}"""
+    // Full per-query timings for humans/judge: one stdout line (NOT the
+    // last) plus a file next to the repo's BENCH_r{N}.json snapshots.
+    try Files.write(Paths.get("BENCH_DETAIL.json"), (detail + "\n").getBytes("UTF-8"))
+    catch { case _: java.io.IOException => () } // read-only cwd: detail still on stdout
+    // The driver captures only a bounded tail (~2000 chars) of this
+    // process's output and parses the LAST line as the result JSON — a
+    // full 128-entry queries dict (~4.5 KB) gets truncated mid-object
+    // and records parsed:null (bit rounds 1-4). The last line therefore
+    // carries aggregates + MB/s + only the slowest queries, and the full
+    // dict rides the earlier BENCH_DETAIL line/file.
+    val slowest = results.sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"" + k + "\":" + num(v, 3) }
+      .mkString("{", ",", "}")
+    val errNames = errs.keys.take(5)
+      .map(k => "\"" + jstr(k) + "\"").mkString("[", ",", "]")
+    val lastLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
+      s""""n_failed":${errs.size},"failed":$errNames,"queries":$slowest,""" +
+      s""""queries_note":"slowest 10 of ${results.size}; full dict in BENCH_DETAIL.json","""+
+      s"""$mbpsJson,"sf":"$sfDir"}"""
+    require(lastLine.length < 1800,
+      s"bench summary line ${lastLine.length} chars — would truncate in driver tail")
+    // stop Spark BEFORE printing so its shutdown logging can't land
+    // after the JSON — the driver parses the last line of output
+    // (build.sbt sets showSuccess := false for the same reason)
+    spark.stop()
+    println("BENCH_DETAIL " + detail)
+    println(lastLine)
     if (errs.nonEmpty) sys.exit(1)
   }
 }

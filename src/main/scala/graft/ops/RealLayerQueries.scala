@@ -322,6 +322,28 @@ object RealLayerQueries {
         |  FROM pooled)
         |SELECT px, py, pz, label FROM ranked WHERE rn = 1""".stripMargin)),
 
+    // F8 extension: averaging downsample — the reference's
+    // downsample_with_averaging flavor for IMAGE layers (2x2x2 mean,
+    // floored to the integer dtype), alongside f8b's segmentation mode
+    // pool. One partial-aggregated sum+count groupBy; integer division
+    // keeps both engines bit-identical.
+    "f8c_downsample_avg" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        PrecomputedIO.cutoutVoxels(s, LayerDir,
+            Bbox(Vec3(0, 0, 0), Vec3(SX, SY, SZ)))
+          .select(shiftright(col("x"), 1).as("px"),
+            shiftright(col("y"), 1).as("py"),
+            shiftright(col("z"), 1).as("pz"), col("label"))
+          .groupBy("px", "py", "pz")
+          .agg(sum("label").as("lsum"), count(lit(1)).as("n"))
+          .select(col("px"), col("py"), col("pz"),
+            expr("lsum div n").as("mean_label"))
+      },
+      Some(s"""SELECT x // 2 AS px, y // 2 AS py, z // 2 AS pz,
+        |  CAST(sum(label) AS BIGINT) // count(*) AS mean_label
+        |FROM $Sidecar GROUP BY 1, 2, 3""".stripMargin)),
+
     // Extension: distributed 6-connected components over the layer's
     // foreground voxels (pointer-jumping min-label propagation,
     // O(log diameter) rounds — see ConnectedComponents). No DuckDB

@@ -287,6 +287,7 @@ object SimilarityQueries {
         val e = table(s, dir, "embeddings")
           .select(col("vec_id"), quantUdf(col("embedding")).as("q"))
           .withColumn("nrm", norm2Udf(col("q")))
+          .localCheckpoint() // feeds cents/assigned/qa/cb — quantize once
         val cents = e.filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("cid_c"), col("q").as("qc"))
         // exact integer squared-L2 to every centroid; keep rank info
@@ -295,6 +296,7 @@ object SimilarityQueries {
           .withColumn("rk", row_number().over(
             org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
               .orderBy(col("d2"), col("cid_c"))))
+          .localCheckpoint() // feeds both lists and probes
         val lists = assigned.filter(col("rk") === 1)
           .select(col("vec_id"), col("cid_c").as("cell"))
         val probes = assigned.filter(col("vec_id") < 10 && col("rk") <= 2)

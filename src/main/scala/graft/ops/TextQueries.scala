@@ -759,5 +759,125 @@ object TextQueries {
         |  FROM p)
         |SELECT doc_id, CAST(sum(term) % 1048576 AS BIGINT) AS fp
         |FROM t GROUP BY doc_id""".stripMargin)),
+
+    // Exact duplicated-span detection (the suffix-array substring-dedup
+    // signal of Lee et al. 2022, "Deduplicating Training Data Makes
+    // Language Models Better", approximated at a fixed 8-token span):
+    // a span is "shared" if its 8-gram occurs in >= 2 distinct docs.
+    // Near-dup pairs share most spans, unrelated docs almost none —
+    // this catches verbatim boilerplate that whole-doc MinHash misses.
+    // Scale shape: shingling is a narrow map; the shared-span set is
+    // one partial-aggregated groupBy on the span hash; the tag-back is
+    // a semi-join on the same hash key (co-partitioned with the
+    // groupBy's shuffle). No all-pairs anywhere.
+    "dedup_substring" -> Q(
+      (s, dir) => {
+        val spans = corpus(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 8)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(w) - 8), " +
+              "i -> array_join(slice(w, i + 1, 8), ' '))")).as("sp"))
+          .select(col("doc_id"),
+            conv(substring(md5(col("sp").cast("binary")), 1, 12), 16, 10)
+              .cast("long").as("hv"))
+          .localCheckpoint() // feeds the shared set AND both per-doc aggs
+        val shared = spans.groupBy("hv")
+          .agg(count_distinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2).select("hv")
+        val perDoc = spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+        val sharedPerDoc = spans.join(shared, Seq("hv"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        perDoc.join(sharedPerDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_spans"),
+            coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+            floor(coalesce(col("n_shared"), lit(0L)).cast("double") /
+              col("n_spans") * 1e6).cast("long").as("shared_ppm"))
+      },
+      Some(s"""WITH $CorpusCte,
+        |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        |g AS (SELECT doc_id,
+        |        ('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 12))
+        |          ::BIGINT AS hv
+        |      FROM (SELECT doc_id, w,
+        |              unnest(generate_series(1, len(w) - 7)) AS i
+        |            FROM w WHERE len(w) >= 8)),
+        |shared AS (SELECT hv FROM g GROUP BY hv
+        |           HAVING count(DISTINCT doc_id) >= 2),
+        |per AS (SELECT doc_id, count(*) AS n_spans FROM g GROUP BY 1),
+        |sh AS (SELECT doc_id, count(*) AS n_shared FROM g
+        |       WHERE hv IN (SELECT hv FROM shared) GROUP BY 1)
+        |SELECT p.doc_id, CAST(p.n_spans AS BIGINT) AS n_spans,
+        |  CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared,
+        |  CAST(floor(CAST(coalesce(s.n_shared, 0) AS DOUBLE) / p.n_spans
+        |    * 1e6) AS BIGINT) AS shared_ppm
+        |FROM per p LEFT JOIN sh s USING (doc_id)""".stripMargin)),
+
+    // Linear quality classifier applied at corpus scale (the fastText-
+    // filter shape of CCNet/GPT-3 data prep): every token carries a
+    // fixed hash-derived weight in [-1000, 1000] (a stand-in for
+    // trained weights — deterministic, so the oracle can replay them),
+    // a doc's logit is the token-weight sum, keep = logit >= 0. Pure
+    // narrow map + one partial-aggregated groupBy — the classifier
+    // pass over 100 TB costs one scan, no shuffle of the text itself.
+    "quality_classifier" -> Q(
+      (s, dir) => table(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("wd"))
+        .select(col("doc_id"),
+          (conv(substring(md5(col("wd").cast("binary")), 1, 12), 16, 10)
+            .cast("long") % 2001L - 1000L).as("wt"))
+        .groupBy("doc_id")
+        .agg(sum("wt").as("logit_sum"), count(lit(1)).as("n_words"))
+        .select(col("doc_id"), col("logit_sum"), col("n_words"),
+          floor(col("logit_sum").cast("double") / col("n_words"))
+            .cast("long").as("logit_mean"),
+          (col("logit_sum") >= 0).cast("long").as("keep")),
+      Some("""WITH wd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+        |         FROM documents),
+        |wt AS (SELECT doc_id,
+        |         ('0x' || substr(md5(wd), 1, 12))::BIGINT % 2001 - 1000 AS wt
+        |       FROM wd),
+        |agg AS (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS logit_sum,
+        |          CAST(count(*) AS BIGINT) AS n_words
+        |        FROM wt GROUP BY 1)
+        |SELECT doc_id, logit_sum, n_words,
+        |  CAST(floor(CAST(logit_sum AS DOUBLE) / n_words) AS BIGINT)
+        |    AS logit_mean,
+        |  CAST(CASE WHEN logit_sum >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM agg""".stripMargin)),
+
+    // TF-IDF-style distinctive terms per document, fully integer: rank
+    // terms by (tf DESC, df ASC, term ASC) — highest in-doc frequency,
+    // rarest corpus-wide on ties — and keep the top 3. The df table is
+    // vocabulary-sized (tiny next to the corpus), so it broadcasts;
+    // the per-doc window partitions by doc_id (millions of small
+    // partitions at scale, never one global window).
+    "tfidf_top_terms" -> Q(
+      (s, dir) => {
+        val wd = table(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        val tf = wd.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = wd.select("doc_id", "term").distinct()
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        tf.join(broadcast(df), Seq("term"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("doc_id")
+              .orderBy(col("tf").desc, col("df").asc, col("term").asc))
+            .cast("long"))
+          .filter(col("rank") <= 3)
+          .select("doc_id", "rank", "term", "tf", "df")
+      },
+      Some("""WITH wd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |         FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM wd GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |       FROM wd GROUP BY 1),
+        |ranked AS (SELECT doc_id, term, tf, df,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tf DESC, df ASC, term ASC) AS BIGINT) AS rank
+        |  FROM tf JOIN df USING (term))
+        |SELECT doc_id, rank, term, tf, df FROM ranked
+        |WHERE rank <= 3""".stripMargin)),
   )
 }

@@ -111,46 +111,108 @@ object XferQueries {
 
     // S16 pathway 3: transfer WITH downsample — the reference's
     // transfer_to builds lower mips in the same pass (xfer.py:59-493 +
-    // igneous-style downsample cascade). Mode-pool 2x2x2 (the f8b
-    // COUNTLESS analog, two partial-agg shuffles), re-chunk the pooled
-    // voxels onto the half-resolution grid (one groupBy), encode and
-    // write a new single-scale layer, then read it back through the
-    // standard cutout path. Oracle: the same majority vote computed by
-    // DuckDB from the voxel sidecar.
+    // igneous-style downsample cascade). Scale shape: the 2x2x2 mode
+    // pool happens INSIDE each source chunk's decode task (chunk sizes
+    // are even, so pool windows never straddle a chunk boundary), and
+    // only the 1/8-size pooled blocks shuffle — one groupBy keyed by
+    // destination chunk, 8 octant blocks per group, no voxel-row
+    // explosion anywhere. This is the igneous downsample-task plan: a
+    // petabyte transfer moves an eighth of a petabyte once. Oracle: the
+    // same majority vote computed by DuckDB from the voxel sidecar.
     "s16_transfer_downsample" -> Q(
       (s, dir) => {
         ensure(s, dir)
         import s.implicits._
-        import Derived.idiv
         val target = s"${RealLayerQueries.Root}/layer_s16_ds"
         val sc1 = meta.scale(1)
         val metaDs = meta.copy(scales = Seq(sc1))
-        val pooled = PrecomputedIO.cutoutVoxels(s, LayerDir,
-            Bbox(Vec3(0, 0, 0), Vec3(SX, SY, SZ)))
-          .select(shiftright(col("x"), 1).as("x"),
-            shiftright(col("y"), 1).as("y"),
-            shiftright(col("z"), 1).as("z"), col("label"))
-          .groupBy("x", "y", "z", "label").agg(count(lit(1)).as("cnt"))
-          .groupBy("x", "y", "z")
-          // lexicographic max of (cnt, -label) = most frequent label,
-          // smallest label on ties — deterministic for the oracle
-          .agg(max_by(col("label"),
-            struct(col("cnt"), negate(col("label")))).as("label"))
-        val chunksDs = pooled
-          .select(idiv(col("x"), CX).as("gx"), idiv(col("y"), CY).as("gy"),
-            idiv(col("z"), CZ).as("gz"),
-            col("x"), col("y"), col("z"), col("label"))
-          .groupBy("gx", "gy", "gz")
-          .agg(collect_list(
-            struct(col("x"), col("y"), col("z"), col("label"))).as("vox"))
-          .as[(Long, Long, Long, Seq[(Long, Long, Long, Long)])]
-          .map { case (gx, gy, gz, vs) =>
+        // narrow per-chunk stage: decode -> mode-pool -> octant block
+        val blocks = PrecomputedIO.readChunks(s, LayerDir)
+          .select(col("gx"), col("gy"), col("gz"), col("x0"), col("y0"),
+            col("z0"), col("x1"), col("y1"), col("z1"), col("payload"))
+          .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Array[Byte])]
+          .map { case (gx, gy, gz, x0, y0, z0, x1, y1, z1, p) =>
+            val w = (x1 - x0).toInt; val h = (y1 - y0).toInt
+            val d = (z1 - z0).toInt
+            val vox = Codec.decodeRawToLongs(p, 4)
+            val pw = (w + 1) / 2; val ph = (h + 1) / 2; val pd = (d + 1) / 2
+            val out = new Array[Long](pw * ph * pd)
+            val mem = new Array[Long](8)
+            var pz = 0
+            while (pz < pd) {
+              var py = 0
+              while (py < ph) {
+                var px = 0
+                while (px < pw) {
+                  var n = 0
+                  var dz = 0
+                  while (dz < 2) {
+                    val z = pz * 2 + dz
+                    if (z < d) {
+                      var dy = 0
+                      while (dy < 2) {
+                        val y = py * 2 + dy
+                        if (y < h) {
+                          var dx = 0
+                          while (dx < 2) {
+                            val x = px * 2 + dx
+                            if (x < w) { mem(n) = vox(x + w * (y + h * z)); n += 1 }
+                            dx += 1
+                          }
+                        }
+                        dy += 1
+                      }
+                    }
+                    dz += 1
+                  }
+                  // majority vote, smallest label on ties (matches the
+                  // oracle's ORDER BY cnt DESC, label ASC)
+                  var best = 0L; var bestCnt = -1
+                  var i = 0
+                  while (i < n) {
+                    val v = mem(i); var c = 0; var j = 0
+                    while (j < n) { if (mem(j) == v) c += 1; j += 1 }
+                    if (c > bestCnt || (c == bestCnt && v < best)) {
+                      best = v; bestCnt = c
+                    }
+                    i += 1
+                  }
+                  out(px + pw * (py + ph * pz)) = best
+                  px += 1
+                }
+                py += 1
+              }
+              pz += 1
+            }
+            (gx / 2, gy / 2, gz / 2, x0 / 2, y0 / 2, z0 / 2, pw, ph, pd,
+              Codec.encodeRawFromLongs(out, 4))
+          }.toDF("gx", "gy", "gz", "bx", "by", "bz", "bw", "bh", "bd", "blk")
+        // the only shuffle: pooled octant blocks -> destination chunk
+        val chunksDs = blocks.groupBy("gx", "gy", "gz")
+          .agg(collect_list(struct(col("bx"), col("by"), col("bz"),
+            col("bw"), col("bh"), col("bd"), col("blk"))).as("blocks"))
+          .as[(Long, Long, Long, Seq[(Long, Long, Long, Int, Int, Int, Array[Byte])])]
+          .map { case (gx, gy, gz, bs) =>
             val cb = Geom.chunkBbox(Vec3(gx, gy, gz), sc1.bounds, sc1.chunkSize)
-            val w = cb.size.x; val h = cb.size.y
+            val wOut = cb.size.x.toInt; val hOut = cb.size.y.toInt
             val arr = new Array[Long](cb.volume.toInt)
-            vs.foreach { case (x, y, z, l) =>
-              arr(((x - cb.minpt.x) + w *
-                ((y - cb.minpt.y) + h * (z - cb.minpt.z))).toInt) = l
+            bs.foreach { case (bx, by, bz, bw, bh, bd, blk) =>
+              val v = Codec.decodeRawToLongs(blk, 4)
+              var z = 0
+              while (z < bd) {
+                var y = 0
+                while (y < bh) {
+                  var x = 0
+                  while (x < bw) {
+                    arr((bx + x - cb.minpt.x).toInt + wOut *
+                      ((by + y - cb.minpt.y).toInt + hOut *
+                        (bz + z - cb.minpt.z).toInt)) = v(x + bw * (y + bh * z))
+                    x += 1
+                  }
+                  y += 1
+                }
+                z += 1
+              }
             }
             (gx, gy, gz, Codec.encodeRawFromLongs(arr, 4))
           }.toDF("gx", "gy", "gz", "payload")

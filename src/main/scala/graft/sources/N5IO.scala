@@ -140,7 +140,14 @@ object N5IO {
       .repartition(math.max(pts.size / 4, 1))
       .flatMap { case (gx, gy, gz) =>
         val p = Paths.get(dirStr, "s0", gx.toString, gy.toString, gz.toString)
-        val (dims, vox) = decodeBlock(Files.readAllBytes(p), dtb, isGz)
+        // N5 defines an absent block key as background (0) — same
+        // missing-chunk rule the zarr paths apply (the reference's
+        // fill_missing escape hatch, n5/image.py:44-52)
+        val (dims, vox) =
+          if (!Files.exists(p)) {
+            val cb = Geom.chunkBbox(Vec3(gx, gy, gz), bounds, bs)
+            (cb.size, new Array[Long]((cb.size.x * cb.size.y * cb.size.z).toInt))
+          } else decodeBlock(Files.readAllBytes(p), dtb, isGz)
         val lo = Vec3(gx * bs.x, gy * bs.y, gz * bs.z)
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
         var z = math.max(lo.z, clip.minpt.z)

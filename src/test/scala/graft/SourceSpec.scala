@@ -137,6 +137,15 @@ class SourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r2 = Zarr2IO.cutoutVoxels(spark, z2, Bbox(Vec3(0, 0, 0), Vec3(4, 4, 4)))
       .collect()
     assert(r2.length == 64 && r2.forall(_.getLong(3) == 3))
+    // N5: absent block key = background 0 (no fill_value in attributes)
+    import graft.sources.N5IO
+    val n5 = s"$dir/n5_fill"
+    N5IO.writeMeta(n5, N5IO.N5Meta(
+      dimensions = Vec3(4, 4, 4), blockSize = Vec3(4, 4, 4),
+      dataType = "uint16", gzipped = false))
+    val rn = N5IO.cutoutVoxels(spark, n5, Bbox(Vec3(0, 0, 0), Vec3(4, 4, 4)))
+      .collect()
+    assert(rn.length == 64 && rn.forall(_.getLong(3) == 0))
   }
 
   test("reference fixture info parses (test_cv, 5 scales, cseg)") {
