@@ -352,6 +352,123 @@ object SimilarityQueries {
         |  FROM scored)
         |SELECT qid, cid, rank, cosine FROM ranked WHERE rank <= 5""".stripMargin)),
 
+    // ANN top-k via product quantization (the IVF-PQ/ADC memory-scale
+    // path): 64-d vectors split into M=8 subspaces of 8 dims; each
+    // subspace's K=16 codebook is the corresponding subvectors of the
+    // 16 lowest-id vectors (a deterministic stand-in for trained
+    // k-means the oracle can replay). A corpus vector compresses to 8
+    // code nibbles — 16x smaller than the raw vector, the property
+    // that lets a 100 TB corpus's ANN index stay in executor memory.
+    // Queries run an asymmetric-distance scan (integer codebook dot
+    // products against the codes — a narrow map over broadcast
+    // queries, no corpus shuffle), keep the approximate top 20, then
+    // exact-cosine re-rank to top 5.
+    "sim_topk_pq" -> Q(
+      (s, dir) => {
+        val M = 8; val Dsub = 8; val K = 16
+        val e = table(s, dir, "embeddings")
+          .select(col("vec_id"), quantUdf(col("embedding")).as("q"))
+          .withColumn("nrm", norm2Udf(col("q")))
+          .localCheckpoint() // feeds codebook collect, coding, queries
+        val cb: Array[Array[Long]] = e.filter(col("vec_id") < K)
+          .select("vec_id", "q").collect()
+          .sortBy(_.getLong(0))
+          .map(_.getSeq[Long](1).toArray)
+        // compiled per-row coder: nearest codebook entry per subspace
+        // by squared L2, smallest code on ties
+        val codesUdf = udf { (q: Seq[Long]) =>
+          val arr = q.toArray
+          val out = new Array[Int](M)
+          var m = 0
+          while (m < M) {
+            var best = 0; var bestD = Long.MaxValue
+            var c = 0
+            while (c < K) {
+              var d = 0L; var i = 0
+              while (i < Dsub) {
+                val diff = arr(m * Dsub + i) - cb(c)(m * Dsub + i)
+                d += diff * diff
+                i += 1
+              }
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            out(m) = best
+            m += 1
+          }
+          out
+        }
+        // ADC: approximate dot = sum over subspaces of the query's dot
+        // with the coded centroid (integer, order-safe)
+        val approxUdf = udf { (qv: Seq[Long], codes: Seq[Int]) =>
+          var s = 0L; var m = 0
+          while (m < M) {
+            val c = cb(codes(m))
+            var i = 0
+            while (i < Dsub) { s += qv(m * Dsub + i) * c(m * Dsub + i); i += 1 }
+            m += 1
+          }
+          s
+        }
+        val coded = e.select(col("vec_id").as("cid"), col("q").as("qb"),
+          col("nrm").as("nb"), codesUdf(col("q")).as("codes"))
+        val qs = e.filter(col("vec_id") < 10).select(
+          col("vec_id").as("qid"), col("q").as("qa"), col("nrm").as("na"))
+        coded.crossJoin(broadcast(qs))
+          .filter(col("qid") =!= col("cid"))
+          .withColumn("approx", approxUdf(col("qa"), col("codes")))
+          .withColumn("ark", row_number().over(
+            Window.partitionBy("qid").orderBy(col("approx").desc, col("cid"))))
+          .filter(col("ark") <= 20)
+          .withColumn("cosine", round(
+            dotUdf(col("qa"), col("qb")) /
+              sqrt(col("na").cast("double") * col("nb").cast("double")), 6))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("qid")
+              .orderBy(col("cosine").desc, col("cid"))).cast("long"))
+          .filter(col("rank") <= 5)
+          .select("qid", "cid", "rank", "cosine")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |t AS (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS k FROM e),
+        |q AS (SELECT vec_id, k,
+        |        CAST(round(embedding[k]::DOUBLE * 1000) AS BIGINT) AS qv FROM t),
+        |nrm AS (SELECT vec_id, sum(qv * qv) AS nrm FROM q GROUP BY vec_id),
+        |d2 AS (SELECT qa.vec_id, (qa.k - 1) // 8 AS m, qc.vec_id AS c,
+        |         sum((qa.qv - qc.qv) * (qa.qv - qc.qv)) AS d2
+        |       FROM q qa
+        |       JOIN q qc ON qc.vec_id < 16 AND qc.k = qa.k
+        |       GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id, m, c AS code FROM (
+        |            SELECT vec_id, m, c, row_number() OVER (
+        |              PARTITION BY vec_id, m ORDER BY d2, c) AS rk FROM d2)
+        |          WHERE rk = 1),
+        |adc AS (SELECT qq.vec_id AS qid, cd.vec_id AS cid,
+        |          sum(qq.qv * qc.qv) AS approx
+        |        FROM codes cd
+        |        JOIN q qq ON qq.vec_id < 10 AND (qq.k - 1) // 8 = cd.m
+        |        JOIN q qc ON qc.vec_id = cd.code AND qc.k = qq.k
+        |        WHERE qq.vec_id <> cd.vec_id
+        |        GROUP BY 1, 2),
+        |cand AS (SELECT qid, cid, row_number() OVER (
+        |           PARTITION BY qid ORDER BY approx DESC, cid) AS ark
+        |         FROM adc),
+        |top AS (SELECT qid, cid FROM cand WHERE ark <= 20),
+        |pairs AS (SELECT tp.qid, tp.cid, sum(qa.qv * qb.qv) AS dot
+        |          FROM top tp
+        |          JOIN q qa ON qa.vec_id = tp.qid
+        |          JOIN q qb ON qb.vec_id = tp.cid AND qb.k = qa.k
+        |          GROUP BY 1, 2),
+        |scored AS (SELECT qid, cid,
+        |    round(dot / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)), 6)
+        |      AS cosine
+        |  FROM pairs JOIN nrm na ON na.vec_id = qid
+        |  JOIN nrm nb ON nb.vec_id = cid),
+        |ranked AS (SELECT qid, cid, cosine, CAST(row_number() OVER (
+        |    PARTITION BY qid ORDER BY cosine DESC, cid) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT qid, cid, rank, cosine FROM ranked WHERE rank <= 5""".stripMargin)),
+
     // Embedding near-dup pairs above a cosine threshold.
     // Scale-safe: candidates come from LSH buckets (4 hash tables of
     // 8 signed-random-hyperplane bits each, OR-amplified — a pair is a
@@ -514,6 +631,7 @@ object SimilarityQueries {
           .select(col("vec_id"), quantUdf(col("embedding")).as("q"),
             col("label").cast("long").as("lbl"))
           .withColumn("nrm", norm2Udf(col("q")))
+          .localCheckpoint() // feeds query set and candidate set
         val qs = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("q").as("qa"),
             col("nrm").as("na"))

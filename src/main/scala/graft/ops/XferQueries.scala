@@ -84,6 +84,25 @@ object XferQueries {
       },
       Some(s"SELECT x, y, z, label FROM $Sidecar")),
 
+    // S9 as a NATIVE Spark sink: the same chunk stream written through
+    // the DSv2 writer (`df.write.format("neuroglancer")`) instead of
+    // the foreachPartition helper, then read back voxel-exact. The
+    // sink's per-chunk object puts are idempotent (named by bbox), so
+    // task retries/speculation are safe without a commit protocol —
+    // the object-store write semantics of the reference's upload path
+    // (tx.py:35-61).
+    "s9_write_sink" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        val target = s"${RealLayerQueries.Root}/layer_s9_sink"
+        PrecomputedIO.writeInfo(target, meta)
+        PrecomputedIO.readChunks(s, LayerDir)
+          .write.format("neuroglancer").mode("append").save(target)
+        PrecomputedIO.cutoutVoxels(s, target,
+          Bbox(Vec3(0, 0, 0), Vec3(SX, SY, SZ)))
+      },
+      Some(s"SELECT x, y, z, label FROM $Sidecar")),
+
     // S16 pathway 2: unsharded -> sharded transfer — the chunk stream
     // regroups by shard (one shuffle) and each task synthesizes its
     // shard file; read back through the sharded cutout path

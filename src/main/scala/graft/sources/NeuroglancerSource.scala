@@ -4,9 +4,10 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -57,7 +58,8 @@ object Neuroglancer {
     StructField("payload", BinaryType, nullable = true)))
 }
 
-final class NgTable(props: Map[String, String]) extends Table with SupportsRead {
+final class NgTable(props: Map[String, String]) extends Table
+    with SupportsRead with SupportsWrite {
   private val path: String = props.getOrElse("path",
     throw new IllegalArgumentException("neuroglancer source requires a path"))
     .stripPrefix("file://")
@@ -65,12 +67,92 @@ final class NgTable(props: Map[String, String]) extends Table with SupportsRead 
   override def name(): String = s"neuroglancer:$path"
   override def schema(): StructType = Neuroglancer.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new NgScanBuilder(path,
       options.getInt("mip", props.get("mip").map(_.toInt).getOrElse(0)),
       options.getBoolean("fill_missing",
         props.get("fill_missing").exists(_.toBoolean)))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val mip = info.options.getInt("mip", props.get("mip").map(_.toInt).getOrElse(0))
+    val meta = VolumeMeta.readInfo(path)
+    // P10 write-lock guard, enforced at plan time (metadata.py:840-885)
+    if (meta.lockedMips.contains(mip))
+      throw new IllegalStateException(
+        s"mip $mip is write-locked (scale ${meta.scale(mip).key})")
+    val scale = meta.scale(mip)
+    val gzipped = Option(info.options.get("compress")).map(_.toBoolean)
+      .getOrElse(Codec.shouldCompress(scale.encoding))
+    val sch = info.schema()
+    val need = Seq("gx", "gy", "gz", "payload")
+    require(need.forall(sch.fieldNames.contains),
+      s"neuroglancer sink needs columns $need, got ${sch.fieldNames.mkString(",")}")
+    val idx = need.map(sch.fieldIndex).toArray
+    new NgWriteBuilder(path, scale, gzipped, idx)
+  }
+}
+
+/** DSv2 batch sink (S9 aligned write as a native Spark writer —
+  * `chunks.write.format("neuroglancer").mode("append").save(dir)`).
+  * Rows carry (gx, gy, gz, payload); the bbox columns of the read
+  * schema are accepted and ignored (chunk bounds derive from the
+  * grid). Each chunk becomes one atomic object put named by its bbox
+  * (tx.py:35-61 upload), so task retries and speculative duplicates
+  * are idempotent and commit/abort have nothing to finalize — the
+  * same semantics as the reference's per-chunk uploads.
+  */
+final class NgWriteBuilder(layerDir: String, scale: ScaleMeta,
+    gzipped: Boolean, idx: Array[Int]) extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new NgBatchWrite(
+      layerDir, scale.key, scale.bounds.minpt.toArray,
+      scale.bounds.maxpt.toArray, scale.chunkSize.toArray, gzipped, idx)
+  }
+}
+
+final case class NgCommitMessage(chunks: Long) extends WriterCommitMessage
+
+final class NgBatchWrite(layerDir: String, key: String,
+    boundsMin: Array[Long], boundsMax: Array[Long], chunkSize: Array[Long],
+    gzipped: Boolean, idx: Array[Int]) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new NgWriterFactory(layerDir, key, boundsMin, boundsMax, chunkSize,
+      gzipped, idx)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final class NgWriterFactory(layerDir: String, key: String,
+    boundsMin: Array[Long], boundsMax: Array[Long], chunkSize: Array[Long],
+    gzipped: Boolean, idx: Array[Int]) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new NgDataWriter(layerDir, key,
+      Bbox(Vec3(boundsMin(0), boundsMin(1), boundsMin(2)),
+        Vec3(boundsMax(0), boundsMax(1), boundsMax(2))),
+      Vec3(chunkSize(0), chunkSize(1), chunkSize(2)), gzipped, idx)
+}
+
+final class NgDataWriter(layerDir: String, key: String, bounds: Bbox,
+    cs: Vec3, gzipped: Boolean, idx: Array[Int])
+    extends DataWriter[InternalRow] {
+  private val dir = java.nio.file.Paths.get(layerDir, key)
+  java.nio.file.Files.createDirectories(dir)
+  private var n = 0L
+
+  override def write(r: InternalRow): Unit = {
+    val g = Vec3(r.getLong(idx(0)), r.getLong(idx(1)), r.getLong(idx(2)))
+    val payload = r.getBinary(idx(3))
+    val name = Geom.chunkBbox(g, bounds, cs).toFilename
+    if (gzipped)
+      java.nio.file.Files.write(dir.resolve(name + ".gz"), Codec.gzip(payload))
+    else
+      java.nio.file.Files.write(dir.resolve(name), payload)
+    n += 1
+  }
+  override def commit(): WriterCommitMessage = NgCommitMessage(n)
+  override def abort(): Unit = () // objects are idempotent puts
+  override def close(): Unit = ()
 }
 
 final class NgScanBuilder(layerDir: String, mip: Int, fillMissing: Boolean)

@@ -148,6 +148,31 @@ class SourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rn.length == 64 && rn.forall(_.getLong(3) == 0))
   }
 
+  test("DSv2 sink round-trips (S9 native writer) and honors mip locks") {
+    val sink = s"$dir/layer_sink"
+    PrecomputedIO.writeInfo(sink, meta)
+    // write via the native Spark sink — the full read schema including
+    // bbox columns (ignored by the writer; bounds derive from the grid)
+    PrecomputedIO.readChunks(spark, layer, fillMissing = true)
+      .filter(col("payload").isNotNull)
+      .write.format("neuroglancer").mode("append").save(sink)
+    val back = PrecomputedIO.readChunks(spark, sink, fillMissing = true)
+      .filter(col("payload").isNotNull)
+    val orig = PrecomputedIO.readChunks(spark, layer, fillMissing = true)
+      .filter(col("payload").isNotNull)
+    assert(back.count() == orig.count())
+    assert(back.join(orig, Seq("gx", "gy", "gz"))
+      .filter(back("payload") === orig("payload")).count() == orig.count())
+    // P10: locked mip refuses the write at plan time
+    val lockedDir = s"$dir/layer_locked"
+    PrecomputedIO.writeInfo(lockedDir,
+      meta.copy(scales = Seq(meta.scale(0).copy(locked = true))))
+    val e = intercept[IllegalStateException] {
+      orig.write.format("neuroglancer").mode("append").save(lockedDir)
+    }
+    assert(e.getMessage.contains("write-locked"))
+  }
+
   test("reference fixture info parses (test_cv, 5 scales, cseg)") {
     val m = VolumeMeta.fromJson(Files.readString(
       Paths.get("/root/reference/test/test_cv/info")))
