@@ -614,6 +614,49 @@ object TextQueries {
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM c r WHERE r.doc_id % 3 = 0 AND r.h = c.h)""".stripMargin)),
 
+    // Bloom-filter decontamination — the probabilistic cousin of
+    // dedup_cross's exact hash set. The held-out set compresses to a
+    // 4096-bit filter (3 md5-derived hash functions) whose size is
+    // INDEPENDENT of the corpus: at 100 TB the filter still broadcasts
+    // in kilobytes while an exact hash set grows with the reference
+    // corpus. A doc is flagged iff all 3 of its bit positions are set.
+    // False positives are inherent to the structure and bit-identical
+    // in both engines (same hashes, same bits), so the oracle replays
+    // them exactly rather than approximating.
+    "dedup_bloom" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        def bitpos(j: Int) =
+          pmod(conv(substring(md5(concat(lit(s"$j:"),
+            lower(trim(col("text")))).cast("binary")), 1, 12), 16, 10)
+            .cast("long"), lit(4096L))
+        val withBits = docs.select(col("doc_id"),
+          array((0 until 3).map(bitpos): _*).as("bits"))
+          .localCheckpoint() // feeds the filter build AND the probe
+        val bloom = withBits.filter(col("doc_id") % 7 === 0)
+          .select(explode(col("bits")).as("bit")).distinct()
+        val hits = withBits
+          .select(col("doc_id"), explode(col("bits")).as("bit"))
+          .join(broadcast(bloom), Seq("bit"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+        withBits.select("doc_id").join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            (coalesce(col("n_hits"), lit(0L)) === 3).cast("long").as("flagged"))
+      },
+      Some("""WITH c AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+        |b AS (SELECT doc_id,
+        |        ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || t), 1, 12))
+        |          ::BIGINT % 4096 AS bit
+        |      FROM c, (SELECT unnest(generate_series(0, 2)) AS j)),
+        |bloom AS (SELECT DISTINCT bit FROM b WHERE doc_id % 7 = 0),
+        |hits AS (SELECT doc_id, count(*) AS n_hits FROM b
+        |         WHERE bit IN (SELECT bit FROM bloom) GROUP BY 1)
+        |SELECT c.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  CAST(CASE WHEN coalesce(h.n_hits, 0) = 3 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS flagged
+        |FROM c LEFT JOIN hits h USING (doc_id)""".stripMargin)),
+
     // Corpus mixing: deterministic stratified sampling to per-source
     // target rates (how a training mix up/down-weights domains). The
     // keep decision is a pure hash of (source, doc_id) against the
