@@ -236,6 +236,45 @@ object StreamQueries {
         |       min(doc_id) AS keeper, count(*) AS n_copies
         |FROM corpus GROUP BY 1""".stripMargin)),
 
+    // §2.9 event-time SESSION windows — Spark's native session_window
+    // (dynamic-gap session state, the streaming analogue of w6's batch
+    // gaps-and-islands): per-user sessions close after a 30-minute
+    // event-time gap; a session row carries [start, last_event + gap)
+    // and its event count. The oracle replays the same islands with a
+    // lag/cumsum window — session merge happens iff the gap is
+    // STRICTLY under 30 min (Spark's session end is exclusive), so the
+    // oracle's new-session predicate is >= gap.
+    "st6_stream_session" -> Q(
+      (s, dir) => {
+        val src = stageEvents(s, dir)
+        val schema = s.read.parquet(src).schema
+        val stream = s.readStream.schema(schema).parquet(src)
+          .select(timestamp_micros(expr("ts div 1000")).as("ets"),
+            col("user_id"))
+          .groupBy(session_window(col("ets"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("start_us"),
+            unix_micros(col("session_window.end")).as("end_us"),
+            col("n"))
+        runToTable(s, stream, "graft_st6", "complete")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS tus
+        |           FROM events),
+        |g AS (SELECT user_id, tus, lag(tus) OVER w AS prev
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+        |n AS (SELECT user_id, tus,
+        |        CASE WHEN prev IS NULL OR tus - prev >= 1800000000 THEN 1
+        |             ELSE 0 END AS new_sess FROM g),
+        |i AS (SELECT user_id, tus, sum(new_sess) OVER (
+        |        PARTITION BY user_id ORDER BY tus
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |      FROM n)
+        |SELECT user_id, CAST(min(tus) AS BIGINT) AS start_us,
+        |  CAST(max(tus) + 1800000000 AS BIGINT) AS end_us,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM i GROUP BY user_id, island""".stripMargin)),
+
     // §2.9 stream-static enrichment join: the arriving event stream is
     // joined per micro-batch against a BROADCAST static dimension
     // (customer -> nation), then aggregated — the canonical streaming
