@@ -587,20 +587,44 @@ object SimilarityQueries {
         val cents: Array[(Long, Array[Long])] =
           e.filter(col("vec_id") < 8).as[(Long, Array[Long])]
             .collect().sortBy(_._1)
-        val assignUdf = udf { (q: Seq[Long]) =>
-          var best = -1L; var bestD = Long.MaxValue
-          cents.foreach { case (cid, cv) =>
-            var d = 0L; var i = 0
-            while (i < cv.length) {
-              val diff = q(i) - cv(i); d += diff * diff; i += 1
+        // M-step with PER-PARTITION COMBINE: each task folds its
+        // vectors into k x dim local sum arrays and emits k rows, so
+        // the shuffle carries (partitions x k x dim) cells instead of
+        // (vectors x dim) exploded rows — at 100 TB that is the
+        // difference between shuffling kilobytes per task and
+        // re-shuffling the corpus. (cents iterate in ascending cid
+        // order; strict < keeps the smallest cid on distance ties,
+        // matching the oracle's ORDER BY d2, cid.)
+        val k = cents.length
+        val dim = cents.head._2.length
+        val partials = e.select(col("q")).as[Array[Long]]
+          .mapPartitions { it =>
+            val sums = Array.ofDim[Long](k, dim)
+            val ns = new Array[Long](k)
+            it.foreach { q =>
+              var best = 0; var bestD = Long.MaxValue
+              var c = 0
+              while (c < k) {
+                val cv = cents(c)._2
+                var d = 0L; var i = 0
+                while (i < dim) {
+                  val diff = q(i) - cv(i); d += diff * diff; i += 1
+                }
+                if (d < bestD) { bestD = d; best = c }
+                c += 1
+              }
+              ns(best) += 1
+              val s = sums(best)
+              var i = 0
+              while (i < dim) { s(i) += q(i); i += 1 }
             }
-            if (d < bestD) { bestD = d; best = cid }
+            Iterator.tabulate(k)(c => (cents(c)._1, sums(c), ns(c)))
           }
-          best
-        }
-        e.select(assignUdf(col("q")).as("cluster"), posexplode(col("q")))
+        partials.toDF("cluster", "sums", "pn")
+          .select(col("cluster"), col("pn"), posexplode(col("sums")))
           .groupBy(col("cluster"), (col("pos") + 1).cast("long").as("k"))
-          .agg(sum("col").as("sum_qv"), count(lit(1)).as("n"))
+          .agg(sum("col").as("sum_qv"), sum("pn").as("n"))
+          .filter(col("n") > 0) // a cluster empty in EVERY partition
       },
       Some("""WITH t AS (SELECT vec_id, embedding,
         |         unnest(generate_series(1, 64)) AS k FROM embeddings),
