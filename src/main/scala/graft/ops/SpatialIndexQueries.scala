@@ -142,6 +142,89 @@ object SpatialIndexQueries {
         |WHERE x0 < 40 AND x1 > 8 AND y0 < 44 AND y1 > 6
         |  AND z0 < 20 AND z1 > 3""".stripMargin)),
 
+    // A3/J2 write side: BUILD a spatial index from the real layer's
+    // voxels (the reference's index construction — per-task label
+    // bboxes aggregated per tile, spatial_index.py:80-160 +
+    // tasks that emit per-tile {segid: bbox} JSON). One algebraic
+    // min/max groupBy over (tile, label) — partial-aggregated
+    // map-side, so at 100 TB each chunk task contributes one partial
+    // row per resident label, not its voxels. The tile JSONs are then
+    // written as real `.spatial` objects and READ BACK through the
+    // same from_json scan the read ops use — a full round trip
+    // checked against the voxel sidecar.
+    "a3b_spatial_index_build" -> Q(
+      (s, dir) => {
+        RealLayerQueries.ensure(s, dir)
+        val outDir = s"${RealLayerQueries.Root}/spatial_built0"
+        val outP = Paths.get(outDir)
+        if (Files.exists(outP)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(outP).iterator.asScala.toSeq.reverse
+            .foreach(p => Files.deleteIfExists(p))
+        }
+        Files.createDirectories(outP)
+        import RealLayerQueries.{SX, SY, SZ}
+        val entries = graft.sources.PrecomputedIO
+          .cutoutVoxels(s, RealLayerQueries.LayerDir,
+            Bbox(Vec3(0, 0, 0), Vec3(SX, SY, SZ)))
+          .filter(col("label") =!= 0)
+          .select(expr("x div 32").as("tx"), expr("y div 32").as("ty"),
+            expr("z div 16").as("tz"), col("label"),
+            col("x"), col("y"), col("z"))
+          .groupBy("tx", "ty", "tz", "label")
+          .agg(min("x").as("x0"), min("y").as("y0"), min("z").as("z0"),
+            (max("x") + 1).as("x1"), (max("y") + 1).as("y1"),
+            (max("z") + 1).as("z1"))
+          .withColumn("filename", concat(
+            col("tx") * 32, lit("-"), (col("tx") + 1) * 32, lit("_"),
+            col("ty") * 32, lit("-"), (col("ty") + 1) * 32, lit("_"),
+            col("tz") * 16, lit("-"), (col("tz") + 1) * 16, lit(".spatial")))
+        val outStr = outDir
+        entries.groupBy("filename")
+          .agg(sort_array(collect_list(struct(col("label"), col("x0"),
+            col("y0"), col("z0"), col("x1"), col("y1"), col("z1"))))
+            .as("entries"))
+          .foreachPartition { rows: Iterator[Row] =>
+            rows.foreach { r =>
+              val sb = new StringBuilder("{")
+              r.getSeq[Row](1).zipWithIndex.foreach { case (e, i) =>
+                if (i > 0) sb.append(',')
+                sb.append('"').append(e.getLong(0)).append("\":[")
+                  .append((1 to 6).map(e.getLong).mkString(",")).append(']')
+              }
+              sb.append('}')
+              Files.writeString(Paths.get(outStr, r.getString(0)), sb.toString)
+            }
+          }
+        // read back through the standard tile scan
+        val mapType = MapType(StringType, ArrayType(LongType))
+        s.read.option("wholetext", "true").text(outDir)
+          .withColumn("filename", element_at(
+            split(input_file_name(), "/"), -1))
+          .select(col("filename"),
+            explode(from_json(col("value"), mapType)).as(Seq("label", "b")))
+          .select(col("filename"), col("label").cast("long").as("label"),
+            col("b").getItem(0).as("x0"), col("b").getItem(1).as("y0"),
+            col("b").getItem(2).as("z0"), col("b").getItem(3).as("x1"),
+            col("b").getItem(4).as("y1"), col("b").getItem(5).as("z1"))
+      },
+      Some(s"""WITH v AS (
+        |  SELECT x, y, z, label
+        |  FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')
+        |  WHERE label <> 0),
+        |e AS (SELECT x // 32 AS tx, y // 32 AS ty, z // 16 AS tz, label,
+        |        CAST(min(x) AS BIGINT) AS x0, CAST(min(y) AS BIGINT) AS y0,
+        |        CAST(min(z) AS BIGINT) AS z0,
+        |        CAST(max(x) + 1 AS BIGINT) AS x1,
+        |        CAST(max(y) + 1 AS BIGINT) AS y1,
+        |        CAST(max(z) + 1 AS BIGINT) AS z1
+        |      FROM v GROUP BY 1, 2, 3, 4)
+        |SELECT printf('%d-%d_%d-%d_%d-%d.spatial',
+        |         tx * 32, (tx + 1) * 32, ty * 32, (ty + 1) * 32,
+        |         tz * 16, (tz + 1) * 16) AS filename,
+        |       label, x0, y0, z0, x1, y1, z1
+        |FROM e""".stripMargin)),
+
     // J2 over real tile files: label -> sorted list of tile files
     // (file_locations_per_label, spatial_index.py:763-835)
     "j2_file_inversion_real" -> Q(
