@@ -22,7 +22,7 @@ object Zarr3Queries {
 
   val zmeta: Zarr3Meta = Zarr3Meta(
     shape = Vec3(SX, SY, SZ), chunkShape = Vec3(CX, CY, CZ),
-    dataType = "uint32", fillValue = 0L, gzipped = true)
+    dataType = "uint32", fillValue = 0L, compressor = "gzip")
 
   /** FULL-size (fill_value-padded) chunk rows from the shared dense
     * sidecar — the zarr chunk shape, reused by zarr2 and zarr3.
@@ -69,6 +69,31 @@ object Zarr3Queries {
     Files.writeString(marker, want)
   }
 
+  // ---- zstd sibling (zarr-python's v3 DEFAULT compressor) ----
+
+  val ZstdDir = s"$Root/zstd_array"
+
+  val zZstdMeta: Zarr3Meta = Zarr3Meta(
+    shape = Vec3(SX, SY, SZ), chunkShape = Vec3(CX, CY, CZ),
+    dataType = "uint32", fillValue = 0L, compressor = "zstd")
+
+  def ensureZstd(s: SparkSession, sfDir: String): Unit = synchronized {
+    RealLayerQueries.ensure(s, sfDir)
+    val want = RealLayerQueries.stamp
+    val marker = Paths.get(Root, ".built_zstd_from")
+    if (Files.exists(marker) && Files.readString(marker) == want) return
+    val arrP = Paths.get(ZstdDir)
+    if (Files.exists(arrP)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(arrP).iterator.asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+    Files.createDirectories(Paths.get(Root))
+    Zarr3IO.writeMeta(ZstdDir, zZstdMeta)
+    Zarr3IO.writeChunks(fullChunks(s), ZstdDir, zZstdMeta)
+    Files.writeString(marker, want)
+  }
+
   // ---- sharded sibling (zarr v3 sharding_indexed codec) ----
 
   val ShardedDir = s"$Root/sharded_array"
@@ -82,7 +107,7 @@ object Zarr3Queries {
     */
   val zShardedMeta: Zarr3Meta = Zarr3Meta(
     shape = Vec3(SX, SY, SZ), chunkShape = Vec3(32, 32, 16),
-    dataType = "uint32", fillValue = 0L, gzipped = true,
+    dataType = "uint32", fillValue = 0L, compressor = "gzip",
     innerChunkShape = Some(Vec3(8, 8, 8)))
 
   def ensureSharded(s: SparkSession, sfDir: String): Unit = synchronized {
@@ -234,6 +259,19 @@ object Zarr3Queries {
         |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')
         |WHERE x BETWEEN 4 AND 57 AND y BETWEEN 6 AND 53
         |  AND z BETWEEN 3 AND 25""".stripMargin)),
+
+    // S18: zarr3 cutout with the ZSTD codec chain — what zarr-python
+    // writes by default for v3 arrays (bytes-le + zstd), decoded via
+    // the zstd-jni already on the Spark classpath
+    "s18_zarr3_zstd_cutout" -> Q(
+      (s, dir) => {
+        ensureZstd(s, dir)
+        Zarr3IO.cutoutVoxels(s, ZstdDir, Bbox(Vec3(3, 9, 2), Vec3(56, 51, 24)))
+      },
+      Some(s"""SELECT x, y, z, label
+        |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')
+        |WHERE x BETWEEN 3 AND 55 AND y BETWEEN 9 AND 50
+        |  AND z BETWEEN 2 AND 23""".stripMargin)),
 
     // S18: zarr3 cutout — C-order decode + edge-chunk clipping vs the
     // shared sidecar oracle

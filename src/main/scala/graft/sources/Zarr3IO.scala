@@ -39,8 +39,10 @@ object Zarr3IO {
       chunkShape: Vec3,
       dataType: String,
       fillValue: Long,
-      gzipped: Boolean,
+      compressor: String, // "none" | "gzip" | "zstd" (zarr-python's v3 default)
       innerChunkShape: Option[Vec3] = None) {
+    require(Set("none", "gzip", "zstd").contains(compressor),
+      s"unsupported zarr3 compressor $compressor")
     def dtypeBytes: Int = dataType match {
       case "uint8" => 1
       case "uint16" => 2
@@ -61,6 +63,34 @@ object Zarr3IO {
   }
 
   private val om = new ObjectMapper()
+
+  /** Second-stage (de)compression per the codec chain. */
+  private def pack(m: Zarr3Meta, b: Array[Byte]): Array[Byte] = m.compressor match {
+    case "gzip" => Codec.gzip(b)
+    case "zstd" => Codec.zstd(b)
+    case _ => b
+  }
+  private def unpack(m: Zarr3Meta, b: Array[Byte]): Array[Byte] = m.compressor match {
+    case "gzip" => Codec.gunzip(b)
+    case "zstd" => Codec.unzstd(b)
+    case _ => b
+  }
+
+  /** Append the compressor codec object to a codec array node. */
+  private def addCompressorCodec(
+      codecs: com.fasterxml.jackson.databind.node.ArrayNode,
+      compressor: String): Unit = compressor match {
+    case "gzip" =>
+      val gz = codecs.addObject()
+      gz.put("name", "gzip")
+      gz.putObject("configuration").put("level", 5)
+    case "zstd" =>
+      val z = codecs.addObject()
+      z.put("name", "zstd")
+      val conf = z.putObject("configuration")
+      conf.put("level", 3); conf.put("checksum", false)
+    case _ => ()
+  }
 
   def writeMeta(dir: String, m: Zarr3Meta): Unit = {
     val root = om.createObjectNode()
@@ -92,11 +122,7 @@ object Zarr3IO {
         val ib = innerCodecs.addObject()
         ib.put("name", "bytes")
         ib.putObject("configuration").put("endian", "little")
-        if (m.gzipped) {
-          val gz = innerCodecs.addObject()
-          gz.put("name", "gzip")
-          gz.putObject("configuration").put("level", 5)
-        }
+        addCompressorCodec(innerCodecs, m.compressor)
         val idxCodecs = conf.putArray("index_codecs")
         val idxB = idxCodecs.addObject()
         idxB.put("name", "bytes")
@@ -107,11 +133,7 @@ object Zarr3IO {
         val bytesCodec = codecs.addObject()
         bytesCodec.put("name", "bytes")
         bytesCodec.putObject("configuration").put("endian", "little")
-        if (m.gzipped) {
-          val gz = codecs.addObject()
-          gz.put("name", "gzip")
-          gz.putObject("configuration").put("level", 5)
-        }
+        addCompressorCodec(codecs, m.compressor)
     }
     val names = root.putArray("dimension_names")
     names.add("x"); names.add("y"); names.add("z")
@@ -150,6 +172,11 @@ object Zarr3IO {
     val codecNames = (0 until codecs.size).map(codecs.get(_).get("name").asText)
     require(codecNames.headOption.contains("bytes"),
       s"unsupported codec chain $codecNames")
+    // every codec after `bytes` must be a known second-stage compressor
+    // — an unknown codec silently ignored would decode garbage
+    require(codecNames.drop(1).forall(Set("gzip", "zstd")) &&
+      codecNames.drop(1).size <= 1,
+      s"unsupported codec chain $codecNames")
     // the engine decodes little-endian only; a big-endian array would
     // otherwise be silently misread, so reject it here
     val endian = Option(codecs.get(0).get("configuration"))
@@ -160,7 +187,7 @@ object Zarr3IO {
       chunkShape = Vec3(cs.get(0).asLong, cs.get(1).asLong, cs.get(2).asLong),
       dataType = root.get("data_type").asText,
       fillValue = Option(root.get("fill_value")).map(_.asLong).getOrElse(0L),
-      gzipped = codecNames.contains("gzip"),
+      compressor = codecNames.drop(1).lastOption.getOrElse("none"),
       innerChunkShape = innerShape)
   }
 
@@ -217,7 +244,7 @@ object Zarr3IO {
       if (allFill) { offsets(slot) = Missing; sizes(slot) = Missing }
       else {
         val enc0 = encodeChunkFromF(sub, inner, dtb)
-        val enc = if (m.gzipped) Codec.gzip(enc0) else enc0
+        val enc = pack(m, enc0)
         parts(slot) = enc
         offsets(slot) = pos
         sizes(slot) = enc.length.toLong
@@ -340,12 +367,11 @@ object Zarr3IO {
   def writeChunks(chunks: DataFrame, dir: String, m: Zarr3Meta): Unit = {
     val cs = m.chunkShape
     val dtb = m.dtypeBytes
-    val gz = m.gzipped
     val dirStr = dir
     chunks.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       rows.foreach { r =>
         val bytes = encodeChunkFromF(r.getSeq[Long](3).toArray, cs, dtb)
-        val payload = if (gz) Codec.gzip(bytes) else bytes
+        val payload = pack(m, bytes)
         val p = Paths.get(dirStr, "c", r.getLong(0).toString,
           r.getLong(1).toString)
         Files.createDirectories(p)
@@ -365,7 +391,6 @@ object Zarr3IO {
       return cutoutVoxelsSharded(spark, dir, m, bbox)
     val cs = m.chunkShape
     val dtb = m.dtypeBytes
-    val isGz = m.gzipped
     val bounds = Bbox(Vec3(0, 0, 0), m.shape)
     val pts = Geom.gridpoints(bbox, bounds, cs)
     val dirStr = dir
@@ -381,10 +406,7 @@ object Zarr3IO {
         // fill_missing; zarr3/image.py:49-139)
         val vox =
           if (!Files.exists(p)) Array.fill((cs.x * cs.y * cs.z).toInt)(fill)
-          else {
-            val raw = Files.readAllBytes(p)
-            decodeChunkToF(if (isGz) Codec.gunzip(raw) else raw, cs, dtb)
-          }
+          else decodeChunkToF(unpack(m, Files.readAllBytes(p)), cs, dtb)
         val lo = Vec3(gx * cs.x, gy * cs.y, gz * cs.z)
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
         var z = math.max(lo.z, clip.minpt.z)
@@ -418,7 +440,6 @@ object Zarr3IO {
     val ig = m.innerGrid
     val cs = m.chunkShape
     val dtb = m.dtypeBytes
-    val isGz = m.gzipped
     val fill = m.fillValue
     val bounds = Bbox(Vec3(0, 0, 0), m.shape)
     val clip = bbox.intersection(bounds)
@@ -455,11 +476,8 @@ object Zarr3IO {
                   case Some(idx) =>
                     val (off, len) = idx(innerSlot(Vec3(cx, cy, cz), ig))
                     if (off == Missing) null
-                    else {
-                      val raw = readRange(file, off, len)
-                      decodeChunkToF(if (isGz) Codec.gunzip(raw) else raw,
-                        inner, dtb)
-                    }
+                    else decodeChunkToF(unpack(m, readRange(file, off, len)),
+                      inner, dtb)
                 }
                 var z = z0
                 while (z < z1) {

@@ -126,7 +126,7 @@ class SourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val z3 = s"$dir/zarr3_fill"
     Zarr3IO.writeMeta(z3, Zarr3IO.Zarr3Meta(
       shape = Vec3(4, 4, 4), chunkShape = Vec3(4, 4, 4),
-      dataType = "uint16", fillValue = 7, gzipped = false))
+      dataType = "uint16", fillValue = 7, compressor = "none"))
     val r3 = Zarr3IO.cutoutVoxels(spark, z3, Bbox(Vec3(0, 0, 0), Vec3(4, 4, 4)))
       .collect()
     assert(r3.length == 64 && r3.forall(_.getLong(3) == 7))

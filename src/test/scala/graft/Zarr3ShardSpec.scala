@@ -15,7 +15,7 @@ class Zarr3ShardSpec extends AnyFunSuite {
 
   private val m = Zarr3Meta(
     shape = Vec3(16, 16, 8), chunkShape = Vec3(16, 16, 8),
-    dataType = "uint32", fillValue = 0L, gzipped = true,
+    dataType = "uint32", fillValue = 0L, compressor = "gzip",
     innerChunkShape = Some(Vec3(8, 8, 4)))
   // inner grid 2x2x2 = 8 slots
 
