@@ -42,16 +42,81 @@ object ConnectedComponents {
     */
   private val B = 32L
 
-  /** Iterative min-label propagation with pointer jumping over an
-    * arbitrary undirected graph. Shared by volumetric CC and the
-    * corpus dedup-cluster operator.
+  /** Min-label connected components over an arbitrary undirected
+    * graph. Shared by volumetric CC and the corpus dedup-cluster
+    * operator.
     *
-    * @param edges directed edge rows (vid, nvid) — callers emit both
-    *              directions
-    * @param nodes node rows (vid)
+    * Level 0 is a PARTITION-LOCAL union-find — the map-side combine of
+    * connected components: each task collapses every component wholly
+    * resident in its edge partition in memory, so the iterative
+    * shuffle loop only ever sees the cross-partition stitch graph
+    * (vids whose local roots differ between partitions). On a pair
+    * graph whose components are small (near-dup clusters), level 0
+    * resolves almost everything in one narrow pass and the loop
+    * converges in a round or two regardless of total edge count.
+    *
+    * Correctness: a component's minimum vid is a local root wherever
+    * it appears (union keeps the smaller vid), consecutive path edges
+    * in different partitions share a vid and thus a stitch edge, so
+    * the contracted root graph stays connected and min propagation
+    * over it returns exactly the component minimum.
+    *
+    * @param edges0 directed edge rows (vid, nvid) — callers emit both
+    *               directions
+    * @param nodes node rows (vid); isolated nodes keep comp = vid
     * @return (vid, comp) with comp = min vid reachable from vid
     */
   def propagateMin(s: SparkSession, edges0: DataFrame, nodes: DataFrame): DataFrame = {
+    import s.implicits._
+    val localMap = edges0
+      .select(col("vid").cast("long"), col("nvid").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(a: Long): Long = {
+          var r = a
+          while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+          var c = a
+          while (parent.getOrDefault(c, c) != r) {
+            val nx = parent.get(c); parent.put(c, r); c = nx
+          }
+          r
+        }
+        it.foreach { case (a, b) =>
+          parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) {
+            if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        parent.keySet.asScala.iterator.map(v => (v.toLong, find(v)))
+      }.toDF("vid", "lroot").localCheckpoint()
+    // stitch edges: a vid split across partitions carries one lroot
+    // row per partition; star them onto the smallest
+    val multi = localMap.groupBy("vid")
+      .agg(collect_set(col("lroot")).as("rs"))
+      .filter(size(col("rs")) > 1)
+      .select(explode(col("rs")).as("a"), array_min(col("rs")).as("b"))
+      .filter(col("a") =!= col("b"))
+    val stitch = multi.select(col("a").as("vid"), col("b").as("nvid"))
+      .unionAll(multi.select(col("b").as("vid"), col("a").as("nvid")))
+    val rootNodes = localMap.select(col("lroot").as("vid")).distinct()
+    val rootComp =
+      if (localMap.isEmpty)
+        localMap.select(col("vid"), col("vid").as("comp"))
+      else iterateMin(stitch, rootNodes)
+    val mapped = localMap
+      .join(rootComp.withColumnRenamed("vid", "lroot"), Seq("lroot"))
+      .groupBy("vid").agg(min("comp").as("comp"))
+    nodes.select(col("vid")).join(mapped, Seq("vid"), "left")
+      .select(col("vid"), coalesce(col("comp"), col("vid")).as("comp"))
+  }
+
+  /** The iterative core: min propagation + pointer jumping, one
+    * checkpointed action per round, monotone-sum convergence probe.
+    */
+  private def iterateMin(edges0: DataFrame, nodes: DataFrame): DataFrame = {
     val edges = edges0.localCheckpoint()
     var comp = nodes.select(col("vid"), col("vid").as("comp"))
       .localCheckpoint()
