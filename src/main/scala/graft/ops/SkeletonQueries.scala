@@ -231,5 +231,41 @@ object SkeletonQueries {
         |SELECT segid, count(*) AS n_edges,
         |       CAST(sum(len2) AS BIGINT) AS cable_len2
         |FROM e GROUP BY segid""".stripMargin)),
+
+    // Skeleton fragment MERGE (skeleton.py Skeleton.merge /
+    // consolidate — the multi-fragment assembly the sharded fetch
+    // feeds): fragments concatenate in fragment order and every edge
+    // index shifts by the cumulative vertex count of the fragments
+    // before it. Here the 30 per-segid files act as fragments of 10
+    // merged skeletons (segid % 10). The offset window partitions by
+    // merged id — millions of small partitions at scale, the same
+    // shape as mesh consolidate's reindex, never a global window.
+    "skel_merge" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        val w = Window.partitionBy("mid").orderBy("segid")
+        val withOff = decoded(s)
+          .select((col("segid") % 10).as("mid"), col("segid"),
+            col("edges"), size(col("radii")).cast("long").as("nv"))
+          .withColumn("off", coalesce(sum(col("nv")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        val edgeRows = udf((es: Seq[Int], off: Long) =>
+          (0 until es.length / 2).map(i =>
+            (off + es(2 * i), off + es(2 * i + 1))))
+        withOff
+          .select(col("mid"), explode(edgeRows(col("edges"), col("off"))).as("e"))
+          .select(col("mid"), col("e._1").as("va"), col("e._2").as("vb"))
+      },
+      Some(s"""WITH $VertCte,
+        |cnt AS (SELECT segid, count(*) AS nv FROM g GROUP BY segid),
+        |off AS (SELECT segid, segid % 10 AS mid,
+        |          CAST(coalesce(sum(nv) OVER (PARTITION BY segid % 10
+        |            ORDER BY segid ROWS BETWEEN UNBOUNDED PRECEDING
+        |            AND 1 PRECEDING), 0) AS BIGINT) AS off
+        |        FROM cnt),
+        |e AS (SELECT o.mid, o.off + a.vid AS va, o.off + b.vid AS vb
+        |      FROM g a JOIN g b ON a.segid = b.segid AND b.vid = a.vid + 1
+        |      JOIN off o ON o.segid = a.segid)
+        |SELECT mid, va, vb FROM e""".stripMargin)),
   )
 }

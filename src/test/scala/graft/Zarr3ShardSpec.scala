@@ -81,4 +81,39 @@ class Zarr3ShardSpec extends AnyFunSuite {
     val json = Files.readString(Paths.get(dir, "zarr.json"))
     assert(json.contains("sharding_indexed") && json.contains("crc32c"))
   }
+
+  test("zstd inner codec chain round-trips through a shard") {
+    val mz = m.copy(compressor = "zstd")
+    val vox = mkVox()
+    val shard = Zarr3IO.synthesizeShard(vox, mz)
+    val dir = Files.createTempDirectory("z3zstd")
+    val f = dir.resolve("0")
+    Files.write(f, shard)
+    val idx = Zarr3IO.readShardIndex(f, mz)
+    val inner = mz.innerChunkShape.get
+    val (off, len) = idx(0) // inner chunk (0,0,0) is present
+    assert(off != -1L)
+    val sub = Zarr3IO.decodeChunkToF(
+      graft.core.Codec.unzstd(
+        java.util.Arrays.copyOfRange(shard, off.toInt, (off + len).toInt)),
+      inner, mz.dtypeBytes)
+    assert(sub((1 + inner.x * (2 + inner.y * 3)).toInt) ==
+      vox(1 + 16 * (2 + 16 * 3)))
+    // meta round trip carries the compressor
+    val mdir = Files.createTempDirectory("z3zstdmeta").toString
+    Zarr3IO.writeMeta(mdir, mz)
+    assert(Zarr3IO.readMeta(mdir) == mz)
+  }
+
+  test("unknown codec chains are rejected, not silently ignored") {
+    val dir = Files.createTempDirectory("z3badcodec").toString
+    Zarr3IO.writeMeta(dir, Zarr3Meta(
+      shape = Vec3(4, 4, 4), chunkShape = Vec3(4, 4, 4),
+      dataType = "uint32", fillValue = 0L, compressor = "none"))
+    val p = Paths.get(dir, "zarr.json")
+    Files.writeString(p, Files.readString(p).replace(
+      """"name" : "bytes"""", """"name" : "bytes_v2""""))
+    val e = intercept[IllegalArgumentException](Zarr3IO.readMeta(dir))
+    assert(e.getMessage.contains("codec chain"))
+  }
 }
