@@ -322,6 +322,28 @@ object RealLayerQueries {
         |  FROM pooled)
         |SELECT px, py, pz, label FROM ranked WHERE rn = 1""".stripMargin)),
 
+    // A4 extension: per-label voxel centroid (integer floor) + voxel
+    // count — the seed-point statistic the downstream skeletonization/
+    // proofreading ecosystem derives per segment. One
+    // partial-aggregated groupBy, the same shape as a4_bbox_union.
+    "a4b_centroid" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        PrecomputedIO.cutoutVoxels(s, LayerDir,
+            Bbox(Vec3(0, 0, 0), Vec3(SX, SY, SZ)))
+          .filter(col("label") =!= 0)
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_vox"),
+            expr("sum(x) div count(1)").as("cx"),
+            expr("sum(y) div count(1)").as("cy"),
+            expr("sum(z) div count(1)").as("cz"))
+      },
+      Some(s"""SELECT label, count(*) AS n_vox,
+        |  CAST(sum(x) AS BIGINT) // count(*) AS cx,
+        |  CAST(sum(y) AS BIGINT) // count(*) AS cy,
+        |  CAST(sum(z) AS BIGINT) // count(*) AS cz
+        |FROM $Sidecar WHERE label <> 0 GROUP BY label""".stripMargin)),
+
     // F8 extension: averaging downsample — the reference's
     // downsample_with_averaging flavor for IMAGE layers (2x2x2 mean,
     // floored to the integer dtype), alongside f8b's segmentation mode
