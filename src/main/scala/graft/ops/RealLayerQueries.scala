@@ -384,6 +384,38 @@ object RealLayerQueries {
       },
       None),
 
+    // Same two-level CC operator, oracle-verified on a cropped
+    // sub-volume small enough for DuckDB's recursive min-propagation
+    // CTE (quadratic in component size — fine at ~2k voxels,
+    // intractable on the full layer, hence the rows-only big entry
+    // above). The crop spans the x=32 block boundary so the
+    // cross-block boundary-root stitch path is exercised, not just
+    // the partition-local union-find.
+    "cc_components_small" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        val fg = PrecomputedIO.cutoutVoxels(s, LayerDir,
+            Bbox(Vec3(0, 0, 0), Vec3(48, 16, 8)))
+          .filter(col("label") =!= 0)
+          .select("x", "y", "z")
+        ConnectedComponents.label6(s, fg, SX, SY)
+      },
+      Some(s"""WITH RECURSIVE fg AS (
+        |  SELECT x, y, z, x + $SX * (y + $SY * z) AS vid
+        |  FROM $Sidecar
+        |  WHERE label <> 0 AND x < 48 AND y < 16 AND z < 8),
+        |edges AS (
+        |  SELECT a.vid AS a, b.vid AS b
+        |  FROM fg a JOIN fg b
+        |    ON abs(a.x - b.x) + abs(a.y - b.y) + abs(a.z - b.z) = 1),
+        |reach(id, r) AS (
+        |  SELECT vid AS id, vid AS r FROM fg
+        |  UNION
+        |  SELECT t.id, e.b AS r FROM reach t JOIN edges e ON e.a = t.r)
+        |SELECT f.x, f.y, f.z, CAST(min(t.r) AS BIGINT) AS comp
+        |FROM fg f JOIN reach t ON t.id = f.vid
+        |GROUP BY f.x, f.y, f.z""".stripMargin)),
+
     // S4 single-voxel fast path (rx.py:293-300,381-430
     // download_single_voxel; chunks.read_voxel:423-457): point lookups
     // grouped by owning chunk, each resolved by RANDOM ACCESS into the

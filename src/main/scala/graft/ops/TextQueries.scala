@@ -616,38 +616,41 @@ object TextQueries {
 
     // Bloom-filter decontamination — the probabilistic cousin of
     // dedup_cross's exact hash set. The held-out set compresses to a
-    // 4096-bit filter (3 md5-derived hash functions) whose size is
-    // INDEPENDENT of the corpus: at 100 TB the filter still broadcasts
-    // in kilobytes while an exact hash set grows with the reference
-    // corpus. A doc is flagged iff all 3 of its bit positions are set.
-    // False positives are inherent to the structure and bit-identical
-    // in both engines (same hashes, same bits), so the oracle replays
-    // them exactly rather than approximating.
+    // 4096-bit filter (3 hash functions carved out of ONE md5 digest:
+    // hex chars 1-12, 13-24, 25-32 — one pass over the text, not
+    // three) whose size is INDEPENDENT of the corpus: at 100 TB the
+    // filter still broadcasts in kilobytes while an exact hash set
+    // grows with the reference corpus. A doc is flagged iff all 3 of
+    // its bit positions are set. False positives are inherent to the
+    // structure and bit-identical in both engines (same digest, same
+    // bits), so the oracle replays them exactly. The probe is a
+    // single shuffle: explode(bits) -> broadcast LEFT join with a
+    // hit flag -> groupBy sum; every doc_id survives the left join
+    // so no outer join back to the corpus is needed.
     "dedup_bloom" -> Q(
       (s, dir) => {
         val docs = table(s, dir, "documents")
+        val digest = md5(lower(trim(col("text"))).cast("binary"))
         def bitpos(j: Int) =
-          pmod(conv(substring(md5(concat(lit(s"$j:"),
-            lower(trim(col("text")))).cast("binary")), 1, 12), 16, 10)
+          pmod(conv(substring(digest, 1 + 12 * j, 12), 16, 10)
             .cast("long"), lit(4096L))
         val withBits = docs.select(col("doc_id"),
           array((0 until 3).map(bitpos): _*).as("bits"))
           .localCheckpoint() // feeds the filter build AND the probe
         val bloom = withBits.filter(col("doc_id") % 7 === 0)
           .select(explode(col("bits")).as("bit")).distinct()
-        val hits = withBits
-          .select(col("doc_id"), explode(col("bits")).as("bit"))
-          .join(broadcast(bloom), Seq("bit"), "left_semi")
-          .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-        withBits.select("doc_id").join(hits, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-            (coalesce(col("n_hits"), lit(0L)) === 3).cast("long").as("flagged"))
+          .withColumn("hit", lit(1L))
+        withBits.select(col("doc_id"), explode(col("bits")).as("bit"))
+          .join(broadcast(bloom), Seq("bit"), "left")
+          .groupBy("doc_id")
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+          .select(col("doc_id"), col("n_hits"),
+            (col("n_hits") === 3).cast("long").as("flagged"))
       },
-      Some("""WITH c AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+      Some("""WITH c AS (SELECT doc_id, md5(lower(trim(text))) AS d
+        |       FROM documents),
         |b AS (SELECT doc_id,
-        |        ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || t), 1, 12))
-        |          ::BIGINT % 4096 AS bit
+        |        ('0x' || substr(d, 1 + 12 * j, 12))::BIGINT % 4096 AS bit
         |      FROM c, (SELECT unnest(generate_series(0, 2)) AS j)),
         |bloom AS (SELECT DISTINCT bit FROM b WHERE doc_id % 7 = 0),
         |hits AS (SELECT doc_id, count(*) AS n_hits FROM b
