@@ -237,18 +237,23 @@ object Bench {
     // and records parsed:null (bit rounds 1-4). The last line therefore
     // carries aggregates + MB/s + only the slowest queries, and the full
     // dict rides the earlier BENCH_DETAIL line/file.
-    val slowest = results.sortBy(-_._2).take(10)
-      .map { case (k, v) => s"\"" + k + "\":" + num(v, 3) }
-      .mkString("{", ",", "}")
     val errNames = errs.keys.take(5)
       .map(k => "\"" + jstr(k) + "\"").mkString("[", ",", "]")
-    val lastLine =
+    // shrink the slowest-queries dict until the line fits the driver's
+    // ~2000-char output tail — never throw here: a require() before
+    // the prints would turn a COMPLETE bench run into parsed:null with
+    // no BENCH_DETAIL either
+    def summaryLine(nSlow: Int): String = {
+      val slowest = results.sortBy(-_._2).take(nSlow)
+        .map { case (k, v) => s"\"" + k + "\":" + num(v, 3) }
+        .mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
       s""""n_failed":${errs.size},"failed":$errNames,"queries":$slowest,""" +
-      s""""queries_note":"slowest 10 of ${results.size}; full dict in BENCH_DETAIL.json","""+
+      s""""queries_note":"slowest $nSlow of ${results.size}; full dict in BENCH_DETAIL.json","""+
       s"""$mbpsJson,"sf":"$sfDir"}"""
-    require(lastLine.length < 1800,
-      s"bench summary line ${lastLine.length} chars — would truncate in driver tail")
+    }
+    val lastLine = (10 to 0 by -1).map(summaryLine).find(_.length < 1800)
+      .getOrElse(summaryLine(0))
     // stop Spark BEFORE printing so its shutdown logging can't land
     // after the JSON — the driver parses the last line of output
     // (build.sbt sets showSuccess := false for the same reason)

@@ -144,6 +144,16 @@ object XferQueries {
         import s.implicits._
         val target = s"${RealLayerQueries.Root}/layer_s16_ds"
         val sc1 = meta.scale(1)
+        // the (gx/2, gy/2, gz/2) octant keying below is only correct
+        // while the mip-1 chunk size equals the mip-0 one, and the
+        // boundary-free 2x2x2 pooling needs even chunk dims — fail
+        // loudly if a future fixture change breaks either assumption
+        require(sc1.chunkSize == Vec3(RealLayerQueries.CX,
+          RealLayerQueries.CY, RealLayerQueries.CZ),
+          s"octant keying assumes mip-1 chunk size == mip-0 (${sc1.chunkSize})")
+        require(RealLayerQueries.CX % 2 == 0 && RealLayerQueries.CY % 2 == 0 &&
+          RealLayerQueries.CZ % 2 == 0,
+          "2x2x2 pool windows need even chunk dims to stay chunk-local")
         val metaDs = meta.copy(scales = Seq(sc1))
         // narrow per-chunk stage: decode -> mode-pool -> octant block
         val blocks = PrecomputedIO.readChunks(s, LayerDir)

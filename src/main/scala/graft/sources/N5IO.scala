@@ -125,8 +125,15 @@ object N5IO {
 
   /** S18 n5 cutout: pruned grid at planning time, block reads +
     * decode in tasks, clipped voxel rows.
+    *
+    * @param fillMissing absent block keys read as background (0) when
+    *        true; by default a missing block is an ERROR, mirroring
+    *        the reference's EmptyVolumeException unless
+    *        fill_missing=True (n5/image.py:44-52) and the precomputed
+    *        path's fill_missing option on NgScanBuilder.
     */
-  def cutoutVoxels(spark: SparkSession, dir: String, bbox: Bbox): DataFrame = {
+  def cutoutVoxels(spark: SparkSession, dir: String, bbox: Bbox,
+      fillMissing: Boolean = false): DataFrame = {
     val m = readMeta(dir)
     val bs = m.blockSize
     val dtb = m.dtypeBytes
@@ -135,16 +142,17 @@ object N5IO {
     val pts = Geom.gridpoints(bbox, bounds, bs)
     val clip = bbox.intersection(bounds)
     val dirStr = dir
+    val fm = fillMissing
     import spark.implicits._
     spark.createDataset(pts.map(g => (g.x, g.y, g.z)))
       .repartition(math.max(pts.size / 4, 1))
       .flatMap { case (gx, gy, gz) =>
         val p = Paths.get(dirStr, "s0", gx.toString, gy.toString, gz.toString)
-        // N5 defines an absent block key as background (0) — same
-        // missing-chunk rule the zarr paths apply (the reference's
-        // fill_missing escape hatch, n5/image.py:44-52)
         val (dims, vox) =
           if (!Files.exists(p)) {
+            if (!fm) throw new java.util.NoSuchElementException(
+              s"missing N5 block ($gx,$gy,$gz) in $dirStr — pass " +
+                "fillMissing=true to read absent blocks as background")
             val cb = Geom.chunkBbox(Vec3(gx, gy, gz), bounds, bs)
             (cb.size, new Array[Long]((cb.size.x * cb.size.y * cb.size.z).toInt))
           } else decodeBlock(Files.readAllBytes(p), dtb, isGz)

@@ -85,10 +85,22 @@ final class NgTable(props: Map[String, String]) extends Table
     val gzipped = Option(info.options.get("compress")).map(_.toBoolean)
       .getOrElse(Codec.shouldCompress(scale.encoding))
     val sch = info.schema()
-    val need = Seq("gx", "gy", "gz", "payload")
-    require(need.forall(sch.fieldNames.contains),
-      s"neuroglancer sink needs columns $need, got ${sch.fieldNames.mkString(",")}")
-    val idx = need.map(sch.fieldIndex).toArray
+    // surface shape AND type errors at plan time, like the lock
+    // check — r.getLong/r.getBinary in executor tasks would otherwise
+    // fail with an opaque ClassCastException mid-write
+    val need = Seq("gx" -> org.apache.spark.sql.types.LongType,
+      "gy" -> org.apache.spark.sql.types.LongType,
+      "gz" -> org.apache.spark.sql.types.LongType,
+      "payload" -> org.apache.spark.sql.types.BinaryType)
+    require(need.forall { case (n, _) => sch.fieldNames.contains(n) },
+      s"neuroglancer sink needs columns ${need.map(_._1)}, " +
+        s"got ${sch.fieldNames.mkString(",")}")
+    need.foreach { case (n, dt) =>
+      val actual = sch(n).dataType
+      require(actual == dt,
+        s"neuroglancer sink column $n must be $dt, got $actual")
+    }
+    val idx = need.map { case (n, _) => sch.fieldIndex(n) }.toArray
     new NgWriteBuilder(path, scale, gzipped, idx)
   }
 }

@@ -137,13 +137,22 @@ class SourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r2 = Zarr2IO.cutoutVoxels(spark, z2, Bbox(Vec3(0, 0, 0), Vec3(4, 4, 4)))
       .collect()
     assert(r2.length == 64 && r2.forall(_.getLong(3) == 3))
-    // N5: absent block key = background 0 (no fill_value in attributes)
+    // N5: absent block is an ERROR unless fillMissing=true (mirrors
+    // the reference's EmptyVolumeException / fill_missing escape
+    // hatch, n5/image.py:44-52)
     import graft.sources.N5IO
     val n5 = s"$dir/n5_fill"
     N5IO.writeMeta(n5, N5IO.N5Meta(
       dimensions = Vec3(4, 4, 4), blockSize = Vec3(4, 4, 4),
       dataType = "uint16", gzipped = false))
-    val rn = N5IO.cutoutVoxels(spark, n5, Bbox(Vec3(0, 0, 0), Vec3(4, 4, 4)))
+    val thrown = intercept[org.apache.spark.SparkException] {
+      N5IO.cutoutVoxels(spark, n5, Bbox(Vec3(0, 0, 0), Vec3(4, 4, 4)))
+        .collect()
+    }
+    assert(thrown.getMessage.contains("missing N5 block") ||
+      Option(thrown.getCause).exists(_.getMessage.contains("missing N5 block")))
+    val rn = N5IO.cutoutVoxels(spark, n5, Bbox(Vec3(0, 0, 0), Vec3(4, 4, 4)),
+        fillMissing = true)
       .collect()
     assert(rn.length == 64 && rn.forall(_.getLong(3) == 0))
   }
@@ -171,6 +180,18 @@ class SourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       orig.write.format("neuroglancer").mode("append").save(lockedDir)
     }
     assert(e.getMessage.contains("write-locked"))
+    // narrower-typed grid columns are upcast by Spark's V2 analyzer
+    // against the table schema (int gx -> long) BEFORE the sink's own
+    // plan-time dtype require — so a castable mismatch round-trips
+    // and an uncastable one fails analysis, never an executor
+    // ClassCastException
+    val sink2 = s"$dir/layer_sink_int"
+    PrecomputedIO.writeInfo(sink2, meta)
+    orig.withColumn("gx", col("gx").cast("int"))
+      .write.format("neuroglancer").mode("append").save(sink2)
+    val back2 = PrecomputedIO.readChunks(spark, sink2, fillMissing = true)
+      .filter(col("payload").isNotNull)
+    assert(back2.count() == orig.count())
   }
 
   test("reference fixture info parses (test_cv, 5 scales, cseg)") {
