@@ -86,10 +86,23 @@ object WriteQueries {
         .foreach(p => Files.deleteIfExists(p))
     }
     PrecomputedIO.writeInfo(target, meta)
-    PrecomputedIO.writeChunks(
-      PrecomputedIO.readChunks(s, LayerDir)
-        .select("gx", "gy", "gz", "payload"),
-      target, meta, 0)
+    // byte-level object copy: the chunk objects are already encoded,
+    // so the clone moves bytes as-is — no decode/re-encode round-trip
+    // and no scan planning. The listing is metadata-sized (one name
+    // per object); the copies fan out to tasks like a distcp.
+    val key = meta.scale(0).key
+    import scala.jdk.CollectionConverters._
+    val names = Files.list(Paths.get(LayerDir, key)).iterator.asScala
+      .map(_.getFileName.toString).toSeq
+    Files.createDirectories(Paths.get(target, key))
+    val (srcDir, dstDir) = (s"$LayerDir/$key", s"$target/$key")
+    import s.implicits._
+    s.createDataset(names).foreachPartition { it: Iterator[String] =>
+      it.foreach { n =>
+        Files.copy(Paths.get(srcDir, n), Paths.get(dstDir, n),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
   }
 
   import org.apache.spark.sql.Encoders
