@@ -83,6 +83,25 @@ object RealLayerQueries {
       chunkSize = Vec3(CX, CY, CZ), size = Vec3(SX, SY, SZ),
       voxelOffset = Vec3(0, 0, 0))))
 
+  /** Multi-channel volume (P2/S4): the reference is 4-D everywhere —
+    * shape (x, y, z, channels) with channel-last F-order chunk
+    * payloads (frontends/precomputed.py:348-351, chunks.py:323-325).
+    * RGBA-ish: 4 uint8 channels, value = (label + 11*c) % 251 so the
+    * DuckDB oracle replays every channel from the sidecar. Two scales
+    * like the main layer (mip 1 = [::2,::2,::2] stride).
+    */
+  val LayerRgbaDir = s"$Root/layer_rgba"
+  val metaRgba: VolumeMeta = {
+    val s0 = ScaleMeta(
+      key = "1_1_1", encoding = "raw", resolution = Seq(1, 1, 1),
+      chunkSize = Vec3(CX, CY, CZ), size = Vec3(SX, SY, SZ),
+      voxelOffset = Vec3(0, 0, 0))
+    val base = VolumeMeta(
+      layerType = "image", dataType = "uint8", numChannels = 4,
+      scales = Seq(s0))
+    base.copy(scales = Seq(s0, base.addScale(Vec3(2, 2, 2))))
+  }
+
   val shardSpec: ShardingSpec = ShardingSpec(
     preshiftBits = 0, minishardBits = 2, shardBits = 2,
     hashName = "identity",
@@ -125,7 +144,7 @@ object RealLayerQueries {
     val marker = Paths.get(Root, ".built_from")
     // marker carries a fixture-format version (bump when the layout
     // changes) plus a per-build nonce for downstream staleness checks
-    val markerPrefix = s"$sfDir|v6|" // v6: n5 payload now big-endian
+    val markerPrefix = s"$sfDir|v7|" // v7: adds the 4-channel rgba layer
     val markerVal = markerPrefix + System.nanoTime()
     if (Files.exists(marker) &&
       Files.readString(marker).startsWith(markerPrefix) &&
@@ -159,10 +178,23 @@ object RealLayerQueries {
           arr(((x - cb.minpt.x) + w * ((y - cb.minpt.y) + h * (z - cb.minpt.z))).toInt) = l
         }
         val u8 = arr.map(l => ((l % 251) & 0xff).toByte)
+        // 4-channel uint8 payload, F-order channel SLOWEST: channel c
+        // occupies the c-th contiguous x-fastest plane
+        val nvox = (w * h * d).toInt
+        val rgba = new Array[Byte](nvox * 4)
+        var vi = 0
+        while (vi < nvox) {
+          var c = 0
+          while (c < 4) {
+            rgba(vi + nvox * c) = (((arr(vi) + 11 * c) % 251) & 0xff).toByte
+            c += 1
+          }
+          vi += 1
+        }
         (gx, gy, gz, Codec.encodeRawFromLongs(arr, 4),
           Cseg.encode(arr, cb.size, CsegBlock, 4),
-          Codec.encodePng(u8, cb.size.x.toInt))
-      }.toDF("gx", "gy", "gz", "payload", "cseg", "png").cache()
+          Codec.encodePng(u8, cb.size.x.toInt), rgba)
+      }.toDF("gx", "gy", "gz", "payload", "cseg", "png", "rgba").cache()
     PrecomputedIO.writeInfo(LayerDir, meta)
     PrecomputedIO.writeChunks(chunks, LayerDir, meta, mip = 0)
     // mip 1: [::2,::2,::2] strided downsample, clamped chunks
@@ -186,9 +218,28 @@ object RealLayerQueries {
         vs.foreach { case (x, y, z, l) =>
           arr(((x - cb.minpt.x) + w * ((y - cb.minpt.y) + h * (z - cb.minpt.z))).toInt) = l
         }
-        (gx, gy, gz, Codec.encodeRawFromLongs(arr, 4))
-      }.toDF("gx", "gy", "gz", "payload")
+        val nvox = cb.volume.toInt
+        val rgba = new Array[Byte](nvox * 4)
+        var vi = 0
+        while (vi < nvox) {
+          var c = 0
+          while (c < 4) {
+            rgba(vi + nvox * c) = (((arr(vi) + 11 * c) % 251) & 0xff).toByte
+            c += 1
+          }
+          vi += 1
+        }
+        (gx, gy, gz, Codec.encodeRawFromLongs(arr, 4), rgba)
+      }.toDF("gx", "gy", "gz", "payload", "rgba").cache()
     PrecomputedIO.writeChunks(chunks1, LayerDir, meta, mip = 1)
+    PrecomputedIO.writeInfo(LayerRgbaDir, metaRgba)
+    PrecomputedIO.writeChunks(
+      chunks.select(col("gx"), col("gy"), col("gz"), col("rgba").as("payload")),
+      LayerRgbaDir, metaRgba, mip = 0)
+    PrecomputedIO.writeChunks(
+      chunks1.select(col("gx"), col("gy"), col("gz"), col("rgba").as("payload")),
+      LayerRgbaDir, metaRgba, mip = 1)
+    chunks1.unpersist()
     PrecomputedIO.writeInfo(LayerCsegDir, metaCseg)
     PrecomputedIO.writeChunks(
       chunks.select(col("gx"), col("gy"), col("gz"), col("cseg").as("payload")),
@@ -415,6 +466,51 @@ object RealLayerQueries {
         |SELECT f.x, f.y, f.z, CAST(min(t.r) AS BIGINT) AS comp
         |FROM fg f JOIN reach t ON t.id = f.vid
         |GROUP BY f.x, f.y, f.z""".stripMargin)),
+
+    // P2/S4 multi-channel: single-channel slice of the 4-channel rgba
+    // layer — the reference's vol[x, y, z, 2] channel indexing
+    // (frontends/precomputed.py:582-588); only the requested channel
+    // leaves the decode
+    "p2_channel_cutout" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        PrecomputedIO.cutoutVoxelsChannels(s, LayerRgbaDir,
+            Bbox(Vec3(4, 6, 2), Vec3(52, 50, 24)), Seq(2))
+          .select("x", "y", "z", "value")
+      },
+      Some(s"""SELECT x, y, z, (label + 22) % 251 AS value
+        |FROM $Sidecar
+        |WHERE x BETWEEN 4 AND 51 AND y BETWEEN 6 AND 49
+        |  AND z BETWEEN 2 AND 23""".stripMargin)),
+
+    // All four channels of a sub-volume as (x, y, z, c, value) rows —
+    // the un-sliced 4-D read (shape (x,y,z,channels),
+    // frontends/precomputed.py:348-351)
+    "p2b_channels_all" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        PrecomputedIO.cutoutVoxelsChannels(s, LayerRgbaDir,
+          Bbox(Vec3(10, 12, 4), Vec3(40, 44, 20)), Seq(0, 1, 2, 3))
+      },
+      Some(s"""SELECT x, y, z, c, (label + 11 * c) % 251 AS value
+        |FROM $Sidecar, (SELECT unnest(range(4)) AS c)
+        |WHERE x BETWEEN 10 AND 39 AND y BETWEEN 12 AND 43
+        |  AND z BETWEEN 4 AND 19""".stripMargin)),
+
+    // Channel slice at mip 1 — the 4-D shape composes with the scale
+    // pyramid (mip 1 = [::2,::2,::2] stride of mip 0, so the oracle
+    // replays it from the strided sidecar)
+    "p2c_channel_mip1" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        PrecomputedIO.cutoutVoxelsChannels(s, LayerRgbaDir,
+            Bbox(Vec3(0, 0, 0), Vec3(30, 30, 14)), Seq(1), mip = 1)
+          .select("x", "y", "z", "value")
+      },
+      Some(s"""SELECT x // 2 AS x, y // 2 AS y, z // 2 AS z,
+        |  (label + 11) % 251 AS value
+        |FROM $Sidecar
+        |WHERE x % 2 = 0 AND y % 2 = 0 AND z % 2 = 0""".stripMargin)),
 
     // S4 single-voxel fast path (rx.py:293-300,381-430
     // download_single_voxel; chunks.read_voxel:423-457): point lookups

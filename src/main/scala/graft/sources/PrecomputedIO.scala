@@ -140,6 +140,73 @@ object PrecomputedIO {
     decodeToVoxels(chunks, bbox, scale, meta.dtypeBytes)
   }
 
+  /** P2/S4 multi-channel cutout: chunk payloads hold all channels in
+    * F-order with channel SLOWEST (a uint8 RGBA chunk is 4 contiguous
+    * x-fastest planes — chunks.py:323-325 encode_raw tobytes('F'),
+    * frontends/precomputed.py:348-351 shape (x,y,z,channels)).
+    * `channels` is the reified channel slice of the reference's 4-D
+    * __getitem__ (frontends/precomputed.py:582-588 channel_slice):
+    * only requested channels become rows, so the selection prunes
+    * inside the decode rather than after the explode.
+    *
+    * @return voxel rows (x, y, z, c, value)
+    */
+  def cutoutVoxelsChannels(spark: SparkSession, layerDir: String,
+      bbox: Bbox, channels: Seq[Int], mip: Int = 0,
+      fillMissing: Boolean = false): DataFrame = {
+    val meta = readInfo(layerDir)
+    val scale = meta.scale(mip)
+    require(scale.encoding == "raw",
+      s"multi-channel cutout reads raw encoding, not ${scale.encoding}")
+    val dtb = meta.dtypeBytes
+    val nc = meta.numChannels
+    require(channels.nonEmpty && channels.forall(c => c >= 0 && c < nc),
+      s"channel slice $channels out of range for $nc channels")
+    val chans = channels.toArray
+    val chunks = readChunks(spark, layerDir, mip, fillMissing)
+      .filter(col("x1") > bbox.minpt.x && col("x0") < bbox.maxpt.x &&
+        col("y1") > bbox.minpt.y && col("y0") < bbox.maxpt.y &&
+        col("z1") > bbox.minpt.z && col("z0") < bbox.maxpt.z)
+    val decodeUdf = udf((x0: Long, y0: Long, z0: Long, x1: Long, y1: Long,
+        z1: Long, payload: Array[Byte]) => {
+      val sx = x1 - x0; val sy = y1 - y0; val sz = z1 - z0
+      val plane = (sx * sy * sz).toInt
+      val vox =
+        if (payload == null) new Array[Long](plane * nc)
+        else Codec.decodeRawToLongs(payload, dtb)
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long, Long)]
+      val lox = math.max(x0, bbox.minpt.x); val hix = math.min(x1, bbox.maxpt.x)
+      val loy = math.max(y0, bbox.minpt.y); val hiy = math.min(y1, bbox.maxpt.y)
+      val loz = math.max(z0, bbox.minpt.z); val hiz = math.min(z1, bbox.maxpt.z)
+      var z = loz
+      while (z < hiz) {
+        var y = loy
+        while (y < hiy) {
+          var x = lox
+          while (x < hix) {
+            val i = ((x - x0) + sx * ((y - y0) + sy * (z - z0))).toInt
+            var ci = 0
+            while (ci < chans.length) {
+              out += ((x, y, z, chans(ci).toLong, vox(i + plane * chans(ci))))
+              ci += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        z += 1
+      }
+      out.toSeq
+    })
+    chunks
+      .select(explode(decodeUdf(col("x0"), col("y0"), col("z0"),
+        col("x1"), col("y1"), col("z1"), col("payload"))).as("vx"))
+      .select(col("vx._1").as("x"), col("vx._2").as("y"),
+        col("vx._3").as("z"), col("vx._4").as("c"),
+        col("vx._5").as("value"))
+  }
+
   /** Shared decode stage: chunk rows (x0..z1, payload) -> voxel rows
     * clipped to `bbox`, dispatching on the scale's encoding.
     */
