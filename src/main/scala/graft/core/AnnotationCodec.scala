@@ -134,4 +134,82 @@ object AnnotationCodec {
     require(!buf.hasRemaining)
     (0 until n.toInt).map(i => Annotation(ids(i), geoms(i), props(i)))
   }
+
+  /** Single-annotation by-id encoding (annotation/reader.py:103-137
+    * _decode_single_annotation): ONE record (geometry + properties,
+    * property block padded to 4 bytes like the multi format), then
+    * for each declared relationship a u32le object count followed by
+    * count x u64le object ids. The annotation id itself is carried by
+    * the object NAME (by_id/<id>), not the payload.
+    *
+    * @param rels one id list per declared relationship, declaration
+    *             order
+    */
+  def encodeSingle(spec: AnnotationSpec, ann: Annotation,
+      rels: Seq[Seq[Long]]): Array[Byte] = {
+    val relBytes = rels.map(r => 4 + 8 * r.length).sum
+    val buf = ByteBuffer.allocate(spec.recordBytes + relBytes)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    require(ann.geometry.length == spec.geometryFloats)
+    ann.geometry.foreach(buf.putFloat)
+    var slot = 0
+    spec.properties.foreach { p =>
+      p.dtype match {
+        case "uint8" | "int8" => buf.put(ann.props(slot).toInt.toByte)
+        case "uint16" | "int16" => buf.putShort(ann.props(slot).toInt.toShort)
+        case "uint32" | "int32" => buf.putInt(ann.props(slot).toLong.toInt)
+        case "float32" => buf.putFloat(ann.props(slot).toFloat)
+        case "rgb" =>
+          (0 until 3).foreach(i => buf.put(ann.props(slot + i).toInt.toByte))
+        case "rgba" =>
+          (0 until 4).foreach(i => buf.put(ann.props(slot + i).toInt.toByte))
+      }
+      slot += p.slots
+    }
+    val pad = spec.recordBytes - 4 * spec.geometryFloats - spec.propBytesUnpadded
+    (0 until pad).foreach(_ => buf.put(0.toByte))
+    rels.foreach { ids =>
+      buf.putInt(ids.length)
+      ids.foreach(buf.putLong)
+    }
+    buf.array()
+  }
+
+  /** Inverse of [[encodeSingle]]; `id` comes from the object name.
+    * Mirrors the reference's trailing `assert offset == len(binary)`
+    * (annotation/reader.py:135).
+    */
+  def decodeSingle(spec: AnnotationSpec, nRels: Int, id: Long,
+      binary: Array[Byte]): (Annotation, Seq[Seq[Long]]) = {
+    val buf = ByteBuffer.wrap(binary).order(ByteOrder.LITTLE_ENDIAN)
+    val g = new Array[Float](spec.geometryFloats)
+    g.indices.foreach(j => g(j) = buf.getFloat())
+    val pv = new Array[Double](spec.properties.map(_.slots).sum)
+    var slot = 0
+    spec.properties.foreach { p =>
+      p.dtype match {
+        case "uint8" => pv(slot) = (buf.get() & 0xff).toDouble
+        case "int8" => pv(slot) = buf.get().toDouble
+        case "uint16" => pv(slot) = (buf.getShort() & 0xffff).toDouble
+        case "int16" => pv(slot) = buf.getShort().toDouble
+        case "uint32" => pv(slot) = (buf.getInt() & 0xffffffffL).toDouble
+        case "int32" => pv(slot) = buf.getInt().toDouble
+        case "float32" => pv(slot) = buf.getFloat().toDouble
+        case "rgb" =>
+          (0 until 3).foreach(i => pv(slot + i) = (buf.get() & 0xff).toDouble)
+        case "rgba" =>
+          (0 until 4).foreach(i => pv(slot + i) = (buf.get() & 0xff).toDouble)
+      }
+      slot += p.slots
+    }
+    val pad = spec.recordBytes - 4 * spec.geometryFloats - spec.propBytesUnpadded
+    (0 until pad).foreach(_ => buf.get())
+    val rels = (0 until nRels).map { _ =>
+      val n = buf.getInt()
+      (0 until n).map(_ => buf.getLong()).toSeq
+    }
+    require(!buf.hasRemaining,
+      s"trailing ${buf.remaining} bytes after relationship sections")
+    (Annotation(id, g, pv), rels)
+  }
 }

@@ -124,9 +124,19 @@ object AnnotationQueries {
     }
   }
 
+  /** Relationship link model (annotation/reader.py:308-354
+    * get_by_relationship): every point annotation participates in two
+    * relations, each with a deterministic segid so the DuckDB oracle
+    * replays the link table from `events` directly.
+    */
+  val Relations: Seq[String] = Seq("presynaptic_to", "postsynaptic_to")
+  private def relSegid(rel: Int, aid: Long): Long =
+    if (rel == 0) (aid * 3) % 40 else (aid * 5 + 1) % 40
+
   def ensure(s: SparkSession, sfDir: String): Unit = synchronized {
     val marker = Paths.get(Root, ".built_from")
-    if (Files.exists(marker) && Files.readString(marker) == sfDir) return
+    val markerVal = s"$sfDir|v2" // v2: relationship + by-id fixtures
+    if (Files.exists(marker) && Files.readString(marker) == markerVal) return
     val rootP = Paths.get(Root)
     if (Files.exists(rootP)) {
       import scala.jdk.CollectionConverters._
@@ -142,7 +152,38 @@ object AnnotationQueries {
       lit("0_0"), Seq("ax", "ay", "az", "bx", "by", "bz"), Seq.empty)
     writeLayer(ellipsoidDf(s, sfDir), s"$Root/ellipsoids", EllipsoidSpec,
       lit("0_0"), Seq("cx", "cy", "cz", "rx", "ry", "rz"), Seq("w"))
-    Files.writeString(marker, sfDir)
+    // by-relationship files: per relation, one multi-annotation file
+    // per related segid (reader.py:308-354 — the rel "key" dir holds
+    // <segid> objects decoded with the multi format)
+    Relations.zipWithIndex.foreach { case (rel, ri) =>
+      writeLayer(
+        pointsDf(s, sfDir).withColumn("segid",
+          if (ri == 0) (col("aid") * 3) % 40 else (col("aid") * 5 + 1) % 40),
+        s"$Root/rel_$rel", PointSpec, col("segid").cast("string"),
+        Seq("ax", "ay", "az"),
+        Seq("score", "weight", "conf", "r", "g", "b"))
+    }
+    // by-id files: single-annotation format incl. relationship
+    // sections, one object per annotation id (reader.py:103-137). The
+    // fixture materializes the aid % 35 == 0 subset — enough for the
+    // point-lookup entry without 10k tiny files per sf.
+    val byIdDir = Paths.get(s"$Root/by_id")
+    Files.createDirectories(byIdDir)
+    val byIdStr = byIdDir.toString
+    pointsDf(s, sfDir).filter(col("aid") % 35 === 0)
+      .foreachPartition { rows: Iterator[Row] =>
+        rows.foreach { r =>
+          val aid = r.getLong(0)
+          val ann = Annotation(aid,
+            Array(r.getLong(1).toFloat, r.getLong(2).toFloat,
+              r.getLong(3).toFloat),
+            (4 until 10).map(i => r.getLong(i).toDouble).toArray)
+          val rels = Seq(Seq(relSegid(0, aid)), Seq(relSegid(1, aid)))
+          Files.write(Paths.get(byIdStr, aid.toString),
+            AnnotationCodec.encodeSingle(PointSpec, ann, rels))
+        }
+      }
+    Files.writeString(marker, markerVal)
   }
 
   /** Decode a layer directory into annotation rows: aid, geometry
@@ -227,5 +268,65 @@ object AnnotationQueries {
         |SELECT aid, cx, cy, cz, rx, ry, rz, w FROM el
         |WHERE cx BETWEEN 10 AND 50 AND cy BETWEEN 10 AND 50
         |  AND cz BETWEEN 5 AND 25""".stripMargin)),
+
+    // P8 by-relationship: segid -> annotations, the most relational
+    // feature of the annotation subsystem (reader.py:308-354
+    // get_by_relationship). Each requested segid resolves to one
+    // relationship object holding its related annotations in the
+    // multi format — lookups fan out as tasks, the many-to-many link
+    // table materializes as (segid, aid) rows the oracle rebuilds
+    // from `events`.
+    "p8d_annotation_by_relation" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        import s.implicits._
+        import scala.jdk.CollectionConverters._
+        val relDir = s"$Root/rel_presynaptic_to"
+        val wanted = Files.list(Paths.get(relDir)).iterator.asScala
+          .map(_.getFileName.toString).filter(_.toLong < 8).toSeq.sorted
+        val spec = PointSpec
+        wanted.toDS()
+          .repartition(math.max(wanted.size / 2, 1))
+          .flatMap { n =>
+            val segid = n.toLong
+            AnnotationCodec.decode(spec,
+              Files.readAllBytes(Paths.get(relDir, n))).map { a =>
+              (segid, a.id, a.geometry(0).toLong, a.geometry(1).toLong,
+                a.geometry(2).toLong)
+            }
+          }.toDF("segid", "aid", "ax", "ay", "az")
+      },
+      Some(s"""WITH $PtsCte
+        |SELECT (aid * 3) % 40 AS segid, aid, ax, ay, az FROM pts
+        |WHERE (aid * 3) % 40 < 8""".stripMargin)),
+
+    // P8 by-id point lookup: decode single-annotation objects
+    // (geometry + properties + per-relation id sections,
+    // reader.py:103-137) — the id comes from the object name, the
+    // relationship columns surface the link targets
+    "p8e_annotation_by_id" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        import s.implicits._
+        import scala.jdk.CollectionConverters._
+        val byIdDir = s"$Root/by_id"
+        val names = Files.list(Paths.get(byIdDir)).iterator.asScala
+          .map(_.getFileName.toString).toSeq.sorted
+        val spec = PointSpec
+        names.toDS()
+          .repartition(math.max(names.size / 8, 1))
+          .map { n =>
+            val aid = n.toLong
+            val (a, rels) = AnnotationCodec.decodeSingle(spec, 2, aid,
+              Files.readAllBytes(Paths.get(byIdDir, n)))
+            (aid, a.geometry(0).toLong, a.geometry(1).toLong,
+              a.geometry(2).toLong, a.props(0).toLong,
+              rels(0).head, rels(1).head)
+          }.toDF("aid", "ax", "ay", "az", "score", "presyn", "postsyn")
+      },
+      Some(s"""WITH $PtsCte
+        |SELECT aid, ax, ay, az, score, (aid * 3) % 40 AS presyn,
+        |  (aid * 5 + 1) % 40 AS postsyn
+        |FROM pts WHERE aid % 35 = 0""".stripMargin)),
   )
 }
