@@ -215,6 +215,70 @@ object Codec {
     out
   }
 
+  /** F10 npz codec (chunks.py:286-300 encode_npz, :336-338
+    * decode_npz): a zlib-wrapped .npy buffer — expressly NOT
+    * np.savez; the npy v1 header carries dtype / order / shape
+    * metadata that raw tobytes lacks. Chunks serialize 4-D F-order
+    * (sx, sy, sz, 1) little-endian, the reference's chunk layout.
+    */
+  def encodeNpz(voxels: Array[Long], dims: Vec3, dtypeBytes: Int): Array[Byte] = {
+    val descr = dtypeBytes match {
+      case 1 => "|u1"; case 2 => "<u2"; case 4 => "<u4"; case 8 => "<u8"
+      case b => throw new IllegalArgumentException(s"npz dtype bytes $b")
+    }
+    val dict = s"{'descr': '$descr', 'fortran_order': True, " +
+      s"'shape': (${dims.x}, ${dims.y}, ${dims.z}, 1), }"
+    // magic(6) + version(2) + hlen(2) + dict + pad + '\n' ≡ 0 mod 64
+    val unpadded = 10 + dict.length + 1
+    val pad = (64 - unpadded % 64) % 64
+    val header = dict + (" " * pad) + "\n"
+    val body = encodeRawFromLongs(voxels, dtypeBytes)
+    val buf = java.nio.ByteBuffer.allocate(10 + header.length + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put(0x93.toByte).put("NUMPY".getBytes("US-ASCII"))
+    buf.put(1.toByte).put(0.toByte)
+    buf.putShort(header.length.toShort)
+    buf.put(header.getBytes("US-ASCII"))
+    buf.put(body)
+    zlibCompress(buf.array())
+  }
+
+  /** Inverse of [[encodeNpz]]; validates magic/version/layout and
+    * returns (dims, voxels). Accepts 3-D or channel-1 4-D shapes.
+    */
+  def decodeNpz(payload: Array[Byte]): (Vec3, Array[Long]) = {
+    val npy = zlibDecompress(payload)
+    require(npy.length > 10 && (npy(0) & 0xff) == 0x93 &&
+      new String(npy, 1, 5, "US-ASCII") == "NUMPY", "bad npy magic")
+    require(npy(6) == 1, s"npy version ${npy(6)} unsupported")
+    val hlen = ((npy(8) & 0xff) | ((npy(9) & 0xff) << 8))
+    val header = new String(npy, 10, hlen, "US-ASCII")
+    val descrRe = """'descr':\s*'([^']+)'""".r.unanchored
+    val orderRe = """'fortran_order':\s*(True|False)""".r.unanchored
+    val shapeRe = """'shape':\s*\(([0-9,\s]*)\)""".r.unanchored
+    val descr = header match { case descrRe(d) => d
+      case _ => throw new IllegalArgumentException("npy header: no descr") }
+    val fortran = header match { case orderRe(o) => o == "True"
+      case _ => throw new IllegalArgumentException("npy header: no order") }
+    require(fortran, "npz chunks are F-order")
+    val shape = (header match { case shapeRe(t) => t
+      case _ => throw new IllegalArgumentException("npy header: no shape") })
+      .split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong)
+    require(shape.length == 3 || (shape.length == 4 && shape(3) == 1),
+      s"npz shape ${shape.mkString("x")} not a single-channel volume")
+    val dtb = descr match {
+      case "|u1" | "|i1" => 1; case "<u2" | "<i2" => 2
+      case "<u4" | "<i4" => 4; case "<u8" | "<i8" => 8
+      case d => throw new IllegalArgumentException(s"npy descr $d")
+    }
+    val dims = Vec3(shape(0), shape(1), shape(2))
+    val body = java.util.Arrays.copyOfRange(npy, 10 + hlen, npy.length)
+    val vox = decodeRawToLongs(body, dtb)
+    require(vox.length == dims.x * dims.y * dims.z,
+      s"npz body ${vox.length} voxels != $dims")
+    (dims, vox)
+  }
+
   /** Default second-stage compression per encoding
     * (datasource/precomputed/common.py:18-29 should_compress): lossless
     * voxel codecs get gzip; already-compressed image codecs get none.

@@ -76,6 +76,20 @@ object FormatQueries {
         |WHERE x BETWEEN 3 AND 50 AND y BETWEEN 9 AND 46
         |  AND z BETWEEN 2 AND 24""".stripMargin)),
 
+    // F10/S4: cutout through the npz codec layer (chunks.py:286-300 —
+    // zlib-wrapped .npy with dtype/order/shape header; the only
+    // optional reference codec with no C++ dependency)
+    "s4_cutout_npz" -> Q(
+      (s, dir) => {
+        RealLayerQueries.ensure(s, dir)
+        PrecomputedIO.cutoutVoxels(s, RealLayerQueries.LayerNpzDir,
+          Bbox(Vec3(6, 4, 3), Vec3(54, 56, 26)))
+      },
+      Some(s"""SELECT x, y, z, label
+        |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')
+        |WHERE x BETWEEN 6 AND 53 AND y BETWEEN 4 AND 55
+        |  AND z BETWEEN 3 AND 25""".stripMargin)),
+
     // J8: morton -> chunk bbox map for the fixture grid (rx.py:77-84,
     // common.py:88-98 morton_code_to_bbox); clamped edge chunks
     "j8_morton_bbox" -> Q(

@@ -102,6 +102,13 @@ object RealLayerQueries {
     base.copy(scales = Seq(s0, base.addScale(Vec3(2, 2, 2))))
   }
 
+  /** Same volume npz-encoded (F10; chunks.py:286-300 — zlib-wrapped
+    * .npy, the one optional codec with no C++ dependency).
+    */
+  val LayerNpzDir = s"$Root/layer_npz"
+  val metaNpz: VolumeMeta = meta.copy(
+    scales = Seq(meta.scale(0).copy(encoding = "npz", rois = None)))
+
   val shardSpec: ShardingSpec = ShardingSpec(
     preshiftBits = 0, minishardBits = 2, shardBits = 2,
     hashName = "identity",
@@ -144,7 +151,7 @@ object RealLayerQueries {
     val marker = Paths.get(Root, ".built_from")
     // marker carries a fixture-format version (bump when the layout
     // changes) plus a per-build nonce for downstream staleness checks
-    val markerPrefix = s"$sfDir|v7|" // v7: adds the 4-channel rgba layer
+    val markerPrefix = s"$sfDir|v8|" // v8: adds the rgba + npz layers
     val markerVal = markerPrefix + System.nanoTime()
     if (Files.exists(marker) &&
       Files.readString(marker).startsWith(markerPrefix) &&
@@ -193,8 +200,9 @@ object RealLayerQueries {
         }
         (gx, gy, gz, Codec.encodeRawFromLongs(arr, 4),
           Cseg.encode(arr, cb.size, CsegBlock, 4),
-          Codec.encodePng(u8, cb.size.x.toInt), rgba)
-      }.toDF("gx", "gy", "gz", "payload", "cseg", "png", "rgba").cache()
+          Codec.encodePng(u8, cb.size.x.toInt), rgba,
+          Codec.encodeNpz(arr, cb.size, 4))
+      }.toDF("gx", "gy", "gz", "payload", "cseg", "png", "rgba", "npz").cache()
     PrecomputedIO.writeInfo(LayerDir, meta)
     PrecomputedIO.writeChunks(chunks, LayerDir, meta, mip = 0)
     // mip 1: [::2,::2,::2] strided downsample, clamped chunks
@@ -248,6 +256,10 @@ object RealLayerQueries {
     PrecomputedIO.writeChunks(
       chunks.select(col("gx"), col("gy"), col("gz"), col("png").as("payload")),
       LayerPngDir, metaPng, mip = 0)
+    PrecomputedIO.writeInfo(LayerNpzDir, metaNpz)
+    PrecomputedIO.writeChunks(
+      chunks.select(col("gx"), col("gy"), col("gz"), col("npz").as("payload")),
+      LayerNpzDir, metaNpz, mip = 0)
     PrecomputedIO.writeInfo(LayerShardedDir, metaSharded)
     graft.sources.ShardedIO.writeSharded(
       chunks.select(col("gx"), col("gy"), col("gz"), col("payload")),

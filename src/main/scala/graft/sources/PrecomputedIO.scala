@@ -227,6 +227,7 @@ object PrecomputedIO {
           Cseg.decode(payload, Vec3(sx, sy, sz), csegBs, dtb)
         else if (enc == "png")
           Codec.decodeRawToLongs(Codec.decodePng(payload), 1)
+        else if (enc == "npz") Codec.decodeNpz(payload)._2
         else Codec.decodeRawToLongs(payload, dtb)
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
       val lox = math.max(x0, bbox.minpt.x); val hix = math.min(x1, bbox.maxpt.x)

@@ -106,4 +106,24 @@ class FormatSpec extends AnyFunSuite {
     val (dims, back) = N5IO.decodeBlock(block, 2, gzipped = false)
     assert(dims === Vec3(2, 1, 1) && back.toSeq === vox.toSeq)
   }
+
+  test("npz codec round-trips and carries shape/dtype in the header") {
+    val dims = Vec3(5, 3, 2)
+    val vox = Array.tabulate(30)(i => (i * 2654435761L) & 0xffffffffL)
+    for (dtb <- Seq(1, 2, 4, 8)) {
+      val mask = if (dtb == 8) -1L else (1L << (8 * dtb)) - 1
+      val v = vox.map(_ & mask)
+      val enc = Codec.encodeNpz(v, dims, dtb)
+      val (d2, back) = Codec.decodeNpz(enc)
+      assert(d2 === dims && back.toSeq === v.toSeq, s"dtb=$dtb")
+    }
+    // npy prelude + 64-byte-aligned header inside the zlib wrap
+    val npy = Codec.zlibDecompress(Codec.encodeNpz(vox, dims, 4))
+    assert((npy(0) & 0xff) == 0x93 &&
+      new String(npy, 1, 5, "US-ASCII") == "NUMPY")
+    val hlen = (npy(8) & 0xff) | ((npy(9) & 0xff) << 8)
+    assert((10 + hlen) % 64 == 0)
+    assert(new String(npy, 10, hlen, "US-ASCII")
+      .contains("'shape': (5, 3, 2, 1)"))
+  }
 }
