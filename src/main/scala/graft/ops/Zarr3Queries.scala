@@ -94,6 +94,45 @@ object Zarr3Queries {
     Files.writeString(marker, want)
   }
 
+  // ---- time-axis sibling (4-D t,x,y,z; zarr3/image.py:141-149) ----
+
+  val TDir = s"$Root/t_array"
+  val TFrames = 2L
+
+  /** Both timepoints share one chunk object (timeChunk = 2) so the
+    * read path must slice the requested frame out of the 4-D C-order
+    * block rather than just picking a different object key.
+    */
+  val zTMeta: Zarr3Meta = Zarr3Meta(
+    shape = Vec3(SX, SY, SZ), chunkShape = Vec3(CX, CY, CZ),
+    dataType = "uint32", fillValue = 0L, compressor = "gzip",
+    timeFrames = Some(TFrames), timeChunk = TFrames)
+
+  def ensureT(s: SparkSession, sfDir: String): Unit = synchronized {
+    RealLayerQueries.ensure(s, sfDir)
+    val want = RealLayerQueries.stamp
+    val marker = Paths.get(Root, ".built_t_from")
+    if (Files.exists(marker) && Files.readString(marker) == want) return
+    val arrP = Paths.get(TDir)
+    if (Files.exists(arrP)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(arrP).iterator.asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+    Files.createDirectories(Paths.get(Root))
+    import s.implicits._
+    // frame f = base label + f: a per-frame transform the DuckDB
+    // oracle replays as `label + t` over the shared sidecar
+    val tchunks = fullChunks(s)
+      .as[(Long, Long, Long, Seq[Long])]
+      .map { case (gx, gy, gz, vox) =>
+        (0L, gx, gy, gz, (0L until TFrames).flatMap(f => vox.map(_ + f)))
+      }.toDF("tc", "gx", "gy", "gz", "vox")
+    Zarr3IO.writeMeta(TDir, zTMeta)
+    Zarr3IO.writeChunksT(tchunks, TDir, zTMeta)
+    Files.writeString(marker, want)
+  }
+
   // ---- sharded sibling (zarr v3 sharding_indexed codec) ----
 
   val ShardedDir = s"$Root/sharded_array"
@@ -272,6 +311,20 @@ object Zarr3Queries {
         |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')
         |WHERE x BETWEEN 3 AND 55 AND y BETWEEN 9 AND 50
         |  AND z BETWEEN 2 AND 23""".stripMargin)),
+
+    // S18: zarr3 time-axis cutout — t as a read parameter over a 4-D
+    // (t,x,y,z) array, frame-sliced out of a shared 2-frame chunk
+    // object (zarr3/image.py:141-149, zarr3/metadata.py:211-261)
+    "s18_zarr3_t_cutout" -> Q(
+      (s, dir) => {
+        ensureT(s, dir)
+        Zarr3IO.cutoutVoxelsT(s, TDir,
+          Bbox(Vec3(6, 4, 2), Vec3(54, 56, 23)), t = 1)
+      },
+      Some(s"""SELECT x, y, z, label + 1 AS label
+        |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')
+        |WHERE x BETWEEN 6 AND 53 AND y BETWEEN 4 AND 55
+        |  AND z BETWEEN 2 AND 22""".stripMargin)),
 
     // S18: zarr3 cutout — C-order decode + edge-chunk clipping vs the
     // shared sidecar oracle

@@ -33,6 +33,13 @@ object Zarr3IO {
     *                    `sharding_indexed` (zarr v3 sharding spec):
     *                    each shard object packs outer/inner sub-chunks
     *                    plus a trailing (offset, nbytes) index
+    * @param timeFrames Some(T) for a 4-D (t, x, y, z) array — the
+    *                    reference's 5-D time-axis model with t as a
+    *                    cutout parameter (zarr3/image.py:141-149,
+    *                    zarr3/metadata.py:211-261); t is the SLOWEST
+    *                    C-order dimension, so each chunk object is
+    *                    `timeChunk` consecutive C-order xyz frames
+    * @param timeChunk  frames per chunk object along t
     */
   final case class Zarr3Meta(
       shape: Vec3, // logical (x, y, z)
@@ -40,7 +47,9 @@ object Zarr3IO {
       dataType: String,
       fillValue: Long,
       compressor: String, // "none" | "gzip" | "zstd" (zarr-python's v3 default)
-      innerChunkShape: Option[Vec3] = None) {
+      innerChunkShape: Option[Vec3] = None,
+      timeFrames: Option[Long] = None,
+      timeChunk: Long = 1) {
     require(Set("none", "gzip", "zstd").contains(compressor),
       s"unsupported zarr3 compressor $compressor")
     def dtypeBytes: Int = dataType match {
@@ -97,11 +106,13 @@ object Zarr3IO {
     root.put("zarr_format", 3)
     root.put("node_type", "array")
     val sh = root.putArray("shape")
+    m.timeFrames.foreach(sh.add)
     sh.add(m.shape.x); sh.add(m.shape.y); sh.add(m.shape.z)
     root.put("data_type", m.dataType)
     val grid = root.putObject("chunk_grid")
     grid.put("name", "regular")
     val gc = grid.putObject("configuration").putArray("chunk_shape")
+    if (m.timeFrames.isDefined) gc.add(m.timeChunk)
     gc.add(m.chunkShape.x); gc.add(m.chunkShape.y); gc.add(m.chunkShape.z)
     val cke = root.putObject("chunk_key_encoding")
     cke.put("name", "default")
@@ -136,6 +147,7 @@ object Zarr3IO {
         addCompressorCodec(codecs, m.compressor)
     }
     val names = root.putArray("dimension_names")
+    if (m.timeFrames.isDefined) names.add("t")
     names.add("x"); names.add("y"); names.add("z")
     Files.createDirectories(Paths.get(dir))
     Files.writeString(Paths.get(dir, "zarr.json"),
@@ -182,13 +194,28 @@ object Zarr3IO {
     val endian = Option(codecs.get(0).get("configuration"))
       .flatMap(c => Option(c.get("endian"))).map(_.asText).getOrElse("little")
     require(endian == "little", s"unsupported bytes endian '$endian'")
+    // time axis: a 4-D (t, x, y, z) array per dimension_names — the
+    // reference's time_index() scan over OME axes (zarr3/metadata.py:
+    // 223-227); t must be the slowest (first) dimension here
+    val hasT = sh.size == 4
+    if (hasT) {
+      val dn = Option(root.get("dimension_names"))
+        .map(n => (0 until n.size).map(n.get(_).asText)).getOrElse(Seq.empty)
+      require(dn == Seq("t", "x", "y", "z"),
+        s"unsupported 4-D dimension_names $dn (expected t,x,y,z)")
+      require(!isSharded, "sharding_indexed with a time axis unsupported")
+    }
+    val o = if (hasT) 1 else 0
     Zarr3Meta(
-      shape = Vec3(sh.get(0).asLong, sh.get(1).asLong, sh.get(2).asLong),
-      chunkShape = Vec3(cs.get(0).asLong, cs.get(1).asLong, cs.get(2).asLong),
+      shape = Vec3(sh.get(o).asLong, sh.get(o + 1).asLong, sh.get(o + 2).asLong),
+      chunkShape = Vec3(cs.get(o).asLong, cs.get(o + 1).asLong,
+        cs.get(o + 2).asLong),
       dataType = root.get("data_type").asText,
       fillValue = Option(root.get("fill_value")).map(_.asLong).getOrElse(0L),
       compressor = codecNames.drop(1).lastOption.getOrElse("none"),
-      innerChunkShape = innerShape)
+      innerChunkShape = innerShape,
+      timeFrames = if (hasT) Some(sh.get(0).asLong) else None,
+      timeChunk = if (hasT) cs.get(0).asLong else 1L)
   }
 
   // ---- sharding_indexed (zarr v3 sharding spec) ----
@@ -380,6 +407,99 @@ object Zarr3IO {
     }
   }
 
+  /** Write 4-D chunk rows (tc, gx, gy, gz, vox) where `vox` is
+    * `timeChunk` consecutive F-order full-chunk frames back to back.
+    * Each frame is transposed to C order independently — with t the
+    * slowest C-order dimension of shape (t, x, y, z), the chunk bytes
+    * are exactly the frames' C-order blocks concatenated. Objects are
+    * keyed `c/<tc>/<gx>/<gy>/<gz>` (default chunk_key_encoding with
+    * the t grid index prepended, mirroring the reference's _chunknames
+    * t parameter; zarr3/image.py:166-181).
+    */
+  def writeChunksT(chunks: DataFrame, dir: String, m: Zarr3Meta): Unit = {
+    val cs = m.chunkShape
+    val dtb = m.dtypeBytes
+    val tc = m.timeChunk
+    require(m.timeFrames.isDefined, "writeChunksT requires a time axis")
+    val frameVox = (cs.x * cs.y * cs.z).toInt
+    val dirStr = dir
+    chunks.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      rows.foreach { r =>
+        val vox = r.getSeq[Long](4).toArray
+        require(vox.length == frameVox * tc,
+          s"expected $tc frames of $frameVox voxels, got ${vox.length}")
+        val out = new java.io.ByteArrayOutputStream(vox.length * dtb)
+        var f = 0L
+        while (f < tc) {
+          out.write(encodeChunkFromF(
+            java.util.Arrays.copyOfRange(vox, (f * frameVox).toInt,
+              ((f + 1) * frameVox).toInt), cs, dtb))
+          f += 1
+        }
+        val p = Paths.get(dirStr, "c", r.getLong(0).toString,
+          r.getLong(1).toString, r.getLong(2).toString)
+        Files.createDirectories(p)
+        Files.write(p.resolve(r.getLong(3).toString),
+          pack(m, out.toByteArray))
+      }
+    }
+  }
+
+  /** S18 time-axis cutout: one xyz bbox at a single timepoint `t`
+    * (the reference's download(..., t=0) parameter; zarr3/image.py:
+    * 141-149). Only the requested frame's byte range of each chunk is
+    * transposed/emitted — the chunk is unpacked whole (compression is
+    * chunk-scoped) but the other frames are never decoded.
+    */
+  def cutoutVoxelsT(spark: SparkSession, dir: String, bbox: Bbox,
+      t: Long): DataFrame = {
+    val m = readMeta(dir)
+    val frames = m.timeFrames.getOrElse(
+      throw new IllegalArgumentException(s"$dir has no time axis"))
+    require(t >= 0 && t < frames, s"t=$t out of range [0, $frames)")
+    val cs = m.chunkShape
+    val dtb = m.dtypeBytes
+    val frameBytes = (cs.x * cs.y * cs.z).toInt * dtb
+    val tcIdx = t / m.timeChunk
+    val fOff = ((t % m.timeChunk) * frameBytes).toInt
+    val bounds = Bbox(Vec3(0, 0, 0), m.shape)
+    val pts = Geom.gridpoints(bbox, bounds, cs)
+    val dirStr = dir
+    val clip = bbox.intersection(bounds)
+    val fill = m.fillValue
+    import spark.implicits._
+    spark.createDataset(pts.map(g => (g.x, g.y, g.z)))
+      .repartition(math.max(pts.size / 4, 1))
+      .flatMap { case (gx, gy, gz) =>
+        val p = Paths.get(dirStr, "c", tcIdx.toString, gx.toString,
+          gy.toString, gz.toString)
+        val vox =
+          if (!Files.exists(p)) Array.fill((cs.x * cs.y * cs.z).toInt)(fill)
+          else {
+            val raw = unpack(m, Files.readAllBytes(p))
+            decodeChunkToF(java.util.Arrays.copyOfRange(raw, fOff,
+              fOff + frameBytes), cs, dtb)
+          }
+        val lo = Vec3(gx * cs.x, gy * cs.y, gz * cs.z)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        var z = math.max(lo.z, clip.minpt.z)
+        while (z < math.min(lo.z + cs.z, clip.maxpt.z)) {
+          var y = math.max(lo.y, clip.minpt.y)
+          while (y < math.min(lo.y + cs.y, clip.maxpt.y)) {
+            var x = math.max(lo.x, clip.minpt.x)
+            while (x < math.min(lo.x + cs.x, clip.maxpt.x)) {
+              out += ((x, y, z,
+                vox(((x - lo.x) + cs.x * ((y - lo.y) + cs.y * (z - lo.z))).toInt)))
+              x += 1
+            }
+            y += 1
+          }
+          z += 1
+        }
+        out
+      }.toDF("x", "y", "z", "label")
+  }
+
   /** S18 cutout: enumerate the pruned grid at planning time, read +
     * decode chunk objects in executor tasks, clip padded edge voxels
     * to the array shape and the request bbox. Sharded arrays dispatch
@@ -387,6 +507,8 @@ object Zarr3IO {
     */
   def cutoutVoxels(spark: SparkSession, dir: String, bbox: Bbox): DataFrame = {
     val m = readMeta(dir)
+    require(m.timeFrames.isEmpty,
+      s"$dir has a time axis — use cutoutVoxelsT(bbox, t)")
     if (m.innerChunkShape.isDefined)
       return cutoutVoxelsSharded(spark, dir, m, bbox)
     val cs = m.chunkShape

@@ -105,6 +105,48 @@ class Zarr3ShardSpec extends AnyFunSuite {
     assert(Zarr3IO.readMeta(mdir) == mz)
   }
 
+  test("time-axis meta round-trips a 4-D (t,x,y,z) array") {
+    val mt = Zarr3Meta(
+      shape = Vec3(16, 16, 8), chunkShape = Vec3(16, 16, 8),
+      dataType = "uint32", fillValue = 0L, compressor = "gzip",
+      timeFrames = Some(5L), timeChunk = 2L)
+    val dir = Files.createTempDirectory("z3tmeta").toString
+    Zarr3IO.writeMeta(dir, mt)
+    assert(Zarr3IO.readMeta(dir) == mt)
+    val json = Files.readString(Paths.get(dir, "zarr.json"))
+    assert(json.contains("\"t\""))
+  }
+
+  test("frame slice of a multi-frame chunk decodes the right frame") {
+    // chunk bytes = timeChunk consecutive C-order xyz frames: encode
+    // two distinct frames, slice frame 1's byte range, decode, compare
+    val cs = Vec3(6, 5, 4)
+    val n = (cs.x * cs.y * cs.z).toInt
+    val f0 = Array.tabulate(n)(i => (i * 7L + 3) % 199)
+    val f1 = Array.tabulate(n)(i => (i * 13L + 11) % 211)
+    val dtb = 4
+    val bytes = Zarr3IO.encodeChunkFromF(f0, cs, dtb) ++
+      Zarr3IO.encodeChunkFromF(f1, cs, dtb)
+    val frameBytes = n * dtb
+    val back = Zarr3IO.decodeChunkToF(
+      java.util.Arrays.copyOfRange(bytes, frameBytes, 2 * frameBytes),
+      cs, dtb)
+    assert(back.sameElements(f1))
+  }
+
+  test("3-D cutout path rejects a time-axis array") {
+    val mt = Zarr3Meta(
+      shape = Vec3(8, 8, 8), chunkShape = Vec3(8, 8, 8),
+      dataType = "uint32", fillValue = 0L, compressor = "none",
+      timeFrames = Some(2L), timeChunk = 1L)
+    val dir = Files.createTempDirectory("z3treject").toString
+    Zarr3IO.writeMeta(dir, mt)
+    val e = intercept[IllegalArgumentException](
+      Zarr3IO.cutoutVoxels(null, dir, graft.core.Bbox(Vec3(0, 0, 0),
+        Vec3(8, 8, 8))))
+    assert(e.getMessage.contains("time axis"))
+  }
+
   test("unknown codec chains are rejected, not silently ignored") {
     val dir = Files.createTempDirectory("z3badcodec").toString
     Zarr3IO.writeMeta(dir, Zarr3Meta(
