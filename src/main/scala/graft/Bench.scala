@@ -194,9 +194,22 @@ object Bench {
       "c128" -> writeMBps(spark, "c128", Vec3(128, 128, 128), gzip = true))
 
     val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Full untimed warm pass before the timed loop: r5→r6 showed a
+    // systematic 1.3-2.4x swing in whichever family ran first as the
+    // fixture set grew (JIT, codegen cache, page cache, old-gen churn
+    // from ensureAll all land on the early-alphabet queries). Running
+    // every query once untimed makes the timed loop measure the
+    // steady-state pipeline — the number that is comparable across
+    // rounds and the analogue of the reference's warm local benchmark.
+    if (!cutoutOnly) sorted.foreach { case (name, fn) =>
+      try { fn(spark, sfDir).count() }
+      catch { case _: Throwable => () } // recorded in the timed pass
+    }
+    System.gc() // start the timed loop from a settled heap
     val results =
       if (cutoutOnly) Seq.empty[(String, Double)]
-      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      else sorted.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case e: Throwable =>

@@ -81,7 +81,7 @@ object MeshQueries {
     */
   def ensure(s: SparkSession, sfDir: String): Unit = synchronized {
     val marker = Paths.get(Root, ".built_from")
-    val markerVal = s"$sfDir|v2" // v2: adds the multires .blob files
+    val markerVal = s"$sfDir|v3" // v3: executor-side manifest/blob assembly
     if (Files.exists(marker) && Files.readString(marker) == markerVal) return
     val rootP = Paths.get(Root)
     if (Files.exists(rootP)) {
@@ -120,49 +120,56 @@ object MeshQueries {
         Files.write(Paths.get(meshDirStr, name), r.getAs[Array[Byte]](2))
       }
     }
-    // manifests are metadata-sized: collect (segid, frag, nbytes, nv)
-    val stats = frags.select(col("segid"), col("frag"),
-        length(col("binary")).cast("long").as("nbytes"), col("nv")).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    frags.unpersist()
-    stats.groupBy(_._1).foreach { case (segid, fs) =>
-      val sorted = fs.sortBy(_._2)
-      // manifest JSON {"fragments": [...]} (mesh/unsharded.py:66-85)
-      val names = sorted.map(f => s""""$segid:0:${f._2}"""").mkString(",")
-      Files.writeString(Paths.get(MeshDir, s"$segid:0"),
-        s"""{"fragments":[$names]}""")
-      // multires manifest: lod0 = the real fragments (byte sizes from
-      // the files), lod1 = one synthetic coarse fragment whose size is
-      // the vertex section of a merged mesh (deterministic in SQL)
-      val lod1Bytes = 4 + 12 * sorted.map(_._4).sum
-      val m = MeshCodec.MultiresManifest(
-        chunkShape = Array(7f, 6f, 5f),
-        gridOrigin = Array(0f, 0f, 0f),
-        lodScales = Array(1f, 2f),
-        vertexOffsets = Array.fill(6)(0f),
-        fragmentPositions = Seq(
-          sorted.flatMap(f => Array(f._2.toInt, (segid % 3).toInt, 0)).toArray,
-          Array(0, (segid % 3).toInt, 1)),
-        fragmentOffsets = Seq(
-          sorted.map(_._3.toInt).toArray,
-          Array(lod1Bytes.toInt)))
-      Files.write(Paths.get(MultiresDir, s"$segid.index"),
-        MeshCodec.encodeManifest(m))
-      // the concatenated fragment blob the manifest's running offsets
-      // index into (multilod.py:276-289): lod0 fragments in order,
-      // then the lod1 coarse fragment (all vertices, no faces)
-      val lod0 = sorted.flatMap(f =>
-        Files.readAllBytes(Paths.get(MeshDir, s"$segid:0:${f._2}")))
-      val allVerts = sorted.flatMap { f =>
-        MeshCodec.decode(
-          Files.readAllBytes(Paths.get(MeshDir, s"$segid:0:${f._2}"))).vertices
+    // manifests + multires blobs are per-segid manifest-sized payloads
+    // assembled executor-side from the in-hand fragment bytes (one
+    // groupBy(segid) shuffle, then foreachPartition) — no per-segid
+    // driver loop and no fragment-file re-reads, so at scale the
+    // driver only coordinates tasks.
+    val multiresDirStr = MultiresDir
+    frags
+      .groupBy("segid")
+      .agg(collect_list(struct(col("frag"), col("binary"), col("nv")))
+        .as("fs"))
+      .as[(Long, Seq[(Long, Array[Byte], Long)])]
+      .foreachPartition {
+        it: Iterator[(Long, Seq[(Long, Array[Byte], Long)])] =>
+        it.foreach { case (segid, fs) =>
+          val sorted = fs.sortBy(_._1)
+          // manifest JSON {"fragments": [...]} (mesh/unsharded.py:66-85)
+          val names = sorted.map(f => s""""$segid:0:${f._1}"""").mkString(",")
+          Files.writeString(Paths.get(meshDirStr, s"$segid:0"),
+            s"""{"fragments":[$names]}""")
+          // multires manifest: lod0 = the real fragments, lod1 = one
+          // synthetic coarse fragment whose size is the vertex section
+          // of a merged mesh (deterministic in SQL)
+          val lod1Bytes = 4 + 12 * sorted.map(_._3).sum
+          val m = MeshCodec.MultiresManifest(
+            chunkShape = Array(7f, 6f, 5f),
+            gridOrigin = Array(0f, 0f, 0f),
+            lodScales = Array(1f, 2f),
+            vertexOffsets = Array.fill(6)(0f),
+            fragmentPositions = Seq(
+              sorted.flatMap(f =>
+                Array(f._1.toInt, (segid % 3).toInt, 0)).toArray,
+              Array(0, (segid % 3).toInt, 1)),
+            fragmentOffsets = Seq(
+              sorted.map(_._2.length).toArray,
+              Array(lod1Bytes.toInt)))
+          Files.write(Paths.get(multiresDirStr, s"$segid.index"),
+            MeshCodec.encodeManifest(m))
+          // the concatenated fragment blob the manifest's running
+          // offsets index into (multilod.py:276-289): lod0 fragments in
+          // order, then the lod1 coarse fragment (vertices, no faces)
+          val lod0 = sorted.flatMap(_._2)
+          val allVerts = sorted.flatMap(f => MeshCodec.decode(f._2).vertices)
+          val lod1 = MeshCodec.encode(MeshFragment(allVerts.toArray, Array.empty))
+          require(lod1.length == lod1Bytes,
+            s"lod1 fragment ${lod1.length}B != manifest $lod1Bytes")
+          Files.write(Paths.get(multiresDirStr, s"$segid.blob"),
+            (lod0 ++ lod1).toArray)
+        }
       }
-      val lod1 = MeshCodec.encode(MeshFragment(allVerts.toArray, Array.empty))
-      require(lod1.length == lod1Bytes,
-        s"lod1 fragment ${lod1.length}B != manifest $lod1Bytes")
-      Files.write(Paths.get(MultiresDir, s"$segid.blob"),
-        lod0.toArray ++ lod1)
-    }
+    frags.unpersist()
     Files.writeString(marker, markerVal)
   }
 

@@ -623,29 +623,32 @@ object TextQueries {
     // grows with the reference corpus. A doc is flagged iff all 3 of
     // its bit positions are set. False positives are inherent to the
     // structure and bit-identical in both engines (same digest, same
-    // bits), so the oracle replays them exactly. The probe is a
-    // single shuffle: explode(bits) -> broadcast LEFT join with a
-    // hit flag -> groupBy sum; every doc_id survives the left join
-    // so no outer join back to the corpus is needed.
+    // bits), so the oracle replays them exactly. The filter itself is
+    // ONE row (collect_set of <=4096 bit positions) broadcast to every
+    // task, and the probe is a narrow higher-order-function map — the
+    // corpus side never shuffles and never checkpoints (the r6 shape
+    // exploded to 3xN rows and paid a groupBy shuffle plus a
+    // localCheckpoint materialization for a 7x gap vs dedup_cross).
+    // Recomputing the held-out side's digests costs one extra scan of
+    // 1/7th of the corpus — cheaper than materializing all of it.
     "dedup_bloom" -> Q(
       (s, dir) => {
         val docs = table(s, dir, "documents")
-        val digest = md5(lower(trim(col("text"))).cast("binary"))
-        def bitpos(j: Int) =
-          pmod(conv(substring(digest, 1 + 12 * j, 12), 16, 10)
-            .cast("long"), lit(4096L))
-        val withBits = docs.select(col("doc_id"),
-          array((0 until 3).map(bitpos): _*).as("bits"))
-          .localCheckpoint() // feeds the filter build AND the probe
-        val bloom = withBits.filter(col("doc_id") % 7 === 0)
-          .select(explode(col("bits")).as("bit")).distinct()
-          .withColumn("hit", lit(1L))
-        withBits.select(col("doc_id"), explode(col("bits")).as("bit"))
-          .join(broadcast(bloom), Seq("bit"), "left")
-          .groupBy("doc_id")
-          .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-          .select(col("doc_id"), col("n_hits"),
-            (col("n_hits") === 3).cast("long").as("flagged"))
+        def bitsOf(c: org.apache.spark.sql.Column) = {
+          val digest = md5(lower(trim(c)).cast("binary"))
+          array((0 until 3).map(j =>
+            pmod(conv(substring(digest, 1 + 12 * j, 12), 16, 10)
+              .cast("long"), lit(4096L))): _*)
+        }
+        val bloom = docs.filter(col("doc_id") % 7 === 0)
+          .select(explode(bitsOf(col("text"))).as("bit"))
+          .agg(collect_set(col("bit")).as("barr"))
+        docs.select(col("doc_id"), bitsOf(col("text")).as("bits"))
+          .crossJoin(broadcast(bloom))
+          .select(col("doc_id"),
+            size(filter(col("bits"),
+              b => array_contains(col("barr"), b))).cast("long").as("n_hits"))
+          .withColumn("flagged", (col("n_hits") === 3).cast("long"))
       },
       Some("""WITH c AS (SELECT doc_id, md5(lower(trim(text))) AS d
         |       FROM documents),
