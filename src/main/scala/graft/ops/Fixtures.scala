@@ -16,6 +16,7 @@ object Fixtures {
     Zarr3Queries.ensureZarr2(s, sfDir) // also builds the zarr3 array
     Zarr3Queries.ensureZstd(s, sfDir)
     Zarr3Queries.ensureT(s, sfDir)
+    Zarr3Queries.ensureTC(s, sfDir)
     Zarr3Queries.ensureSharded(s, sfDir)
     Zarr3Queries.ensureN5(s, sfDir)
     StreamQueries.prepare(s, sfDir)

@@ -108,6 +108,22 @@ object Zarr3Queries {
     dataType = "uint32", fillValue = 0L, compressor = "gzip",
     timeFrames = Some(TFrames), timeChunk = TFrames)
 
+  /** Add `d` to every IN-BOUNDS voxel of a full-size padded chunk at
+    * grid (gx, gy, gz), keeping out-of-bounds pad cells at fill_value
+    * 0 — a frame transform must not disturb the zarr pad convention
+    * (another reader sampling the pad region expects fill).
+    */
+  private def shiftInBounds(gx: Long, gy: Long, gz: Long, vox: Seq[Long],
+      d: Long): Seq[Long] = {
+    val cs = zmeta.chunkShape
+    vox.zipWithIndex.map { case (v, i) =>
+      val x = gx * cs.x + i % cs.x
+      val y = gy * cs.y + (i / cs.x) % cs.y
+      val z = gz * cs.z + i / (cs.x * cs.y)
+      if (x < SX && y < SY && z < SZ) v + d else 0L
+    }
+  }
+
   def ensureT(s: SparkSession, sfDir: String): Unit = synchronized {
     RealLayerQueries.ensure(s, sfDir)
     val want = RealLayerQueries.stamp
@@ -126,10 +142,58 @@ object Zarr3Queries {
     val tchunks = fullChunks(s)
       .as[(Long, Long, Long, Seq[Long])]
       .map { case (gx, gy, gz, vox) =>
-        (0L, gx, gy, gz, (0L until TFrames).flatMap(f => vox.map(_ + f)))
+        (0L, gx, gy, gz,
+          (0L until TFrames).flatMap(f => shiftInBounds(gx, gy, gz, vox, f)))
       }.toDF("tc", "gx", "gy", "gz", "vox")
     Zarr3IO.writeMeta(TDir, zTMeta)
     Zarr3IO.writeChunksT(tchunks, TDir, zTMeta)
+    Files.writeString(marker, want)
+  }
+
+  // ---- time x channel sibling (5-D t,c,x,y,z; the reference's OME
+  // channel axis, zarr3/metadata.py:123-124,211-261) ----
+
+  val TCDir = s"$Root/tc_array"
+  val TCChannels = 2L
+
+  /** All 2 timepoints x 2 channels share one chunk object (timeChunk
+    * = channelChunk = 2), so the read path must slice the requested
+    * (t, c) frame out of the 5-D C-order block: frames are t-major,
+    * one xyz block per (t, c) pair.
+    */
+  val zTCMeta: Zarr3Meta = Zarr3Meta(
+    shape = Vec3(SX, SY, SZ), chunkShape = Vec3(CX, CY, CZ),
+    dataType = "uint32", fillValue = 0L, compressor = "gzip",
+    timeFrames = Some(TFrames), timeChunk = TFrames,
+    channels = Some(TCChannels), channelChunk = TCChannels)
+
+  def ensureTC(s: SparkSession, sfDir: String): Unit = synchronized {
+    RealLayerQueries.ensure(s, sfDir)
+    val want = RealLayerQueries.stamp
+    val marker = Paths.get(Root, ".built_tc_from")
+    if (Files.exists(marker) && Files.readString(marker) == want) return
+    val arrP = Paths.get(TCDir)
+    if (Files.exists(arrP)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(arrP).iterator.asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+    Files.createDirectories(Paths.get(Root))
+    import s.implicits._
+    // frame (t, c) = base label + t + 7c: SQL-replayable per-frame and
+    // per-channel transforms over the shared sidecar
+    val tchunks = fullChunks(s)
+      .as[(Long, Long, Long, Seq[Long])]
+      .map { case (gx, gy, gz, vox) =>
+        val frames = for {
+          f <- 0L until TFrames
+          ch <- 0L until TCChannels
+          v <- shiftInBounds(gx, gy, gz, vox, f + 7 * ch)
+        } yield v
+        (0L, 0L, gx, gy, gz, frames)
+      }.toDF("tc", "cc", "gx", "gy", "gz", "vox")
+    Zarr3IO.writeMeta(TCDir, zTCMeta)
+    Zarr3IO.writeChunksTC(tchunks, TCDir, zTCMeta)
     Files.writeString(marker, want)
   }
 
@@ -325,6 +389,21 @@ object Zarr3Queries {
         |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')
         |WHERE x BETWEEN 6 AND 53 AND y BETWEEN 4 AND 55
         |  AND z BETWEEN 2 AND 22""".stripMargin)),
+
+    // S18: zarr3 channel-axis cutout — (t, c) as read parameters over
+    // a 5-D (t,c,x,y,z) array, the frame sliced t-major out of a
+    // shared 4-frame chunk object (the reference's OME channel axis;
+    // zarr3/metadata.py:123-124,211-261)
+    "s18_zarr3_c_cutout" -> Q(
+      (s, dir) => {
+        ensureTC(s, dir)
+        Zarr3IO.cutoutVoxelsAt(s, TCDir,
+          Bbox(Vec3(5, 6, 3), Vec3(55, 52, 24)), t = 1, c = 1)
+      },
+      Some(s"""SELECT x, y, z, label + 8 AS label
+        |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')
+        |WHERE x BETWEEN 5 AND 54 AND y BETWEEN 6 AND 51
+        |  AND z BETWEEN 3 AND 23""".stripMargin)),
 
     // S18: zarr3 cutout — C-order decode + edge-chunk clipping vs the
     // shared sidecar oracle

@@ -33,13 +33,19 @@ object Zarr3IO {
     *                    `sharding_indexed` (zarr v3 sharding spec):
     *                    each shard object packs outer/inner sub-chunks
     *                    plus a trailing (offset, nbytes) index
-    * @param timeFrames Some(T) for a 4-D (t, x, y, z) array — the
-    *                    reference's 5-D time-axis model with t as a
-    *                    cutout parameter (zarr3/image.py:141-149,
+    * @param timeFrames Some(T) for an array with a lead time axis —
+    *                    the reference's 5-D time-axis model with t as
+    *                    a cutout parameter (zarr3/image.py:141-149,
     *                    zarr3/metadata.py:211-261); t is the SLOWEST
-    *                    C-order dimension, so each chunk object is
-    *                    `timeChunk` consecutive C-order xyz frames
+    *                    C-order dimension
     * @param timeChunk  frames per chunk object along t
+    * @param channels   Some(C) for an array with a lead channel axis
+    *                    (the reference's num_channels / OME "c" axis,
+    *                    zarr3/metadata.py:123-124,211-261); c sits
+    *                    between t and xyz, so a chunk object is
+    *                    timeChunk x channelChunk consecutive C-order
+    *                    xyz frames, t-major
+    * @param channelChunk channels per chunk object along c
     */
   final case class Zarr3Meta(
       shape: Vec3, // logical (x, y, z)
@@ -49,9 +55,17 @@ object Zarr3IO {
       compressor: String, // "none" | "gzip" | "zstd" (zarr-python's v3 default)
       innerChunkShape: Option[Vec3] = None,
       timeFrames: Option[Long] = None,
-      timeChunk: Long = 1) {
+      timeChunk: Long = 1,
+      channels: Option[Long] = None,
+      channelChunk: Long = 1) {
     require(Set("none", "gzip", "zstd").contains(compressor),
       s"unsupported zarr3 compressor $compressor")
+    // the sharding_indexed inner grid here is 3-D; a lead t/c axis
+    // would need a 4/5-D inner-chunk model — fail at construction so
+    // writeMeta can never emit metadata readMeta would reject
+    require((timeFrames.isEmpty && channels.isEmpty) ||
+      innerChunkShape.isEmpty,
+      "sharding_indexed with a lead t/c axis unsupported")
     def dtypeBytes: Int = dataType match {
       case "uint8" => 1
       case "uint16" => 2
@@ -107,12 +121,14 @@ object Zarr3IO {
     root.put("node_type", "array")
     val sh = root.putArray("shape")
     m.timeFrames.foreach(sh.add)
+    m.channels.foreach(sh.add)
     sh.add(m.shape.x); sh.add(m.shape.y); sh.add(m.shape.z)
     root.put("data_type", m.dataType)
     val grid = root.putObject("chunk_grid")
     grid.put("name", "regular")
     val gc = grid.putObject("configuration").putArray("chunk_shape")
     if (m.timeFrames.isDefined) gc.add(m.timeChunk)
+    if (m.channels.isDefined) gc.add(m.channelChunk)
     gc.add(m.chunkShape.x); gc.add(m.chunkShape.y); gc.add(m.chunkShape.z)
     val cke = root.putObject("chunk_key_encoding")
     cke.put("name", "default")
@@ -148,6 +164,7 @@ object Zarr3IO {
     }
     val names = root.putArray("dimension_names")
     if (m.timeFrames.isDefined) names.add("t")
+    if (m.channels.isDefined) names.add("c")
     names.add("x"); names.add("y"); names.add("z")
     Files.createDirectories(Paths.get(dir))
     Files.writeString(Paths.get(dir, "zarr.json"),
@@ -194,18 +211,26 @@ object Zarr3IO {
     val endian = Option(codecs.get(0).get("configuration"))
       .flatMap(c => Option(c.get("endian"))).map(_.asText).getOrElse("little")
     require(endian == "little", s"unsupported bytes endian '$endian'")
-    // time axis: a 4-D (t, x, y, z) array per dimension_names — the
-    // reference's time_index() scan over OME axes (zarr3/metadata.py:
-    // 223-227); t must be the slowest (first) dimension here
-    val hasT = sh.size == 4
-    if (hasT) {
+    // lead axes: 4-D (t|c, x, y, z) and 5-D (t, c, x, y, z) arrays per
+    // dimension_names — the reference's time_index()/channel scan over
+    // OME axes (zarr3/metadata.py:123-124,211-261); t (outermost) and
+    // c sit before xyz, i.e. they are the slowest C-order dimensions.
+    // OME's reversed zyx spatial order is rejected explicitly below —
+    // this engine's canonical layout keeps x,y,z in that order.
+    val nLead = sh.size - 3
+    require(nLead >= 0 && nLead <= 2, s"unsupported ${sh.size}-D array")
+    val lead: Seq[String] = if (nLead == 0) Seq.empty else {
       val dn = Option(root.get("dimension_names"))
         .map(n => (0 until n.size).map(n.get(_).asText)).getOrElse(Seq.empty)
-      require(dn == Seq("t", "x", "y", "z"),
-        s"unsupported 4-D dimension_names $dn (expected t,x,y,z)")
-      require(!isSharded, "sharding_indexed with a time axis unsupported")
+      require(dn.size == sh.size && dn.drop(nLead) == Seq("x", "y", "z") &&
+        Set(Seq("t"), Seq("c"), Seq("t", "c")).contains(dn.take(nLead)),
+        s"unsupported dimension_names $dn (expected [t,][c,]x,y,z)")
+      require(!isSharded, "sharding_indexed with a lead t/c axis unsupported")
+      dn.take(nLead)
     }
-    val o = if (hasT) 1 else 0
+    val o = nLead
+    val tPos = lead.indexOf("t")
+    val cPos = lead.indexOf("c")
     Zarr3Meta(
       shape = Vec3(sh.get(o).asLong, sh.get(o + 1).asLong, sh.get(o + 2).asLong),
       chunkShape = Vec3(cs.get(o).asLong, cs.get(o + 1).asLong,
@@ -214,8 +239,10 @@ object Zarr3IO {
       fillValue = Option(root.get("fill_value")).map(_.asLong).getOrElse(0L),
       compressor = codecNames.drop(1).lastOption.getOrElse("none"),
       innerChunkShape = innerShape,
-      timeFrames = if (hasT) Some(sh.get(0).asLong) else None,
-      timeChunk = if (hasT) cs.get(0).asLong else 1L)
+      timeFrames = if (tPos >= 0) Some(sh.get(tPos).asLong) else None,
+      timeChunk = if (tPos >= 0) cs.get(tPos).asLong else 1L,
+      channels = if (cPos >= 0) Some(sh.get(cPos).asLong) else None,
+      channelChunk = if (cPos >= 0) cs.get(cPos).asLong else 1L)
   }
 
   // ---- sharding_indexed (zarr v3 sharding spec) ----
@@ -445,108 +472,150 @@ object Zarr3IO {
     }
   }
 
-  /** S18 time-axis cutout: one xyz bbox at a single timepoint `t`
-    * (the reference's download(..., t=0) parameter; zarr3/image.py:
-    * 141-149). Only the requested frame's byte range of each chunk is
-    * transposed/emitted — the chunk is unpacked whole (compression is
-    * chunk-scoped) but the other frames are never decoded.
+  /** Write 5-D chunk rows (tc, cc, gx, gy, gz, vox) where `vox` is
+    * timeChunk x channelChunk consecutive F-order full-chunk frames,
+    * t-major — the C order of shape (t, c, x, y, z). Objects are keyed
+    * `c/<tc>/<cc>/<gx>/<gy>/<gz>`.
     */
-  def cutoutVoxelsT(spark: SparkSession, dir: String, bbox: Bbox,
-      t: Long): DataFrame = {
-    val m = readMeta(dir)
-    val frames = m.timeFrames.getOrElse(
-      throw new IllegalArgumentException(s"$dir has no time axis"))
-    require(t >= 0 && t < frames, s"t=$t out of range [0, $frames)")
+  def writeChunksTC(chunks: DataFrame, dir: String, m: Zarr3Meta): Unit = {
+    val cs = m.chunkShape
+    val dtb = m.dtypeBytes
+    require(m.timeFrames.isDefined && m.channels.isDefined,
+      "writeChunksTC requires both t and c axes")
+    val nf = m.timeChunk * m.channelChunk
+    val frameVox = (cs.x * cs.y * cs.z).toInt
+    val dirStr = dir
+    chunks.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      rows.foreach { r =>
+        val vox = r.getSeq[Long](5).toArray
+        require(vox.length == frameVox * nf,
+          s"expected $nf frames of $frameVox voxels, got ${vox.length}")
+        val out = new java.io.ByteArrayOutputStream(vox.length * dtb)
+        var f = 0L
+        while (f < nf) {
+          out.write(encodeChunkFromF(
+            java.util.Arrays.copyOfRange(vox, (f * frameVox).toInt,
+              ((f + 1) * frameVox).toInt), cs, dtb))
+          f += 1
+        }
+        val p = Paths.get(dirStr, "c", r.getLong(0).toString,
+          r.getLong(1).toString, r.getLong(2).toString,
+          r.getLong(3).toString)
+        Files.createDirectories(p)
+        Files.write(p.resolve(r.getLong(4).toString),
+          pack(m, out.toByteArray))
+      }
+    }
+  }
+
+  /** Clip a decoded F-order block at origin `lo` of shape `bs` to
+    * `clip` and emit (x, y, z, label) rows — the shared tail of every
+    * cutout path.
+    */
+  private def emitClipped(vox: Array[Long], lo: Vec3, bs: Vec3,
+      clip: Bbox): Seq[(Long, Long, Long, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var z = math.max(lo.z, clip.minpt.z)
+    while (z < math.min(lo.z + bs.z, clip.maxpt.z)) {
+      var y = math.max(lo.y, clip.minpt.y)
+      while (y < math.min(lo.y + bs.y, clip.maxpt.y)) {
+        var x = math.max(lo.x, clip.minpt.x)
+        while (x < math.min(lo.x + bs.x, clip.maxpt.x)) {
+          out += ((x, y, z,
+            vox(((x - lo.x) + bs.x * ((y - lo.y) + bs.y * (z - lo.z))).toInt)))
+          x += 1
+        }
+        y += 1
+      }
+      z += 1
+    }
+    out.toSeq
+  }
+
+  /** Unsharded cutout core: enumerate the pruned grid at planning
+    * time, read + unpack chunk objects in executor tasks, slice out
+    * frame `frameSlot` (lead t/c axes; 0 and whole-chunk for 3-D),
+    * transpose, clip, emit. Only the requested frame's byte range is
+    * transposed/emitted — the chunk is unpacked whole (compression is
+    * chunk-scoped) but other frames are never decoded.
+    */
+  private def cutoutUnsharded(spark: SparkSession, dir: String,
+      m: Zarr3Meta, bbox: Bbox, prefix: Seq[Long], frameSlot: Long)
+      : DataFrame = {
     val cs = m.chunkShape
     val dtb = m.dtypeBytes
     val frameBytes = (cs.x * cs.y * cs.z).toInt * dtb
-    val tcIdx = t / m.timeChunk
-    val fOff = ((t % m.timeChunk) * frameBytes).toInt
+    val fOff = (frameSlot * frameBytes).toInt
     val bounds = Bbox(Vec3(0, 0, 0), m.shape)
     val pts = Geom.gridpoints(bbox, bounds, cs)
     val dirStr = dir
     val clip = bbox.intersection(bounds)
     val fill = m.fillValue
+    val keyParts = prefix.map(_.toString)
     import spark.implicits._
     spark.createDataset(pts.map(g => (g.x, g.y, g.z)))
       .repartition(math.max(pts.size / 4, 1))
       .flatMap { case (gx, gy, gz) =>
-        val p = Paths.get(dirStr, "c", tcIdx.toString, gx.toString,
-          gy.toString, gz.toString)
-        val vox =
-          if (!Files.exists(p)) Array.fill((cs.x * cs.y * cs.z).toInt)(fill)
-          else {
-            val raw = unpack(m, Files.readAllBytes(p))
-            decodeChunkToF(java.util.Arrays.copyOfRange(raw, fOff,
-              fOff + frameBytes), cs, dtb)
-          }
-        val lo = Vec3(gx * cs.x, gy * cs.y, gz * cs.z)
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
-        var z = math.max(lo.z, clip.minpt.z)
-        while (z < math.min(lo.z + cs.z, clip.maxpt.z)) {
-          var y = math.max(lo.y, clip.minpt.y)
-          while (y < math.min(lo.y + cs.y, clip.maxpt.y)) {
-            var x = math.max(lo.x, clip.minpt.x)
-            while (x < math.min(lo.x + cs.x, clip.maxpt.x)) {
-              out += ((x, y, z,
-                vox(((x - lo.x) + cs.x * ((y - lo.y) + cs.y * (z - lo.z))).toInt)))
-              x += 1
-            }
-            y += 1
-          }
-          z += 1
-        }
-        out
-      }.toDF("x", "y", "z", "label")
-  }
-
-  /** S18 cutout: enumerate the pruned grid at planning time, read +
-    * decode chunk objects in executor tasks, clip padded edge voxels
-    * to the array shape and the request bbox. Sharded arrays dispatch
-    * to the index-driven range-read path.
-    */
-  def cutoutVoxels(spark: SparkSession, dir: String, bbox: Bbox): DataFrame = {
-    val m = readMeta(dir)
-    require(m.timeFrames.isEmpty,
-      s"$dir has a time axis — use cutoutVoxelsT(bbox, t)")
-    if (m.innerChunkShape.isDefined)
-      return cutoutVoxelsSharded(spark, dir, m, bbox)
-    val cs = m.chunkShape
-    val dtb = m.dtypeBytes
-    val bounds = Bbox(Vec3(0, 0, 0), m.shape)
-    val pts = Geom.gridpoints(bbox, bounds, cs)
-    val dirStr = dir
-    val clip = bbox.intersection(bounds)
-    val fill = m.fillValue
-    import spark.implicits._
-    spark.createDataset(pts.map(g => (g.x, g.y, g.z)))
-      .repartition(math.max(pts.size / 4, 1))
-      .flatMap { case (gx, gy, gz) =>
-        val p = Paths.get(dirStr, "c", gx.toString, gy.toString, gz.toString)
+        var p = Paths.get(dirStr, "c")
+        keyParts.foreach(k => p = p.resolve(k))
+        p = p.resolve(gx.toString).resolve(gy.toString).resolve(gz.toString)
         // zarr defines an absent chunk key as a fill_value-filled chunk
         // (the reference raises EmptyVolumeException unless
         // fill_missing; zarr3/image.py:49-139)
         val vox =
           if (!Files.exists(p)) Array.fill((cs.x * cs.y * cs.z).toInt)(fill)
-          else decodeChunkToF(unpack(m, Files.readAllBytes(p)), cs, dtb)
-        val lo = Vec3(gx * cs.x, gy * cs.y, gz * cs.z)
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
-        var z = math.max(lo.z, clip.minpt.z)
-        while (z < math.min(lo.z + cs.z, clip.maxpt.z)) {
-          var y = math.max(lo.y, clip.minpt.y)
-          while (y < math.min(lo.y + cs.y, clip.maxpt.y)) {
-            var x = math.max(lo.x, clip.minpt.x)
-            while (x < math.min(lo.x + cs.x, clip.maxpt.x)) {
-              out += ((x, y, z,
-                vox(((x - lo.x) + cs.x * ((y - lo.y) + cs.y * (z - lo.z))).toInt)))
-              x += 1
-            }
-            y += 1
+          else {
+            val raw = unpack(m, Files.readAllBytes(p))
+            val frame =
+              if (fOff == 0 && raw.length == frameBytes) raw
+              else java.util.Arrays.copyOfRange(raw, fOff, fOff + frameBytes)
+            decodeChunkToF(frame, cs, dtb)
           }
-          z += 1
-        }
-        out
+        emitClipped(vox, Vec3(gx * cs.x, gy * cs.y, gz * cs.z), cs, clip)
       }.toDF("x", "y", "z", "label")
+  }
+
+  /** Cutout one xyz bbox at a single (t, c) point of the lead axes
+    * (the reference's download(..., t=...) parameter and channel
+    * slicing; zarr3/image.py:141-149, zarr3/metadata.py:211-261).
+    * Arrays without a t (resp. c) axis require t=0 (resp. c=0).
+    */
+  def cutoutVoxelsAt(spark: SparkSession, dir: String, bbox: Bbox,
+      t: Long = 0L, c: Long = 0L): DataFrame = {
+    val m = readMeta(dir)
+    m.timeFrames match {
+      case Some(tf) => require(t >= 0 && t < tf, s"t=$t out of range [0, $tf)")
+      case None => require(t == 0, s"$dir has no time axis (t=$t)")
+    }
+    m.channels match {
+      case Some(nc) => require(c >= 0 && c < nc, s"c=$c out of range [0, $nc)")
+      case None => require(c == 0, s"$dir has no channel axis (c=$c)")
+    }
+    if (m.innerChunkShape.isDefined) cutoutVoxelsSharded(spark, dir, m, bbox)
+    else {
+      val prefix = m.timeFrames.map(_ => t / m.timeChunk).toSeq ++
+        m.channels.map(_ => c / m.channelChunk).toSeq
+      val slot = (t % m.timeChunk) * m.channelChunk + (c % m.channelChunk)
+      cutoutUnsharded(spark, dir, m, bbox, prefix, slot)
+    }
+  }
+
+  /** S18 time-axis cutout: one xyz bbox at a single timepoint `t`. */
+  def cutoutVoxelsT(spark: SparkSession, dir: String, bbox: Bbox,
+      t: Long): DataFrame = {
+    require(readMeta(dir).timeFrames.isDefined, s"$dir has no time axis")
+    cutoutVoxelsAt(spark, dir, bbox, t = t)
+  }
+
+  /** S18 cutout of a 3-D array. Sharded arrays dispatch to the
+    * index-driven range-read path.
+    */
+  def cutoutVoxels(spark: SparkSession, dir: String, bbox: Bbox): DataFrame = {
+    val m = readMeta(dir)
+    require(m.timeFrames.isEmpty && m.channels.isEmpty,
+      s"$dir has a lead t/c axis — use cutoutVoxelsAt(bbox, t, c)")
+    if (m.innerChunkShape.isDefined) cutoutVoxelsSharded(spark, dir, m, bbox)
+    else cutoutUnsharded(spark, dir, m, bbox, Seq.empty, 0L)
   }
 
   /** Sharded cutout: one task per NEEDED shard (planning-time grid
@@ -576,6 +645,9 @@ object Zarr3IO {
         val shardLo = Vec3(sx * cs.x, sy * cs.y, sz * cs.z)
         val index: Option[Array[(Long, Long)]] =
           if (Files.exists(file)) Some(readShardIndex(file, m)) else None
+        // absent shard / Missing slot -> fill_value chunk (allocated
+        // once per shard task, shared across its elided inner chunks)
+        lazy val fillChunk = Array.fill((inner.x * inner.y * inner.z).toInt)(fill)
         val out = scala.collection.mutable.ArrayBuffer
           .empty[(Long, Long, Long, Long)]
         var cx = 0L
@@ -586,38 +658,17 @@ object Zarr3IO {
             while (cz < ig.z) {
               val lo = Vec3(shardLo.x + cx * inner.x,
                 shardLo.y + cy * inner.y, shardLo.z + cz * inner.z)
-              val x0 = math.max(lo.x, clip.minpt.x)
-              val x1 = math.min(lo.x + inner.x, clip.maxpt.x)
-              val y0 = math.max(lo.y, clip.minpt.y)
-              val y1 = math.min(lo.y + inner.y, clip.maxpt.y)
-              val z0 = math.max(lo.z, clip.minpt.z)
-              val z1 = math.min(lo.z + inner.z, clip.maxpt.z)
-              if (x0 < x1 && y0 < y1 && z0 < z1) {
+              val hit = Bbox(lo, lo + inner).intersection(clip)
+              if (hit.volume > 0) {
                 val vox = index match {
-                  case None => null // whole shard absent -> fill
+                  case None => fillChunk // whole shard absent
                   case Some(idx) =>
                     val (off, len) = idx(innerSlot(Vec3(cx, cy, cz), ig))
-                    if (off == Missing) null
+                    if (off == Missing) fillChunk
                     else decodeChunkToF(unpack(m, readRange(file, off, len)),
                       inner, dtb)
                 }
-                var z = z0
-                while (z < z1) {
-                  var y = y0
-                  while (y < y1) {
-                    var x = x0
-                    while (x < x1) {
-                      val v =
-                        if (vox == null) fill
-                        else vox(((x - lo.x) + inner.x *
-                          ((y - lo.y) + inner.y * (z - lo.z))).toInt)
-                      out += ((x, y, z, v))
-                      x += 1
-                    }
-                    y += 1
-                  }
-                  z += 1
-                }
+                out ++= emitClipped(vox, lo, inner, clip)
               }
               cz += 1
             }

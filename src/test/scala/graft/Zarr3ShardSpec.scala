@@ -144,7 +144,26 @@ class Zarr3ShardSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       Zarr3IO.cutoutVoxels(null, dir, graft.core.Bbox(Vec3(0, 0, 0),
         Vec3(8, 8, 8))))
-    assert(e.getMessage.contains("time axis"))
+    assert(e.getMessage.contains("lead t/c axis"))
+  }
+
+  test("5-D (t,c,x,y,z) meta round-trips; lead axes reject sharding") {
+    val m5 = Zarr3Meta(
+      shape = Vec3(16, 12, 8), chunkShape = Vec3(8, 6, 4),
+      dataType = "uint16", fillValue = 3L, compressor = "gzip",
+      timeFrames = Some(4L), timeChunk = 2L,
+      channels = Some(3L), channelChunk = 1L)
+    val dir = Files.createTempDirectory("z3tc").toString
+    Zarr3IO.writeMeta(dir, m5)
+    assert(Zarr3IO.readMeta(dir) == m5)
+    // 4-D channel-only (c,x,y,z) round-trips too
+    val mc = m5.copy(timeFrames = None, timeChunk = 1L)
+    val dirC = Files.createTempDirectory("z3c").toString
+    Zarr3IO.writeMeta(dirC, mc)
+    assert(Zarr3IO.readMeta(dirC) == mc)
+    // a lead axis combined with sharding_indexed fails at construction
+    intercept[IllegalArgumentException](m5.copy(
+      innerChunkShape = Some(Vec3(4, 3, 2))))
   }
 
   test("unknown codec chains are rejected, not silently ignored") {
