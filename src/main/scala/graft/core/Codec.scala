@@ -173,6 +173,62 @@ object Codec {
     out
   }
 
+  /** F10 multi-channel png for uint8 chunks: the reference encodes the
+    * 4-D (x,y,z,c) chunk as ONE interleaved-pixel image of width x and
+    * height y*z — channel c of pixel (x, y + sy*z) is voxel (x,y,z,c)
+    * (chunks.py:207-218 as2d reshape + :279-284 encode_png; jpeg uses
+    * the same reshape with colorspace RGB when shape[3]>1,
+    * chunks.py:341-347). Input is the engine's planar channel-slowest
+    * F-order layout; nc must be 3 (RGB) or 4 (RGBA).
+    */
+  def encodePngChannels(planar: Array[Byte], sx: Int, nc: Int): Array[Byte] = {
+    require(nc == 3 || nc == 4, s"png channel count must be 3 or 4, got $nc")
+    require(planar.length % (sx * nc) == 0,
+      s"${planar.length} bytes not a multiple of $sx*$nc")
+    val plane = planar.length / nc
+    val h = plane / sx
+    val imgType =
+      if (nc == 3) java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+      else java.awt.image.BufferedImage.TYPE_4BYTE_ABGR
+    val img = new java.awt.image.BufferedImage(sx, h, imgType)
+    var i = 0
+    while (i < plane) {
+      val r = planar(i) & 0xff
+      val g = planar(i + plane) & 0xff
+      val b = planar(i + 2 * plane) & 0xff
+      val a = if (nc == 4) planar(i + 3 * plane) & 0xff else 0xff
+      img.setRGB(i % sx, i / sx, (a << 24) | (r << 16) | (g << 8) | b)
+      i += 1
+    }
+    val bos = new ByteArrayOutputStream(planar.length / 2 + 64)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode a multi-channel png chunk back to planar channel-slowest
+    * Long voxels (the raw-encoding layout the cutout loop indexes).
+    * Reads through getRGB so any internal raster layout decodes the
+    * same way; png is lossless so values round-trip exactly.
+    */
+  def decodePngChannelsToLongs(payload: Array[Byte], nc: Int): Array[Long] = {
+    require(nc == 3 || nc == 4, s"png channel count must be 3 or 4, got $nc")
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(payload))
+    val sx = img.getWidth
+    val h = img.getHeight
+    val plane = sx * h
+    val out = new Array[Long](plane * nc)
+    var i = 0
+    while (i < plane) {
+      val argb = img.getRGB(i % sx, i / sx)
+      out(i) = (argb >>> 16) & 0xff
+      out(i + plane) = (argb >>> 8) & 0xff
+      out(i + 2 * plane) = argb & 0xff
+      if (nc == 4) out(i + 3 * plane) = (argb >>> 24) & 0xff
+      i += 1
+    }
+    out
+  }
+
   /** F10 JPEG codec for uint8 image chunks (chunks.py:286-301
     * encode_jpeg; same as2d reshape as png). LOSSY — the reference
     * treats jpeg layers as approximate (test_cloudvolume lossy

@@ -102,6 +102,19 @@ object RealLayerQueries {
     base.copy(scales = Seq(s0, base.addScale(Vec3(2, 2, 2))))
   }
 
+  /** The rgba volume again, png-encoded (F10/P2): multi-channel chunks
+    * as interleaved-pixel images (chunks.py:207-218 as2d + encode_png
+    * — the decode path the reference also uses for RGB jpeg,
+    * chunks.py:341-347).
+    */
+  val LayerRgbaPngDir = s"$Root/layer_rgba_png"
+  val metaRgbaPng: VolumeMeta = VolumeMeta(
+    layerType = "image", dataType = "uint8", numChannels = 4,
+    scales = Seq(ScaleMeta(
+      key = "1_1_1", encoding = "png", resolution = Seq(1, 1, 1),
+      chunkSize = Vec3(CX, CY, CZ), size = Vec3(SX, SY, SZ),
+      voxelOffset = Vec3(0, 0, 0))))
+
   /** Same volume npz-encoded (F10; chunks.py:286-300 — zlib-wrapped
     * .npy, the one optional codec with no C++ dependency).
     */
@@ -151,7 +164,7 @@ object RealLayerQueries {
     val marker = Paths.get(Root, ".built_from")
     // marker carries a fixture-format version (bump when the layout
     // changes) plus a per-build nonce for downstream staleness checks
-    val markerPrefix = s"$sfDir|v8|" // v8: adds the rgba + npz layers
+    val markerPrefix = s"$sfDir|v9|" // v9: adds the png-encoded rgba layer
     val markerVal = markerPrefix + System.nanoTime()
     if (Files.exists(marker) &&
       Files.readString(marker).startsWith(markerPrefix) &&
@@ -201,8 +214,10 @@ object RealLayerQueries {
         (gx, gy, gz, Codec.encodeRawFromLongs(arr, 4),
           Cseg.encode(arr, cb.size, CsegBlock, 4),
           Codec.encodePng(u8, cb.size.x.toInt), rgba,
-          Codec.encodeNpz(arr, cb.size, 4))
-      }.toDF("gx", "gy", "gz", "payload", "cseg", "png", "rgba", "npz").cache()
+          Codec.encodeNpz(arr, cb.size, 4),
+          Codec.encodePngChannels(rgba, cb.size.x.toInt, 4))
+      }.toDF("gx", "gy", "gz", "payload", "cseg", "png", "rgba", "npz",
+        "rgba_png").cache()
     PrecomputedIO.writeInfo(LayerDir, meta)
     PrecomputedIO.writeChunks(chunks, LayerDir, meta, mip = 0)
     // mip 1: [::2,::2,::2] strided downsample, clamped chunks
@@ -256,6 +271,11 @@ object RealLayerQueries {
     PrecomputedIO.writeChunks(
       chunks.select(col("gx"), col("gy"), col("gz"), col("png").as("payload")),
       LayerPngDir, metaPng, mip = 0)
+    PrecomputedIO.writeInfo(LayerRgbaPngDir, metaRgbaPng)
+    PrecomputedIO.writeChunks(
+      chunks.select(col("gx"), col("gy"), col("gz"),
+        col("rgba_png").as("payload")),
+      LayerRgbaPngDir, metaRgbaPng, mip = 0)
     PrecomputedIO.writeInfo(LayerNpzDir, metaNpz)
     PrecomputedIO.writeChunks(
       chunks.select(col("gx"), col("gy"), col("gz"), col("npz").as("payload")),
@@ -523,6 +543,22 @@ object RealLayerQueries {
         |  (label + 11) % 251 AS value
         |FROM $Sidecar
         |WHERE x % 2 = 0 AND y % 2 = 0 AND z % 2 = 0""".stripMargin)),
+
+    // Channel slice over the PNG-encoded rgba layer — the reference
+    // decodes multi-channel png/jpeg chunks through the same as2d
+    // interleaved-image reshape (chunks.py:207-218,341-360); values
+    // are lossless so the raw-layer oracle replays exactly
+    "p2d_channel_png" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        PrecomputedIO.cutoutVoxelsChannels(s, LayerRgbaPngDir,
+            Bbox(Vec3(4, 6, 2), Vec3(52, 50, 24)), Seq(3))
+          .select("x", "y", "z", "value")
+      },
+      Some(s"""SELECT x, y, z, (label + 33) % 251 AS value
+        |FROM $Sidecar
+        |WHERE x BETWEEN 4 AND 51 AND y BETWEEN 6 AND 49
+        |  AND z BETWEEN 2 AND 23""".stripMargin)),
 
     // S4 single-voxel fast path (rx.py:293-300,381-430
     // download_single_voxel; chunks.read_voxel:423-457): point lookups

@@ -156,8 +156,13 @@ object PrecomputedIO {
       fillMissing: Boolean = false): DataFrame = {
     val meta = readInfo(layerDir)
     val scale = meta.scale(mip)
-    require(scale.encoding == "raw",
-      s"multi-channel cutout reads raw encoding, not ${scale.encoding}")
+    // png chunks hold the same 4-D data as one interleaved-pixel image
+    // (chunks.py:207-218 as2d; decoded back to the planar raw layout)
+    require(scale.encoding == "raw" || scale.encoding == "png",
+      s"multi-channel cutout reads raw/png encoding, not ${scale.encoding}")
+    val isPng = scale.encoding == "png"
+    require(!isPng || meta.dataType == "uint8",
+      s"png encoding requires uint8, not ${meta.dataType}")
     val dtb = meta.dtypeBytes
     val nc = meta.numChannels
     require(channels.nonEmpty && channels.forall(c => c >= 0 && c < nc),
@@ -173,6 +178,7 @@ object PrecomputedIO {
       val plane = (sx * sy * sz).toInt
       val vox =
         if (payload == null) new Array[Long](plane * nc)
+        else if (isPng) Codec.decodePngChannelsToLongs(payload, nc)
         else Codec.decodeRawToLongs(payload, dtb)
       val out = scala.collection.mutable.ArrayBuffer
         .empty[(Long, Long, Long, Long, Long)]
