@@ -311,6 +311,37 @@ object MetaQueries {
         |  (label - mn) * 255 // (mx - mn) AS norm
         |FROM voxels, stats""".stripMargin)),
 
+    // F19: save_images slice EXPORT (lib.py:1071-1115) — the
+    // per-slice-normalize variant, whose integer-exact math the oracle
+    // replays; one written PNG per z level, pixel (col=x, row=y) per
+    // the reference's rot90+flipud z convention, checksummed by the
+    // sum of written u8 values. SaveImagesSpec round-trips the actual
+    // files through the png decoder.
+    "f19b_save_images" -> Q(
+      (s, dir) => {
+        RealLayerQueries.ensure(s, dir)
+        val vox = s.read.parquet(RealLayerQueries.VoxelsDir)
+          .select(col("x"), col("y"), col("z"), col("label").as("value"))
+        SaveImages.saveImages(s, vox,
+          s"${RealLayerQueries.Root}/saved_images",
+          Vec3(RealLayerQueries.SX, RealLayerQueries.SY,
+            RealLayerQueries.SZ),
+          axis = "z", globalNorm = false)
+      },
+      Some(s"""WITH v AS (SELECT *
+        |  FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')),
+        |st AS (SELECT z, min(label) AS mn, max(label) AS mx
+        |       FROM v GROUP BY z)
+        |SELECT v.z AS level, CAST(0 AS BIGINT) AS c,
+        |  lpad(CAST(v.z AS VARCHAR), 5, '0') || '.png' AS filename,
+        |  CAST(${RealLayerQueries.SX} AS BIGINT) AS width,
+        |  CAST(${RealLayerQueries.SY} AS BIGINT) AS height,
+        |  CAST(sum(CASE WHEN st.mx = st.mn THEN 0
+        |    ELSE (v.label - st.mn) * 255 // (st.mx - st.mn) END)
+        |    AS BIGINT) AS pxsum
+        |FROM v JOIN st USING (z)
+        |GROUP BY v.z""".stripMargin)),
+
     // W6 (pipeline extension): gaps-and-islands sessionization of the
     // events stream — a new session starts after a >30-minute gap per
     // user; the same window shape as S7's range bundling, applied to
