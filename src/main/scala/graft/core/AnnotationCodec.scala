@@ -23,8 +23,17 @@ import java.nio.{ByteBuffer, ByteOrder}
   */
 object AnnotationCodec {
 
-  /** One typed property: id + dtype name. */
-  final case class PropSpec(id: String, dtype: String) {
+  /** One typed property: id + dtype name, optionally carrying an enum
+    * dictionary (annotation/metadata.py:355-409: `enum_values` are the
+    * stored numeric values, `enum_labels` the display strings; the
+    * binary record still stores the numeric dtype — the dictionary
+    * lives only in the info JSON).
+    */
+  final case class PropSpec(id: String, dtype: String,
+      enumValues: Seq[Long] = Seq.empty,
+      enumLabels: Seq[String] = Seq.empty) {
+    require(enumValues.size == enumLabels.size,
+      s"enum_values/enum_labels size mismatch on property $id")
     def byteSize: Int = dtype match {
       case "uint8" | "int8" => 1
       case "uint16" | "int16" => 2
@@ -211,5 +220,60 @@ object AnnotationCodec {
     require(!buf.hasRemaining,
       s"trailing ${buf.remaining} bytes after relationship sections")
     (Annotation(id, g, pv), rels)
+  }
+
+  // ---- layer info JSON (annotation/metadata.py:355-409) ----
+
+  private lazy val om = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Write the layer's `info` JSON: the neuroglancer_annotations_v1
+    * header carrying the property schema incl. any enum dictionaries
+    * (annotation/metadata.py:355-372 example block).
+    */
+  def writeInfo(dir: String, spec: AnnotationSpec): Unit = {
+    val root = om.createObjectNode()
+    root.put("@type", "neuroglancer_annotations_v1")
+    root.put("annotation_type", spec.annotationType)
+    val dims = root.putObject("dimensions")
+    Seq("x", "y", "z").take(spec.ndim).foreach { ax =>
+      val d = dims.putArray(ax); d.add(1); d.add("nm")
+    }
+    val props = root.putArray("properties")
+    spec.properties.foreach { p =>
+      val pn = props.addObject()
+      pn.put("id", p.id)
+      pn.put("type", p.dtype)
+      if (p.enumValues.nonEmpty) {
+        val ev = pn.putArray("enum_values")
+        p.enumValues.foreach(ev.add)
+        val el = pn.putArray("enum_labels")
+        p.enumLabels.foreach(el.add)
+      }
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "info"),
+      om.writerWithDefaultPrettyPrinter.writeValueAsString(root))
+  }
+
+  /** Parse the layer `info` back to the codec spec (the enum
+    * dictionary rides along on its property).
+    */
+  def readInfo(dir: String): AnnotationSpec = {
+    val root = om.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "info")))
+    require(root.get("@type").asText == "neuroglancer_annotations_v1",
+      "not an annotation layer info")
+    val props = Option(root.get("properties")).map { pn =>
+      (0 until pn.size).map { i =>
+        val p = pn.get(i)
+        val ev = Option(p.get("enum_values")).map(n =>
+          (0 until n.size).map(n.get(_).asLong)).getOrElse(Seq.empty)
+        val el = Option(p.get("enum_labels")).map(n =>
+          (0 until n.size).map(n.get(_).asText)).getOrElse(Seq.empty)
+        PropSpec(p.get("id").asText, p.get("type").asText, ev, el)
+      }
+    }.getOrElse(Seq.empty)
+    AnnotationSpec(root.get("annotation_type").asText,
+      root.get("dimensions").size, props)
   }
 }

@@ -28,9 +28,16 @@ object AnnotationQueries {
 
   val Root = "/tmp/graft_fixture/annotations"
 
+  /** Cell-type dictionary for the enum-typed `kind` property
+    * (annotation/metadata.py:355-372's example enum block).
+    */
+  val KindLabels: Seq[String] = Seq("axon", "dendrite", "astrocyte", "soma")
+
   val PointSpec: AnnotationSpec = AnnotationSpec("POINT", 3, Seq(
     PropSpec("score", "uint8"), PropSpec("weight", "uint16"),
-    PropSpec("conf", "float32"), PropSpec("color", "rgb")))
+    PropSpec("conf", "float32"), PropSpec("color", "rgb"),
+    PropSpec("kind", "uint8", KindLabels.indices.map(_.toLong),
+      KindLabels)))
   val AabbSpec: AnnotationSpec =
     AnnotationSpec("AXIS_ALIGNED_BOUNDING_BOX", 3, Seq.empty)
   val EllipsoidSpec: AnnotationSpec =
@@ -48,7 +55,8 @@ object AnnotationQueries {
       (col("user_id") % 100).cast("long").as("conf"),
       (col("user_id") % 256).cast("long").as("r"),
       ((col("user_id") * 3) % 256).cast("long").as("g"),
-      ((col("user_id") * 7) % 256).cast("long").as("b"))
+      ((col("user_id") * 7) % 256).cast("long").as("b"),
+      (col("event_id") % 4).cast("long").as("kind"))
 
   private val PtsCte =
     """pts AS (
@@ -56,7 +64,7 @@ object AnnotationQueries {
       |         (event_id // 64) % 32 AS az, event_id % 256 AS score,
       |         (event_id * 7) % 60000 AS weight, user_id % 100 AS conf,
       |         user_id % 256 AS r, (user_id * 3) % 256 AS g,
-      |         (user_id * 7) % 256 AS b
+      |         (user_id * 7) % 256 AS b, event_id % 4 AS kind
       |  FROM events WHERE event_id % 5 = 0)""".stripMargin
 
   /** AABB annotations from orders (mirrored in AabbCte). */
@@ -135,7 +143,7 @@ object AnnotationQueries {
 
   def ensure(s: SparkSession, sfDir: String): Unit = synchronized {
     val marker = Paths.get(Root, ".built_from")
-    val markerVal = s"$sfDir|v2" // v2: relationship + by-id fixtures
+    val markerVal = s"$sfDir|v3" // v3: enum `kind` property + info JSON
     if (Files.exists(marker) && Files.readString(marker) == markerVal) return
     val rootP = Paths.get(Root)
     if (Files.exists(rootP)) {
@@ -144,10 +152,11 @@ object AnnotationQueries {
         .foreach(p => Files.deleteIfExists(p))
     }
     Files.createDirectories(rootP)
+    AnnotationCodec.writeInfo(s"$Root/points", PointSpec)
     writeLayer(pointsDf(s, sfDir), s"$Root/points", PointSpec,
       concat_ws("_", idiv(col("ax"), 32), idiv(col("ay"), 32)),
       Seq("ax", "ay", "az"),
-      Seq("score", "weight", "conf", "r", "g", "b"))
+      Seq("score", "weight", "conf", "r", "g", "b", "kind"))
     writeLayer(aabbDf(s, sfDir), s"$Root/aabbs", AabbSpec,
       lit("0_0"), Seq("ax", "ay", "az", "bx", "by", "bz"), Seq.empty)
     writeLayer(ellipsoidDf(s, sfDir), s"$Root/ellipsoids", EllipsoidSpec,
@@ -161,7 +170,7 @@ object AnnotationQueries {
           if (ri == 0) (col("aid") * 3) % 40 else (col("aid") * 5 + 1) % 40),
         s"$Root/rel_$rel", PointSpec, col("segid").cast("string"),
         Seq("ax", "ay", "az"),
-        Seq("score", "weight", "conf", "r", "g", "b"))
+        Seq("score", "weight", "conf", "r", "g", "b", "kind"))
     }
     // by-id files: single-annotation format incl. relationship
     // sections, one object per annotation id (reader.py:103-137). The
@@ -177,7 +186,7 @@ object AnnotationQueries {
           val ann = Annotation(aid,
             Array(r.getLong(1).toFloat, r.getLong(2).toFloat,
               r.getLong(3).toFloat),
-            (4 until 10).map(i => r.getLong(i).toDouble).toArray)
+            (4 until 11).map(i => r.getLong(i).toDouble).toArray)
           val rels = Seq(Seq(relSegid(0, aid)), Seq(relSegid(1, aid)))
           Files.write(Paths.get(byIdStr, aid.toString),
             AnnotationCodec.encodeSingle(PointSpec, ann, rels))
@@ -194,7 +203,7 @@ object AnnotationQueries {
     import s.implicits._
     import scala.jdk.CollectionConverters._
     val names = Files.list(Paths.get(layerDir)).iterator.asScala
-      .map(_.getFileName.toString).toSeq.sorted
+      .map(_.getFileName.toString).filter(_ != "info").toSeq.sorted
     val rows = names.toDS()
       .repartition(math.max(names.size / 2, 1))
       .flatMap { n =>
@@ -219,11 +228,40 @@ object AnnotationQueries {
       (s, dir) => {
         ensure(s, dir)
         decodeLayer(s, s"$Root/points", PointSpec,
-          Seq("ax", "ay", "az", "score", "weight", "conf", "r", "g", "b"))
+          Seq("ax", "ay", "az", "score", "weight", "conf", "r", "g", "b",
+            "kind"))
       },
       Some(s"""WITH $PtsCte
-        |SELECT aid, ax, ay, az, score, weight, conf, r, g, b
+        |SELECT aid, ax, ay, az, score, weight, conf, r, g, b, kind
         |FROM pts""".stripMargin)),
+
+    // P8/F18 enum property: the layer's info JSON carries the kind
+    // dictionary (enum_values/enum_labels, annotation/metadata.py:
+    // 355-409); the decode surfaces the numeric value and a broadcast
+    // dictionary join attaches the label — the oracle rebuilds the
+    // same dictionary inline
+    "p8f_annotation_enum" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        import s.implicits._
+        val spec = AnnotationCodec.readInfo(s"$Root/points")
+        val kp = spec.properties.find(_.id == "kind").get
+        val dict = kp.enumValues.zip(kp.enumLabels)
+          .toDF("kind", "kind_label")
+        decodeLayer(s, s"$Root/points", spec,
+            Seq("ax", "ay", "az", "score", "weight", "conf", "r", "g",
+              "b", "kind"))
+          .join(broadcast(dict), Seq("kind"))
+          .groupBy("kind_label")
+          .agg(count(lit(1)).as("n"), sum(col("score")).as("sum_score"))
+      },
+      Some(s"""WITH $PtsCte,
+        |dict(kind, kind_label) AS (VALUES (0, 'axon'), (1, 'dendrite'),
+        |  (2, 'astrocyte'), (3, 'soma'))
+        |SELECT kind_label, count(*) AS n,
+        |  CAST(sum(score) AS BIGINT) AS sum_score
+        |FROM pts JOIN dict USING (kind)
+        |GROUP BY kind_label""".stripMargin)),
 
     // P8 (AABB variant): geometry-aware crop — keep the box if either
     // corner is inside the (inclusive) crop box, or the box straddles
