@@ -144,4 +144,51 @@ class CcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ell.map(comp).toSet == Set(ell.map(vidOf).min))
     assert(Set(comp(lineA.head), comp(lineB.head), comp(ell.head)).size == 3)
   }
+
+  test("full fixture volume: adjacency and min-id invariants hold; crop refines") {
+    // the full-volume cc_components entry is rows-only in the oracle
+    // gate (DuckDB's recursive CTE is quadratic), so pin its
+    // correctness with structural invariants over the whole fixture:
+    // 1. every 6-adjacent foreground pair shares a component id,
+    // 2. each component's id is the min vid of its members (and so a
+    //    member), and
+    // 3. the oracle-checked small-crop run refines the full run: all
+    //    voxels of one crop component land in one full component.
+    import org.apache.spark.sql.functions._
+    import graft.ops.RealLayerQueries
+    val s = spark
+    RealLayerQueries.ensure(s, "/root/testdata/sf0.001")
+    val SX = RealLayerQueries.SX; val SY = RealLayerQueries.SY
+    val fg = s.read.parquet(RealLayerQueries.VoxelsDir)
+      .filter(col("label") =!= 0).select("x", "y", "z")
+    val comp = ConnectedComponents.label6(s, fg, SX, SY).cache()
+    try {
+      // 1. adjacency: three shifted equi-joins, zero mismatches
+      def shifted(dx: Long, dy: Long, dz: Long) = comp.select(
+        (col("x") - dx).as("x"), (col("y") - dy).as("y"),
+        (col("z") - dz).as("z"), col("comp").as("comp2"))
+      val mismatches = Seq((1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L))
+        .map { case (dx, dy, dz) =>
+          comp.join(shifted(dx, dy, dz), Seq("x", "y", "z"))
+            .filter(col("comp") =!= col("comp2")).count()
+        }.sum
+      assert(mismatches == 0, s"$mismatches adjacent pairs split")
+      // 2. component id = min member vid
+      val vid = col("x") + lit(SX) * (col("y") + lit(SY) * col("z"))
+      val badId = comp.groupBy("comp").agg(min(vid).as("mn"))
+        .filter(col("comp") =!= col("mn")).count()
+      assert(badId == 0)
+      // 3. crop partition refines the full partition
+      val inCrop = col("x") < 48 && col("y") < 16 && col("z") < 8
+      val small = ConnectedComponents
+        .label6(s, fg.filter(inCrop), SX, SY)
+        .withColumnRenamed("comp", "scomp")
+      val coarsened = small.join(comp, Seq("x", "y", "z"))
+      assert(coarsened.count() == small.count()) // same voxel set
+      val split = coarsened.groupBy("scomp")
+        .agg(countDistinct(col("comp")).as("nfull"))
+        .filter(col("nfull") > 1).count()
+      assert(split == 0, s"$split crop components split across full components")
+    } finally comp.unpersist()
+  }
 }
