@@ -271,6 +271,58 @@ object Codec {
     out
   }
 
+  /** F10 3-channel jpeg: same as2d interleaved-image reshape as the
+    * multi-channel png (chunks.py:252-277 encode_jpeg colorspace RGB —
+    * the reference accepts only 1 or 3 channels for jpeg), LOSSY like
+    * the gray variant: round-trips bound the error, never assert
+    * equality. Input planar channel-slowest, nc fixed at 3.
+    */
+  def encodeJpegChannels(planar: Array[Byte], sx: Int,
+      quality: Float = 0.85f): Array[Byte] = {
+    require(planar.length % (sx * 3) == 0,
+      s"${planar.length} bytes not a multiple of $sx*3")
+    val plane = planar.length / 3
+    val img = new java.awt.image.BufferedImage(sx, plane / sx,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var i = 0
+    while (i < plane) {
+      img.setRGB(i % sx, i / sx,
+        ((planar(i) & 0xff) << 16) | ((planar(i + plane) & 0xff) << 8) |
+          (planar(i + 2 * plane) & 0xff))
+      i += 1
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val bos = new ByteArrayOutputStream(planar.length / 4 + 64)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  /** Decode a 3-channel jpeg chunk to planar channel-slowest Longs
+    * (chunks.py:341-347 decode_jpeg colorspace RGB for shape[3]>1).
+    */
+  def decodeJpegChannelsToLongs(payload: Array[Byte]): Array[Long] = {
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(payload))
+    val sx = img.getWidth
+    val plane = sx * img.getHeight
+    val out = new Array[Long](plane * 3)
+    var i = 0
+    while (i < plane) {
+      val argb = img.getRGB(i % sx, i / sx)
+      out(i) = (argb >>> 16) & 0xff
+      out(i + plane) = (argb >>> 8) & 0xff
+      out(i + 2 * plane) = argb & 0xff
+      i += 1
+    }
+    out
+  }
+
   /** F10 npz codec (chunks.py:286-300 encode_npz, :336-338
     * decode_npz): a zlib-wrapped .npy buffer — expressly NOT
     * np.savez; the npy v1 header carries dtype / order / shape

@@ -156,15 +156,19 @@ object PrecomputedIO {
       fillMissing: Boolean = false): DataFrame = {
     val meta = readInfo(layerDir)
     val scale = meta.scale(mip)
-    // png chunks hold the same 4-D data as one interleaved-pixel image
-    // (chunks.py:207-218 as2d; decoded back to the planar raw layout)
-    require(scale.encoding == "raw" || scale.encoding == "png",
-      s"multi-channel cutout reads raw/png encoding, not ${scale.encoding}")
+    // png/jpeg chunks hold the same 4-D data as one interleaved-pixel
+    // image (chunks.py:207-218 as2d; decoded back to the planar raw
+    // layout); jpeg is RGB-only per the reference (chunks.py:277)
+    require(Set("raw", "png", "jpeg").contains(scale.encoding),
+      s"multi-channel cutout reads raw/png/jpeg, not ${scale.encoding}")
     val isPng = scale.encoding == "png"
-    require(!isPng || meta.dataType == "uint8",
-      s"png encoding requires uint8, not ${meta.dataType}")
+    val isJpeg = scale.encoding == "jpeg"
+    require(!(isPng || isJpeg) || meta.dataType == "uint8",
+      s"${scale.encoding} encoding requires uint8, not ${meta.dataType}")
     val dtb = meta.dtypeBytes
     val nc = meta.numChannels
+    require(!isJpeg || nc == 3,
+      s"jpeg multi-channel requires 3 channels, got $nc")
     require(channels.nonEmpty && channels.forall(c => c >= 0 && c < nc),
       s"channel slice $channels out of range for $nc channels")
     val chans = channels.toArray
@@ -179,6 +183,7 @@ object PrecomputedIO {
       val vox =
         if (payload == null) new Array[Long](plane * nc)
         else if (isPng) Codec.decodePngChannelsToLongs(payload, nc)
+        else if (isJpeg) Codec.decodeJpegChannelsToLongs(payload)
         else Codec.decodeRawToLongs(payload, dtb)
       val out = scala.collection.mutable.ArrayBuffer
         .empty[(Long, Long, Long, Long, Long)]

@@ -62,6 +62,28 @@ class FormatSpec extends AnyFunSuite {
     assert(meanErr < 4.0, s"mean abs error $meanErr")
   }
 
+  test("multi-channel png round-trips exactly; 3-channel jpeg bounded error") {
+    // planar channel-slowest RGBA block, 8x8x2 voxels
+    val sx = 8; val plane = 8 * 8 * 2
+    val rgba = Array.tabulate(plane * 4)(i =>
+      ((i % plane) * 3 + (i / plane) * 50).toByte)
+    val png = Codec.encodePngChannels(rgba, sx, 4)
+    assert(png.take(4).toSeq === Seq[Byte](-119, 'P', 'N', 'G'))
+    val back = Codec.decodePngChannelsToLongs(png, 4)
+    assert(back.toSeq === rgba.map(_ & 0xffL).toSeq) // lossless
+    // rgb subset through jpeg: bounded mean error on a smooth gradient
+    val rgb = Array.tabulate(plane * 3)(i =>
+      (((i % plane) / sx) * 4 % 256).toByte)
+    val jpg = Codec.encodeJpegChannels(rgb, sx)
+    assert(jpg.take(2).toSeq === Seq[Byte](-1, -40))
+    val jback = Codec.decodeJpegChannelsToLongs(jpg)
+    assert(jback.length === rgb.length)
+    val meanErr = rgb.zip(jback)
+      .map { case (a, b) => math.abs((a & 0xff) - b) }.sum.toDouble /
+      rgb.length
+    assert(meanErr < 4.0, s"mean abs error $meanErr")
+  }
+
   test("zstd second-stage round-trip") {
     val data = Array.tabulate(100000)(i => (i % 97).toByte)
     val z = Codec.zstd(data)

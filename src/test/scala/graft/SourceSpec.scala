@@ -82,6 +82,19 @@ class SourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() == 2)
   }
 
+  test("multi-channel cutout prunes the chunk grid at planning time") {
+    // same planning-time bbox→grid pruning as the single-channel S4
+    // path: a corner bbox over the rgba fixture must plan only chunk
+    // (0,0,0), and the channel slice stays inside the decode UDF
+    import graft.ops.RealLayerQueries
+    RealLayerQueries.ensure(spark, "/root/testdata/sf0.001")
+    val df = PrecomputedIO.cutoutVoxelsChannels(spark,
+      RealLayerQueries.LayerRgbaDir,
+      graft.core.Bbox(Vec3(0, 0, 0), Vec3(8, 8, 8)), Seq(1))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("grid=[Vec3(0,0,0)..Vec3(0,0,0)]"), plan)
+  }
+
   test("column pruning skips chunk IO entirely") {
     // remove one object; metadata-only projection must still succeed
     val victim = Paths.get(layer, "1_1_1", "8-10_4-8_0-4.gz")
