@@ -17,6 +17,7 @@ object Fixtures {
     Zarr3Queries.ensureZstd(s, sfDir)
     Zarr3Queries.ensureT(s, sfDir)
     Zarr3Queries.ensureTC(s, sfDir)
+    Zarr3Queries.ensureOme(s, sfDir)
     Zarr3Queries.ensureSharded(s, sfDir)
     Zarr3Queries.ensureN5(s, sfDir)
     StreamQueries.prepare(s, sfDir)

@@ -197,6 +197,47 @@ object Zarr3Queries {
     Files.writeString(marker, want)
   }
 
+  // ---- OME-NGFF sibling: 5-D (t, c, z, y, x) — the microscopy
+  // convention with the spatial triple REVERSED (dimension_names
+  // z,y,x; chunk keys c/<t>/<c>/<gz>/<gy>/<gx>; C-order bytes
+  // x-fastest). One chunk object per (t, c) so the key resolution is
+  // exercised, unlike the shared-frame tc fixture. ----
+
+  val OmeDir = s"$Root/ome_array"
+
+  val zOmeMeta: Zarr3Meta = Zarr3Meta(
+    shape = Vec3(SX, SY, SZ), chunkShape = Vec3(CX, CY, CZ),
+    dataType = "uint32", fillValue = 0L, compressor = "gzip",
+    timeFrames = Some(TFrames), timeChunk = 1L,
+    channels = Some(TCChannels), channelChunk = 1L,
+    spatialOrder = "zyx")
+
+  def ensureOme(s: SparkSession, sfDir: String): Unit = synchronized {
+    RealLayerQueries.ensure(s, sfDir)
+    val want = RealLayerQueries.stamp
+    val marker = Paths.get(Root, ".built_ome_from")
+    if (Files.exists(marker) && Files.readString(marker) == want) return
+    val arrP = Paths.get(OmeDir)
+    if (Files.exists(arrP)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(arrP).iterator.asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+    Files.createDirectories(Paths.get(Root))
+    import s.implicits._
+    // one row per (t, c, chunk): frame value = label + t + 7c like the
+    // tc fixture, so the oracle transform is shared
+    val frames = fullChunks(s)
+      .as[(Long, Long, Long, Seq[Long])]
+      .flatMap { case (gx, gy, gz, vox) =>
+        for (f <- 0L until TFrames; ch <- 0L until TCChannels)
+          yield (f, ch, gx, gy, gz, shiftInBounds(gx, gy, gz, vox, f + 7 * ch))
+      }.toDF("tc", "cc", "gx", "gy", "gz", "vox")
+    Zarr3IO.writeMeta(OmeDir, zOmeMeta)
+    Zarr3IO.writeChunksTC(frames, OmeDir, zOmeMeta)
+    Files.writeString(marker, want)
+  }
+
   // ---- sharded sibling (zarr v3 sharding_indexed codec) ----
 
   val ShardedDir = s"$Root/sharded_array"
@@ -404,6 +445,20 @@ object Zarr3Queries {
         |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')
         |WHERE x BETWEEN 5 AND 54 AND y BETWEEN 6 AND 51
         |  AND z BETWEEN 3 AND 23""".stripMargin)),
+
+    // S18: OME-NGFF layout — 5-D (t,c,z,y,x) with REVERSED spatial
+    // dims: zyx chunk keys, x-fastest C-order bytes (= this engine's
+    // F order), per-(t,c) chunk objects
+    "s18_zarr3_ome_cutout" -> Q(
+      (s, dir) => {
+        ensureOme(s, dir)
+        Zarr3IO.cutoutVoxelsAt(s, OmeDir,
+          Bbox(Vec3(6, 5, 4), Vec3(56, 50, 25)), t = 1, c = 1)
+      },
+      Some(s"""SELECT x, y, z, label + 8 AS label
+        |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')
+        |WHERE x BETWEEN 6 AND 55 AND y BETWEEN 5 AND 49
+        |  AND z BETWEEN 4 AND 24""".stripMargin)),
 
     // S18: zarr3 cutout — C-order decode + edge-chunk clipping vs the
     // shared sidecar oracle

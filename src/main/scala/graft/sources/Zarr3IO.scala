@@ -46,6 +46,15 @@ object Zarr3IO {
     *                    timeChunk x channelChunk consecutive C-order
     *                    xyz frames, t-major
     * @param channelChunk channels per chunk object along c
+    * @param spatialOrder "xyz" (this engine's canonical dimension
+    *                    order) or "zyx" (OME-NGFF convention,
+    *                    dimension_names [t,][c,]z,y,x): zyx stores the
+    *                    spatial triple reversed in shape/chunk_shape/
+    *                    chunk keys, and its C-order chunk bytes are
+    *                    x-fastest — exactly this engine's F order, so
+    *                    the codec transpose becomes the identity.
+    *                    Zarr3Meta.shape/chunkShape are ALWAYS
+    *                    canonical (x, y, z) regardless.
     */
   final case class Zarr3Meta(
       shape: Vec3, // logical (x, y, z)
@@ -57,15 +66,20 @@ object Zarr3IO {
       timeFrames: Option[Long] = None,
       timeChunk: Long = 1,
       channels: Option[Long] = None,
-      channelChunk: Long = 1) {
+      channelChunk: Long = 1,
+      spatialOrder: String = "xyz") {
     require(Set("none", "gzip", "zstd").contains(compressor),
       s"unsupported zarr3 compressor $compressor")
-    // the sharding_indexed inner grid here is 3-D; a lead t/c axis
-    // would need a 4/5-D inner-chunk model — fail at construction so
-    // writeMeta can never emit metadata readMeta would reject
-    require((timeFrames.isEmpty && channels.isEmpty) ||
-      innerChunkShape.isEmpty,
-      "sharding_indexed with a lead t/c axis unsupported")
+    require(Set("xyz", "zyx").contains(spatialOrder),
+      s"unsupported spatial order $spatialOrder")
+    // the sharding_indexed inner grid here is 3-D xyz; a lead t/c axis
+    // (or reversed spatial order) would need a different inner-chunk
+    // model — fail at construction so writeMeta can never emit
+    // metadata readMeta would reject
+    require((timeFrames.isEmpty && channels.isEmpty &&
+      spatialOrder == "xyz") || innerChunkShape.isEmpty,
+      "sharding_indexed with a lead t/c axis or zyx order unsupported")
+    def zyx: Boolean = spatialOrder == "zyx"
     def dtypeBytes: Int = dataType match {
       case "uint8" => 1
       case "uint16" => 2
@@ -119,17 +133,19 @@ object Zarr3IO {
     val root = om.createObjectNode()
     root.put("zarr_format", 3)
     root.put("node_type", "array")
+    def spatial(v: Vec3): Seq[Long] =
+      if (m.zyx) Seq(v.z, v.y, v.x) else Seq(v.x, v.y, v.z)
     val sh = root.putArray("shape")
     m.timeFrames.foreach(sh.add)
     m.channels.foreach(sh.add)
-    sh.add(m.shape.x); sh.add(m.shape.y); sh.add(m.shape.z)
+    spatial(m.shape).foreach(sh.add)
     root.put("data_type", m.dataType)
     val grid = root.putObject("chunk_grid")
     grid.put("name", "regular")
     val gc = grid.putObject("configuration").putArray("chunk_shape")
     if (m.timeFrames.isDefined) gc.add(m.timeChunk)
     if (m.channels.isDefined) gc.add(m.channelChunk)
-    gc.add(m.chunkShape.x); gc.add(m.chunkShape.y); gc.add(m.chunkShape.z)
+    spatial(m.chunkShape).foreach(gc.add)
     val cke = root.putObject("chunk_key_encoding")
     cke.put("name", "default")
     cke.putObject("configuration").put("separator", "/")
@@ -165,7 +181,8 @@ object Zarr3IO {
     val names = root.putArray("dimension_names")
     if (m.timeFrames.isDefined) names.add("t")
     if (m.channels.isDefined) names.add("c")
-    names.add("x"); names.add("y"); names.add("z")
+    (if (m.zyx) Seq("z", "y", "x") else Seq("x", "y", "z"))
+      .foreach(names.add)
     Files.createDirectories(Paths.get(dir))
     Files.writeString(Paths.get(dir, "zarr.json"),
       om.writerWithDefaultPrettyPrinter.writeValueAsString(root))
@@ -211,30 +228,41 @@ object Zarr3IO {
     val endian = Option(codecs.get(0).get("configuration"))
       .flatMap(c => Option(c.get("endian"))).map(_.asText).getOrElse("little")
     require(endian == "little", s"unsupported bytes endian '$endian'")
-    // lead axes: 4-D (t|c, x, y, z) and 5-D (t, c, x, y, z) arrays per
-    // dimension_names — the reference's time_index()/channel scan over
-    // OME axes (zarr3/metadata.py:123-124,211-261); t (outermost) and
-    // c sit before xyz, i.e. they are the slowest C-order dimensions.
-    // OME's reversed zyx spatial order is rejected explicitly below —
-    // this engine's canonical layout keeps x,y,z in that order.
+    // lead axes: 4-D (t|c + spatial) and 5-D (t, c + spatial) arrays
+    // per dimension_names — the reference's time_index()/channel scan
+    // over OME axes (zarr3/metadata.py:123-124,211-261); t (outermost)
+    // and c sit before the spatial triple, i.e. they are the slowest
+    // C-order dimensions. The spatial triple may be this engine's
+    // canonical x,y,z or the OME-NGFF reversed z,y,x (in which case
+    // shape/chunk_shape/keys are reversed and the C-order bytes are
+    // x-fastest = this engine's F order).
     val nLead = sh.size - 3
     require(nLead >= 0 && nLead <= 2, s"unsupported ${sh.size}-D array")
-    val lead: Seq[String] = if (nLead == 0) Seq.empty else {
-      val dn = Option(root.get("dimension_names"))
-        .map(n => (0 until n.size).map(n.get(_).asText)).getOrElse(Seq.empty)
-      require(dn.size == sh.size && dn.drop(nLead) == Seq("x", "y", "z") &&
-        Set(Seq("t"), Seq("c"), Seq("t", "c")).contains(dn.take(nLead)),
-        s"unsupported dimension_names $dn (expected [t,][c,]x,y,z)")
-      require(!isSharded, "sharding_indexed with a lead t/c axis unsupported")
-      dn.take(nLead)
-    }
+    val dn = Option(root.get("dimension_names"))
+      .map(n => (0 until n.size).map(n.get(_).asText)).getOrElse(Seq.empty)
+    val (lead: Seq[String], zyx: Boolean) =
+      if (nLead == 0 && dn.isEmpty) (Seq.empty, false)
+      else {
+        require(dn.size == sh.size &&
+          Set(Seq("x", "y", "z"), Seq("z", "y", "x"))
+            .contains(dn.drop(nLead)) &&
+          Set(Seq.empty, Seq("t"), Seq("c"), Seq("t", "c"))
+            .contains(dn.take(nLead)),
+          s"unsupported dimension_names $dn (expected [t,][c,] + xyz|zyx)")
+        val rev = dn.drop(nLead) == Seq("z", "y", "x")
+        require((!rev && nLead == 0) || !isSharded,
+          "sharding_indexed with a lead t/c axis or zyx order unsupported")
+        (dn.take(nLead), rev)
+      }
     val o = nLead
+    def spatialVec(n: com.fasterxml.jackson.databind.JsonNode): Vec3 =
+      if (zyx) Vec3(n.get(o + 2).asLong, n.get(o + 1).asLong, n.get(o).asLong)
+      else Vec3(n.get(o).asLong, n.get(o + 1).asLong, n.get(o + 2).asLong)
     val tPos = lead.indexOf("t")
     val cPos = lead.indexOf("c")
     Zarr3Meta(
-      shape = Vec3(sh.get(o).asLong, sh.get(o + 1).asLong, sh.get(o + 2).asLong),
-      chunkShape = Vec3(cs.get(o).asLong, cs.get(o + 1).asLong,
-        cs.get(o + 2).asLong),
+      shape = spatialVec(sh),
+      chunkShape = spatialVec(cs),
       dataType = root.get("data_type").asText,
       fillValue = Option(root.get("fill_value")).map(_.asLong).getOrElse(0L),
       compressor = codecNames.drop(1).lastOption.getOrElse("none"),
@@ -242,7 +270,8 @@ object Zarr3IO {
       timeFrames = if (tPos >= 0) Some(sh.get(tPos).asLong) else None,
       timeChunk = if (tPos >= 0) cs.get(tPos).asLong else 1L,
       channels = if (cPos >= 0) Some(sh.get(cPos).asLong) else None,
-      channelChunk = if (cPos >= 0) cs.get(cPos).asLong else 1L)
+      channelChunk = if (cPos >= 0) cs.get(cPos).asLong else 1L,
+      spatialOrder = if (zyx) "zyx" else "xyz")
   }
 
   // ---- sharding_indexed (zarr v3 sharding spec) ----
@@ -424,12 +453,12 @@ object Zarr3IO {
     val dirStr = dir
     chunks.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       rows.foreach { r =>
-        val bytes = encodeChunkFromF(r.getSeq[Long](3).toArray, cs, dtb)
+        val bytes = encodeFrameFromF(m, r.getSeq[Long](3).toArray, cs, dtb)
         val payload = pack(m, bytes)
-        val p = Paths.get(dirStr, "c", r.getLong(0).toString,
-          r.getLong(1).toString)
+        val key = spatialKey(m, r.getLong(0), r.getLong(1), r.getLong(2))
+        val p = Paths.get(dirStr, "c", key(0), key(1))
         Files.createDirectories(p)
-        Files.write(p.resolve(r.getLong(2).toString), payload)
+        Files.write(p.resolve(key(2)), payload)
       }
     }
   }
@@ -493,20 +522,47 @@ object Zarr3IO {
         val out = new java.io.ByteArrayOutputStream(vox.length * dtb)
         var f = 0L
         while (f < nf) {
-          out.write(encodeChunkFromF(
+          out.write(encodeFrameFromF(m,
             java.util.Arrays.copyOfRange(vox, (f * frameVox).toInt,
               ((f + 1) * frameVox).toInt), cs, dtb))
           f += 1
         }
+        val key = spatialKey(m, r.getLong(2), r.getLong(3), r.getLong(4))
         val p = Paths.get(dirStr, "c", r.getLong(0).toString,
-          r.getLong(1).toString, r.getLong(2).toString,
-          r.getLong(3).toString)
+          r.getLong(1).toString, key(0), key(1))
         Files.createDirectories(p)
-        Files.write(p.resolve(r.getLong(4).toString),
-          pack(m, out.toByteArray))
+        Files.write(p.resolve(key(2)), pack(m, out.toByteArray))
       }
     }
   }
+
+  /** Decode one chunk frame to F-order xyz Longs, honoring the
+    * array's spatial order: a zyx array's C-order bytes are x-fastest
+    * — already this engine's F order, so no transpose.
+    */
+  private def decodeFrameToF(m: Zarr3Meta, payload: Array[Byte], cs: Vec3,
+      dtb: Int): Array[Long] =
+    if (m.zyx) {
+      val v = Codec.decodeRawToLongs(payload, dtb)
+      require(v.length == cs.x * cs.y * cs.z,
+        s"chunk has ${v.length} voxels, expected ${cs.x * cs.y * cs.z}")
+      v
+    } else decodeChunkToF(payload, cs, dtb)
+
+  /** Write-side dual of [[decodeFrameToF]]. */
+  private def encodeFrameFromF(m: Zarr3Meta, vox: Array[Long], cs: Vec3,
+      dtb: Int): Array[Byte] =
+    if (m.zyx) Codec.encodeRawFromLongs(vox, dtb)
+    else encodeChunkFromF(vox, cs, dtb)
+
+  /** Spatial chunk-key components in the array's dimension order (the
+    * default chunk_key_encoding follows dimension_names, so a zyx
+    * array keys chunks `c/<gz>/<gy>/<gx>`).
+    */
+  private def spatialKey(m: Zarr3Meta, gx: Long, gy: Long, gz: Long)
+      : Seq[String] =
+    if (m.zyx) Seq(gz.toString, gy.toString, gx.toString)
+    else Seq(gx.toString, gy.toString, gz.toString)
 
   /** Clip a decoded F-order block at origin `lo` of shape `bs` to
     * `clip` and emit (x, y, z, label) rows — the shared tail of every
@@ -557,8 +613,7 @@ object Zarr3IO {
       .repartition(math.max(pts.size / 4, 1))
       .flatMap { case (gx, gy, gz) =>
         var p = Paths.get(dirStr, "c")
-        keyParts.foreach(k => p = p.resolve(k))
-        p = p.resolve(gx.toString).resolve(gy.toString).resolve(gz.toString)
+        (keyParts ++ spatialKey(m, gx, gy, gz)).foreach(k => p = p.resolve(k))
         // zarr defines an absent chunk key as a fill_value-filled chunk
         // (the reference raises EmptyVolumeException unless
         // fill_missing; zarr3/image.py:49-139)
@@ -569,7 +624,7 @@ object Zarr3IO {
             val frame =
               if (fOff == 0 && raw.length == frameBytes) raw
               else java.util.Arrays.copyOfRange(raw, fOff, fOff + frameBytes)
-            decodeChunkToF(frame, cs, dtb)
+            decodeFrameToF(m, frame, cs, dtb)
           }
         emitClipped(vox, Vec3(gx * cs.x, gy * cs.y, gz * cs.z), cs, clip)
       }.toDF("x", "y", "z", "label")

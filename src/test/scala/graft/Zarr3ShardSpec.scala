@@ -166,6 +166,26 @@ class Zarr3ShardSpec extends AnyFunSuite {
       innerChunkShape = Some(Vec3(4, 3, 2))))
   }
 
+  test("OME zyx spatial order round-trips; meta stays canonical xyz") {
+    val ome = Zarr3Meta(
+      shape = Vec3(16, 12, 8), chunkShape = Vec3(8, 6, 4),
+      dataType = "uint32", fillValue = 0L, compressor = "gzip",
+      timeFrames = Some(2L), timeChunk = 1L,
+      channels = Some(3L), channelChunk = 1L, spatialOrder = "zyx")
+    val dir = Files.createTempDirectory("z3ome").toString
+    Zarr3IO.writeMeta(dir, ome)
+    // the on-disk shape/chunk_shape/dimension_names are reversed...
+    val json = Files.readString(Paths.get(dir, "zarr.json"))
+    assert(json.replaceAll("\\s", "").contains("\"shape\":[2,3,8,12,16]"))
+    assert(json.contains("\"z\""))
+    // ...but the parsed meta is canonical (x, y, z)
+    assert(Zarr3IO.readMeta(dir) == ome)
+    // zyx + sharding_indexed fails at construction
+    intercept[IllegalArgumentException](ome.copy(
+      timeFrames = None, channels = None,
+      innerChunkShape = Some(Vec3(4, 3, 2))))
+  }
+
   test("unknown codec chains are rejected, not silently ignored") {
     val dir = Files.createTempDirectory("z3badcodec").toString
     Zarr3IO.writeMeta(dir, Zarr3Meta(
