@@ -119,6 +119,95 @@ object MinishardOfExpr {
     ShardingSpec.minishardOf(label, pre.toInt, msb.toInt, mmh3 != 0L)
 }
 
+/** Codegen'd integer-vector primitives over array<bigint> columns —
+  * the ANN/dedup hot path (SURVEY §2.8). One tight primitive loop per
+  * row directly on the columnar ArrayData: no per-row Seq boxing like
+  * a Scala UDF, no interpreted aggregate/zip_with tree (Spark's array
+  * HOFs don't participate in whole-stage codegen).
+  */
+abstract class ArrayLongCallExpr extends Expression {
+  /** Fully-qualified static method over ArrayData args. */
+  def staticCall: String
+  def evalArrays(args: Seq[org.apache.spark.sql.catalyst.util.ArrayData]): Long
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else evalArrays(
+      vs.map(_.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val evals = children.map(_.genCode(ctx))
+    val childCode = evals.map(_.code).reduce(_ + _)
+    val anyNull = evals.map(_.isNull).mkString(" || ")
+    val args = evals.map(_.value).mkString(", ")
+    ev.copy(code = childCode + code"""
+      |boolean ${ev.isNull} = $anyNull;
+      |long ${ev.value} = -1L;
+      |if (!${ev.isNull}) {
+      |  ${ev.value} = $staticCall($args);
+      |}""".stripMargin)
+  }
+}
+
+/** Static loops the generated code calls (and interpreted eval reuses). */
+object VecOps {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  def dot(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    var s = 0L; var i = 0
+    while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+    s
+  }
+  def norm2(a: ArrayData): Long = {
+    val n = a.numElements()
+    var s = 0L; var i = 0
+    while (i < n) { val v = a.getLong(i); s += v * v; i += 1 }
+    s
+  }
+  def dist2(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    var s = 0L; var i = 0
+    while (i < n) { val d = a.getLong(i) - b.getLong(i); s += d * d; i += 1 }
+    s
+  }
+}
+
+case class DotExpr(children: Seq[Expression]) extends ArrayLongCallExpr {
+  require(children.length == 2, "graft_dot(a, b) takes 2 arguments")
+  override def staticCall: String = "graft.functions.VecOps.dot"
+  override def evalArrays(
+      args: Seq[org.apache.spark.sql.catalyst.util.ArrayData]): Long =
+    VecOps.dot(args(0), args(1))
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(newChildren)
+}
+
+case class Norm2Expr(children: Seq[Expression]) extends ArrayLongCallExpr {
+  require(children.length == 1, "graft_norm2(a) takes 1 argument")
+  override def staticCall: String = "graft.functions.VecOps.norm2"
+  override def evalArrays(
+      args: Seq[org.apache.spark.sql.catalyst.util.ArrayData]): Long =
+    VecOps.norm2(args(0))
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(newChildren)
+}
+
+case class Dist2Expr(children: Seq[Expression]) extends ArrayLongCallExpr {
+  require(children.length == 2, "graft_dist2(a, b) takes 2 arguments")
+  override def staticCall: String = "graft.functions.VecOps.dist2"
+  override def evalArrays(
+      args: Seq[org.apache.spark.sql.catalyst.util.ArrayData]): Long =
+    VecOps.dist2(args(0), args(1))
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(newChildren)
+}
+
 /** Registration: per-session (runtime) or via
   * `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
@@ -134,7 +223,13 @@ object GraftFunctions {
     ("graft_shard_of", info("graft_shard_of", classOf[ShardOfExpr]),
       (args: Seq[Expression]) => ShardOfExpr(args)),
     ("graft_minishard_of", info("graft_minishard_of", classOf[MinishardOfExpr]),
-      (args: Seq[Expression]) => MinishardOfExpr(args)))
+      (args: Seq[Expression]) => MinishardOfExpr(args)),
+    ("graft_dot", info("graft_dot", classOf[DotExpr]),
+      (args: Seq[Expression]) => DotExpr(args)),
+    ("graft_norm2", info("graft_norm2", classOf[Norm2Expr]),
+      (args: Seq[Expression]) => Norm2Expr(args)),
+    ("graft_dist2", info("graft_dist2", classOf[Dist2Expr]),
+      (args: Seq[Expression]) => Dist2Expr(args)))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, inf, builder) =>

@@ -40,25 +40,25 @@ object SimilarityQueries {
     out
   }
 
-  /** Compiled integer dot / norm / squared-L2 primitives — same
-    * rationale as [[quantUdf]]: one tight loop per row instead of an
-    * interpreted `aggregate(zip_with(...))` expression tree.
+  /** Native Catalyst integer dot / norm / squared-L2 primitives
+    * (graft.functions.VecOps, codegen'd): a step past the compiled-UDF
+    * tier — they run directly on the columnar ArrayData inside
+    * whole-stage codegen, with zero per-row Seq boxing (a Scala UDF
+    * converts every array to Seq[Long]) and no interpreted
+    * `aggregate(zip_with(...))` tree (array HOFs don't codegen).
     */
-  private val dotUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
-    var s = 0L; var i = 0
-    while (i < a.length) { s += a(i) * b(i); i += 1 }
-    s
-  }
-  private val norm2Udf = udf { (a: Seq[Long]) =>
-    var s = 0L; var i = 0
-    while (i < a.length) { s += a(i) * a(i); i += 1 }
-    s
-  }
-  private val dist2Udf = udf { (a: Seq[Long], b: Seq[Long]) =>
-    var s = 0L; var i = 0
-    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
-    s
-  }
+  private def colOf(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.graftshim.ColumnShim.column(e)
+  private def exprOf(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.graftshim.ColumnShim.expression(c)
+  private def dotUdf(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column) =
+    colOf(graft.functions.DotExpr(Seq(exprOf(a), exprOf(b))))
+  private def norm2Udf(a: org.apache.spark.sql.Column) =
+    colOf(graft.functions.Norm2Expr(Seq(exprOf(a))))
+  private def dist2Udf(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column) =
+    colOf(graft.functions.Dist2Expr(Seq(exprOf(a), exprOf(b))))
 
   /** sim_topk_lsh amplification: more tables -> higher recall, more
     * candidates verified. 16x5 clears the AnnSpec recall@5 gate on

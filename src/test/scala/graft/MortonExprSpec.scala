@@ -72,4 +72,29 @@ class MortonExprSpec extends AnyFunSuite {
       .collect()
     assert(rows.head.isNullAt(0))
   }
+
+  test("graft_dot/norm2/dist2 match scala loops inside codegen; null-safe") {
+    val s = spark
+    graft.functions.GraftFunctions.register(s)
+    val df = s.sql(
+      """SELECT a, b, graft_dot(a, b) AS d, graft_norm2(a) AS n2,
+        |  graft_dist2(a, b) AS l2
+        |FROM (SELECT array(id, id * 2 - 5, 7 - id) AS a,
+        |             array(3 - id, id, id * id) AS b
+        |      FROM range(0, 32))""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("dotexpr") && l.trim.startsWith("*(")), plan)
+    df.collect().foreach { r =>
+      val a = r.getSeq[Long](0); val b = r.getSeq[Long](1)
+      assert(r.getLong(2) === a.zip(b).map { case (x, y) => x * y }.sum)
+      assert(r.getLong(3) === a.map(x => x * x).sum)
+      assert(r.getLong(4) ===
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    }
+    val n = s.sql(
+      "SELECT graft_dot(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS d")
+      .collect()
+    assert(n.head.isNullAt(0))
+  }
 }
