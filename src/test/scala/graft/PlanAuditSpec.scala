@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Scale anti-pattern gate over EVERY registered query: the two plan
+  * shapes that are silently fine at sf0.001 and fatal at 100 TB —
+  * cartesian products (all-pairs blowup) and global windows (single
+  * partition holding the whole dataset) — must never appear. This
+  * automates the per-round audit so a regression fails CI instead of
+  * waiting for a human plan read.
+  */
+class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = { if (spark != null) spark.stop() }
+
+  test("no registered query plans a cartesian product or a global window") {
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val df =
+        try fn(spark, sfDir)
+        catch { case e: Throwable => fail(s"$name failed to build: $e") }
+      // pre-AQE physical plan: traversable in full, and pessimistic —
+      // AQE can only improve on what we assert about here
+      df.queryExecution.sparkPlan.foreach {
+        case _: CartesianProductExec =>
+          offenders += s"$name: CartesianProduct"
+        case w: WindowExec if w.partitionSpec.isEmpty =>
+          offenders += s"$name: global window (empty partitionSpec)"
+        case _ => ()
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}
