@@ -13,14 +13,16 @@ import java.nio.{ByteBuffer, ByteOrder}
   *   num_vertices * 3 * f32 positions
   *   num_edges * 2 * u32 edges
   *   then each declared vertex attribute, nv * components * dtype
-  *   (here: one f32 "radius" per vertex, the common default)
+  *   (here the reference's default_info pair — f32 "radius" and u8
+  *   "vertex_types"; skeleton/metadata.py:117-140)
   */
 object SkeletonCodec {
 
   final case class Skeleton(
       vertices: Array[Float], // 3*nv
       edges: Array[Int], // 2*ne
-      radii: Array[Float]) { // nv
+      radii: Array[Float], // nv
+      vertexTypes: Array[Byte]) { // nv
     def nv: Int = vertices.length / 3
     def ne: Int = edges.length / 2
   }
@@ -28,14 +30,18 @@ object SkeletonCodec {
   def encode(s: Skeleton): Array[Byte] = {
     require(s.vertices.length % 3 == 0 && s.edges.length % 2 == 0)
     require(s.radii.length == s.nv, s"radii ${s.radii.length} != nv ${s.nv}")
+    require(s.vertexTypes.length == s.nv,
+      s"vertex_types ${s.vertexTypes.length} != nv ${s.nv}")
     val buf = ByteBuffer.allocate(
-      8 + 4 * s.vertices.length + 4 * s.edges.length + 4 * s.radii.length)
+      8 + 4 * s.vertices.length + 4 * s.edges.length + 4 * s.radii.length +
+        s.vertexTypes.length)
       .order(ByteOrder.LITTLE_ENDIAN)
     buf.putInt(s.nv)
     buf.putInt(s.ne)
     s.vertices.foreach(buf.putFloat)
     s.edges.foreach(buf.putInt)
     s.radii.foreach(buf.putFloat)
+    buf.put(s.vertexTypes)
     buf.array()
   }
 
@@ -43,11 +49,13 @@ object SkeletonCodec {
     val buf = ByteBuffer.wrap(binary).order(ByteOrder.LITTLE_ENDIAN)
     val nv = buf.getInt()
     val ne = buf.getInt()
-    require(binary.length == 8 + 12 * nv + 8 * ne + 4 * nv,
+    require(binary.length == 8 + 12 * nv + 8 * ne + 4 * nv + nv,
       s"skeleton binary ${binary.length}B != expected for nv=$nv ne=$ne")
     val vertices = Array.fill(3 * nv)(buf.getFloat())
     val edges = Array.fill(2 * ne)(buf.getInt())
     val radii = Array.fill(nv)(buf.getFloat())
-    Skeleton(vertices, edges, radii)
+    val vtypes = new Array[Byte](nv)
+    buf.get(vtypes)
+    Skeleton(vertices, edges, radii, vtypes)
   }
 }

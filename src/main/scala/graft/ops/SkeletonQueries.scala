@@ -32,13 +32,15 @@ object SkeletonQueries {
       (col("c_custkey") % 40).cast("long").as("x"),
       ((col("c_custkey") * 3) % 40).cast("long").as("y"),
       (col("c_custkey") % 20).cast("long").as("z"),
-      (lit(1L) + col("c_custkey") % 10).cast("long").as("radius"))
+      (lit(1L) + col("c_custkey") % 10).cast("long").as("radius"),
+      (col("c_custkey") % 3).cast("long").as("vtype"))
 
   private val VertCte =
     """v AS (
       |  SELECT c_custkey AS ck, c_custkey % 30 AS segid,
       |         c_custkey % 40 AS x, (c_custkey * 3) % 40 AS y,
-      |         c_custkey % 20 AS z, 1 + c_custkey % 10 AS radius
+      |         c_custkey % 20 AS z, 1 + c_custkey % 10 AS radius,
+      |         c_custkey % 3 AS vtype
       |  FROM customer),
       |g AS (SELECT *, row_number() OVER (
       |        PARTITION BY segid ORDER BY ck) - 1 AS vid FROM v)""".stripMargin
@@ -51,7 +53,7 @@ object SkeletonQueries {
 
   def ensure(s: SparkSession, sfDir: String): Unit = synchronized {
     val marker = Paths.get(Root, ".built_from")
-    val markerPrefix = s"$sfDir|"
+    val markerPrefix = s"$sfDir|v2|" // v2: vertex_types attribute
     if (Files.exists(marker) &&
       Files.readString(marker).startsWith(markerPrefix)) return
     val rootP = Paths.get(Root)
@@ -66,22 +68,24 @@ object SkeletonQueries {
     baseVertices(s, sfDir)
       .groupBy("segid")
       .agg(sort_array(collect_list(struct(col("ck"), col("x"), col("y"),
-        col("z"), col("radius")))).as("vs"))
-      .as[(Long, Seq[(Long, Long, Long, Long, Long)])]
+        col("z"), col("radius"), col("vtype")))).as("vs"))
+      .as[(Long, Seq[(Long, Long, Long, Long, Long, Long)])]
       .map { case (segid, vs) =>
         val verts = new Array[Float](3 * vs.length)
         val radii = new Array[Float](vs.length)
-        vs.zipWithIndex.foreach { case ((_, x, y, z, r), i) =>
+        val vtypes = new Array[Byte](vs.length)
+        vs.zipWithIndex.foreach { case ((_, x, y, z, r, t), i) =>
           verts(3 * i) = x.toFloat
           verts(3 * i + 1) = y.toFloat
           verts(3 * i + 2) = z.toFloat
           radii(i) = r.toFloat
+          vtypes(i) = t.toByte
         }
         val edges = new Array[Int](2 * math.max(vs.length - 1, 0))
         (0 until vs.length - 1).foreach { i =>
           edges(2 * i) = i; edges(2 * i + 1) = i + 1
         }
-        (segid, SkeletonCodec.encode(Skeleton(verts, edges, radii)))
+        (segid, SkeletonCodec.encode(Skeleton(verts, edges, radii, vtypes)))
       }
       .foreachPartition { it: Iterator[(Long, Array[Byte])] =>
         it.foreach { case (segid, bin) =>
@@ -103,8 +107,9 @@ object SkeletonQueries {
     names.toDS().repartition(math.max(names.size / 2, 1))
       .map { n =>
         val sk = SkeletonCodec.decode(Files.readAllBytes(Paths.get(dirStr, n)))
-        (n.toLong, sk.vertices, sk.edges, sk.radii)
-      }.toDF("segid", "verts", "edges", "radii")
+        (n.toLong, sk.vertices, sk.edges, sk.radii,
+          sk.vertexTypes.map(_.toLong))
+      }.toDF("segid", "verts", "edges", "radii", "vtypes")
   }
 
   // Sharded skeleton container (skeleton/sharded.py:38-71): the same
@@ -184,22 +189,26 @@ object SkeletonQueries {
       Some(s"""WITH $VertCte
         |SELECT segid, vid, x, y, z, radius FROM g""".stripMargin)),
 
-    // Skeleton binary decode: vertices + radius attribute round-trip
+    // Skeleton binary decode: vertices + both default vertex
+    // attributes (f32 radius, u8 vertex_types —
+    // skeleton/metadata.py:117-140) round-trip
     "skel_decode" -> Q(
       (s, dir) => {
         ensure(s, dir)
-        val vertRows = udf((vs: Seq[Float], rs: Seq[Float]) =>
+        val vertRows = udf((vs: Seq[Float], rs: Seq[Float], ts: Seq[Long]) =>
           rs.indices.map(i => (i.toLong, vs(3 * i).toLong,
-            vs(3 * i + 1).toLong, vs(3 * i + 2).toLong, rs(i).toLong)))
+            vs(3 * i + 1).toLong, vs(3 * i + 2).toLong, rs(i).toLong,
+            ts(i))))
         decoded(s)
           .select(col("segid"),
-            explode(vertRows(col("verts"), col("radii"))).as("v"))
+            explode(vertRows(col("verts"), col("radii"), col("vtypes")))
+              .as("v"))
           .select(col("segid"), col("v._1").as("vid"), col("v._2").as("x"),
             col("v._3").as("y"), col("v._4").as("z"),
-            col("v._5").as("radius"))
+            col("v._5").as("radius"), col("v._6").as("vtype"))
       },
       Some(s"""WITH $VertCte
-        |SELECT segid, vid, x, y, z, radius FROM g""".stripMargin)),
+        |SELECT segid, vid, x, y, z, radius, vtype FROM g""".stripMargin)),
 
     // Skeleton edges + per-skeleton cable metric: edge list decode and
     // the sum of squared segment lengths (integer-exact across
