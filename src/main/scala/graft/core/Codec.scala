@@ -37,6 +37,40 @@ object Codec {
     out
   }
 
+  /** Decode raw little-endian IEEE float32/float64 voxels to doubles
+    * (float image layers, metadata dtype table). Kept separate from
+    * the Long path: reinterpreting float payloads as integers would be
+    * silent corruption, so the integer cutouts reject float dtypes and
+    * callers come through here.
+    */
+  def decodeRawFloatsToDoubles(payload: Array[Byte], dtypeBytes: Int,
+      order: ByteOrder = ByteOrder.LITTLE_ENDIAN): Array[Double] = {
+    require(payload.length % dtypeBytes == 0,
+      s"payload ${payload.length}B not a multiple of $dtypeBytes")
+    val n = payload.length / dtypeBytes
+    val out = new Array[Double](n)
+    val buf = ByteBuffer.wrap(payload).order(order)
+    var i = 0
+    dtypeBytes match {
+      case 4 => while (i < n) { out(i) = buf.getFloat(4 * i).toDouble; i += 1 }
+      case 8 => while (i < n) { out(i) = buf.getDouble(8 * i); i += 1 }
+      case d => throw new IllegalArgumentException(s"float dtype bytes $d")
+    }
+    out
+  }
+
+  /** Encode doubles to raw little-endian float32/float64 bytes. */
+  def encodeRawFloatsFromDoubles(vals: Array[Double], dtypeBytes: Int,
+      order: ByteOrder = ByteOrder.LITTLE_ENDIAN): Array[Byte] = {
+    val buf = ByteBuffer.allocate(vals.length * dtypeBytes).order(order)
+    dtypeBytes match {
+      case 4 => vals.foreach(v => buf.putFloat(v.toFloat))
+      case 8 => vals.foreach(buf.putDouble)
+      case d => throw new IllegalArgumentException(s"float dtype bytes $d")
+    }
+    buf.array()
+  }
+
   /** Encode voxels (Fortran order) to raw little-endian bytes. */
   def encodeRawFromLongs(voxels: Array[Long], dtypeBytes: Int,
       order: ByteOrder = ByteOrder.LITTLE_ENDIAN): Array[Byte] = {

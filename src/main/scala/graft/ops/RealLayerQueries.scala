@@ -115,6 +115,19 @@ object RealLayerQueries {
       chunkSize = Vec3(CX, CY, CZ), size = Vec3(SX, SY, SZ),
       voxelOffset = Vec3(0, 0, 0))))
 
+  /** Same volume as a float32 image (value = label + 0.25, exactly
+    * representable in f32 so the DuckDB oracle replays it): the
+    * reference's float dtype support, decoded through the separate
+    * IEEE path — float payloads must never be reinterpreted as ints.
+    */
+  val LayerF32Dir = s"$Root/layer_f32"
+  val metaF32: VolumeMeta = VolumeMeta(
+    layerType = "image", dataType = "float32", numChannels = 1,
+    scales = Seq(ScaleMeta(
+      key = "1_1_1", encoding = "raw", resolution = Seq(1, 1, 1),
+      chunkSize = Vec3(CX, CY, CZ), size = Vec3(SX, SY, SZ),
+      voxelOffset = Vec3(0, 0, 0))))
+
   /** Same volume npz-encoded (F10; chunks.py:286-300 — zlib-wrapped
     * .npy, the one optional codec with no C++ dependency).
     */
@@ -164,7 +177,7 @@ object RealLayerQueries {
     val marker = Paths.get(Root, ".built_from")
     // marker carries a fixture-format version (bump when the layout
     // changes) plus a per-build nonce for downstream staleness checks
-    val markerPrefix = s"$sfDir|v9|" // v9: adds the png-encoded rgba layer
+    val markerPrefix = s"$sfDir|v10|" // v10: adds the float32 layer
     val markerVal = markerPrefix + System.nanoTime()
     if (Files.exists(marker) &&
       Files.readString(marker).startsWith(markerPrefix) &&
@@ -215,9 +228,10 @@ object RealLayerQueries {
           Cseg.encode(arr, cb.size, CsegBlock, 4),
           Codec.encodePng(u8, cb.size.x.toInt), rgba,
           Codec.encodeNpz(arr, cb.size, 4),
-          Codec.encodePngChannels(rgba, cb.size.x.toInt, 4))
+          Codec.encodePngChannels(rgba, cb.size.x.toInt, 4),
+          Codec.encodeRawFloatsFromDoubles(arr.map(_.toDouble + 0.25), 4))
       }.toDF("gx", "gy", "gz", "payload", "cseg", "png", "rgba", "npz",
-        "rgba_png").cache()
+        "rgba_png", "f32").cache()
     PrecomputedIO.writeInfo(LayerDir, meta)
     PrecomputedIO.writeChunks(chunks, LayerDir, meta, mip = 0)
     // mip 1: [::2,::2,::2] strided downsample, clamped chunks
@@ -276,6 +290,11 @@ object RealLayerQueries {
       chunks.select(col("gx"), col("gy"), col("gz"),
         col("rgba_png").as("payload")),
       LayerRgbaPngDir, metaRgbaPng, mip = 0)
+    PrecomputedIO.writeInfo(LayerF32Dir, metaF32)
+    PrecomputedIO.writeChunks(
+      chunks.select(col("gx"), col("gy"), col("gz"),
+        col("f32").as("payload")),
+      LayerF32Dir, metaF32, mip = 0)
     PrecomputedIO.writeInfo(LayerNpzDir, metaNpz)
     PrecomputedIO.writeChunks(
       chunks.select(col("gx"), col("gy"), col("gz"), col("npz").as("payload")),
@@ -559,6 +578,20 @@ object RealLayerQueries {
         |FROM $Sidecar
         |WHERE x BETWEEN 4 AND 51 AND y BETWEEN 6 AND 49
         |  AND z BETWEEN 2 AND 23""".stripMargin)),
+
+    // S4 over a float32 image layer: IEEE decode path, DOUBLE value
+    // column (the integer cutouts reject float dtypes loudly rather
+    // than reinterpreting the bytes)
+    "s4_cutout_f32" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        PrecomputedIO.cutoutVoxelsFloat(s, LayerF32Dir,
+          Bbox(Vec3(3, 7, 2), Vec3(51, 49, 23)))
+      },
+      Some(s"""SELECT x, y, z, label + 0.25 AS value
+        |FROM $Sidecar
+        |WHERE x BETWEEN 3 AND 50 AND y BETWEEN 7 AND 48
+        |  AND z BETWEEN 2 AND 22""".stripMargin)),
 
     // S4 single-voxel fast path (rx.py:293-300,381-430
     // download_single_voxel; chunks.read_voxel:423-457): point lookups

@@ -113,6 +113,10 @@ object PrecomputedIO {
   def cutoutVoxels(spark: SparkSession, layerDir: String, bbox: Bbox,
       mip: Int = 0, fillMissing: Boolean = false): DataFrame = {
     val meta = readInfo(layerDir)
+    // never reinterpret IEEE float payloads as integers — that is
+    // silent data corruption, not a decode
+    require(!meta.dataType.startsWith("float"),
+      s"${meta.dataType} layer — use cutoutVoxelsFloat")
     val scale = meta.scale(mip)
     // ROI coarse-pruning short-circuit (metadata.py:702-722
     // overlaps_roi, used rx.py:63-67,281-285): a request entirely
@@ -138,6 +142,61 @@ object PrecomputedIO {
         col("y1") > bbox.minpt.y && col("y0") < bbox.maxpt.y &&
         col("z1") > bbox.minpt.z && col("z0") < bbox.maxpt.z)
     decodeToVoxels(chunks, bbox, scale, meta.dtypeBytes)
+  }
+
+  /** S4 float-image cutout (float32/float64 raw layers — the
+    * reference's float dtype support; fpzip-compressed float chunks
+    * are n/a with the other C++ codecs). Same pruned scan + clip loop
+    * as the integer path, but voxels decode as IEEE doubles and the
+    * value column is DOUBLE.
+    *
+    * @return voxel rows (x, y, z, value: double)
+    */
+  def cutoutVoxelsFloat(spark: SparkSession, layerDir: String, bbox: Bbox,
+      mip: Int = 0, fillMissing: Boolean = false): DataFrame = {
+    val meta = readInfo(layerDir)
+    val scale = meta.scale(mip)
+    require(meta.dataType.startsWith("float"),
+      s"${meta.dataType} layer — use cutoutVoxels")
+    require(scale.encoding == "raw",
+      s"float cutout reads raw encoding, not ${scale.encoding}")
+    val dtb = meta.dtypeBytes
+    val chunks = readChunks(spark, layerDir, mip, fillMissing)
+      .filter(col("x1") > bbox.minpt.x && col("x0") < bbox.maxpt.x &&
+        col("y1") > bbox.minpt.y && col("y0") < bbox.maxpt.y &&
+        col("z1") > bbox.minpt.z && col("z0") < bbox.maxpt.z)
+    val decodeUdf = udf((x0: Long, y0: Long, z0: Long, x1: Long, y1: Long,
+        z1: Long, payload: Array[Byte]) => {
+      val sx = x1 - x0; val sy = y1 - y0; val sz = z1 - z0
+      val vox =
+        if (payload == null) new Array[Double]((sx * sy * sz).toInt)
+        else Codec.decodeRawFloatsToDoubles(payload, dtb)
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Double)]
+      val lox = math.max(x0, bbox.minpt.x); val hix = math.min(x1, bbox.maxpt.x)
+      val loy = math.max(y0, bbox.minpt.y); val hiy = math.min(y1, bbox.maxpt.y)
+      val loz = math.max(z0, bbox.minpt.z); val hiz = math.min(z1, bbox.maxpt.z)
+      var z = loz
+      while (z < hiz) {
+        var y = loy
+        while (y < hiy) {
+          var x = lox
+          while (x < hix) {
+            val i = (x - x0) + sx * ((y - y0) + sy * (z - z0))
+            out += ((x, y, z, vox(i.toInt)))
+            x += 1
+          }
+          y += 1
+        }
+        z += 1
+      }
+      out.toSeq
+    })
+    chunks
+      .select(explode(decodeUdf(col("x0"), col("y0"), col("z0"),
+        col("x1"), col("y1"), col("z1"), col("payload"))).as("vx"))
+      .select(col("vx._1").as("x"), col("vx._2").as("y"),
+        col("vx._3").as("z"), col("vx._4").as("value"))
   }
 
   /** P2/S4 multi-channel cutout: chunk payloads hold all channels in
