@@ -207,6 +207,35 @@ object Codec {
     out
   }
 
+  /** F10 16-bit gray png (chunks.py:279-284 — encode_png accepts uint8
+    * AND uint16; 16-bit grayscale is the standard microscopy raw
+    * format). Input voxels are uint16 values in Longs, F-order, imaged
+    * as width sx like the 8-bit variant.
+    */
+  def encodePng16(voxels: Array[Long], sx: Int): Array[Byte] = {
+    require(voxels.length % sx == 0, s"${voxels.length} not a multiple of $sx")
+    val h = voxels.length / sx
+    val img = new java.awt.image.BufferedImage(
+      sx, h, java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    val data = voxels.map { v =>
+      require(v >= 0 && v <= 0xffff, s"value $v out of uint16 range")
+      v.toShort
+    }
+    img.getRaster.setDataElements(0, 0, sx, h, data)
+    val bos = new ByteArrayOutputStream(voxels.length + 64)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  def decodePng16(payload: Array[Byte]): Array[Long] = {
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(payload))
+    require(img.getType == java.awt.image.BufferedImage.TYPE_USHORT_GRAY,
+      s"expected 16-bit gray png, got type ${img.getType}")
+    val out = new Array[Short](img.getWidth * img.getHeight)
+    img.getRaster.getDataElements(0, 0, img.getWidth, img.getHeight, out)
+    out.map(_ & 0xffffL)
+  }
+
   /** F10 multi-channel png for uint8 chunks: the reference encodes the
     * 4-D (x,y,z,c) chunk as ONE interleaved-pixel image of width x and
     * height y*z — channel c of pixel (x, y + sy*z) is voxel (x,y,z,c)

@@ -83,6 +83,13 @@ object RealLayerQueries {
       chunkSize = Vec3(CX, CY, CZ), size = Vec3(SX, SY, SZ),
       voxelOffset = Vec3(0, 0, 0))))
 
+  /** 16-bit gray png sibling (chunks.py:280 — encode_png accepts uint8
+    * AND uint16; standard microscopy raw). Values = label % 60000.
+    */
+  val LayerPng16Dir = s"$Root/layer_png16"
+  val metaPng16: VolumeMeta =
+    metaPng.copy(dataType = "uint16")
+
   /** Multi-channel volume (P2/S4): the reference is 4-D everywhere —
     * shape (x, y, z, channels) with channel-last F-order chunk
     * payloads (frontends/precomputed.py:348-351, chunks.py:323-325).
@@ -177,7 +184,7 @@ object RealLayerQueries {
     val marker = Paths.get(Root, ".built_from")
     // marker carries a fixture-format version (bump when the layout
     // changes) plus a per-build nonce for downstream staleness checks
-    val markerPrefix = s"$sfDir|v10|" // v10: adds the float32 layer
+    val markerPrefix = s"$sfDir|v11|" // v11: adds the float32 + png16 layers
     val markerVal = markerPrefix + System.nanoTime()
     if (Files.exists(marker) &&
       Files.readString(marker).startsWith(markerPrefix) &&
@@ -229,9 +236,10 @@ object RealLayerQueries {
           Codec.encodePng(u8, cb.size.x.toInt), rgba,
           Codec.encodeNpz(arr, cb.size, 4),
           Codec.encodePngChannels(rgba, cb.size.x.toInt, 4),
-          Codec.encodeRawFloatsFromDoubles(arr.map(_.toDouble + 0.25), 4))
+          Codec.encodeRawFloatsFromDoubles(arr.map(_.toDouble + 0.25), 4),
+          Codec.encodePng16(arr.map(_ % 60000), cb.size.x.toInt))
       }.toDF("gx", "gy", "gz", "payload", "cseg", "png", "rgba", "npz",
-        "rgba_png", "f32").cache()
+        "rgba_png", "f32", "png16").cache()
     PrecomputedIO.writeInfo(LayerDir, meta)
     PrecomputedIO.writeChunks(chunks, LayerDir, meta, mip = 0)
     // mip 1: [::2,::2,::2] strided downsample, clamped chunks
@@ -290,6 +298,11 @@ object RealLayerQueries {
       chunks.select(col("gx"), col("gy"), col("gz"),
         col("rgba_png").as("payload")),
       LayerRgbaPngDir, metaRgbaPng, mip = 0)
+    PrecomputedIO.writeInfo(LayerPng16Dir, metaPng16)
+    PrecomputedIO.writeChunks(
+      chunks.select(col("gx"), col("gy"), col("gz"),
+        col("png16").as("payload")),
+      LayerPng16Dir, metaPng16, mip = 0)
     PrecomputedIO.writeInfo(LayerF32Dir, metaF32)
     PrecomputedIO.writeChunks(
       chunks.select(col("gx"), col("gy"), col("gz"),
@@ -578,6 +591,19 @@ object RealLayerQueries {
         |FROM $Sidecar
         |WHERE x BETWEEN 4 AND 51 AND y BETWEEN 6 AND 49
         |  AND z BETWEEN 2 AND 23""".stripMargin)),
+
+    // S4 over a 16-bit gray png layer (chunks.py:280: encode_png
+    // accepts uint16) — TYPE_USHORT_GRAY round-trip, lossless
+    "s4_cutout_png16" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        PrecomputedIO.cutoutVoxels(s, LayerPng16Dir,
+          Bbox(Vec3(5, 4, 3), Vec3(53, 51, 24)))
+      },
+      Some(s"""SELECT x, y, z, label % 60000 AS label
+        |FROM $Sidecar
+        |WHERE x BETWEEN 5 AND 52 AND y BETWEEN 4 AND 50
+        |  AND z BETWEEN 3 AND 23""".stripMargin)),
 
     // S4 over a float32 image layer: IEEE decode path, DOUBLE value
     // column (the integer cutouts reject float dtypes loudly rather

@@ -295,6 +295,7 @@ object PrecomputedIO {
         if (payload == null) new Array[Long]((sx * sy * sz).toInt)
         else if (enc == "compressed_segmentation")
           Cseg.decode(payload, Vec3(sx, sy, sz), csegBs, dtb)
+        else if (enc == "png" && dtb == 2) Codec.decodePng16(payload)
         else if (enc == "png")
           Codec.decodeRawToLongs(Codec.decodePng(payload), 1)
         else if (enc == "npz") Codec.decodeNpz(payload)._2

@@ -62,6 +62,15 @@ class FormatSpec extends AnyFunSuite {
     assert(meanErr < 4.0, s"mean abs error $meanErr")
   }
 
+  test("16-bit gray png round-trips exactly (uint16 microscopy path)") {
+    val sx = 16
+    val vox = Array.tabulate(sx * 24)(i => (i * 2749L) % 60000)
+    val png = Codec.encodePng16(vox, sx)
+    assert(png.take(4).toSeq === Seq[Byte](-119, 'P', 'N', 'G'))
+    assert(Codec.decodePng16(png).toSeq === vox.toSeq)
+    intercept[IllegalArgumentException](Codec.encodePng16(Array(70000L), 1))
+  }
+
   test("multi-channel png round-trips exactly; 3-channel jpeg bounded error") {
     // planar channel-slowest RGBA block, 8x8x2 voxels
     val sx = 8; val plane = 8 * 8 * 2
