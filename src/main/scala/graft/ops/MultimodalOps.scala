@@ -141,6 +141,11 @@ object MultimodalOps {
     import s.implicits._
     table(s, dir, "documents").select(col("doc_id").cast("long"))
       .as[Long].mapPartitions { ids =>
+        // one writer per partition (see mm_decode_png: the static
+        // ImageIO entry points pay a synchronized registry lookup per
+        // image — measurable contention across 32 encode threads)
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("png").next()
         ids.map { id =>
           val (w, h) = pngDims(id)
           val img = new java.awt.image.BufferedImage(
@@ -155,7 +160,9 @@ object MultimodalOps {
             y += 1
           }
           val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          writer.setOutput(ios)
+          try writer.write(img) finally ios.close()
           (id, bos.toByteArray)
         }
       }.toDF("doc_id", "payload")
@@ -205,9 +212,17 @@ object MultimodalOps {
         val sess = s
         import sess.implicits._
         pngTable(s, dir).as[(Long, Array[Byte])].mapPartitions { rows =>
+          // one reader per partition: ImageIO.read's static path does a
+          // synchronized registry lookup + stream allocation per image,
+          // which contends across 32 decode threads — reuse the plugin
+          // reader like a real media pipeline would
+          val reader = javax.imageio.ImageIO
+            .getImageReadersByFormatName("png").next()
           rows.map { case (id, payload) =>
-            val img = javax.imageio.ImageIO.read(
+            val iis = javax.imageio.ImageIO.createImageInputStream(
               new java.io.ByteArrayInputStream(payload))
+            reader.setInput(iis, true, true)
+            val img = try reader.read(0) finally iis.close()
             val raster = img.getRaster
             var sum = 0L
             var y = 0
