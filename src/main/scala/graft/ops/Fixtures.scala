@@ -14,6 +14,7 @@ object Fixtures {
     SkeletonQueries.ensureSharded(s, sfDir) // also builds the unsharded set
     SpatialIndexQueries.ensure(s, sfDir)
     Zarr3Queries.ensureZarr2(s, sfDir) // also builds the zarr3 array
+    Zarr3Queries.ensureZarr2F(s, sfDir)
     Zarr3Queries.ensureZstd(s, sfDir)
     Zarr3Queries.ensureT(s, sfDir)
     Zarr3Queries.ensureTC(s, sfDir)

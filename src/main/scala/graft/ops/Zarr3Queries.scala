@@ -347,6 +347,33 @@ object Zarr3Queries {
     shape = Vec3(SX, SY, SZ), chunkShape = Vec3(CX, CY, CZ),
     dtype = "<u4", fillValue = 0L, zlib = true)
 
+  // ---- zarr2 F-order sibling (the declared `order` the reference
+  // honors at zarr2/image.py:74,215; F bytes are x-fastest = this
+  // engine's canonical layout, so decode is transpose-free) ----
+
+  val Zarr2FDir = s"$Root/zarr2f_array"
+
+  val z2fMeta: graft.sources.Zarr2IO.Zarr2Meta =
+    graft.sources.Zarr2IO.Zarr2Meta(
+      shape = Vec3(SX, SY, SZ), chunkShape = Vec3(CX, CY, CZ),
+      dtype = "<u4", fillValue = 0L, zlib = true, order = "F")
+
+  def ensureZarr2F(s: SparkSession, sfDir: String): Unit = synchronized {
+    ensure(s, sfDir)
+    val want = RealLayerQueries.stamp
+    val marker = Paths.get(Root, ".built_z2f_from")
+    if (Files.exists(marker) && Files.readString(marker) == want) return
+    val z2root = Paths.get(Zarr2FDir)
+    if (Files.exists(z2root)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(z2root).iterator.asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+    graft.sources.Zarr2IO.writeMeta(Zarr2FDir, z2fMeta)
+    graft.sources.Zarr2IO.writeChunks(fullChunks(s), Zarr2FDir, z2fMeta)
+    Files.writeString(marker, want)
+  }
+
   def ensureZarr2(s: SparkSession, sfDir: String): Unit = synchronized {
     ensure(s, sfDir) // reuses the zarr3 full-chunk assembly below
     val want = RealLayerQueries.stamp
@@ -376,6 +403,19 @@ object Zarr3Queries {
         |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')
         |WHERE x BETWEEN 5 AND 54 AND y BETWEEN 2 AND 57
         |  AND z BETWEEN 4 AND 24""".stripMargin)),
+
+    // S18: zarr2 F-order cutout — the `.zarray` order flag flips the
+    // chunk byte layout; F is transpose-free for this engine
+    "s18_zarr2_f_cutout" -> Q(
+      (s, dir) => {
+        ensureZarr2F(s, dir)
+        graft.sources.Zarr2IO.cutoutVoxels(s, Zarr2FDir,
+          Bbox(Vec3(4, 3, 5), Vec3(54, 57, 26)))
+      },
+      Some(s"""SELECT x, y, z, label
+        |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')
+        |WHERE x BETWEEN 4 AND 53 AND y BETWEEN 3 AND 56
+        |  AND z BETWEEN 5 AND 25""".stripMargin)),
 
     // S18: n5 cutout — big-endian block headers, clamped edge blocks,
     // gzip body, F-order voxels (datasource/n5/image.py:44-90)

@@ -9,9 +9,11 @@ import graft.core._
   * datasource reads (datasource/zarr2/metadata.py:205-235,
   * image.py:55-75): `.zarray` JSON (shape, chunks, dtype, compressor,
   * order, dimension_separator), chunk objects named
-  * `<gx>.<gy>.<gz>`, full-size fill_value-padded edge chunks, C-order
-  * layout (shared with zarr3 — Zarr3IO does the C<->F transpose), and
-  * the `zlib` compressor.
+  * `<gx>.<gy>.<gz>`, full-size fill_value-padded edge chunks, C or F
+  * chunk layout per the declared `order` (zarr2/image.py:74,215 —
+  * the reference honors both; C shares Zarr3IO's C<->F transpose, F
+  * is already this engine's canonical x-fastest layout), and the
+  * `zlib` compressor.
   */
 object Zarr2IO {
 
@@ -20,7 +22,9 @@ object Zarr2IO {
       chunkShape: Vec3,
       dtype: String, // numpy-style, e.g. "<u4"
       fillValue: Long,
-      zlib: Boolean) {
+      zlib: Boolean,
+      order: String = "C") { // "C" | "F" (zarr2/image.py:74)
+    require(Set("C", "F").contains(order), s"zarr2 order $order")
     def dtypeBytes: Int = dtype match {
       case "|u1" => 1
       case "<u2" => 2
@@ -46,7 +50,7 @@ object Zarr2IO {
       c.put("id", "zlib"); c.put("level", 5)
     } else z.putNull("compressor")
     z.put("fill_value", m.fillValue)
-    z.put("order", "C")
+    z.put("order", m.order)
     z.put("dimension_separator", ".")
     z.putNull("filters")
     Files.writeString(Paths.get(dir, ".zarray"),
@@ -56,7 +60,6 @@ object Zarr2IO {
   def readMeta(dir: String): Zarr2Meta = {
     val z = om.readTree(Files.readString(Paths.get(dir, ".zarray")))
     require(z.get("zarr_format").asInt == 2, "not a zarr v2 array")
-    require(z.get("order").asText == "C", "only C order supported")
     val sh = z.get("shape")
     val ch = z.get("chunks")
     val comp = Option(z.get("compressor")).filter(!_.isNull)
@@ -65,7 +68,8 @@ object Zarr2IO {
       chunkShape = Vec3(ch.get(0).asLong, ch.get(1).asLong, ch.get(2).asLong),
       dtype = z.get("dtype").asText,
       fillValue = Option(z.get("fill_value")).map(_.asLong).getOrElse(0L),
-      zlib = comp.exists(_.get("id").asText == "zlib"))
+      zlib = comp.exists(_.get("id").asText == "zlib"),
+      order = z.get("order").asText)
   }
 
   /** Write chunk rows (gx, gy, gz, vox F-order full-chunk array). */
@@ -76,7 +80,10 @@ object Zarr2IO {
     val dirStr = dir
     chunks.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       rows.foreach { r =>
-        val bytes = Zarr3IO.encodeChunkFromF(r.getSeq[Long](3).toArray, cs, dtb)
+        val vox = r.getSeq[Long](3).toArray
+        val bytes =
+          if (m.order == "F") Codec.encodeRawFromLongs(vox, dtb)
+          else Zarr3IO.encodeChunkFromF(vox, cs, dtb)
         val payload = if (zl) Codec.zlibCompress(bytes) else bytes
         Files.write(Paths.get(dirStr,
           s"${r.getLong(0)}.${r.getLong(1)}.${r.getLong(2)}"), payload)
@@ -90,6 +97,7 @@ object Zarr2IO {
     val cs = m.chunkShape
     val dtb = m.dtypeBytes
     val zl = m.zlib
+    val isF = m.order == "F"
     val bounds = Bbox(Vec3(0, 0, 0), m.shape)
     val pts = Geom.gridpoints(bbox, bounds, cs)
     val clip = bbox.intersection(bounds)
@@ -105,9 +113,10 @@ object Zarr2IO {
         val vox =
           if (!Files.exists(p)) Array.fill((cs.x * cs.y * cs.z).toInt)(fill)
           else {
-            val raw = Files.readAllBytes(p)
-            Zarr3IO.decodeChunkToF(
-              if (zl) Codec.zlibDecompress(raw) else raw, cs, dtb)
+            val raw0 = Files.readAllBytes(p)
+            val raw = if (zl) Codec.zlibDecompress(raw0) else raw0
+            if (isF) Codec.decodeRawToLongs(raw, dtb)
+            else Zarr3IO.decodeChunkToF(raw, cs, dtb)
           }
         val lo = Vec3(gx * cs.x, gy * cs.y, gz * cs.z)
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
