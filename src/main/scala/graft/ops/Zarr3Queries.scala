@@ -353,14 +353,18 @@ object Zarr3Queries {
 
   val Zarr2FDir = s"$Root/zarr2f_array"
 
+  /** F-order AND "/"-separated chunk keys in one sibling — both
+    * `.zarray` dialect flags the reference honors.
+    */
   val z2fMeta: graft.sources.Zarr2IO.Zarr2Meta =
     graft.sources.Zarr2IO.Zarr2Meta(
       shape = Vec3(SX, SY, SZ), chunkShape = Vec3(CX, CY, CZ),
-      dtype = "<u4", fillValue = 0L, zlib = true, order = "F")
+      dtype = "<u4", fillValue = 0L, zlib = true, order = "F",
+      separator = "/")
 
   def ensureZarr2F(s: SparkSession, sfDir: String): Unit = synchronized {
     ensure(s, sfDir)
-    val want = RealLayerQueries.stamp
+    val want = RealLayerQueries.stamp + "|v2" // v2: "/" separator
     val marker = Paths.get(Root, ".built_z2f_from")
     if (Files.exists(marker) && Files.readString(marker) == want) return
     val z2root = Paths.get(Zarr2FDir)

@@ -23,8 +23,11 @@ object Zarr2IO {
       dtype: String, // numpy-style, e.g. "<u4"
       fillValue: Long,
       zlib: Boolean,
-      order: String = "C") { // "C" | "F" (zarr2/image.py:74)
+      order: String = "C", // "C" | "F" (zarr2/image.py:74)
+      separator: String = ".") { // "." | "/" chunk-key separator
     require(Set("C", "F").contains(order), s"zarr2 order $order")
+    require(Set(".", "/").contains(separator),
+      s"zarr2 dimension_separator '$separator'")
     def dtypeBytes: Int = dtype match {
       case "|u1" => 1
       case "<u2" => 2
@@ -51,7 +54,7 @@ object Zarr2IO {
     } else z.putNull("compressor")
     z.put("fill_value", m.fillValue)
     z.put("order", m.order)
-    z.put("dimension_separator", ".")
+    z.put("dimension_separator", m.separator)
     z.putNull("filters")
     Files.writeString(Paths.get(dir, ".zarray"),
       om.writerWithDefaultPrettyPrinter.writeValueAsString(z))
@@ -69,7 +72,9 @@ object Zarr2IO {
       dtype = z.get("dtype").asText,
       fillValue = Option(z.get("fill_value")).map(_.asLong).getOrElse(0L),
       zlib = comp.exists(_.get("id").asText == "zlib"),
-      order = z.get("order").asText)
+      order = z.get("order").asText,
+      separator = Option(z.get("dimension_separator")).map(_.asText)
+        .getOrElse(".")) // "." is the zarr2 spec default when absent
   }
 
   /** Write chunk rows (gx, gy, gz, vox F-order full-chunk array). */
@@ -77,6 +82,7 @@ object Zarr2IO {
     val cs = m.chunkShape
     val dtb = m.dtypeBytes
     val zl = m.zlib
+    val sep = m.separator
     val dirStr = dir
     chunks.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       rows.foreach { r =>
@@ -85,8 +91,10 @@ object Zarr2IO {
           if (m.order == "F") Codec.encodeRawFromLongs(vox, dtb)
           else Zarr3IO.encodeChunkFromF(vox, cs, dtb)
         val payload = if (zl) Codec.zlibCompress(bytes) else bytes
-        Files.write(Paths.get(dirStr,
-          s"${r.getLong(0)}.${r.getLong(1)}.${r.getLong(2)}"), payload)
+        val p = Paths.get(dirStr,
+          s"${r.getLong(0)}$sep${r.getLong(1)}$sep${r.getLong(2)}")
+        Files.createDirectories(p.getParent)
+        Files.write(p, payload)
       }
     }
   }
@@ -98,6 +106,7 @@ object Zarr2IO {
     val dtb = m.dtypeBytes
     val zl = m.zlib
     val isF = m.order == "F"
+    val sep = m.separator
     val bounds = Bbox(Vec3(0, 0, 0), m.shape)
     val pts = Geom.gridpoints(bbox, bounds, cs)
     val clip = bbox.intersection(bounds)
@@ -107,7 +116,7 @@ object Zarr2IO {
     spark.createDataset(pts.map(g => (g.x, g.y, g.z)))
       .repartition(math.max(pts.size / 4, 1))
       .flatMap { case (gx, gy, gz) =>
-        val p = Paths.get(dirStr, s"$gx.$gy.$gz")
+        val p = Paths.get(dirStr, s"$gx$sep$gy$sep$gz")
         // absent chunk key = fill_value chunk (zarr v2 semantics; the
         // reference's fill_missing path, zarr2/image.py:55-75)
         val vox =
