@@ -386,6 +386,41 @@ object Codec {
     out
   }
 
+  /** N5's lz4 compression: the jpountz LZ4 block-stream framing the
+    * standard Java N5 library writes (Lz4Compression wraps
+    * LZ4BlockOutputStream, default 64 KiB blocks); lz4-java ships on
+    * the Spark classpath.
+    */
+  def lz4Block(data: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(data.length / 2 + 64)
+    val out = new net.jpountz.lz4.LZ4BlockOutputStream(bos, 65536)
+    out.write(data); out.close()
+    bos.toByteArray
+  }
+
+  def unlz4Block(data: Array[Byte]): Array[Byte] = {
+    val in = new net.jpountz.lz4.LZ4BlockInputStream(
+      new ByteArrayInputStream(data))
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** N5's bzip2 compression (Bzip2Compression delegates to
+    * commons-compress, also on the Spark classpath).
+    */
+  def bzip2(data: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(data.length / 2 + 64)
+    val out = new org.apache.commons.compress.compressors.bzip2
+      .BZip2CompressorOutputStream(bos)
+    out.write(data); out.close()
+    bos.toByteArray
+  }
+
+  def unbzip2(data: Array[Byte]): Array[Byte] = {
+    val in = new org.apache.commons.compress.compressors.bzip2
+      .BZip2CompressorInputStream(new ByteArrayInputStream(data))
+    try in.readAllBytes() finally in.close()
+  }
+
   /** F10 npz codec (chunks.py:286-300 encode_npz, :336-338
     * decode_npz): a zlib-wrapped .npy buffer — expressly NOT
     * np.savez; the npy v1 header carries dtype / order / shape

@@ -21,6 +21,7 @@ object Fixtures {
     Zarr3Queries.ensureOme(s, sfDir)
     Zarr3Queries.ensureSharded(s, sfDir)
     Zarr3Queries.ensureN5(s, sfDir)
+    Zarr3Queries.ensureN5Lz4(s, sfDir)
     StreamQueries.prepare(s, sfDir)
   }
 }

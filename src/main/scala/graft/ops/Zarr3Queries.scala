@@ -297,7 +297,35 @@ object Zarr3Queries {
 
   val n5meta: graft.sources.N5IO.N5Meta = graft.sources.N5IO.N5Meta(
     dimensions = Vec3(SX, SY, SZ), blockSize = Vec3(CX, CY, CZ),
-    dataType = "uint32", gzipped = true)
+    dataType = "uint32", compression = "gzip")
+
+  /** CLAMPED edge blocks from the shared sidecar (n5 blocks may be
+    * smaller at the edge; the clamped dims go in the block header).
+    */
+  private def n5Blocks(s: SparkSession): DataFrame = {
+    val dense = s.read.parquet(RealLayerQueries.VoxelsDir)
+    import s.implicits._
+    val bounds = Bbox(Vec3(0, 0, 0), n5meta.dimensions)
+    val bs = n5meta.blockSize
+    dense
+      .select(Derived.idiv(col("x"), CX).as("gx"),
+        Derived.idiv(col("y"), CY).as("gy"),
+        Derived.idiv(col("z"), CZ).as("gz"),
+        col("x"), col("y"), col("z"), col("label"))
+      .groupBy("gx", "gy", "gz")
+      .agg(collect_list(struct(col("x"), col("y"), col("z"), col("label")))
+        .as("vox"))
+      .as[(Long, Long, Long, Seq[(Long, Long, Long, Long)])]
+      .map { case (gx, gy, gz, vs) =>
+        val cb = Geom.chunkBbox(Vec3(gx, gy, gz), bounds, bs)
+        val arr = new Array[Long](cb.volume.toInt)
+        vs.foreach { case (x, y, z, l) =>
+          arr(((x - cb.minpt.x) + cb.size.x * ((y - cb.minpt.y) +
+            cb.size.y * (z - cb.minpt.z))).toInt) = l
+        }
+        (gx, gy, gz, arr.toSeq)
+      }.toDF("gx", "gy", "gz", "vox")
+  }
 
   def ensureN5(s: SparkSession, sfDir: String): Unit = synchronized {
     RealLayerQueries.ensure(s, sfDir)
@@ -310,32 +338,33 @@ object Zarr3Queries {
       Files.walk(n5root).iterator.asScala.toSeq.reverse
         .foreach(p => Files.deleteIfExists(p))
     }
-    val dense = s.read.parquet(RealLayerQueries.VoxelsDir)
-    import s.implicits._
-    val bounds = Bbox(Vec3(0, 0, 0), n5meta.dimensions)
-    val bs = n5meta.blockSize
-    val chunks = dense
-      .select(Derived.idiv(col("x"), CX).as("gx"),
-        Derived.idiv(col("y"), CY).as("gy"),
-        Derived.idiv(col("z"), CZ).as("gz"),
-        col("x"), col("y"), col("z"), col("label"))
-      .groupBy("gx", "gy", "gz")
-      .agg(collect_list(struct(col("x"), col("y"), col("z"), col("label")))
-        .as("vox"))
-      .as[(Long, Long, Long, Seq[(Long, Long, Long, Long)])]
-      .map { case (gx, gy, gz, vs) =>
-        // CLAMPED edge blocks (n5 blocks may be smaller at the edge;
-        // the clamped dims go in the block header)
-        val cb = Geom.chunkBbox(Vec3(gx, gy, gz), bounds, bs)
-        val arr = new Array[Long](cb.volume.toInt)
-        vs.foreach { case (x, y, z, l) =>
-          arr(((x - cb.minpt.x) + cb.size.x * ((y - cb.minpt.y) +
-            cb.size.y * (z - cb.minpt.z))).toInt) = l
-        }
-        (gx, gy, gz, arr.toSeq)
-      }.toDF("gx", "gy", "gz", "vox")
     graft.sources.N5IO.writeMeta(N5Dir, n5meta)
-    graft.sources.N5IO.writeBlocks(chunks, N5Dir, n5meta)
+    graft.sources.N5IO.writeBlocks(n5Blocks(s), N5Dir, n5meta)
+    Files.writeString(marker, want)
+  }
+
+  // ---- n5 lz4 sibling (the jpountz block framing the standard Java
+  // N5 library writes for compression type "lz4") ----
+
+  val N5Lz4Dir = s"$Root/n5lz4_array"
+
+  val n5Lz4Meta: graft.sources.N5IO.N5Meta = graft.sources.N5IO.N5Meta(
+    dimensions = Vec3(SX, SY, SZ), blockSize = Vec3(CX, CY, CZ),
+    dataType = "uint32", compression = "lz4")
+
+  def ensureN5Lz4(s: SparkSession, sfDir: String): Unit = synchronized {
+    ensureN5(s, sfDir) // builds the shared clamped-block derivation
+    val want = RealLayerQueries.stamp
+    val marker = Paths.get(Root, ".built_n5lz4_from")
+    if (Files.exists(marker) && Files.readString(marker) == want) return
+    val n5root = Paths.get(N5Lz4Dir)
+    if (Files.exists(n5root)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(n5root).iterator.asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+    graft.sources.N5IO.writeMeta(N5Lz4Dir, n5Lz4Meta)
+    graft.sources.N5IO.writeBlocks(n5Blocks(s), N5Lz4Dir, n5Lz4Meta)
     Files.writeString(marker, want)
   }
 
@@ -420,6 +449,19 @@ object Zarr3Queries {
         |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')
         |WHERE x BETWEEN 4 AND 53 AND y BETWEEN 3 AND 56
         |  AND z BETWEEN 5 AND 25""".stripMargin)),
+
+    // S18: n5 lz4 cutout — the jpountz block framing the standard
+    // Java N5 library writes; same block derivation as the gzip entry
+    "s18_n5_lz4_cutout" -> Q(
+      (s, dir) => {
+        ensureN5Lz4(s, dir)
+        graft.sources.N5IO.cutoutVoxels(s, N5Lz4Dir,
+          Bbox(Vec3(3, 6, 2), Vec3(55, 52, 27)))
+      },
+      Some(s"""SELECT x, y, z, label
+        |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')
+        |WHERE x BETWEEN 3 AND 54 AND y BETWEEN 6 AND 51
+        |  AND z BETWEEN 2 AND 26""".stripMargin)),
 
     // S18: n5 cutout — big-endian block headers, clamped edge blocks,
     // gzip body, F-order voxels (datasource/n5/image.py:44-90)

@@ -11,7 +11,10 @@ import graft.core._
   * metadata.py:38-115):
   *
   * - root + per-scale `attributes.json` (dataType, blockSize,
-  *   dimensions, compression {type: gzip|raw})
+  *   dimensions, compression {type: raw|gzip|lz4|bzip2 — the N5 spec
+  *   set minus xz, whose codec jar is absent offline; lz4 uses the
+  *   jpountz block framing and bzip2 commons-compress, both what the
+  *   standard Java N5 library writes})
   * - block objects at `s<mip>/<x>/<y>/<z>`
   * - block binary: BIG-endian header u16 mode(=0) | u16 ndim |
   *   u32 dims[ndim] (edge blocks carry their clamped dims), then the
@@ -26,7 +29,9 @@ object N5IO {
       dimensions: Vec3,
       blockSize: Vec3,
       dataType: String,
-      gzipped: Boolean) {
+      compression: String = "gzip") {
+    require(Set("raw", "gzip", "lz4", "bzip2").contains(compression),
+      s"n5 compression $compression")
     def dtypeBytes: Int = dataType match {
       case "uint8" => 1
       case "uint16" => 2
@@ -50,8 +55,7 @@ object N5IO {
     bs.add(m.blockSize.x); bs.add(m.blockSize.y); bs.add(m.blockSize.z)
     val dims = s0.putArray("dimensions")
     dims.add(m.dimensions.x); dims.add(m.dimensions.y); dims.add(m.dimensions.z)
-    s0.putObject("compression")
-      .put("type", if (m.gzipped) "gzip" else "raw")
+    s0.putObject("compression").put("type", m.compression)
     Files.writeString(Paths.get(dir, "s0", "attributes.json"),
       om.writerWithDefaultPrettyPrinter.writeValueAsString(s0))
   }
@@ -64,8 +68,8 @@ object N5IO {
       dimensions = Vec3(dims.get(0).asLong, dims.get(1).asLong, dims.get(2).asLong),
       blockSize = Vec3(bs.get(0).asLong, bs.get(1).asLong, bs.get(2).asLong),
       dataType = s0.get("dataType").asText,
-      gzipped = Option(s0.get("compression"))
-        .exists(_.get("type").asText == "gzip"))
+      compression = Option(s0.get("compression"))
+        .map(_.get("type").asText).getOrElse("raw"))
   }
 
   /** Encode one block: big-endian header + (gzip) BIG-endian F-order
@@ -75,10 +79,23 @@ object N5IO {
     * (little) endianness (n5/image.py:85) and so would misread
     * canonical uint16/32/64 N5 volumes.
     */
+  private def pack(c: String, b: Array[Byte]): Array[Byte] = c match {
+    case "gzip" => Codec.gzip(b)
+    case "lz4" => Codec.lz4Block(b)
+    case "bzip2" => Codec.bzip2(b)
+    case _ => b
+  }
+  private def unpack(c: String, b: Array[Byte]): Array[Byte] = c match {
+    case "gzip" => Codec.gunzip(b)
+    case "lz4" => Codec.unlz4Block(b)
+    case "bzip2" => Codec.unbzip2(b)
+    case _ => b
+  }
+
   def encodeBlock(vox: Array[Long], dims: Vec3, dtb: Int,
-      gzipped: Boolean): Array[Byte] = {
+      compression: String): Array[Byte] = {
     val data = Codec.encodeRawFromLongs(vox, dtb, ByteOrder.BIG_ENDIAN)
-    val body = if (gzipped) Codec.gzip(data) else data
+    val body = pack(compression, data)
     val buf = ByteBuffer.allocate(16 + body.length).order(ByteOrder.BIG_ENDIAN)
     buf.putShort(0) // mode
     buf.putShort(3) // ndim
@@ -88,7 +105,7 @@ object N5IO {
   }
 
   /** Decode one block -> (clamped dims, F-order voxels). */
-  def decodeBlock(binary: Array[Byte], dtb: Int, gzipped: Boolean)
+  def decodeBlock(binary: Array[Byte], dtb: Int, compression: String)
       : (Vec3, Array[Long]) = {
     val buf = ByteBuffer.wrap(binary).order(ByteOrder.BIG_ENDIAN)
     val mode = buf.getShort()
@@ -97,7 +114,7 @@ object N5IO {
     require(ndim == 3, s"ndim $ndim")
     val dims = Vec3(buf.getInt().toLong, buf.getInt().toLong, buf.getInt().toLong)
     val body = java.util.Arrays.copyOfRange(binary, 16, binary.length)
-    val data = if (gzipped) Codec.gunzip(body) else body
+    val data = unpack(compression, body)
     val vox = Codec.decodeRawToLongs(data, dtb, ByteOrder.BIG_ENDIAN)
     require(vox.length == dims.x * dims.y * dims.z,
       s"block ${vox.length} voxels != ${dims}")
@@ -109,7 +126,7 @@ object N5IO {
     val bs = m.blockSize
     val dims = m.dimensions
     val dtb = m.dtypeBytes
-    val gz = m.gzipped
+    val comp = m.compression
     val dirStr = dir
     chunks.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       rows.foreach { r =>
@@ -118,7 +135,7 @@ object N5IO {
         val p = Paths.get(dirStr, "s0", g.x.toString, g.y.toString)
         Files.createDirectories(p)
         Files.write(p.resolve(g.z.toString),
-          encodeBlock(r.getSeq[Long](3).toArray, cb.size, dtb, gz))
+          encodeBlock(r.getSeq[Long](3).toArray, cb.size, dtb, comp))
       }
     }
   }
@@ -137,7 +154,7 @@ object N5IO {
     val m = readMeta(dir)
     val bs = m.blockSize
     val dtb = m.dtypeBytes
-    val isGz = m.gzipped
+    val comp = m.compression
     val bounds = Bbox(Vec3(0, 0, 0), m.dimensions)
     val pts = Geom.gridpoints(bbox, bounds, bs)
     val clip = bbox.intersection(bounds)
@@ -155,7 +172,7 @@ object N5IO {
                 "fillMissing=true to read absent blocks as background")
             val cb = Geom.chunkBbox(Vec3(gx, gy, gz), bounds, bs)
             (cb.size, new Array[Long]((cb.size.x * cb.size.y * cb.size.z).toInt))
-          } else decodeBlock(Files.readAllBytes(p), dtb, isGz)
+          } else decodeBlock(Files.readAllBytes(p), dtb, comp)
         val lo = Vec3(gx * bs.x, gy * bs.y, gz * bs.z)
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
         var z = math.max(lo.z, clip.minpt.z)

@@ -93,6 +93,21 @@ class FormatSpec extends AnyFunSuite {
     assert(meanErr < 4.0, s"mean abs error $meanErr")
   }
 
+  test("n5 lz4 + bzip2 block compression round-trips") {
+    import graft.sources.N5IO
+    val dims = Vec3(5, 4, 3)
+    val vox = Array.tabulate(60)(i => (i * 17L) % 251)
+    for (comp <- Seq("lz4", "bzip2")) {
+      val block = N5IO.encodeBlock(vox, dims, 4, comp)
+      val (d2, v2) = N5IO.decodeBlock(block, 4, comp)
+      assert(d2 == dims && v2.sameElements(vox), comp)
+    }
+    // raw compressor streams round-trip standalone too
+    val data = Array.tabulate(200000)(i => (i % 97).toByte)
+    assert(Codec.unlz4Block(Codec.lz4Block(data)).toSeq === data.toSeq)
+    assert(Codec.unbzip2(Codec.bzip2(data)).toSeq === data.toSeq)
+  }
+
   test("zstd second-stage round-trip") {
     val data = Array.tabulate(100000)(i => (i % 97).toByte)
     val z = Codec.zstd(data)
@@ -130,11 +145,11 @@ class FormatSpec extends AnyFunSuite {
   test("n5 block payload is big-endian (canonical spec, not numpy-native)") {
     import graft.sources.N5IO
     val vox = Array(0x0102L, 0xBEEFL)
-    val block = N5IO.encodeBlock(vox, Vec3(2, 1, 1), 2, gzipped = false)
+    val block = N5IO.encodeBlock(vox, Vec3(2, 1, 1), 2, "raw")
     // 16-byte header then u16 voxels, most significant byte first
     assert(block.drop(16).toSeq ===
       Seq[Byte](0x01, 0x02, 0xBE.toByte, 0xEF.toByte))
-    val (dims, back) = N5IO.decodeBlock(block, 2, gzipped = false)
+    val (dims, back) = N5IO.decodeBlock(block, 2, "raw")
     assert(dims === Vec3(2, 1, 1) && back.toSeq === vox.toSeq)
   }
 

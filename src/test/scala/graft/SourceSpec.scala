@@ -157,7 +157,7 @@ class SourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val n5 = s"$dir/n5_fill"
     N5IO.writeMeta(n5, N5IO.N5Meta(
       dimensions = Vec3(4, 4, 4), blockSize = Vec3(4, 4, 4),
-      dataType = "uint16", gzipped = false))
+      dataType = "uint16", compression = "raw"))
     val thrown = intercept[org.apache.spark.SparkException] {
       N5IO.cutoutVoxels(spark, n5, Bbox(Vec3(0, 0, 0), Vec3(4, 4, 4)))
         .collect()
