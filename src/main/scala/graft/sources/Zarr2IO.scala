@@ -28,12 +28,19 @@ object Zarr2IO {
     require(Set("C", "F").contains(order), s"zarr2 order $order")
     require(Set(".", "/").contains(separator),
       s"zarr2 dimension_separator '$separator'")
-    def dtypeBytes: Int = dtype match {
-      case "|u1" => 1
-      case "<u2" => 2
-      case "<u4" => 4
-      case "<u8" => 8
-      case d => throw new IllegalArgumentException(s"zarr2 dtype $d")
+    // numpy dtype string: '<' little / '>' big / '|' not-applicable
+    def dtypeBytes: Int = dtype.drop(1) match {
+      case "u1" => 1
+      case "u2" => 2
+      case "u4" => 4
+      case "u8" => 8
+      case _ => throw new IllegalArgumentException(s"zarr2 dtype $dtype")
+    }
+    def byteOrder: java.nio.ByteOrder = dtype.head match {
+      case '<' | '|' => java.nio.ByteOrder.LITTLE_ENDIAN
+      case '>' => java.nio.ByteOrder.BIG_ENDIAN
+      case c => throw new IllegalArgumentException(
+        s"zarr2 dtype byte order '$c'")
     }
   }
 
@@ -83,13 +90,18 @@ object Zarr2IO {
     val dtb = m.dtypeBytes
     val zl = m.zlib
     val sep = m.separator
+    // ByteOrder is not Serializable — ship a flag, rehydrate per task
+    val be = m.byteOrder == java.nio.ByteOrder.BIG_ENDIAN
+    val isF = m.order == "F"
     val dirStr = dir
     chunks.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      val bo = if (be) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN
       rows.foreach { r =>
         val vox = r.getSeq[Long](3).toArray
         val bytes =
-          if (m.order == "F") Codec.encodeRawFromLongs(vox, dtb)
-          else Zarr3IO.encodeChunkFromF(vox, cs, dtb)
+          if (isF) Codec.encodeRawFromLongs(vox, dtb, bo)
+          else Zarr3IO.encodeChunkFromF(vox, cs, dtb, bo)
         val payload = if (zl) Codec.zlibCompress(bytes) else bytes
         val p = Paths.get(dirStr,
           s"${r.getLong(0)}$sep${r.getLong(1)}$sep${r.getLong(2)}")
@@ -107,6 +119,7 @@ object Zarr2IO {
     val zl = m.zlib
     val isF = m.order == "F"
     val sep = m.separator
+    val be = m.byteOrder == java.nio.ByteOrder.BIG_ENDIAN
     val bounds = Bbox(Vec3(0, 0, 0), m.shape)
     val pts = Geom.gridpoints(bbox, bounds, cs)
     val clip = bbox.intersection(bounds)
@@ -116,6 +129,8 @@ object Zarr2IO {
     spark.createDataset(pts.map(g => (g.x, g.y, g.z)))
       .repartition(math.max(pts.size / 4, 1))
       .flatMap { case (gx, gy, gz) =>
+        val bo = if (be) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN
         val p = Paths.get(dirStr, s"$gx$sep$gy$sep$gz")
         // absent chunk key = fill_value chunk (zarr v2 semantics; the
         // reference's fill_missing path, zarr2/image.py:55-75)
@@ -124,8 +139,8 @@ object Zarr2IO {
           else {
             val raw0 = Files.readAllBytes(p)
             val raw = if (zl) Codec.zlibDecompress(raw0) else raw0
-            if (isF) Codec.decodeRawToLongs(raw, dtb)
-            else Zarr3IO.decodeChunkToF(raw, cs, dtb)
+            if (isF) Codec.decodeRawToLongs(raw, dtb, bo)
+            else Zarr3IO.decodeChunkToF(raw, cs, dtb, bo)
           }
         val lo = Vec3(gx * cs.x, gy * cs.y, gz * cs.z)
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]

@@ -401,8 +401,10 @@ object Zarr3IO {
   /** C-order chunk bytes -> F-order Long voxels (the bytes-codec
     * transpose at the canonical-order boundary).
     */
-  def decodeChunkToF(payload: Array[Byte], cs: Vec3, dtb: Int): Array[Long] = {
-    val c = Codec.decodeRawToLongs(payload, dtb)
+  def decodeChunkToF(payload: Array[Byte], cs: Vec3, dtb: Int,
+      order: java.nio.ByteOrder = java.nio.ByteOrder.LITTLE_ENDIAN)
+      : Array[Long] = {
+    val c = Codec.decodeRawToLongs(payload, dtb, order)
     require(c.length == cs.x * cs.y * cs.z,
       s"chunk has ${c.length} voxels, expected ${cs.x * cs.y * cs.z}")
     val out = new Array[Long](c.length)
@@ -425,7 +427,9 @@ object Zarr3IO {
   }
 
   /** F-order voxels -> C-order chunk bytes (write-side transpose). */
-  def encodeChunkFromF(vox: Array[Long], cs: Vec3, dtb: Int): Array[Byte] = {
+  def encodeChunkFromF(vox: Array[Long], cs: Vec3, dtb: Int,
+      order: java.nio.ByteOrder = java.nio.ByteOrder.LITTLE_ENDIAN)
+      : Array[Byte] = {
     val c = new Array[Long](vox.length)
     var x = 0L
     while (x < cs.x) {
@@ -441,7 +445,7 @@ object Zarr3IO {
       }
       x += 1
     }
-    Codec.encodeRawFromLongs(c, dtb)
+    Codec.encodeRawFromLongs(c, dtb, order)
   }
 
   /** Write chunk rows (gx, gy, gz, vox: F-order full-chunk Long array)

@@ -170,6 +170,31 @@ class SourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rn.length == 64 && rn.forall(_.getLong(3) == 0))
   }
 
+  test("zarr2 big-endian dtype (>u4) round-trips through write + cutout") {
+    import graft.sources.Zarr2IO
+    val s = spark
+    import s.implicits._
+    val dir = s"${this.dir}/zarr2_be"
+    val m = Zarr2IO.Zarr2Meta(
+      shape = Vec3(4, 3, 2), chunkShape = Vec3(4, 3, 2),
+      dtype = ">u4", fillValue = 0, zlib = true)
+    Zarr2IO.writeMeta(dir, m)
+    val vox = (0L until 24L).map(i => i * 1000003L % 4294967296L)
+    Zarr2IO.writeChunks(
+      Seq((0L, 0L, 0L, vox)).toDF("gx", "gy", "gz", "vox"), dir, m)
+    val got = Zarr2IO.cutoutVoxels(spark, dir, Bbox(Vec3(0, 0, 0), Vec3(4, 3, 2)))
+      .collect().map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+        r.getLong(3))).toMap
+    for (z <- 0L until 2L; y <- 0L until 3L; x <- 0L until 4L)
+      assert(got((x, y, z)) == vox((x + 4 * (y + 3 * z)).toInt))
+    // the stored chunk really is big-endian: C-order voxel (0,0,1) is
+    // vox(12) = 12*1000003; its first byte is the MSB
+    val raw = Codec.zlibDecompress(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "0.0.0")))
+    val expect = 12L * 1000003L
+    assert((raw(4) & 0xffL) == ((expect >> 24) & 0xff))
+  }
+
   test("DSv2 sink round-trips (S9 native writer) and honors mip locks") {
     val sink = s"$dir/layer_sink"
     PrecomputedIO.writeInfo(sink, meta)
