@@ -374,7 +374,7 @@ object Zarr3Queries {
 
   val z2meta: graft.sources.Zarr2IO.Zarr2Meta = graft.sources.Zarr2IO.Zarr2Meta(
     shape = Vec3(SX, SY, SZ), chunkShape = Vec3(CX, CY, CZ),
-    dtype = "<u4", fillValue = 0L, zlib = true)
+    dtype = "<u4", fillValue = 0L, compressor = "zlib")
 
   // ---- zarr2 F-order sibling (the declared `order` the reference
   // honors at zarr2/image.py:74,215; F bytes are x-fastest = this
@@ -388,7 +388,7 @@ object Zarr3Queries {
   val z2fMeta: graft.sources.Zarr2IO.Zarr2Meta =
     graft.sources.Zarr2IO.Zarr2Meta(
       shape = Vec3(SX, SY, SZ), chunkShape = Vec3(CX, CY, CZ),
-      dtype = "<u4", fillValue = 0L, zlib = true, order = "F",
+      dtype = "<u4", fillValue = 0L, compressor = "zlib", order = "F",
       separator = "/")
 
   def ensureZarr2F(s: SparkSession, sfDir: String): Unit = synchronized {
@@ -404,6 +404,82 @@ object Zarr3Queries {
     }
     graft.sources.Zarr2IO.writeMeta(Zarr2FDir, z2fMeta)
     graft.sources.Zarr2IO.writeChunks(fullChunks(s), Zarr2FDir, z2fMeta)
+    Files.writeString(marker, want)
+  }
+
+  // ---- zarr2 blosc sibling (zarr-python v2's DEFAULT compressor:
+  // blosc lz4 clevel 5 byte-shuffle; zarr2/image.py:65-67,200-219) ----
+
+  val Zarr2BloscDir = s"$Root/zarr2blosc_array"
+
+  val z2BloscMeta: graft.sources.Zarr2IO.Zarr2Meta =
+    graft.sources.Zarr2IO.Zarr2Meta(
+      shape = Vec3(SX, SY, SZ), chunkShape = Vec3(CX, CY, CZ),
+      dtype = "<u4", fillValue = 0L, compressor = "blosc",
+      bloscCname = "lz4", bloscClevel = 5, bloscShuffle = 1)
+
+  def ensureZarr2Blosc(s: SparkSession, sfDir: String): Unit = synchronized {
+    ensure(s, sfDir)
+    val want = RealLayerQueries.stamp + "|blosc-v1"
+    val marker = Paths.get(Root, ".built_z2blosc_from")
+    if (Files.exists(marker) && Files.readString(marker) == want) return
+    val z2root = Paths.get(Zarr2BloscDir)
+    if (Files.exists(z2root)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(z2root).iterator.asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+    graft.sources.Zarr2IO.writeMeta(Zarr2BloscDir, z2BloscMeta)
+    graft.sources.Zarr2IO.writeChunks(fullChunks(s), Zarr2BloscDir, z2BloscMeta)
+    Files.writeString(marker, want)
+  }
+
+  // ---- zarr3 blosc sibling (v3 blosc codec, string shuffle enum) ----
+
+  val Zarr3BloscDir = s"$Root/blosc_array"
+
+  val zBloscMeta: Zarr3Meta = Zarr3Meta(
+    shape = Vec3(SX, SY, SZ), chunkShape = Vec3(CX, CY, CZ),
+    dataType = "uint32", fillValue = 0L, compressor = "blosc")
+
+  def ensureZarr3Blosc(s: SparkSession, sfDir: String): Unit = synchronized {
+    RealLayerQueries.ensure(s, sfDir)
+    val want = RealLayerQueries.stamp + "|blosc-v1"
+    val marker = Paths.get(Root, ".built_z3blosc_from")
+    if (Files.exists(marker) && Files.readString(marker) == want) return
+    val arrP = Paths.get(Zarr3BloscDir)
+    if (Files.exists(arrP)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(arrP).iterator.asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+    Files.createDirectories(Paths.get(Root))
+    Zarr3IO.writeMeta(Zarr3BloscDir, zBloscMeta)
+    Zarr3IO.writeChunks(fullChunks(s), Zarr3BloscDir, zBloscMeta)
+    Files.writeString(marker, want)
+  }
+
+  // ---- n5 blosc sibling (n5-blosc extension compression type) ----
+
+  val N5BloscDir = s"$Root/n5blosc_array"
+
+  val n5BloscMeta: graft.sources.N5IO.N5Meta = graft.sources.N5IO.N5Meta(
+    dimensions = Vec3(SX, SY, SZ), blockSize = Vec3(CX, CY, CZ),
+    dataType = "uint32", compression = "blosc")
+
+  def ensureN5Blosc(s: SparkSession, sfDir: String): Unit = synchronized {
+    ensureN5(s, sfDir)
+    val want = RealLayerQueries.stamp + "|blosc-v1"
+    val marker = Paths.get(Root, ".built_n5blosc_from")
+    if (Files.exists(marker) && Files.readString(marker) == want) return
+    val n5root = Paths.get(N5BloscDir)
+    if (Files.exists(n5root)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(n5root).iterator.asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+    graft.sources.N5IO.writeMeta(N5BloscDir, n5BloscMeta)
+    graft.sources.N5IO.writeBlocks(n5Blocks(s), N5BloscDir, n5BloscMeta)
     Files.writeString(marker, want)
   }
 
@@ -436,6 +512,46 @@ object Zarr3Queries {
         |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')
         |WHERE x BETWEEN 5 AND 54 AND y BETWEEN 2 AND 57
         |  AND z BETWEEN 4 AND 24""".stripMargin)),
+
+    // S18: zarr2 blosc cutout — zarr-python v2's DEFAULT compressor
+    // (blosc lz4 byte-shuffle), decoded from the public c-blosc 1.x
+    // frame: header + bstarts + per-lane split streams
+    "s18_zarr2_blosc_cutout" -> Q(
+      (s, dir) => {
+        ensureZarr2Blosc(s, dir)
+        graft.sources.Zarr2IO.cutoutVoxels(s, Zarr2BloscDir,
+          Bbox(Vec3(6, 3, 2), Vec3(56, 55, 26)))
+      },
+      Some(s"""SELECT x, y, z, label
+        |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')
+        |WHERE x BETWEEN 6 AND 55 AND y BETWEEN 3 AND 54
+        |  AND z BETWEEN 2 AND 25""".stripMargin)),
+
+    // S18: zarr3 blosc cutout — the v3 blosc codec (string shuffle
+    // enum) over the same frame decoder
+    "s18_zarr3_blosc_cutout" -> Q(
+      (s, dir) => {
+        ensureZarr3Blosc(s, dir)
+        Zarr3IO.cutoutVoxels(s, Zarr3BloscDir,
+          Bbox(Vec3(2, 7, 3), Vec3(57, 52, 25)))
+      },
+      Some(s"""SELECT x, y, z, label
+        |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')
+        |WHERE x BETWEEN 2 AND 56 AND y BETWEEN 7 AND 51
+        |  AND z BETWEEN 3 AND 24""".stripMargin)),
+
+    // S18: n5 blosc cutout — the n5-blosc extension compression type,
+    // big-endian block headers over blosc-framed bodies
+    "s18_n5_blosc_cutout" -> Q(
+      (s, dir) => {
+        ensureN5Blosc(s, dir)
+        graft.sources.N5IO.cutoutVoxels(s, N5BloscDir,
+          Bbox(Vec3(5, 4, 4), Vec3(54, 56, 24)))
+      },
+      Some(s"""SELECT x, y, z, label
+        |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')
+        |WHERE x BETWEEN 5 AND 53 AND y BETWEEN 4 AND 55
+        |  AND z BETWEEN 4 AND 23""".stripMargin)),
 
     // S18: zarr2 F-order cutout — the `.zarray` order flag flips the
     // chunk byte layout; F is transpose-free for this engine

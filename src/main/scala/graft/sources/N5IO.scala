@@ -11,10 +11,11 @@ import graft.core._
   * metadata.py:38-115):
   *
   * - root + per-scale `attributes.json` (dataType, blockSize,
-  *   dimensions, compression {type: raw|gzip|lz4|bzip2 — the N5 spec
-  *   set minus xz, whose codec jar is absent offline; lz4 uses the
-  *   jpountz block framing and bzip2 commons-compress, both what the
-  *   standard Java N5 library writes})
+  *   dimensions, compression {type: raw|gzip|lz4|bzip2|blosc — the N5
+  *   spec set minus xz, whose codec jar is absent offline; lz4 uses
+  *   the jpountz block framing and bzip2 commons-compress, both what
+  *   the standard Java N5 library writes; blosc matches the n5-blosc
+  *   extension's frame, shared with the zarr2/zarr3 readers})
   * - block objects at `s<mip>/<x>/<y>/<z>`
   * - block binary: BIG-endian header u16 mode(=0) | u16 ndim |
   *   u32 dims[ndim] (edge blocks carry their clamped dims), then the
@@ -30,7 +31,7 @@ object N5IO {
       blockSize: Vec3,
       dataType: String,
       compression: String = "gzip") {
-    require(Set("raw", "gzip", "lz4", "bzip2").contains(compression),
+    require(Set("raw", "gzip", "lz4", "bzip2", "blosc").contains(compression),
       s"n5 compression $compression")
     def dtypeBytes: Int = dataType match {
       case "uint8" => 1
@@ -55,7 +56,14 @@ object N5IO {
     bs.add(m.blockSize.x); bs.add(m.blockSize.y); bs.add(m.blockSize.z)
     val dims = s0.putArray("dimensions")
     dims.add(m.dimensions.x); dims.add(m.dimensions.y); dims.add(m.dimensions.z)
-    s0.putObject("compression").put("type", m.compression)
+    val cnode = s0.putObject("compression")
+    cnode.put("type", m.compression)
+    if (m.compression == "blosc") {
+      // the n5-blosc extension's attribute shape
+      cnode.put("cname", "lz4"); cnode.put("clevel", 5)
+      cnode.put("shuffle", 1); cnode.put("blocksize", 0)
+      cnode.put("nthreads", 1)
+    }
     Files.writeString(Paths.get(dir, "s0", "attributes.json"),
       om.writerWithDefaultPrettyPrinter.writeValueAsString(s0))
   }
@@ -79,23 +87,25 @@ object N5IO {
     * (little) endianness (n5/image.py:85) and so would misread
     * canonical uint16/32/64 N5 volumes.
     */
-  private def pack(c: String, b: Array[Byte]): Array[Byte] = c match {
+  private def pack(c: String, b: Array[Byte], dtb: Int): Array[Byte] = c match {
     case "gzip" => Codec.gzip(b)
     case "lz4" => Codec.lz4Block(b)
     case "bzip2" => Codec.bzip2(b)
+    case "blosc" => Blosc.compress(b, dtb)
     case _ => b
   }
   private def unpack(c: String, b: Array[Byte]): Array[Byte] = c match {
     case "gzip" => Codec.gunzip(b)
     case "lz4" => Codec.unlz4Block(b)
     case "bzip2" => Codec.unbzip2(b)
+    case "blosc" => Blosc.decompress(b)
     case _ => b
   }
 
   def encodeBlock(vox: Array[Long], dims: Vec3, dtb: Int,
       compression: String): Array[Byte] = {
     val data = Codec.encodeRawFromLongs(vox, dtb, ByteOrder.BIG_ENDIAN)
-    val body = pack(compression, data)
+    val body = pack(compression, data, dtb)
     val buf = ByteBuffer.allocate(16 + body.length).order(ByteOrder.BIG_ENDIAN)
     buf.putShort(0) // mode
     buf.putShort(3) // ndim

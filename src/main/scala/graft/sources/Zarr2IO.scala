@@ -13,7 +13,8 @@ import graft.core._
   * chunk layout per the declared `order` (zarr2/image.py:74,215 —
   * the reference honors both; C shares Zarr3IO's C<->F transpose, F
   * is already this engine's canonical x-fastest layout), and the
-  * `zlib` compressor.
+  * `zlib` + `blosc` compressors (blosc is zarr-python v2's DEFAULT —
+  * zarr2/image.py:65-67 decode, :200-219 encode).
   */
 object Zarr2IO {
 
@@ -22,9 +23,14 @@ object Zarr2IO {
       chunkShape: Vec3,
       dtype: String, // numpy-style, e.g. "<u4"
       fillValue: Long,
-      zlib: Boolean,
+      compressor: String, // "none" | "zlib" | "blosc"
       order: String = "C", // "C" | "F" (zarr2/image.py:74)
-      separator: String = ".") { // "." | "/" chunk-key separator
+      separator: String = ".", // "." | "/" chunk-key separator
+      bloscCname: String = "lz4", // numcodecs Blosc defaults
+      bloscClevel: Int = 5,
+      bloscShuffle: Int = 1) { // 0 none | 1 byte (bit = native-only)
+    require(Set("none", "zlib", "blosc").contains(compressor),
+      s"zarr2 compressor $compressor")
     require(Set("C", "F").contains(order), s"zarr2 order $order")
     require(Set(".", "/").contains(separator),
       s"zarr2 dimension_separator '$separator'")
@@ -55,10 +61,18 @@ object Zarr2IO {
     val ch = z.putArray("chunks")
     ch.add(m.chunkShape.x); ch.add(m.chunkShape.y); ch.add(m.chunkShape.z)
     z.put("dtype", m.dtype)
-    if (m.zlib) {
-      val c = z.putObject("compressor")
-      c.put("id", "zlib"); c.put("level", 5)
-    } else z.putNull("compressor")
+    m.compressor match {
+      case "zlib" =>
+        val c = z.putObject("compressor")
+        c.put("id", "zlib"); c.put("level", 5)
+      case "blosc" =>
+        // numcodecs Blosc JSON shape (what zarr-python v2 writes)
+        val c = z.putObject("compressor")
+        c.put("id", "blosc"); c.put("cname", m.bloscCname)
+        c.put("clevel", m.bloscClevel); c.put("shuffle", m.bloscShuffle)
+        c.put("blocksize", 0)
+      case _ => z.putNull("compressor")
+    }
     z.put("fill_value", m.fillValue)
     z.put("order", m.order)
     z.put("dimension_separator", m.separator)
@@ -73,22 +87,51 @@ object Zarr2IO {
     val sh = z.get("shape")
     val ch = z.get("chunks")
     val comp = Option(z.get("compressor")).filter(!_.isNull)
+    val compId = comp.map(_.get("id").asText).getOrElse("none")
+    require(Set("none", "zlib", "blosc").contains(compId),
+      s"zarr2 compressor '$compId' unsupported")
+    // shuffle -1 is numcodecs AUTOSHUFFLE: byte-shuffle iff typesize>1
+    // (decode ignores it anyway — the frame header carries the truth)
     Zarr2Meta(
       shape = Vec3(sh.get(0).asLong, sh.get(1).asLong, sh.get(2).asLong),
       chunkShape = Vec3(ch.get(0).asLong, ch.get(1).asLong, ch.get(2).asLong),
       dtype = z.get("dtype").asText,
       fillValue = Option(z.get("fill_value")).map(_.asLong).getOrElse(0L),
-      zlib = comp.exists(_.get("id").asText == "zlib"),
+      compressor = compId,
+      bloscCname = comp.flatMap(c => Option(c.get("cname")))
+        .map(_.asText).getOrElse("lz4"),
+      bloscClevel = comp.flatMap(c => Option(c.get("clevel")))
+        .map(_.asInt).getOrElse(5),
+      bloscShuffle = comp.flatMap(c => Option(c.get("shuffle")))
+        .map(_.asInt).filter(_ >= 0).getOrElse(1),
       order = z.get("order").asText,
       separator = Option(z.get("dimension_separator")).map(_.asText)
         .getOrElse(".")) // "." is the zarr2 spec default when absent
   }
 
+  /** Chunk-level (de)compression per the declared compressor; blosc
+    * typesize is the dtype width so byte-shuffle groups value lanes.
+    */
+  private def pack(m: Zarr2Meta, b: Array[Byte]): Array[Byte] =
+    m.compressor match {
+      case "zlib" => Codec.zlibCompress(b)
+      case "blosc" => Blosc.compress(b, m.dtypeBytes, m.bloscCname,
+        m.bloscClevel, m.bloscShuffle)
+      case _ => b
+    }
+
+  private def unpack(m: Zarr2Meta, b: Array[Byte]): Array[Byte] =
+    m.compressor match {
+      case "zlib" => Codec.zlibDecompress(b)
+      case "blosc" => Blosc.decompress(b)
+      case _ => b
+    }
+
   /** Write chunk rows (gx, gy, gz, vox F-order full-chunk array). */
   def writeChunks(chunks: DataFrame, dir: String, m: Zarr2Meta): Unit = {
     val cs = m.chunkShape
     val dtb = m.dtypeBytes
-    val zl = m.zlib
+    val meta = m
     val sep = m.separator
     // ByteOrder is not Serializable — ship a flag, rehydrate per task
     val be = m.byteOrder == java.nio.ByteOrder.BIG_ENDIAN
@@ -102,7 +145,7 @@ object Zarr2IO {
         val bytes =
           if (isF) Codec.encodeRawFromLongs(vox, dtb, bo)
           else Zarr3IO.encodeChunkFromF(vox, cs, dtb, bo)
-        val payload = if (zl) Codec.zlibCompress(bytes) else bytes
+        val payload = pack(meta, bytes)
         val p = Paths.get(dirStr,
           s"${r.getLong(0)}$sep${r.getLong(1)}$sep${r.getLong(2)}")
         Files.createDirectories(p.getParent)
@@ -116,7 +159,7 @@ object Zarr2IO {
     val m = readMeta(dir)
     val cs = m.chunkShape
     val dtb = m.dtypeBytes
-    val zl = m.zlib
+    val meta = m
     val isF = m.order == "F"
     val sep = m.separator
     val be = m.byteOrder == java.nio.ByteOrder.BIG_ENDIAN
@@ -138,7 +181,7 @@ object Zarr2IO {
           if (!Files.exists(p)) Array.fill((cs.x * cs.y * cs.z).toInt)(fill)
           else {
             val raw0 = Files.readAllBytes(p)
-            val raw = if (zl) Codec.zlibDecompress(raw0) else raw0
+            val raw = unpack(meta, raw0)
             if (isF) Codec.decodeRawToLongs(raw, dtb, bo)
             else Zarr3IO.decodeChunkToF(raw, cs, dtb, bo)
           }

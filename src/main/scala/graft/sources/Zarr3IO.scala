@@ -68,7 +68,7 @@ object Zarr3IO {
       channels: Option[Long] = None,
       channelChunk: Long = 1,
       spatialOrder: String = "xyz") {
-    require(Set("none", "gzip", "zstd").contains(compressor),
+    require(Set("none", "gzip", "zstd", "blosc").contains(compressor),
       s"unsupported zarr3 compressor $compressor")
     require(Set("xyz", "zyx").contains(spatialOrder),
       s"unsupported spatial order $spatialOrder")
@@ -105,11 +105,14 @@ object Zarr3IO {
   private def pack(m: Zarr3Meta, b: Array[Byte]): Array[Byte] = m.compressor match {
     case "gzip" => Codec.gzip(b)
     case "zstd" => Codec.zstd(b)
+    // blosc typesize = dtype width so byte-shuffle groups value lanes
+    case "blosc" => Blosc.compress(b, m.dtypeBytes)
     case _ => b
   }
   private def unpack(m: Zarr3Meta, b: Array[Byte]): Array[Byte] = m.compressor match {
     case "gzip" => Codec.gunzip(b)
     case "zstd" => Codec.unzstd(b)
+    case "blosc" => Blosc.decompress(b)
     case _ => b
   }
 
@@ -126,6 +129,13 @@ object Zarr3IO {
       z.put("name", "zstd")
       val conf = z.putObject("configuration")
       conf.put("level", 3); conf.put("checksum", false)
+    case "blosc" =>
+      // zarr v3 blosc codec config: shuffle is a string enum
+      val bl = codecs.addObject()
+      bl.put("name", "blosc")
+      val conf = bl.putObject("configuration")
+      conf.put("cname", "lz4"); conf.put("clevel", 5)
+      conf.put("shuffle", "shuffle"); conf.put("blocksize", 0)
     case _ => ()
   }
 
@@ -220,9 +230,17 @@ object Zarr3IO {
       s"unsupported codec chain $codecNames")
     // every codec after `bytes` must be a known second-stage compressor
     // — an unknown codec silently ignored would decode garbage
-    require(codecNames.drop(1).forall(Set("gzip", "zstd")) &&
+    require(codecNames.drop(1).forall(Set("gzip", "zstd", "blosc")) &&
       codecNames.drop(1).size <= 1,
       s"unsupported codec chain $codecNames")
+    // blosc bit-shuffle has no offline JVM impl — reject at meta parse
+    // (byte-shuffle/noshuffle decode from the frame header itself)
+    if (codecNames.drop(1).headOption.contains("blosc")) {
+      val shuf = Option(codecs.get(1).get("configuration"))
+        .flatMap(c => Option(c.get("shuffle"))).map(_.asText)
+      require(!shuf.contains("bitshuffle"),
+        "zarr3 blosc bitshuffle unsupported (native-only)")
+    }
     // the engine decodes little-endian only; a big-endian array would
     // otherwise be silently misread, so reject it here
     val endian = Option(codecs.get(0).get("configuration"))

@@ -146,7 +146,7 @@ class SourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val z2 = s"$dir/zarr2_fill"
     Zarr2IO.writeMeta(z2, Zarr2IO.Zarr2Meta(
       shape = Vec3(4, 4, 4), chunkShape = Vec3(4, 4, 4),
-      dtype = "<u2", fillValue = 3, zlib = false))
+      dtype = "<u2", fillValue = 3, compressor = "none"))
     val r2 = Zarr2IO.cutoutVoxels(spark, z2, Bbox(Vec3(0, 0, 0), Vec3(4, 4, 4)))
       .collect()
     assert(r2.length == 64 && r2.forall(_.getLong(3) == 3))
@@ -177,7 +177,7 @@ class SourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dir = s"${this.dir}/zarr2_be"
     val m = Zarr2IO.Zarr2Meta(
       shape = Vec3(4, 3, 2), chunkShape = Vec3(4, 3, 2),
-      dtype = ">u4", fillValue = 0, zlib = true)
+      dtype = ">u4", fillValue = 0, compressor = "zlib")
     Zarr2IO.writeMeta(dir, m)
     val vox = (0L until 24L).map(i => i * 1000003L % 4294967296L)
     Zarr2IO.writeChunks(
