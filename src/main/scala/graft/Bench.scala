@@ -207,16 +207,34 @@ object Bench {
       catch { case _: Throwable => () } // recorded in the timed pass
     }
     System.gc() // start the timed loop from a settled heap
-    val results =
-      if (cutoutOnly) Seq.empty[(String, Double)]
-      else sorted.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case e: Throwable =>
-        errs(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+    // Median of 3 timed passes: r8 proved single-pass per-query times
+    // swing up to 6x (dedup_keep 1.08→6.50 s) — and whole families up
+    // to 14x correlated (zarr3) — on byte-identical code. The median
+    // absorbs one contended pass per query; min/max ride BENCH_DETAIL
+    // so a regression call can check the spread before believing it.
+    val passes = if (cutoutOnly) 0 else 3
+    val timings = scala.collection.mutable.LinkedHashMap
+      .empty[String, Vector[Double]]
+    for (_ <- 1 to passes) {
+      sorted.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          if (!errs.contains(name))
+            errs(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        timings(name) = timings.getOrElse(name, Vector.empty) :+ dt
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      System.gc()
     }
+    def median(v: Vector[Double]): Double = v.sorted.apply(v.size / 2)
+    val results: Seq[(String, Double)] =
+      timings.toSeq.map { case (k, v) => k -> median(v) }
+    val statsJson = timings.map { case (k, v) =>
+      s"\"" + k + "\":{\"median\":" + num(median(v), 3) +
+        ",\"min\":" + num(v.min, 3) + ",\"max\":" + num(v.max, 3) + "}"
+    }.mkString("{", ",", "}")
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + num(v, 3) }
       .mkString("{", ",", "}")
@@ -238,7 +256,8 @@ object Bench {
       s""""write_MBps_chunk128_128_128":${num(wMbps("c128"), 1)},""" +
       s""""baseline_write_MBps_chunk128_128_128":1.0"""
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,""" +
+      s""""queries":$qs,"query_stats":$statsJson,""" +
       s""""n_failed":${errs.size},"errors":$errJson,$mbpsJson,"sf":"$sfDir"}"""
     // Full per-query timings for humans/judge: one stdout line (NOT the
     // last) plus a file next to the repo's BENCH_r{N}.json snapshots.
@@ -261,8 +280,8 @@ object Bench {
         .map { case (k, v) => s"\"" + k + "\":" + num(v, 3) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
-      s""""n_failed":${errs.size},"failed":$errNames,"queries":$slowest,""" +
-      s""""queries_note":"slowest $nSlow of ${results.size}; full dict in BENCH_DETAIL.json","""+
+      s""""passes":$passes,"n_failed":${errs.size},"failed":$errNames,"queries":$slowest,""" +
+      s""""queries_note":"median of $passes; slowest $nSlow of ${results.size}; full stats in BENCH_DETAIL.json","""+
       s"""$mbpsJson,"sf":"$sfDir"}"""
     }
     val lastLine = (10 to 0 by -1).map(summaryLine).find(_.length < 1800)

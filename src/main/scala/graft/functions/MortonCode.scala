@@ -4,8 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import graft.core.{Morton, MurmurHash3_128, ShardingSpec}
 
 /** Native Catalyst expression for the compressed morton code (F1,
@@ -125,10 +125,19 @@ object MinishardOfExpr {
   * a Scala UDF, no interpreted aggregate/zip_with tree (Spark's array
   * HOFs don't participate in whole-stage codegen).
   */
-abstract class ArrayLongCallExpr extends Expression {
+abstract class ArrayLongCallExpr extends Expression with ExpectsInputTypes {
   /** Fully-qualified static method over ArrayData args. */
   def staticCall: String
   def evalArrays(args: Seq[org.apache.spark.sql.catalyst.util.ArrayData]): Long
+
+  // Strict array<bigint> inputs: without this, graft_dot(array(1, 2),
+  // array(3, 4)) binds array<int> and ArrayData.getLong on 4-byte
+  // elements returns silent garbage under codegen. Fail analysis
+  // instead (no implicit cast — a hidden per-row cast in the ANN hot
+  // path would be a silent 2x). Type inferred: AbstractDataType is
+  // private[sql] in Spark 4, so it cannot be named here.
+  override def inputTypes =
+    Seq.fill(children.length)(ArrayType(LongType))
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = children.exists(_.nullable)
@@ -160,6 +169,8 @@ object VecOps {
   import org.apache.spark.sql.catalyst.util.ArrayData
   def dot(a: ArrayData, b: ArrayData): Long = {
     val n = a.numElements()
+    require(b.numElements() == n,
+      s"graft_dot: vector lengths differ ($n vs ${b.numElements()})")
     var s = 0L; var i = 0
     while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
     s
@@ -172,6 +183,8 @@ object VecOps {
   }
   def dist2(a: ArrayData, b: ArrayData): Long = {
     val n = a.numElements()
+    require(b.numElements() == n,
+      s"graft_dist2: vector lengths differ ($n vs ${b.numElements()})")
     var s = 0L; var i = 0
     while (i < n) { val d = a.getLong(i) - b.getLong(i); s += d * d; i += 1 }
     s

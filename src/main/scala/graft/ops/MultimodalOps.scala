@@ -6,17 +6,19 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: opaque binary payloads with typed
   * metadata, processed batch-wise in executors.
   *
-  * Two decode paths are REAL end-to-end: mm_decode_png and
-  * mm_decode_wav synthesize genuine PNG images (javax.imageio) and
-  * RIFF/WAVE PCM audio (javax.sound.sampled) into the binary column,
-  * decode them through the platform decoders in a partition-wise pass,
-  * and the oracle checks the decoded features against the generation
-  * parameters — lossless round-trip through the actual formats. The
-  * remaining ops use a STUB decode (deterministic fake features from
-  * raw bytes; the exotic codecs — jxl, video containers — aren't in
-  * the container) around the same real plumbing: binary column +
-  * metadata struct, one iterator pass per partition (the Scala analog
-  * of mapInPandas), integer-exact features an oracle can replay.
+  * Five ops are REAL end-to-end: mm_decode_png / mm_resize_pool
+  * synthesize genuine PNG images (javax.imageio) and mm_decode_wav /
+  * mm_audio_energy / mm_frame_sample genuine RIFF/WAVE PCM audio
+  * (javax.sound.sampled) into the binary column, decode them through
+  * the platform decoders in a partition-wise pass, and the oracle
+  * checks the decoded features against the generation parameters —
+  * lossless round-trip through the actual formats. Only
+  * mm_decode_features keeps a STUB decode (deterministic fake
+  * features from raw bytes — standing in for the exotic codecs this
+  * container lacks: jxl, video containers) around the same real
+  * plumbing: binary column + metadata struct, one iterator pass per
+  * partition (the Scala analog of mapInPandas), integer-exact
+  * features an oracle can replay.
   */
 object MultimodalOps {
   import Derived.table
@@ -64,27 +66,30 @@ object MultimodalOps {
       pooled_sum: Long)
   final case class FrameRow(doc_id: Long, frame_idx: Long, frame_sum: Long)
 
-  /** 2x2 average-pool "resize" over the payload interpreted as a
-    * width-16 u8 image (zero-padded). The pixel interpretation is the
-    * deterministic stand-in for a decoded image; the pooling math,
-    * partition-wise batch iteration, and integer-exact output are the
-    * real downsample shape (floor-average, like a uint8 area resize).
+  /** 2x2 floor-average pool ("area resize") over REAL decoded PNG
+    * rasters: ImageIO decodes the genuine payload bytes, the pool
+    * reads actual pixels (zero-padded at odd edges, /4 always — a
+    * uint8 area downsample). One reader per partition, like
+    * mm_decode_png.
     */
-  def resizePooled(media: DataFrame): DataFrame = {
-    val s = media.sparkSession
+  def resizePooledPng(png: DataFrame): DataFrame = {
+    val s = png.sparkSession
     import s.implicits._
-    media.as[MediaRow].mapPartitions { rows =>
-      rows.map { r =>
-        val w = 16
-        val h = (r.payload.length + w - 1) / w
+    png.as[(Long, Array[Byte])].mapPartitions { rows =>
+      val reader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("png").next()
+      rows.map { case (id, payload) =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        reader.setInput(iis, true, true)
+        val img = try reader.read(0) finally iis.close()
+        val raster = img.getRaster
+        val w = img.getWidth
+        val h = img.getHeight
         val ph = (h + 1) / 2
-        val pw = w / 2
-        def px(row: Int, colIdx: Int): Long = {
-          val i = row * w + colIdx
-          if (row < 0 || row >= h || colIdx < 0 || colIdx >= w ||
-            i >= r.payload.length) 0L
-          else r.payload(i) & 0xffL
-        }
+        val pw = (w + 1) / 2
+        def px(y: Int, x: Int): Long =
+          if (x >= w || y >= h) 0L else raster.getSample(x, y, 0).toLong
         var sum = 0L
         var pr = 0
         while (pr < ph) {
@@ -96,29 +101,72 @@ object MultimodalOps {
           }
           pr += 1
         }
-        PooledRow(r.doc_id, ph.toLong, pw.toLong, sum)
+        PooledRow(id, ph.toLong, pw.toLong, sum)
       }
     }.toDF()
   }
 
-  /** Frame sampling over the payload interpreted as a 64-byte-per-
-    * frame "video": keep every 3rd frame, emit per-frame byte sums —
-    * the sample-then-featurize shape of a video ingest pipeline (one
-    * row per kept frame, exploded in the executor pass).
+  /** Decode REAL RIFF/WAVE payload bytes to signed 16-bit LE PCM
+    * samples via AudioSystem (shared by the windowed-energy and
+    * frame-sample passes).
     */
-  def sampleFrames(media: DataFrame): DataFrame = {
-    val s = media.sparkSession
+  private def decodePcm(payload: Array[Byte]): Array[Long] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+      !fmt.isBigEndian, s"unexpected WAV format $fmt")
+    val pcm = ais.readAllBytes()
+    val out = new Array[Long](pcm.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toLong
+      i += 1
+    }
+    out
+  }
+
+  /** Windowed energy over REAL decoded PCM: 256-sample windows (the
+    * last one ragged), energy = sum of squared sample values — the
+    * windowed feature pass of an audio ingest over genuine WAV bytes.
+    */
+  def windowEnergyWav(wav: DataFrame): DataFrame = {
+    val s = wav.sparkSession
     import s.implicits._
-    media.as[MediaRow].mapPartitions { rows =>
-      rows.flatMap { r =>
+    wav.as[(Long, Array[Byte])].mapPartitions { rows =>
+      rows.flatMap { case (id, payload) =>
+        val samples = decodePcm(payload)
+        val wsz = 256
+        val nw = (samples.length + wsz - 1) / wsz
+        (0 until nw).map { w =>
+          var energy = 0L
+          var i = w * wsz
+          val end = math.min((w + 1) * wsz, samples.length)
+          while (i < end) { energy += samples(i) * samples(i); i += 1 }
+          (id, w.toLong, energy)
+        }
+      }
+    }.toDF("doc_id", "window_idx", "energy")
+  }
+
+  /** Frame sampling over REAL decoded PCM: 64-sample frames, keep
+    * every 3rd, per-frame sample sums — the sample-then-featurize
+    * shape of a media ingest (one row per kept frame).
+    */
+  def sampleFramesWav(wav: DataFrame): DataFrame = {
+    val s = wav.sparkSession
+    import s.implicits._
+    wav.as[(Long, Array[Byte])].mapPartitions { rows =>
+      rows.flatMap { case (id, payload) =>
+        val samples = decodePcm(payload)
         val fsz = 64
-        val nframes = (r.payload.length + fsz - 1) / fsz
+        val nframes = (samples.length + fsz - 1) / fsz
         (0 until nframes by 3).map { f =>
           var sum = 0L
           var i = f * fsz
-          val end = math.min((f + 1) * fsz, r.payload.length)
-          while (i < end) { sum += r.payload(i) & 0xffL; i += 1 }
-          FrameRow(r.doc_id, f.toLong, sum)
+          val end = math.min((f + 1) * fsz, samples.length)
+          while (i < end) { sum += samples(i); i += 1 }
+          FrameRow(id, f.toLong, sum)
         }
       }
     }.toDF()
@@ -293,82 +341,66 @@ object MultimodalOps {
         |       d.n_chars % 640 AS width, d.n_chars // 100 + 1 AS frames
         |FROM documents d JOIN c USING (doc_id)""".stripMargin)),
 
-    // mm resize: 2x2 floor-average pooling over the width-16 pixel
-    // interpretation — integer-exact, replayed cell-by-cell in SQL
+    // mm resize: 2x2 floor-average pooling over REAL decoded PNG
+    // rasters (genuine payload bytes through ImageIO); the oracle
+    // replays the deterministic pixel-generation formulas cell-by-cell
+    // — decode + pool must recover them exactly (PNG is lossless)
     "mm_resize_pool" -> Q(
-      (s, dir) => resizePooled(mediaTable(s, dir)),
-      Some("""WITH d AS (SELECT doc_id, text, length(text) AS len,
-        |         (length(text) + 15) // 16 AS h FROM documents),
-        |cells AS (SELECT doc_id, text, len, h,
-        |            unnest(range(0, (h + 1) // 2)) AS pr FROM d),
-        |cells2 AS (SELECT doc_id, text, len, h, pr,
-        |             unnest(range(0, 8)) AS pc FROM cells),
-        |px AS (SELECT doc_id, h, pr, pc,
-        |  (CASE WHEN 2*pr*16 + 2*pc < len AND 2*pr < h
-        |        THEN unicode(substr(text, 2*pr*16 + 2*pc + 1, 1)) ELSE 0 END
-        |   + CASE WHEN 2*pr*16 + 2*pc + 1 < len AND 2*pr < h
-        |        THEN unicode(substr(text, 2*pr*16 + 2*pc + 2, 1)) ELSE 0 END
-        |   + CASE WHEN (2*pr+1)*16 + 2*pc < len AND 2*pr+1 < h
-        |        THEN unicode(substr(text, (2*pr+1)*16 + 2*pc + 1, 1)) ELSE 0 END
-        |   + CASE WHEN (2*pr+1)*16 + 2*pc + 1 < len AND 2*pr+1 < h
-        |        THEN unicode(substr(text, (2*pr+1)*16 + 2*pc + 2, 1)) ELSE 0 END
+      (s, dir) => resizePooledPng(pngTable(s, dir)),
+      Some("""WITH d AS (SELECT doc_id, 8 + doc_id % 25 AS w,
+        |               6 + doc_id % 17 AS h FROM documents),
+        |prs AS (SELECT doc_id, w, h,
+        |          unnest(range(0, (h + 1) // 2)) AS pr FROM d),
+        |pcs AS (SELECT doc_id, w, h, pr,
+        |          unnest(range(0, (w + 1) // 2)) AS pc FROM prs),
+        |px AS (SELECT doc_id, w, h,
+        |  (CASE WHEN 2*pc < w AND 2*pr < h
+        |        THEN (doc_id*31 + 2*pc*7 + 2*pr*13) % 256 ELSE 0 END
+        |   + CASE WHEN 2*pc+1 < w AND 2*pr < h
+        |        THEN (doc_id*31 + (2*pc+1)*7 + 2*pr*13) % 256 ELSE 0 END
+        |   + CASE WHEN 2*pc < w AND 2*pr+1 < h
+        |        THEN (doc_id*31 + 2*pc*7 + (2*pr+1)*13) % 256 ELSE 0 END
+        |   + CASE WHEN 2*pc+1 < w AND 2*pr+1 < h
+        |        THEN (doc_id*31 + (2*pc+1)*7 + (2*pr+1)*13) % 256 ELSE 0 END
         |  ) // 4 AS pv
-        |  FROM cells2)
-        |SELECT doc_id, (h + 1) // 2 AS pooled_h, 8 AS pooled_w,
+        |  FROM pcs)
+        |SELECT doc_id, (h + 1) // 2 AS pooled_h, (w + 1) // 2 AS pooled_w,
         |       CAST(sum(pv) AS BIGINT) AS pooled_sum
-        |FROM px GROUP BY doc_id, h""".stripMargin)),
+        |FROM px GROUP BY doc_id, w, h""".stripMargin)),
 
-    // mm audio energy: payload as u8 "samples" around a 128 midpoint,
-    // per-256-sample-window energy (sum of squared deviations) — the
-    // windowed feature pass of an audio ingest, integer-exact
+    // mm audio energy: 256-sample windows over REAL decoded PCM
+    // (genuine RIFF/WAVE bytes through AudioSystem), energy = sum of
+    // squared s16 samples; last window ragged (n in [256, 511])
     "mm_audio_energy" -> Q(
-      (s, dir) => {
-        val media = mediaTable(s, dir)
-        val sess = media.sparkSession
-        import sess.implicits._
-        media.as[MediaRow].mapPartitions { rows =>
-          rows.flatMap { r =>
-            val wsz = 256
-            val nw = (r.payload.length + wsz - 1) / wsz
-            (0 until nw).map { w =>
-              var energy = 0L
-              var i = w * wsz
-              val end = math.min((w + 1) * wsz, r.payload.length)
-              while (i < end) {
-                val d = (r.payload(i) & 0xffL) - 128L
-                energy += d * d
-                i += 1
-              }
-              (r.doc_id, w.toLong, energy)
-            }
-          }
-        }.toDF("doc_id", "window_idx", "energy")
-      },
-      Some("""WITH d AS (SELECT doc_id, text, length(text) AS len,
-        |         (length(text) + 255) // 256 AS nw FROM documents),
-        |w AS (SELECT doc_id, text, len, unnest(range(0, nw)) AS wi FROM d),
-        |b AS (SELECT doc_id, wi, text,
-        |        unnest(range(wi * 256, least((wi + 1) * 256, len))) AS i
-        |      FROM w),
-        |e AS (SELECT doc_id, wi,
-        |        sum((unicode(substr(text, i + 1, 1)) - 128)
-        |            * (unicode(substr(text, i + 1, 1)) - 128)) AS energy
-        |      FROM b GROUP BY doc_id, wi)
-        |SELECT doc_id, wi AS window_idx, CAST(energy AS BIGINT) AS energy
-        |FROM e""".stripMargin)),
+      (s, dir) => windowEnergyWav(wavTable(s, dir)),
+      Some("""WITH d AS (SELECT doc_id, 256 + doc_id % 256 AS n
+        |        FROM documents),
+        |w AS (SELECT doc_id, n,
+        |        unnest(range(0, (n + 255) // 256)) AS wi FROM d),
+        |b AS (SELECT doc_id, wi,
+        |        unnest(range(wi * 256, least((wi + 1) * 256, n))) AS i
+        |      FROM w)
+        |SELECT doc_id, wi AS window_idx,
+        |  CAST(sum((((doc_id * 7 + i * 31) % 4096 - 2048) * 8)
+        |         * (((doc_id * 7 + i * 31) % 4096 - 2048) * 8))
+        |       AS BIGINT) AS energy
+        |FROM b GROUP BY doc_id, wi""".stripMargin)),
 
-    // mm frame sampling: every 3rd 64-byte frame, per-frame byte sums
+    // mm frame sampling: 64-sample frames over REAL decoded PCM, keep
+    // every 3rd, per-frame sample sums
     "mm_frame_sample" -> Q(
-      (s, dir) => sampleFrames(mediaTable(s, dir)),
-      Some("""WITH d AS (SELECT doc_id, text, length(text) AS len,
-        |         (length(text) + 63) // 64 AS nf FROM documents),
-        |fr AS (SELECT doc_id, text, len, unnest(range(0, nf)) AS f FROM d),
+      (s, dir) => sampleFramesWav(wavTable(s, dir)),
+      Some("""WITH d AS (SELECT doc_id, 256 + doc_id % 256 AS n
+        |        FROM documents),
+        |fr AS (SELECT doc_id, n,
+        |         unnest(range(0, (n + 63) // 64)) AS f FROM d),
         |kept AS (SELECT * FROM fr WHERE f % 3 = 0),
-        |b AS (SELECT doc_id, f, text, len,
-        |        unnest(range(f * 64, least((f + 1) * 64, len))) AS i
+        |b AS (SELECT doc_id, f,
+        |        unnest(range(f * 64, least((f + 1) * 64, n))) AS i
         |      FROM kept)
         |SELECT doc_id, f AS frame_idx,
-        |       CAST(sum(unicode(substr(text, i + 1, 1))) AS BIGINT) AS frame_sum
+        |  CAST(sum(((doc_id * 7 + i * 31) % 4096 - 2048) * 8) AS BIGINT)
+        |    AS frame_sum
         |FROM b GROUP BY doc_id, f""".stripMargin)),
   )
 }

@@ -97,4 +97,37 @@ class MortonExprSpec extends AnyFunSuite {
       .collect()
     assert(n.head.isNullAt(0))
   }
+
+  test("graft_dot rejects non-bigint arrays at analysis, not as garbage") {
+    val s = spark
+    graft.functions.GraftFunctions.register(s)
+    // array(1, 2) binds array<int>; before ExpectsInputTypes this
+    // passed analysis and ArrayData.getLong over 4-byte elements
+    // returned silent garbage under codegen
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      s.sql("SELECT graft_dot(array(1, 2), array(3, 4)) AS d").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("graft_dot") ||
+      e.getMessage.toLowerCase.contains("dotexpr") ||
+      e.getMessage.toLowerCase.contains("data type mismatch"), e.getMessage)
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      s.sql("SELECT graft_norm2(array(1.5D, 2.5D)) AS n").collect()
+    }
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      s.sql("SELECT graft_dist2(array(1, 2), array(3L, 4L)) AS l").collect()
+    }
+  }
+
+  test("graft_dot/dist2 reject mismatched vector lengths") {
+    val s = spark
+    graft.functions.GraftFunctions.register(s)
+    val thrown = intercept[Throwable] {
+      s.sql("SELECT graft_dot(array(1L, 2L), array(3L)) AS d").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(thrown).exists(_.contains("vector lengths differ")),
+      msgs(thrown).mkString(" | "))
+  }
 }
