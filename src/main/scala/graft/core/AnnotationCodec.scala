@@ -228,12 +228,22 @@ object AnnotationCodec {
 
   /** Write the layer's `info` JSON: the neuroglancer_annotations_v1
     * header carrying the property schema incl. any enum dictionaries
-    * (annotation/metadata.py:355-372 example block).
+    * (annotation/metadata.py:355-372 example block). `byId` optionally
+    * declares the id index: key subdirectory plus, when the index is
+    * sharded, the uint64-sharded spec — the reference's
+    * `is_id_index_sharded()` routing bit (annotation/reader.py:183-205
+    * reads `by_id["sharding"]` to pick the ShardReader path).
     */
-  def writeInfo(dir: String, spec: AnnotationSpec): Unit = {
+  def writeInfo(dir: String, spec: AnnotationSpec,
+      byId: Option[(String, Option[ShardingSpec])] = None): Unit = {
     val root = om.createObjectNode()
     root.put("@type", "neuroglancer_annotations_v1")
     root.put("annotation_type", spec.annotationType)
+    byId.foreach { case (key, sh) =>
+      val b = root.putObject("by_id")
+      b.put("key", key)
+      sh.foreach(s => ShardingSpec.putJson(b.putObject("sharding"), s))
+    }
     val dims = root.putObject("dimensions")
     Seq("x", "y", "z").take(spec.ndim).foreach { ax =>
       val d = dims.putArray(ax); d.add(1); d.add("nm")
@@ -253,6 +263,19 @@ object AnnotationCodec {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "info"),
       om.writerWithDefaultPrettyPrinter.writeValueAsString(root))
+  }
+
+  /** The layer's declared id index: (key, sharding if sharded) —
+    * None when the info has no by_id block. Mirrors
+    * `is_id_index_sharded()` (annotation/reader.py:183-205).
+    */
+  def readByIdIndex(dir: String): Option[(String, Option[ShardingSpec])] = {
+    val root = om.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "info")))
+    Option(root.get("by_id")).map { b =>
+      (b.get("key").asText,
+        Option(b.get("sharding")).map(ShardingSpec.fromJson))
+    }
   }
 
   /** Parse the layer `info` back to the codec spec (the enum

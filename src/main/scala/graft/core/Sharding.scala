@@ -52,6 +52,37 @@ final case class ShardingSpec(
 }
 
 object ShardingSpec {
+
+  /** Parse a `neuroglancer_uint64_sharded_v1` JSON object (the
+    * `sharding` block images, skeletons, meshes, and annotation id
+    * indexes all share).
+    */
+  def fromJson(n: com.fasterxml.jackson.databind.JsonNode): ShardingSpec = {
+    val t = n.get("@type").asText
+    require(t == "neuroglancer_uint64_sharded_v1", s"unknown sharding $t")
+    ShardingSpec(
+      preshiftBits = n.get("preshift_bits").asInt,
+      minishardBits = n.get("minishard_bits").asInt,
+      shardBits = n.get("shard_bits").asInt,
+      hashName = n.get("hash").asText,
+      minishardIndexEncoding = Option(n.get("minishard_index_encoding"))
+        .map(_.asText).getOrElse("raw"),
+      dataEncoding = Option(n.get("data_encoding"))
+        .map(_.asText).getOrElse("raw"))
+  }
+
+  /** Inverse of [[fromJson]]: fill `o` with the spec's fields. */
+  def putJson(o: com.fasterxml.jackson.databind.node.ObjectNode,
+      sp: ShardingSpec): Unit = {
+    o.put("@type", "neuroglancer_uint64_sharded_v1")
+    o.put("preshift_bits", sp.preshiftBits)
+    o.put("hash", sp.hashName)
+    o.put("minishard_bits", sp.minishardBits)
+    o.put("shard_bits", sp.shardBits)
+    o.put("minishard_index_encoding", sp.minishardIndexEncoding)
+    o.put("data_encoding", sp.dataEncoding)
+  }
+
   /** Static flat-arg shard/minishard computation for codegen callsites
     * (graft.functions — Janino resolves these through the static
     * forwarders on `graft.core.ShardingSpec`).

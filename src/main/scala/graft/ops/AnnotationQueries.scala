@@ -3,7 +3,7 @@ package graft.ops
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession, Row}
 import org.apache.spark.sql.functions._
-import graft.core.AnnotationCodec
+import graft.core.{AnnotationCodec, ShardCodec, ShardingSpec}
 import graft.core.AnnotationCodec.{Annotation, AnnotationSpec, PropSpec}
 
 /** Annotation layers over REAL binary chunk files (F18 + P8 extended
@@ -195,6 +195,58 @@ object AnnotationQueries {
     Files.writeString(marker, markerVal)
   }
 
+  // ---- sharded id index twin (annotation/reader.py:183-205): a
+  // points layer whose by_id index is a uint64-sharded container —
+  // the same single-annotation binaries packed into shard files, the
+  // layer info declaring by_id {key, sharding} so the read path can
+  // route on is_id_index_sharded() like the reference ----
+
+  val ShardedLayerDir = s"$Root/points_sharded"
+  val annShardSpec: ShardingSpec = ShardingSpec(
+    preshiftBits = 0, minishardBits = 2, shardBits = 1,
+    hashName = "murmurhash3_x86_128",
+    minishardIndexEncoding = "gzip", dataEncoding = "gzip")
+
+  def ensureSharded(s: SparkSession, sfDir: String): Unit = synchronized {
+    ensure(s, sfDir)
+    val marker = Paths.get(Root, ".built_byid_sharded_from")
+    val markerVal = s"$sfDir|v3|annsh-v1"
+    if (Files.exists(marker) && Files.readString(marker) == markerVal) return
+    val layerP = Paths.get(ShardedLayerDir)
+    if (Files.exists(layerP)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(layerP).iterator.asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    val spec = annShardSpec
+    val byIdStr = s"$Root/by_id"
+    val outDir = s"$ShardedLayerDir/by_id"
+    Files.createDirectories(Paths.get(outDir))
+    AnnotationCodec.writeInfo(ShardedLayerDir, PointSpec,
+      byId = Some(("by_id", Some(spec))))
+    // group the single-annotation binaries by shard number; each task
+    // synthesizes one full shard file (S12 shuffle shape)
+    val names = Files.list(Paths.get(byIdStr)).iterator.asScala
+      .map(_.getFileName.toString).filter(_.matches("\\d+")).toSeq.sorted
+    names.toDS()
+      .map { n =>
+        (spec.shardLocation(n.toLong)._1, n.toLong,
+          Files.readAllBytes(Paths.get(byIdStr, n)))
+      }
+      .groupByKey(_._1)
+      .mapGroups { (shard, it) =>
+        val items = it.map(t => (t._2, t._3)).toSeq
+        (shard, ShardCodec.synthesizeShard(spec, items))
+      }
+      .foreach { t: (Long, Array[Byte]) =>
+        Files.write(Paths.get(outDir, spec.shardFilename(t._1)), t._2)
+        ()
+      }
+    Files.writeString(marker, markerVal)
+  }
+
   /** Decode a layer directory into annotation rows: aid, geometry
     * floats (as long — fixture values are integers), property slots.
     */
@@ -360,6 +412,47 @@ object AnnotationQueries {
             (aid, a.geometry(0).toLong, a.geometry(1).toLong,
               a.geometry(2).toLong, a.props(0).toLong,
               rels(0).head, rels(1).head)
+          }.toDF("aid", "ax", "ay", "az", "score", "presyn", "postsyn")
+      },
+      Some(s"""WITH $PtsCte
+        |SELECT aid, ax, ay, az, score, (aid * 3) % 40 AS presyn,
+        |  (aid * 5 + 1) % 40 AS postsyn
+        |FROM pts WHERE aid % 35 = 0""".stripMargin)),
+
+    // P8 SHARDED by-id lookup (annotation/reader.py:183-205): the
+    // layer info declares by_id.sharding, so ids resolve through the
+    // uint64-sharded container — shard number from the spec, byte
+    // range from the minishard index, single-annotation decode.
+    // Requested ids are grouped by shard so each shard file is read
+    // once per task (the ShardReader batching shape, not a per-id
+    // full-file read).
+    "p8g_annotation_by_id_sharded" -> Q(
+      (s, dir) => {
+        ensureSharded(s, dir)
+        import s.implicits._
+        import scala.jdk.CollectionConverters._
+        // route on the layer's declared id index, like the reference
+        val (key, shOpt) = AnnotationCodec.readByIdIndex(ShardedLayerDir).get
+        val spec = shOpt.getOrElse(
+          throw new IllegalStateException("fixture id index not sharded"))
+        val annSpec = PointSpec
+        val shardDir = s"$ShardedLayerDir/$key"
+        // the id set under test: the same by-id subset p8e reads
+        val ids = Files.list(Paths.get(s"$Root/by_id")).iterator.asScala
+          .map(_.getFileName.toString.toLong).toSeq.sorted
+        s.createDataset(ids)
+          .groupByKey(aid => spec.shardLocation(aid)._1)
+          .flatMapGroups { (shardNo, it) =>
+            val shard = Files.readAllBytes(
+              Paths.get(shardDir, spec.shardFilename(shardNo)))
+            it.flatMap { aid =>
+              ShardCodec.getData(shard, spec, aid).map { bin =>
+                val (a, rels) = AnnotationCodec.decodeSingle(annSpec, 2, aid, bin)
+                (aid, a.geometry(0).toLong, a.geometry(1).toLong,
+                  a.geometry(2).toLong, a.props(0).toLong,
+                  rels(0).head, rels(1).head)
+              }
+            }
           }.toDF("aid", "ax", "ay", "az", "score", "presyn", "postsyn")
       },
       Some(s"""WITH $PtsCte

@@ -10,7 +10,7 @@ object Fixtures {
   def ensureAll(s: SparkSession, sfDir: String): Unit = {
     RealLayerQueries.ensure(s, sfDir)
     MeshQueries.ensure(s, sfDir)
-    AnnotationQueries.ensure(s, sfDir)
+    AnnotationQueries.ensureSharded(s, sfDir) // also builds the unsharded set
     SkeletonQueries.ensureSharded(s, sfDir) // also builds the unsharded set
     SpatialIndexQueries.ensure(s, sfDir)
     Zarr3Queries.ensureZarr2(s, sfDir) // also builds the zarr3 array

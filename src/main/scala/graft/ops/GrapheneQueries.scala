@@ -33,7 +33,12 @@ object GrapheneQueries {
   private val Z = 67108864L // 1 << 26
 
   /** 3-level hierarchy from supplier: leaf (layer 1, spatial bits from
-    * the supplier key) -> layer-2 parent -> layer-3 root.
+    * the supplier key) -> layer-2 parent -> layer-3 root — except
+    * every 7th leaf, which SKIP-CONNECTS directly to its layer-3 root
+    * (frontends/graphene.py:525-531: "Between chunk interconnections
+    * (skip connections possible)" — a parent may sit more than one
+    * layer above its child, so descent must key on each node's
+    * decoded layer bits, never on a uniform depth).
     */
   private def edges(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val enc = Derived.grapheneEncodeUdf
@@ -43,13 +48,17 @@ object GrapheneQueries {
         enc(lit(1), col("sk") % 20, (col("sk") * 3) % 20, col("sk") % 10,
           col("sk")).as("leaf"),
         idiv(col("sk"), 10).as("p2"),
-        idiv(col("sk"), 100).as("p3"))
+        idiv(col("sk"), 100).as("p3"),
+        (col("sk") % 7 === 0).as("skip"))
       .withColumn("parent", enc(lit(2), col("p2") % 10, (col("p2") * 3) % 10,
         col("p2") % 5, col("p2")))
       .withColumn("root", enc(lit(3), col("p3") % 5, (col("p3") * 3) % 5,
         col("p3") % 3, col("p3")))
-    val e1 = leaves.select(col("leaf").as("child"), col("parent"))
-    val e2 = leaves.select(col("parent").as("child"), col("root").as("parent"))
+    val e1 = leaves.select(col("leaf").as("child"),
+      when(col("skip"), col("root")).otherwise(col("parent")).as("parent"))
+    // layer-2 nodes exist only where some non-skip leaf attaches
+    val e2 = leaves.filter(!col("skip"))
+      .select(col("parent").as("child"), col("root").as("parent"))
       .distinct()
     (leaves, e1.unionAll(e2))
   }
@@ -58,7 +67,12 @@ object GrapheneQueries {
 
     // J6: leaves of every root within bbox x<10, y<10, z<5 at
     // stop_layer 1 — iterative downward frontier join with the
-    // spatial-bit filter applied at the leaf layer
+    // spatial-bit filter applied at the leaf layer. Skip connections
+    // (graphene.py:525-531) mean a node can reach stop_layer in fewer
+    // hops than the hierarchy depth, so each round EMITS the frontier
+    // nodes whose decoded layer bits hit stop_layer and descends only
+    // the rest — a fixed-depth unroll would descend past skip-
+    // connected leaves and silently drop them.
     "j6_leaves_of_root" -> Q(
       (s, dir) => {
         val (_, es) = edges(s, dir)
@@ -66,16 +80,24 @@ object GrapheneQueries {
         val roots = es.select(col("parent")).filter(
           shiftrightunsigned(col("parent"), 56) === 3)
           .distinct().select(col("parent").as("root"), col("parent").as("node"))
-        // fixed-depth descent (hierarchy depth is in the graphene meta,
-        // graphene/metadata.py:116-123): 2 joins root->l2->leaf; each
-        // level's frontier joins only its own children
+        val stopLayer = 1
+        // bounded by the hierarchy depth from the graphene meta
+        // (graphene/metadata.py:116-123): root layer 3 -> stop layer 1
+        // is at most 2 descents; nodes AT stop_layer peel off early
         var frontier = roots
+        var done: DataFrame = null
         (0 until 2).foreach { _ =>
-          frontier = frontier.join(down, Seq("node"))
+          val layer = shiftrightunsigned(col("node"), 56)
+          val atStop = frontier.filter(layer === stopLayer)
+          done = if (done == null) atStop else done.unionAll(atStop)
+          frontier = frontier.filter(layer > stopLayer)
+            .join(down, Seq("node"))
             .select(col("root"), col("child").as("node"))
         }
+        val all = done.unionAll(frontier)
+          .filter(shiftrightunsigned(col("node"), 56) === stopLayer)
         val dec = Derived.grapheneDecodeUdf
-        frontier
+        all
           .withColumn("d", dec(col("node")))
           .filter(col("d._2") < 10 && col("d._3") < 10 && col("d._4") < 5)
           .select(col("root"), col("node").as("leaf"))
