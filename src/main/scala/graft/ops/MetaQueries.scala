@@ -342,6 +342,31 @@ object MetaQueries {
         |FROM v JOIN st USING (z)
         |GROUP BY v.z""".stripMargin)),
 
+    // F19: save_images INTEGER passthrough — the reference normalizes
+    // only floating dtypes (lib.py:1064,:1087 np.issubdtype gates);
+    // integer volumes rasterize unchanged. value = label % 256 models
+    // a uint8 source; the oracle sums the raw values per slice.
+    "f19c_save_images_u8" -> Q(
+      (s, dir) => {
+        RealLayerQueries.ensure(s, dir)
+        val vox = s.read.parquet(RealLayerQueries.VoxelsDir)
+          .select(col("x"), col("y"), col("z"),
+            (col("label") % 256).as("value"))
+        SaveImages.saveImages(s, vox,
+          s"${RealLayerQueries.Root}/saved_images_u8",
+          Vec3(RealLayerQueries.SX, RealLayerQueries.SY,
+            RealLayerQueries.SZ),
+          axis = "z", normalize = false)
+      },
+      Some(s"""WITH v AS (SELECT *
+        |  FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet'))
+        |SELECT v.z AS level, CAST(0 AS BIGINT) AS c,
+        |  lpad(CAST(v.z AS VARCHAR), 5, '0') || '.png' AS filename,
+        |  CAST(${RealLayerQueries.SX} AS BIGINT) AS width,
+        |  CAST(${RealLayerQueries.SY} AS BIGINT) AS height,
+        |  CAST(sum(v.label % 256) AS BIGINT) AS pxsum
+        |FROM v GROUP BY v.z""".stripMargin)),
+
     // W6 (pipeline extension): gaps-and-islands sessionization of the
     // events stream — a new session starts after a >30-minute gap per
     // user; the same window shape as S7's range bundling, applied to

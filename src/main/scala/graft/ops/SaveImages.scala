@@ -29,6 +29,13 @@ import graft.core.Vec3
   * `globalNorm` picks volume-wide (lo, hi) computed once; otherwise
   * each (slice, channel) normalizes independently (lib.py:1087-1089).
   *
+  * The reference normalizes ONLY floating dtypes (the
+  * `np.issubdtype(image.dtype, np.floating)` gates at lib.py:1064 and
+  * :1087) — integer volumes pass through to the rasterizer unchanged.
+  * `normalize = false` models that path: values are written as-is,
+  * clamped to the u8 raster range (exact for uint8 sources, which is
+  * what the passthrough is for).
+  *
   * Filenames: zero-padded "<level>.png", prefixed "<channel>-" when
   * the input carries a channel column (lib.py:1107-1110).
   *
@@ -43,8 +50,8 @@ import graft.core.Vec3
 object SaveImages {
 
   def saveImages(s: SparkSession, voxels: DataFrame, dir: String,
-      shape: Vec3, axis: String = "z", globalNorm: Boolean = true)
-      : DataFrame = {
+      shape: Vec3, axis: String = "z", globalNorm: Boolean = true,
+      normalize: Boolean = true): DataFrame = {
     require(Set("x", "y", "z").contains(axis), s"axis $axis not in x,y,z")
     Files.createDirectories(Paths.get(dir))
     import s.implicits._
@@ -61,11 +68,12 @@ object SaveImages {
     }
     // global normalization bounds: a 2-long aggregate, computed once
     val gmm: Option[(Long, Long)] =
-      if (!globalNorm) None
+      if (!normalize || !globalNorm) None
       else {
         val r = base.agg(min(col("value")), max(col("value"))).head()
         Some((r.getLong(0), r.getLong(1)))
       }
+    val doNorm = normalize
     val dirStr = dir
     val wi = w.toInt
     val hi = h.toInt
@@ -78,21 +86,25 @@ object SaveImages {
           rows: Iterator[(Long, Long, Long, Long, Long)]) =>
         val (level, c) = key
         val buf = rows.toArray
-        val (lo, hiV) = gmm.getOrElse {
-          var mn = Long.MaxValue; var mx = Long.MinValue
-          buf.foreach { r =>
-            if (r._5 < mn) mn = r._5
-            if (r._5 > mx) mx = r._5
+        val (lo, hiV) =
+          if (!doNorm) (0L, 0L)
+          else gmm.getOrElse {
+            var mn = Long.MaxValue; var mx = Long.MinValue
+            buf.foreach { r =>
+              if (r._5 < mn) mn = r._5
+              if (r._5 > mx) mx = r._5
+            }
+            (mn, mx)
           }
-          (mn, mx)
-        }
         val img = new java.awt.image.BufferedImage(
           wi, hi, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
         val raster = img.getRaster
         var pxsum = 0L
         buf.foreach { r =>
           val u8 =
-            if (hiV == lo) 0L else (r._5 - lo) * 255 / (hiV - lo)
+            if (!doNorm) math.min(math.max(r._5, 0L), 255L)
+            else if (hiV == lo) 0L
+            else (r._5 - lo) * 255 / (hiV - lo)
           pxsum += u8
           raster.setSample(r._3.toInt, r._4.toInt, 0, u8.toInt)
         }

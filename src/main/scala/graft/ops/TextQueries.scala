@@ -166,14 +166,21 @@ object TextQueries {
     * (the same reuse the r6 advisor prescribed for dedup_bloom's
     * corpus checkpoint). Keyed by applicationId so a fresh
     * SparkSession (tests) never sees a checkpoint from a stopped
-    * context; dedup_minhash_lsh stays un-memoized so one entry always
-    * measures the full pipeline.
+    * context, and by the source table's mtime so a regenerated
+    * documents.parquet invalidates the memo instead of serving a
+    * stale checkpoint; dedup_minhash_lsh stays un-memoized so one
+    * entry always measures the full pipeline.
     */
   private val pairsMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
-  private def sharedPairs(s: SparkSession, dir: String): DataFrame =
-    pairsMemo.getOrElseUpdate((s.sparkContext.applicationId, dir),
+    scala.collection.concurrent.TrieMap.empty[(String, String, Long), DataFrame]
+  private def sharedPairs(s: SparkSession, dir: String): DataFrame = {
+    val src = java.nio.file.Paths.get(dir, "documents.parquet")
+    val mtime =
+      try java.nio.file.Files.getLastModifiedTime(src).toMillis
+      catch { case _: java.io.IOException => 0L }
+    pairsMemo.getOrElseUpdate((s.sparkContext.applicationId, dir, mtime),
       minhashPairs(s, dir).localCheckpoint())
+  }
 
   /** DuckDB CTE chain ending in `pairs(a, b)` — the oracle twin of
     * [[minhashPairs]]. Callers prepend WITH [RECURSIVE].

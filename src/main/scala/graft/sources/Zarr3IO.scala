@@ -499,6 +499,12 @@ object Zarr3IO {
     val dtb = m.dtypeBytes
     val tc = m.timeChunk
     require(m.timeFrames.isDefined, "writeChunksT requires a time axis")
+    // this writer emits plain x-fastest frames under c/<tc>/<gx|gy|gz>
+    // keys — a channel axis or zyx spatial order would need
+    // writeChunksTC's frame/key handling; writing their metadata here
+    // would produce files readMeta-compatible readers misplace
+    require(m.channels.isEmpty && !m.zyx,
+      "writeChunksT supports 4-D (t + xyz) only; use writeChunksTC")
     val frameVox = (cs.x * cs.y * cs.z).toInt
     val dirStr = dir
     chunks.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
@@ -643,6 +649,11 @@ object Zarr3IO {
           if (!Files.exists(p)) Array.fill((cs.x * cs.y * cs.z).toInt)(fill)
           else {
             val raw = unpack(m, Files.readAllBytes(p))
+            // a short object would silently zero-pad via copyOfRange —
+            // fail loudly instead: zarr chunks are always full-size
+            require(raw.length >= fOff + frameBytes,
+              s"truncated zarr chunk $p: ${raw.length} bytes, " +
+                s"frame needs [$fOff, ${fOff + frameBytes})")
             val frame =
               if (fOff == 0 && raw.length == frameBytes) raw
               else java.util.Arrays.copyOfRange(raw, fOff, fOff + frameBytes)
