@@ -840,12 +840,16 @@ object TextQueries {
     // a span is "shared" if its 8-gram occurs in >= 2 distinct docs.
     // Near-dup pairs share most spans, unrelated docs almost none —
     // this catches verbatim boilerplate that whole-doc MinHash misses.
-    // Scale shape: shingling is a narrow map; the shared-span set is
-    // one partial-aggregated groupBy on the span hash; the tag-back is
-    // a semi-join on the same hash key (co-partitioned with the
-    // groupBy's shuffle). No all-pairs anywhere.
+    // Scale shape: shingling is a narrow map consumed ONCE — the
+    // (hv, doc_id) aggregate collapses duplicate spans map-side, the
+    // distinct-doc count per hash is a window over the hv partitioning
+    // (each (hv, doc_id) is one row, so plain count == count distinct),
+    // and both per-doc counters come out of ONE doc_id aggregation.
+    // No span materialization (the r7 checkpoint), no semi-join pass,
+    // no all-pairs anywhere.
     "dedup_substring" -> Q(
       (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
         val spans = corpus(s, dir)
           .select(col("doc_id"), split(col("text"), " ").as("w"))
           .filter(size(col("w")) >= 8)
@@ -855,17 +859,16 @@ object TextQueries {
           .select(col("doc_id"),
             conv(substring(md5(col("sp").cast("binary")), 1, 12), 16, 10)
               .cast("long").as("hv"))
-          .localCheckpoint() // feeds the shared set AND both per-doc aggs
-        val shared = spans.groupBy("hv")
-          .agg(count_distinct(col("doc_id")).as("nd"))
-          .filter(col("nd") >= 2).select("hv")
-        val perDoc = spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
-        val sharedPerDoc = spans.join(shared, Seq("hv"), "left_semi")
-          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-        perDoc.join(sharedPerDoc, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_spans"),
-            coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-            floor(coalesce(col("n_shared"), lit(0L)).cast("double") /
+        val perSpanDoc = spans.groupBy("hv", "doc_id")
+          .agg(count(lit(1)).as("c"))
+        val tagged = perSpanDoc.withColumn("nd",
+          count(lit(1)).over(Window.partitionBy("hv")))
+        tagged.groupBy("doc_id")
+          .agg(sum(col("c")).as("n_spans"),
+            coalesce(sum(when(col("nd") >= 2, col("c"))), lit(0L))
+              .as("n_shared"))
+          .select(col("doc_id"), col("n_spans"), col("n_shared"),
+            floor(col("n_shared").cast("double") /
               col("n_spans") * 1e6).cast("long").as("shared_ppm"))
       },
       Some(s"""WITH $CorpusCte,
