@@ -421,6 +421,22 @@ object Codec {
     try in.readAllBytes() finally in.close()
   }
 
+  /** N5's xz compression (XzCompression wraps the org.tukaani LZMA2
+    * stream, default preset 6; xz-1.10 ships on the Spark classpath).
+    */
+  def xz(data: Array[Byte], preset: Int = 6): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(data.length / 2 + 64)
+    val out = new org.tukaani.xz.XZOutputStream(bos,
+      new org.tukaani.xz.LZMA2Options(preset))
+    out.write(data); out.close()
+    bos.toByteArray
+  }
+
+  def unxz(data: Array[Byte]): Array[Byte] = {
+    val in = new org.tukaani.xz.XZInputStream(new ByteArrayInputStream(data))
+    try in.readAllBytes() finally in.close()
+  }
+
   /** F10 npz codec (chunks.py:286-300 encode_npz, :336-338
     * decode_npz): a zlib-wrapped .npy buffer — expressly NOT
     * np.savez; the npy v1 header carries dtype / order / shape

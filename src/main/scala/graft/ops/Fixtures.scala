@@ -22,6 +22,7 @@ object Fixtures {
     Zarr3Queries.ensureSharded(s, sfDir)
     Zarr3Queries.ensureN5(s, sfDir)
     Zarr3Queries.ensureN5Lz4(s, sfDir)
+    Zarr3Queries.ensureN5Xz(s, sfDir)
     Zarr3Queries.ensureZarr2Blosc(s, sfDir)
     Zarr3Queries.ensureZarr3Blosc(s, sfDir)
     Zarr3Queries.ensureN5Blosc(s, sfDir)

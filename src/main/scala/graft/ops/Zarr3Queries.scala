@@ -407,6 +407,31 @@ object Zarr3Queries {
     Files.writeString(marker, want)
   }
 
+  // ---- n5 xz sibling (org.tukaani LZMA2 stream — completes the
+  // full N5 spec compression set) ----
+
+  val N5XzDir = s"$Root/n5xz_array"
+
+  val n5XzMeta: graft.sources.N5IO.N5Meta = graft.sources.N5IO.N5Meta(
+    dimensions = Vec3(SX, SY, SZ), blockSize = Vec3(CX, CY, CZ),
+    dataType = "uint32", compression = "xz")
+
+  def ensureN5Xz(s: SparkSession, sfDir: String): Unit = synchronized {
+    ensureN5(s, sfDir)
+    val want = RealLayerQueries.stamp + "|xz-v1"
+    val marker = Paths.get(Root, ".built_n5xz_from")
+    if (Files.exists(marker) && Files.readString(marker) == want) return
+    val n5root = Paths.get(N5XzDir)
+    if (Files.exists(n5root)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(n5root).iterator.asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+    graft.sources.N5IO.writeMeta(N5XzDir, n5XzMeta)
+    graft.sources.N5IO.writeBlocks(n5Blocks(s), N5XzDir, n5XzMeta)
+    Files.writeString(marker, want)
+  }
+
   // ---- zarr2 blosc sibling (zarr-python v2's DEFAULT compressor:
   // blosc lz4 clevel 5 byte-shuffle; zarr2/image.py:65-67,200-219) ----
 
@@ -578,6 +603,20 @@ object Zarr3Queries {
         |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')
         |WHERE x BETWEEN 3 AND 54 AND y BETWEEN 6 AND 51
         |  AND z BETWEEN 2 AND 26""".stripMargin)),
+
+    // S18: n5 xz cutout — the org.tukaani LZMA2 stream the standard
+    // Java N5 library's XzCompression writes; completes the full N5
+    // spec compression set (raw/gzip/lz4/bzip2/xz + blosc extension)
+    "s18_n5_xz_cutout" -> Q(
+      (s, dir) => {
+        ensureN5Xz(s, dir)
+        graft.sources.N5IO.cutoutVoxels(s, N5XzDir,
+          Bbox(Vec3(4, 5, 3), Vec3(56, 53, 25)))
+      },
+      Some(s"""SELECT x, y, z, label
+        |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')
+        |WHERE x BETWEEN 4 AND 55 AND y BETWEEN 5 AND 52
+        |  AND z BETWEEN 3 AND 24""".stripMargin)),
 
     // S18: n5 cutout — big-endian block headers, clamped edge blocks,
     // gzip body, F-order voxels (datasource/n5/image.py:44-90)

@@ -11,11 +11,12 @@ import graft.core._
   * metadata.py:38-115):
   *
   * - root + per-scale `attributes.json` (dataType, blockSize,
-  *   dimensions, compression {type: raw|gzip|lz4|bzip2|blosc — the N5
-  *   spec set minus xz, whose codec jar is absent offline; lz4 uses
-  *   the jpountz block framing and bzip2 commons-compress, both what
-  *   the standard Java N5 library writes; blosc matches the n5-blosc
-  *   extension's frame, shared with the zarr2/zarr3 readers})
+  *   dimensions, compression {type: raw|gzip|lz4|bzip2|xz|blosc — the
+  *   FULL N5 spec set plus the n5-blosc extension; lz4 uses the
+  *   jpountz block framing, bzip2 commons-compress, and xz the
+  *   org.tukaani LZMA2 stream (xz-1.10 on the Spark classpath), all
+  *   matching what the standard Java N5 library writes; blosc shares
+  *   the frame codec with the zarr2/zarr3 readers})
   * - block objects at `s<mip>/<x>/<y>/<z>`
   * - block binary: BIG-endian header u16 mode(=0) | u16 ndim |
   *   u32 dims[ndim] (edge blocks carry their clamped dims), then the
@@ -31,7 +32,8 @@ object N5IO {
       blockSize: Vec3,
       dataType: String,
       compression: String = "gzip") {
-    require(Set("raw", "gzip", "lz4", "bzip2", "blosc").contains(compression),
+    require(
+      Set("raw", "gzip", "lz4", "bzip2", "xz", "blosc").contains(compression),
       s"n5 compression $compression")
     def dtypeBytes: Int = dataType match {
       case "uint8" => 1
@@ -91,6 +93,7 @@ object N5IO {
     case "gzip" => Codec.gzip(b)
     case "lz4" => Codec.lz4Block(b)
     case "bzip2" => Codec.bzip2(b)
+    case "xz" => Codec.xz(b)
     case "blosc" => Blosc.compress(b, dtb)
     case _ => b
   }
@@ -98,6 +101,7 @@ object N5IO {
     case "gzip" => Codec.gunzip(b)
     case "lz4" => Codec.unlz4Block(b)
     case "bzip2" => Codec.unbzip2(b)
+    case "xz" => Codec.unxz(b)
     case "blosc" => Blosc.decompress(b)
     case _ => b
   }

@@ -93,11 +93,11 @@ class FormatSpec extends AnyFunSuite {
     assert(meanErr < 4.0, s"mean abs error $meanErr")
   }
 
-  test("n5 lz4 + bzip2 block compression round-trips") {
+  test("n5 lz4 + bzip2 + xz + blosc block compression round-trips") {
     import graft.sources.N5IO
     val dims = Vec3(5, 4, 3)
     val vox = Array.tabulate(60)(i => (i * 17L) % 251)
-    for (comp <- Seq("lz4", "bzip2")) {
+    for (comp <- Seq("lz4", "bzip2", "xz", "blosc")) {
       val block = N5IO.encodeBlock(vox, dims, 4, comp)
       val (d2, v2) = N5IO.decodeBlock(block, 4, comp)
       assert(d2 == dims && v2.sameElements(vox), comp)
@@ -106,6 +106,7 @@ class FormatSpec extends AnyFunSuite {
     val data = Array.tabulate(200000)(i => (i % 97).toByte)
     assert(Codec.unlz4Block(Codec.lz4Block(data)).toSeq === data.toSeq)
     assert(Codec.unbzip2(Codec.bzip2(data)).toSeq === data.toSeq)
+    assert(Codec.unxz(Codec.xz(data)).toSeq === data.toSeq)
   }
 
   test("zstd second-stage round-trip") {
