@@ -459,6 +459,33 @@ object Zarr3Queries {
     Files.writeString(marker, want)
   }
 
+  // ---- zarr2 zstd sibling (numcodecs Zstd id — the common
+  // non-blosc zarr2 compressor the reference decodes via the
+  // zstd branch at zarr2/image.py:68-69) ----
+
+  val Zarr2ZstdDir = s"$Root/zarr2zstd_array"
+
+  val z2ZstdMeta: graft.sources.Zarr2IO.Zarr2Meta =
+    graft.sources.Zarr2IO.Zarr2Meta(
+      shape = Vec3(SX, SY, SZ), chunkShape = Vec3(CX, CY, CZ),
+      dtype = "<u4", fillValue = 0L, compressor = "zstd")
+
+  def ensureZarr2Zstd(s: SparkSession, sfDir: String): Unit = synchronized {
+    ensure(s, sfDir)
+    val want = RealLayerQueries.stamp + "|z2zstd-v1"
+    val marker = Paths.get(Root, ".built_z2zstd_from")
+    if (Files.exists(marker) && Files.readString(marker) == want) return
+    val z2root = Paths.get(Zarr2ZstdDir)
+    if (Files.exists(z2root)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(z2root).iterator.asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+    graft.sources.Zarr2IO.writeMeta(Zarr2ZstdDir, z2ZstdMeta)
+    graft.sources.Zarr2IO.writeChunks(fullChunks(s), Zarr2ZstdDir, z2ZstdMeta)
+    Files.writeString(marker, want)
+  }
+
   // ---- zarr3 blosc sibling (v3 blosc codec, string shuffle enum) ----
 
   val Zarr3BloscDir = s"$Root/blosc_array"
@@ -551,6 +578,20 @@ object Zarr3Queries {
         |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')
         |WHERE x BETWEEN 6 AND 55 AND y BETWEEN 3 AND 54
         |  AND z BETWEEN 2 AND 25""".stripMargin)),
+
+    // S18: zarr2 zstd cutout — the numcodecs Zstd compressor id
+    // (reference decode branch zarr2/image.py:68-69); the rest of the
+    // numcodecs set (gzip/bz2/lzma) round-trips in SourceSpec
+    "s18_zarr2_zstd_cutout" -> Q(
+      (s, dir) => {
+        ensureZarr2Zstd(s, dir)
+        graft.sources.Zarr2IO.cutoutVoxels(s, Zarr2ZstdDir,
+          Bbox(Vec3(3, 5, 4), Vec3(55, 54, 26)))
+      },
+      Some(s"""SELECT x, y, z, label
+        |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')
+        |WHERE x BETWEEN 3 AND 54 AND y BETWEEN 5 AND 53
+        |  AND z BETWEEN 4 AND 25""".stripMargin)),
 
     // S18: zarr3 blosc cutout — the v3 blosc codec (string shuffle
     // enum) over the same frame decoder

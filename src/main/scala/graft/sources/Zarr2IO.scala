@@ -13,8 +13,10 @@ import graft.core._
   * chunk layout per the declared `order` (zarr2/image.py:74,215 —
   * the reference honors both; C shares Zarr3IO's C<->F transpose, F
   * is already this engine's canonical x-fastest layout), and the
-  * `zlib` + `blosc` compressors (blosc is zarr-python v2's DEFAULT —
-  * zarr2/image.py:65-67 decode, :200-219 encode).
+  * full numcodecs compressor set the reference decodes minus brotli
+  * (zarr2/image.py:55-75): blosc (zarr-python v2's DEFAULT —
+  * :65-67 decode, :200-219 encode), zlib/gzip, zstd, bz2, lzma
+  * (FORMAT_XZ).
   */
 object Zarr2IO {
 
@@ -23,13 +25,13 @@ object Zarr2IO {
       chunkShape: Vec3,
       dtype: String, // numpy-style, e.g. "<u4"
       fillValue: Long,
-      compressor: String, // "none" | "zlib" | "blosc"
+      compressor: String, // none|zlib|blosc|zstd|gzip|bz2|lzma
       order: String = "C", // "C" | "F" (zarr2/image.py:74)
       separator: String = ".", // "." | "/" chunk-key separator
       bloscCname: String = "lz4", // numcodecs Blosc defaults
       bloscClevel: Int = 5,
       bloscShuffle: Int = 1) { // 0 none | 1 byte (bit = native-only)
-    require(Set("none", "zlib", "blosc").contains(compressor),
+    require(Zarr2IO.Compressors.contains(compressor),
       s"zarr2 compressor $compressor")
     require(Set("C", "F").contains(order), s"zarr2 order $order")
     require(Set(".", "/").contains(separator),
@@ -62,15 +64,26 @@ object Zarr2IO {
     ch.add(m.chunkShape.x); ch.add(m.chunkShape.y); ch.add(m.chunkShape.z)
     z.put("dtype", m.dtype)
     m.compressor match {
-      case "zlib" =>
+      case "zlib" | "gzip" =>
         val c = z.putObject("compressor")
-        c.put("id", "zlib"); c.put("level", 5)
+        c.put("id", m.compressor); c.put("level", 5)
       case "blosc" =>
         // numcodecs Blosc JSON shape (what zarr-python v2 writes)
         val c = z.putObject("compressor")
         c.put("id", "blosc"); c.put("cname", m.bloscCname)
         c.put("clevel", m.bloscClevel); c.put("shuffle", m.bloscShuffle)
         c.put("blocksize", 0)
+      case "zstd" =>
+        val c = z.putObject("compressor")
+        c.put("id", "zstd"); c.put("level", 3)
+      case "bz2" =>
+        val c = z.putObject("compressor")
+        c.put("id", "bz2"); c.put("level", 9)
+      case "lzma" =>
+        // numcodecs LZMA defaults: format 1 = lzma.FORMAT_XZ
+        val c = z.putObject("compressor")
+        c.put("id", "lzma"); c.put("format", 1)
+        c.putNull("check"); c.putNull("preset"); c.putNull("filters")
       case _ => z.putNull("compressor")
     }
     z.put("fill_value", m.fillValue)
@@ -88,7 +101,7 @@ object Zarr2IO {
     val ch = z.get("chunks")
     val comp = Option(z.get("compressor")).filter(!_.isNull)
     val compId = comp.map(_.get("id").asText).getOrElse("none")
-    require(Set("none", "zlib", "blosc").contains(compId),
+    require(Compressors.contains(compId),
       s"zarr2 compressor '$compId' unsupported")
     // shuffle -1 is numcodecs AUTOSHUFFLE: byte-shuffle iff typesize>1
     // (decode ignores it anyway — the frame header carries the truth)
@@ -109,14 +122,26 @@ object Zarr2IO {
         .getOrElse(".")) // "." is the zarr2 spec default when absent
   }
 
-  /** Chunk-level (de)compression per the declared compressor; blosc
-    * typesize is the dtype width so byte-shuffle groups value lanes.
+  /** Every numcodecs compressor id the reference's decode path
+    * accepts (zarr2/image.py:55-75 maps zlib->gzip-family and
+    * lzma->xz before dispatch) minus brotli (no JVM impl offline):
+    * zlib/gzip (java.util.zip), zstd (zstd-jni), bz2
+    * (commons-compress), lzma (numcodecs LZMA default FORMAT_XZ ->
+    * the org.tukaani stream), blosc (core/Blosc; typesize is the
+    * dtype width so byte-shuffle groups value lanes).
     */
+  val Compressors: Set[String] =
+    Set("none", "zlib", "blosc", "zstd", "gzip", "bz2", "lzma")
+
   private def pack(m: Zarr2Meta, b: Array[Byte]): Array[Byte] =
     m.compressor match {
       case "zlib" => Codec.zlibCompress(b)
       case "blosc" => Blosc.compress(b, m.dtypeBytes, m.bloscCname,
         m.bloscClevel, m.bloscShuffle)
+      case "zstd" => Codec.zstd(b)
+      case "gzip" => Codec.gzip(b)
+      case "bz2" => Codec.bzip2(b)
+      case "lzma" => Codec.xz(b)
       case _ => b
     }
 
@@ -124,6 +149,10 @@ object Zarr2IO {
     m.compressor match {
       case "zlib" => Codec.zlibDecompress(b)
       case "blosc" => Blosc.decompress(b)
+      case "zstd" => Codec.unzstd(b)
+      case "gzip" => Codec.gunzip(b)
+      case "bz2" => Codec.unbzip2(b)
+      case "lzma" => Codec.unxz(b)
       case _ => b
     }
 

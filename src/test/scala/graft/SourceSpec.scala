@@ -195,6 +195,29 @@ class SourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((raw(4) & 0xffL) == ((expect >> 24) & 0xff))
   }
 
+  test("zarr2 full numcodecs compressor set round-trips (zstd/gzip/bz2/lzma)") {
+    import graft.sources.Zarr2IO
+    val s = spark
+    import s.implicits._
+    val vox = (0L until 24L).map(i => i * 7919L % 65536L)
+    for (comp <- Seq("zstd", "gzip", "bz2", "lzma")) {
+      val dir = s"${this.dir}/zarr2_$comp"
+      val m = Zarr2IO.Zarr2Meta(
+        shape = Vec3(4, 3, 2), chunkShape = Vec3(4, 3, 2),
+        dtype = "<u2", fillValue = 0, compressor = comp)
+      Zarr2IO.writeMeta(dir, m)
+      assert(Zarr2IO.readMeta(dir).compressor == comp)
+      Zarr2IO.writeChunks(
+        Seq((0L, 0L, 0L, vox)).toDF("gx", "gy", "gz", "vox"), dir, m)
+      val got = Zarr2IO.cutoutVoxels(spark, dir,
+        Bbox(Vec3(0, 0, 0), Vec3(4, 3, 2)))
+        .collect().map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+          r.getLong(3))).toMap
+      for (z <- 0L until 2L; y <- 0L until 3L; x <- 0L until 4L)
+        assert(got((x, y, z)) == vox((x + 4 * (y + 3 * z)).toInt), comp)
+    }
+  }
+
   test("DSv2 sink round-trips (S9 native writer) and honors mip locks") {
     val sink = s"$dir/layer_sink"
     PrecomputedIO.writeInfo(sink, meta)
