@@ -112,6 +112,68 @@ object GrapheneQueries {
         |       1 * $L + lx * $X + ly * $Y + lz * $Z + sk AS leaf
         |FROM lf WHERE lx < 10 AND ly < 10 AND lz < 5""".stripMargin)),
 
+    // J6 stop_layer variant (graphene.py:918-930 get_leaves stop_layer,
+    // :525-531 "lowest parent at or above that layer"): descend to
+    // layer 2. Non-skip leaves resolve to their layer-2 parent; a
+    // skip-connected leaf has NO layer-2 ancestor, so the branch's
+    // answer is the node the descent would jump FROM (here the root) —
+    // the edge's parent is emitted whenever the child's decoded layer
+    // bits land BELOW stop_layer.
+    "j6b_leaves_stop_layer" -> Q(
+      (s, dir) => {
+        val (_, es) = edges(s, dir)
+        val down = es.select(col("parent").as("node"), col("child"))
+        val roots = es.select(col("parent")).filter(
+          shiftrightunsigned(col("parent"), 56) === 3)
+          .distinct().select(col("parent").as("root"), col("parent").as("node"))
+        val stopLayer = 2
+        var frontier = roots
+        var out: DataFrame = null
+        def acc(d: DataFrame): Unit =
+          out = if (out == null) d else out.unionAll(d)
+        (0 until 2).foreach { _ =>
+          val layer = shiftrightunsigned(col("node"), 56)
+          acc(frontier.filter(layer === stopLayer))
+          val stepped = frontier.filter(layer > stopLayer)
+            .join(down, Seq("node"))
+            .select(col("root"), col("node"), col("child"),
+              shiftrightunsigned(col("child"), 56).as("clyr"))
+          // skip connection jumping past stop_layer: the parent IS the
+          // lowest ancestor at-or-above it for this branch
+          acc(stepped.filter(col("clyr") < stopLayer)
+            .select(col("root"), col("node")))
+          frontier = stepped.filter(col("clyr") >= stopLayer)
+            .select(col("root"), col("child").as("node"))
+        }
+        acc(frontier.filter(
+          shiftrightunsigned(col("node"), 56) === stopLayer))
+        val dec = Derived.grapheneDecodeUdf
+        out.distinct()
+          .withColumn("d", dec(col("node")))
+          .filter(col("d._2") < 8 && col("d._3") < 8 && col("d._4") < 4)
+          .select(col("root"), col("node"))
+      },
+      Some(s"""WITH lf AS (
+        |  SELECT s_suppkey AS sk, s_suppkey // 10 AS p2,
+        |         s_suppkey // 100 AS r
+        |  FROM supplier),
+        |n AS (
+        |  SELECT DISTINCT
+        |    3 * $L + (r % 5) * $X + ((r * 3) % 5) * $Y + (r % 3) * $Z + r
+        |      AS root,
+        |    CASE WHEN sk % 7 = 0
+        |      THEN 3 * $L + (r % 5) * $X + ((r * 3) % 5) * $Y
+        |           + (r % 3) * $Z + r
+        |      ELSE 2 * $L + (p2 % 10) * $X + ((p2 * 3) % 10) * $Y
+        |           + (p2 % 5) * $Z + p2 END AS node,
+        |    CASE WHEN sk % 7 = 0 THEN r % 5 ELSE p2 % 10 END AS nx,
+        |    CASE WHEN sk % 7 = 0 THEN (r * 3) % 5
+        |         ELSE (p2 * 3) % 10 END AS ny,
+        |    CASE WHEN sk % 7 = 0 THEN r % 3 ELSE p2 % 5 END AS nz
+        |  FROM lf)
+        |SELECT root, node FROM n
+        |WHERE nx < 8 AND ny < 8 AND nz < 4""".stripMargin)),
+
     // J5 as-of variant: proofreading-timestamp root resolution
     // (frontends/graphene.py:37-54,721-746 — "query the state of the
     // graph as of T"). Edges carry [valid_from, valid_to) validity; a

@@ -107,4 +107,23 @@ object GeomPropertySpec extends Properties("graft.core") {
         val vox = Array.tabulate(sx * h)(i => ((i * 31 + seed) % 256).toByte)
         Codec.decodePng(Codec.encodePng(vox, sx)).sameElements(vox)
     }
+
+  property("blosc frame round-trip over the full parameter space") =
+    Prop.forAll(
+      Gen.choose(0, 70000), // spans empty, sub-block, and multi-block
+      Gen.oneOf(1, 2, 3, 4, 8, 16, 17), // 17: typesize > MaxSplits
+      Gen.oneOf("lz4", "lz4hc", "zlib", "zstd"),
+      Gen.oneOf(0, 1),
+      Gen.oneOf(0, 777, 4096), // 777: blocksize not a typesize multiple
+      Gen.choose(0, Int.MaxValue)) {
+      (n: Int, ts: Int, cname: String, shuf: Int, bs0: Int, seed: Int) =>
+        val rnd = new scala.util.Random(seed)
+        // mixed-entropy payload: half compressible pattern, half noise
+        val data = Array.tabulate(n) { i =>
+          if (i % 2 == 0) ((i * 7 + seed) & 0xFF).toByte
+          else rnd.nextInt().toByte
+        }
+        Blosc.decompress(
+          Blosc.compress(data, ts, cname, 5, shuf, bs0)).sameElements(data)
+    }
 }
