@@ -407,6 +407,46 @@ object Zarr3Queries {
     Files.writeString(marker, want)
   }
 
+  // ---- zarr2 OME sibling (.zattrs multiscales axes — what the
+  // reference's zarr2 datasource actually models: a 5-D (t,c,z,y,x)
+  // OME-zarr with per-(t,c) chunk objects, zarr2/metadata.py:63-104,
+  // :184-223) ----
+
+  val Zarr2OmeDir = s"$Root/zarr2ome_array"
+
+  val z2OmeMeta: graft.sources.Zarr2IO.Zarr2Ome =
+    graft.sources.Zarr2IO.Zarr2Ome(
+      graft.sources.Zarr2IO.Zarr2Meta(
+        shape = Vec3(SX, SY, SZ), chunkShape = Vec3(CX, CY, CZ),
+        dtype = "<u4", fillValue = 0L, compressor = "blosc",
+        separator = "/"), // the OME-NGFF nested-key convention
+      timeFrames = Some(TFrames), channels = Some(TCChannels))
+
+  def ensureZarr2Ome(s: SparkSession, sfDir: String): Unit = synchronized {
+    RealLayerQueries.ensure(s, sfDir)
+    val want = RealLayerQueries.stamp + "|z2ome-v1"
+    val marker = Paths.get(Root, ".built_z2ome_from")
+    if (Files.exists(marker) && Files.readString(marker) == want) return
+    val z2root = Paths.get(Zarr2OmeDir)
+    if (Files.exists(z2root)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(z2root).iterator.asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+    import s.implicits._
+    // one row per (t, c, chunk), frame value = label + t + 7c — the
+    // same transform as the zarr3 OME fixture so oracles are shared
+    val frames = fullChunks(s)
+      .as[(Long, Long, Long, Seq[Long])]
+      .flatMap { case (gx, gy, gz, vox) =>
+        for (f <- 0L until TFrames; ch <- 0L until TCChannels)
+          yield (f, ch, gx, gy, gz, shiftInBounds(gx, gy, gz, vox, f + 7 * ch))
+      }.toDF("tc", "cc", "gx", "gy", "gz", "vox")
+    graft.sources.Zarr2IO.writeMetaOme(Zarr2OmeDir, z2OmeMeta)
+    graft.sources.Zarr2IO.writeChunksOme(frames, Zarr2OmeDir, z2OmeMeta)
+    Files.writeString(marker, want)
+  }
+
   // ---- n5 xz sibling (org.tukaani LZMA2 stream — completes the
   // full N5 spec compression set) ----
 
@@ -578,6 +618,20 @@ object Zarr3Queries {
         |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')
         |WHERE x BETWEEN 6 AND 55 AND y BETWEEN 3 AND 54
         |  AND z BETWEEN 2 AND 25""".stripMargin)),
+
+    // S18: zarr2 OME cutout — the .zattrs (t,c,z,y,x) axes model the
+    // reference's zarr2 datasource reads (blosc chunks, "/"-separated
+    // keys joining grid indices in zarr axis order, per-(t,c) objects)
+    "s18_zarr2_ome_cutout" -> Q(
+      (s, dir) => {
+        ensureZarr2Ome(s, dir)
+        graft.sources.Zarr2IO.cutoutVoxelsOmeAt(s, Zarr2OmeDir,
+          Bbox(Vec3(5, 4, 3), Vec3(55, 53, 24)), t = 1, c = 1)
+      },
+      Some(s"""SELECT x, y, z, label + 8 AS label
+        |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')
+        |WHERE x BETWEEN 5 AND 54 AND y BETWEEN 4 AND 52
+        |  AND z BETWEEN 3 AND 23""".stripMargin)),
 
     // S18: zarr2 zstd cutout — the numcodecs Zstd compressor id
     // (reference decode branch zarr2/image.py:68-69); the rest of the

@@ -63,6 +63,17 @@ object Zarr2IO {
     val ch = z.putArray("chunks")
     ch.add(m.chunkShape.x); ch.add(m.chunkShape.y); ch.add(m.chunkShape.z)
     z.put("dtype", m.dtype)
+    putCompressor(z, m)
+    z.put("fill_value", m.fillValue)
+    z.put("order", m.order)
+    z.put("dimension_separator", m.separator)
+    z.putNull("filters")
+    Files.writeString(Paths.get(dir, ".zarray"),
+      om.writerWithDefaultPrettyPrinter.writeValueAsString(z))
+  }
+
+  private def putCompressor(z: com.fasterxml.jackson.databind.node.ObjectNode,
+      m: Zarr2Meta): Unit = {
     m.compressor match {
       case "zlib" | "gzip" =>
         val c = z.putObject("compressor")
@@ -86,12 +97,6 @@ object Zarr2IO {
         c.putNull("check"); c.putNull("preset"); c.putNull("filters")
       case _ => z.putNull("compressor")
     }
-    z.put("fill_value", m.fillValue)
-    z.put("order", m.order)
-    z.put("dimension_separator", m.separator)
-    z.putNull("filters")
-    Files.writeString(Paths.get(dir, ".zarray"),
-      om.writerWithDefaultPrettyPrinter.writeValueAsString(z))
   }
 
   def readMeta(dir: String): Zarr2Meta = {
@@ -181,6 +186,214 @@ object Zarr2IO {
         Files.write(p, payload)
       }
     }
+  }
+
+  // ---- OME-zarr (zarr v2 + .zattrs multiscales axes) ----
+  // The reference's zarr2 datasource is really an OME-zarr reader:
+  // .zattrs declares a suffix of the (t, c, z, y, x) axis list
+  // (zarr2/metadata.py:63-104 default_zattrs, :184-213 axes/
+  // chunk_name), chunk keys join the grid indices in zarr axis order,
+  // and C-order (t, c, z, y, x) bytes are x-fastest = this engine's
+  // canonical F layout for the spatial block. t/c chunk extents of 1
+  // (one spatial block per object — the common OME layout) are
+  // required; a shared multi-frame object would need zarr3-style
+  // frame slicing.
+
+  final case class Zarr2Ome(
+      meta: Zarr2Meta, // spatial shape/chunks + dtype + compressor
+      timeFrames: Option[Long],
+      channels: Option[Long]) {
+    require(meta.order == "C", "OME-zarr chunks are C-order")
+    /** axis names in zarr order (suffix of t, c, z, y, x) */
+    def axisNames: Seq[String] =
+      (if (timeFrames.isDefined) Seq("t") else Seq.empty) ++
+        (if (channels.isDefined) Seq("c") else Seq.empty) ++
+        Seq("z", "y", "x")
+  }
+
+  def writeMetaOme(dir: String, o: Zarr2Ome): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val m = o.meta
+    val z = om.createObjectNode()
+    z.put("zarr_format", 2)
+    val sh = z.putArray("shape")
+    o.timeFrames.foreach(sh.add)
+    o.channels.foreach(sh.add)
+    sh.add(m.shape.z); sh.add(m.shape.y); sh.add(m.shape.x)
+    val ch = z.putArray("chunks")
+    o.timeFrames.foreach(_ => ch.add(1L))
+    o.channels.foreach(_ => ch.add(1L))
+    ch.add(m.chunkShape.z); ch.add(m.chunkShape.y); ch.add(m.chunkShape.x)
+    z.put("dtype", m.dtype)
+    putCompressor(z, m)
+    z.put("fill_value", m.fillValue)
+    z.put("order", "C")
+    z.put("dimension_separator", m.separator)
+    z.putNull("filters")
+    Files.writeString(Paths.get(dir, ".zarray"),
+      om.writerWithDefaultPrettyPrinter.writeValueAsString(z))
+    // .zattrs multiscales block (zarr2/metadata.py:63-104 shape)
+    val at = om.createObjectNode()
+    val ms = at.putArray("multiscales").addObject()
+    val axes = ms.putArray("axes")
+    o.axisNames.foreach { n =>
+      val a = axes.addObject()
+      a.put("name", n)
+      a.put("type", n match {
+        case "t" => "time"
+        case "c" => "channel"
+        case _ => "space"
+      })
+      if (n == "t") a.put("unit", "millisecond")
+      else if (n != "c") a.put("unit", "nanometer")
+    }
+    val ds = ms.putArray("datasets").addObject()
+    ds.put("path", ".")
+    val ct = ds.putArray("coordinateTransformations").addObject()
+    ct.put("type", "scale")
+    val sc = ct.putArray("scale")
+    o.axisNames.foreach(_ => sc.add(1.0))
+    ms.put("name", "/")
+    ms.put("version", "0.4")
+    Files.writeString(Paths.get(dir, ".zattrs"),
+      om.writerWithDefaultPrettyPrinter.writeValueAsString(at))
+  }
+
+  def readMetaOme(dir: String): Zarr2Ome = {
+    val z = om.readTree(Files.readString(Paths.get(dir, ".zarray")))
+    require(z.get("zarr_format").asInt == 2, "not a zarr v2 array")
+    val at = om.readTree(Files.readString(Paths.get(dir, ".zattrs")))
+    val axes = at.get("multiscales").get(0).get("axes")
+    val names = (0 until axes.size).map(axes.get(_).get("name").asText)
+    require(names.size >= 3 && names.takeRight(3) == Seq("z", "y", "x") &&
+      Set(Seq.empty[String], Seq("t"), Seq("c"), Seq("t", "c"))
+        .contains(names.dropRight(3)),
+      s"unsupported OME axes $names (expected suffix of t, c, z, y, x)")
+    val sh = z.get("shape")
+    val ch = z.get("chunks")
+    require(sh.size == names.size && ch.size == names.size,
+      s"shape/chunks rank != ${names.size} axes")
+    val nLead = names.size - 3
+    (0 until nLead).foreach { i =>
+      require(ch.get(i).asLong == 1L,
+        s"OME lead-axis chunk extent ${ch.get(i).asLong} != 1 unsupported")
+    }
+    val comp = Option(z.get("compressor")).filter(!_.isNull)
+    val compId = comp.map(_.get("id").asText).getOrElse("none")
+    require(Compressors.contains(compId),
+      s"zarr2 compressor '$compId' unsupported")
+    val tPos = names.indexOf("t")
+    val cPos = names.indexOf("c")
+    val meta = Zarr2Meta(
+      shape = Vec3(sh.get(nLead + 2).asLong, sh.get(nLead + 1).asLong,
+        sh.get(nLead).asLong),
+      chunkShape = Vec3(ch.get(nLead + 2).asLong, ch.get(nLead + 1).asLong,
+        ch.get(nLead).asLong),
+      dtype = z.get("dtype").asText,
+      fillValue = Option(z.get("fill_value")).map(_.asLong).getOrElse(0L),
+      compressor = compId,
+      bloscCname = comp.flatMap(c => Option(c.get("cname")))
+        .map(_.asText).getOrElse("lz4"),
+      bloscClevel = comp.flatMap(c => Option(c.get("clevel")))
+        .map(_.asInt).getOrElse(5),
+      bloscShuffle = comp.flatMap(c => Option(c.get("shuffle")))
+        .map(_.asInt).filter(_ >= 0).getOrElse(1),
+      order = z.get("order").asText,
+      separator = Option(z.get("dimension_separator")).map(_.asText)
+        .getOrElse("."))
+    Zarr2Ome(meta,
+      timeFrames = if (tPos >= 0) Some(sh.get(tPos).asLong) else None,
+      channels = if (cPos >= 0) Some(sh.get(cPos).asLong) else None)
+  }
+
+  /** Write OME chunk rows (tc, cc, gx, gy, gz, vox F-order full-chunk
+    * array — one spatial block per (t, c)). Keys join grid indices in
+    * zarr axis order: [t.][c.]gz.gy.gx (zarr2/metadata.py:211-223
+    * chunk_name).
+    */
+  def writeChunksOme(chunks: DataFrame, dir: String, o: Zarr2Ome): Unit = {
+    val m = o.meta
+    val dtb = m.dtypeBytes
+    val sep = m.separator
+    val hasT = o.timeFrames.isDefined
+    val hasC = o.channels.isDefined
+    val meta = m
+    val dirStr = dir
+    chunks.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      rows.foreach { r =>
+        val vox = r.getSeq[Long](5).toArray
+        // C order of (t=1, c=1, z, y, x) is x-fastest = F order of the
+        // spatial block: encode verbatim
+        val payload = pack(meta,
+          Codec.encodeRawFromLongs(vox, dtb, java.nio.ByteOrder.LITTLE_ENDIAN))
+        val parts =
+          (if (hasT) Seq(r.getLong(0).toString) else Seq.empty) ++
+            (if (hasC) Seq(r.getLong(1).toString) else Seq.empty) ++
+            Seq(r.getLong(4).toString, r.getLong(3).toString,
+              r.getLong(2).toString)
+        val p = Paths.get(dirStr, parts.mkString(sep))
+        Files.createDirectories(p.getParent)
+        Files.write(p, payload)
+      }
+    }
+  }
+
+  /** OME cutout at one (t, c) point of the lead axes (the reference's
+    * download(..., t=...) + channel slice; zarr2/image.py:76-149).
+    */
+  def cutoutVoxelsOmeAt(spark: SparkSession, dir: String, bbox: Bbox,
+      t: Long = 0L, c: Long = 0L): DataFrame = {
+    val o = readMetaOme(dir)
+    o.timeFrames match {
+      case Some(tf) => require(t >= 0 && t < tf, s"t=$t out of [0, $tf)")
+      case None => require(t == 0, s"$dir has no time axis (t=$t)")
+    }
+    o.channels match {
+      case Some(nc) => require(c >= 0 && c < nc, s"c=$c out of [0, $nc)")
+      case None => require(c == 0, s"$dir has no channel axis (c=$c)")
+    }
+    val m = o.meta
+    val cs = m.chunkShape
+    val dtb = m.dtypeBytes
+    val meta = m
+    val sep = m.separator
+    val lead =
+      (if (o.timeFrames.isDefined) Seq(t.toString) else Seq.empty) ++
+        (if (o.channels.isDefined) Seq(c.toString) else Seq.empty)
+    val bounds = Bbox(Vec3(0, 0, 0), m.shape)
+    val pts = Geom.gridpoints(bbox, bounds, cs)
+    val clip = bbox.intersection(bounds)
+    val dirStr = dir
+    val fill = m.fillValue
+    import spark.implicits._
+    spark.createDataset(pts.map(g => (g.x, g.y, g.z)))
+      .repartition(math.max(pts.size / 4, 1))
+      .flatMap { case (gx, gy, gz) =>
+        val parts = lead ++ Seq(gz.toString, gy.toString, gx.toString)
+        val p = Paths.get(dirStr, parts.mkString(sep))
+        val vox =
+          if (!Files.exists(p)) Array.fill((cs.x * cs.y * cs.z).toInt)(fill)
+          else Codec.decodeRawToLongs(unpack(meta, Files.readAllBytes(p)),
+            dtb, java.nio.ByteOrder.LITTLE_ENDIAN)
+        val lo = Vec3(gx * cs.x, gy * cs.y, gz * cs.z)
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long)]
+        var z = math.max(lo.z, clip.minpt.z)
+        while (z < math.min(lo.z + cs.z, clip.maxpt.z)) {
+          var y = math.max(lo.y, clip.minpt.y)
+          while (y < math.min(lo.y + cs.y, clip.maxpt.y)) {
+            var x = math.max(lo.x, clip.minpt.x)
+            while (x < math.min(lo.x + cs.x, clip.maxpt.x)) {
+              out += ((x, y, z,
+                vox(((x - lo.x) + cs.x * ((y - lo.y) + cs.y * (z - lo.z))).toInt)))
+              x += 1
+            }
+            y += 1
+          }
+          z += 1
+        }
+        out
+      }.toDF("x", "y", "z", "label")
   }
 
   /** S18 zarr2 cutout (same plan shape as zarr3). */
