@@ -447,6 +447,94 @@ object Zarr3Queries {
     Files.writeString(marker, want)
   }
 
+  // ---- zarr2 OME multiscale GROUP sibling: 2 mips, per-mip .zarray
+  // under datasets[].path, key(mip)-prefixed chunk objects (the
+  // reference's is_group layout, zarr2/metadata.py:180-223). mip 1 is
+  // a stride-2 pick (voxel (x,y,z) = mip0 (2x,2y,2z)) so the DuckDB
+  // oracle replays it with a modulo filter. ----
+
+  val Zarr2GroupDir = s"$Root/zarr2group"
+  private val GSX = (SX + 1) / 2
+  private val GSY = (SY + 1) / 2
+  private val GSZ = (SZ + 1) / 2
+
+  val z2GroupMips: Seq[graft.sources.Zarr2IO.Zarr2Ome] = Seq(
+    graft.sources.Zarr2IO.Zarr2Ome(
+      graft.sources.Zarr2IO.Zarr2Meta(
+        shape = Vec3(SX, SY, SZ), chunkShape = Vec3(CX, CY, CZ),
+        dtype = "<u4", fillValue = 0L, compressor = "blosc",
+        separator = "/"),
+      timeFrames = Some(TFrames), channels = None),
+    graft.sources.Zarr2IO.Zarr2Ome(
+      graft.sources.Zarr2IO.Zarr2Meta(
+        shape = Vec3(GSX, GSY, GSZ), chunkShape = Vec3(CX, CY, CZ),
+        dtype = "<u4", fillValue = 0L, compressor = "blosc",
+        separator = "/"),
+      timeFrames = Some(TFrames), channels = None))
+
+  def ensureZarr2Group(s: SparkSession, sfDir: String): Unit = synchronized {
+    RealLayerQueries.ensure(s, sfDir)
+    val want = RealLayerQueries.stamp + "|z2grp-v1"
+    val marker = Paths.get(Root, ".built_z2grp_from")
+    if (Files.exists(marker) && Files.readString(marker) == want) return
+    val gRoot = Paths.get(Zarr2GroupDir)
+    if (Files.exists(gRoot)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(gRoot).iterator.asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+    import s.implicits._
+    graft.sources.Zarr2IO.writeMetaOmeGroup(Zarr2GroupDir, z2GroupMips)
+    // mip 0: per-t frames of the dense sidecar (value = label + t)
+    val m0 = fullChunks(s)
+      .as[(Long, Long, Long, Seq[Long])]
+      .flatMap { case (gx, gy, gz, vox) =>
+        (0L until TFrames).map(f =>
+          (f, 0L, gx, gy, gz, shiftInBounds(gx, gy, gz, vox, f)))
+      }.toDF("tc", "cc", "gx", "gy", "gz", "vox")
+    graft.sources.Zarr2IO.writeChunksOme(m0, s"$Zarr2GroupDir/0",
+      z2GroupMips(0))
+    // mip 1: stride-2 pick, full-size padded chunks over the half grid
+    val dense = s.read.parquet(RealLayerQueries.VoxelsDir)
+    val cs1 = z2GroupMips(1).meta.chunkShape
+    val m1base = dense
+      .filter(col("x") % 2 === 0 && col("y") % 2 === 0 && col("z") % 2 === 0)
+      .select((col("x") / 2).cast("long").as("x"),
+        (col("y") / 2).cast("long").as("y"),
+        (col("z") / 2).cast("long").as("z"), col("label"))
+      .select(Derived.idiv(col("x"), cs1.x).as("gx"),
+        Derived.idiv(col("y"), cs1.y).as("gy"),
+        Derived.idiv(col("z"), cs1.z).as("gz"),
+        col("x"), col("y"), col("z"), col("label"))
+      .groupBy("gx", "gy", "gz")
+      .agg(collect_list(struct(col("x"), col("y"), col("z"), col("label")))
+        .as("vox"))
+      .as[(Long, Long, Long, Seq[(Long, Long, Long, Long)])]
+      .map { case (gx, gy, gz, vs) =>
+        val arr = new Array[Long]((cs1.x * cs1.y * cs1.z).toInt)
+        vs.foreach { case (x, y, z, l) =>
+          arr(((x - gx * cs1.x) + cs1.x * ((y - gy * cs1.y) + cs1.y *
+            (z - gz * cs1.z))).toInt) = l
+        }
+        (gx, gy, gz, arr.toSeq)
+      }
+    val m1 = m1base.flatMap { case (gx, gy, gz, vox) =>
+      (0L until TFrames).map { f =>
+        // value = label + t on IN-BOUNDS half-grid voxels only
+        val shifted = vox.zipWithIndex.map { case (v, i) =>
+          val x = gx * cs1.x + i % cs1.x
+          val y = gy * cs1.y + (i / cs1.x) % cs1.y
+          val z = gz * cs1.z + i / (cs1.x * cs1.y)
+          if (x < GSX && y < GSY && z < GSZ) v + f else 0L
+        }
+        (f, 0L, gx, gy, gz, shifted)
+      }
+    }.toDF("tc", "cc", "gx", "gy", "gz", "vox")
+    graft.sources.Zarr2IO.writeChunksOme(m1, s"$Zarr2GroupDir/1",
+      z2GroupMips(1))
+    Files.writeString(marker, want)
+  }
+
   // ---- n5 xz sibling (org.tukaani LZMA2 stream — completes the
   // full N5 spec compression set) ----
 
@@ -618,6 +706,23 @@ object Zarr3Queries {
         |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')
         |WHERE x BETWEEN 6 AND 55 AND y BETWEEN 3 AND 54
         |  AND z BETWEEN 2 AND 25""".stripMargin)),
+
+    // S18: zarr2 OME multiscale GROUP cutout at mip 1 — datasets[].
+    // path resolution + key(mip)-prefixed chunk objects (is_group
+    // layout); mip 1 content is a stride-2 pick the oracle replays
+    // with modulo filters, read at t = 1
+    "s18_zarr2_group_mip1_cutout" -> Q(
+      (s, dir) => {
+        ensureZarr2Group(s, dir)
+        graft.sources.Zarr2IO.cutoutVoxelsOmeAt(s, Zarr2GroupDir,
+          Bbox(Vec3(2, 3, 2), Vec3(27, 26, 12)), t = 1, mip = 1)
+      },
+      Some(s"""SELECT x // 2 AS x, y // 2 AS y, z // 2 AS z,
+        |  label + 1 AS label
+        |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')
+        |WHERE x % 2 = 0 AND y % 2 = 0 AND z % 2 = 0
+        |  AND x // 2 BETWEEN 2 AND 26 AND y // 2 BETWEEN 3 AND 25
+        |  AND z // 2 BETWEEN 2 AND 11""".stripMargin)),
 
     // S18: zarr2 OME cutout — the .zattrs (t,c,z,y,x) axes model the
     // reference's zarr2 datasource reads (blosc chunks, "/"-separated

@@ -211,7 +211,7 @@ object Zarr2IO {
         Seq("z", "y", "x")
   }
 
-  def writeMetaOme(dir: String, o: Zarr2Ome): Unit = {
+  private def writeOmeZarray(dir: String, o: Zarr2Ome): Unit = {
     Files.createDirectories(Paths.get(dir))
     val m = o.meta
     val z = om.createObjectNode()
@@ -232,7 +232,14 @@ object Zarr2IO {
     z.putNull("filters")
     Files.writeString(Paths.get(dir, ".zarray"),
       om.writerWithDefaultPrettyPrinter.writeValueAsString(z))
-    // .zattrs multiscales block (zarr2/metadata.py:63-104 shape)
+  }
+
+  /** Root `.zattrs` multiscales block (zarr2/metadata.py:63-104
+    * shape), one dataset entry per path; scale doubles per mip along
+    * the spatial axes like an OME pyramid.
+    */
+  private def writeOmeZattrs(dir: String, o: Zarr2Ome,
+      paths: Seq[String]): Unit = {
     val at = om.createObjectNode()
     val ms = at.putArray("multiscales").addObject()
     val axes = ms.putArray("axes")
@@ -247,20 +254,58 @@ object Zarr2IO {
       if (n == "t") a.put("unit", "millisecond")
       else if (n != "c") a.put("unit", "nanometer")
     }
-    val ds = ms.putArray("datasets").addObject()
-    ds.put("path", ".")
-    val ct = ds.putArray("coordinateTransformations").addObject()
-    ct.put("type", "scale")
-    val sc = ct.putArray("scale")
-    o.axisNames.foreach(_ => sc.add(1.0))
+    val ds = ms.putArray("datasets")
+    paths.zipWithIndex.foreach { case (path, i) =>
+      val d = ds.addObject()
+      d.put("path", path)
+      val ct = d.putArray("coordinateTransformations").addObject()
+      ct.put("type", "scale")
+      val sc = ct.putArray("scale")
+      o.axisNames.foreach(n =>
+        sc.add(if (n == "t" || n == "c") 1.0 else (1L << i).toDouble))
+    }
     ms.put("name", "/")
     ms.put("version", "0.4")
     Files.writeString(Paths.get(dir, ".zattrs"),
       om.writerWithDefaultPrettyPrinter.writeValueAsString(at))
   }
 
-  def readMetaOme(dir: String): Zarr2Ome = {
-    val z = om.readTree(Files.readString(Paths.get(dir, ".zarray")))
+  def writeMetaOme(dir: String, o: Zarr2Ome): Unit = {
+    writeOmeZarray(dir, o)
+    writeOmeZattrs(dir, o, Seq("."))
+  }
+
+  /** Write a multiscale OME-zarr GROUP: root `.zattrs` declares one
+    * dataset path per mip ("0", "1", ...), each holding its own
+    * `.zarray` (the reference's is_group layout; chunk keys are
+    * key(mip)-prefixed — zarr2/metadata.py:211-223). Chunks for mip i
+    * are written with writeChunksOme into `dir/<i>`.
+    */
+  def writeMetaOmeGroup(dir: String, mips: Seq[Zarr2Ome]): Unit = {
+    require(mips.nonEmpty &&
+      mips.forall(_.axisNames == mips.head.axisNames),
+      "group mips must share the axis list")
+    Files.createDirectories(Paths.get(dir))
+    writeOmeZattrs(dir, mips.head, mips.indices.map(_.toString))
+    mips.zipWithIndex.foreach { case (o, i) =>
+      writeOmeZarray(s"$dir/$i", o)
+    }
+  }
+
+  /** Multiscale-group dataset paths from the root `.zattrs`
+    * (zarr2/metadata.py:180-181 datasets, :211-223 key(mip) chunk
+    * prefix). A single-array layout declares path "." — the
+    * reference's non-group case.
+    */
+  def omeDatasetPaths(dir: String): Seq[String] = {
+    val at = om.readTree(Files.readString(Paths.get(dir, ".zattrs")))
+    val ds = at.get("multiscales").get(0).get("datasets")
+    (0 until ds.size).map(ds.get(_).get("path").asText)
+  }
+
+  def readMetaOme(dir: String, arraySub: Option[String] = None): Zarr2Ome = {
+    val arrayDir = arraySub.map(p => s"$dir/$p").getOrElse(dir)
+    val z = om.readTree(Files.readString(Paths.get(arrayDir, ".zarray")))
     require(z.get("zarr_format").asInt == 2, "not a zarr v2 array")
     val at = om.readTree(Files.readString(Paths.get(dir, ".zattrs")))
     val axes = at.get("multiscales").get(0).get("axes")
@@ -340,10 +385,17 @@ object Zarr2IO {
 
   /** OME cutout at one (t, c) point of the lead axes (the reference's
     * download(..., t=...) + channel slice; zarr2/image.py:76-149).
+    * `mip` selects the multiscale-group dataset (zarr2/metadata.py
+    * key(mip)); single-array layouts (path ".") take mip 0 only.
     */
   def cutoutVoxelsOmeAt(spark: SparkSession, dir: String, bbox: Bbox,
-      t: Long = 0L, c: Long = 0L): DataFrame = {
-    val o = readMetaOme(dir)
+      t: Long = 0L, c: Long = 0L, mip: Int = 0): DataFrame = {
+    val paths = omeDatasetPaths(dir)
+    require(mip >= 0 && mip < paths.size, s"mip $mip of ${paths.size}")
+    val sub = Some(paths(mip)).filter(_ != ".")
+    require(mip == 0 || sub.isDefined, "single-array layout has mip 0 only")
+    val o = readMetaOme(dir, sub)
+    val chunkBase = sub.map(p => s"$dir/$p").getOrElse(dir)
     o.timeFrames match {
       case Some(tf) => require(t >= 0 && t < tf, s"t=$t out of [0, $tf)")
       case None => require(t == 0, s"$dir has no time axis (t=$t)")
@@ -363,7 +415,7 @@ object Zarr2IO {
     val bounds = Bbox(Vec3(0, 0, 0), m.shape)
     val pts = Geom.gridpoints(bbox, bounds, cs)
     val clip = bbox.intersection(bounds)
-    val dirStr = dir
+    val dirStr = chunkBase
     val fill = m.fillValue
     import spark.implicits._
     spark.createDataset(pts.map(g => (g.x, g.y, g.z)))
