@@ -104,6 +104,12 @@ object Zarr2IO {
     require(z.get("zarr_format").asInt == 2, "not a zarr v2 array")
     val sh = z.get("shape")
     val ch = z.get("chunks")
+    // a bare-array read is 3-D (x, y, z); lead-axis arrays go through
+    // the OME reader — silently slicing the first 3 dims of a 5-D
+    // shape would misread
+    require(sh.size == 3 && ch.size == 3,
+      s"expected 3-D zarr2 array, got ${sh.size}-D (use the OME reader)")
+    requireNoFilters(z)
     val comp = Option(z.get("compressor")).filter(!_.isNull)
     val compId = comp.map(_.get("id").asText).getOrElse("none")
     require(Compressors.contains(compId),
@@ -125,6 +131,17 @@ object Zarr2IO {
       order = z.get("order").asText,
       separator = Option(z.get("dimension_separator")).map(_.asText)
         .getOrElse(".")) // "." is the zarr2 spec default when absent
+  }
+
+  /** numcodecs `filters` (delta, fixed-scale-offset, ...) transform
+    * the bytes BEFORE the compressor — ignoring a declared filter
+    * would decode garbage silently, so reject any non-empty list.
+    */
+  private def requireNoFilters(
+      z: com.fasterxml.jackson.databind.JsonNode): Unit = {
+    val f = Option(z.get("filters")).filter(!_.isNull)
+    require(f.forall(_.size == 0),
+      s"zarr2 filters ${f.get} unsupported (would decode garbage)")
   }
 
   /** Every numcodecs compressor id the reference's decode path
@@ -307,6 +324,7 @@ object Zarr2IO {
     val arrayDir = arraySub.map(p => s"$dir/$p").getOrElse(dir)
     val z = om.readTree(Files.readString(Paths.get(arrayDir, ".zarray")))
     require(z.get("zarr_format").asInt == 2, "not a zarr v2 array")
+    requireNoFilters(z)
     val at = om.readTree(Files.readString(Paths.get(dir, ".zattrs")))
     val axes = at.get("multiscales").get(0).get("axes")
     val names = (0 until axes.size).map(axes.get(_).get("name").asText)

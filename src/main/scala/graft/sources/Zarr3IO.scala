@@ -206,6 +206,20 @@ object Zarr3IO {
     val grid = root.get("chunk_grid")
     require(grid.get("name").asText == "regular")
     val cs = grid.get("configuration").get("chunk_shape")
+    // key resolution is hardcoded to the default "c/<i>/<j>/<k>"
+    // scheme below — any other chunk_key_encoding (the "v2" scheme,
+    // a "." separator) would make every lookup miss and silently
+    // return an all-fill cutout (absent key = fill_value is the zarr
+    // semantic), so reject loudly at meta parse (the reference
+    // supports default and v2, zarr3/metadata.py:281-294)
+    Option(root.get("chunk_key_encoding")).foreach { cke =>
+      val name = cke.get("name").asText
+      val sep = Option(cke.get("configuration"))
+        .flatMap(c => Option(c.get("separator"))).map(_.asText)
+        .getOrElse("/")
+      require(name == "default" && sep == "/",
+        s"unsupported chunk_key_encoding $name with separator '$sep'")
+    }
     val codecs0 = root.get("codecs")
     // unwrap sharding_indexed: the inner codec chain decodes the
     // sub-chunks; the index_codecs must be bytes-le (+ crc32c)

@@ -218,6 +218,42 @@ class SourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("declared-but-unsupported layout knobs fail loudly, never misread") {
+    import graft.sources.{Zarr2IO, Zarr3IO}
+    // zarr2: a numcodecs filter chain transforms bytes before the
+    // compressor — ignoring it would decode garbage
+    val zf = s"$dir/zarr2_filters"
+    Zarr2IO.writeMeta(zf, Zarr2IO.Zarr2Meta(
+      shape = Vec3(4, 4, 4), chunkShape = Vec3(4, 4, 4),
+      dtype = "<u2", fillValue = 0, compressor = "zlib"))
+    val za = Paths.get(zf, ".zarray")
+    Files.writeString(za, Files.readString(za).replace(
+      "\"filters\" : null",
+      "\"filters\" : [ { \"id\" : \"delta\", \"dtype\" : \"<u2\" } ]"))
+    val e1 = intercept[IllegalArgumentException](Zarr2IO.readMeta(zf))
+    assert(e1.getMessage.contains("filters"))
+    // zarr2: a 5-D bare-array read must route to the OME reader
+    val z5 = s"$dir/zarr2_5d"
+    Zarr2IO.writeMetaOme(z5, Zarr2IO.Zarr2Ome(
+      Zarr2IO.Zarr2Meta(shape = Vec3(4, 4, 4), chunkShape = Vec3(4, 4, 4),
+        dtype = "<u2", fillValue = 0, compressor = "none"),
+      timeFrames = Some(2), channels = Some(2)))
+    val e2 = intercept[IllegalArgumentException](Zarr2IO.readMeta(z5))
+    assert(e2.getMessage.contains("3-D"))
+    assert(Zarr2IO.readMetaOme(z5).timeFrames.contains(2L))
+    // zarr3: a v2 chunk_key_encoding would make every key lookup miss
+    // and return an all-fill cutout (absent key = fill_value)
+    val z3 = s"$dir/zarr3_v2keys"
+    Zarr3IO.writeMeta(z3, Zarr3IO.Zarr3Meta(
+      shape = Vec3(4, 4, 4), chunkShape = Vec3(4, 4, 4),
+      dataType = "uint16", fillValue = 0, compressor = "none"))
+    val zj = Paths.get(z3, "zarr.json")
+    Files.writeString(zj, Files.readString(zj)
+      .replace("\"name\" : \"default\"", "\"name\" : \"v2\""))
+    val e3 = intercept[IllegalArgumentException](Zarr3IO.readMeta(z3))
+    assert(e3.getMessage.contains("chunk_key_encoding"))
+  }
+
   test("DSv2 sink round-trips (S9 native writer) and honors mip locks") {
     val sink = s"$dir/layer_sink"
     PrecomputedIO.writeInfo(sink, meta)
