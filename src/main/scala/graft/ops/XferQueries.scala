@@ -128,6 +128,68 @@ object XferQueries {
         |WHERE x BETWEEN 3 AND 54 AND y BETWEEN 5 AND 48
         |  AND z BETWEEN 2 AND 25""".stripMargin)),
 
+    // S16 pathway 4: transfer with a DIFFERENT chunk size — the
+    // reference's transfer_to(chunk_size=...) re-gridding
+    // (xfer.py:59-493 dest_chunk_size). Source chunks 16x16x8 align
+    // 2x2x2 into 32x32x16 targets, so the regroup shuffles CHUNK
+    // payloads (<= 8 fragments per target, one groupByKey), never
+    // exploded voxels — the shape that holds when a petabyte layer
+    // rechunks: data moves once, chunk-granular.
+    "s16_transfer_rechunk" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        val target = s"${RealLayerQueries.Root}/layer_s16_rechunk"
+        val tcs = Vec3(32, 32, 16)
+        val scale0 = meta.scale(0)
+        val metaRechunk =
+          meta.copy(scales = Seq(scale0.copy(chunkSize = tcs)))
+        PrecomputedIO.writeInfo(target, metaRechunk)
+        val bounds = scale0.bounds
+        import s.implicits._
+        val rechunked = PrecomputedIO.readChunks(s, LayerDir)
+          .select(col("gx"), col("gy"), col("gz"),
+            col("x0"), col("y0"), col("z0"),
+            col("x1"), col("y1"), col("z1"), col("payload"))
+          .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long,
+            Array[Byte])]
+          .groupByKey(r => (r._1 / 2, r._2 / 2, r._3 / 2))
+          .mapGroups { (key: (Long, Long, Long),
+              it: Iterator[(Long, Long, Long, Long, Long, Long, Long, Long,
+                Long, Array[Byte])]) =>
+            val (tgx, tgy, tgz) = key
+            val tb = Geom.chunkBbox(Vec3(tgx, tgy, tgz), bounds, tcs)
+            val arr = new Array[Long](tb.volume.toInt)
+            it.foreach { case (_, _, _, x0, y0, z0, x1, y1, z1, p) =>
+              val vox = Codec.decodeRawToLongs(p, 4)
+              val sx = x1 - x0
+              val sy = y1 - y0
+              var z = z0
+              while (z < z1) {
+                var y = y0
+                while (y < y1) {
+                  var x = x0
+                  while (x < x1) {
+                    arr(((x - tb.minpt.x) + tb.size.x * ((y - tb.minpt.y) +
+                      tb.size.y * (z - tb.minpt.z))).toInt) =
+                      vox(((x - x0) + sx * ((y - y0) + sy * (z - z0))).toInt)
+                    x += 1
+                  }
+                  y += 1
+                }
+                z += 1
+              }
+            }
+            (tgx, tgy, tgz, Codec.encodeRawFromLongs(arr, 4,
+              java.nio.ByteOrder.LITTLE_ENDIAN))
+          }.toDF("gx", "gy", "gz", "payload")
+        PrecomputedIO.writeChunks(rechunked, target, metaRechunk, 0)
+        PrecomputedIO.cutoutVoxels(s, target,
+          Bbox(Vec3(4, 6, 3), Vec3(53, 51, 25)))
+      },
+      Some(s"""SELECT x, y, z, label FROM $Sidecar
+        |WHERE x BETWEEN 4 AND 52 AND y BETWEEN 6 AND 50
+        |  AND z BETWEEN 3 AND 24""".stripMargin)),
+
     // S16 pathway 3: transfer WITH downsample — the reference's
     // transfer_to builds lower mips in the same pass (xfer.py:59-493 +
     // igneous-style downsample cascade). Scale shape: the 2x2x2 mode
