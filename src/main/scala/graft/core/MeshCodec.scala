@@ -38,6 +38,56 @@ object MeshCodec {
     buf.array()
   }
 
+  /** OBJ text export (mesh.py:277-283): one `v x y z` line per vertex
+    * (5 decimals) followed by one 1-indexed `f a b c` line per face,
+    * '\n'-joined with a trailing newline.
+    */
+  def toObj(m: MeshFragment): Array[Byte] = {
+    require(m.vertices.length % 3 == 0 && m.faces.length % 3 == 0)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < m.vertices.length) {
+      sb.append(String.format(java.util.Locale.ROOT, "v %.5f %.5f %.5f\n",
+        Float.box(m.vertices(i)), Float.box(m.vertices(i + 1)),
+        Float.box(m.vertices(i + 2))))
+      i += 3
+    }
+    var j = 0
+    while (j < m.faces.length) {
+      sb.append(s"f ${m.faces(j) + 1} ${m.faces(j + 1) + 1} " +
+        s"${m.faces(j + 2) + 1}\n")
+      j += 3
+    }
+    sb.toString.getBytes("UTF-8")
+  }
+
+  /** Binary PLY export (mesh.py:285-312): ASCII header declaring
+    * vertex/face counts, then f32-LE vertex triples, then per face
+    * int32-LE [3, a, b, c].
+    */
+  def toPly(m: MeshFragment): Array[Byte] = {
+    require(m.vertices.length % 3 == 0 && m.faces.length % 3 == 0)
+    val nv = m.vertices.length / 3
+    val nf = m.faces.length / 3
+    val header = ("ply\nformat binary_little_endian 1.0\n" +
+      s"element vertex $nv\n" +
+      "property float x\nproperty float y\nproperty float z\n" +
+      s"element face $nf\n" +
+      "property list int int vertex_indices\nend_header\n").getBytes("UTF-8")
+    val buf = ByteBuffer.allocate(header.length + 4 * m.vertices.length +
+      16 * nf).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put(header)
+    m.vertices.foreach(buf.putFloat)
+    var j = 0
+    while (j < m.faces.length) {
+      buf.putInt(3)
+      buf.putInt(m.faces(j)); buf.putInt(m.faces(j + 1))
+      buf.putInt(m.faces(j + 2))
+      j += 3
+    }
+    buf.array()
+  }
+
   def decode(binary: Array[Byte]): MeshFragment = {
     val buf = ByteBuffer.wrap(binary).order(ByteOrder.LITTLE_ENDIAN)
     val nv = buf.getInt()

@@ -259,6 +259,53 @@ object MeshQueries {
       Some(s"""WITH $VertCte
         |SELECT segid, vid, x, y, z FROM g""".stripMargin)),
 
+    // F16 export: the reference's OBJ serialization (mesh.py:277-283
+    // to_obj — 5-decimal vertex lines, 1-indexed face lines) of each
+    // segid's concatenated mesh; one row per emitted line so the
+    // DuckDB oracle replays the exact text with printf. PLY export
+    // (to_ply) is binary — MeshSpec parses it back instead.
+    "f16b_mesh_obj_export" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        import s.implicits._
+        fragmentRows(s)
+          .select(col("segid"), col("frag"), col("verts"), col("faces"))
+          .as[(Long, Long, Seq[Float], Seq[Int])]
+          .groupByKey(_._1)
+          .flatMapGroups { (segid: Long,
+              it: Iterator[(Long, Long, Seq[Float], Seq[Int])]) =>
+            val frags = it.toSeq.sortBy(_._2)
+            val verts = Array.newBuilder[Float]
+            val faces = Array.newBuilder[Int]
+            var off = 0
+            frags.foreach { case (_, _, vs, fs) =>
+              verts ++= vs
+              fs.foreach(f => faces += f + off)
+              off += vs.length / 3
+            }
+            val obj = new String(graft.core.MeshCodec.toObj(
+              graft.core.MeshCodec.MeshFragment(
+                verts.result(), faces.result())), "UTF-8")
+            obj.split("\n").zipWithIndex.map { case (l, i) =>
+              (segid, i.toLong, l)
+            }
+          }.toDF("segid", "line_no", "line")
+      },
+      Some(s"""WITH $FaceCte,
+        |nv AS (SELECT segid, count(*) AS n FROM g GROUP BY segid),
+        |vlines AS (SELECT segid, vid AS line_no,
+        |         printf('v %.5f %.5f %.5f', CAST(x AS DOUBLE),
+        |           CAST(y AS DOUBLE), CAST(z AS DOUBLE)) AS line
+        |       FROM g),
+        |flines AS (SELECT f.segid, nv.n + f.fid AS line_no,
+        |         printf('f %d %d %d', f.v0 + 1, f.v1 + 1, f.v2 + 1)
+        |           AS line
+        |       FROM f JOIN nv ON f.segid = nv.segid)
+        |SELECT segid, CAST(line_no AS BIGINT) AS line_no, line FROM vlines
+        |UNION ALL
+        |SELECT segid, CAST(line_no AS BIGINT) AS line_no, line FROM flines"""
+        .stripMargin)),
+
     // O3/W5-shape: deterministic fragment decode order (sort by
     // filename, mesh/unsharded.py:99) drives the face index offsets —
     // the faces of fragment k are shifted by the vertex counts of

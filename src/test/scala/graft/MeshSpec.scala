@@ -57,4 +57,32 @@ class MeshSpec extends AnyFunSuite {
         java.nio.ByteOrder.LITTLE_ENDIAN).getInt).toSeq
     assert(body.take(6) === Seq(1, 4, 2, 5, 3, 6))
   }
+
+  test("obj + ply export match the reference serializations") {
+    import graft.core.MeshCodec
+    val m = MeshCodec.MeshFragment(
+      Array(0f, 1f, 2f, 3.5f, 4f, 5f, 6f, 7f, 8.25f),
+      Array(0, 1, 2))
+    // to_obj (mesh.py:277-283): 5-decimal vertices, 1-indexed faces
+    assert(new String(MeshCodec.toObj(m), "UTF-8") ===
+      "v 0.00000 1.00000 2.00000\n" +
+      "v 3.50000 4.00000 5.00000\n" +
+      "v 6.00000 7.00000 8.25000\n" +
+      "f 1 2 3\n")
+    // to_ply (mesh.py:285-312): ASCII header, f32-LE vertices, then
+    // int32-LE [3, a, b, c] per face
+    val ply = MeshCodec.toPly(m)
+    val headerEnd = new String(ply, "UTF-8").indexOf("end_header\n") +
+      "end_header\n".length
+    val header = new String(ply.take(headerEnd), "UTF-8")
+    assert(header.startsWith("ply\nformat binary_little_endian 1.0\n"))
+    assert(header.contains("element vertex 3\n"))
+    assert(header.contains("element face 1\n"))
+    val bb = java.nio.ByteBuffer.wrap(ply, headerEnd,
+      ply.length - headerEnd).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val verts = (0 until 9).map(_ => bb.getFloat)
+    assert(verts === m.vertices.toSeq)
+    assert((0 until 4).map(_ => bb.getInt) === Seq(3, 0, 1, 2))
+    assert(!bb.hasRemaining)
+  }
 }
