@@ -35,6 +35,7 @@ object Blosc {
   private val DoShuffle = 0x1
   private val MemCpyed = 0x2
   private val DoBitShuffle = 0x4
+  private val DontSplit = 0x10 // c-blosc >= 1.14: block is ONE stream
 
   // inner compressor codes, header flags bits 5-7
   private val CodeBloscLZ = 0
@@ -56,7 +57,12 @@ object Blosc {
   }
 
   /** c-blosc's forward-compat split rule (blosc.c split_block): only
-    * the byte-oriented codecs split into typesize lane streams.
+    * the byte-oriented codecs split into typesize lane streams. Used
+    * by the ENCODER to pick the frame's split decision (recorded in
+    * header flag 0x10) and by the decoder only as the fallback for
+    * pre-flag frames — c-blosc >= 1.14 decoders read the flag, so the
+    * encoder MUST stamp it or single-stream zlib/zstd frames would be
+    * mis-read as typesize split streams by numcodecs.
     */
   private def splitBlock(code: Int, typesize: Int, blocksize: Int): Boolean =
     (code == CodeBloscLZ || code == CodeLz4) &&
@@ -190,6 +196,9 @@ object Blosc {
     val bs = math.max(if (ts > 1) bs0 - bs0 % ts else bs0, 1)
     val nblocks = if (nbytes == 0) 0 else (nbytes + bs - 1) / bs
     val doShuf = shuffleMode == 1 && ts > 1
+    // frame-level split decision, stamped into header flag 0x10 so
+    // c-blosc >= 1.14 decoders (numcodecs) pick the same stream count
+    val split = splitBlock(code, ts, bs)
 
     val body = new ByteArrayOutputStream(nbytes / 2 + 64)
     val bstarts = new Array[Int](nblocks)
@@ -200,8 +209,7 @@ object Blosc {
       val block0 = java.util.Arrays.copyOfRange(data, b * bs, b * bs + bsize)
       val block = if (doShuf) shuffle(ts, block0) else block0
       val leftover = bsize != bs
-      val nsplits =
-        if (!leftover && splitBlock(code, ts, bsize)) ts else 1
+      val nsplits = if (split && !leftover) ts else 1
       val neblock = bsize / nsplits
       var j = 0
       while (j < nsplits) {
@@ -222,16 +230,17 @@ object Blosc {
     }
 
     val framed = 16 + 4 * nblocks + body.size()
+    val splitFlag = if (split) 0 else DontSplit
     if (framed >= nbytes + 16) {
       // memcpy fallback: original (unshuffled) bytes after the header
       val out = ByteBuffer.allocate(16 + nbytes).order(ByteOrder.LITTLE_ENDIAN)
       out.put(2.toByte).put(1.toByte)
-        .put((MemCpyed | (code << 5)).toByte).put(ts.toByte)
+        .put((MemCpyed | splitFlag | (code << 5)).toByte).put(ts.toByte)
         .putInt(nbytes).putInt(bs).putInt(16 + nbytes)
       out.put(data)
       out.array
     } else {
-      val flags = (if (doShuf) DoShuffle else 0) | (code << 5)
+      val flags = (if (doShuf) DoShuffle else 0) | splitFlag | (code << 5)
       val out = ByteBuffer.allocate(framed).order(ByteOrder.LITTLE_ENDIAN)
       out.put(2.toByte).put(1.toByte).put(flags.toByte).put(ts.toByte)
         .putInt(nbytes).putInt(bs).putInt(framed)
@@ -246,7 +255,7 @@ object Blosc {
   def decompress(frame: Array[Byte]): Array[Byte] = {
     require(frame.length >= 16, s"blosc frame too short: ${frame.length}")
     val hdr = ByteBuffer.wrap(frame, 0, 16).order(ByteOrder.LITTLE_ENDIAN)
-    hdr.get() // version
+    val version = hdr.get() & 0xFF
     hdr.get() // versionlz
     val flags = hdr.get() & 0xFF
     val ts = math.max(hdr.get() & 0xFF, 1)
@@ -257,10 +266,20 @@ object Blosc {
       s"blosc cbytes $cbytes > frame ${frame.length}")
     require((flags & DoBitShuffle) == 0,
       "blosc bit-shuffle not supported (native-only)")
-    if ((flags & MemCpyed) != 0)
+    if ((flags & MemCpyed) != 0) {
+      require(frame.length >= 16 + nbytes,
+        s"blosc memcpy frame truncated: need ${16 + nbytes}, have ${frame.length}")
       return java.util.Arrays.copyOfRange(frame, 16, 16 + nbytes)
+    }
     val code = flags >>> 5
     val doShuf = (flags & DoShuffle) != 0 && ts > 1
+    // c-blosc >= 1.14 records the split decision in flag 0x10; the
+    // codec-derived rule is only a fallback for version-1 frames that
+    // predate the flag. Honoring the flag is what makes SPLITMODE=
+    // ALWAYS/NEVER and pre-1.14 all-codec-split frames decode right.
+    val frameSplit =
+      if (version >= 2) (flags & DontSplit) == 0 && ts > 1
+      else splitBlock(code, ts, blocksize)
     val nblocks = (nbytes + blocksize - 1) / blocksize
     val bst = ByteBuffer.wrap(frame, 16, 4 * nblocks)
       .order(ByteOrder.LITTLE_ENDIAN)
@@ -270,8 +289,7 @@ object Blosc {
       var off = bst.getInt(16 + 4 * b)
       val bsize = math.min(blocksize, nbytes - b * blocksize)
       val leftover = bsize != blocksize
-      val nsplits =
-        if (!leftover && splitBlock(code, ts, bsize)) ts else 1
+      val nsplits = if (frameSplit && !leftover) ts else 1
       val neblock = bsize / nsplits
       val block = new Array[Byte](bsize)
       var j = 0

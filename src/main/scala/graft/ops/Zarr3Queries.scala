@@ -573,7 +573,7 @@ object Zarr3Queries {
 
   def ensureZarr2Blosc(s: SparkSession, sfDir: String): Unit = synchronized {
     ensure(s, sfDir)
-    val want = RealLayerQueries.stamp + "|blosc-v1"
+    val want = RealLayerQueries.stamp + "|blosc-v2" // v2: DONT_SPLIT flag stamped in frames
     val marker = Paths.get(Root, ".built_z2blosc_from")
     if (Files.exists(marker) && Files.readString(marker) == want) return
     val z2root = Paths.get(Zarr2BloscDir)
@@ -624,7 +624,7 @@ object Zarr3Queries {
 
   def ensureZarr3Blosc(s: SparkSession, sfDir: String): Unit = synchronized {
     RealLayerQueries.ensure(s, sfDir)
-    val want = RealLayerQueries.stamp + "|blosc-v1"
+    val want = RealLayerQueries.stamp + "|blosc-v2" // v2: DONT_SPLIT flag stamped in frames
     val marker = Paths.get(Root, ".built_z3blosc_from")
     if (Files.exists(marker) && Files.readString(marker) == want) return
     val arrP = Paths.get(Zarr3BloscDir)
@@ -649,7 +649,7 @@ object Zarr3Queries {
 
   def ensureN5Blosc(s: SparkSession, sfDir: String): Unit = synchronized {
     ensureN5(s, sfDir)
-    val want = RealLayerQueries.stamp + "|blosc-v1"
+    val want = RealLayerQueries.stamp + "|blosc-v2" // v2: DONT_SPLIT flag stamped in frames
     val marker = Paths.get(Root, ".built_n5blosc_from")
     if (Files.exists(marker) && Files.readString(marker) == want) return
     val n5root = Paths.get(N5BloscDir)

@@ -382,13 +382,16 @@ object Zarr2IO {
     val hasC = o.channels.isDefined
     val meta = m
     val dirStr = dir
+    // ByteOrder is not Serializable — ship a flag, rehydrate per task
+    val be = m.byteOrder == java.nio.ByteOrder.BIG_ENDIAN
     chunks.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      val bo = if (be) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN
       rows.foreach { r =>
         val vox = r.getSeq[Long](5).toArray
         // C order of (t=1, c=1, z, y, x) is x-fastest = F order of the
         // spatial block: encode verbatim
-        val payload = pack(meta,
-          Codec.encodeRawFromLongs(vox, dtb, java.nio.ByteOrder.LITTLE_ENDIAN))
+        val payload = pack(meta, Codec.encodeRawFromLongs(vox, dtb, bo))
         val parts =
           (if (hasT) Seq(r.getLong(0).toString) else Seq.empty) ++
             (if (hasC) Seq(r.getLong(1).toString) else Seq.empty) ++
@@ -435,16 +438,20 @@ object Zarr2IO {
     val clip = bbox.intersection(bounds)
     val dirStr = chunkBase
     val fill = m.fillValue
+    // honor the .zarray dtype byte order like the non-OME cutout path
+    val be = m.byteOrder == java.nio.ByteOrder.BIG_ENDIAN
     import spark.implicits._
     spark.createDataset(pts.map(g => (g.x, g.y, g.z)))
       .repartition(math.max(pts.size / 4, 1))
       .flatMap { case (gx, gy, gz) =>
+        val bo = if (be) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN
         val parts = lead ++ Seq(gz.toString, gy.toString, gx.toString)
         val p = Paths.get(dirStr, parts.mkString(sep))
         val vox =
           if (!Files.exists(p)) Array.fill((cs.x * cs.y * cs.z).toInt)(fill)
           else Codec.decodeRawToLongs(unpack(meta, Files.readAllBytes(p)),
-            dtb, java.nio.ByteOrder.LITTLE_ENDIAN)
+            dtb, bo)
         val lo = Vec3(gx * cs.x, gy * cs.y, gz * cs.z)
         val out = scala.collection.mutable.ArrayBuffer
           .empty[(Long, Long, Long, Long)]

@@ -119,7 +119,7 @@ object Zarr3IO {
   /** Append the compressor codec object to a codec array node. */
   private def addCompressorCodec(
       codecs: com.fasterxml.jackson.databind.node.ArrayNode,
-      compressor: String): Unit = compressor match {
+      compressor: String, typesize: Int): Unit = compressor match {
     case "gzip" =>
       val gz = codecs.addObject()
       gz.put("name", "gzip")
@@ -135,7 +135,9 @@ object Zarr3IO {
       bl.put("name", "blosc")
       val conf = bl.putObject("configuration")
       conf.put("cname", "lz4"); conf.put("clevel", 5)
-      conf.put("shuffle", "shuffle"); conf.put("blocksize", 0)
+      // v3 blosc spec: typesize is REQUIRED when shuffle != "noshuffle"
+      conf.put("shuffle", "shuffle"); conf.put("typesize", typesize)
+      conf.put("blocksize", 0)
     case _ => ()
   }
 
@@ -175,7 +177,7 @@ object Zarr3IO {
         val ib = innerCodecs.addObject()
         ib.put("name", "bytes")
         ib.putObject("configuration").put("endian", "little")
-        addCompressorCodec(innerCodecs, m.compressor)
+        addCompressorCodec(innerCodecs, m.compressor, m.dtypeBytes)
         val idxCodecs = conf.putArray("index_codecs")
         val idxB = idxCodecs.addObject()
         idxB.put("name", "bytes")
@@ -186,7 +188,7 @@ object Zarr3IO {
         val bytesCodec = codecs.addObject()
         bytesCodec.put("name", "bytes")
         bytesCodec.putObject("configuration").put("endian", "little")
-        addCompressorCodec(codecs, m.compressor)
+        addCompressorCodec(codecs, m.compressor, m.dtypeBytes)
     }
     val names = root.putArray("dimension_names")
     if (m.timeFrames.isDefined) names.add("t")

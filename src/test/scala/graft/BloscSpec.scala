@@ -73,6 +73,67 @@ class BloscSpec extends AnyFunSuite {
     assert(Blosc.decompress(bb.array).toSeq === plain.toSeq)
   }
 
+  test("encoder stamps DONT_SPLIT (0x10) exactly when single-stream") {
+    // c-blosc >= 1.14 decoders (numcodecs) take the per-block stream
+    // count from flag 0x10, not the codec rule — a single-stream
+    // zstd/zlib frame without it decodes as garbage in zarr-python.
+    val data = pattern(4096)
+    for (cname <- Seq("zstd", "zlib")) { // split rule: never split
+      val f = Blosc.compress(data, 4, cname, 5, 1)
+      assert((f(2) & 0x10) != 0, s"$cname frame must carry DONT_SPLIT")
+    }
+    // lz4, ts=4, blocksize/ts >= 128 -> forward-compat split mode
+    val fSplit = Blosc.compress(data, 4, "lz4", 5, 1)
+    assert((fSplit(2) & 0x10) == 0, "lz4 split frame must NOT carry DONT_SPLIT")
+    // ts=1 is single-stream for every codec
+    val f1 = Blosc.compress(data, 1, "lz4", 5, 0)
+    assert((f1(2) & 0x10) != 0, "ts=1 frame must carry DONT_SPLIT")
+  }
+
+  test("decoder honors the split flag, not the codec rule") {
+    // SPLITMODE=ALWAYS / pre-1.14 shape: a zlib frame WITHOUT 0x10
+    // whose block IS split into typesize streams. The derived
+    // forward-compat rule says zlib never splits — only the flag
+    // decodes this correctly.
+    val plain = pattern(256)
+    val shuffled = Blosc.shuffle(2, plain)
+    val bb = java.nio.ByteBuffer.allocate(16 + 4 + 2 * (4 + 128))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(2.toByte).put(1.toByte)
+    bb.put((0x1 | (3 << 5)).toByte) // shuffle | zlib, NO DONT_SPLIT
+    bb.put(2.toByte) // typesize
+    bb.putInt(256).putInt(256).putInt(bb.capacity)
+    bb.putInt(20) // bstart
+    bb.putInt(128); bb.put(shuffled, 0, 128) // lane 0 raw
+    bb.putInt(128); bb.put(shuffled, 128, 128) // lane 1 raw
+    assert(Blosc.decompress(bb.array).toSeq === plain.toSeq)
+
+    // SPLITMODE=NEVER shape: an lz4 frame WITH 0x10 stored as ONE
+    // stream even though the forward-compat rule says split.
+    val bb2 = java.nio.ByteBuffer.allocate(16 + 4 + 4 + 256)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb2.put(2.toByte).put(1.toByte)
+    bb2.put((0x1 | 0x10 | (1 << 5)).toByte) // shuffle | DONT_SPLIT | lz4
+    bb2.put(2.toByte)
+    bb2.putInt(256).putInt(256).putInt(bb2.capacity)
+    bb2.putInt(20)
+    bb2.putInt(256); bb2.put(shuffled, 0, 256) // one raw stream
+    assert(Blosc.decompress(bb2.array).toSeq === plain.toSeq)
+  }
+
+  test("truncated memcpy frame fails loudly instead of zero-padding") {
+    val rnd = new scala.util.Random(7)
+    val noise = new Array[Byte](64); rnd.nextBytes(noise)
+    val frame = Blosc.compress(noise, 4, "lz4", 5, 1) // memcpy framing
+    assert((frame(2) & 0x2) != 0)
+    val cut = java.util.Arrays.copyOf(frame, frame.length - 10)
+    // keep header cbytes consistent with the truncated buffer so only
+    // the nbytes-vs-length guard can catch it
+    java.nio.ByteBuffer.wrap(cut).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(12, cut.length)
+    assertThrows[IllegalArgumentException](Blosc.decompress(cut))
+  }
+
   test("bit-shuffle and native-only codecs are rejected, not misread") {
     val frame = Blosc.compress(pattern(64), 4)
     frame(2) = (frame(2) | 0x4).toByte // set bit-shuffle flag

@@ -195,6 +195,35 @@ class SourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((raw(4) & 0xffL) == ((expect >> 24) & 0xff))
   }
 
+  test("OME-zarr big-endian dtype (>u4) honors .zarray byte order") {
+    // the OME encode/decode paths must use m.byteOrder like the
+    // non-OME cutout — hardcoded LE would silently misread BE arrays
+    import graft.sources.Zarr2IO
+    val s = spark
+    import s.implicits._
+    val dir = s"${this.dir}/zarr2_ome_be"
+    val o = Zarr2IO.Zarr2Ome(
+      Zarr2IO.Zarr2Meta(shape = Vec3(4, 3, 2), chunkShape = Vec3(4, 3, 2),
+        dtype = ">u4", fillValue = 0, compressor = "zlib", order = "C"),
+      timeFrames = Some(2L), channels = None)
+    Zarr2IO.writeMetaOme(dir, o)
+    val vox = (0L until 24L).map(i => (i + 1) * 1000003L % 4294967296L)
+    Zarr2IO.writeChunksOme(
+      Seq((0L, 0L, 0L, 0L, 0L, vox), (1L, 0L, 0L, 0L, 0L, vox.map(_ + 5)))
+        .toDF("tc", "cc", "gx", "gy", "gz", "vox"), dir, o)
+    val got = Zarr2IO.cutoutVoxelsOmeAt(spark, dir,
+      Bbox(Vec3(0, 0, 0), Vec3(4, 3, 2)), t = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+        r.getLong(3))).toMap
+    for (z <- 0L until 2L; y <- 0L until 3L; x <- 0L until 4L)
+      assert(got((x, y, z)) == vox((x + 4 * (y + 3 * z)).toInt) + 5)
+    // the stored bytes really are big-endian: first element's first
+    // byte is its MSB
+    val raw = Codec.zlibDecompress(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "0.0.0.0")))
+    assert((raw(0) & 0xffL) == ((1000003L >> 24) & 0xff))
+  }
+
   test("zarr2 full numcodecs compressor set round-trips (zstd/gzip/bz2/lzma)") {
     import graft.sources.Zarr2IO
     val s = spark
