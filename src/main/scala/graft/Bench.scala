@@ -75,7 +75,7 @@ object Bench {
     * timing of `vol[:] = img` from an in-memory array.
     */
   private def writeMBps(spark: SparkSession, name: String, cs: Vec3,
-      gzip: Boolean): Double = {
+      gzip: Boolean): Seq[Double] = {
     val meta = benchMeta(cs)
     val dir = s"$BenchRoot/write_$name"
     val chunks = blackChunks(spark, meta).cache()
@@ -93,9 +93,9 @@ object Bench {
       VolBytes / 1e6 / ((System.nanoTime() - t0) / 1e9)
     }
     once() // warm-up
-    val best = Seq.fill(3)(once()).max
+    val reps = Seq.fill(5)(once())
     chunks.unpersist()
-    best
+    reps
   }
 
   /** Time a full-volume read: scan chunk objects (file read + gunzip
@@ -178,20 +178,35 @@ object Bench {
     // Families: big-chunk gzip (local.tsv:2-3), small-chunk gzip
     // (local.tsv:10 — the per-object-overhead regime where the
     // reference drops to 1.5 MB/s), uncompressed (local.tsv:17).
+    // read and write families INTERLEAVED (r9 showed write medians
+    // halving on identical code when the whole write block ran after
+    // the whole read block — interleaving spreads any transient
+    // machine contention across both instead of concentrating it),
+    // each 5 warm reps with {median,min,max} recorded so a cross-round
+    // regression call can check the spread before believing the number
     val readFamilies = Seq(
       ("z100", Vec3(1024, 1024, 100), true),
       ("z64", Vec3(1024, 1024, 64), true),
       ("c128", Vec3(128, 128, 128), true),
       ("plain_z100", Vec3(1024, 1024, 100), false))
-    val mbps = readFamilies.map { case (key, cs, gz) =>
+    val writeFamilies = Seq(
+      ("z100", Vec3(1024, 1024, 100)),
+      ("c128", Vec3(128, 128, 128)))
+    val mbpsReps = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    readFamilies.foreach { case (key, cs, gz) =>
       val dir = ensureLayer(spark, s"black_u8_$key", cs, gz)
       cutoutMBps(spark, dir) // warm-up (JIT + page cache)
-      key -> Seq.fill(5)(cutoutMBps(spark, dir)).max
-    }.toMap
-    // aligned-write throughput vs local.tsv upload/black/gzip rows
-    val wMbps = Map(
-      "z100" -> writeMBps(spark, "z100", Vec3(1024, 1024, 100), gzip = true),
-      "c128" -> writeMBps(spark, "c128", Vec3(128, 128, 128), gzip = true))
+      mbpsReps(s"read_$key") = Seq.fill(5)(cutoutMBps(spark, dir))
+      writeFamilies.find(_._1 == key).foreach { case (wk, wcs) =>
+        mbpsReps(s"write_$wk") = writeMBps(spark, wk, wcs, gzip = true)
+      }
+    }
+    // headline value stays the max (engine capability, the analogue of
+    // the reference's idle-machine mean — see the comment above)
+    val mbps = readFamilies.map { case (k, _, _) =>
+      k -> mbpsReps(s"read_$k").max }.toMap
+    val wMbps = writeFamilies.map { case (k, _) =>
+      k -> mbpsReps(s"write_$k").max }.toMap
 
     val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -215,8 +230,16 @@ object Bench {
     val passes = if (cutoutOnly) 0 else 3
     val timings = scala.collection.mutable.LinkedHashMap
       .empty[String, Vector[Double]]
-    for (_ <- 1 to passes) {
-      sorted.foreach { case (name, fn) =>
+    for (pass <- 1 to passes) {
+      // Deterministically DIFFERENT order per pass (seed = pass): r9/r10
+      // forensics showed the alphabetical loop charges each query the
+      // async residue (stream-state unload, block/shuffle cleanup) of
+      // the SAME predecessor in every pass — st5 timed 6.2 s right
+      // after st4 in all 3 passes, 1.5-1.8 s in isolation or after a
+      // full warm pass. A different predecessor each pass turns that
+      // systematic bias into one-pass noise the median rejects.
+      val order = new scala.util.Random(pass).shuffle(sorted)
+      order.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case e: Throwable =>
@@ -228,12 +251,16 @@ object Bench {
       }
       System.gc()
     }
-    def median(v: Vector[Double]): Double = v.sorted.apply(v.size / 2)
+    def median(v: Seq[Double]): Double = v.sorted.apply(v.size / 2)
     val results: Seq[(String, Double)] =
       timings.toSeq.map { case (k, v) => k -> median(v) }
     val statsJson = timings.map { case (k, v) =>
       s"\"" + k + "\":{\"median\":" + num(median(v), 3) +
         ",\"min\":" + num(v.min, 3) + ",\"max\":" + num(v.max, 3) + "}"
+    }.mkString("{", ",", "}")
+    val mbpsStatsJson = mbpsReps.map { case (k, v) =>
+      s"\"" + k + "\":{\"median\":" + num(median(v), 1) +
+        ",\"min\":" + num(v.min, 1) + ",\"max\":" + num(v.max, 1) + "}"
     }.mkString("{", ",", "}")
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + num(v, 3) }
@@ -257,7 +284,7 @@ object Bench {
       s""""baseline_write_MBps_chunk128_128_128":1.0"""
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,""" +
-      s""""queries":$qs,"query_stats":$statsJson,""" +
+      s""""queries":$qs,"query_stats":$statsJson,"mbps_stats":$mbpsStatsJson,""" +
       s""""n_failed":${errs.size},"errors":$errJson,$mbpsJson,"sf":"$sfDir"}"""
     // Full per-query timings for humans/judge: one stdout line (NOT the
     // last) plus a file next to the repo's BENCH_r{N}.json snapshots.

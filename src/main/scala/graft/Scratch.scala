@@ -12,7 +12,16 @@ object Scratch {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .appName("scratch").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val names = args.toSeq
+    val (flags, names) = args.toSeq.partition(_.startsWith("--"))
+    // --warmall: reproduce the bench loop's JVM state (every query run
+    // once) before timing, to separate query cost from JVM-state creep
+    if (flags.contains("--warmall")) {
+      graft.ops.Fixtures.ensureAll(spark, sfDir)
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      }
+      System.gc()
+    }
     // warmup
     SparkEntry.queries("q1_pricing")(spark, sfDir).count()
     for (n <- names; rep <- 1 to 3) {

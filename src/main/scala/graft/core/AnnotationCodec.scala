@@ -9,8 +9,10 @@ import java.nio.{ByteBuffer, ByteOrder}
   *
   *   u64le count
   *   count x record:
-  *     geometry: ndim f32 (POINT) or 2*ndim f32 (LINE / AABB /
-  *               ELLIPSOID center+radii)
+  *     geometry: ndim f32 (POINT), 2*ndim f32 (LINE / AABB /
+  *               ELLIPSOID center+radii), or u32le num_points +
+  *               num_points*ndim f32 (POLYLINE,
+  *               annotation/metadata.py:436-447)
   *     properties: declared order, dtype sizes per
   *                 annotation/metadata.py:27-39 (_PROPERTY_DTYPES)
   *     padding:  property block padded to 4-byte alignment
@@ -52,54 +54,128 @@ object AnnotationCodec {
 
   /** Layer-level codec spec: geometry type + property schema. */
   final case class AnnotationSpec(
-      annotationType: String, // POINT | LINE | AXIS_ALIGNED_BOUNDING_BOX | ELLIPSOID
+      annotationType: String, // POINT | LINE | AXIS_ALIGNED_BOUNDING_BOX | ELLIPSOID | POLYLINE
       ndim: Int,
       properties: Seq[PropSpec]) {
+
+    /** POLYLINE records carry a u32 vertex count + that many points —
+      * variable length (annotation/metadata.py:436-447), so the fixed
+      * [[geometryFloats]]/[[recordBytes]] accessors don't apply.
+      */
+    def isPolyline: Boolean = annotationType == "POLYLINE"
 
     def geometryFloats: Int = annotationType match {
       case "POINT" => ndim
       case "LINE" | "AXIS_ALIGNED_BOUNDING_BOX" | "ELLIPSOID" => 2 * ndim
+      case "POLYLINE" => throw new IllegalArgumentException(
+        "POLYLINE geometry is variable-length (per-record u32 count)")
       case t => throw new IllegalArgumentException(s"annotation type $t")
     }
 
     def propBytesUnpadded: Int = properties.map(_.byteSize).sum
 
-    /** Bytes of one record: geometry + properties + pad-to-4. */
-    def recordBytes: Int = {
-      val p = propBytesUnpadded
-      4 * geometryFloats + p + (if (p % 4 == 0) 0 else 4 - p % 4)
+    /** Property-block padding to 4-byte record alignment
+      * (annotation/metadata.py:41-60).
+      */
+    def propPad: Int =
+      if (propBytesUnpadded % 4 == 0) 0 else 4 - propBytesUnpadded % 4
+
+    /** Bytes of one record with `geomFloats` geometry floats. */
+    def recordBytesFor(geomFloats: Int): Int = {
+      val lenPrefix = if (isPolyline) 4 else 0
+      lenPrefix + 4 * geomFloats + propBytesUnpadded + propPad
     }
+
+    /** Bytes of one record: geometry + properties + pad-to-4
+      * (fixed-geometry types only).
+      */
+    def recordBytes: Int = recordBytesFor(geometryFloats)
   }
 
   /** One annotation: id, geometry floats, property values (flattened
-    * Double slots in property order).
+    * Double slots in property order). For POLYLINE the geometry is
+    * the flattened vertex list (length = num_points * ndim).
     */
   final case class Annotation(id: Long, geometry: Array[Float], props: Array[Double])
 
+  private def writeProps(buf: ByteBuffer, spec: AnnotationSpec,
+      props: Array[Double]): Unit = {
+    var slot = 0
+    spec.properties.foreach { p =>
+      p.dtype match {
+        case "uint8" | "int8" => buf.put(props(slot).toInt.toByte)
+        case "uint16" | "int16" => buf.putShort(props(slot).toInt.toShort)
+        case "uint32" | "int32" => buf.putInt(props(slot).toLong.toInt)
+        case "float32" => buf.putFloat(props(slot).toFloat)
+        case "rgb" =>
+          (0 until 3).foreach(i => buf.put(props(slot + i).toInt.toByte))
+        case "rgba" =>
+          (0 until 4).foreach(i => buf.put(props(slot + i).toInt.toByte))
+      }
+      slot += p.slots
+    }
+    (0 until spec.propPad).foreach(_ => buf.put(0.toByte))
+  }
+
+  private def readProps(buf: ByteBuffer, spec: AnnotationSpec): Array[Double] = {
+    val pv = new Array[Double](spec.properties.map(_.slots).sum)
+    var slot = 0
+    spec.properties.foreach { p =>
+      p.dtype match {
+        case "uint8" => pv(slot) = (buf.get() & 0xff).toDouble
+        case "int8" => pv(slot) = buf.get().toDouble
+        case "uint16" => pv(slot) = (buf.getShort() & 0xffff).toDouble
+        case "int16" => pv(slot) = buf.getShort().toDouble
+        case "uint32" => pv(slot) = (buf.getInt() & 0xffffffffL).toDouble
+        case "int32" => pv(slot) = buf.getInt().toDouble
+        case "float32" => pv(slot) = buf.getFloat().toDouble
+        case "rgb" =>
+          (0 until 3).foreach(i => pv(slot + i) = (buf.get() & 0xff).toDouble)
+        case "rgba" =>
+          (0 until 4).foreach(i => pv(slot + i) = (buf.get() & 0xff).toDouble)
+      }
+      slot += p.slots
+    }
+    (0 until spec.propPad).foreach(_ => buf.get())
+    pv
+  }
+
+  /** Write one record's geometry: POLYLINE prefixes a u32le vertex
+    * count (annotation/metadata.py:436-447); fixed types write the
+    * floats verbatim.
+    */
+  private def writeGeometry(buf: ByteBuffer, spec: AnnotationSpec,
+      g: Array[Float]): Unit = {
+    if (spec.isPolyline) {
+      require(g.length % spec.ndim == 0,
+        s"polyline geometry ${g.length} not a multiple of ndim ${spec.ndim}")
+      buf.putInt(g.length / spec.ndim)
+    } else require(g.length == spec.geometryFloats,
+      s"geometry ${g.length} != ${spec.geometryFloats}")
+    g.foreach(buf.putFloat)
+  }
+
+  private def readGeometry(buf: ByteBuffer, spec: AnnotationSpec): Array[Float] = {
+    val nFloats =
+      if (spec.isPolyline) {
+        val npts = buf.getInt()
+        require(npts >= 0 && npts.toLong * spec.ndim <= buf.remaining / 4,
+          s"polyline vertex count $npts exceeds buffer")
+        npts * spec.ndim
+      } else spec.geometryFloats
+    val g = new Array[Float](nFloats)
+    g.indices.foreach(j => g(j) = buf.getFloat())
+    g
+  }
+
   def encode(spec: AnnotationSpec, anns: Seq[Annotation]): Array[Byte] = {
-    val buf = ByteBuffer.allocate(8 + anns.length * (spec.recordBytes + 8))
-      .order(ByteOrder.LITTLE_ENDIAN)
+    val total = 8 +
+      anns.map(a => spec.recordBytesFor(a.geometry.length) + 8).sum
+    val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
     buf.putLong(anns.length.toLong)
     anns.foreach { a =>
-      require(a.geometry.length == spec.geometryFloats,
-        s"geometry ${a.geometry.length} != ${spec.geometryFloats}")
-      a.geometry.foreach(buf.putFloat)
-      var slot = 0
-      spec.properties.foreach { p =>
-        p.dtype match {
-          case "uint8" | "int8" => buf.put(a.props(slot).toInt.toByte)
-          case "uint16" | "int16" => buf.putShort(a.props(slot).toInt.toShort)
-          case "uint32" | "int32" => buf.putInt(a.props(slot).toLong.toInt)
-          case "float32" => buf.putFloat(a.props(slot).toFloat)
-          case "rgb" =>
-            (0 until 3).foreach(i => buf.put(a.props(slot + i).toInt.toByte))
-          case "rgba" =>
-            (0 until 4).foreach(i => buf.put(a.props(slot + i).toInt.toByte))
-        }
-        slot += p.slots
-      }
-      val pad = spec.recordBytes - 4 * spec.geometryFloats - spec.propBytesUnpadded
-      (0 until pad).foreach(_ => buf.put(0.toByte))
+      writeGeometry(buf, spec, a.geometry)
+      writeProps(buf, spec, a.props)
     }
     anns.foreach(a => buf.putLong(a.id))
     buf.array()
@@ -109,35 +185,16 @@ object AnnotationCodec {
     val buf = ByteBuffer.wrap(binary).order(ByteOrder.LITTLE_ENDIAN)
     val n = buf.getLong()
     require(n >= 0 && n <= Int.MaxValue, s"bad count $n")
-    require(binary.length == 8 + n * (spec.recordBytes + 8),
-      s"length ${binary.length} != expected ${8 + n * (spec.recordBytes + 8)}")
+    // fixed-geometry records let the length be validated up front;
+    // POLYLINE records are variable, checked by the trailing require
+    if (!spec.isPolyline)
+      require(binary.length == 8 + n * (spec.recordBytes + 8),
+        s"length ${binary.length} != expected ${8 + n * (spec.recordBytes + 8)}")
     val geoms = new Array[Array[Float]](n.toInt)
     val props = new Array[Array[Double]](n.toInt)
     (0 until n.toInt).foreach { i =>
-      val g = new Array[Float](spec.geometryFloats)
-      g.indices.foreach(j => g(j) = buf.getFloat())
-      geoms(i) = g
-      val pv = new Array[Double](spec.properties.map(_.slots).sum)
-      var slot = 0
-      spec.properties.foreach { p =>
-        p.dtype match {
-          case "uint8" => pv(slot) = (buf.get() & 0xff).toDouble
-          case "int8" => pv(slot) = buf.get().toDouble
-          case "uint16" => pv(slot) = (buf.getShort() & 0xffff).toDouble
-          case "int16" => pv(slot) = buf.getShort().toDouble
-          case "uint32" => pv(slot) = (buf.getInt() & 0xffffffffL).toDouble
-          case "int32" => pv(slot) = buf.getInt().toDouble
-          case "float32" => pv(slot) = buf.getFloat().toDouble
-          case "rgb" =>
-            (0 until 3).foreach(i => pv(slot + i) = (buf.get() & 0xff).toDouble)
-          case "rgba" =>
-            (0 until 4).foreach(i => pv(slot + i) = (buf.get() & 0xff).toDouble)
-        }
-        slot += p.slots
-      }
-      props(i) = pv
-      val pad = spec.recordBytes - 4 * spec.geometryFloats - spec.propBytesUnpadded
-      (0 until pad).foreach(_ => buf.get())
+      geoms(i) = readGeometry(buf, spec)
+      props(i) = readProps(buf, spec)
     }
     val ids = Array.fill(n.toInt)(buf.getLong())
     require(!buf.hasRemaining)
@@ -157,26 +214,11 @@ object AnnotationCodec {
   def encodeSingle(spec: AnnotationSpec, ann: Annotation,
       rels: Seq[Seq[Long]]): Array[Byte] = {
     val relBytes = rels.map(r => 4 + 8 * r.length).sum
-    val buf = ByteBuffer.allocate(spec.recordBytes + relBytes)
+    val buf = ByteBuffer
+      .allocate(spec.recordBytesFor(ann.geometry.length) + relBytes)
       .order(ByteOrder.LITTLE_ENDIAN)
-    require(ann.geometry.length == spec.geometryFloats)
-    ann.geometry.foreach(buf.putFloat)
-    var slot = 0
-    spec.properties.foreach { p =>
-      p.dtype match {
-        case "uint8" | "int8" => buf.put(ann.props(slot).toInt.toByte)
-        case "uint16" | "int16" => buf.putShort(ann.props(slot).toInt.toShort)
-        case "uint32" | "int32" => buf.putInt(ann.props(slot).toLong.toInt)
-        case "float32" => buf.putFloat(ann.props(slot).toFloat)
-        case "rgb" =>
-          (0 until 3).foreach(i => buf.put(ann.props(slot + i).toInt.toByte))
-        case "rgba" =>
-          (0 until 4).foreach(i => buf.put(ann.props(slot + i).toInt.toByte))
-      }
-      slot += p.slots
-    }
-    val pad = spec.recordBytes - 4 * spec.geometryFloats - spec.propBytesUnpadded
-    (0 until pad).foreach(_ => buf.put(0.toByte))
+    writeGeometry(buf, spec, ann.geometry)
+    writeProps(buf, spec, ann.props)
     rels.foreach { ids =>
       buf.putInt(ids.length)
       ids.foreach(buf.putLong)
@@ -191,28 +233,8 @@ object AnnotationCodec {
   def decodeSingle(spec: AnnotationSpec, nRels: Int, id: Long,
       binary: Array[Byte]): (Annotation, Seq[Seq[Long]]) = {
     val buf = ByteBuffer.wrap(binary).order(ByteOrder.LITTLE_ENDIAN)
-    val g = new Array[Float](spec.geometryFloats)
-    g.indices.foreach(j => g(j) = buf.getFloat())
-    val pv = new Array[Double](spec.properties.map(_.slots).sum)
-    var slot = 0
-    spec.properties.foreach { p =>
-      p.dtype match {
-        case "uint8" => pv(slot) = (buf.get() & 0xff).toDouble
-        case "int8" => pv(slot) = buf.get().toDouble
-        case "uint16" => pv(slot) = (buf.getShort() & 0xffff).toDouble
-        case "int16" => pv(slot) = buf.getShort().toDouble
-        case "uint32" => pv(slot) = (buf.getInt() & 0xffffffffL).toDouble
-        case "int32" => pv(slot) = buf.getInt().toDouble
-        case "float32" => pv(slot) = buf.getFloat().toDouble
-        case "rgb" =>
-          (0 until 3).foreach(i => pv(slot + i) = (buf.get() & 0xff).toDouble)
-        case "rgba" =>
-          (0 until 4).foreach(i => pv(slot + i) = (buf.get() & 0xff).toDouble)
-      }
-      slot += p.slots
-    }
-    val pad = spec.recordBytes - 4 * spec.geometryFloats - spec.propBytesUnpadded
-    (0 until pad).foreach(_ => buf.get())
+    val g = readGeometry(buf, spec)
+    val pv = readProps(buf, spec)
     val rels = (0 until nRels).map { _ =>
       val n = buf.getInt()
       (0 until n).map(_ => buf.getLong()).toSeq

@@ -42,6 +42,10 @@ object AnnotationQueries {
     AnnotationSpec("AXIS_ALIGNED_BOUNDING_BOX", 3, Seq.empty)
   val EllipsoidSpec: AnnotationSpec =
     AnnotationSpec("ELLIPSOID", 3, Seq(PropSpec("w", "float32")))
+  // uint16 property -> 2-byte pad, exercising the pad-to-4 rule on a
+  // variable-length record
+  val PolylineSpec: AnnotationSpec =
+    AnnotationSpec("POLYLINE", 3, Seq(PropSpec("w", "uint16")))
 
   /** POINT annotations from events (mirrored in PtsCte). */
   private def pointsDf(s: SparkSession, dir: String): DataFrame =
@@ -190,6 +194,54 @@ object AnnotationQueries {
           val rels = Seq(Seq(relSegid(0, aid)), Seq(relSegid(1, aid)))
           Files.write(Paths.get(byIdStr, aid.toString),
             AnnotationCodec.encodeSingle(PointSpec, ann, rels))
+        }
+      }
+    Files.writeString(marker, markerVal)
+  }
+
+  /** Deterministic polyline vertices for annotation `aid`: 2-5 points,
+    * every coordinate an exact small integer (f32-exact), mirrored by
+    * the p8h oracle CTE. Point k occupies geometry[3k, 3k+3) — the
+    * num_points*rank flattening of annotation/metadata.py:436-447.
+    */
+  private def polyVertices(aid: Long): Array[Float] = {
+    val npts = (2 + aid % 4).toInt
+    val g = new Array[Float](npts * 3)
+    (0 until npts).foreach { k =>
+      g(3 * k) = ((aid * 7 + k * 11) % 64).toFloat
+      g(3 * k + 1) = ((aid * 13 + k * 17) % 64).toFloat
+      g(3 * k + 2) = ((aid * 3 + k * 5) % 32).toFloat
+    }
+    g
+  }
+
+  def ensurePolyline(s: SparkSession, sfDir: String): Unit = synchronized {
+    ensure(s, sfDir)
+    val marker = Paths.get(Root, ".built_polyline_from")
+    val markerVal = s"$sfDir|v1"
+    if (Files.exists(marker) && Files.readString(marker) == markerVal) return
+    val layerDir = s"$Root/polylines"
+    val layerP = Paths.get(layerDir)
+    if (Files.exists(layerP)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(layerP).iterator.asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+    Files.createDirectories(layerP)
+    AnnotationCodec.writeInfo(layerDir, PolylineSpec)
+    val spec = PolylineSpec
+    table(s, sfDir, "customer").filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey").cast("long").as("aid"))
+      .withColumn("tile", (col("aid") % 4).cast("string"))
+      .groupBy("tile")
+      .agg(sort_array(collect_list(col("aid"))).as("aids"))
+      .foreachPartition { rows: Iterator[Row] =>
+        rows.foreach { r =>
+          val anns = r.getSeq[Long](1).map(aid =>
+            Annotation(aid, polyVertices(aid),
+              Array((aid % 100).toDouble)))
+          Files.write(Paths.get(layerDir, r.getString(0)),
+            AnnotationCodec.encode(spec, anns))
         }
       }
     Files.writeString(marker, markerVal)
@@ -459,5 +511,55 @@ object AnnotationQueries {
         |SELECT aid, ax, ay, az, score, (aid * 3) % 40 AS presyn,
         |  (aid * 5 + 1) % 40 AS postsyn
         |FROM pts WHERE aid % 35 = 0""".stripMargin)),
+
+    // P8 (POLYLINE variant): variable-length records — u32 vertex
+    // count + num_points*ndim f32 per annotation (annotation/
+    // metadata.py:436-447). Crop keeps a polyline when ANY vertex
+    // falls in the (inclusive) box — the LINE endpoint rule extended
+    // per vertex; the reference's _crop_mask raises TypeError for
+    // POLYLINE (metadata.py:110-111), so the crop here is this
+    // engine's extension, decode is reference parity. Output is the
+    // vertex table of kept polylines.
+    "p8h_annotation_polyline" -> Q(
+      (s, dir) => {
+        ensurePolyline(s, dir)
+        import s.implicits._
+        import scala.jdk.CollectionConverters._
+        val layerDir = s"$Root/polylines"
+        // route through the layer info (annotation_type POLYLINE)
+        val spec = AnnotationCodec.readInfo(layerDir)
+        val names = Files.list(Paths.get(layerDir)).iterator.asScala
+          .map(_.getFileName.toString).filter(_ != "info").toSeq.sorted
+        val v = names.toDS()
+          .repartition(math.max(names.size / 2, 1))
+          .flatMap { n =>
+            AnnotationCodec.decode(spec,
+              Files.readAllBytes(Paths.get(layerDir, n))).flatMap { a =>
+              val npts = a.geometry.length / 3
+              (0 until npts).map(k => (a.id, npts.toLong, k.toLong,
+                a.geometry(3 * k).toLong, a.geometry(3 * k + 1).toLong,
+                a.geometry(3 * k + 2).toLong, a.props(0).toLong))
+            }
+          }.toDF("aid", "npts", "vi", "vx", "vy", "vz", "w")
+        val kept = v.filter(col("vx").between(8, 56) &&
+            col("vy").between(8, 56) && col("vz").between(4, 28))
+          .select("aid").distinct()
+        v.join(kept, Seq("aid"))
+          .select("aid", "npts", "vi", "vx", "vy", "vz", "w")
+      },
+      Some("""WITH pl AS (SELECT c_custkey AS aid, 2 + c_custkey % 4 AS npts
+        |         FROM customer WHERE c_custkey % 3 = 0),
+        |v AS (SELECT aid, npts, unnest(range(npts)) AS vi FROM pl),
+        |vv AS (SELECT aid, npts, vi,
+        |         (aid * 7 + vi * 11) % 64 AS vx,
+        |         (aid * 13 + vi * 17) % 64 AS vy,
+        |         (aid * 3 + vi * 5) % 32 AS vz,
+        |         aid % 100 AS w
+        |       FROM v),
+        |keep AS (SELECT DISTINCT aid FROM vv
+        |         WHERE vx BETWEEN 8 AND 56 AND vy BETWEEN 8 AND 56
+        |           AND vz BETWEEN 4 AND 28)
+        |SELECT aid, npts, vi, vx, vy, vz, w FROM vv JOIN keep USING (aid)"""
+        .stripMargin)),
   )
 }

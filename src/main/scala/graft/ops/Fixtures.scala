@@ -11,6 +11,7 @@ object Fixtures {
     RealLayerQueries.ensure(s, sfDir)
     MeshQueries.ensure(s, sfDir)
     AnnotationQueries.ensureSharded(s, sfDir) // also builds the unsharded set
+    AnnotationQueries.ensurePolyline(s, sfDir)
     SkeletonQueries.ensureSharded(s, sfDir) // also builds the unsharded set
     SpatialIndexQueries.ensure(s, sfDir)
     Zarr3Queries.ensureZarr2(s, sfDir) // also builds the zarr3 array

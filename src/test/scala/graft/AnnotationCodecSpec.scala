@@ -43,6 +43,36 @@ class AnnotationCodecSpec extends AnyFunSuite {
     assert(d.head.geometry.toSeq === Seq(0f, 1f, 2f, 3f, 4f, 5f))
   }
 
+  test("POLYLINE records carry u32 count + variable vertex list") {
+    // metadata.py:436-447: [u32 num_points][num_points*ndim f32]
+    // [props][pad-to-4]; records in one file may differ in length
+    val spec = AnnotationSpec("POLYLINE", 3, Seq(PropSpec("w", "uint16")))
+    val anns = Seq(
+      Annotation(3L, Array(1f, 2f, 3f, 4f, 5f, 6f, 7f, 8f, 9f), Array(77)),
+      Annotation(5L, Array(10f, 11f, 12f, 13f, 14f, 15f), Array(88)))
+    val b = AnnotationCodec.encode(spec, anns)
+    // u64 count + (4 + 36 + 2 + 2pad) + (4 + 24 + 2 + 2pad) + 2 ids
+    assert(b.length === 8 + 44 + 32 + 16)
+    // first record's u32le vertex count
+    assert(java.nio.ByteBuffer.wrap(b, 8, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt === 3)
+    val d = AnnotationCodec.decode(spec, b)
+    assert(d.map(_.id) === Seq(3L, 5L))
+    assert(d(0).geometry.toSeq === (1 to 9).map(_.toFloat))
+    assert(d(1).geometry.toSeq === (10 to 15).map(_.toFloat))
+    assert(d.map(_.props.head) === Seq(77.0, 88.0))
+    // single-annotation format round-trips too (by-id path)
+    val (one, rels) = AnnotationCodec.decodeSingle(spec, 1, 3L,
+      AnnotationCodec.encodeSingle(spec, anns.head, Seq(Seq(42L))))
+    assert(one.geometry.toSeq === anns.head.geometry.toSeq)
+    assert(rels === Seq(Seq(42L)))
+    // a corrupt vertex count larger than the buffer fails loudly
+    val bad = b.clone()
+    java.nio.ByteBuffer.wrap(bad, 8, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(1000000)
+    assertThrows[IllegalArgumentException](AnnotationCodec.decode(spec, bad))
+  }
+
   test("count header is little-endian u64") {
     val spec = AnnotationSpec("POINT", 3, Seq.empty)
     val b = AnnotationCodec.encode(spec,
