@@ -345,6 +345,50 @@ object VolumeQueries {
         |       printf('%x', ((label >> 2) >> 3) & 7) || '.shard' AS shard_file
         |FROM u""".stripMargin)),
 
+    // F2: murmurhash3_x86_128 oracle gate. DuckDB cannot compute mmh3,
+    // so the expected rows are frozen literals generated by an
+    // INDEPENDENT Python implementation of the public algorithm
+    // (tools/mmh3_oracle_gen.py), anchored on the reference test
+    // suite's canonical vector (test/test_sharding.py:34-51: label
+    // 1822975381, preshift 6, minishard_bits 11, shard_bits 7 ->
+    // shard 0x42, minishard 18). The query runs the codegen'd
+    // Mmh3Expr/ShardOfExpr/MinishardOfExpr over the same 16 labels —
+    // any drift in the Scala hash breaks the hash compare.
+    "f2_mmh3" -> Q(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        import s.implicits._
+        val labels = Seq(1822975381L) ++
+          (1 to 15).map(k => (k.toLong * 2654435761L) % (1L << 40))
+        labels.toDF("label")
+          .withColumn("h64", expr("graft_mmh3(shiftright(label, 6))"))
+          .withColumn("shard_no", expr("graft_shard_of(label, 6, 11, 7, 1)"))
+          .withColumn("minishard_no",
+            expr("graft_minishard_of(label, 6, 11, 1)"))
+      },
+      Some("""SELECT CAST(label AS BIGINT) AS label,
+        |  CAST(h64 AS BIGINT) AS h64,
+        |  CAST(shard_no AS BIGINT) AS shard_no,
+        |  CAST(minishard_no AS BIGINT) AS minishard_no
+        |FROM (VALUES
+        |  (1822975381, -4259007022990487534, 66, 18),
+        |  (2654435761, 876113512742483077, 110, 1157),
+        |  (5308871522, 2143341538927208379, 12, 1979),
+        |  (7963307283, 4829210960416049470, 49, 318),
+        |  (10617743044, 2329788662503944570, 118, 378),
+        |  (13272178805, 6341717567598863306, 52, 970),
+        |  (15926614566, -6094427227736674904, 45, 1448),
+        |  (18581050327, 209801528113095547, 124, 891),
+        |  (21235486088, -4595544889933388199, 20, 1625),
+        |  (23889921849, 7913144378604040787, 86, 595),
+        |  (26544357610, -6312527861609434513, 110, 623),
+        |  (29198793371, -3187769471431990614, 68, 682),
+        |  (31853229132, -7227390161749360486, 88, 154),
+        |  (34507664893, -8421081705162542409, 94, 695),
+        |  (37162100654, 353919196179376300, 85, 172),
+        |  (39816536415, -6943156381887888139, 64, 1269)
+        |) AS t(label, h64, shard_no, minishard_no)""".stripMargin)),
+
     // W2: minishard-index delta encoding (sharding.py:902-932)
     "w2_minishard_delta" -> Q(
       (s, dir) => {

@@ -103,6 +103,52 @@ object XferQueries {
       },
       Some(s"SELECT x, y, z, label FROM $Sidecar")),
 
+    // P10: write-lock guard surfaced relationally (metadata.py:840-885
+    // lock_mips/locked_mips). A 4-scale layer declares mips 1 and 3
+    // locked in its info JSON; each mip takes a one-chunk write attempt
+    // through the DSv2 sink. Locked mips must refuse at PLAN time
+    // (before any task runs); unlocked mips commit. The row set pairs
+    // the info-declared lock flag (re-read from disk, proving the JSON
+    // round-trip) with the observed admission — the oracle states the
+    // invariant accepted = NOT locked.
+    "p10_lock_guard" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val target = s"${RealLayerQueries.Root}/layer_p10_locks"
+        val scales = (0 until 4).map { m =>
+          val r = 1 << m
+          ScaleMeta(key = s"${r}_${r}_$r", encoding = "raw",
+            resolution = Seq(r, r, r), chunkSize = Vec3(8, 8, 8),
+            size = Vec3(8, 8, 8), voxelOffset = Vec3(0, 0, 0),
+            locked = m % 2 == 1)
+        }
+        PrecomputedIO.writeInfo(target, VolumeMeta(
+          layerType = "segmentation", dataType = "uint32",
+          numChannels = 1, scales = scales))
+        val fromDisk = PrecomputedIO.readInfo(target)
+        val payload = new Array[Byte](8 * 8 * 8 * 4)
+        // the sink's table schema includes the bbox columns (ignored
+        // by the writer — bounds derive from the grid), like s9
+        val oneChunk = Seq((0L, 0L, 0L, 0L, 0L, 0L, 8L, 8L, 8L, payload))
+          .toDF("gx", "gy", "gz", "x0", "y0", "z0", "x1", "y1", "z1",
+            "payload")
+        val rows = (0 until 4).map { m =>
+          val accepted =
+            try {
+              oneChunk.write.format("neuroglancer").mode("append")
+                .option("mip", m).save(target)
+              1L
+            } catch { case _: IllegalStateException => 0L }
+          (m.toLong,
+            if (fromDisk.lockedMips.contains(m)) 1L else 0L, accepted)
+        }
+        rows.toDF("mip", "locked", "accepted")
+      },
+      Some("""SELECT CAST(m AS BIGINT) AS mip,
+        |  CAST(m % 2 AS BIGINT) AS locked,
+        |  CAST((m + 1) % 2 AS BIGINT) AS accepted
+        |FROM (SELECT unnest(range(4)) AS m)""".stripMargin)),
+
     // S16 pathway 2: unsharded -> sharded transfer — the chunk stream
     // regroups by shard (one shuffle) and each task synthesizes its
     // shard file; read back through the sharded cutout path
