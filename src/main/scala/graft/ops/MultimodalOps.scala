@@ -6,58 +6,58 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: opaque binary payloads with typed
   * metadata, processed batch-wise in executors.
   *
-  * Five ops are REAL end-to-end: mm_decode_png / mm_resize_pool
-  * synthesize genuine PNG images (javax.imageio) and mm_decode_wav /
-  * mm_audio_energy / mm_frame_sample genuine RIFF/WAVE PCM audio
-  * (javax.sound.sampled) into the binary column, decode them through
-  * the platform decoders in a partition-wise pass, and the oracle
-  * checks the decoded features against the generation parameters —
-  * lossless round-trip through the actual formats. Only
-  * mm_decode_features keeps a STUB decode (deterministic fake
-  * features from raw bytes — standing in for the exotic codecs this
-  * container lacks: jxl, video containers) around the same real
-  * plumbing: binary column + metadata struct, one iterator pass per
-  * partition (the Scala analog of mapInPandas), integer-exact
-  * features an oracle can replay.
+  * All six ops are REAL end-to-end: mm_decode_png / mm_resize_pool /
+  * mm_decode_features synthesize genuine PNG images (javax.imageio)
+  * and mm_decode_wav / mm_audio_energy / mm_frame_sample genuine
+  * RIFF/WAVE PCM audio (javax.sound.sampled) into the binary column,
+  * decode them through the platform decoders in a partition-wise pass
+  * (the Scala analog of mapInPandas), and the oracle checks the
+  * decoded, integer-exact features against the generation parameters
+  * — a lossless round-trip through the actual formats.
   */
 object MultimodalOps {
   import Derived.table
 
-  final case class MediaRow(doc_id: Long, payload: Array[Byte],
-      media_type: String, byte_len: Long)
-  final case class MediaFeatures(doc_id: Long, byte_len: Long,
-      checksum: Long, width: Long, frames: Long)
+  final case class RasterFeatures(doc_id: Long, width: Long, height: Long,
+      pix_sum: Long, pix_sq_sum: Long, edge_h: Long, edge_v: Long)
 
-  /** Attach a binary payload column (here: utf-8 text bytes standing in
-    * for image/audio bytes) plus metadata.
+  /** Raster-statistics feature extraction over REAL decoded PNG
+    * payloads: per-image pixel sum + sum of squares (mean/variance)
+    * and horizontal/vertical edge energy (sum of |neighbor deltas|) —
+    * all integer-exact so the oracle can replay the deterministic
+    * pixel formula cell-by-cell. One ImageIO reader per partition.
     */
-  def mediaTable(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "documents").select(
-      col("doc_id").cast("long").as("doc_id"),
-      col("text").cast("binary").as("payload"),
-      lit("image/fake").as("media_type"),
-      col("n_chars").cast("long").as("byte_len"))
-
-  /** Batch feature extraction over payload bytes. The decode itself is
-    * a STUB (no codecs in this container): features are deterministic
-    * functions of the raw bytes so the plumbing — schema, partition
-    * iteration, batch shape — is real and oracle-checkable.
-    */
-  def extractFeatures(media: DataFrame): DataFrame = {
-    val s = media.sparkSession
+  def extractFeatures(png: DataFrame): DataFrame = {
+    val s = png.sparkSession
     import s.implicits._
-    media.as[MediaRow].mapPartitions { rows =>
-      rows.map { r =>
-        // STUB decode: a real implementation would decode image/audio
-        // here; we derive deterministic fake features from the bytes.
-        var checksum = 0L
-        var i = 0
-        while (i < r.payload.length) {
-          checksum += r.payload(i) & 0xffL
-          i += 1
+    png.as[(Long, Array[Byte])].mapPartitions { rows =>
+      val reader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("png").next()
+      rows.map { case (id, payload) =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        reader.setInput(iis, true, true)
+        val img = try reader.read(0) finally iis.close()
+        val raster = img.getRaster
+        val w = img.getWidth
+        val h = img.getHeight
+        var sum = 0L; var sq = 0L; var eh = 0L; var ev = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = raster.getSample(x, y, 0).toLong
+            sum += p
+            sq += p * p
+            if (x + 1 < w)
+              eh += math.abs(raster.getSample(x + 1, y, 0).toLong - p)
+            if (y + 1 < h)
+              ev += math.abs(raster.getSample(x, y + 1, 0).toLong - p)
+            x += 1
+          }
+          y += 1
         }
-        MediaFeatures(r.doc_id, r.byte_len, checksum,
-          width = r.byte_len % 640, frames = r.byte_len / 100 + 1)
+        RasterFeatures(id, w.toLong, h.toLong, sum, sq, eh, ev)
       }
     }.toDF()
   }
@@ -328,18 +328,28 @@ object MultimodalOps {
         |       AS BIGINT) AS energy
         |FROM i GROUP BY 1, 2""".stripMargin)),
 
-    // Multimodal decode/feature-extract plumbing (stubbed decode)
+    // REAL raster features: mean/variance base sums + edge energy over
+    // genuine decoded PNG pixels — the oracle replays the pixel
+    // formula (doc_id*31 + 7x + 13y) % 256 including the neighbor
+    // deltas, so decode + statistics must be bit-exact
     "mm_decode_features" -> Q(
-      (s, dir) => extractFeatures(mediaTable(s, dir)),
-      Some("""WITH i AS (SELECT doc_id, text, n_chars,
-        |            unnest(generate_series(1, length(text))) AS i
-        |        FROM documents),
-        |c AS (SELECT doc_id, CAST(sum(unicode(substr(text, i, 1))) AS BIGINT)
-        |        AS checksum
-        |      FROM i GROUP BY doc_id)
-        |SELECT d.doc_id, d.n_chars AS byte_len, c.checksum,
-        |       d.n_chars % 640 AS width, d.n_chars // 100 + 1 AS frames
-        |FROM documents d JOIN c USING (doc_id)""".stripMargin)),
+      (s, dir) => extractFeatures(pngTable(s, dir)),
+      Some("""WITH d AS (SELECT doc_id, 8 + doc_id % 25 AS w,
+        |               6 + doc_id % 17 AS h FROM documents),
+        |ys AS (SELECT doc_id, w, h, unnest(range(0, h)) AS y FROM d),
+        |xs AS (SELECT doc_id, w, h, y, unnest(range(0, w)) AS x FROM ys),
+        |px AS (SELECT doc_id, w, h, x, y,
+        |         (doc_id * 31 + x * 7 + y * 13) % 256 AS p FROM xs)
+        |SELECT doc_id, w AS width, h AS height,
+        |  CAST(sum(p) AS BIGINT) AS pix_sum,
+        |  CAST(sum(p * p) AS BIGINT) AS pix_sq_sum,
+        |  CAST(sum(CASE WHEN x < w - 1 THEN
+        |    abs((doc_id * 31 + (x + 1) * 7 + y * 13) % 256 - p)
+        |    ELSE 0 END) AS BIGINT) AS edge_h,
+        |  CAST(sum(CASE WHEN y < h - 1 THEN
+        |    abs((doc_id * 31 + x * 7 + (y + 1) * 13) % 256 - p)
+        |    ELSE 0 END) AS BIGINT) AS edge_v
+        |FROM px GROUP BY doc_id, w, h""".stripMargin)),
 
     // mm resize: 2x2 floor-average pooling over REAL decoded PNG
     // rasters (genuine payload bytes through ImageIO); the oracle
