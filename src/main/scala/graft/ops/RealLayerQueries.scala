@@ -323,6 +323,58 @@ object RealLayerQueries {
 
   private val Sidecar = s"read_parquet('$VoxelsDir/*.parquet')"
 
+  /** DuckDB oracle for full-volume 6-connected components — the same
+    * TWO-LEVEL shape as the Spark operator, so it terminates exactly
+    * instead of gambling on an iteration count (unrolled Hash-Min +
+    * pointer-doubling was measured to need 49-55 rounds on this
+    * fixture's snake-y sparse components):
+    *
+    *  1. per-block transitive closure (recursive CTE restricted to
+    *     same-block edges; quadratic in the IN-BLOCK component size,
+    *     which the sub-percolation fixture keeps small),
+    *  2. block-local root = min reachable vid in block,
+    *  3. closure of the CONTRACTED boundary-root graph (a few nodes
+    *     per component), min over it = the component's global min vid
+    *     (the global min is a local root of its own block).
+    *
+    * Every non-recursive CTE is MATERIALIZED: DuckDB 1.x inlines
+    * multiply-referenced CTEs, and the exponential expansion of a
+    * chained query otherwise dies opening the same parquet glob
+    * thousands of times.
+    */
+  private def ccOracleSql: String =
+    s"""WITH RECURSIVE fg AS MATERIALIZED (
+      |  SELECT x, y, z, x + $SX * (y + $SY * z) AS vid FROM $Sidecar
+      |  WHERE label <> 0),
+      |e6 AS MATERIALIZED (
+      |  SELECT a.vid AS a, b.vid AS b,
+      |         (a.x // $CX = b.x // $CX AND a.y // $CY = b.y // $CY
+      |          AND a.z // $CZ = b.z // $CZ) AS same_block
+      |  FROM fg a JOIN fg b
+      |  ON abs(a.x - b.x) + abs(a.y - b.y) + abs(a.z - b.z) = 1),
+      |reach AS (
+      |  SELECT vid AS id, vid AS r FROM fg
+      |  UNION
+      |  SELECT t.id, e.b FROM reach t JOIN e6 e
+      |  ON e.a = t.r AND e.same_block),
+      |lroot AS MATERIALIZED (
+      |  SELECT id AS vid, min(r) AS lr FROM reach GROUP BY id),
+      |ce AS MATERIALIZED (
+      |  SELECT DISTINCT la.lr AS a, lb.lr AS b
+      |  FROM e6 e JOIN lroot la ON la.vid = e.a
+      |  JOIN lroot lb ON lb.vid = e.b
+      |  WHERE NOT e.same_block),
+      |croots AS MATERIALIZED (SELECT DISTINCT lr FROM lroot),
+      |creach AS (
+      |  SELECT lr AS id, lr AS r FROM croots
+      |  UNION
+      |  SELECT t.id, c.b FROM creach t JOIN ce c ON c.a = t.r),
+      |groot AS MATERIALIZED (
+      |  SELECT id AS lr, min(r) AS gr FROM creach GROUP BY id)
+      |SELECT f.x, f.y, f.z, CAST(g.gr AS BIGINT) AS comp
+      |FROM fg f JOIN lroot l ON l.vid = f.vid
+      |JOIN groot g ON g.lr = l.lr""".stripMargin
+
   private def labelsUdf = udf((p: Array[Byte]) => Codec.rawLabels(p, 4))
   private def containsUdf(l: Long) =
     udf((p: Array[Byte]) => Codec.rawContains(p, 4, l))
@@ -483,11 +535,10 @@ object RealLayerQueries {
 
     // Extension: distributed 6-connected components over the layer's
     // foreground voxels (pointer-jumping min-label propagation,
-    // O(log diameter) rounds — see ConnectedComponents). No DuckDB
-    // oracle: full CC is not tractably SQL-expressible (a recursive
-    // min-propagation CTE is quadratic in component size), so the
-    // driver records the rows-only check; correctness is pinned by
-    // CcSpec's known-answer volumes instead.
+    // O(log diameter) rounds — see ConnectedComponents). The DuckDB
+    // oracle replays the same TWO-LEVEL decomposition (per-block
+    // closure + contracted boundary-root graph — see ccOracleSql),
+    // which terminates exactly, closing the last no_oracle row.
     "cc_components" -> Q(
       (s, dir) => {
         ensure(s, dir)
@@ -497,7 +548,7 @@ object RealLayerQueries {
           .select("x", "y", "z")
         ConnectedComponents.label6(s, fg, SX, SY)
       },
-      None),
+      Some(ccOracleSql)),
 
     // Same two-level CC operator, oracle-verified on a cropped
     // sub-volume small enough for DuckDB's recursive min-propagation

@@ -679,7 +679,75 @@ object Zarr3Queries {
     Files.writeString(marker, want)
   }
 
+  /** Delete a directory tree if present (fresh round-trip targets). */
+  private def rmTree(dir: String): Unit = {
+    val p = Paths.get(dir)
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator.asScala.toSeq.reverse
+        .foreach(q => Files.deleteIfExists(q))
+    }
+  }
+
   val queries: Map[String, Q] = Map(
+
+    // ---- S18 write-path parity: engine-write -> engine-read round
+    // trip per format family, re-written on EVERY invocation (fresh
+    // target dir, not a cached fixture) and oracle-gated on the shared
+    // sidecar — a green row proves writeChunks emits spec-conformant
+    // objects (meta JSON, chunk keys, padding, compression) that the
+    // same reader validated against spec-shaped fixtures can decode,
+    // full volume including edge chunks. ----
+    "s18_zarr2_write_roundtrip" -> Q(
+      (s, dir) => {
+        ensure(s, dir) // shared sidecar
+        val target = s"$Root/rt_zarr2"
+        rmTree(target)
+        val m = graft.sources.Zarr2IO.Zarr2Meta(
+          shape = Vec3(SX, SY, SZ), chunkShape = Vec3(CX, CY, CZ),
+          dtype = "<u4", fillValue = 0L, compressor = "zlib",
+          order = "C", separator = "/")
+        graft.sources.Zarr2IO.writeMeta(target, m)
+        graft.sources.Zarr2IO.writeChunks(fullChunks(s), target, m)
+        graft.sources.Zarr2IO.cutoutVoxels(s, target,
+          Bbox(Vec3(0, 0, 0), Vec3(SX, SY, SZ)))
+      },
+      Some(s"""SELECT x, y, z, label
+        |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')"""
+        .stripMargin)),
+
+    "s18_zarr3_write_roundtrip" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        val target = s"$Root/rt_zarr3"
+        rmTree(target)
+        val m = Zarr3Meta(
+          shape = Vec3(SX, SY, SZ), chunkShape = Vec3(CX, CY, CZ),
+          dataType = "uint32", fillValue = 0L, compressor = "zstd")
+        Zarr3IO.writeMeta(target, m)
+        Zarr3IO.writeChunks(fullChunks(s), target, m)
+        Zarr3IO.cutoutVoxels(s, target, Bbox(Vec3(0, 0, 0), Vec3(SX, SY, SZ)))
+      },
+      Some(s"""SELECT x, y, z, label
+        |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')"""
+        .stripMargin)),
+
+    "s18_n5_write_roundtrip" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        val target = s"$Root/rt_n5"
+        rmTree(target)
+        val m = graft.sources.N5IO.N5Meta(
+          dimensions = Vec3(SX, SY, SZ), blockSize = Vec3(CX, CY, CZ),
+          dataType = "uint32", compression = "gzip")
+        graft.sources.N5IO.writeMeta(target, m)
+        graft.sources.N5IO.writeBlocks(n5Blocks(s), target, m)
+        graft.sources.N5IO.cutoutVoxels(s, target,
+          Bbox(Vec3(0, 0, 0), Vec3(SX, SY, SZ)))
+      },
+      Some(s"""SELECT x, y, z, label
+        |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')"""
+        .stripMargin)),
 
     // S18: zarr2 cutout — zlib chunks, dot names, C-order transpose
     "s18_zarr2_cutout" -> Q(
