@@ -339,6 +339,34 @@ object AnnotationQueries {
         |SELECT aid, ax, ay, az, score, weight, conf, r, g, b, kind
         |FROM pts""".stripMargin)),
 
+    // F18/P8 write roundtrip: engine-write -> engine-read on a FRESH
+    // target every invocation — info JSON, spatial tiling, record
+    // encode all exercised at query time (not from a cached fixture),
+    // gating the annotation write path like the s18 format
+    // roundtrips; the read side re-derives the spec from the written
+    // info JSON rather than trusting the in-memory one
+    "p8i_annotation_write_roundtrip" -> Q(
+      (s, dir) => {
+        val target = s"$Root/rt_points"
+        val tp = Paths.get(target)
+        if (Files.exists(tp)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(tp).iterator.asScala.toSeq.reverse
+            .foreach(p => Files.deleteIfExists(p))
+        }
+        AnnotationCodec.writeInfo(target, PointSpec)
+        writeLayer(pointsDf(s, dir), target, PointSpec,
+          concat_ws("_", idiv(col("ax"), 32), idiv(col("ay"), 32)),
+          Seq("ax", "ay", "az"),
+          Seq("score", "weight", "conf", "r", "g", "b", "kind"))
+        decodeLayer(s, target, AnnotationCodec.readInfo(target),
+          Seq("ax", "ay", "az", "score", "weight", "conf", "r", "g", "b",
+            "kind"))
+      },
+      Some(s"""WITH $PtsCte
+        |SELECT aid, ax, ay, az, score, weight, conf, r, g, b, kind
+        |FROM pts""".stripMargin)),
+
     // P8/F18 enum property: the layer's info JSON carries the kind
     // dictionary (enum_values/enum_labels, annotation/metadata.py:
     // 355-409); the decode surfaces the numeric value and a broadcast

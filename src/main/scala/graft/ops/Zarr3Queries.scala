@@ -472,6 +472,37 @@ object Zarr3Queries {
         separator = "/"),
       timeFrames = Some(TFrames), channels = None))
 
+  /** FULL-size padded chunk rows of the stride-2 mip-1 pick (mip-1
+    * voxel (x,y,z) = mip-0 (2x,2y,2z), bounds (GSX,GSY,GSZ)) over the
+    * half grid — the multiscale level shared by the zarr2 and zarr3
+    * group fixtures, replayed by their oracles with modulo filters.
+    */
+  private def halfGridChunks(s: SparkSession, cs1: Vec3)
+      : org.apache.spark.sql.Dataset[(Long, Long, Long, Seq[Long])] = {
+    import s.implicits._
+    s.read.parquet(RealLayerQueries.VoxelsDir)
+      .filter(col("x") % 2 === 0 && col("y") % 2 === 0 && col("z") % 2 === 0)
+      .select((col("x") / 2).cast("long").as("x"),
+        (col("y") / 2).cast("long").as("y"),
+        (col("z") / 2).cast("long").as("z"), col("label"))
+      .select(Derived.idiv(col("x"), cs1.x).as("gx"),
+        Derived.idiv(col("y"), cs1.y).as("gy"),
+        Derived.idiv(col("z"), cs1.z).as("gz"),
+        col("x"), col("y"), col("z"), col("label"))
+      .groupBy("gx", "gy", "gz")
+      .agg(collect_list(struct(col("x"), col("y"), col("z"), col("label")))
+        .as("vox"))
+      .as[(Long, Long, Long, Seq[(Long, Long, Long, Long)])]
+      .map { case (gx, gy, gz, vs) =>
+        val arr = new Array[Long]((cs1.x * cs1.y * cs1.z).toInt)
+        vs.foreach { case (x, y, z, l) =>
+          arr(((x - gx * cs1.x) + cs1.x * ((y - gy * cs1.y) + cs1.y *
+            (z - gz * cs1.z))).toInt) = l
+        }
+        (gx, gy, gz, arr.toSeq)
+      }
+  }
+
   def ensureZarr2Group(s: SparkSession, sfDir: String): Unit = synchronized {
     RealLayerQueries.ensure(s, sfDir)
     val want = RealLayerQueries.stamp + "|z2grp-v1"
@@ -495,30 +526,8 @@ object Zarr3Queries {
     graft.sources.Zarr2IO.writeChunksOme(m0, s"$Zarr2GroupDir/0",
       z2GroupMips(0))
     // mip 1: stride-2 pick, full-size padded chunks over the half grid
-    val dense = s.read.parquet(RealLayerQueries.VoxelsDir)
     val cs1 = z2GroupMips(1).meta.chunkShape
-    val m1base = dense
-      .filter(col("x") % 2 === 0 && col("y") % 2 === 0 && col("z") % 2 === 0)
-      .select((col("x") / 2).cast("long").as("x"),
-        (col("y") / 2).cast("long").as("y"),
-        (col("z") / 2).cast("long").as("z"), col("label"))
-      .select(Derived.idiv(col("x"), cs1.x).as("gx"),
-        Derived.idiv(col("y"), cs1.y).as("gy"),
-        Derived.idiv(col("z"), cs1.z).as("gz"),
-        col("x"), col("y"), col("z"), col("label"))
-      .groupBy("gx", "gy", "gz")
-      .agg(collect_list(struct(col("x"), col("y"), col("z"), col("label")))
-        .as("vox"))
-      .as[(Long, Long, Long, Seq[(Long, Long, Long, Long)])]
-      .map { case (gx, gy, gz, vs) =>
-        val arr = new Array[Long]((cs1.x * cs1.y * cs1.z).toInt)
-        vs.foreach { case (x, y, z, l) =>
-          arr(((x - gx * cs1.x) + cs1.x * ((y - gy * cs1.y) + cs1.y *
-            (z - gz * cs1.z))).toInt) = l
-        }
-        (gx, gy, gz, arr.toSeq)
-      }
-    val m1 = m1base.flatMap { case (gx, gy, gz, vox) =>
+    val m1 = halfGridChunks(s, cs1).flatMap { case (gx, gy, gz, vox) =>
       (0L until TFrames).map { f =>
         // value = label + t on IN-BOUNDS half-grid voxels only
         val shifted = vox.zipWithIndex.map { case (v, i) =>
@@ -532,6 +541,43 @@ object Zarr3Queries {
     }.toDF("tc", "cc", "gx", "gy", "gz", "vox")
     graft.sources.Zarr2IO.writeChunksOme(m1, s"$Zarr2GroupDir/1",
       z2GroupMips(1))
+    Files.writeString(marker, want)
+  }
+
+  // ---- zarr3 OME-NGFF 0.5 multiscale GROUP sibling: v3 group node
+  // with ome.multiscales ATTRIBUTES (0.5 moved the OME block off
+  // zarr2's .zattrs), two plain zyx array levels under datasets[].
+  // path, mip 1 the same stride-2 pick as the zarr2 group so the
+  // modulo-filter oracle shape is shared. ----
+
+  val Zarr3GroupDir = s"$Root/group"
+
+  val z3GroupMips: Seq[Zarr3Meta] = Seq(
+    Zarr3Meta(shape = Vec3(SX, SY, SZ), chunkShape = Vec3(CX, CY, CZ),
+      dataType = "uint32", fillValue = 0L, compressor = "zstd",
+      spatialOrder = "zyx"),
+    Zarr3Meta(shape = Vec3(GSX, GSY, GSZ), chunkShape = Vec3(CX, CY, CZ),
+      dataType = "uint32", fillValue = 0L, compressor = "zstd",
+      spatialOrder = "zyx"))
+
+  def ensureZarr3Group(s: SparkSession, sfDir: String): Unit = synchronized {
+    RealLayerQueries.ensure(s, sfDir)
+    val want = RealLayerQueries.stamp + "|z3grp-v1"
+    val marker = Paths.get(Root, ".built_z3grp_from")
+    if (Files.exists(marker) && Files.readString(marker) == want) return
+    val gRoot = Paths.get(Zarr3GroupDir)
+    if (Files.exists(gRoot)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(gRoot).iterator.asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+    import s.implicits._
+    Zarr3IO.writeMetaGroup(Zarr3GroupDir, z3GroupMips)
+    Zarr3IO.writeChunks(fullChunks(s), s"$Zarr3GroupDir/0", z3GroupMips(0))
+    Zarr3IO.writeChunks(
+      halfGridChunks(s, z3GroupMips(1).chunkShape)
+        .toDF("gx", "gy", "gz", "vox"),
+      s"$Zarr3GroupDir/1", z3GroupMips(1))
     Files.writeString(marker, want)
   }
 
@@ -791,6 +837,23 @@ object Zarr3Queries {
         |WHERE x % 2 = 0 AND y % 2 = 0 AND z % 2 = 0
         |  AND x // 2 BETWEEN 2 AND 26 AND y // 2 BETWEEN 3 AND 25
         |  AND z // 2 BETWEEN 2 AND 11""".stripMargin)),
+
+    // S18: zarr3 OME-NGFF 0.5 multiscale GROUP cutout at mip 1 — the
+    // v3 group node carries ome.multiscales in its ATTRIBUTES (0.5
+    // moved the OME block off .zattrs); datasets[].path resolution
+    // into plain v3 zyx arrays; mip 1 is the stride-2 pick the
+    // oracle replays with modulo filters
+    "s18_zarr3_group_mip1_cutout" -> Q(
+      (s, dir) => {
+        ensureZarr3Group(s, dir)
+        Zarr3IO.cutoutVoxelsGroupAt(s, Zarr3GroupDir,
+          Bbox(Vec3(3, 2, 1), Vec3(26, 27, 12)), mip = 1)
+      },
+      Some(s"""SELECT x // 2 AS x, y // 2 AS y, z // 2 AS z, label
+        |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')
+        |WHERE x % 2 = 0 AND y % 2 = 0 AND z % 2 = 0
+        |  AND x // 2 BETWEEN 3 AND 25 AND y // 2 BETWEEN 2 AND 26
+        |  AND z // 2 BETWEEN 1 AND 11""".stripMargin)),
 
     // S18: zarr2 OME cutout — the .zattrs (t,c,z,y,x) axes model the
     // reference's zarr2 datasource reads (blosc chunks, "/"-separated

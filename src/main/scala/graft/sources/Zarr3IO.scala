@@ -783,4 +783,93 @@ object Zarr3IO {
         out
       }.toDF("x", "y", "z", "label")
   }
+
+  // ---- OME-NGFF 0.5 multiscale GROUP (zarr v3 group node) ----
+
+  /** Write an OME-NGFF 0.5 multiscale GROUP: the root `zarr.json` is
+    * a zarr v3 group node carrying the OME metadata under the `ome`
+    * attributes key (NGFF 0.5 moved it there from zarr v2's
+    * `.zattrs`), with one `multiscales` entry whose `datasets[i].path
+    * = "<i>"` names an ordinary v3 array level written with
+    * [[writeMeta]] — so each mip reads through the existing cutout
+    * paths unchanged. Axes follow the arrays' dimension_names
+    * ([t,][c,] then the spatial triple in the mips' declared order);
+    * dataset i carries a `scale` coordinate transformation of 2^i per
+    * spatial axis (1.0 for t/c). The reference's zarr2 frontend has
+    * the same group/non-group split (zarr2/metadata.py:180-223); v3
+    * groups are its natural successor surface.
+    */
+  def writeMetaGroup(dir: String, mips: Seq[Zarr3Meta]): Unit = {
+    require(mips.nonEmpty, "a multiscale group needs at least one level")
+    val m0 = mips.head
+    require(mips.forall(m => m.timeFrames.isDefined == m0.timeFrames.isDefined
+      && m.channels.isDefined == m0.channels.isDefined
+      && m.spatialOrder == m0.spatialOrder),
+      "group mips must share the axis list")
+    val root = om.createObjectNode()
+    root.put("zarr_format", 3)
+    root.put("node_type", "group")
+    val ome = root.putObject("attributes").putObject("ome")
+    ome.put("version", "0.5")
+    val ms = ome.putArray("multiscales").addObject()
+    val axes = ms.putArray("axes")
+    def axis(n: String, t: String, unit: Option[String]): Unit = {
+      val a = axes.addObject()
+      a.put("name", n); a.put("type", t)
+      unit.foreach(u => a.put("unit", u))
+      ()
+    }
+    if (m0.timeFrames.isDefined) axis("t", "time", Some("second"))
+    if (m0.channels.isDefined) axis("c", "channel", None)
+    (if (m0.zyx) Seq("z", "y", "x") else Seq("x", "y", "z"))
+      .foreach(axis(_, "space", Some("nanometer")))
+    val ds = ms.putArray("datasets")
+    mips.indices.foreach { i =>
+      val d = ds.addObject()
+      d.put("path", i.toString)
+      val ct = d.putArray("coordinateTransformations").addObject()
+      ct.put("type", "scale")
+      val sc = ct.putArray("scale")
+      if (m0.timeFrames.isDefined) sc.add(1.0)
+      if (m0.channels.isDefined) sc.add(1.0)
+      (0 until 3).foreach(_ => sc.add((1L << i).toDouble))
+    }
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(dir, "zarr.json"),
+      om.writerWithDefaultPrettyPrinter.writeValueAsString(root))
+    mips.zipWithIndex.foreach { case (m, i) => writeMeta(s"$dir/$i", m) }
+  }
+
+  /** Multiscale dataset paths of an OME-NGFF 0.5 group root, in
+    * declaration order. Fails loudly on anything that is not a v3
+    * group with `ome.multiscales` attributes — a bare group has no
+    * well-defined array to read, and silently treating it as one
+    * would return an all-fill cutout.
+    */
+  def readGroupDatasets(dir: String): Seq[String] = {
+    val root = om.readTree(Files.readString(Paths.get(dir, "zarr.json")))
+    require(root.get("zarr_format").asInt == 3, s"$dir is not a zarr v3 node")
+    require(root.get("node_type").asText == "group",
+      s"$dir is node_type ${root.get("node_type").asText}, expected group")
+    val ome = Option(root.get("attributes"))
+      .flatMap(a => Option(a.get("ome"))).orNull
+    require(ome != null && ome.get("multiscales") != null,
+      s"$dir group has no ome.multiscales attributes")
+    val v = Option(ome.get("version")).map(_.asText).getOrElse("(absent)")
+    require(v == "0.5", s"unsupported OME-NGFF version $v (need 0.5)")
+    val ds = ome.get("multiscales").get(0).get("datasets")
+    (0 until ds.size).map(i => ds.get(i).get("path").asText)
+  }
+
+  /** Cutout one mip level of an OME-NGFF 0.5 multiscale group at a
+    * single (t, c) point: resolves `datasets[mip].path`, then reads
+    * the level as an ordinary v3 array.
+    */
+  def cutoutVoxelsGroupAt(spark: SparkSession, dir: String, bbox: Bbox,
+      mip: Int, t: Long = 0L, c: Long = 0L): DataFrame = {
+    val paths = readGroupDatasets(dir)
+    require(mip >= 0 && mip < paths.size,
+      s"mip $mip out of range [0, ${paths.size})")
+    cutoutVoxelsAt(spark, s"$dir/${paths(mip)}", bbox, t, c)
+  }
 }

@@ -328,4 +328,32 @@ class SourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.scales.head.csegBlockSize.contains(Vec3(8, 8, 8)))
     assert(m.scales.head.chunkSize == Vec3(128, 128, 64))
   }
+
+  test("zarr3 OME-NGFF 0.5 group meta round-trips; non-groups rejected") {
+    import graft.sources.Zarr3IO
+    val g = s"$dir/zarr3_group"
+    val mips = Seq(
+      Zarr3IO.Zarr3Meta(shape = Vec3(8, 8, 8), chunkShape = Vec3(4, 4, 4),
+        dataType = "uint16", fillValue = 0, compressor = "none",
+        spatialOrder = "zyx"),
+      Zarr3IO.Zarr3Meta(shape = Vec3(4, 4, 4), chunkShape = Vec3(4, 4, 4),
+        dataType = "uint16", fillValue = 0, compressor = "none",
+        spatialOrder = "zyx"))
+    Zarr3IO.writeMetaGroup(g, mips)
+    assert(Zarr3IO.readGroupDatasets(g) == Seq("0", "1"))
+    // each level is an ordinary v3 array readable on its own
+    assert(Zarr3IO.readMeta(s"$g/1").shape == Vec3(4, 4, 4))
+    // the root group node itself is NOT an array — readMeta must not
+    // silently treat it as one
+    intercept[IllegalArgumentException](Zarr3IO.readMeta(g))
+    // and an ARRAY node is not a group
+    intercept[IllegalArgumentException](Zarr3IO.readGroupDatasets(s"$g/0"))
+    // a group without ome.multiscales attributes has nothing to read
+    val bare = s"$dir/zarr3_bare_group"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(bare))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(bare, "zarr.json"),
+      """{"zarr_format": 3, "node_type": "group"}""")
+    intercept[IllegalArgumentException](Zarr3IO.readGroupDatasets(bare))
+  }
 }
