@@ -51,20 +51,14 @@ object SkeletonQueries {
     if (Files.exists(marker)) Files.readString(marker) else ""
   }
 
-  def ensure(s: SparkSession, sfDir: String): Unit = synchronized {
-    val marker = Paths.get(Root, ".built_from")
-    val markerPrefix = s"$sfDir|v2|" // v2: vertex_types attribute
-    if (Files.exists(marker) &&
-      Files.readString(marker).startsWith(markerPrefix)) return
-    val rootP = Paths.get(Root)
-    if (Files.exists(rootP)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(rootP).iterator.asScala.toSeq.reverse
-        .foreach(p => Files.deleteIfExists(p))
-    }
-    Files.createDirectories(Paths.get(SkelDir))
+  /** Encode + write one skeleton file per segid into `outDir` — the
+    * write path shared by the fixture build and the write-roundtrip
+    * entry (which re-runs it on a fresh target every invocation).
+    */
+  private def writeSkeletons(s: SparkSession, sfDir: String,
+      outDir: String): Unit = {
     import s.implicits._
-    val dirStr = SkelDir
+    val dirStr = outDir
     baseVertices(s, sfDir)
       .groupBy("segid")
       .agg(sort_array(collect_list(struct(col("ck"), col("x"), col("y"),
@@ -92,17 +86,33 @@ object SkeletonQueries {
           Files.write(Paths.get(dirStr, segid.toString), bin)
         }
       }
+  }
+
+  def ensure(s: SparkSession, sfDir: String): Unit = synchronized {
+    val marker = Paths.get(Root, ".built_from")
+    val markerPrefix = s"$sfDir|v2|" // v2: vertex_types attribute
+    if (Files.exists(marker) &&
+      Files.readString(marker).startsWith(markerPrefix)) return
+    val rootP = Paths.get(Root)
+    if (Files.exists(rootP)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(rootP).iterator.asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+    Files.createDirectories(Paths.get(SkelDir))
+    writeSkeletons(s, sfDir, SkelDir)
     Files.writeString(marker, markerPrefix + System.nanoTime())
   }
 
   /** Scan + decode all skeleton files (listing driver-side, reads in
     * executor tasks) -> (segid, skeleton struct columns).
     */
-  private def decoded(s: SparkSession): DataFrame = {
+  private def decoded(s: SparkSession, skelDir: String = SkelDir)
+      : DataFrame = {
     import s.implicits._
     import scala.jdk.CollectionConverters._
-    val dirStr = SkelDir
-    val names = Files.list(Paths.get(SkelDir)).iterator.asScala
+    val dirStr = skelDir
+    val names = Files.list(Paths.get(dirStr)).iterator.asScala
       .map(_.getFileName.toString).filter(_.matches("\\d+")).toSeq.sorted
     names.toDS().repartition(math.max(names.size / 2, 1))
       .map { n =>
@@ -200,6 +210,37 @@ object SkeletonQueries {
             vs(3 * i + 1).toLong, vs(3 * i + 2).toLong, rs(i).toLong,
             ts(i))))
         decoded(s)
+          .select(col("segid"),
+            explode(vertRows(col("verts"), col("radii"), col("vtypes")))
+              .as("v"))
+          .select(col("segid"), col("v._1").as("vid"), col("v._2").as("x"),
+            col("v._3").as("y"), col("v._4").as("z"),
+            col("v._5").as("radius"), col("v._6").as("vtype"))
+      },
+      Some(s"""WITH $VertCte
+        |SELECT segid, vid, x, y, z, radius, vtype FROM g""".stripMargin)),
+
+    // Skeleton write roundtrip: engine-encode + write one precomputed
+    // skeleton file per segid into a FRESH target at query time, then
+    // decode them back — gates the skeleton write path at query time
+    // like the s18 format and p8i annotation roundtrips (the cached
+    // fixture only proves the writer that built it once)
+    "skel_write_roundtrip" -> Q(
+      (s, dir) => {
+        val target = s"$Root/rt_skels"
+        val tp = Paths.get(target)
+        if (Files.exists(tp)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(tp).iterator.asScala.toSeq.reverse
+            .foreach(p => Files.deleteIfExists(p))
+        }
+        Files.createDirectories(tp)
+        writeSkeletons(s, dir, target)
+        val vertRows = udf((vs: Seq[Float], rs: Seq[Float], ts: Seq[Long]) =>
+          rs.indices.map(i => (i.toLong, vs(3 * i).toLong,
+            vs(3 * i + 1).toLong, vs(3 * i + 2).toLong, rs(i).toLong,
+            ts(i))))
+        decoded(s, target)
           .select(col("segid"),
             explode(vertRows(col("verts"), col("radii"), col("vtypes")))
               .as("v"))

@@ -511,6 +511,53 @@ object TextQueries {
         |  len(regexp_extract_all(text, '[a-z0-9]+')) AS n_tok, n_chars
         |FROM documents""".stripMargin)),
 
+    // PII scrub (beyond-reference pipeline op): redact emails/phone
+    // numbers and count redactions per doc — the standard scrub pass
+    // a training-data pipeline runs before tokenization. The corpus
+    // is synthetic word salad with no natural PII, so the entry
+    // deterministically injects a contact tail per doc_id rule on
+    // BOTH engines (emails on doc_id % 3 != 0, a phone on doc_id %
+    // 2 = 0) and then scrubs it; patterns stay in the regex subset
+    // where Java and RE2 dialects agree. Narrow per-row map — no
+    // shuffle, scales linearly.
+    "text_pii_scrub" -> Q(
+      (s, dir) => {
+        val d = table(s, dir, "documents").select("doc_id", "text")
+        val injected = d.select(col("doc_id"), concat(
+          substring(col("text"), 1, 60),
+          when(col("doc_id") % 3 =!= 0,
+            concat(lit(" reach me at user"), col("doc_id"),
+              lit("@mail.example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 2 === 0,
+            concat(lit(" call +1-555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit(""))).as("text"))
+        val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        val phone = "\\+1-555-[0-9]{4}"
+        injected.select(col("doc_id"),
+          regexp_count(col("text"), lit(email)).cast("long").as("n_email"),
+          regexp_count(col("text"), lit(phone)).cast("long").as("n_phone"),
+          regexp_replace(
+            regexp_replace(col("text"), lit(email), lit("<EMAIL>")),
+            lit(phone), lit("<PHONE>")).as("clean"))
+      },
+      Some("""WITH inj AS (
+        |  SELECT doc_id, substr(text, 1, 60)
+        |    || CASE WHEN doc_id % 3 != 0 THEN ' reach me at user'
+        |         || doc_id || '@mail.example.com' ELSE '' END
+        |    || CASE WHEN doc_id % 2 = 0 THEN ' call +1-555-'
+        |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |         ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(t, '\+1-555-[0-9]{4}')) AS n_phone,
+        |  regexp_replace(regexp_replace(t,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS clean
+        |FROM inj""".stripMargin)),
+
     // Repetition-based quality signals (the Gopher repetition rules):
     // fraction of word occurrences belonging to repeated words, and
     // the share of the most frequent bigram. Two per-doc hash
