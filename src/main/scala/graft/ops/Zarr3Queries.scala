@@ -254,21 +254,15 @@ object Zarr3Queries {
     dataType = "uint32", fillValue = 0L, compressor = "gzip",
     innerChunkShape = Some(Vec3(8, 8, 8)))
 
-  def ensureSharded(s: SparkSession, sfDir: String): Unit = synchronized {
-    RealLayerQueries.ensure(s, sfDir)
-    val want = RealLayerQueries.stamp
-    val marker = Paths.get(Root, ".built_sharded_from")
-    if (Files.exists(marker) && Files.readString(marker) == want) return
-    val shRoot = Paths.get(ShardedDir)
-    if (Files.exists(shRoot)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(shRoot).iterator.asScala.toSeq.reverse
-        .foreach(p => Files.deleteIfExists(p))
-    }
+  /** FULL-size (fill-padded) OUTER-shard rows from the dense sidecar
+    * — shared by the sharded fixture and the sharded write-roundtrip
+    * entry.
+    */
+  private def shardRows(s: SparkSession): DataFrame = {
     val dense = s.read.parquet(RealLayerQueries.VoxelsDir)
     import s.implicits._
     val cs = zShardedMeta.chunkShape
-    val shards = dense
+    dense
       .select(Derived.idiv(col("x"), cs.x).as("sx"),
         Derived.idiv(col("y"), cs.y).as("sy"),
         Derived.idiv(col("z"), cs.z).as("sz"),
@@ -286,8 +280,21 @@ object Zarr3Queries {
         }
         (sx, sy, sz, arr.toSeq)
       }.toDF("sx", "sy", "sz", "vox")
+  }
+
+  def ensureSharded(s: SparkSession, sfDir: String): Unit = synchronized {
+    RealLayerQueries.ensure(s, sfDir)
+    val want = RealLayerQueries.stamp
+    val marker = Paths.get(Root, ".built_sharded_from")
+    if (Files.exists(marker) && Files.readString(marker) == want) return
+    val shRoot = Paths.get(ShardedDir)
+    if (Files.exists(shRoot)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(shRoot).iterator.asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
     Zarr3IO.writeMeta(ShardedDir, zShardedMeta)
-    Zarr3IO.writeShards(shards, ShardedDir, zShardedMeta)
+    Zarr3IO.writeShards(shardRows(s), ShardedDir, zShardedMeta)
     Files.writeString(marker, want)
   }
 
@@ -526,10 +533,20 @@ object Zarr3Queries {
     graft.sources.Zarr2IO.writeChunksOme(m0, s"$Zarr2GroupDir/0",
       z2GroupMips(0))
     // mip 1: stride-2 pick, full-size padded chunks over the half grid
+    graft.sources.Zarr2IO.writeChunksOme(halfGridFrames(s),
+      s"$Zarr2GroupDir/1", z2GroupMips(1))
+    Files.writeString(marker, want)
+  }
+
+  /** Per-t OME frame rows of the stride-2 mip-1 level (value = label
+    * + t on IN-BOUNDS half-grid voxels only) — shared by the zarr2
+    * group and consolidated-metadata fixtures.
+    */
+  private def halfGridFrames(s: SparkSession): DataFrame = {
+    import s.implicits._
     val cs1 = z2GroupMips(1).meta.chunkShape
-    val m1 = halfGridChunks(s, cs1).flatMap { case (gx, gy, gz, vox) =>
+    halfGridChunks(s, cs1).flatMap { case (gx, gy, gz, vox) =>
       (0L until TFrames).map { f =>
-        // value = label + t on IN-BOUNDS half-grid voxels only
         val shifted = vox.zipWithIndex.map { case (v, i) =>
           val x = gx * cs1.x + i % cs1.x
           val y = gy * cs1.y + (i / cs1.x) % cs1.y
@@ -539,8 +556,35 @@ object Zarr3Queries {
         (f, 0L, gx, gy, gz, shifted)
       }
     }.toDF("tc", "cc", "gx", "gy", "gz", "vox")
-    graft.sources.Zarr2IO.writeChunksOme(m1, s"$Zarr2GroupDir/1",
-      z2GroupMips(1))
+  }
+
+  // ---- zarr2 consolidated-metadata sibling (.zmetadata): the same
+  // multiscale group model, but every member .zattrs/.zarray is
+  // DELETED after consolidation — reads must resolve ALL metadata
+  // from the single .zmetadata object (zarr-python's
+  // ConsolidatedMetadataStore never opens members; one metadata read
+  // per store is the access pattern that matters on object storage).
+  // Only mip-1 chunks are materialized; the entry reads mip 1. ----
+
+  val Zarr2ConsDir = s"$Root/zarr2cons"
+
+  def ensureZarr2Cons(s: SparkSession, sfDir: String): Unit = synchronized {
+    RealLayerQueries.ensure(s, sfDir)
+    val want = RealLayerQueries.stamp + "|z2cons-v1"
+    val marker = Paths.get(Root, ".built_z2cons_from")
+    if (Files.exists(marker) && Files.readString(marker) == want) return
+    val gRoot = Paths.get(Zarr2ConsDir)
+    if (Files.exists(gRoot)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(gRoot).iterator.asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+    graft.sources.Zarr2IO.writeMetaOmeGroup(Zarr2ConsDir, z2GroupMips)
+    graft.sources.Zarr2IO.writeChunksOme(halfGridFrames(s),
+      s"$Zarr2ConsDir/1", z2GroupMips(1))
+    graft.sources.Zarr2IO.writeConsolidated(Zarr2ConsDir)
+    Seq(".zattrs", "0/.zarray", "1/.zarray").foreach(f =>
+      Files.deleteIfExists(Paths.get(Zarr2ConsDir, f)))
     Files.writeString(marker, want)
   }
 
@@ -778,6 +822,22 @@ object Zarr3Queries {
         |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')"""
         .stripMargin)),
 
+    "s18_zarr3_sharded_write_roundtrip" -> Q(
+      (s, dir) => {
+        ensure(s, dir) // shared sidecar
+        val target = s"$Root/rt_zarr3_sharded"
+        rmTree(target)
+        // shard synthesis (offsets, crc32c'd trailing index, inner
+        // codec chain) re-runs fresh every invocation; the cutout
+        // reads back through the index-driven range-read path
+        Zarr3IO.writeMeta(target, zShardedMeta)
+        Zarr3IO.writeShards(shardRows(s), target, zShardedMeta)
+        Zarr3IO.cutoutVoxels(s, target, Bbox(Vec3(0, 0, 0), Vec3(SX, SY, SZ)))
+      },
+      Some(s"""SELECT x, y, z, label
+        |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')"""
+        .stripMargin)),
+
     "s18_n5_write_roundtrip" -> Q(
       (s, dir) => {
         ensure(s, dir)
@@ -837,6 +897,25 @@ object Zarr3Queries {
         |WHERE x % 2 = 0 AND y % 2 = 0 AND z % 2 = 0
         |  AND x // 2 BETWEEN 2 AND 26 AND y // 2 BETWEEN 3 AND 25
         |  AND z // 2 BETWEEN 2 AND 11""".stripMargin)),
+
+    // S18: consolidated-metadata read (.zmetadata,
+    // zarr_consolidated_format 1) — the whole store's metadata from
+    // ONE object; the fixture deletes every member .zattrs/.zarray
+    // after consolidating, so this entry fails loudly if any code
+    // path falls back to member metadata objects
+    "s18_zarr2_consolidated_cutout" -> Q(
+      (s, dir) => {
+        ensureZarr2Cons(s, dir)
+        graft.sources.Zarr2IO.cutoutVoxelsOmeAt(s, Zarr2ConsDir,
+          Bbox(Vec3(1, 2, 3), Vec3(26, 25, 11)), t = 1, mip = 1,
+          consolidated = true)
+      },
+      Some(s"""SELECT x // 2 AS x, y // 2 AS y, z // 2 AS z,
+        |  label + 1 AS label
+        |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')
+        |WHERE x % 2 = 0 AND y % 2 = 0 AND z % 2 = 0
+        |  AND x // 2 BETWEEN 1 AND 25 AND y // 2 BETWEEN 2 AND 24
+        |  AND z // 2 BETWEEN 3 AND 10""".stripMargin)),
 
     // S18: zarr3 OME-NGFF 0.5 multiscale GROUP cutout at mip 1 — the
     // v3 group node carries ome.multiscales in its ATTRIBUTES (0.5

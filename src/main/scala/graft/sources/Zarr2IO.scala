@@ -314,18 +314,31 @@ object Zarr2IO {
     * prefix). A single-array layout declares path "." — the
     * reference's non-group case.
     */
-  def omeDatasetPaths(dir: String): Seq[String] = {
-    val at = om.readTree(Files.readString(Paths.get(dir, ".zattrs")))
+  def omeDatasetPaths(dir: String): Seq[String] =
+    omeDatasetPathsOf(om.readTree(Files.readString(
+      Paths.get(dir, ".zattrs"))))
+
+  private def omeDatasetPathsOf(
+      at: com.fasterxml.jackson.databind.JsonNode): Seq[String] = {
     val ds = at.get("multiscales").get(0).get("datasets")
     (0 until ds.size).map(ds.get(_).get("path").asText)
   }
 
   def readMetaOme(dir: String, arraySub: Option[String] = None): Zarr2Ome = {
     val arrayDir = arraySub.map(p => s"$dir/$p").getOrElse(dir)
-    val z = om.readTree(Files.readString(Paths.get(arrayDir, ".zarray")))
+    parseOme(
+      om.readTree(Files.readString(Paths.get(arrayDir, ".zarray"))),
+      om.readTree(Files.readString(Paths.get(dir, ".zattrs"))))
+  }
+
+  /** Shared OME model parse over the root `.zattrs` and one member
+    * `.zarray` node — the same logic whether the nodes came from
+    * member objects or from the consolidated `.zmetadata` map.
+    */
+  private def parseOme(z: com.fasterxml.jackson.databind.JsonNode,
+      at: com.fasterxml.jackson.databind.JsonNode): Zarr2Ome = {
     require(z.get("zarr_format").asInt == 2, "not a zarr v2 array")
     requireNoFilters(z)
-    val at = om.readTree(Files.readString(Paths.get(dir, ".zattrs")))
     val axes = at.get("multiscales").get(0).get("axes")
     val names = (0 until axes.size).map(axes.get(_).get("name").asText)
     require(names.size >= 3 && names.takeRight(3) == Seq("z", "y", "x") &&
@@ -369,6 +382,70 @@ object Zarr2IO {
       channels = if (cPos >= 0) Some(sh.get(cPos).asLong) else None)
   }
 
+  // ---- consolidated metadata (.zmetadata) ----
+  // zarr-python's consolidate_metadata embeds every member .zgroup/
+  // .zattrs/.zarray under ONE root object so a high-latency store
+  // resolves all metadata in a single read instead of one round trip
+  // per member — exactly the metadata-access pattern wanted over
+  // object storage at 100 TB. Format: {"zarr_consolidated_format": 1,
+  // "metadata": {"<relative-key>": <parsed json>, ...}}.
+
+  /** Consolidate the store's member metadata objects into
+    * `dir/.zmetadata` (walks the tree like zarr-python does).
+    */
+  def writeConsolidated(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val base = Paths.get(dir)
+    val root = om.createObjectNode()
+    root.put("zarr_consolidated_format", 1)
+    val md = root.putObject("metadata")
+    val names = Set(".zarray", ".zattrs", ".zgroup")
+    Files.walk(base).iterator.asScala
+      .filter(p => Files.isRegularFile(p) &&
+        names.contains(p.getFileName.toString))
+      .map(p => base.relativize(p).toString.replace('\\', '/'))
+      .toSeq.sorted
+      .foreach { rel =>
+        md.set[com.fasterxml.jackson.databind.node.ObjectNode](rel,
+          om.readTree(Files.readString(base.resolve(rel))))
+      }
+    Files.writeString(base.resolve(".zmetadata"),
+      om.writerWithDefaultPrettyPrinter.writeValueAsString(root))
+  }
+
+  /** The validated `metadata` map of `dir/.zmetadata`. */
+  private def consolidatedMap(dir: String)
+      : com.fasterxml.jackson.databind.JsonNode = {
+    val root = om.readTree(Files.readString(Paths.get(dir, ".zmetadata")))
+    val fmt = Option(root.get("zarr_consolidated_format")).map(_.asInt)
+    require(fmt.contains(1),
+      s"unsupported zarr_consolidated_format ${fmt.getOrElse("(absent)")}")
+    val md = root.get("metadata")
+    require(md != null, s"$dir/.zmetadata has no metadata map")
+    md
+  }
+
+  def omeDatasetPathsConsolidated(dir: String): Seq[String] = {
+    val at = consolidatedMap(dir).get(".zattrs")
+    require(at != null, s"$dir/.zmetadata has no root .zattrs entry")
+    omeDatasetPathsOf(at)
+  }
+
+  /** OME model for `arraySub` resolved from `.zmetadata` ONLY — the
+    * member `.zattrs`/`.zarray` objects are never opened (the
+    * consolidation contract: one metadata read per store).
+    */
+  def readMetaOmeConsolidated(dir: String,
+      arraySub: Option[String] = None): Zarr2Ome = {
+    val md = consolidatedMap(dir)
+    val zKey = arraySub.map(p => s"$p/.zarray").getOrElse(".zarray")
+    val z = md.get(zKey)
+    require(z != null, s"$dir/.zmetadata has no $zKey entry")
+    val at = md.get(".zattrs")
+    require(at != null, s"$dir/.zmetadata has no root .zattrs entry")
+    parseOme(z, at)
+  }
+
   /** Write OME chunk rows (tc, cc, gx, gy, gz, vox F-order full-chunk
     * array — one spatial block per (t, c)). Keys join grid indices in
     * zarr axis order: [t.][c.]gz.gy.gx (zarr2/metadata.py:211-223
@@ -410,12 +487,17 @@ object Zarr2IO {
     * key(mip)); single-array layouts (path ".") take mip 0 only.
     */
   def cutoutVoxelsOmeAt(spark: SparkSession, dir: String, bbox: Bbox,
-      t: Long = 0L, c: Long = 0L, mip: Int = 0): DataFrame = {
-    val paths = omeDatasetPaths(dir)
+      t: Long = 0L, c: Long = 0L, mip: Int = 0,
+      consolidated: Boolean = false): DataFrame = {
+    val paths =
+      if (consolidated) omeDatasetPathsConsolidated(dir)
+      else omeDatasetPaths(dir)
     require(mip >= 0 && mip < paths.size, s"mip $mip of ${paths.size}")
     val sub = Some(paths(mip)).filter(_ != ".")
     require(mip == 0 || sub.isDefined, "single-array layout has mip 0 only")
-    val o = readMetaOme(dir, sub)
+    val o =
+      if (consolidated) readMetaOmeConsolidated(dir, sub)
+      else readMetaOme(dir, sub)
     val chunkBase = sub.map(p => s"$dir/$p").getOrElse(dir)
     o.timeFrames match {
       case Some(tf) => require(t >= 0 && t < tf, s"t=$t out of [0, $tf)")

@@ -329,6 +329,38 @@ class SourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.scales.head.chunkSize == Vec3(128, 128, 64))
   }
 
+  test("zarr2 consolidated metadata resolves without member objects") {
+    import graft.sources.Zarr2IO
+    val g = s"$dir/zarr2_cons"
+    val mips = Seq(
+      Zarr2IO.Zarr2Ome(Zarr2IO.Zarr2Meta(
+        shape = Vec3(8, 8, 8), chunkShape = Vec3(4, 4, 4),
+        dtype = "<u2", fillValue = 0, compressor = "none"),
+        timeFrames = Some(2L), channels = None),
+      Zarr2IO.Zarr2Ome(Zarr2IO.Zarr2Meta(
+        shape = Vec3(4, 4, 4), chunkShape = Vec3(4, 4, 4),
+        dtype = "<u2", fillValue = 0, compressor = "none"),
+        timeFrames = Some(2L), channels = None))
+    Zarr2IO.writeMetaOmeGroup(g, mips)
+    Zarr2IO.writeConsolidated(g)
+    // delete every member metadata object: resolution must go through
+    // .zmetadata alone (the consolidation contract)
+    Seq(".zattrs", "0/.zarray", "1/.zarray").foreach(f =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(g, f)))
+    assert(Zarr2IO.omeDatasetPathsConsolidated(g) == Seq("0", "1"))
+    val o = Zarr2IO.readMetaOmeConsolidated(g, Some("1"))
+    assert(o.meta.shape == Vec3(4, 4, 4) && o.timeFrames.contains(2L))
+    // the file-based path must now fail (members are gone) — proving
+    // the consolidated read didn't silently use it
+    intercept[Exception](Zarr2IO.readMetaOme(g, Some("1")))
+    // unsupported consolidated format versions are rejected loudly
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(g, ".zmetadata"),
+      """{"zarr_consolidated_format": 2, "metadata": {}}""")
+    intercept[IllegalArgumentException](
+      Zarr2IO.omeDatasetPathsConsolidated(g))
+  }
+
   test("zarr3 OME-NGFF 0.5 group meta round-trips; non-groups rejected") {
     import graft.sources.Zarr3IO
     val g = s"$dir/zarr3_group"
