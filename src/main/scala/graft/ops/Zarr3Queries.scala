@@ -625,6 +625,37 @@ object Zarr3Queries {
     Files.writeString(marker, want)
   }
 
+  // ---- zarr3 consolidated-metadata sibling: the same OME-NGFF 0.5
+  // group, its member array zarr.json objects folded into the root's
+  // consolidated_metadata block (zarr-python 3's inline kind) and
+  // then DELETED — reads must resolve every level's meta from the
+  // one root object. Only mip-1 chunks are materialized. ----
+
+  val Zarr3ConsDir = s"$Root/zarr3cons"
+
+  def ensureZarr3Cons(s: SparkSession, sfDir: String): Unit = synchronized {
+    RealLayerQueries.ensure(s, sfDir)
+    val want = RealLayerQueries.stamp + "|z3cons-v1"
+    val marker = Paths.get(Root, ".built_z3cons_from")
+    if (Files.exists(marker) && Files.readString(marker) == want) return
+    val gRoot = Paths.get(Zarr3ConsDir)
+    if (Files.exists(gRoot)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(gRoot).iterator.asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+    import s.implicits._
+    Zarr3IO.writeMetaGroup(Zarr3ConsDir, z3GroupMips)
+    Zarr3IO.writeChunks(
+      halfGridChunks(s, z3GroupMips(1).chunkShape)
+        .toDF("gx", "gy", "gz", "vox"),
+      s"$Zarr3ConsDir/1", z3GroupMips(1))
+    Zarr3IO.writeConsolidatedGroup(Zarr3ConsDir)
+    Seq("0", "1").foreach(p =>
+      Files.deleteIfExists(Paths.get(Zarr3ConsDir, p, "zarr.json")))
+    Files.writeString(marker, want)
+  }
+
   // ---- n5 xz sibling (org.tukaani LZMA2 stream — completes the
   // full N5 spec compression set) ----
 
@@ -933,6 +964,23 @@ object Zarr3Queries {
         |WHERE x % 2 = 0 AND y % 2 = 0 AND z % 2 = 0
         |  AND x // 2 BETWEEN 3 AND 25 AND y // 2 BETWEEN 2 AND 26
         |  AND z // 2 BETWEEN 1 AND 11""".stripMargin)),
+
+    // S18: zarr3 consolidated-metadata read — every level's meta from
+    // the root group object's consolidated_metadata block
+    // (zarr-python 3's inline kind); member zarr.json objects are
+    // deleted in the fixture, so any fallback to them fails loudly
+    "s18_zarr3_consolidated_cutout" -> Q(
+      (s, dir) => {
+        ensureZarr3Cons(s, dir)
+        Zarr3IO.cutoutVoxelsGroupAt(s, Zarr3ConsDir,
+          Bbox(Vec3(2, 1, 2), Vec3(27, 24, 10)), mip = 1,
+          consolidated = true)
+      },
+      Some(s"""SELECT x // 2 AS x, y // 2 AS y, z // 2 AS z, label
+        |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')
+        |WHERE x % 2 = 0 AND y % 2 = 0 AND z % 2 = 0
+        |  AND x // 2 BETWEEN 2 AND 26 AND y // 2 BETWEEN 1 AND 23
+        |  AND z // 2 BETWEEN 2 AND 9""".stripMargin)),
 
     // S18: zarr2 OME cutout — the .zattrs (t,c,z,y,x) axes model the
     // reference's zarr2 datasource reads (blosc chunks, "/"-separated

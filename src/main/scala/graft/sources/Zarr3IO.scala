@@ -200,8 +200,14 @@ object Zarr3IO {
       om.writerWithDefaultPrettyPrinter.writeValueAsString(root))
   }
 
-  def readMeta(dir: String): Zarr3Meta = {
-    val root = om.readTree(Files.readString(Paths.get(dir, "zarr.json")))
+  def readMeta(dir: String): Zarr3Meta =
+    parseMeta(om.readTree(Files.readString(Paths.get(dir, "zarr.json"))))
+
+  /** Parse one array `zarr.json` node — shared by the file-based read
+    * and the consolidated-metadata path.
+    */
+  private def parseMeta(
+      root: com.fasterxml.jackson.databind.JsonNode): Zarr3Meta = {
     require(root.get("zarr_format").asInt == 3, "not a zarr v3 array")
     require(root.get("node_type").asText == "array")
     val sh = root.get("shape")
@@ -685,8 +691,15 @@ object Zarr3IO {
     * Arrays without a t (resp. c) axis require t=0 (resp. c=0).
     */
   def cutoutVoxelsAt(spark: SparkSession, dir: String, bbox: Bbox,
-      t: Long = 0L, c: Long = 0L): DataFrame = {
-    val m = readMeta(dir)
+      t: Long = 0L, c: Long = 0L): DataFrame =
+    cutoutVoxelsAtMeta(spark, dir, readMeta(dir), bbox, t, c)
+
+  /** [[cutoutVoxelsAt]] with a pre-resolved meta — the consolidated
+    * group path supplies the meta from the root object so the member
+    * `zarr.json` is never opened.
+    */
+  private def cutoutVoxelsAtMeta(spark: SparkSession, dir: String,
+      m: Zarr3Meta, bbox: Bbox, t: Long, c: Long): DataFrame = {
     m.timeFrames match {
       case Some(tf) => require(t >= 0 && t < tf, s"t=$t out of range [0, $tf)")
       case None => require(t == 0, s"$dir has no time axis (t=$t)")
@@ -846,30 +859,98 @@ object Zarr3IO {
     * well-defined array to read, and silently treating it as one
     * would return an all-fill cutout.
     */
-  def readGroupDatasets(dir: String): Seq[String] = {
-    val root = om.readTree(Files.readString(Paths.get(dir, "zarr.json")))
-    require(root.get("zarr_format").asInt == 3, s"$dir is not a zarr v3 node")
+  def readGroupDatasets(dir: String): Seq[String] =
+    groupDatasetPathsOf(
+      om.readTree(Files.readString(Paths.get(dir, "zarr.json"))), dir)
+
+  private def groupDatasetPathsOf(
+      root: com.fasterxml.jackson.databind.JsonNode,
+      what: String): Seq[String] = {
+    require(root.get("zarr_format").asInt == 3, s"$what is not a zarr v3 node")
     require(root.get("node_type").asText == "group",
-      s"$dir is node_type ${root.get("node_type").asText}, expected group")
+      s"$what is node_type ${root.get("node_type").asText}, expected group")
     val ome = Option(root.get("attributes"))
       .flatMap(a => Option(a.get("ome"))).orNull
     require(ome != null && ome.get("multiscales") != null,
-      s"$dir group has no ome.multiscales attributes")
+      s"$what group has no ome.multiscales attributes")
     val v = Option(ome.get("version")).map(_.asText).getOrElse("(absent)")
     require(v == "0.5", s"unsupported OME-NGFF version $v (need 0.5)")
     val ds = ome.get("multiscales").get(0).get("datasets")
     (0 until ds.size).map(i => ds.get(i).get("path").asText)
   }
 
+  /** Consolidate the group's member array metadata into the root
+    * `zarr.json` — zarr-python 3's consolidated-metadata block:
+    * `"consolidated_metadata": {"kind": "inline", "must_understand":
+    * false, "metadata": {"<path>": <member zarr.json>, ...}}` — so a
+    * high-latency store resolves every level's metadata in the one
+    * root read it already does.
+    */
+  def writeConsolidatedGroup(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val rootP = Paths.get(dir, "zarr.json")
+    val root = om.readTree(Files.readString(rootP))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    require(root.get("node_type").asText == "group",
+      s"$dir is not a group — only groups carry consolidated metadata")
+    val cm = root.putObject("consolidated_metadata")
+    cm.put("kind", "inline")
+    cm.put("must_understand", false)
+    val md = cm.putObject("metadata")
+    val base = Paths.get(dir)
+    Files.walk(base).iterator.asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString == "zarr.json" && p != rootP)
+      .map(p => base.relativize(p.getParent).toString.replace('\\', '/'))
+      .toSeq.sorted
+      .foreach { rel =>
+        md.set[com.fasterxml.jackson.databind.node.ObjectNode](rel,
+          om.readTree(Files.readString(base.resolve(rel).resolve("zarr.json"))))
+      }
+    Files.writeString(rootP,
+      om.writerWithDefaultPrettyPrinter.writeValueAsString(root))
+  }
+
+  /** Dataset paths + per-path array metas of an OME-NGFF 0.5 group,
+    * resolved from the root object's consolidated_metadata block ONLY
+    * — member `zarr.json` objects are never opened.
+    */
+  def readConsolidatedGroup(dir: String)
+      : (Seq[String], String => Zarr3Meta) = {
+    val root = om.readTree(Files.readString(Paths.get(dir, "zarr.json")))
+    val paths = groupDatasetPathsOf(root, dir)
+    val cm = root.get("consolidated_metadata")
+    require(cm != null, s"$dir group has no consolidated_metadata")
+    val kind = Option(cm.get("kind")).map(_.asText).getOrElse("(absent)")
+    require(kind == "inline", s"unsupported consolidated kind $kind")
+    val md = cm.get("metadata")
+    require(md != null, s"$dir consolidated_metadata has no metadata map")
+    (paths, p => {
+      val node = md.get(p)
+      require(node != null, s"$dir consolidated_metadata has no entry '$p'")
+      parseMeta(node)
+    })
+  }
+
   /** Cutout one mip level of an OME-NGFF 0.5 multiscale group at a
     * single (t, c) point: resolves `datasets[mip].path`, then reads
-    * the level as an ordinary v3 array.
+    * the level as an ordinary v3 array. With `consolidated = true`
+    * the level's meta comes from the root's consolidated_metadata
+    * block and the member `zarr.json` is never opened.
     */
   def cutoutVoxelsGroupAt(spark: SparkSession, dir: String, bbox: Bbox,
-      mip: Int, t: Long = 0L, c: Long = 0L): DataFrame = {
-    val paths = readGroupDatasets(dir)
-    require(mip >= 0 && mip < paths.size,
-      s"mip $mip out of range [0, ${paths.size})")
-    cutoutVoxelsAt(spark, s"$dir/${paths(mip)}", bbox, t, c)
-  }
+      mip: Int, t: Long = 0L, c: Long = 0L,
+      consolidated: Boolean = false): DataFrame =
+    if (consolidated) {
+      val (paths, metaOf) = readConsolidatedGroup(dir)
+      require(mip >= 0 && mip < paths.size,
+        s"mip $mip out of range [0, ${paths.size})")
+      val p = paths(mip)
+      cutoutVoxelsAtMeta(spark, s"$dir/$p", metaOf(p), bbox, t, c)
+    } else {
+      val paths = readGroupDatasets(dir)
+      require(mip >= 0 && mip < paths.size,
+        s"mip $mip out of range [0, ${paths.size})")
+      cutoutVoxelsAt(spark, s"$dir/${paths(mip)}", bbox, t, c)
+    }
 }

@@ -387,5 +387,17 @@ class SourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       java.nio.file.Paths.get(bare, "zarr.json"),
       """{"zarr_format": 3, "node_type": "group"}""")
     intercept[IllegalArgumentException](Zarr3IO.readGroupDatasets(bare))
+    // consolidated metadata: member zarr.json folded into the root,
+    // then the members deleted — resolution must use the root only
+    Zarr3IO.writeConsolidatedGroup(g)
+    Seq("0", "1").foreach(p => java.nio.file.Files.delete(
+      java.nio.file.Paths.get(g, p, "zarr.json")))
+    val (paths, metaOf) = Zarr3IO.readConsolidatedGroup(g)
+    assert(paths == Seq("0", "1"))
+    assert(metaOf("1").shape == Vec3(4, 4, 4))
+    intercept[IllegalArgumentException](metaOf("2"))
+    // the file-based member read must now fail — proving the
+    // consolidated path didn't silently fall back to it
+    intercept[Exception](Zarr3IO.readMeta(s"$g/1"))
   }
 }
