@@ -31,6 +31,7 @@ object Fixtures {
     Zarr3Queries.ensureZarr3Group(s, sfDir)
     Zarr3Queries.ensureZarr2Cons(s, sfDir)
     Zarr3Queries.ensureZarr3Cons(s, sfDir)
+    Zarr3Queries.ensureN5Group(s, sfDir)
     Zarr3Queries.ensureZarr3Blosc(s, sfDir)
     Zarr3Queries.ensureN5Blosc(s, sfDir)
     StreamQueries.prepare(s, sfDir)

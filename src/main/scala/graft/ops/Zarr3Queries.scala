@@ -625,6 +625,70 @@ object Zarr3Queries {
     Files.writeString(marker, want)
   }
 
+  // ---- n5 scale-pyramid sibling (the n5-viewer/bigdataviewer
+  // multiScale convention): root attributes.json multiScale=true,
+  // levels s0/s1 with downsamplingFactors; mip 1 is the same
+  // stride-2 pick as the zarr group fixtures, but n5 blocks are
+  // CLAMPED at the edges (not fill-padded), so the level gets its
+  // own clamped block builder. Only s1 blocks are materialized. ----
+
+  val N5GroupDir = s"$Root/n5group"
+
+  val n5GroupMips: Seq[graft.sources.N5IO.N5Meta] = Seq(
+    graft.sources.N5IO.N5Meta(
+      dimensions = Vec3(SX, SY, SZ), blockSize = Vec3(CX, CY, CZ),
+      dataType = "uint32", compression = "gzip"),
+    graft.sources.N5IO.N5Meta(
+      dimensions = Vec3(GSX, GSY, GSZ), blockSize = Vec3(CX, CY, CZ),
+      dataType = "uint32", compression = "gzip"))
+
+  /** CLAMPED half-grid n5 blocks of the stride-2 mip-1 pick. */
+  private def halfGridN5Blocks(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val m1 = n5GroupMips(1)
+    val bounds = Bbox(Vec3(0, 0, 0), m1.dimensions)
+    val bs = m1.blockSize
+    s.read.parquet(RealLayerQueries.VoxelsDir)
+      .filter(col("x") % 2 === 0 && col("y") % 2 === 0 && col("z") % 2 === 0)
+      .select((col("x") / 2).cast("long").as("x"),
+        (col("y") / 2).cast("long").as("y"),
+        (col("z") / 2).cast("long").as("z"), col("label"))
+      .select(Derived.idiv(col("x"), bs.x).as("gx"),
+        Derived.idiv(col("y"), bs.y).as("gy"),
+        Derived.idiv(col("z"), bs.z).as("gz"),
+        col("x"), col("y"), col("z"), col("label"))
+      .groupBy("gx", "gy", "gz")
+      .agg(collect_list(struct(col("x"), col("y"), col("z"), col("label")))
+        .as("vox"))
+      .as[(Long, Long, Long, Seq[(Long, Long, Long, Long)])]
+      .map { case (gx, gy, gz, vs) =>
+        val cb = Geom.chunkBbox(Vec3(gx, gy, gz), bounds, bs)
+        val arr = new Array[Long](cb.volume.toInt)
+        vs.foreach { case (x, y, z, l) =>
+          arr(((x - cb.minpt.x) + cb.size.x * ((y - cb.minpt.y) +
+            cb.size.y * (z - cb.minpt.z))).toInt) = l
+        }
+        (gx, gy, gz, arr.toSeq)
+      }.toDF("gx", "gy", "gz", "vox")
+  }
+
+  def ensureN5Group(s: SparkSession, sfDir: String): Unit = synchronized {
+    RealLayerQueries.ensure(s, sfDir)
+    val want = RealLayerQueries.stamp + "|n5grp-v1"
+    val marker = Paths.get(Root, ".built_n5grp_from")
+    if (Files.exists(marker) && Files.readString(marker) == want) return
+    val gRoot = Paths.get(N5GroupDir)
+    if (Files.exists(gRoot)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(gRoot).iterator.asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+    graft.sources.N5IO.writeMetaPyramid(N5GroupDir, n5GroupMips)
+    graft.sources.N5IO.writeBlocks(halfGridN5Blocks(s), N5GroupDir,
+      n5GroupMips(1), ds = "s1")
+    Files.writeString(marker, want)
+  }
+
   // ---- zarr3 consolidated-metadata sibling: the same OME-NGFF 0.5
   // group, its member array zarr.json objects folded into the root's
   // consolidated_metadata block (zarr-python 3's inline kind) and
@@ -964,6 +1028,22 @@ object Zarr3Queries {
         |WHERE x % 2 = 0 AND y % 2 = 0 AND z % 2 = 0
         |  AND x // 2 BETWEEN 3 AND 25 AND y // 2 BETWEEN 2 AND 26
         |  AND z // 2 BETWEEN 1 AND 11""".stripMargin)),
+
+    // S18: n5 scale-pyramid cutout at mip 1 — root multiScale=true,
+    // s<mip> level selection with downsamplingFactors attributes
+    // (the n5-viewer/bigdataviewer convention); clamped edge blocks
+    // on the half grid, oracle replays the stride-2 pick
+    "s18_n5_group_mip1_cutout" -> Q(
+      (s, dir) => {
+        ensureN5Group(s, dir)
+        graft.sources.N5IO.cutoutVoxelsMip(s, N5GroupDir,
+          Bbox(Vec3(1, 3, 2), Vec3(25, 26, 11)), mip = 1)
+      },
+      Some(s"""SELECT x // 2 AS x, y // 2 AS y, z // 2 AS z, label
+        |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')
+        |WHERE x % 2 = 0 AND y % 2 = 0 AND z % 2 = 0
+        |  AND x // 2 BETWEEN 1 AND 24 AND y // 2 BETWEEN 3 AND 25
+        |  AND z // 2 BETWEEN 2 AND 10""".stripMargin)),
 
     // S18: zarr3 consolidated-metadata read — every level's meta from
     // the root group object's consolidated_metadata block

@@ -47,11 +47,37 @@ object N5IO {
   private val om = new ObjectMapper()
 
   def writeMeta(dir: String, m: N5Meta): Unit = {
-    Files.createDirectories(Paths.get(dir, "s0"))
+    Files.createDirectories(Paths.get(dir))
     val root = om.createObjectNode()
     root.put("n5", "2.0.0")
     Files.writeString(Paths.get(dir, "attributes.json"),
       om.writerWithDefaultPrettyPrinter.writeValueAsString(root))
+    writeDatasetAttrs(dir, m, "s0", None)
+  }
+
+  /** Write a scale-pyramid container — the n5-viewer/bigdataviewer
+    * multiScale convention: the root attributes.json carries
+    * `"multiScale": true`, level i lives in dataset `s<i>` whose own
+    * attributes.json adds `downsamplingFactors` (2^i per axis). Each
+    * level is an ordinary dataset, so per-level reads go through the
+    * existing block paths unchanged.
+    */
+  def writeMetaPyramid(dir: String, mips: Seq[N5Meta]): Unit = {
+    require(mips.nonEmpty, "a scale pyramid needs at least one level")
+    Files.createDirectories(Paths.get(dir))
+    val root = om.createObjectNode()
+    root.put("n5", "2.0.0")
+    root.put("multiScale", true)
+    Files.writeString(Paths.get(dir, "attributes.json"),
+      om.writerWithDefaultPrettyPrinter.writeValueAsString(root))
+    mips.zipWithIndex.foreach { case (m, i) =>
+      writeDatasetAttrs(dir, m, s"s$i", Some(1L << i))
+    }
+  }
+
+  private def writeDatasetAttrs(dir: String, m: N5Meta, ds: String,
+      downsamplingFactor: Option[Long]): Unit = {
+    Files.createDirectories(Paths.get(dir, ds))
     val s0 = om.createObjectNode()
     s0.put("dataType", m.dataType)
     val bs = s0.putArray("blockSize")
@@ -66,12 +92,16 @@ object N5IO {
       cnode.put("shuffle", 1); cnode.put("blocksize", 0)
       cnode.put("nthreads", 1)
     }
-    Files.writeString(Paths.get(dir, "s0", "attributes.json"),
+    downsamplingFactor.foreach { f =>
+      val df = s0.putArray("downsamplingFactors")
+      df.add(f); df.add(f); df.add(f)
+    }
+    Files.writeString(Paths.get(dir, ds, "attributes.json"),
       om.writerWithDefaultPrettyPrinter.writeValueAsString(s0))
   }
 
-  def readMeta(dir: String): N5Meta = {
-    val s0 = om.readTree(Files.readString(Paths.get(dir, "s0", "attributes.json")))
+  def readMeta(dir: String, ds: String = "s0"): N5Meta = {
+    val s0 = om.readTree(Files.readString(Paths.get(dir, ds, "attributes.json")))
     val dims = s0.get("dimensions")
     val bs = s0.get("blockSize")
     N5Meta(
@@ -136,17 +166,19 @@ object N5IO {
   }
 
   /** Write chunk rows (gx, gy, gz, vox clamped-F-order) as blocks. */
-  def writeBlocks(chunks: DataFrame, dir: String, m: N5Meta): Unit = {
+  def writeBlocks(chunks: DataFrame, dir: String, m: N5Meta,
+      ds: String = "s0"): Unit = {
     val bs = m.blockSize
     val dims = m.dimensions
     val dtb = m.dtypeBytes
     val comp = m.compression
     val dirStr = dir
+    val dsName = ds
     chunks.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       rows.foreach { r =>
         val g = Vec3(r.getLong(0), r.getLong(1), r.getLong(2))
         val cb = Geom.chunkBbox(g, Bbox(Vec3(0, 0, 0), dims), bs)
-        val p = Paths.get(dirStr, "s0", g.x.toString, g.y.toString)
+        val p = Paths.get(dirStr, dsName, g.x.toString, g.y.toString)
         Files.createDirectories(p)
         Files.write(p.resolve(g.z.toString),
           encodeBlock(r.getSeq[Long](3).toArray, cb.size, dtb, comp))
@@ -164,8 +196,8 @@ object N5IO {
     *        path's fill_missing option on NgScanBuilder.
     */
   def cutoutVoxels(spark: SparkSession, dir: String, bbox: Bbox,
-      fillMissing: Boolean = false): DataFrame = {
-    val m = readMeta(dir)
+      fillMissing: Boolean = false, ds: String = "s0"): DataFrame = {
+    val m = readMeta(dir, ds)
     val bs = m.blockSize
     val dtb = m.dtypeBytes
     val comp = m.compression
@@ -173,12 +205,14 @@ object N5IO {
     val pts = Geom.gridpoints(bbox, bounds, bs)
     val clip = bbox.intersection(bounds)
     val dirStr = dir
+    val dsName = ds
     val fm = fillMissing
     import spark.implicits._
     spark.createDataset(pts.map(g => (g.x, g.y, g.z)))
       .repartition(math.max(pts.size / 4, 1))
       .flatMap { case (gx, gy, gz) =>
-        val p = Paths.get(dirStr, "s0", gx.toString, gy.toString, gz.toString)
+        val p = Paths.get(dirStr, dsName, gx.toString, gy.toString,
+          gz.toString)
         val (dims, vox) =
           if (!Files.exists(p)) {
             if (!fm) throw new java.util.NoSuchElementException(
@@ -205,5 +239,20 @@ object N5IO {
         }
         out
       }.toDF("x", "y", "z", "label")
+  }
+
+  /** Cutout one level of a multiScale pyramid: requires the root
+    * `"multiScale": true` attribute and the `s<mip>` dataset to
+    * exist — a missing level must not silently read as background.
+    */
+  def cutoutVoxelsMip(spark: SparkSession, dir: String, bbox: Bbox,
+      mip: Int, fillMissing: Boolean = false): DataFrame = {
+    val root = om.readTree(Files.readString(
+      Paths.get(dir, "attributes.json")))
+    require(Option(root.get("multiScale")).exists(_.asBoolean),
+      s"$dir is not a multiScale pyramid (no root multiScale attribute)")
+    require(Files.exists(Paths.get(dir, s"s$mip", "attributes.json")),
+      s"$dir has no scale level s$mip")
+    cutoutVoxels(spark, dir, bbox, fillMissing, ds = s"s$mip")
   }
 }

@@ -329,6 +329,26 @@ class SourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.scales.head.chunkSize == Vec3(128, 128, 64))
   }
 
+  test("n5 multiScale pyramid: level selection; non-pyramids rejected") {
+    import graft.sources.N5IO
+    val g = s"$dir/n5_pyr"
+    val mips = Seq(
+      N5IO.N5Meta(dimensions = Vec3(8, 8, 8), blockSize = Vec3(4, 4, 4),
+        dataType = "uint16", compression = "raw"),
+      N5IO.N5Meta(dimensions = Vec3(4, 4, 4), blockSize = Vec3(4, 4, 4),
+        dataType = "uint16", compression = "raw"))
+    N5IO.writeMetaPyramid(g, mips)
+    assert(N5IO.readMeta(g, "s1").dimensions == Vec3(4, 4, 4))
+    // absent level: fails loudly, never background
+    intercept[IllegalArgumentException](N5IO.cutoutVoxelsMip(spark, g,
+      Bbox(Vec3(0, 0, 0), Vec3(2, 2, 2)), mip = 2))
+    // a single-scale container is not a pyramid
+    val single = s"$dir/n5_single"
+    N5IO.writeMeta(single, mips.head)
+    intercept[IllegalArgumentException](N5IO.cutoutVoxelsMip(spark, single,
+      Bbox(Vec3(0, 0, 0), Vec3(2, 2, 2)), mip = 0))
+  }
+
   test("zarr2 consolidated metadata resolves without member objects") {
     import graft.sources.Zarr2IO
     val g = s"$dir/zarr2_cons"
