@@ -84,6 +84,63 @@ object XferQueries {
       },
       Some(s"SELECT x, y, z, label FROM $Sidecar")),
 
+    // S16 CROSS-FORMAT transfer: migrate the real precomputed layer
+    // to a zarr v3 array in one query — chunk-granular (encoded
+    // payloads stream task-side, voxels never shuffle): decode each
+    // raw chunk, pad the CLAMPED precomputed edge blocks to zarr's
+    // FULL-size fill-padded chunks, write through Zarr3IO, read back
+    // voxel-exact through the zarr cutout path. The grids coincide
+    // (same chunk size), so this is a narrow map — the general
+    // re-gridding case is s16_transfer_rechunk's one-shuffle shape.
+    "s16_transfer_zarr3" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        val target = s"${RealLayerQueries.Root}/layer_s16_zarr3"
+        val tp = Paths.get(target)
+        if (Files.exists(tp)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(tp).iterator.asScala.toSeq.reverse
+            .foreach(p => Files.deleteIfExists(p))
+        }
+        val zm = graft.sources.Zarr3IO.Zarr3Meta(
+          shape = Vec3(SX, SY, SZ), chunkShape = Vec3(CX, CY, CZ),
+          dataType = "uint32", fillValue = 0L, compressor = "zstd")
+        import s.implicits._
+        val cs = zm.chunkShape
+        val full = PrecomputedIO.readChunks(s, LayerDir)
+          .select(col("gx"), col("gy"), col("gz"), col("x0"), col("y0"),
+            col("z0"), col("x1"), col("y1"), col("z1"), col("payload"))
+          .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long,
+            Array[Byte])]
+          .map { case (gx, gy, gz, x0, y0, z0, x1, y1, z1, p) =>
+            val block = Codec.decodeRawToLongs(p, 4)
+            val bx = (x1 - x0).toInt
+            val by = (y1 - y0).toInt
+            val bz = (z1 - z0).toInt
+            val arr = new Array[Long]((cs.x * cs.y * cs.z).toInt)
+            var iz = 0
+            while (iz < bz) {
+              var iy = 0
+              while (iy < by) {
+                var ix = 0
+                while (ix < bx) {
+                  arr(ix + cs.x.toInt * (iy + cs.y.toInt * iz)) =
+                    block(ix + bx * (iy + by * iz))
+                  ix += 1
+                }
+                iy += 1
+              }
+              iz += 1
+            }
+            (gx, gy, gz, arr.toSeq)
+          }.toDF("gx", "gy", "gz", "vox")
+        graft.sources.Zarr3IO.writeMeta(target, zm)
+        graft.sources.Zarr3IO.writeChunks(full, target, zm)
+        graft.sources.Zarr3IO.cutoutVoxels(s, target,
+          Bbox(Vec3(0, 0, 0), Vec3(SX, SY, SZ)))
+      },
+      Some(s"SELECT x, y, z, label FROM $Sidecar")),
+
     // S9 as a NATIVE Spark sink: the same chunk stream written through
     // the DSv2 writer (`df.write.format("neuroglancer")`) instead of
     // the foreachPartition helper, then read back voxel-exact. The
