@@ -171,10 +171,11 @@ object Bench {
     // full-volume MB/s vs benchmarks/local.tsv (black uint8 rows, the
     // exactly-reproducible flavor), measured BEFORE the query loop so
     // accumulated block-manager/GC state from 100+ queries can't
-    // distort it. Best of 5 warm runs: the z100 read is a single task,
-    // so one starved thread (concurrent driver-side work) tanks a mean
-    // or median — the max reports engine capability, the same thing
-    // the reference's idle-machine mean measures (benchmark.py:14).
+    // distort it. Median of 5 warm runs is the headline (the number
+    // compared to BASELINE.md); the max rides along as *_peak — the
+    // z100 read is a single task, so one starved thread tanks a rep,
+    // and the peak is what the reference's idle-machine mean measures
+    // (benchmark.py:14).
     // Families: big-chunk gzip (local.tsv:2-3), small-chunk gzip
     // (local.tsv:10 — the per-object-overhead regime where the
     // reference drops to 1.5 MB/s), uncompressed (local.tsv:17).
@@ -201,11 +202,18 @@ object Bench {
         mbpsReps(s"write_$wk") = writeMBps(spark, wk, wcs, gzip = true)
       }
     }
-    // headline value stays the max (engine capability, the analogue of
-    // the reference's idle-machine mean — see the comment above)
+    // headline value is the MEDIAN of 5 warm reps — the conservative
+    // number a reader compares to BASELINE.md (max-of-5 flatters on a
+    // noisy harness); the max rides along as *_peak (engine capability,
+    // the analogue of the reference's idle-machine mean)
+    def med5(v: Seq[Double]): Double = v.sorted.apply(v.size / 2)
     val mbps = readFamilies.map { case (k, _, _) =>
+      k -> med5(mbpsReps(s"read_$k")) }.toMap
+    val mbpsPeak = readFamilies.map { case (k, _, _) =>
       k -> mbpsReps(s"read_$k").max }.toMap
     val wMbps = writeFamilies.map { case (k, _) =>
+      k -> med5(mbpsReps(s"write_$k")) }.toMap
+    val wMbpsPeak = writeFamilies.map { case (k, _) =>
       k -> mbpsReps(s"write_$k").max }.toMap
 
     val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -222,6 +230,10 @@ object Bench {
       catch { case _: Throwable => () } // recorded in the timed pass
     }
     System.gc() // start the timed loop from a settled heap
+    // any fixture rebuild AFTER this point happened inside the timed
+    // loop — cross-talk that charges a build to some query's number;
+    // surfaced in the detail JSON so a distorted entry is visible
+    val timedLoopStart = System.nanoTime()
     // Median of 3 timed passes: r8 proved single-pass per-query times
     // swing up to 6x (dedup_keep 1.08→6.50 s) — and whole families up
     // to 14x correlated (zarr3) — on byte-identical code. The median
@@ -281,10 +293,20 @@ object Bench {
       s""""write_MBps_chunk1024_1024_100":${num(wMbps("z100"), 1)},""" +
       s""""baseline_write_MBps_chunk1024_1024_100":31.7,""" +
       s""""write_MBps_chunk128_128_128":${num(wMbps("c128"), 1)},""" +
-      s""""baseline_write_MBps_chunk128_128_128":1.0"""
+      s""""baseline_write_MBps_chunk128_128_128":1.0,""" +
+      s""""cutout_MBps_peak_chunk1024_1024_100":${num(mbpsPeak("z100"), 1)},""" +
+      s""""cutout_MBps_peak_chunk1024_1024_64":${num(mbpsPeak("z64"), 1)},""" +
+      s""""cutout_MBps_peak_chunk128_128_128":${num(mbpsPeak("c128"), 1)},""" +
+      s""""cutout_MBps_peak_nogzip_chunk1024_1024_100":${num(mbpsPeak("plain_z100"), 1)},""" +
+      s""""write_MBps_peak_chunk1024_1024_100":${num(wMbpsPeak("z100"), 1)},""" +
+      s""""write_MBps_peak_chunk128_128_128":${num(wMbpsPeak("c128"), 1)}"""
+    val timedRebuilds = graft.ops.FixtureLog.rebuildsSince(timedLoopStart)
+    val rebuildsJson = timedRebuilds.map(m => "\"" + jstr(m) + "\"")
+      .mkString("[", ",", "]")
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,""" +
       s""""queries":$qs,"query_stats":$statsJson,"mbps_stats":$mbpsStatsJson,""" +
+      s""""fixture_rebuilds_in_timed_loop":$rebuildsJson,""" +
       s""""n_failed":${errs.size},"errors":$errJson,$mbpsJson,"sf":"$sfDir"}"""
     // Full per-query timings for humans/judge: one stdout line (NOT the
     // last) plus a file next to the repo's BENCH_r{N}.json snapshots.

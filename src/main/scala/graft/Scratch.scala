@@ -22,6 +22,38 @@ object Scratch {
       }
       System.gc()
     }
+    // --findmut: run every query once and report which ones touch any
+    // fixture marker file (mtime change / delete / create) — finds the
+    // entry that invalidates a sibling's fixture between bench passes
+    if (flags.contains("--findmut")) {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      graft.ops.Fixtures.ensureAll(spark, sfDir)
+      def snap(): Map[String, Long] = {
+        val roots = Seq("/tmp/graft_fixture", "/tmp/graft_stream")
+          .map(Paths.get(_)).filter(Files.exists(_))
+        roots.flatMap { r =>
+          Files.walk(r).iterator.asScala
+            .filter(p => p.getFileName.toString.startsWith(".built") ||
+              p.getFileName.toString.startsWith(".docs") ||
+              p.getFileName.toString == "info")
+            .map(p => p.toString ->
+              Files.getLastModifiedTime(p).toMillis)
+            .toSeq
+        }.toMap
+      }
+      var prev = snap()
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        val cur = snap()
+        val changed = (prev.keySet ++ cur.keySet).filter(k =>
+          prev.get(k) != cur.get(k))
+        if (changed.nonEmpty)
+          println(s"[findmut] $name -> ${changed.toSeq.sorted.mkString(", ")}")
+        prev = cur
+      }
+      spark.stop(); return
+    }
     // warmup
     SparkEntry.queries("q1_pricing")(spark, sfDir).count()
     for (n <- names; rep <- 1 to 3) {

@@ -193,9 +193,19 @@ object AnnotationCodec {
     val geoms = new Array[Array[Float]](n.toInt)
     val props = new Array[Array[Double]](n.toInt)
     (0 until n.toInt).foreach { i =>
+      // variable-length (POLYLINE) records skip the up-front length
+      // check; validate each record + the trailing id block fit so a
+      // truncated buffer fails the codec's IllegalArgumentException
+      // contract, not with a raw BufferUnderflowException
+      if (spec.isPolyline)
+        require(buf.remaining >= 4, s"record $i truncated")
       geoms(i) = readGeometry(buf, spec)
+      require(buf.remaining >= spec.propBytesUnpadded + spec.propPad,
+        s"record $i property block truncated")
       props(i) = readProps(buf, spec)
     }
+    require(buf.remaining == 8L * n,
+      s"id block truncated: ${buf.remaining} bytes for $n ids")
     val ids = Array.fill(n.toInt)(buf.getLong())
     require(!buf.hasRemaining)
     (0 until n.toInt).map(i => Annotation(ids(i), geoms(i), props(i)))
@@ -257,7 +267,8 @@ object AnnotationCodec {
     * reads `by_id["sharding"]` to pick the ShardReader path).
     */
   def writeInfo(dir: String, spec: AnnotationSpec,
-      byId: Option[(String, Option[ShardingSpec])] = None): Unit = {
+      byId: Option[(String, Option[ShardingSpec])] = None,
+      relationships: Seq[(String, String)] = Seq.empty): Unit = {
     val root = om.createObjectNode()
     root.put("@type", "neuroglancer_annotations_v1")
     root.put("annotation_type", spec.annotationType)
@@ -265,6 +276,15 @@ object AnnotationCodec {
       val b = root.putObject("by_id")
       b.put("key", key)
       sh.foreach(s => ShardingSpec.putJson(b.putObject("sharding"), s))
+    }
+    // declared relationships, (id, key) pairs in declaration order —
+    // the order the by-id binary's relationship sections are read in
+    // (annotation/metadata.py:27-39, reader.py:127-133)
+    if (relationships.nonEmpty) {
+      val rels = root.putArray("relationships")
+      relationships.foreach { case (id, key) =>
+        val rn = rels.addObject(); rn.put("id", id); rn.put("key", key)
+      }
     }
     val dims = root.putObject("dimensions")
     Seq("x", "y", "z").take(spec.ndim).foreach { ax =>
@@ -285,6 +305,19 @@ object AnnotationCodec {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "info"),
       om.writerWithDefaultPrettyPrinter.writeValueAsString(root))
+  }
+
+  /** Declared relationships as (id, key) pairs in declaration order —
+    * the count and order decodeSingle's relationship sections follow
+    * (annotation/reader.py:127-133).
+    */
+  def readRelationships(dir: String): Seq[(String, String)] = {
+    val root = om.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "info")))
+    Option(root.get("relationships")).map { rn =>
+      (0 until rn.size).map(i =>
+        (rn.get(i).get("id").asText, rn.get(i).get("key").asText))
+    }.getOrElse(Seq.empty)
   }
 
   /** The layer's declared id index: (key, sharding if sharded) —

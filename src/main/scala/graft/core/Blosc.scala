@@ -255,7 +255,7 @@ object Blosc {
   def decompress(frame: Array[Byte]): Array[Byte] = {
     require(frame.length >= 16, s"blosc frame too short: ${frame.length}")
     val hdr = ByteBuffer.wrap(frame, 0, 16).order(ByteOrder.LITTLE_ENDIAN)
-    val version = hdr.get() & 0xFF
+    hdr.get() // format version (2 for all c-blosc1 frames — see below)
     hdr.get() // versionlz
     val flags = hdr.get() & 0xFF
     val ts = math.max(hdr.get() & 0xFF, 1)
@@ -273,13 +273,15 @@ object Blosc {
     }
     val code = flags >>> 5
     val doShuf = (flags & DoShuffle) != 0 && ts > 1
-    // c-blosc >= 1.14 records the split decision in flag 0x10; the
-    // codec-derived rule is only a fallback for version-1 frames that
-    // predate the flag. Honoring the flag is what makes SPLITMODE=
-    // ALWAYS/NEVER and pre-1.14 all-codec-split frames decode right.
-    val frameSplit =
-      if (version >= 2) (flags & DontSplit) == 0 && ts > 1
-      else splitBlock(code, ts, blocksize)
+    // c-blosc >= 1.14 records the split decision in flag 0x10. The
+    // format version byte is 2 for ALL c-blosc1 frames (including
+    // pre-1.14 encoders that never stamp the flag), so pre-1.14
+    // single-stream zstd/zlib frames are indistinguishable and decode
+    // as split — exactly what modern c-blosc >= 1.14 decoders do, so
+    // numcodecs interop is unaffected. Trusting the flag is what makes
+    // SPLITMODE=ALWAYS/NEVER frames decode right; `version` is parsed
+    // only for the header dump.
+    val frameSplit = (flags & DontSplit) == 0 && ts > 1
     val nblocks = (nbytes + blocksize - 1) / blocksize
     val bst = ByteBuffer.wrap(frame, 16, 4 * nblocks)
       .order(ByteOrder.LITTLE_ENDIAN)

@@ -149,6 +149,7 @@ object AnnotationQueries {
     val marker = Paths.get(Root, ".built_from")
     val markerVal = s"$sfDir|v3" // v3: enum `kind` property + info JSON
     if (Files.exists(marker) && Files.readString(marker) == markerVal) return
+    FixtureLog.rebuild(marker)
     val rootP = Paths.get(Root)
     if (Files.exists(rootP)) {
       import scala.jdk.CollectionConverters._
@@ -220,6 +221,7 @@ object AnnotationQueries {
     val marker = Paths.get(Root, ".built_polyline_from")
     val markerVal = s"$sfDir|v1"
     if (Files.exists(marker) && Files.readString(marker) == markerVal) return
+    FixtureLog.rebuild(marker)
     val layerDir = s"$Root/polylines"
     val layerP = Paths.get(layerDir)
     if (Files.exists(layerP)) {
@@ -264,6 +266,7 @@ object AnnotationQueries {
     val marker = Paths.get(Root, ".built_byid_sharded_from")
     val markerVal = s"$sfDir|v3|annsh-v1"
     if (Files.exists(marker) && Files.readString(marker) == markerVal) return
+    FixtureLog.rebuild(marker)
     val layerP = Paths.get(ShardedLayerDir)
     if (Files.exists(layerP)) {
       import scala.jdk.CollectionConverters._
@@ -539,6 +542,80 @@ object AnnotationQueries {
         |SELECT aid, ax, ay, az, score, (aid * 3) % 40 AS presyn,
         |  (aid * 5 + 1) % 40 AS postsyn
         |FROM pts WHERE aid % 35 = 0""".stripMargin)),
+
+    // P8 multi-relationship + rgba round-trip (annotation/metadata.py:
+    // 27-39 relationship declarations, rgba in _PROPERTY_DTYPES): a
+    // FRESH by-id layer per invocation whose info declares TWO
+    // relationships and a uint16+rgba property block (unpadded 6 ->
+    // pad-to-4 adds 2), written with encodeSingle and read back
+    // routing every decode decision through the written info JSON —
+    // the relationship section count comes from readRelationships,
+    // not a hardcoded 2.
+    "p8j_annotation_rel_rgba" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import scala.jdk.CollectionConverters._
+        val target = s"$Root/rt_rel_rgba"
+        val tp = Paths.get(target)
+        if (Files.exists(tp)) {
+          Files.walk(tp).iterator.asScala.toSeq.reverse
+            .foreach(p => Files.deleteIfExists(p))
+        }
+        val spec = AnnotationSpec("POINT", 3, Seq(
+          PropSpec("weight", "uint16"), PropSpec("color", "rgba")))
+        AnnotationCodec.writeInfo(target, spec,
+          byId = Some(("by_id", None)),
+          relationships = Relations.map(r => (r, s"rel_$r")))
+        val byIdDir = Paths.get(target, "by_id")
+        Files.createDirectories(byIdDir)
+        val byIdStr = byIdDir.toString
+        table(s, dir, "events").filter(col("event_id") % 20 === 0)
+          .select(col("event_id").cast("long").as("aid"),
+            (col("event_id") % 64).cast("long").as("ax"),
+            (col("user_id") % 64).cast("long").as("ay"),
+            (idiv(col("event_id"), 64) % 32).cast("long").as("az"),
+            ((col("event_id") * 7) % 60000).cast("long").as("weight"),
+            (col("user_id") % 256).cast("long").as("r"),
+            ((col("user_id") * 3) % 256).cast("long").as("g"),
+            ((col("user_id") * 7) % 256).cast("long").as("b"),
+            ((col("user_id") * 11) % 256).cast("long").as("a"))
+          .foreachPartition { rows: Iterator[Row] =>
+            rows.foreach { row =>
+              val aid = row.getLong(0)
+              val ann = Annotation(aid,
+                (1 to 3).map(i => row.getLong(i).toFloat).toArray,
+                (4 to 8).map(i => row.getLong(i).toDouble).toArray)
+              val rels = Seq(Seq(relSegid(0, aid)), Seq(relSegid(1, aid)))
+              Files.write(Paths.get(byIdStr, aid.toString),
+                AnnotationCodec.encodeSingle(spec, ann, rels))
+            }
+          }
+        // read side: spec + relationship count re-derived from the
+        // written info, one decode per by-id object
+        val rspec = AnnotationCodec.readInfo(target)
+        val nRels = AnnotationCodec.readRelationships(target).size
+        val ids = Files.list(byIdDir).iterator.asScala
+          .map(_.getFileName.toString.toLong).toSeq.sorted
+        s.createDataset(ids)
+          .repartition(math.max(ids.size / 64, 1))
+          .map { aid =>
+            val (a, rels) = AnnotationCodec.decodeSingle(rspec, nRels, aid,
+              Files.readAllBytes(Paths.get(byIdStr, aid.toString)))
+            (aid, a.geometry(0).toLong, a.geometry(1).toLong,
+              a.geometry(2).toLong, a.props(0).toLong, a.props(1).toLong,
+              a.props(2).toLong, a.props(3).toLong, a.props(4).toLong,
+              rels(0).head, rels(1).head)
+          }
+          .toDF("aid", "ax", "ay", "az", "weight", "r", "g", "b", "a",
+            "presyn", "postsyn")
+      },
+      Some("""SELECT event_id AS aid, event_id % 64 AS ax,
+        |  user_id % 64 AS ay, (event_id // 64) % 32 AS az,
+        |  (event_id * 7) % 60000 AS weight, user_id % 256 AS r,
+        |  (user_id * 3) % 256 AS g, (user_id * 7) % 256 AS b,
+        |  (user_id * 11) % 256 AS a,
+        |  (event_id * 3) % 40 AS presyn, (event_id * 5 + 1) % 40 AS postsyn
+        |FROM events WHERE event_id % 20 = 0""".stripMargin)),
 
     // P8 (POLYLINE variant): variable-length records — u32 vertex
     // count + num_points*ndim f32 per annotation (annotation/

@@ -6,6 +6,31 @@ import org.apache.spark.sql.SparkSession
   * is test scaffolding, not operator work, so the bench hoists it out
   * of the per-query timings for ALL families, not just the real layer.
   */
+/** Stderr breadcrumb on every fixture rebuild. Fixtures are built once
+  * in bench setup (Fixtures.ensureAll); a rebuild INSIDE a timed bench
+  * pass means some entry invalidated a sibling's fixture (marker
+  * cross-talk) and is charging the rebuild to whichever query touched
+  * it first — this line is how that gets caught.
+  */
+object FixtureLog {
+  private val events =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+
+  def rebuild(marker: java.nio.file.Path): Unit = {
+    events.add((System.nanoTime(), marker.toString))
+    System.err.println(s"[fixture-rebuild] ${java.time.Instant.now()} $marker")
+  }
+
+  /** Rebuilds recorded after `sinceNanos` (System.nanoTime basis) —
+    * the bench reports any that land inside the timed loop, where a
+    * rebuild means fixture cross-talk distorting a query's number.
+    */
+  def rebuildsSince(sinceNanos: Long): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    events.iterator.asScala.filter(_._1 > sinceNanos).map(_._2).toSeq
+  }
+}
+
 object Fixtures {
   def ensureAll(s: SparkSession, sfDir: String): Unit = {
     RealLayerQueries.ensure(s, sfDir)

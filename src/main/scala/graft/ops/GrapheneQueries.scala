@@ -174,6 +174,63 @@ object GrapheneQueries {
         |SELECT root, node FROM n
         |WHERE nx < 8 AND ny < 8 AND nz < 4""".stripMargin)),
 
+    // J5 stop_layer variant (frontends/graphene.py:721-784 get_roots
+    // stop_layer: "return the lowest parent at or above that layer"):
+    // UPWARD resolution that stops early — inputs already at or above
+    // stop_layer map to themselves (the reference's base_remap
+    // self-mapping for layer in {stop_layer, n_layers}), everything
+    // else climbs parent edges until its decoded layer bits reach
+    // stop_layer. A skip-connected leaf's parent is the layer-3 root,
+    // which lands ABOVE stop_layer 2 — the reference returns that
+    // parent, not an (absent) layer-2 ancestor. The input set mixes
+    // layer-1 leaves with their distinct layer-2 parents so both the
+    // climb and the self-mapping paths execute.
+    "j5c_roots_stop_layer" -> Q(
+      (s, dir) => {
+        val (lv, es) = edges(s, dir)
+        val stopLayer = 2
+        val up = es.select(col("child").as("node"), col("parent"))
+        val inputs = lv.select(col("leaf").as("segid")).unionAll(
+          lv.filter(!col("skip")).select(col("parent").as("segid"))
+            .distinct())
+        var frontier = inputs.select(col("segid"), col("segid").as("node"))
+        var out: DataFrame = null
+        def acc(d: DataFrame): Unit =
+          out = if (out == null) d else out.unionAll(d)
+        // root layer 3 -> at most 2 climbs reach stop_layer from any
+        // input; nodes at-or-above stop_layer peel off each round
+        (0 until 2).foreach { _ =>
+          val layer = shiftrightunsigned(col("node"), 56)
+          acc(frontier.filter(layer >= stopLayer))
+          frontier = frontier.filter(layer < stopLayer)
+            .join(up, Seq("node"))
+            .select(col("segid"), col("parent").as("node"))
+        }
+        acc(frontier)
+        out.select(col("segid"), col("node").as("resolved"))
+      },
+      Some(s"""WITH lf AS (
+        |  SELECT s_suppkey AS sk, s_suppkey // 10 AS p2,
+        |         s_suppkey // 100 AS r
+        |  FROM supplier),
+        |ans AS (
+        |  SELECT 1 * $L + (sk % 20) * $X + ((sk * 3) % 20) * $Y
+        |           + (sk % 10) * $Z + sk AS segid,
+        |         CASE WHEN sk % 7 = 0
+        |           THEN 3 * $L + (r % 5) * $X + ((r * 3) % 5) * $Y
+        |                + (r % 3) * $Z + r
+        |           ELSE 2 * $L + (p2 % 10) * $X + ((p2 * 3) % 10) * $Y
+        |                + (p2 % 5) * $Z + p2 END AS resolved
+        |  FROM lf
+        |  UNION ALL
+        |  SELECT DISTINCT
+        |    2 * $L + (p2 % 10) * $X + ((p2 * 3) % 10) * $Y
+        |      + (p2 % 5) * $Z + p2 AS segid,
+        |    2 * $L + (p2 % 10) * $X + ((p2 * 3) % 10) * $Y
+        |      + (p2 % 5) * $Z + p2 AS resolved
+        |  FROM lf WHERE sk % 7 <> 0)
+        |SELECT segid, resolved FROM ans""".stripMargin)),
+
     // J5 as-of variant: proofreading-timestamp root resolution
     // (frontends/graphene.py:37-54,721-746 — "query the state of the
     // graph as of T"). Edges carry [valid_from, valid_to) validity; a

@@ -83,6 +83,7 @@ object MeshQueries {
     val marker = Paths.get(Root, ".built_from")
     val markerVal = s"$sfDir|v3" // v3: executor-side manifest/blob assembly
     if (Files.exists(marker) && Files.readString(marker) == markerVal) return
+    FixtureLog.rebuild(marker)
     val rootP = Paths.get(Root)
     if (Files.exists(rootP)) {
       import scala.jdk.CollectionConverters._

@@ -189,6 +189,7 @@ object RealLayerQueries {
     if (Files.exists(marker) &&
       Files.readString(marker).startsWith(markerPrefix) &&
       Files.exists(Paths.get(LayerDir, "info"))) return
+    FixtureLog.rebuild(marker)
     // rebuild from scratch
     val rootP = Paths.get(Root)
     if (Files.exists(rootP)) {

@@ -93,6 +93,7 @@ object SkeletonQueries {
     val markerPrefix = s"$sfDir|v2|" // v2: vertex_types attribute
     if (Files.exists(marker) &&
       Files.readString(marker).startsWith(markerPrefix)) return
+      FixtureLog.rebuild(marker)
     val rootP = Paths.get(Root)
     if (Files.exists(rootP)) {
       import scala.jdk.CollectionConverters._
@@ -136,6 +137,7 @@ object SkeletonQueries {
     val want = stamp // rebuild when the unsharded source rebuilt
     val marker = Paths.get(Root, ".built_sharded_from")
     if (Files.exists(marker) && Files.readString(marker) == want) return
+    FixtureLog.rebuild(marker)
     val shP = Paths.get(ShardedDir)
     if (Files.exists(shP)) {
       import scala.jdk.CollectionConverters._

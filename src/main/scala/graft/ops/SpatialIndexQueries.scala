@@ -81,6 +81,7 @@ object SpatialIndexQueries {
   def ensure(s: SparkSession, sfDir: String): Unit = synchronized {
     val marker = Paths.get(Root, ".built_from")
     if (Files.exists(marker) && Files.readString(marker) == sfDir) return
+    FixtureLog.rebuild(marker)
     val rootP = Paths.get(Root)
     if (Files.exists(rootP)) {
       import scala.jdk.CollectionConverters._

@@ -43,6 +43,7 @@ object StreamQueries {
       val dir = Paths.get(Root, "events")
       val marker = Paths.get(Root, ".built_from")
       if (!Files.exists(marker) || Files.readString(marker) != sfDir) {
+        FixtureLog.rebuild(marker)
         if (Files.exists(dir)) {
           import scala.jdk.CollectionConverters._
           Files.walk(dir).iterator.asScala.toSeq.reverse
@@ -65,6 +66,7 @@ object StreamQueries {
       val dir = Paths.get(Root, "docs")
       val marker = Paths.get(Root, ".docs_from")
       if (!Files.exists(marker) || Files.readString(marker) != sfDir) {
+        FixtureLog.rebuild(marker)
         val docs = s.read.parquet(s"$sfDir/documents.parquet")
           .select(col("doc_id"), col("text"))
         docs.unionAll(docs.filter(col("doc_id") % 2 === 0)

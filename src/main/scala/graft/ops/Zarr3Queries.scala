@@ -57,6 +57,7 @@ object Zarr3Queries {
     val want = RealLayerQueries.stamp
     val marker = Paths.get(Root, ".built_from")
     if (Files.exists(marker) && Files.readString(marker) == want) return
+    FixtureLog.rebuild(marker)
     val arrP = Paths.get(ArrayDir)
     if (Files.exists(arrP)) {
       import scala.jdk.CollectionConverters._
@@ -82,6 +83,7 @@ object Zarr3Queries {
     val want = RealLayerQueries.stamp
     val marker = Paths.get(Root, ".built_zstd_from")
     if (Files.exists(marker) && Files.readString(marker) == want) return
+    FixtureLog.rebuild(marker)
     val arrP = Paths.get(ZstdDir)
     if (Files.exists(arrP)) {
       import scala.jdk.CollectionConverters._
@@ -129,6 +131,7 @@ object Zarr3Queries {
     val want = RealLayerQueries.stamp
     val marker = Paths.get(Root, ".built_t_from")
     if (Files.exists(marker) && Files.readString(marker) == want) return
+    FixtureLog.rebuild(marker)
     val arrP = Paths.get(TDir)
     if (Files.exists(arrP)) {
       import scala.jdk.CollectionConverters._
@@ -172,6 +175,7 @@ object Zarr3Queries {
     val want = RealLayerQueries.stamp
     val marker = Paths.get(Root, ".built_tc_from")
     if (Files.exists(marker) && Files.readString(marker) == want) return
+    FixtureLog.rebuild(marker)
     val arrP = Paths.get(TCDir)
     if (Files.exists(arrP)) {
       import scala.jdk.CollectionConverters._
@@ -217,6 +221,7 @@ object Zarr3Queries {
     val want = RealLayerQueries.stamp
     val marker = Paths.get(Root, ".built_ome_from")
     if (Files.exists(marker) && Files.readString(marker) == want) return
+    FixtureLog.rebuild(marker)
     val arrP = Paths.get(OmeDir)
     if (Files.exists(arrP)) {
       import scala.jdk.CollectionConverters._
@@ -287,6 +292,7 @@ object Zarr3Queries {
     val want = RealLayerQueries.stamp
     val marker = Paths.get(Root, ".built_sharded_from")
     if (Files.exists(marker) && Files.readString(marker) == want) return
+    FixtureLog.rebuild(marker)
     val shRoot = Paths.get(ShardedDir)
     if (Files.exists(shRoot)) {
       import scala.jdk.CollectionConverters._
@@ -339,6 +345,7 @@ object Zarr3Queries {
     val want = RealLayerQueries.stamp
     val marker = Paths.get(Root, ".built_n5_from")
     if (Files.exists(marker) && Files.readString(marker) == want) return
+    FixtureLog.rebuild(marker)
     val n5root = Paths.get(N5Dir)
     if (Files.exists(n5root)) {
       import scala.jdk.CollectionConverters._
@@ -364,6 +371,7 @@ object Zarr3Queries {
     val want = RealLayerQueries.stamp
     val marker = Paths.get(Root, ".built_n5lz4_from")
     if (Files.exists(marker) && Files.readString(marker) == want) return
+    FixtureLog.rebuild(marker)
     val n5root = Paths.get(N5Lz4Dir)
     if (Files.exists(n5root)) {
       import scala.jdk.CollectionConverters._
@@ -403,6 +411,7 @@ object Zarr3Queries {
     val want = RealLayerQueries.stamp + "|v2" // v2: "/" separator
     val marker = Paths.get(Root, ".built_z2f_from")
     if (Files.exists(marker) && Files.readString(marker) == want) return
+    FixtureLog.rebuild(marker)
     val z2root = Paths.get(Zarr2FDir)
     if (Files.exists(z2root)) {
       import scala.jdk.CollectionConverters._
@@ -434,6 +443,7 @@ object Zarr3Queries {
     val want = RealLayerQueries.stamp + "|z2ome-v1"
     val marker = Paths.get(Root, ".built_z2ome_from")
     if (Files.exists(marker) && Files.readString(marker) == want) return
+    FixtureLog.rebuild(marker)
     val z2root = Paths.get(Zarr2OmeDir)
     if (Files.exists(z2root)) {
       import scala.jdk.CollectionConverters._
@@ -515,6 +525,7 @@ object Zarr3Queries {
     val want = RealLayerQueries.stamp + "|z2grp-v1"
     val marker = Paths.get(Root, ".built_z2grp_from")
     if (Files.exists(marker) && Files.readString(marker) == want) return
+    FixtureLog.rebuild(marker)
     val gRoot = Paths.get(Zarr2GroupDir)
     if (Files.exists(gRoot)) {
       import scala.jdk.CollectionConverters._
@@ -573,6 +584,7 @@ object Zarr3Queries {
     val want = RealLayerQueries.stamp + "|z2cons-v1"
     val marker = Paths.get(Root, ".built_z2cons_from")
     if (Files.exists(marker) && Files.readString(marker) == want) return
+    FixtureLog.rebuild(marker)
     val gRoot = Paths.get(Zarr2ConsDir)
     if (Files.exists(gRoot)) {
       import scala.jdk.CollectionConverters._
@@ -609,6 +621,7 @@ object Zarr3Queries {
     val want = RealLayerQueries.stamp + "|z3grp-v1"
     val marker = Paths.get(Root, ".built_z3grp_from")
     if (Files.exists(marker) && Files.readString(marker) == want) return
+    FixtureLog.rebuild(marker)
     val gRoot = Paths.get(Zarr3GroupDir)
     if (Files.exists(gRoot)) {
       import scala.jdk.CollectionConverters._
@@ -677,6 +690,7 @@ object Zarr3Queries {
     val want = RealLayerQueries.stamp + "|n5grp-v1"
     val marker = Paths.get(Root, ".built_n5grp_from")
     if (Files.exists(marker) && Files.readString(marker) == want) return
+    FixtureLog.rebuild(marker)
     val gRoot = Paths.get(N5GroupDir)
     if (Files.exists(gRoot)) {
       import scala.jdk.CollectionConverters._
@@ -702,6 +716,7 @@ object Zarr3Queries {
     val want = RealLayerQueries.stamp + "|z3cons-v1"
     val marker = Paths.get(Root, ".built_z3cons_from")
     if (Files.exists(marker) && Files.readString(marker) == want) return
+    FixtureLog.rebuild(marker)
     val gRoot = Paths.get(Zarr3ConsDir)
     if (Files.exists(gRoot)) {
       import scala.jdk.CollectionConverters._
@@ -734,6 +749,7 @@ object Zarr3Queries {
     val want = RealLayerQueries.stamp + "|xz-v1"
     val marker = Paths.get(Root, ".built_n5xz_from")
     if (Files.exists(marker) && Files.readString(marker) == want) return
+    FixtureLog.rebuild(marker)
     val n5root = Paths.get(N5XzDir)
     if (Files.exists(n5root)) {
       import scala.jdk.CollectionConverters._
@@ -761,6 +777,7 @@ object Zarr3Queries {
     val want = RealLayerQueries.stamp + "|blosc-v2" // v2: DONT_SPLIT flag stamped in frames
     val marker = Paths.get(Root, ".built_z2blosc_from")
     if (Files.exists(marker) && Files.readString(marker) == want) return
+    FixtureLog.rebuild(marker)
     val z2root = Paths.get(Zarr2BloscDir)
     if (Files.exists(z2root)) {
       import scala.jdk.CollectionConverters._
@@ -788,6 +805,7 @@ object Zarr3Queries {
     val want = RealLayerQueries.stamp + "|z2zstd-v1"
     val marker = Paths.get(Root, ".built_z2zstd_from")
     if (Files.exists(marker) && Files.readString(marker) == want) return
+    FixtureLog.rebuild(marker)
     val z2root = Paths.get(Zarr2ZstdDir)
     if (Files.exists(z2root)) {
       import scala.jdk.CollectionConverters._
@@ -812,6 +830,7 @@ object Zarr3Queries {
     val want = RealLayerQueries.stamp + "|blosc-v2" // v2: DONT_SPLIT flag stamped in frames
     val marker = Paths.get(Root, ".built_z3blosc_from")
     if (Files.exists(marker) && Files.readString(marker) == want) return
+    FixtureLog.rebuild(marker)
     val arrP = Paths.get(Zarr3BloscDir)
     if (Files.exists(arrP)) {
       import scala.jdk.CollectionConverters._
@@ -837,6 +856,7 @@ object Zarr3Queries {
     val want = RealLayerQueries.stamp + "|blosc-v2" // v2: DONT_SPLIT flag stamped in frames
     val marker = Paths.get(Root, ".built_n5blosc_from")
     if (Files.exists(marker) && Files.readString(marker) == want) return
+    FixtureLog.rebuild(marker)
     val n5root = Paths.get(N5BloscDir)
     if (Files.exists(n5root)) {
       import scala.jdk.CollectionConverters._
@@ -853,6 +873,7 @@ object Zarr3Queries {
     val want = RealLayerQueries.stamp
     val marker = Paths.get(Root, ".built_z2_from")
     if (Files.exists(marker) && Files.readString(marker) == want) return
+    FixtureLog.rebuild(marker)
     val z2root = Paths.get(Zarr2Dir)
     if (Files.exists(z2root)) {
       import scala.jdk.CollectionConverters._

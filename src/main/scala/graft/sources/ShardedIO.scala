@@ -27,6 +27,56 @@ object ShardedIO {
     udf((gx: Long, gy: Long, gz: Long) =>
       Morton.encode(Vec3(gx, gy, gz), grid))
 
+  /** Ranged read of a label set from ONE shard file — fixed index,
+    * then only the needed minishard indexes, then data ranges
+    * coalesced into bundled reads (sharding.py:731-766). Never loads
+    * the whole shard: the executor-side access pattern that survives
+    * multi-GB shards (byte-range GETs at 100 TB). Shared by the image
+    * cutout and the annotation by-id lookup. Returns (label, payload)
+    * for the labels present, gunzipped per the spec's data encoding.
+    */
+  def readLabelsRanged(shardPath: String, spec: ShardingSpec,
+      labels: Seq[Long]): Seq[(Long, Array[Byte])] = {
+    val want = labels.toSet
+    val raf = new RandomAccessFile(shardPath, "r")
+    try {
+      val idxLen = ShardCodec.indexLength(spec).toInt
+      val fixedBytes = new Array[Byte](idxLen)
+      raf.readFully(fixedBytes)
+      val fixed = ShardCodec.decodeFixedIndex(fixedBytes, spec)
+      // one index read per needed minishard
+      val neededMsn = labels.map(l => spec.shardLocation(l)._2).distinct
+      val entries = neededMsn.flatMap { msn =>
+        val (s0, e0) = fixed(msn.toInt)
+        if (e0 <= s0) Seq.empty
+        else {
+          val buf = new Array[Byte]((e0 - s0).toInt)
+          raf.seek(s0); raf.readFully(buf)
+          ShardCodec.decodeMinishardIndex(buf, spec)
+        }
+      }.filter(e => want.contains(e.label))
+      // coalesce adjacent data ranges into bundled reads (S7/W3)
+      val ranges = entries.map(e => (e.offset, e.offset + e.size))
+      val bundles = ShardIndex.coalesceRanges(ranges)
+      val data = bundles.map { case (s0, e0) =>
+        val buf = new Array[Byte]((e0 - s0).toInt)
+        raf.seek(s0); raf.readFully(buf)
+        (s0, buf)
+      }
+      def slice(off: Long, len: Long): Array[Byte] = {
+        val (bs, bbuf) = data.find { case (s0, b) =>
+          off >= s0 && off + len <= s0 + b.length }.get
+        java.util.Arrays.copyOfRange(bbuf, (off - bs).toInt,
+          (off - bs + len).toInt)
+      }
+      entries.map { e =>
+        val raw = slice(e.offset, e.size)
+        (e.label,
+          if (spec.dataEncoding == "gzip") Codec.gunzip(raw) else raw)
+      }
+    } finally raf.close()
+  }
+
   /** S12: write chunk rows (gx, gy, gz, payload) as shard files. */
   def writeSharded(chunks: DataFrame, layerDir: String, meta: VolumeMeta,
       mip: Int): Unit = {
@@ -116,46 +166,14 @@ object ShardedIO {
       .flatMapGroups { (shardFile, it) =>
         val wanted = it.map(t => (t._2, Vec3(t._3, t._4, t._5))).toSeq
         val byLabel = wanted.toMap
-        val raf = new RandomAccessFile(Paths.get(dir, shardFile).toString, "r")
-        try {
-          val idxLen = ShardCodec.indexLength(spec).toInt
-          val fixedBytes = new Array[Byte](idxLen)
-          raf.readFully(fixedBytes)
-          val fixed = ShardCodec.decodeFixedIndex(fixedBytes, spec)
-          // one index read per needed minishard
-          val neededMsn = wanted.map(w => spec.shardLocation(w._1)._2).distinct
-          val entries = neededMsn.flatMap { msn =>
-            val (s0, e0) = fixed(msn.toInt)
-            if (e0 <= s0) Seq.empty
-            else {
-              val buf = new Array[Byte]((e0 - s0).toInt)
-              raf.seek(s0); raf.readFully(buf)
-              ShardCodec.decodeMinishardIndex(buf, spec)
-            }
-          }.filter(e => byLabel.contains(e.label))
-          // coalesce adjacent data ranges into bundled reads (S7/W3)
-          val ranges = entries.map(e => (e.offset, e.offset + e.size))
-          val bundles = ShardIndex.coalesceRanges(ranges)
-          val data = bundles.map { case (s0, e0) =>
-            val buf = new Array[Byte]((e0 - s0).toInt)
-            raf.seek(s0); raf.readFully(buf)
-            (s0, buf)
-          }
-          def slice(off: Long, len: Long): Array[Byte] = {
-            val (bs, bbuf) = data.find { case (s0, b) =>
-              off >= s0 && off + len <= s0 + b.length }.get
-            java.util.Arrays.copyOfRange(bbuf, (off - bs).toInt, (off - bs + len).toInt)
-          }
-          entries.iterator.map { e =>
-            val raw = slice(e.offset, e.size)
-            val payload =
-              if (spec.dataEncoding == "gzip") Codec.gunzip(raw) else raw
-            val g = byLabel(e.label)
+        readLabelsRanged(Paths.get(dir, shardFile).toString, spec,
+          wanted.map(_._1))
+          .iterator.map { case (label, payload) =>
+            val g = byLabel(label)
             val cb = Geom.chunkBbox(g, bounds, cs)
             (g.x, g.y, g.z, cb.minpt.x, cb.minpt.y, cb.minpt.z,
               cb.maxpt.x, cb.maxpt.y, cb.maxpt.z, payload)
           }
-        } finally raf.close()
       }
       .toDF("gx", "gy", "gz", "x0", "y0", "z0", "x1", "y1", "z1", "payload")
     PrecomputedIO.decodeToVoxels(chunkRows, bbox, scale, meta.dtypeBytes)

@@ -65,9 +65,14 @@ def loc(label, pre, msb, sb):
     shard = (chunkid & (((1 << (msb + sb)) - 1) ^ ((1 << msb) - 1))) >> msb
     return chunkid, shard, mini
 
-# canonical vector from the reference test suite: expect shard 42, mini 18
+# canonical vector from the reference test suite: the reference prints
+# the shard as a HEX string ('42' = 0x42 = 66 decimal) and the
+# minishard in decimal (18). Hard-fail generation on any hash drift —
+# a print-only check would keep emitting wrong rows.
 cid, sh, ms = loc(1822975381, 6, 11, 7)
-print("# canonical:", sh, ms, "(expect 42 18)")
+assert sh == 0x42 and ms == 18, \
+    f"mmh3 drift: got shard={sh} mini={ms}, want shard=0x42(=66) mini=18"
+print(f"# canonical: shard={sh} (hex {sh:#x}, reference prints '42') mini={ms}")
 def tosigned(u): return u - (1 << 64) if u >= (1 << 63) else u
 labels = [1822975381] + [(k * 2654435761) % (1 << 40) for k in range(1, 16)]
 for l in labels:
