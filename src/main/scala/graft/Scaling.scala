@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Empirical scale-slope check (round-11 brief item 6): run the most
+  * expensive bench queries at sf0.01 AND sf0.1 in ONE JVM session and
+  * record the per-query time ratio. 10x the data should cost ~10x for
+  * scans/aggs (linear), <=10x for banded/bucketed candidate generation
+  * (LSH, CC's boundary-stitch), and ~1x for fixture-backed entries
+  * whose fixture geometry is SF-independent (the real-layer family is
+  * a fixed 60x60x28 volume at every sf — only label CONTENT derives
+  * from the sf tables). A superlinear ratio (>~12x) flags a hidden
+  * quadratic; results are interpreted in SCALING.md.
+  *
+  * Per SF: Fixtures.ensureAll + one untimed warm pass per query
+  * (fixture build + JIT outside the timer, matching Bench), then 3
+  * timed reps; median reported. SFs run low->high so sf0.1 numbers
+  * can't benefit from sf0.01 leftovers (fixtures are marker-keyed by
+  * sfDir and rebuild on switch, during the warm pass).
+  */
+object Scaling {
+  private val DefaultQueries = Seq(
+    // top-10 by r10 driver bench median
+    "p8g_annotation_by_id_sharded", "st5_stream_static_join",
+    "st3_time_chunked_ingest", "st4_stream_dedup", "j6b_leaves_stop_layer",
+    "dedup_minhash_lsh", "dedup_cluster", "st2_stream_chunk_labels",
+    "cc_components", "st1_window_counts",
+    // next tier + canonical sf-scaled scans/aggs for slope contrast
+    "st6_stream_session", "j4_remap_chunked", "tfidf_top_terms",
+    "dedup_keep", "q1_pricing", "dedup_exact", "sim_topk_bruteforce",
+    "a1_unique")
+
+  def main(args: Array[String]): Unit = {
+    val names = if (args.nonEmpty) args.toSeq else DefaultQueries
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .appName("graft-scaling").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val sfs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    val medians = scala.collection.mutable.Map[(String, String), Double]()
+    val rows = scala.collection.mutable.Map[(String, String), Long]()
+    for (sfDir <- sfs) {
+      graft.ops.Fixtures.ensureAll(spark, sfDir)
+      // warm pass: fixture (re)builds at this sf + JIT, untimed
+      names.foreach { n =>
+        try SparkEntry.queries(n)(spark, sfDir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[scaling] warm $n @ $sfDir FAILED: $e") }
+      }
+      for (n <- names) {
+        val reps = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          val c = SparkEntry.queries(n)(spark, sfDir).count()
+          rows((n, sfDir)) = c
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        medians((n, sfDir)) = reps(1)
+        println(f"[scaling] $n @ ${sfDir.split('/').last}: " +
+          f"median=${reps(1)}%.3f s reps=${reps.map(r => f"$r%.3f").mkString(",")} " +
+          f"rows=${rows((n, sfDir))}")
+      }
+    }
+    println("query\tsf0.01_s\tsf0.1_s\tratio\trows0.01\trows0.1")
+    names.foreach { n =>
+      val a = medians.getOrElse((n, sfs(0)), Double.NaN)
+      val b = medians.getOrElse((n, sfs(1)), Double.NaN)
+      println(f"$n\t$a%.3f\t$b%.3f\t${b / a}%.2f\t" +
+        f"${rows.getOrElse((n, sfs(0)), -1L)}\t${rows.getOrElse((n, sfs(1)), -1L)}")
+    }
+    spark.stop()
+  }
+}
