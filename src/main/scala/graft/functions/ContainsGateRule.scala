@@ -104,10 +104,13 @@ object ContainsGateRule extends Rule[LogicalPlan] with PredicateHelper {
     }
     if (enc != "raw" && enc != "compressed_segmentation") return None
     if (ks.isEmpty) return None
+    // a missing (null-payload) chunk reads back as all-background —
+    // the decode name's trailing field (absent on older names = 0)
+    val bg = if (parts.length > 3) parts(3).toLong else 0L
     val karr = ks.toArray
     val fn = (x0: Long, y0: Long, z0: Long, x1: Long, y1: Long, z1: Long,
         p: Array[Byte]) =>
-      if (p == null) karr.contains(0L)
+      if (p == null) karr.contains(bg)
       else if (enc == "compressed_segmentation") {
         val ls = Cseg.labels(p, Vec3(x1 - x0, y1 - y0, z1 - z0), bs, dtb)
         karr.exists(ls.contains)

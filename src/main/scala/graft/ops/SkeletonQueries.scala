@@ -1,7 +1,7 @@
 package graft.ops
 
 import java.nio.file.{Files, Paths}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.{ShardCodec, ShardingSpec, SkeletonCodec}
@@ -252,6 +252,127 @@ object SkeletonQueries {
       },
       Some(s"""WITH $VertCte
         |SELECT segid, vid, x, y, z, radius, vtype FROM g""".stripMargin)),
+
+    // SWC text roundtrip (public SWC format, Cannon et al. 1998; the
+    // reference's Skeleton.to_swc/from_swc surface via osteoid —
+    // skeleton.py:1, test/test_skeletons.py:461-527): every decoded
+    // skeleton exports to SWC text and re-imports, and the re-imported
+    // vertices must reproduce the skel_decode oracle exactly. The
+    // export re-roots the undirected edge list depth-first from each
+    // component's lowest vertex, so the chain fixture preserves vertex
+    // order; parse happens in the same executor task (narrow map, no
+    // shuffle added over skel_decode).
+    "skel_swc_roundtrip" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        val swcRows = udf((vs: Seq[Float], es: Seq[Int], rs: Seq[Float],
+            ts: Seq[Long]) => {
+          val sk = SkeletonCodec.Skeleton(vs.toArray, es.toArray,
+            rs.toArray, ts.map(_.toByte).toArray)
+          val back = SkeletonCodec.fromSwc(SkeletonCodec.toSwc(sk))
+          require(back.ne == sk.ne, s"SWC edge count ${back.ne} != ${sk.ne}")
+          back.radii.indices.map(i => (i.toLong,
+            back.vertices(3 * i).toLong, back.vertices(3 * i + 1).toLong,
+            back.vertices(3 * i + 2).toLong, back.radii(i).toLong,
+            (back.vertexTypes(i) & 0xff).toLong))
+        })
+        decoded(s)
+          .select(col("segid"),
+            explode(swcRows(col("verts"), col("edges"), col("radii"),
+              col("vtypes"))).as("v"))
+          .select(col("segid"), col("v._1").as("vid"), col("v._2").as("x"),
+            col("v._3").as("y"), col("v._4").as("z"),
+            col("v._5").as("radius"), col("v._6").as("vtype"))
+      },
+      Some(s"""WITH $VertCte
+        |SELECT segid, vid, x, y, z, radius, vtype FROM g""".stripMargin)),
+
+    // Skeleton path-downsample (reference Skeleton.downsample via
+    // osteoid — vectors test/test_skeletons.py:350-456): each
+    // branch-free path keeps every 2nd vertex from its start plus its
+    // endpoints, so terminals and branch points always survive.
+    // Narrow per-skeleton map over the decode scan — the chain fixture
+    // keeps vid % 2 == 0 and the chain tail, which is what the oracle
+    // replays relationally.
+    "skel_downsample" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        val dsRows = udf((vs: Seq[Float], es: Seq[Int], rs: Seq[Float],
+            ts: Seq[Long]) => {
+          val sk = SkeletonCodec.Skeleton(vs.toArray, es.toArray,
+            rs.toArray, ts.map(_.toByte).toArray)
+          val d = SkeletonCodec.downsample(sk, 2)
+          d.radii.indices.map(i => (i.toLong,
+            d.vertices(3 * i).toLong, d.vertices(3 * i + 1).toLong,
+            d.vertices(3 * i + 2).toLong, d.radii(i).toLong,
+            (d.vertexTypes(i) & 0xff).toLong))
+        })
+        decoded(s)
+          .select(col("segid"),
+            explode(dsRows(col("verts"), col("edges"), col("radii"),
+              col("vtypes"))).as("v"))
+          .select(col("segid"), col("v._1").as("vid"), col("v._2").as("x"),
+            col("v._3").as("y"), col("v._4").as("z"),
+            col("v._5").as("radius"), col("v._6").as("vtype"))
+      },
+      Some(s"""WITH $VertCte,
+        |n AS (SELECT segid, max(vid) AS mx FROM g GROUP BY segid),
+        |k AS (SELECT g.segid, g.vid, g.x, g.y, g.z, g.radius, g.vtype
+        |      FROM g JOIN n ON g.segid = n.segid
+        |      WHERE g.vid % 2 = 0 OR g.vid = n.mx),
+        |r AS (SELECT segid, row_number() OVER (
+        |        PARTITION BY segid ORDER BY vid) - 1 AS nvid,
+        |        x, y, z, radius, vtype FROM k)
+        |SELECT segid, nvid AS vid, x, y, z, radius, vtype
+        |FROM r""".stripMargin)),
+
+    // Skeleton connected components (reference Skeleton.components,
+    // test/test_skeletons.py:561-585) over genuinely multi-component
+    // skeletons: the merge grouping's 3 disconnected chain fragments
+    // per merged id. Fragments concatenate with vertex offsets (the
+    // skel_merge shape), then split back into components ordered by
+    // lowest vertex index — which is fragment order by segid, the
+    // relational replay the oracle runs.
+    "skel_components" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        val compRows = udf((frags: Seq[Row]) => {
+          val sorted = frags.sortBy(_.getLong(0))
+          val verts = Array.newBuilder[Float]
+          val edges = Array.newBuilder[Int]
+          val radii = Array.newBuilder[Float]
+          val vtypes = Array.newBuilder[Byte]
+          var off = 0
+          sorted.foreach { r =>
+            val vs = r.getSeq[Float](1); val es = r.getSeq[Int](2)
+            verts ++= vs
+            es.foreach(e => edges += off + e)
+            radii ++= r.getSeq[Float](3)
+            vtypes ++= r.getSeq[Long](4).map(_.toByte)
+            off += vs.length / 3
+          }
+          val merged = SkeletonCodec.Skeleton(verts.result(),
+            edges.result(), radii.result(), vtypes.result())
+          SkeletonCodec.components(merged).zipWithIndex.map {
+            case (c, i) => (i.toLong, c.nv.toLong, c.ne.toLong)
+          }
+        })
+        decoded(s)
+          .groupBy((col("segid") % 10).as("mid"))
+          .agg(collect_list(struct(col("segid"), col("verts"),
+            col("edges"), col("radii"), col("vtypes"))).as("frags"))
+          .select(col("mid"), explode(compRows(col("frags"))).as("c"))
+          .select(col("mid"), col("c._1").as("cid"), col("c._2").as("nv"),
+            col("c._3").as("ne"))
+      },
+      Some(s"""WITH $VertCte,
+        |cnt AS (SELECT segid, segid % 10 AS mid, count(*) AS nv
+        |        FROM g GROUP BY segid),
+        |r AS (SELECT mid, row_number() OVER (
+        |        PARTITION BY mid ORDER BY segid) - 1 AS cid, nv
+        |      FROM cnt)
+        |SELECT mid, cid, CAST(nv AS BIGINT) AS nv,
+        |       CAST(nv - 1 AS BIGINT) AS ne FROM r""".stripMargin)),
 
     // Skeleton edges + per-skeleton cable metric: edge list decode and
     // the sum of squared segment lengths (integer-exact across

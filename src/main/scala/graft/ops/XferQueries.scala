@@ -478,6 +478,28 @@ object XferQueries {
         |       THEN 0 ELSE label END AS label
         |FROM $Sidecar""".stripMargin)),
 
+    // S15 background_color variant (test_cloudvolume.py:85-140;
+    // image/rx.py background buffers honor the session's
+    // background_color, not just 0): the deleted region reads back as
+    // the configured background value through the same null-payload
+    // path, and the ContainsGateRule credits missing chunks with the
+    // background label instead of 0
+    "s15b_fill_missing_bg" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        val target = s"${RealLayerQueries.Root}/layer_s15b"
+        WriteQueries.cloneLayer(s, target)
+        deleteChunks(s, target, DeleteBox)
+        PrecomputedIO.cutoutVoxels(s, target,
+          Bbox(Vec3(0, 0, 0), Vec3(SX, SY, SZ)), fillMissing = true,
+          background = 7L)
+      },
+      Some(s"""SELECT x, y, z,
+        |  CASE WHEN x // $CX BETWEEN 1 AND 2 AND y // $CY BETWEEN 1 AND 2
+        |            AND z // $CZ BETWEEN 1 AND 2
+        |       THEN 7 ELSE label END AS label
+        |FROM $Sidecar""".stripMargin)),
+
     // S17: memory cutout — cutout pinned via cache + temp view
     "s17_memory_cutout" -> Q(
       (s, dir) => {

@@ -111,7 +111,8 @@ object PrecomputedIO {
     * production cutouts stay at chunk granularity (rx.py:239-379).
     */
   def cutoutVoxels(spark: SparkSession, layerDir: String, bbox: Bbox,
-      mip: Int = 0, fillMissing: Boolean = false): DataFrame = {
+      mip: Int = 0, fillMissing: Boolean = false,
+      background: Long = 0L): DataFrame = {
     val meta = readInfo(layerDir)
     // never reinterpret IEEE float payloads as integers — that is
     // silent data corruption, not a decode
@@ -135,13 +136,13 @@ object PrecomputedIO {
         (col("id") % sz.x + clip.minpt.x).as("x"),
         ((col("id") / sz.x).cast("long") % sz.y + clip.minpt.y).as("y"),
         ((col("id") / (sz.x * sz.y)).cast("long") + clip.minpt.z).as("z"),
-        lit(0L).as("label"))
+        lit(background).as("label"))
     }
     val chunks = readChunks(spark, layerDir, mip, fillMissing)
       .filter(col("x1") > bbox.minpt.x && col("x0") < bbox.maxpt.x &&
         col("y1") > bbox.minpt.y && col("y0") < bbox.maxpt.y &&
         col("z1") > bbox.minpt.z && col("z0") < bbox.maxpt.z)
-    decodeToVoxels(chunks, bbox, scale, meta.dtypeBytes)
+    decodeToVoxels(chunks, bbox, scale, meta.dtypeBytes, background)
   }
 
   /** S4 float-image cutout (float32/float64 raw layers — the
@@ -279,20 +280,25 @@ object PrecomputedIO {
 
   /** Shared decode stage: chunk rows (x0..z1, payload) -> voxel rows
     * clipped to `bbox`, dispatching on the scale's encoding.
+    * `background` is the fill value for missing (null-payload) chunks —
+    * the reference's background_color option (image/rx.py background
+    * buffers; test_cloudvolume.py:85-140), default 0.
     */
   def decodeToVoxels(chunks: DataFrame, bbox: Bbox, scale: ScaleMeta,
-      dtb: Int): DataFrame = {
+      dtb: Int, background: Long = 0L): DataFrame = {
     val enc = scale.encoding
     val csegBs = scale.csegBlockSize.getOrElse(Vec3(8, 8, 8))
+    val bg = background
     // the UDF name carries the codec parameters so the ContainsGateRule
     // optimizer rule can synthesize a payload-level contains() gate
     // for label-equality filters above this decode (see
-    // graft.functions.ContainsGateRule)
+    // graft.functions.ContainsGateRule); the trailing field is the
+    // background value the gate must credit to null payloads
     val decodeUdf = udf((x0: Long, y0: Long, z0: Long, x1: Long, y1: Long,
         z1: Long, payload: Array[Byte]) => {
       val sx = x1 - x0; val sy = y1 - y0; val sz = z1 - z0
       val vox =
-        if (payload == null) new Array[Long]((sx * sy * sz).toInt)
+        if (payload == null) Array.fill((sx * sy * sz).toInt)(bg)
         else if (enc == "compressed_segmentation")
           Cseg.decode(payload, Vec3(sx, sy, sz), csegBs, dtb)
         else if (enc == "png" && dtb == 2) Codec.decodePng16(payload)
@@ -320,7 +326,7 @@ object PrecomputedIO {
       }
       out.toSeq
     }).withName(s"graft_decode_voxels:$enc:$dtb:" +
-      s"${csegBs.x}_${csegBs.y}_${csegBs.z}")
+      s"${csegBs.x}_${csegBs.y}_${csegBs.z}:$bg")
     chunks
       .select(explode(decodeUdf(col("x0"), col("y0"), col("z0"),
         col("x1"), col("y1"), col("z1"), col("payload"))).as("vx"))
