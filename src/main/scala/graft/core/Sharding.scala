@@ -135,3 +135,161 @@ object ShardIndex {
     }.reverse
   }
 }
+
+/** Sharding-scheme planners (sharding.py:985-1083
+  * compute_shard_params_for_hashed / compute_shard_params_for_image,
+  * :1215-1260 image_shard_shape_from_spec) — the utilities that pick
+  * (shard_bits, minishard_bits, preshift_bits) when CREATING a sharded
+  * layer, sized so shard/minishard indices stay cache- and
+  * network-friendly. Pure arithmetic, mirrored exactly (including the
+  * 0.55-utilization shard-bit giveback and the z-slice preshift
+  * padding) so specs planned here agree with the reference's.
+  */
+object ShardParams {
+
+  private def ceilLog2(x: Double): Double = math.ceil(math.log(x) / math.log(2))
+
+  /** For uniformly-hashed keys (skeletons/meshes; murmurhash spreads
+    * them): preshift bits are useless, so solve for shard/minishard
+    * bits against the index-size budgets. Known answers:
+    * test_sharding.py:474-519.
+    *
+    * @return (shardBits, minishardBits, preshiftBits=0)
+    */
+  def forHashed(numLabels: Long, shardIndexBytes: Long = 1L << 13,
+      minishardIndexBytes: Long = 1L << 15, minShards: Long = 1)
+      : (Int, Int, Int) = {
+    require(minShards >= 1, s"minShards $minShards must be >= 1")
+    if (numLabels <= 0) return (0, 0, 0)
+    val numMinishardsPerShard = shardIndexBytes / 2.0 / 8.0
+    val labelsPerMinishard = minishardIndexBytes / 3.0 / 8.0
+    val labelsPerShard = numMinishardsPerShard * labelsPerMinishard
+    var (shardBits, minishardBits) =
+      if (numLabels >= labelsPerShard) {
+        val msb = ceilLog2(numMinishardsPerShard)
+        (ceilLog2(numLabels / (labelsPerMinishard * math.pow(2, msb))), msb)
+      } else if (numLabels >= labelsPerMinishard) {
+        (0.0, ceilLog2(numLabels / labelsPerMinishard))
+      } else (0.0, 0.0)
+    val capacity = labelsPerShard * math.pow(2, shardBits)
+    if (numLabels / capacity <= 0.55) shardBits -= 1
+    shardBits = math.max(shardBits, 0)
+    // np.round = banker's rounding = Math.rint
+    val minShardBits = math.rint(math.log(minShards.toDouble) / math.log(2))
+    val delta = math.max(minShardBits - shardBits, 0)
+    shardBits += delta
+    minishardBits -= delta
+    shardBits = math.max(shardBits, minShardBits)
+    minishardBits = math.max(minishardBits, 0)
+    (shardBits.toInt, minishardBits.toInt, 0)
+  }
+
+  /** For morton-coded image chunks: pack ~`uncompressedShardBytes` of
+    * chunks per shard via preshift bits, split minishards until the
+    * per-minishard label count and both index sizes fit their budgets,
+    * and pad z-slice layers' preshift so shard shapes stay cubic in
+    * x/y (sharding.py:1060-1213). Invariant checks mirror the
+    * reference's ValueErrors.
+    *
+    * @return (shardBits, minishardBits, preshiftBits)
+    */
+  def forImage(datasetSize: Vec3, chunkSize: Vec3, byteWidth: Int,
+      uncompressedShardBytes: Long = 3500000000L,
+      maxShardIndexBytes: Long = 8192,
+      maxMinishardIndexBytes: Long = 40000,
+      maxLabelsPerMinishard: Long = 4000): (Int, Int, Int) = {
+    val grid = Vec3(
+      (datasetSize.x + chunkSize.x - 1) / chunkSize.x,
+      (datasetSize.y + chunkSize.y - 1) / chunkSize.y,
+      (datasetSize.z + chunkSize.z - 1) / chunkSize.z)
+    val numChunks = grid.x * grid.y * grid.z
+    val chunkVoxels = chunkSize.x * chunkSize.y * chunkSize.z
+    var maxBits = Seq(grid.x, grid.y, grid.z)
+      .map(g => ceilLog2(g.toDouble).toInt).sum
+    var chunksPerShard = math.pow(2, math.floor(math.log(math.ceil(
+      uncompressedShardBytes.toDouble / (chunkVoxels * byteWidth))) /
+      math.log(2)))
+    if (numChunks < chunksPerShard)
+      chunksPerShard = math.pow(2, ceilLog2(numChunks.toDouble))
+    var numShards = numChunks / chunksPerShard
+    var shardBits = 0
+    var preshiftBits = 0
+    def updateBits(): Unit = {
+      shardBits = ceilLog2(numShards).toInt
+      preshiftBits = math.min(ceilLog2(chunksPerShard).toInt,
+        maxBits - shardBits)
+    }
+    updateBits()
+    var labelsPerMinishard = chunksPerShard
+    var minishardBits = 0
+    while (labelsPerMinishard > maxLabelsPerMinishard) {
+      labelsPerMinishard /= 2
+      minishardBits += 1
+      val minishardSize = 3 * 8 * labelsPerMinishard
+      val shardIndexSize = 2L * 8 * (1L << minishardBits)
+      val minishardIndexTooBig =
+        minishardSize > maxMinishardIndexBytes && minishardBits > preshiftBits
+      if (minishardIndexTooBig || shardIndexSize > maxShardIndexBytes) {
+        minishardBits -= 1
+        numShards *= 2
+        updateBits()
+      }
+    }
+    preshiftBits -= minishardBits
+    if (datasetSize.z == chunkSize.z) {
+      // single-z-slice layers: pad preshift so shard shapes stay
+      // squarish in x/y, banking the extra information in max_bits
+      val additionalBits = preshiftBits / 3
+      var i = 0
+      while (i < additionalBits) {
+        maxBits += 1
+        preshiftBits += 1
+        if (preshiftBits % 3 != 0) i += 1
+      }
+    }
+    shardBits = math.max(maxBits - preshiftBits - minishardBits, 0)
+    require(maxBits <= 64,
+      s"$maxBits bits needed for chunk positions exceeds uint64")
+    require(preshiftBits >= 0, s"negative preshift_bits $preshiftBits")
+    require(preshiftBits + shardBits + minishardBits <= maxBits,
+      s"$preshiftBits + $shardBits + $minishardBits > $maxBits")
+    (shardBits, minishardBits, preshiftBits)
+  }
+
+  /** Shard shape in voxels for an image sharding spec
+    * (sharding.py:1215-1260): distribute preshift+minishard bits over
+    * the axes round-robin (capped per-axis by the grid), then scale by
+    * the chunk size.
+    */
+  def imageShardShape(datasetSize: Vec3, chunkSize: Vec3,
+      preshiftBits: Int, minishardBits: Int): Vec3 = {
+    val shapeBits = preshiftBits + minishardBits
+    require(shapeBits < 64,
+      s"preshift ($preshiftBits) + minishard ($minishardBits) must be < 64")
+    val grid = Vec3(
+      (datasetSize.x + chunkSize.x - 1) / chunkSize.x,
+      (datasetSize.y + chunkSize.y - 1) / chunkSize.y,
+      (datasetSize.z + chunkSize.z - 1) / chunkSize.z)
+    val shape = Array(0L, 0L, 0L)
+    val over = Array(false, false, false)
+    val gs = Array(grid.x, grid.y, grid.z)
+    var i = 0
+    var done = false
+    while (i < shapeBits && !done) {
+      var changed = false
+      var dim = 0
+      while (dim < 3 && i < shapeBits) {
+        if (math.pow(2, shape(dim) + 1) < gs(dim) * 2 && !over(dim)) {
+          if (math.pow(2, shape(dim) + 1) >= gs(dim)) over(dim) = true
+          shape(dim) += 1
+          i += 1
+          changed = true
+        }
+        dim += 1
+      }
+      if (!changed) done = true
+    }
+    Vec3(chunkSize.x * (1L << shape(0)), chunkSize.y * (1L << shape(1)),
+      chunkSize.z * (1L << shape(2)))
+  }
+}

@@ -345,6 +345,42 @@ object VolumeQueries {
         |       printf('%x', ((label >> 2) >> 3) & 7) || '.shard' AS shard_file
         |FROM u""".stripMargin)),
 
+    // F3/S6 planner: compute_shard_params_for_hashed
+    // (sharding.py:985-1058; known answers test_sharding.py:474-519) —
+    // the (shard_bits, minishard_bits) recommendation used when
+    // CREATING sharded skeleton/mesh layers, sized against the 8 KiB
+    // shard-index / 32 KiB minishard-index budgets. The oracle replays
+    // the same float64 arithmetic (ceil-log2 branches + the
+    // 0.55-utilization shard-bit giveback) relationally.
+    "f3b_shard_params" -> Q(
+      (s, dir) => {
+        val paramsUdf = udf((n: Long) => {
+          val (sb, msb, psb) = graft.core.ShardParams.forHashed(n)
+          (sb.toLong, msb.toLong, psb.toLong)
+        })
+        table(s, dir, "customer")
+          .select((col("c_custkey") * 1371 + 59).cast("long").as("n"))
+          .withColumn("p", paramsUdf(col("n")))
+          .select(col("n"), col("p._1").as("shard_bits"),
+            col("p._2").as("minishard_bits"),
+            col("p._3").as("preshift_bits"))
+      },
+      Some("""WITH c AS (SELECT c_custkey * 1371 + 59 AS n FROM customer),
+        |p AS (SELECT n, 8192 / 16.0 AS nms, 32768 / 24.0 AS lpm,
+        |        (8192 / 16.0) * (32768 / 24.0) AS lps FROM c),
+        |b AS (SELECT *, CASE WHEN n >= lps THEN ceil(log2(nms))
+        |        WHEN n >= lpm THEN ceil(log2(n / lpm))
+        |        ELSE 0 END AS msb0 FROM p),
+        |s AS (SELECT *, CASE WHEN n >= lps
+        |        THEN ceil(log2(n / (lpm * pow(2, msb0))))
+        |        ELSE 0 END AS sb0 FROM b),
+        |u AS (SELECT *, CASE WHEN n / (lps * pow(2, sb0)) <= 0.55
+        |        THEN sb0 - 1 ELSE sb0 END AS sb1 FROM s)
+        |SELECT n, CAST(greatest(sb1, 0) AS BIGINT) AS shard_bits,
+        |       CAST(greatest(msb0, 0) AS BIGINT) AS minishard_bits,
+        |       CAST(0 AS BIGINT) AS preshift_bits
+        |FROM u""".stripMargin)),
+
     // F2: murmurhash3_x86_128 oracle gate. DuckDB cannot compute mmh3,
     // so the expected rows are frozen literals generated by an
     // INDEPENDENT Python implementation of the public algorithm
