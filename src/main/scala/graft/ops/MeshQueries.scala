@@ -348,6 +348,81 @@ object MeshQueries {
         |JOIN r r1 ON r1.segid = f.segid AND r1.vid = f.v1
         |JOIN r r2 ON r2.segid = f.segid AND r2.vid = f.v2""".stripMargin)),
 
+    // A6 boundary variant: deduplicate_chunk_boundaries
+    // (mesh.py:379-419; vectors test_meshing.py:89-148) — the dedup
+    // get_mesh actually runs when assembling adjacent chunks' meshes:
+    // merge a coordinate ONLY if it occurs exactly TWICE and lies on a
+    // chunk-boundary plane (mod chunk_size == 0 on any axis), so
+    // coincidental interior duplicates and triples stay distinct.
+    // Reindexing replays np.unique over face-referenced (x,y,z,w) keys
+    // (w = -1 for merged pairs, original vid otherwise) — unreferenced
+    // vertices drop, survivors rank lexicographically.
+    "a6b_mesh_dedup_boundary" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        val fr = fragmentRows(s).localCheckpoint()
+        val verts = verticesOf(fr)
+        val cnt = verts.groupBy("segid", "x", "y", "z")
+          .agg(count(lit(1)).as("c"))
+        val keyed = verts.join(cnt, Seq("segid", "x", "y", "z"))
+          .withColumn("w", when(col("c") === 2 &&
+              ((col("x") % 4) === 0 || (col("y") % 3) === 0 ||
+                (col("z") % 100) === 0), lit(-1L))
+            .otherwise(col("vid")))
+          .select(col("segid"), col("vid"), col("x"), col("y"), col("z"),
+            col("w"))
+        val faces = facesOf(fr)
+        val refd = faces.select(col("segid"), col("v0").as("vid"))
+          .unionAll(faces.select(col("segid"), col("v1").as("vid")))
+          .unionAll(faces.select(col("segid"), col("v2").as("vid")))
+          .distinct()
+        val ranked = keyed.join(refd, Seq("segid", "vid"))
+          .select("segid", "x", "y", "z", "w").distinct()
+          .withColumn("nid", (dense_rank().over(
+            Window.partitionBy("segid").orderBy("x", "y", "z", "w")) - 1)
+            .cast("long"))
+        // vid -> new index map is mesh-metadata-sized -> broadcast
+        val kmap = keyed
+          .join(ranked, Seq("segid", "x", "y", "z", "w"))
+          .select(col("segid"), col("vid"), col("nid"))
+        def m(c: String) = broadcast(kmap
+          .withColumnRenamed("vid", c)
+          .withColumnRenamed("nid", s"n$c"))
+        faces.join(m("v0"), Seq("segid", "v0"))
+          .join(m("v1"), Seq("segid", "v1"))
+          .join(m("v2"), Seq("segid", "v2"))
+          .select(col("segid"), col("fid"), col("nv0"), col("nv1"),
+            col("nv2"))
+      },
+      Some(s"""WITH $FaceCte,
+        |cnt AS (SELECT segid, x, y, z, count(*) AS c FROM g
+        |        GROUP BY segid, x, y, z),
+        |k AS (SELECT g.segid, g.vid, g.x, g.y, g.z,
+        |        CASE WHEN cnt.c = 2 AND (g.x % 4 = 0 OR g.y % 3 = 0
+        |            OR g.z % 100 = 0)
+        |          THEN -1 ELSE g.vid END AS w
+        |      FROM g JOIN cnt ON cnt.segid = g.segid AND cnt.x = g.x
+        |        AND cnt.y = g.y AND cnt.z = g.z),
+        |refd AS (SELECT DISTINCT segid, vid FROM (
+        |        SELECT segid, v0 AS vid FROM f
+        |        UNION ALL SELECT segid, v1 AS vid FROM f
+        |        UNION ALL SELECT segid, v2 AS vid FROM f)),
+        |fk AS (SELECT DISTINCT k.segid, k.x, k.y, k.z, k.w
+        |       FROM k JOIN refd ON refd.segid = k.segid
+        |         AND refd.vid = k.vid),
+        |rk AS (SELECT segid, x, y, z, w, row_number() OVER (
+        |         PARTITION BY segid ORDER BY x, y, z, w) - 1 AS nid
+        |       FROM fk),
+        |km AS (SELECT k.segid, k.vid, rk.nid FROM k
+        |       JOIN rk ON rk.segid = k.segid AND rk.x = k.x
+        |         AND rk.y = k.y AND rk.z = k.z AND rk.w = k.w)
+        |SELECT f.segid, f.fid, m0.nid AS nv0, m1.nid AS nv1,
+        |       m2.nid AS nv2
+        |FROM f
+        |JOIN km m0 ON m0.segid = f.segid AND m0.vid = f.v0
+        |JOIN km m1 ON m1.segid = f.segid AND m1.vid = f.v1
+        |JOIN km m2 ON m2.segid = f.segid AND m2.vid = f.v2""".stripMargin)),
+
     // P9: mesh crop — drop vertices outside the (inclusive,
     // lib.py:869-881 contains) bbox, drop faces touching dropped
     // vertices, reindex surviving vertices densely (mesh.py:421-470)
