@@ -147,7 +147,7 @@ object AnnotationQueries {
 
   def ensure(s: SparkSession, sfDir: String): Unit = synchronized {
     val marker = Paths.get(Root, ".built_from")
-    val markerVal = s"$sfDir|v3" // v3: enum `kind` property + info JSON
+    val markerVal = s"${Fixtures.srcStamp(sfDir)}|v3" // v3: enum `kind` property + info JSON
     if (Files.exists(marker) && Files.readString(marker) == markerVal) return
     FixtureLog.rebuild(marker)
     val rootP = Paths.get(Root)
@@ -219,7 +219,7 @@ object AnnotationQueries {
   def ensurePolyline(s: SparkSession, sfDir: String): Unit = synchronized {
     ensure(s, sfDir)
     val marker = Paths.get(Root, ".built_polyline_from")
-    val markerVal = s"$sfDir|v1"
+    val markerVal = s"${Fixtures.srcStamp(sfDir)}|v1"
     if (Files.exists(marker) && Files.readString(marker) == markerVal) return
     FixtureLog.rebuild(marker)
     val layerDir = s"$Root/polylines"
@@ -264,7 +264,7 @@ object AnnotationQueries {
   def ensureSharded(s: SparkSession, sfDir: String): Unit = synchronized {
     ensure(s, sfDir)
     val marker = Paths.get(Root, ".built_byid_sharded_from")
-    val markerVal = s"$sfDir|v3|annsh-v1"
+    val markerVal = s"${Fixtures.srcStamp(sfDir)}|v3|annsh-v1"
     if (Files.exists(marker) && Files.readString(marker) == markerVal) return
     FixtureLog.rebuild(marker)
     val layerP = Paths.get(ShardedLayerDir)

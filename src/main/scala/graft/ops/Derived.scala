@@ -24,6 +24,20 @@ object Derived {
   def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** events.ts normalized to epoch MICROS (long), across testdata
+    * drops: INT64-nanos files surface as LongType (via the sessions'
+    * legacy nanosAsLong conf) while TIMESTAMP(us) files surface as a
+    * (NTZ) timestamp. Session tz is pinned to UTC, so the naive
+    * timestamp cast preserves the exact wall-clock epoch that DuckDB's
+    * `epoch_ns(ts) // 1000` computes on the same file. Integral ops
+    * only — long `/` is double-backed and epoch nanos exceed 2^53.
+    */
+  def tsMicros(schema: org.apache.spark.sql.types.StructType): Column =
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+
   /** Voxel table: one row per lineitem; position + uint label + value
     * in integer cents (exact across engines).
     */

@@ -32,6 +32,28 @@ object FixtureLog {
 }
 
 object Fixtures {
+  /** Identity of the testdata drop at `sfDir`: the path plus the max
+    * mtime across its parquet files. Fixture markers embed this so a
+    * driver-side REGENERATION of the same sfDir (same path, new
+    * content — it happened between rounds) invalidates every derived
+    * fixture instead of serving encodes of the previous drop.
+    */
+  def srcStamp(sfDir: String): String = {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Paths.get(sfDir)
+    val maxM =
+      if (!java.nio.file.Files.isDirectory(dir)) 0L
+      else {
+        val st = java.nio.file.Files.list(dir)
+        try st.iterator.asScala
+          .filter(_.toString.endsWith(".parquet"))
+          .map(p => java.nio.file.Files.getLastModifiedTime(p).toMillis)
+          .foldLeft(0L)(math.max)
+        finally st.close()
+      }
+    s"$sfDir@$maxM"
+  }
+
   def ensureAll(s: SparkSession, sfDir: String): Unit = {
     RealLayerQueries.ensure(s, sfDir)
     MeshQueries.ensure(s, sfDir)

@@ -81,7 +81,7 @@ object MeshQueries {
     */
   def ensure(s: SparkSession, sfDir: String): Unit = synchronized {
     val marker = Paths.get(Root, ".built_from")
-    val markerVal = s"$sfDir|v3" // v3: executor-side manifest/blob assembly
+    val markerVal = s"${Fixtures.srcStamp(sfDir)}|v3" // v3: executor-side manifest/blob assembly
     if (Files.exists(marker) && Files.readString(marker) == markerVal) return
     FixtureLog.rebuild(marker)
     val rootP = Paths.get(Root)

@@ -374,30 +374,31 @@ object MetaQueries {
     "w6_sessionize" -> Q(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val e = table(s, dir, "events")
-          .select(col("event_id"), col("user_id"), col("ts").cast("long"))
+        val src = table(s, dir, "events")
+        val e = src.select(col("event_id"), col("user_id"),
+          Derived.tsMicros(src.schema).as("ts"))
         val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
         e.withColumn("prev_ts", lag(col("ts"), 1).over(wOrd))
           .withColumn("new_sess",
             when(col("prev_ts").isNull ||
-              col("ts") - col("prev_ts") > 1800L * 1000000000L, 1L)
+              col("ts") - col("prev_ts") > 1800L * 1000000L, 1L)
               .otherwise(0L))
           .withColumn("session_idx", sum(col("new_sess")).over(
             wOrd.rowsBetween(Window.unboundedPreceding, 0)))
           .select(col("event_id"), col("user_id"), col("session_idx"))
       },
       Some("""WITH e AS (
-        |  SELECT event_id, user_id, epoch_ns(ts) AS tns FROM events),
-        |g AS (SELECT event_id, user_id, tns,
-        |        lag(tns) OVER w AS prev_ts
-        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)),
-        |n AS (SELECT event_id, user_id, tns,
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus FROM events),
+        |g AS (SELECT event_id, user_id, tus,
+        |        lag(tus) OVER w AS prev_ts
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |n AS (SELECT event_id, user_id, tus,
         |        CASE WHEN prev_ts IS NULL
-        |                  OR tns - prev_ts > 1800000000000 THEN 1
+        |                  OR tus - prev_ts > 1800000000 THEN 1
         |             ELSE 0 END AS new_sess
         |      FROM g)
         |SELECT event_id, user_id,
-        |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tns, event_id
+        |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS session_idx
         |FROM n""".stripMargin)),

@@ -184,7 +184,7 @@ object RealLayerQueries {
     val marker = Paths.get(Root, ".built_from")
     // marker carries a fixture-format version (bump when the layout
     // changes) plus a per-build nonce for downstream staleness checks
-    val markerPrefix = s"$sfDir|v11|" // v11: adds the float32 + png16 layers
+    val markerPrefix = s"${Fixtures.srcStamp(sfDir)}|v11|" // v11: adds the float32 + png16 layers
     val markerVal = markerPrefix + System.nanoTime()
     if (Files.exists(marker) &&
       Files.readString(marker).startsWith(markerPrefix) &&

@@ -90,7 +90,7 @@ object SkeletonQueries {
 
   def ensure(s: SparkSession, sfDir: String): Unit = synchronized {
     val marker = Paths.get(Root, ".built_from")
-    val markerPrefix = s"$sfDir|v2|" // v2: vertex_types attribute
+    val markerPrefix = s"${Fixtures.srcStamp(sfDir)}|v2|" // v2: vertex_types attribute
     if (Files.exists(marker) &&
       Files.readString(marker).startsWith(markerPrefix)) return
       FixtureLog.rebuild(marker)

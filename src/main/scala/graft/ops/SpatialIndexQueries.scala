@@ -80,7 +80,8 @@ object SpatialIndexQueries {
 
   def ensure(s: SparkSession, sfDir: String): Unit = synchronized {
     val marker = Paths.get(Root, ".built_from")
-    if (Files.exists(marker) && Files.readString(marker) == sfDir) return
+    val want = Fixtures.srcStamp(sfDir)
+    if (Files.exists(marker) && Files.readString(marker) == want) return
     FixtureLog.rebuild(marker)
     val rootP = Paths.get(Root)
     if (Files.exists(rootP)) {
@@ -107,7 +108,7 @@ object SpatialIndexQueries {
           Files.writeString(Paths.get(dirStr, r.getString(0)), sb.toString)
         }
       }
-    Files.writeString(marker, sfDir)
+    Files.writeString(marker, want)
   }
 
   /** Scan + parse the tile files: (filename, label, x0..z1). */

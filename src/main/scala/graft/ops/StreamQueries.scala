@@ -42,7 +42,8 @@ object StreamQueries {
     synchronized {
       val dir = Paths.get(Root, "events")
       val marker = Paths.get(Root, ".built_from")
-      if (!Files.exists(marker) || Files.readString(marker) != sfDir) {
+      val srcId = Fixtures.srcStamp(sfDir)
+      if (!Files.exists(marker) || Files.readString(marker) != srcId) {
         FixtureLog.rebuild(marker)
         if (Files.exists(dir)) {
           import scala.jdk.CollectionConverters._
@@ -52,7 +53,7 @@ object StreamQueries {
         Files.createDirectories(dir)
         Files.copy(Paths.get(sfDir, "events.parquet"),
           dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
-        Files.writeString(marker, sfDir)
+        Files.writeString(marker, srcId)
       }
       dir.toString
     }
@@ -65,14 +66,15 @@ object StreamQueries {
     synchronized {
       val dir = Paths.get(Root, "docs")
       val marker = Paths.get(Root, ".docs_from")
-      if (!Files.exists(marker) || Files.readString(marker) != sfDir) {
+      val srcId = Fixtures.srcStamp(sfDir)
+      if (!Files.exists(marker) || Files.readString(marker) != srcId) {
         FixtureLog.rebuild(marker)
         val docs = s.read.parquet(s"$sfDir/documents.parquet")
           .select(col("doc_id"), col("text"))
         docs.unionAll(docs.filter(col("doc_id") % 2 === 0)
             .select((col("doc_id") + 10000).as("doc_id"), col("text")))
           .write.mode("overwrite").parquet(dir.toString)
-        Files.writeString(marker, sfDir)
+        Files.writeString(marker, srcId)
       }
       dir.toString
     }
@@ -99,10 +101,9 @@ object StreamQueries {
         val src = stageEvents(s, dir)
         val schema = s.read.parquet(src).schema
         val stream = s.readStream.schema(schema).parquet(src)
-          // ts arrives as raw nanos (legacy nanosAsLong); floor to
-          // micros with INTEGRAL division — `/` on longs goes through
-          // double (exact only below 2^53; epoch-nanos are ~1.7e18)
-          .select(timestamp_micros(expr("ts div 1000")).as("ets"),
+          // normalize ts to epoch micros across testdata drops (raw
+          // INT64 nanos vs TIMESTAMP(us)) — see Derived.tsMicros
+          .select(timestamp_micros(Derived.tsMicros(schema)).as("ets"),
             col("event_type"),
             round(col("value") * 100).cast("long").as("vc"))
           .groupBy(window(col("ets"), "1 hour"), col("event_type"))
@@ -137,10 +138,11 @@ object StreamQueries {
         val frameDirStr = frameDir.toString
         val schema = s.read.parquet(src).schema
         val frames = s.readStream.schema(schema).parquet(src)
-          // integral hour bucket (see st1: long `/` is double-backed)
-          .select(expr("ts div 3600000000000").as("t"),
+          // integral hour bucket over unit-normalized micros (st1 note)
+          .select(Derived.tsMicros(schema).as("tus"),
             (col("user_id") % 16).cast("long").as("fx"),
             (length(col("event_type")) % 16).cast("long").as("fy"))
+          .select(expr("tus div 3600000000").as("t"), col("fx"), col("fy"))
           .groupBy("t", "fx", "fy").agg(count(lit(1)).as("n"))
         val q = frames.writeStream
           .outputMode("complete")
@@ -251,7 +253,7 @@ object StreamQueries {
         val src = stageEvents(s, dir)
         val schema = s.read.parquet(src).schema
         val stream = s.readStream.schema(schema).parquet(src)
-          .select(timestamp_micros(expr("ts div 1000")).as("ets"),
+          .select(timestamp_micros(Derived.tsMicros(schema)).as("ets"),
             col("user_id"))
           .groupBy(session_window(col("ets"), "30 minutes"), col("user_id"))
           .agg(count(lit(1)).as("n"))
@@ -276,6 +278,47 @@ object StreamQueries {
         |  CAST(max(tus) + 1800000000 AS BIGINT) AS end_us,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM i GROUP BY user_id, island""".stripMargin)),
+
+    // §2.9 stream-stream INTERVAL join, watermarked on BOTH sides:
+    // view events join click events of the same user within 30
+    // event-time minutes. The two watermarks let Spark derive a state
+    // watermark from the range condition and evict each side's rows
+    // once no future match is possible — the property that lets a
+    // two-stream correlation run forever at 100 TB instead of
+    // accumulating both streams. Output is the matched pairs (append,
+    // the only mode stream-stream joins support); both engines compare
+    // at floored-microsecond precision so the boundary is identical.
+    "st7_stream_stream_join" -> Q(
+      (s, dir) => {
+        val src = stageEvents(s, dir)
+        val schema = s.read.parquet(src).schema
+        def side(tpe: String, user: String, ts: String) =
+          s.readStream.schema(schema).parquet(src)
+            .filter(col("event_type") === tpe)
+            // unit-normalized epoch micros, as in st1/st6
+            .select(col("user_id").as(user),
+              timestamp_micros(Derived.tsMicros(schema)).as(ts))
+            .withWatermark(ts, "2 hours")
+        val views = side("view", "user_id", "v_ts")
+        val clicks = side("click", "c_user", "c_ts")
+        val joined = views.join(clicks,
+          col("user_id") === col("c_user") &&
+            col("c_ts") >= col("v_ts") &&
+            col("c_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+          .select(col("user_id"),
+            unix_micros(col("v_ts")).as("v_us"),
+            unix_micros(col("c_ts")).as("c_us"))
+        runToTable(s, joined, "graft_st7", "append")
+      },
+      Some("""WITH v AS (SELECT user_id, epoch_ns(ts) // 1000 AS v_us
+        |           FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, epoch_ns(ts) // 1000 AS c_us
+        |      FROM events WHERE event_type = 'click')
+        |SELECT v.user_id, CAST(v.v_us AS BIGINT) AS v_us,
+        |       CAST(c.c_us AS BIGINT) AS c_us
+        |FROM v JOIN c ON c.user_id = v.user_id
+        | AND c.c_us >= v.v_us
+        | AND c.c_us <= v.v_us + 1800000000""".stripMargin)),
 
     // §2.9 stream-static enrichment join: the arriving event stream is
     // joined per micro-batch against a BROADCAST static dimension

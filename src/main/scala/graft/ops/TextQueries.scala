@@ -823,6 +823,53 @@ object TextQueries {
         |  PARTITION BY shard ORDER BY hpos, doc_id) AS BIGINT) AS pos
         |FROM t""".stripMargin)),
 
+    // Deterministic train/holdout split: a salted content-independent
+    // hash of doc_id buckets ~5% of the corpus into holdout (first md5
+    // byte < 0x0d = 13/256). The same split reproduces on any cluster
+    // layout and corpus order — the property that keeps an eval deck
+    // fixed across pipeline re-runs. Pure narrow map: no shuffle.
+    "split_train_holdout" -> Q(
+      (s, dir) => {
+        table(s, dir, "documents")
+          .select(col("doc_id"),
+            when(substring(md5(concat(lit("split:"),
+              col("doc_id").cast("string")).cast("binary")), 1, 2) < "0d",
+              "holdout").otherwise("train").as("split"))
+      },
+      Some("""SELECT doc_id,
+        |  CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
+        |            < '0d'
+        |       THEN 'holdout' ELSE 'train' END AS split
+        |FROM documents""".stripMargin)),
+
+    // Per-domain cap — the CC-pipeline "keep at most N docs per
+    // domain" rule: rank each source's docs by a deterministic
+    // priority hash, keep the top 10. The window is partitioned by
+    // source, so its state is bounded by domain size, never global;
+    // at 100 TB heavy domains dominate the corpus and this is exactly
+    // the op that tames them (skewed sources can additionally be
+    // pre-capped per shard with a salted two-level rank).
+    "docs_per_source_cap" -> Q(
+      (s, dir) => {
+        val prio = conv(substring(md5(concat(lit("cap:"),
+          col("doc_id").cast("string")).cast("binary")), 1, 12), 16, 10)
+          .cast("long")
+        table(s, dir, "documents")
+          .select(col("doc_id"), col("source"), prio.as("prio"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("source").orderBy(col("prio"), col("doc_id")))
+            .cast("long"))
+          .filter(col("rk") <= 10)
+          .select("doc_id", "source", "rk")
+      },
+      Some("""WITH t AS (SELECT doc_id, source,
+        |  ('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 12))
+        |    ::BIGINT AS prio FROM documents),
+        |r AS (SELECT doc_id, source, CAST(row_number() OVER (
+        |        PARTITION BY source ORDER BY prio, doc_id) AS BIGINT) AS rk
+        |      FROM t)
+        |SELECT doc_id, source, rk FROM r WHERE rk <= 10""".stripMargin)),
+
     // Vocabulary build + out-of-vocabulary rate: the canonical corpus
     // wordcount (one partial-aggregated groupBy), a top-64 vocab
     // (Spark plans orderBy+limit as TakeOrdered — per-partition top-k
