@@ -320,6 +320,55 @@ object StreamQueries {
         | AND c.c_us >= v.v_us
         | AND c.c_us <= v.v_us + 1800000000""".stripMargin)),
 
+    // §2.9 CUSTOM streaming state — KeyValueGroupedDataset
+    // .mapGroupsWithState: a per-user behavior profile (event count,
+    // value-cents sum, first/last event time) maintained as arbitrary
+    // typed state, the shape for stateful logic the built-in operators
+    // (windows/dedup/session) can't express. State is one small tuple
+    // per user — hash-partitioned by key, bounded by the user
+    // population, not the stream length. Update-mode sink emits a row
+    // per (user, batch); the monotone count picks each user's FINAL
+    // update via one max(struct) agg, so the result is batch-split
+    // independent and the batch oracle can compare exactly.
+    "st8_custom_state" -> Q(
+      (s, dir) => {
+        val src = stageEvents(s, dir)
+        val schema = s.read.parquet(src).schema
+        import s.implicits._
+        import org.apache.spark.sql.streaming.GroupStateTimeout
+        val stream = s.readStream.schema(schema).parquet(src)
+          .select(col("user_id"), Derived.tsMicros(schema).as("tus"),
+            round(col("value") * 100).cast("long").as("vc"))
+          .as[(Long, Long, Long)]
+          .groupByKey(_._1)
+          .mapGroupsWithState[(Long, Long, Long, Long),
+            (Long, Long, Long, Long, Long)](GroupStateTimeout.NoTimeout) {
+            (user: Long, rows: Iterator[(Long, Long, Long)],
+             state: org.apache.spark.sql.streaming.GroupState[(Long, Long, Long, Long)]) =>
+              var (n, sum, mn, mx) = state.getOption
+                .getOrElse((0L, 0L, Long.MaxValue, Long.MinValue))
+              rows.foreach { case (_, tus, vc) =>
+                n += 1; sum += vc
+                mn = math.min(mn, tus); mx = math.max(mx, tus)
+              }
+              state.update((n, sum, mn, mx))
+              (user, n, sum, mn, mx)
+          }
+          .toDF("user_id", "n", "sum_vc", "first_us", "last_us")
+        runToTable(s, stream, "graft_st8", "update")
+          .groupBy("user_id")
+          .agg(max(struct(col("n"), col("sum_vc"), col("first_us"),
+            col("last_us"))).as("m"))
+          .select(col("user_id"), col("m.n").as("n"),
+            col("m.sum_vc").as("sum_vc"), col("m.first_us").as("first_us"),
+            col("m.last_us").as("last_us"))
+      },
+      Some("""SELECT user_id, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
+        |  CAST(min(epoch_ns(ts) // 1000) AS BIGINT) AS first_us,
+        |  CAST(max(epoch_ns(ts) // 1000) AS BIGINT) AS last_us
+        |FROM events GROUP BY 1""".stripMargin)),
+
     // §2.9 stream-static enrichment join: the arriving event stream is
     // joined per micro-batch against a BROADCAST static dimension
     // (customer -> nation), then aggregated — the canonical streaming

@@ -87,6 +87,54 @@ class StreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join emits in-range pairs and evicts state past the watermark") {
+    // the st7 shape: watermarks on BOTH sides let Spark derive state
+    // watermarks from the range condition and EVICT rows that can no
+    // longer match — the bounded-state property. (Late input may still
+    // join against not-yet-cleaned state within a batch — cleanup is
+    // lazy — so the guarantee tested is the state bound, not late-row
+    // dropping.)
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val lmem = MemoryStream[(Long, Long)] // (user, event-time seconds)
+    val rmem = MemoryStream[(Long, Long)]
+    val left = lmem.toDF.toDF("u", "ltsec")
+      .select(col("u"), timestamp_seconds(col("ltsec")).as("lts"))
+      .withWatermark("lts", "0 seconds")
+    val right = rmem.toDF.toDF("ru", "rtsec")
+      .select(col("ru"), timestamp_seconds(col("rtsec")).as("rts"))
+      .withWatermark("rts", "0 seconds")
+    val joined = left.join(right,
+      col("u") === col("ru") &&
+        col("rts") >= col("lts") &&
+        col("rts") <= col("lts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("u"), unix_timestamp(col("lts")).as("l"),
+        unix_timestamp(col("rts")).as("r"))
+    val q = joined.writeStream.format("memory").queryName("ssj_test")
+      .outputMode("append").start()
+    try {
+      lmem.addData((1L, 1000L))
+      rmem.addData((1L, 1300L), (1L, 1700L)) // 1700 is outside +10min
+      q.processAllAvailable()
+      val first = s.table("ssj_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(first === Set((1L, 1000L, 1300L)))
+      // advance both watermarks far past the old rows, then run one
+      // more batch so the join executes its state cleanup under the
+      // committed watermark
+      lmem.addData((9L, 100000L)); rmem.addData((9L, 100000L))
+      q.processAllAvailable()
+      lmem.addData((9L, 100060L)); rmem.addData((9L, 100060L))
+      q.processAllAvailable()
+      // 7 rows ingested total; without eviction the join state holds
+      // all of them. The watermark-derived state bound must have
+      // dropped the three pre-watermark rows (1000/1300/1700).
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 4, s"join state not evicted: $stateRows rows")
+    } finally q.stop()
+  }
+
   test("streaming dropDuplicates keeps one state row per key") {
     val s = spark
     import s.implicits._
