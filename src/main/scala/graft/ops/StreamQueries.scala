@@ -308,7 +308,16 @@ object StreamQueries {
           .select(col("user_id"),
             unix_micros(col("v_ts")).as("v_us"),
             unix_micros(col("c_ts")).as("c_us"))
-        runToTable(s, joined, "graft_st7", "append")
+        // a streaming JOIN runs FOUR state stores per partition (two
+        // per side); state-partition count is frozen at query start
+        // from this conf. Size it to the state volume — 8 here (tens
+        // of KB of state), not the batch-shuffle 32; a 100 TB ingest
+        // sizes it to the key cardinality instead. Scoped + restored:
+        // batch queries are unaffected.
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try runToTable(s, joined, "graft_st7", "append")
+        finally s.conf.set("spark.sql.shuffle.partitions", prev)
       },
       Some("""WITH v AS (SELECT user_id, epoch_ns(ts) // 1000 AS v_us
         |           FROM events WHERE event_type = 'view'),
@@ -355,7 +364,14 @@ object StreamQueries {
               (user, n, sum, mn, mx)
           }
           .toDF("user_id", "n", "sum_vc", "first_us", "last_us")
-        runToTable(s, stream, "graft_st8", "update")
+        // state sized to the user population (1.5k keys), not the
+        // batch-shuffle width — same scoped conf note as st7
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val updates =
+          try runToTable(s, stream, "graft_st8", "update")
+          finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        updates
           .groupBy("user_id")
           .agg(max(struct(col("n"), col("sum_vc"), col("first_us"),
             col("last_us"))).as("m"))
