@@ -403,6 +403,30 @@ object MetaQueries {
         |    AS session_idx
         |FROM n""".stripMargin)),
 
+    // Skew-safe exact count-distinct (pipeline extension): events has
+    // 5 hot event_type keys over the whole stream — the shape where a
+    // naive per-key distinct funnels every row into 5 reducers and
+    // melts at 100 TB. The two-stage form dedups on the compound
+    // (event_type, user_id) key first — its cardinality spreads the
+    // shuffle evenly and the partial agg drains map-side — then counts
+    // the tiny distinct set per key. Same decomposition Spark's own
+    // COUNT(DISTINCT) planning (Expand + two-phase agg) performs;
+    // pinned here as the explicit salt-free skew pattern with oracle.
+    "agg_skew_distinct" -> Q(
+      (s, dir) => {
+        table(s, dir, "events")
+          .select(col("event_type"), col("user_id"))
+          .groupBy("event_type", "user_id")
+          .agg(count(lit(1)).as("n_events"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_users"),
+            sum("n_events").as("n_rows"))
+      },
+      Some("""SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM events GROUP BY 1""".stripMargin)),
+
     // F20: misc utils — sip fixed-size batching (id div n), scatter
     // round-robin (id mod n), duplicates detection (lib.py:50-118,206-232)
     "f20_batching" -> Q(
