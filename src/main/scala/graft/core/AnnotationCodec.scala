@@ -266,12 +266,32 @@ object AnnotationCodec {
     * `is_id_index_sharded()` routing bit (annotation/reader.py:183-205
     * reads `by_id["sharding"]` to pick the ShardReader path).
     */
+  /** One spatial-index level of the precomputed annotation layout:
+    * `key` subdir of per-cell multi-annotation files over a grid of
+    * `gridShape` cells of `chunkSize` voxels, holding at most `limit`
+    * annotations per cell (the coarse-level display sample; spill
+    * goes to the next finer level).
+    */
+  final case class SpatialLevel(key: String, gridShape: Seq[Long],
+    chunkSize: Seq[Long], limit: Long)
+
   def writeInfo(dir: String, spec: AnnotationSpec,
       byId: Option[(String, Option[ShardingSpec])] = None,
-      relationships: Seq[(String, String)] = Seq.empty): Unit = {
+      relationships: Seq[(String, String)] = Seq.empty,
+      spatial: Seq[SpatialLevel] = Seq.empty): Unit = {
     val root = om.createObjectNode()
     root.put("@type", "neuroglancer_annotations_v1")
     root.put("annotation_type", spec.annotationType)
+    if (spatial.nonEmpty) {
+      val sp = root.putArray("spatial")
+      spatial.foreach { lvl =>
+        val ln = sp.addObject()
+        ln.put("key", lvl.key)
+        val gs = ln.putArray("grid_shape"); lvl.gridShape.foreach(gs.add)
+        val cs = ln.putArray("chunk_size"); lvl.chunkSize.foreach(cs.add)
+        ln.put("limit", lvl.limit)
+      }
+    }
     byId.foreach { case (key, sh) =>
       val b = root.putObject("by_id")
       b.put("key", key)

@@ -145,9 +145,18 @@ object AnnotationQueries {
   private def relSegid(rel: Int, aid: Long): Long =
     if (rel == 0) (aid * 3) % 40 else (aid * 5 + 1) % 40
 
+  /** Spatial-index partition constants (p8k): level 0 is ONE coarse
+    * 64x64x32 cell keeping the top-[[SpatialLimit0]] annotations by
+    * deterministic priority hash (the progressive-display sample);
+    * the spill goes to level 1's 32x32x32 cells — each annotation
+    * lives in exactly one level, per the precomputed annotation
+    * spatial layout.
+    */
+  val SpatialLimit0 = 150L
+
   def ensure(s: SparkSession, sfDir: String): Unit = synchronized {
     val marker = Paths.get(Root, ".built_from")
-    val markerVal = s"${Fixtures.srcStamp(sfDir)}|v3" // v3: enum `kind` property + info JSON
+    val markerVal = s"${Fixtures.srcStamp(sfDir)}|v4" // v4: spatial levels
     if (Files.exists(marker) && Files.readString(marker) == markerVal) return
     FixtureLog.rebuild(marker)
     val rootP = Paths.get(Root)
@@ -157,7 +166,41 @@ object AnnotationQueries {
         .foreach(p => Files.deleteIfExists(p))
     }
     Files.createDirectories(rootP)
-    AnnotationCodec.writeInfo(s"$Root/points", PointSpec)
+    AnnotationCodec.writeInfo(s"$Root/points", PointSpec,
+      spatial = Seq(
+        AnnotationCodec.SpatialLevel("spatial0", Seq(1L, 1L, 1L),
+          Seq(64L, 64L, 32L), SpatialLimit0),
+        AnnotationCodec.SpatialLevel("spatial1", Seq(2L, 2L, 1L),
+          Seq(32L, 32L, 32L), Long.MaxValue)))
+    // two-level spatial partition: rank per (single) coarse cell by a
+    // salted md5 priority — top-150 land in spatial0/0_0_0, the rest
+    // in spatial1/<gx_gy_gz> fine cells (one level per annotation)
+    locally {
+      val prio = conv(substring(md5(concat(lit("sp:"),
+        col("aid").cast("string")).cast("binary")), 1, 12), 16, 10)
+        .cast("long")
+      // rank WITHIN each coarse cell (grid 1x1x1 here, so one cell —
+      // but the window stays cell-partitioned so the same build holds
+      // at any grid_shape: per-cell state, never a global sort)
+      val ranked = pointsDf(s, sfDir).withColumn("prio", prio)
+        .withColumn("c0x", idiv(col("ax"), 64))
+        .withColumn("c0y", idiv(col("ay"), 64))
+        .withColumn("c0z", idiv(col("az"), 32))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("c0x", "c0y", "c0z")
+            .orderBy(col("prio"), col("aid"))).cast("long"))
+      writeLayer(ranked.filter(col("rk") <= SpatialLimit0),
+        s"$Root/points/spatial0", PointSpec, lit("0_0_0"),
+        Seq("ax", "ay", "az"),
+        Seq("score", "weight", "conf", "r", "g", "b", "kind"))
+      writeLayer(ranked.filter(col("rk") > SpatialLimit0),
+        s"$Root/points/spatial1", PointSpec,
+        concat_ws("_", idiv(col("ax"), 32), idiv(col("ay"), 32),
+          idiv(col("az"), 32)),
+        Seq("ax", "ay", "az"),
+        Seq("score", "weight", "conf", "r", "g", "b", "kind"))
+    }
     writeLayer(pointsDf(s, sfDir), s"$Root/points", PointSpec,
       concat_ws("_", idiv(col("ax"), 32), idiv(col("ay"), 32)),
       Seq("ax", "ay", "az"),
@@ -310,6 +353,7 @@ object AnnotationQueries {
     import s.implicits._
     import scala.jdk.CollectionConverters._
     val names = Files.list(Paths.get(layerDir)).iterator.asScala
+      .filter(Files.isRegularFile(_)) // skip spatial-level subdirs
       .map(_.getFileName.toString).filter(_ != "info").toSeq.sorted
     val rows = names.toDS()
       .repartition(math.max(names.size / 2, 1))
@@ -426,6 +470,53 @@ object AnnotationQueries {
         |       AND bx >= 40 AND by >= 40 AND bz >= 20)
         |   OR (bx <= 10 AND by <= 10 AND bz <= 5
         |       AND ax >= 40 AND ay >= 40 AND az >= 20)""".stripMargin)),
+
+    // P8 spatial-index LEVELS: the precomputed annotation layout's
+    // progressive-display partition — level 0 holds each coarse
+    // cell's top-`limit` annotations by deterministic priority, the
+    // spill lives in level 1's finer cells; every annotation is in
+    // exactly ONE level, so a viewer refines by unioning levels as it
+    // zooms. The entry decodes BOTH level directories from the binary
+    // layer and returns each annotation's (level, cell) assignment;
+    // the oracle replays the per-cell rank partition from `events`.
+    // At scale: the per-level write is one cell-partitioned rank +
+    // grouped encode — window state bounded by cell population.
+    "p8k_annotation_spatial_levels" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        import s.implicits._
+        import scala.jdk.CollectionConverters._
+        val lvls = Seq(0L, 1L).flatMap { lvl =>
+          val d = Paths.get(s"$Root/points/spatial$lvl")
+          Files.list(d).iterator.asScala
+            .map(p => (lvl, p.getFileName.toString)).toSeq
+        }
+        lvls.toDS().repartition(4)
+          .flatMap { lc =>
+            val (lvl, cell) = lc
+            AnnotationCodec.decode(PointSpec, Files.readAllBytes(
+              Paths.get(s"$Root/points/spatial$lvl", cell))).map { a =>
+              (a.id, lvl, cell, a.geometry(0).toLong,
+                a.geometry(1).toLong, a.geometry(2).toLong)
+            }
+          }.toDF("aid", "level", "cell", "ax", "ay", "az")
+      },
+      Some(s"""WITH $PtsCte,
+        |p AS (SELECT aid, ax, ay, az,
+        |        ('0x' || substr(md5('sp:' || CAST(aid AS VARCHAR)), 1, 12))
+        |          ::BIGINT AS prio
+        |      FROM pts),
+        |r AS (SELECT aid, ax, ay, az, row_number() OVER (
+        |        PARTITION BY ax // 64, ay // 64, az // 32
+        |        ORDER BY prio, aid) AS rk FROM p)
+        |SELECT aid,
+        |  CAST(CASE WHEN rk <= ${SpatialLimit0} THEN 0 ELSE 1 END AS BIGINT)
+        |    AS level,
+        |  CASE WHEN rk <= ${SpatialLimit0} THEN '0_0_0'
+        |       ELSE (ax // 32) || '_' || (ay // 32) || '_' || (az // 32)
+        |  END AS cell,
+        |  ax, ay, az
+        |FROM r""".stripMargin)),
 
     // P8 (ELLIPSOID variant): center-in-box crop
     // (annotation/metadata.py:104-109)
