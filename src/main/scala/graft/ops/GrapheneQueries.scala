@@ -262,6 +262,59 @@ object GrapheneQueries {
         |       ELSE 100000 + s_suppkey // 10 END AS root_asof
         |FROM supplier""".stripMargin)),
 
+    // J5 lineage graph (frontends/graphene.py lineage endpoints /
+    // chunkedgraph get_lineage_graph): every split/merge operation
+    // links a CURRENT root to the root(s) it evolved from, and the
+    // lineage of a root is the transitive closure over those operation
+    // edges. Modeled as data: an operations edge table (merges give a
+    // root TWO past parents), traversed backward by the same iterative
+    // frontier join as j6 — per-round work bounded by the frontier,
+    // rounds bounded by history depth, broadcast edges (the ops log of
+    // any root's history is tiny relative to the voxel data).
+    "j5d_lineage_graph" -> Q(
+      (s, dir) => {
+        val sup = table(s, dir, "supplier")
+          .select(col("s_suppkey").cast("long").as("sk"))
+        val cur = sup.select(col("sk"), (lit(500000L) + col("sk")).as("root"))
+        // ops log: every root came from pastA; every 3rd was a MERGE
+        // (second parent pastB); pastA of even sk has one more ancestor
+        val e1 = cur.select(col("root").as("child"),
+          (lit(600000L) + col("sk")).as("parent"))
+        val e2 = cur.filter(col("sk") % 3 === 0)
+          .select(col("root").as("child"),
+            (lit(700000L) + col("sk")).as("parent"))
+        val e3 = cur.filter(col("sk") % 2 === 0)
+          .select((lit(600000L) + col("sk")).as("child"),
+            (lit(800000L) + col("sk")).as("parent"))
+        val edges = broadcast(e1.unionAll(e2).unionAll(e3))
+        val roots = cur.filter(col("sk") % 5 === 0)
+          .select(col("root").as("q"), col("root").as("node"))
+        var frontier = roots
+        var acc: DataFrame = null
+        var depth = 0
+        while (depth < 8 && frontier.limit(1).count() > 0) {
+          depth += 1
+          frontier = frontier
+            .join(edges, frontier("node") === edges("child"))
+            .select(col("q"), col("parent").as("node"))
+            .localCheckpoint()
+          val hop = frontier.select(col("q").as("root"),
+            col("node").as("ancestor"), lit(depth.toLong).as("depth"))
+          acc = if (acc == null) hop else acc.unionAll(hop)
+        }
+        acc
+      },
+      Some("""WITH q AS (SELECT 500000 + s_suppkey AS root, s_suppkey AS sk
+        |           FROM supplier WHERE s_suppkey % 5 = 0)
+        |SELECT root, 600000 + sk AS ancestor, CAST(1 AS BIGINT) AS depth
+        |FROM q
+        |UNION ALL
+        |SELECT root, 700000 + sk AS ancestor, CAST(1 AS BIGINT) AS depth
+        |FROM q WHERE sk % 3 = 0
+        |UNION ALL
+        |SELECT root, 800000 + sk AS ancestor, CAST(2 AS BIGINT) AS depth
+        |FROM q WHERE sk % 2 = 0""".stripMargin)),
+
     // J7: agglomerate cutout — real-layer cutout, distinct labels
     // resolve through a 2-level mapping, voxels remapped in place
     "j7_agglomerate_cutout" -> Q(
