@@ -823,6 +823,44 @@ object TextQueries {
         |  PARTITION BY shard ORDER BY hpos, doc_id) AS BIGINT) AS pos
         |FROM t""".stripMargin)),
 
+    // Temperature-resampled language mix (the mT5-style T=2 sampling):
+    // per-language keep rates derived FROM corpus counts — rate_l ∝
+    // n_l^(1/T), normalized so the largest language keeps everything —
+    // applied as a deterministic md5 bucket. Both engines compute the
+    // threshold with the same IEEE op order (sqrt → ×10000 → ÷max →
+    // floor), so the integer thresholds are bit-identical. Scale
+    // shape: the stats pass is a metadata-sized agg broadcast back;
+    // the filter is a narrow map — the corpus is never re-shuffled.
+    "sample_temperature" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val stats = docs.groupBy("lang")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("w", sqrt(col("n").cast("double")))
+        val wmax = stats.agg(max("w").as("wmax"))
+        val thresh = stats.crossJoin(broadcast(wmax))
+          .select(col("lang"),
+            floor(lit(10000.0) * col("w") / col("wmax")).cast("long")
+              .as("thresh"))
+        val bucket = conv(substring(md5(concat(lit("temp:"),
+          col("doc_id").cast("string")).cast("binary")), 1, 12), 16, 10)
+          .cast("long") % 10000
+        docs.select(col("doc_id"), col("lang"), bucket.as("bucket"))
+          .join(broadcast(thresh), Seq("lang"))
+          .filter(col("bucket") < col("thresh"))
+          .select("doc_id", "lang", "bucket", "thresh")
+      },
+      Some("""WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |w AS (SELECT lang, sqrt(CAST(n AS DOUBLE)) AS w FROM n),
+        |t AS (SELECT lang, CAST(floor(10000 * w / (SELECT max(w) FROM w))
+        |        AS BIGINT) AS thresh FROM w),
+        |b AS (SELECT doc_id, lang,
+        |        ('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR)),
+        |          1, 12))::BIGINT % 10000 AS bucket
+        |      FROM documents)
+        |SELECT b.doc_id, b.lang, b.bucket, t.thresh
+        |FROM b JOIN t USING (lang) WHERE b.bucket < t.thresh""".stripMargin)),
+
     // Deterministic train/holdout split: a salted content-independent
     // hash of doc_id buckets ~5% of the corpus into holdout (first md5
     // byte < 0x0d = 13/256). The same split reproduces on any cluster
