@@ -14,7 +14,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries timestamp[ns]; read as long nanos
+      // events.ts unit varies by testdata drop (INT64 nanos vs
+      // TIMESTAMP us) — this conf makes ns drops read as long;
+      // queries normalize either via Derived.tsMicros
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
