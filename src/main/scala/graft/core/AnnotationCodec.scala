@@ -327,6 +327,25 @@ object AnnotationCodec {
       om.writerWithDefaultPrettyPrinter.writeValueAsString(root))
   }
 
+  /** The layer's declared spatial-index levels in declaration order
+    * (coarsest first) — empty when the info has no spatial block.
+    */
+  def readSpatial(dir: String): Seq[SpatialLevel] = {
+    val root = om.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "info")))
+    Option(root.get("spatial")).map { sn =>
+      (0 until sn.size).map { i =>
+        val ln = sn.get(i)
+        def longs(field: String): Seq[Long] = {
+          val a = ln.get(field)
+          (0 until a.size).map(a.get(_).asLong)
+        }
+        SpatialLevel(ln.get("key").asText, longs("grid_shape"),
+          longs("chunk_size"), ln.get("limit").asLong)
+      }
+    }.getOrElse(Seq.empty)
+  }
+
   /** Declared relationships as (id, key) pairs in declaration order —
     * the count and order decodeSingle's relationship sections follow
     * (annotation/reader.py:127-133).

@@ -486,16 +486,19 @@ object AnnotationQueries {
         ensure(s, dir)
         import s.implicits._
         import scala.jdk.CollectionConverters._
-        val lvls = Seq(0L, 1L).flatMap { lvl =>
-          val d = Paths.get(s"$Root/points/spatial$lvl")
-          Files.list(d).iterator.asScala
-            .map(p => (lvl, p.getFileName.toString)).toSeq
-        }
+        // level keys come from the layer's info JSON, like a real
+        // client (coarsest first -> level index = declaration order)
+        val lvls = AnnotationCodec.readSpatial(s"$Root/points")
+          .zipWithIndex.flatMap { case (lvl, i) =>
+            val d = Paths.get(s"$Root/points/${lvl.key}")
+            Files.list(d).iterator.asScala
+              .map(p => (i.toLong, lvl.key, p.getFileName.toString)).toSeq
+          }
         lvls.toDS().repartition(4)
           .flatMap { lc =>
-            val (lvl, cell) = lc
+            val (lvl, key, cell) = lc
             AnnotationCodec.decode(PointSpec, Files.readAllBytes(
-              Paths.get(s"$Root/points/spatial$lvl", cell))).map { a =>
+              Paths.get(s"$Root/points/$key", cell))).map { a =>
               (a.id, lvl, cell, a.geometry(0).toLong,
                 a.geometry(1).toLong, a.geometry(2).toLong)
             }

@@ -79,4 +79,20 @@ class AnnotationCodecSpec extends AnyFunSuite {
       Seq(Annotation(1L, Array(0f, 0f, 0f), Array.empty)))
     assert(b.take(8).toSeq === Seq[Byte](1, 0, 0, 0, 0, 0, 0, 0))
   }
+
+  test("spatial-index levels round-trip through the info JSON") {
+    val dir = java.nio.file.Files.createTempDirectory("ann_spatial").toString
+    val spec = AnnotationSpec("POINT", 3, Seq.empty)
+    val levels = Seq(
+      AnnotationCodec.SpatialLevel("spatial0", Seq(1L, 1L, 1L),
+        Seq(64L, 64L, 32L), 150L),
+      AnnotationCodec.SpatialLevel("spatial1", Seq(2L, 2L, 1L),
+        Seq(32L, 32L, 32L), Long.MaxValue))
+    AnnotationCodec.writeInfo(dir, spec, spatial = levels)
+    assert(AnnotationCodec.readSpatial(dir) === levels)
+    // a layer without a spatial block reads as no levels
+    val dir2 = java.nio.file.Files.createTempDirectory("ann_plain").toString
+    AnnotationCodec.writeInfo(dir2, spec)
+    assert(AnnotationCodec.readSpatial(dir2).isEmpty)
+  }
 }
