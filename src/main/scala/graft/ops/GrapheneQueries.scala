@@ -262,6 +262,38 @@ object GrapheneQueries {
         |       ELSE 100000 + s_suppkey // 10 END AS root_asof
         |FROM supplier""".stripMargin)),
 
+    // J5 chunk mappings (frontends/graphene.py:786-840
+    // get_chunk_mappings): for one L2 chunk, the mapping of every
+    // layer-2 segment in that chunk to its L1 watershed children. The
+    // function accepts ANY graphene label and zeroes its segid
+    // component to form the chunk id (graphene.py:796-797,819-820);
+    // here the caller passes a label with segid 99 and the query
+    // masks the low 26 segid bits before matching. The chunk lookup
+    // is a constant-prefix filter on the packed-label bits — at scale
+    // it prunes the edge scan to one chunk's partition, no join at
+    // all (the server's l2_chunk_children range read becomes a
+    // predicate-pushdown scan).
+    "j5e_chunk_mappings" -> Q(
+      (s, dir) => {
+        val (_, es) = edges(s, dir)
+        // any label in chunk (layer 2, x=0, y=0, z=0); segid masked off
+        val someLabel = 2L * L + 99L
+        val segMask = (1L << 26) - 1
+        val chunkId = someLabel & ~segMask
+        es.filter(shiftrightunsigned(col("parent"), 56) === 2 &&
+            col("parent").bitwiseAND(lit(~segMask)) === chunkId)
+          .select(col("parent").as("chunk_label"), col("child"))
+      },
+      Some(s"""WITH lf AS (
+        |  SELECT s_suppkey AS sk, s_suppkey // 10 AS p2 FROM supplier
+        |  WHERE s_suppkey % 7 <> 0)
+        |SELECT 2 * $L + (p2 % 10) * $X + ((p2 * 3) % 10) * $Y
+        |         + (p2 % 5) * $Z + p2 AS chunk_label,
+        |       1 * $L + (sk % 20) * $X + ((sk * 3) % 20) * $Y
+        |         + (sk % 10) * $Z + sk AS child
+        |FROM lf
+        |WHERE p2 % 10 = 0 AND (p2 * 3) % 10 = 0 AND p2 % 5 = 0""".stripMargin)),
+
     // J5 lineage graph (frontends/graphene.py lineage endpoints /
     // chunkedgraph get_lineage_graph): every split/merge operation
     // links a CURRENT root to the root(s) it evolved from, and the

@@ -231,6 +231,41 @@ object XferQueries {
         |WHERE x BETWEEN 3 AND 54 AND y BETWEEN 5 AND 48
         |  AND z BETWEEN 2 AND 25""".stripMargin)),
 
+    // S16 pathway 2b, reversed: sharded -> unsharded migration. The
+    // reference flips the metadata with to_unsharded (image/
+    // __init__.py:855-857 pops the sharding spec) and moves the data
+    // with transfer_to; here the shard files are read chunk-level
+    // (index + coalesced byte-range reads, one task per shard — never
+    // whole-file), each task re-emits its chunks, and the unsharded
+    // sink writes one object per chunk. No shuffle at all: chunks
+    // already arrive grouped by shard and the writer is
+    // embarrassingly parallel — the plan a petabyte un-sharding needs.
+    "s16_transfer_unsharded" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        val target = s"${RealLayerQueries.Root}/layer_s16_unsharded"
+        val root = Paths.get(target)
+        if (Files.exists(root)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(root).iterator.asScala.toSeq.reverse
+            .foreach(p => Files.deleteIfExists(p))
+        }
+        val metaUnsharded = metaSharded.copy(scales =
+          Seq(metaSharded.scale(0).copy(sharding = None)))
+        PrecomputedIO.writeInfo(target, metaUnsharded)
+        val full = Bbox(Vec3(0, 0, 0), Vec3(SX, SY, SZ))
+        PrecomputedIO.writeChunks(
+          ShardedIO.readChunksSharded(s,
+              RealLayerQueries.LayerShardedDir, full)
+            .select(col("gx"), col("gy"), col("gz"), col("payload")),
+          target, metaUnsharded, 0)
+        PrecomputedIO.cutoutVoxels(s, target,
+          Bbox(Vec3(2, 6, 3), Vec3(54, 50, 25)))
+      },
+      Some(s"""SELECT x, y, z, label FROM $Sidecar
+        |WHERE x BETWEEN 2 AND 53 AND y BETWEEN 6 AND 49
+        |  AND z BETWEEN 3 AND 24""".stripMargin)),
+
     // S16 pathway 4: transfer with a DIFFERENT chunk size — the
     // reference's transfer_to(chunk_size=...) re-gridding
     // (xfer.py:59-493 dest_chunk_size). Source chunks 16x16x8 align

@@ -142,12 +142,14 @@ object ShardedIO {
     }.toDF("shard_file", "minishard", "label", "offset", "size")
   }
 
-  /** S5 sharded cutout: enumerate the pruned grid (planning-time,
-    * metadata-sized), group chunk requests by shard file, then each
-    * task does index reads + coalesced byte-range data reads for its
-    * shard, decodes, and emits clipped voxel rows.
+  /** Chunk-level sharded read: enumerate the pruned grid
+    * (planning-time, metadata-sized), group chunk requests by shard
+    * file, then each task does index reads + coalesced byte-range
+    * data reads for its shard and emits decoded-payload chunk rows
+    * (same schema as PrecomputedIO.readChunks). Shared by the S5
+    * cutout and the sharded->unsharded transfer path.
     */
-  def cutoutVoxelsSharded(spark: SparkSession, layerDir: String, bbox: Bbox,
+  def readChunksSharded(spark: SparkSession, layerDir: String, bbox: Bbox,
       mip: Int = 0): DataFrame = {
     val meta = PrecomputedIO.readInfo(layerDir)
     val scale = meta.scale(mip)
@@ -176,6 +178,18 @@ object ShardedIO {
           }
       }
       .toDF("gx", "gy", "gz", "x0", "y0", "z0", "x1", "y1", "z1", "payload")
-    PrecomputedIO.decodeToVoxels(chunkRows, bbox, scale, meta.dtypeBytes)
+    chunkRows
+  }
+
+  /** S5 sharded cutout: chunk-level sharded read clipped and decoded
+    * to voxel rows.
+    */
+  def cutoutVoxelsSharded(spark: SparkSession, layerDir: String, bbox: Bbox,
+      mip: Int = 0): DataFrame = {
+    val meta = PrecomputedIO.readInfo(layerDir)
+    val scale = meta.scale(mip)
+    PrecomputedIO.decodeToVoxels(
+      readChunksSharded(spark, layerDir, bbox, mip), bbox, scale,
+      meta.dtypeBytes)
   }
 }
