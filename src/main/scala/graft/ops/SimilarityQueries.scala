@@ -475,6 +475,170 @@ object SimilarityQueries {
     // candidate if it shares a full signature in ANY table), then each
     // candidate is exact-cosine verified. No all-pairs join anywhere;
     // the whole corpus participates (no row cap needed).
+    // ANN top-k via IVF + PQ on RESIDUALS (faiss's IVFADC — the
+    // combination both sim_topk_ivf and sim_topk_pq approximate half
+    // of): vectors are bucketed by nearest coarse centroid, each is
+    // PQ-coded on its residual (q - centroid), and a query scans only
+    // its nProbe=2 probed cells with an asymmetric-distance
+    // approximation dot(q, c) + dot(q, r̂) before the exact re-rank.
+    // At 100 TB this is THE memory-scale layout: the scan-side index
+    // is cell id + 8 code nibbles per vector (16x smaller than raw),
+    // candidate generation touches ~nProbe/nCells of the corpus, and
+    // both the coarse centroids and the residual codebook broadcast.
+    // All arithmetic stays in exact integers until the final cosine,
+    // so the DuckDB oracle replays the identical ranking.
+    "sim_topk_ivfpq" -> Q(
+      (s, dir) => {
+        val M = 8; val Dsub = 8; val K = 16
+        val e = table(s, dir, "embeddings")
+          .select(col("vec_id"), quantUdf(col("embedding")).as("q"))
+          .withColumn("nrm", norm2Udf(col("q")))
+          .localCheckpoint() // feeds cents/assigned/codebook/queries
+        val cents = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("cid_c"), col("q").as("qc"))
+        val assigned = e.crossJoin(broadcast(cents))
+          .withColumn("d2", dist2Udf(col("q"), col("qc")))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("vec_id").orderBy(col("d2"), col("cid_c"))))
+          .localCheckpoint() // feeds cell lists and probes
+        val subUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
+          val out = new Array[Long](a.length)
+          var i = 0
+          while (i < a.length) { out(i) = a(i) - b(i); i += 1 }
+          out
+        }
+        // cell assignment keeps the winning centroid's vector: the
+        // residual and the ADC coarse term both need it
+        val cellOf = assigned.filter(col("rk") === 1)
+          .select(col("vec_id"), col("cid_c").as("cell"),
+            col("qc").as("qcell"), col("q"), col("nrm"))
+          .withColumn("resid", subUdf(col("q"), col("qcell")))
+          .localCheckpoint() // feeds codebook collect + coding + cands
+        // deterministic codebook stand-in: residuals of the K
+        // lowest-id vectors (one entry per donor, shared by all M
+        // subspaces — the oracle replays it)
+        val cb: Array[Array[Long]] = cellOf.filter(col("vec_id") < K)
+          .select("vec_id", "resid").collect()
+          .sortBy(_.getLong(0))
+          .map(_.getSeq[Long](1).toArray)
+        val codesUdf = udf { (r: Seq[Long]) =>
+          val arr = r.toArray
+          val out = new Array[Int](M)
+          var m = 0
+          while (m < M) {
+            var best = 0; var bestD = Long.MaxValue
+            var c = 0
+            while (c < K) {
+              var d = 0L; var i = 0
+              while (i < Dsub) {
+                val diff = arr(m * Dsub + i) - cb(c)(m * Dsub + i)
+                d += diff * diff
+                i += 1
+              }
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            out(m) = best
+            m += 1
+          }
+          out
+        }
+        // ADC fine term: query subvector dot the coded residual
+        val adcUdf = udf { (qv: Seq[Long], codes: Seq[Int]) =>
+          var s = 0L; var m = 0
+          while (m < M) {
+            val c = cb(codes(m))
+            var i = 0
+            while (i < Dsub) { s += qv(m * Dsub + i) * c(m * Dsub + i); i += 1 }
+            m += 1
+          }
+          s
+        }
+        val coded = cellOf.select(col("vec_id").as("cid"),
+          col("cell"), col("qcell"), col("q").as("qb"), col("nrm").as("nb"),
+          codesUdf(col("resid")).as("codes"))
+        val probes = assigned.filter(col("vec_id") < 10 && col("rk") <= 2)
+          .select(col("vec_id").as("qid"), col("cid_c").as("cell"))
+        val qs = e.filter(col("vec_id") < 10).select(
+          col("vec_id").as("qid"), col("q").as("qa"), col("nrm").as("na"))
+        probes.join(coded, Seq("cell"))
+          .filter(col("qid") =!= col("cid"))
+          .join(broadcast(qs), Seq("qid"))
+          .withColumn("approx",
+            dotUdf(col("qa"), col("qcell")) + adcUdf(col("qa"), col("codes")))
+          .withColumn("ark", row_number().over(
+            Window.partitionBy("qid").orderBy(col("approx").desc, col("cid"))))
+          .filter(col("ark") <= 20)
+          .withColumn("cosine", round(
+            dotUdf(col("qa"), col("qb")) /
+              sqrt(col("na").cast("double") * col("nb").cast("double")), 6))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("qid")
+              .orderBy(col("cosine").desc, col("cid"))).cast("long"))
+          .filter(col("rank") <= 5)
+          .select("qid", "cid", "rank", "cosine")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |t AS (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS k FROM e),
+        |q AS (SELECT vec_id, k,
+        |        CAST(round(embedding[k]::DOUBLE * 1000) AS BIGINT) AS qv FROM t),
+        |nrm AS (SELECT vec_id, sum(qv * qv) AS nrm FROM q GROUP BY vec_id),
+        |d2c AS (SELECT a.vec_id, c.vec_id AS cid_c,
+        |          sum((qa.qv - qc.qv) * (qa.qv - qc.qv)) AS d2
+        |        FROM e a JOIN e c ON c.vec_id % 50 = 0
+        |        JOIN q qa ON qa.vec_id = a.vec_id
+        |        JOIN q qc ON qc.vec_id = c.vec_id AND qc.k = qa.k
+        |        GROUP BY 1, 2),
+        |rkc AS (SELECT vec_id, cid_c, row_number() OVER (
+        |          PARTITION BY vec_id ORDER BY d2, cid_c) AS rk FROM d2c),
+        |cell AS (SELECT vec_id, cid_c AS cell FROM rkc WHERE rk = 1),
+        |resid AS (SELECT qa.vec_id, qa.k, qa.qv - qc.qv AS rv
+        |          FROM q qa JOIN cell ce ON ce.vec_id = qa.vec_id
+        |          JOIN q qc ON qc.vec_id = ce.cell AND qc.k = qa.k),
+        |cbd2 AS (SELECT ra.vec_id, (ra.k - 1) // 8 AS m, rc.vec_id AS c,
+        |           sum((ra.rv - rc.rv) * (ra.rv - rc.rv)) AS d2
+        |         FROM resid ra
+        |         JOIN resid rc ON rc.vec_id < 16 AND rc.k = ra.k
+        |         GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id, m, c AS code FROM (
+        |            SELECT vec_id, m, c, row_number() OVER (
+        |              PARTITION BY vec_id, m ORDER BY d2, c) AS rk FROM cbd2)
+        |          WHERE rk = 1),
+        |probes AS (SELECT vec_id AS qid, cid_c AS cell FROM rkc
+        |           WHERE vec_id < 10 AND rk <= 2),
+        |cand AS (SELECT p.qid, ce.vec_id AS cid, ce.cell
+        |         FROM probes p JOIN cell ce ON ce.cell = p.cell
+        |         WHERE ce.vec_id <> p.qid),
+        |coarse AS (SELECT c.qid, c.cid, sum(qq.qv * qc.qv) AS cdot
+        |           FROM cand c JOIN q qq ON qq.vec_id = c.qid
+        |           JOIN q qc ON qc.vec_id = c.cell AND qc.k = qq.k
+        |           GROUP BY 1, 2),
+        |fine AS (SELECT c.qid, c.cid, sum(qq.qv * rr.rv) AS fdot
+        |         FROM cand c
+        |         JOIN codes cd ON cd.vec_id = c.cid
+        |         JOIN q qq ON qq.vec_id = c.qid AND (qq.k - 1) // 8 = cd.m
+        |         JOIN resid rr ON rr.vec_id = cd.code AND rr.k = qq.k
+        |         GROUP BY 1, 2),
+        |adc AS (SELECT coarse.qid, coarse.cid, cdot + fdot AS approx
+        |        FROM coarse JOIN fine
+        |          ON fine.qid = coarse.qid AND fine.cid = coarse.cid),
+        |ark AS (SELECT qid, cid, row_number() OVER (
+        |          PARTITION BY qid ORDER BY approx DESC, cid) AS ark FROM adc),
+        |top AS (SELECT qid, cid FROM ark WHERE ark <= 20),
+        |pairs AS (SELECT tp.qid, tp.cid, sum(qa.qv * qb.qv) AS dot
+        |          FROM top tp JOIN q qa ON qa.vec_id = tp.qid
+        |          JOIN q qb ON qb.vec_id = tp.cid AND qb.k = qa.k
+        |          GROUP BY 1, 2),
+        |scored AS (SELECT qid, cid,
+        |    round(dot / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)), 6)
+        |      AS cosine
+        |  FROM pairs JOIN nrm na ON na.vec_id = qid
+        |  JOIN nrm nb ON nb.vec_id = cid),
+        |ranked AS (SELECT qid, cid, cosine, CAST(row_number() OVER (
+        |    PARTITION BY qid ORDER BY cosine DESC, cid) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT qid, cid, rank, cosine FROM ranked WHERE rank <= 5""".stripMargin)),
+
     "dedup_cosine_nn" -> Q(
       (s, dir) => {
         val e = table(s, dir, "embeddings")
