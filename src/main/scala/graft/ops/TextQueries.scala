@@ -1022,6 +1022,74 @@ object TextQueries {
         |    * 1e6) AS BIGINT) AS shared_ppm
         |FROM per p LEFT JOIN sh s USING (doc_id)""".stripMargin)),
 
+    // Paragraph-level dedup with document REWRITE (the C4 move:
+    // repeated spans are removed from every document but the first
+    // occurrence, and surviving text is reassembled — not just
+    // flagged). The synthetic corpus is collision-free word salad, so
+    // the entry deterministically appends boilerplate "paragraphs"
+    // on BOTH engines first (every doc gets one shared 10-word
+    // block; every 3rd doc a second), exactly the pattern C4's rule
+    // targets. Paragraphs = aligned 10-word blocks; first occurrence
+    // = min (doc_id, ord) via a row_number over the PARAGRAPH-
+    // partitioned window (shuffle keys on content hash — the dedup
+    // shuffle); reassembly is one groupBy(doc_id) with an in-agg
+    // sort. Two keyed shuffles total, no global window, no
+    // all-pairs — the shape a 100 TB C4 pass needs.
+    "dedup_paragraph" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val bp1 = "subscribe to our newsletter for updates and offers every day"
+        val bp2 = "all rights reserved contact us for licensing and press inquiries"
+        val blocks = table(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .withColumn("base", expr(
+            "slice(w, 1, cast(size(w) / 10 as int) * 10)"))
+          .withColumn("w2",
+            when(col("doc_id") % 3 === 0,
+              concat(col("base"), split(lit(bp1), " "), split(lit(bp2), " ")))
+              .otherwise(concat(col("base"), split(lit(bp1), " "))))
+          .select(col("doc_id"), posexplode(expr(
+            "transform(sequence(0, cast(size(w2) / 10 as int) - 1), " +
+              "i -> array_join(slice(w2, i * 10 + 1, 10), ' '))")))
+          .withColumnRenamed("pos", "ord").withColumnRenamed("col", "p")
+        val kept = blocks.withColumn("rn", row_number().over(
+            Window.partitionBy("p").orderBy(col("doc_id"), col("ord"))))
+          .filter(col("rn") === 1)
+        val nb = blocks.groupBy("doc_id").agg(count(lit(1)).as("n_blocks"))
+        kept.groupBy("doc_id").agg(
+            count(lit(1)).as("n_kept"),
+            array_join(transform(
+              array_sort(collect_list(struct(col("ord"), col("p")))),
+              x => x.getField("p")), " ").as("clean_text"))
+          .join(nb, "doc_id")
+          .select("doc_id", "n_blocks", "n_kept", "clean_text")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |wx AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0
+        |    THEN list_concat(list_concat(w[1:(len(w)//10)*10],
+        |      string_split('subscribe to our newsletter for updates and offers every day', ' ')),
+        |      string_split('all rights reserved contact us for licensing and press inquiries', ' '))
+        |    ELSE list_concat(w[1:(len(w)//10)*10],
+        |      string_split('subscribe to our newsletter for updates and offers every day', ' '))
+        |    END AS w2 FROM d),
+        |blocks AS (SELECT doc_id, i AS ord,
+        |    array_to_string(w2[i*10+1 : i*10+10], ' ') AS p
+        |  FROM (SELECT doc_id, w2,
+        |          unnest(generate_series(0, len(w2)//10 - 1)) AS i
+        |        FROM wx)),
+        |kept AS (SELECT doc_id, ord, p FROM (
+        |    SELECT doc_id, ord, p, row_number() OVER (
+        |      PARTITION BY p ORDER BY doc_id, ord) AS rn FROM blocks)
+        |  WHERE rn = 1),
+        |nb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks
+        |       FROM blocks GROUP BY doc_id),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |          string_agg(p, ' ' ORDER BY ord) AS clean_text
+        |        FROM kept GROUP BY doc_id)
+        |SELECT a.doc_id, nb.n_blocks, a.n_kept, a.clean_text
+        |FROM agg a JOIN nb ON nb.doc_id = a.doc_id""".stripMargin)),
+
     // Linear quality classifier applied at corpus scale (the fastText-
     // filter shape of CCNet/GPT-3 data prep): every token carries a
     // fixed hash-derived weight in [-1000, 1000] (a stand-in for
