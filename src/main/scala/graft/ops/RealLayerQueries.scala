@@ -431,6 +431,41 @@ object RealLayerQueries {
       },
       Some(s"SELECT DISTINCT label FROM $Sidecar")),
 
+    // S2 has_data (image/__init__.py:102-118): whether a mip appears
+    // to hold data, by listing the scale-key prefix — plus the object
+    // count the listing saw, so the oracle can derive the expected
+    // grid population from the voxel sidecar instead of asserting a
+    // constant. Probes the two populated mips and one declared-but-
+    // absent key ("4_4_4" — first(list) is None, has_data false). A
+    // metadata-sized op: one listing per mip, no data reads.
+    "s2b_has_data" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        import s.implicits._
+        val layer = LayerDir
+        s.createDataset(Seq("1_1_1", "2_2_2", "4_4_4")).map { key =>
+          val p = Paths.get(layer, key)
+          val n =
+            if (!Files.isDirectory(p)) 0L
+            else {
+              val st = Files.list(p)
+              try st.count() finally st.close()
+            }
+          (key, n, if (n > 0) 1L else 0L)
+        }.toDF("key", "n_files", "has_data")
+      },
+      Some(s"""SELECT '1_1_1' AS key,
+        |  CAST(count(DISTINCT ((x // 16) * 100 + (y // 16) * 10 + z // 8))
+        |    AS BIGINT) AS n_files, CAST(1 AS BIGINT) AS has_data
+        |FROM $Sidecar
+        |UNION ALL
+        |SELECT '2_2_2',
+        |  CAST(count(DISTINCT (((x // 2) // 16) * 100 + ((y // 2) // 16) * 10
+        |    + (z // 2) // 8)) AS BIGINT), CAST(1 AS BIGINT)
+        |FROM $Sidecar WHERE x % 2 = 0 AND y % 2 = 0 AND z % 2 = 0
+        |UNION ALL
+        |SELECT '4_4_4', CAST(0 AS BIGINT), CAST(0 AS BIGINT)""".stripMargin)),
+
     // S4 over real chunk files: bbox cutout, partition-pruned scan
     // (pushed gx/gy/gz bounds), decode once per chunk (rx.py:239-379)
     "s4_cutout_real" -> Q(
