@@ -440,5 +440,79 @@ object SkeletonQueries {
         |      FROM g a JOIN g b ON a.segid = b.segid AND b.vid = a.vid + 1
         |      JOIN off o ON o.segid = a.segid)
         |SELECT mid, va, vb FROM e""".stripMargin)),
+
+    // Skeleton CROP (osteoid Skeleton.crop, reached through
+    // cloud-volume's skeleton frontend): vertices outside the bbox
+    // are removed, every edge touching a removed vertex is dropped,
+    // and surviving vertex ids COMPACT (renumber by original order).
+    // The renumber is a per-segid window (millions of small
+    // partitions at scale, like skel_merge's offset window), and the
+    // edge remap is two co-keyed joins on (segid, vid) — broadcast-
+    // free, partitioned by skeleton.
+    "skel_crop" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        val vertRows = udf((vs: Seq[Float]) =>
+          (0 until vs.length / 3).map(i =>
+            (i.toLong, vs(3 * i).toLong, vs(3 * i + 1).toLong,
+              vs(3 * i + 2).toLong)))
+        val edgeRows = udf((es: Seq[Int]) =>
+          (0 until es.length / 2).map(i =>
+            (es(2 * i).toLong, es(2 * i + 1).toLong)))
+        val d = decoded(s).localCheckpoint() // feeds verts AND edges
+        val kept = d
+          .select(col("segid"), explode(vertRows(col("verts"))).as("v"))
+          .select(col("segid"), col("v._1").as("vid"), col("v._2").as("x"),
+            col("v._3").as("y"), col("v._4").as("z"))
+          .filter(col("x") >= 5 && col("x") < 30 &&
+            col("y") >= 4 && col("y") < 32 && col("z") >= 2 && col("z") < 16)
+          .withColumn("nvid", row_number().over(
+            Window.partitionBy("segid").orderBy("vid")).cast("long") - 1)
+        val edges = d
+          .select(col("segid"), explode(edgeRows(col("edges"))).as("e"))
+          .select(col("segid"), col("e._1").as("a"), col("e._2").as("b"))
+        edges
+          .join(kept.select(col("segid"), col("vid").as("a"),
+            col("nvid").as("na")), Seq("segid", "a"))
+          .join(kept.select(col("segid"), col("vid").as("b"),
+            col("nvid").as("nb")), Seq("segid", "b"))
+          .select(col("segid"), col("na"), col("nb"))
+      },
+      Some(s"""WITH $VertCte,
+        |kept AS (SELECT segid, vid, row_number() OVER (
+        |           PARTITION BY segid ORDER BY vid) - 1 AS nvid
+        |         FROM g WHERE x >= 5 AND x < 30 AND y >= 4 AND y < 32
+        |           AND z >= 2 AND z < 16)
+        |SELECT a.segid, ka.nvid AS na, kb.nvid AS nb
+        |FROM g a JOIN g b ON a.segid = b.segid AND b.vid = a.vid + 1
+        |JOIN kept ka ON ka.segid = a.segid AND ka.vid = a.vid
+        |JOIN kept kb ON kb.segid = b.segid AND kb.vid = b.vid""".stripMargin)),
+
+    // Skeleton affine TRANSFORM (datasource/precomputed/skeleton/
+    // metadata.py:72-77 — the 3x4 `transform` field applied to
+    // vertex positions when a layer's physical space differs from
+    // voxel space). Integer-diagonal affine (scale 2,3,4 + translate
+    // 7,-5,11) keeps both engines exact. Pure narrow map over the
+    // decoded vertex stream — no shuffle at all.
+    "skel_transform" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        val vertRows = udf((vs: Seq[Float], rs: Seq[Float]) =>
+          (0 until vs.length / 3).map(i =>
+            (i.toLong, vs(3 * i).toLong, vs(3 * i + 1).toLong,
+              vs(3 * i + 2).toLong, rs(i).toLong)))
+        decoded(s)
+          .select(col("segid"),
+            explode(vertRows(col("verts"), col("radii"))).as("v"))
+          .select(col("segid"), col("v._1").as("vid"),
+            (col("v._2") * 2 + 7).as("tx"),
+            (col("v._3") * 3 - 5).as("ty"),
+            (col("v._4") * 4 + 11).as("tz"),
+            col("v._5").as("radius"))
+      },
+      Some(s"""WITH $VertCte
+        |SELECT segid, vid, x * 2 + 7 AS tx, y * 3 - 5 AS ty,
+        |       z * 4 + 11 AS tz, radius
+        |FROM g""".stripMargin)),
   )
 }
