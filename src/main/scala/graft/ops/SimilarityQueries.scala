@@ -561,7 +561,7 @@ object SimilarityQueries {
           .select(col("vec_id").as("qid"), col("cid_c").as("cell"))
         val qs = e.filter(col("vec_id") < 10).select(
           col("vec_id").as("qid"), col("q").as("qa"), col("nrm").as("na"))
-        probes.join(coded, Seq("cell"))
+        coded.join(broadcast(probes), Seq("cell"))
           .filter(col("qid") =!= col("cid"))
           .join(broadcast(qs), Seq("qid"))
           .withColumn("approx",
