@@ -369,5 +369,60 @@ object GrapheneQueries {
         |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')
         |WHERE x BETWEEN 6 AND 49 AND y BETWEEN 10 AND 41
         |  AND z BETWEEN 4 AND 19""".stripMargin)),
+
+    // J7 scattered points (frontends/graphene.py:93-170
+    // scattered_points): resolve the agglomerated root under each of a
+    // SCATTERED set of coordinates — the graphene sibling of the
+    // precomputed download_points. Points group by owning chunk (one
+    // random-access cseg read per chunk, no full decode), the distinct
+    // supervoxels under them resolve roots ONCE (the reference dedups
+    // before its get_roots call, :150-160), and the root map joins
+    // back broadcast. At scale: chunk-grouped point reads touch only
+    // the chunks points land in; the root-resolution join is sized by
+    // the distinct supervoxel set, not the point count.
+    "j7b_scattered_points" -> Q(
+      (s, dir) => {
+        RealLayerQueries.ensure(s, dir)
+        val SX = RealLayerQueries.SX; val SY = RealLayerQueries.SY
+        val SZ = RealLayerQueries.SZ
+        val CXl = RealLayerQueries.CX; val CYl = RealLayerQueries.CY
+        val CZl = RealLayerQueries.CZ
+        val pts = table(s, dir, "orders")
+          .filter(col("o_orderkey") % 5 === 1)
+          .select(col("o_orderkey").cast("long").as("pid"),
+            (col("o_orderkey") % SX).cast("long").as("x"),
+            ((col("o_custkey") * 7) % SY).cast("long").as("y"),
+            (col("o_orderkey") % SZ).cast("long").as("z"))
+        import s.implicits._
+        val csegDir = RealLayerQueries.LayerCsegDir
+        val scale = RealLayerQueries.metaCseg.scale(0)
+        val bs = RealLayerQueries.CsegBlock
+        val looked = pts.as[(Long, Long, Long, Long)]
+          .groupByKey(t => (t._2 / CXl, t._3 / CYl, t._4 / CZl))
+          .flatMapGroups { (key: (Long, Long, Long),
+              it: Iterator[(Long, Long, Long, Long)]) =>
+            val g = Vec3(key._1, key._2, key._3)
+            val payload =
+              PrecomputedIO.readChunkBytes(csegDir, scale, g).get
+            val cb = Geom.chunkBbox(g, scale.bounds, scale.chunkSize)
+            it.map { case (pid, x, y, z) =>
+              (pid, x, y, z, Cseg.readVoxel(payload, cb.size, bs, 4,
+                x - cb.minpt.x, y - cb.minpt.y, z - cb.minpt.z))
+            }
+          }.toDF("pid", "x", "y", "z", "label")
+        val mapping = looked.select(col("label")).distinct()
+          .select(col("label"),
+            (lit(2000000L) + idiv(col("label"), 100)).as("root"))
+        looked.join(broadcast(mapping), Seq("label"))
+          .select("pid", "x", "y", "z", "root")
+      },
+      Some(s"""WITH pts AS (
+        |  SELECT o_orderkey AS pid, o_orderkey % 60 AS x,
+        |         (o_custkey * 7) % 60 AS y, o_orderkey % 28 AS z
+        |  FROM orders WHERE o_orderkey % 5 = 1)
+        |SELECT p.pid, p.x, p.y, p.z, 2000000 + (v.label // 100) AS root
+        |FROM pts p
+        |JOIN read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet') v
+        |  ON v.x = p.x AND v.y = p.y AND v.z = p.z""".stripMargin)),
   )
 }
