@@ -1090,6 +1090,63 @@ object TextQueries {
         |SELECT a.doc_id, nb.n_blocks, a.n_kept, a.clean_text
         |FROM agg a JOIN nb ON nb.doc_id = a.doc_id""".stripMargin)),
 
+    // LM-probability quality filter (the CCNet shape: score each doc
+    // under a language model trained on the corpus itself and drop
+    // the improbable tail — here a bigram MLE proxy instead of a
+    // 5-gram KenLM). One pass builds the LM as data (bigram and
+    // context counts — two partial-aggregated groupBys over the same
+    // shingle stream), per-bigram probability is an exact INTEGER
+    // ppm (c2 * 1e6 div c1 — no float division anywhere), and docs
+    // re-join their bigrams to the probability table co-partitioned
+    // on the bigram key. Scale shape: the LM table is vocab²-bounded
+    // (broadcastable when the vocab is; co-partitioned join when
+    // not), the corpus never collects, and the scoring join keys on
+    // content — the same plan CCNet's perplexity bucketing needs at
+    // 100 TB.
+    "quality_lm_score" -> Q(
+      (s, dir) => {
+        val bg = table(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(w) - 2), " +
+              "i -> struct(w[i] AS prev, w[i+1] AS cur))")).as("b"))
+          .select(col("doc_id"), col("b.prev").as("prev"),
+            col("b.cur").as("cur"))
+        val c2 = bg.groupBy("prev", "cur").agg(count(lit(1)).as("c2"))
+        val c1 = bg.groupBy("prev").agg(count(lit(1)).as("c1"))
+        val p = c2.join(c1, "prev")
+          .select(col("prev"), col("cur"),
+            expr("c2 * 1000000 div c1").as("p_ppm"))
+        bg.join(p, Seq("prev", "cur"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum("p_ppm").as("lm_sum_ppm"))
+          .select(col("doc_id"), col("n_bigrams"), col("lm_sum_ppm"),
+            expr("lm_sum_ppm div n_bigrams").as("lm_avg_ppm"))
+          .withColumn("keep",
+            when(col("lm_avg_ppm") >= 2000, 1L).otherwise(0L))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |bg AS (SELECT doc_id, w[i] AS prev, w[i+1] AS cur
+        |       FROM (SELECT doc_id, w,
+        |               unnest(generate_series(1, len(w) - 1)) AS i
+        |             FROM w WHERE len(w) >= 2)),
+        |c2 AS (SELECT prev, cur, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT prev, count(*) AS c1 FROM bg GROUP BY 1),
+        |p AS (SELECT c2.prev, c2.cur, (c2.c2 * 1000000) // c1.c1 AS p_ppm
+        |      FROM c2 JOIN c1 ON c1.prev = c2.prev),
+        |sc AS (SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |         CAST(sum(p.p_ppm) AS BIGINT) AS lm_sum_ppm
+        |       FROM bg JOIN p ON p.prev = bg.prev AND p.cur = bg.cur
+        |       GROUP BY bg.doc_id)
+        |SELECT doc_id, n_bigrams, lm_sum_ppm,
+        |  CAST(lm_sum_ppm // n_bigrams AS BIGINT) AS lm_avg_ppm,
+        |  CAST(CASE WHEN lm_sum_ppm // n_bigrams >= 2000 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS keep
+        |FROM sc""".stripMargin)),
+
     // Linear quality classifier applied at corpus scale (the fastText-
     // filter shape of CCNet/GPT-3 data prep): every token carries a
     // fixed hash-derived weight in [-1000, 1000] (a stand-in for
