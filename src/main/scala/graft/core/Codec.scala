@@ -15,6 +15,14 @@ import java.util.zip.{GZIPInputStream, GZIPOutputStream, Deflater}
   */
 object Codec {
 
+  // ImageIO defaults to FILE-backed cache streams: with useCache=true
+  // every png/jpeg (en|de)code writes a temp cache file to disk —
+  // thousands of create/write/delete per chunked query, and the
+  // latency couples the decode path to unrelated disk churn. Memory
+  // cache is strictly better for our ByteArray-sized payloads. Object
+  // init runs once per executor JVM before first decode.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Decode a raw-encoded chunk into a Long-valued voxel array in
     * Fortran order. dtypeBytes in {1,2,4,8}; values are zero-extended
     * (uint semantics) except 8-byte which is passed through.

@@ -18,6 +18,10 @@ import org.apache.spark.sql.functions._
 object MultimodalOps {
   import Derived.table
 
+  // memory-cache ImageIO streams (see core/Codec.scala — the default
+  // file-backed cache writes a temp file per decoded image)
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class RasterFeatures(doc_id: Long, width: Long, height: Long,
       pix_sum: Long, pix_sq_sum: Long, edge_h: Long, edge_v: Long)
 

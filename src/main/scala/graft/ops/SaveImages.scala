@@ -49,6 +49,9 @@ import graft.core.Vec3
   */
 object SaveImages {
 
+  // memory-cache ImageIO streams (see core/Codec.scala)
+  javax.imageio.ImageIO.setUseCache(false)
+
   def saveImages(s: SparkSession, voxels: DataFrame, dir: String,
       shape: Vec3, axis: String = "z", globalNorm: Boolean = true,
       normalize: Boolean = true): DataFrame = {
