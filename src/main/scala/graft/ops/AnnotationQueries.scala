@@ -620,16 +620,19 @@ object AnnotationQueries {
         s.createDataset(ids)
           .groupByKey(aid => spec.shardLocation(aid)._1)
           .flatMapGroups { (shardNo, it) =>
-            val shard = Files.readAllBytes(
-              Paths.get(shardDir, spec.shardFilename(shardNo)))
-            it.flatMap { aid =>
-              ShardCodec.getData(shard, spec, aid).map { bin =>
+            // index + coalesced byte-range reads (sharding.py:731-766
+            // shape) — NEVER the whole shard file; at real annotation
+            // scale shards are multi-GB and only the requested ids'
+            // ranges should move
+            val path =
+              Paths.get(shardDir, spec.shardFilename(shardNo)).toString
+            graft.sources.ShardedIO.readLabelsRanged(path, spec, it.toSeq)
+              .iterator.map { case (aid, bin) =>
                 val (a, rels) = AnnotationCodec.decodeSingle(annSpec, 2, aid, bin)
                 (aid, a.geometry(0).toLong, a.geometry(1).toLong,
                   a.geometry(2).toLong, a.props(0).toLong,
                   rels(0).head, rels(1).head)
               }
-            }
           }.toDF("aid", "ax", "ay", "az", "score", "presyn", "postsyn")
       },
       Some(s"""WITH $PtsCte

@@ -184,18 +184,22 @@ object SkeletonQueries {
         val spec = skelShardSpec
         val segids = (0L until NSeg)
         s.createDataset(segids.toSeq)
-          .repartition(4)
-          .flatMap { segid =>
-            val shardFile = spec.shardFilename(spec.shardLocation(segid)._1)
-            val shard = Files.readAllBytes(Paths.get(shardedStr, shardFile))
-            ShardCodec.getData(shard, spec, segid).toSeq.flatMap { bin =>
-              val sk = SkeletonCodec.decode(bin)
-              (0 until sk.nv).map { i =>
-                (segid, i.toLong, sk.vertices(3 * i).toLong,
-                  sk.vertices(3 * i + 1).toLong, sk.vertices(3 * i + 2).toLong,
-                  sk.radii(i).toLong)
+          .groupByKey(segid => spec.shardLocation(segid)._1)
+          .flatMapGroups { (shardNo, it) =>
+            // one task per shard, index + coalesced byte-range reads
+            // (skeleton/sharded.py via ShardReader) — not a whole-file
+            // read per segid
+            val path =
+              Paths.get(shardedStr, spec.shardFilename(shardNo)).toString
+            graft.sources.ShardedIO.readLabelsRanged(path, spec, it.toSeq)
+              .iterator.flatMap { case (segid, bin) =>
+                val sk = SkeletonCodec.decode(bin)
+                (0 until sk.nv).map { i =>
+                  (segid, i.toLong, sk.vertices(3 * i).toLong,
+                    sk.vertices(3 * i + 1).toLong,
+                    sk.vertices(3 * i + 2).toLong, sk.radii(i).toLong)
+                }
               }
-            }
           }.toDF("segid", "vid", "x", "y", "z", "radius")
       },
       Some(s"""WITH $VertCte
