@@ -278,7 +278,8 @@ object AnnotationCodec {
   def writeInfo(dir: String, spec: AnnotationSpec,
       byId: Option[(String, Option[ShardingSpec])] = None,
       relationships: Seq[(String, String)] = Seq.empty,
-      spatial: Seq[SpatialLevel] = Seq.empty): Unit = {
+      spatial: Seq[SpatialLevel] = Seq.empty,
+      relSharding: Map[String, ShardingSpec] = Map.empty): Unit = {
     val root = om.createObjectNode()
     root.put("@type", "neuroglancer_annotations_v1")
     root.put("annotation_type", spec.annotationType)
@@ -304,6 +305,10 @@ object AnnotationCodec {
       val rels = root.putArray("relationships")
       relationships.foreach { case (id, key) =>
         val rn = rels.addObject(); rn.put("id", id); rn.put("key", key)
+        // per-relation sharded index (annotation/reader.py:321-327
+        // reads rel["sharding"] and routes through a ShardReader)
+        relSharding.get(id).foreach(sp =>
+          ShardingSpec.putJson(rn.putObject("sharding"), sp))
       }
     }
     val dims = root.putObject("dimensions")
@@ -357,6 +362,23 @@ object AnnotationCodec {
       (0 until rn.size).map(i =>
         (rn.get(i).get("id").asText, rn.get(i).get("key").asText))
     }.getOrElse(Seq.empty)
+  }
+
+  /** One declared relationship's index: (key, sharding if sharded) —
+    * None when the relationship id is not declared. Mirrors the
+    * reference's per-relation `'sharding' in rel` routing
+    * (annotation/reader.py:319-339).
+    */
+  def readRelationshipIndex(dir: String, id: String)
+      : Option[(String, Option[ShardingSpec])] = {
+    val root = om.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "info")))
+    Option(root.get("relationships")).flatMap { rn =>
+      (0 until rn.size).map(rn.get)
+        .find(_.get("id").asText == id)
+        .map(r => (r.get("key").asText,
+          Option(r.get("sharding")).map(ShardingSpec.fromJson)))
+    }
   }
 
   /** The layer's declared id index: (key, sharding if sharded) —

@@ -307,7 +307,7 @@ object AnnotationQueries {
   def ensureSharded(s: SparkSession, sfDir: String): Unit = synchronized {
     ensure(s, sfDir)
     val marker = Paths.get(Root, ".built_byid_sharded_from")
-    val markerVal = s"${Fixtures.srcStamp(sfDir)}|v3|annsh-v1"
+    val markerVal = s"${Fixtures.srcStamp(sfDir)}|v3|annsh-v2" // v2: +rel shards
     if (Files.exists(marker) && Files.readString(marker) == markerVal) return
     FixtureLog.rebuild(marker)
     val layerP = Paths.get(ShardedLayerDir)
@@ -319,29 +319,36 @@ object AnnotationQueries {
     import s.implicits._
     import scala.jdk.CollectionConverters._
     val spec = annShardSpec
-    val byIdStr = s"$Root/by_id"
-    val outDir = s"$ShardedLayerDir/by_id"
-    Files.createDirectories(Paths.get(outDir))
     AnnotationCodec.writeInfo(ShardedLayerDir, PointSpec,
-      byId = Some(("by_id", Some(spec))))
-    // group the single-annotation binaries by shard number; each task
-    // synthesizes one full shard file (S12 shuffle shape)
-    val names = Files.list(Paths.get(byIdStr)).iterator.asScala
-      .map(_.getFileName.toString).filter(_.matches("\\d+")).toSeq.sorted
-    names.toDS()
-      .map { n =>
-        (spec.shardLocation(n.toLong)._1, n.toLong,
-          Files.readAllBytes(Paths.get(byIdStr, n)))
-      }
-      .groupByKey(_._1)
-      .mapGroups { (shard, it) =>
-        val items = it.map(t => (t._2, t._3)).toSeq
-        (shard, ShardCodec.synthesizeShard(spec, items))
-      }
-      .foreach { t: (Long, Array[Byte]) =>
-        Files.write(Paths.get(outDir, spec.shardFilename(t._1)), t._2)
-        ()
-      }
+      byId = Some(("by_id", Some(spec))),
+      relationships = Seq(("presynaptic_to", "rel_presynaptic_to")),
+      relSharding = Map("presynaptic_to" -> spec))
+    // group label-keyed binaries by shard number; each task
+    // synthesizes one full shard file (S12 shuffle shape). Runs once
+    // for the by-id single-annotation objects and once for the
+    // relationship index's multi-annotation lists (reader.py:321-339).
+    def synthesize(srcDir: String, outKey: String): Unit = {
+      val outDir = s"$ShardedLayerDir/$outKey"
+      Files.createDirectories(Paths.get(outDir))
+      val names = Files.list(Paths.get(srcDir)).iterator.asScala
+        .map(_.getFileName.toString).filter(_.matches("\\d+")).toSeq.sorted
+      names.toDS()
+        .map { n =>
+          (spec.shardLocation(n.toLong)._1, n.toLong,
+            Files.readAllBytes(Paths.get(srcDir, n)))
+        }
+        .groupByKey(_._1)
+        .mapGroups { (shard, it) =>
+          val items = it.map(t => (t._2, t._3)).toSeq
+          (shard, ShardCodec.synthesizeShard(spec, items))
+        }
+        .foreach { t: (Long, Array[Byte]) =>
+          Files.write(Paths.get(outDir, spec.shardFilename(t._1)), t._2)
+          ()
+        }
+    }
+    synthesize(s"$Root/by_id", "by_id")
+    synthesize(s"$Root/rel_presynaptic_to", "rel_presynaptic_to")
     Files.writeString(marker, markerVal)
   }
 
@@ -639,6 +646,44 @@ object AnnotationQueries {
         |SELECT aid, ax, ay, az, score, (aid * 3) % 40 AS presyn,
         |  (aid * 5 + 1) % 40 AS postsyn
         |FROM pts WHERE aid % 35 = 0""".stripMargin)),
+
+    // P8 SHARDED relationship lookup (annotation/reader.py:319-339
+    // get_by_relationship when rel["sharding"] is declared): the
+    // relation's label→annotation-list index lives in the uint64
+    // shard container, so each requested segid resolves through shard
+    // number → minishard index → byte range → multi-annotation
+    // decode. Requested segids group by shard (one task per shard,
+    // index + coalesced ranged reads — never the whole file), and the
+    // route — key AND spec — comes from the layer info's relationship
+    // declaration, not hardcoded.
+    "p8l_annotation_by_relation_sharded" -> Q(
+      (s, dir) => {
+        ensureSharded(s, dir)
+        import s.implicits._
+        val (key, shOpt) = AnnotationCodec
+          .readRelationshipIndex(ShardedLayerDir, "presynaptic_to").get
+        val spec = shOpt.getOrElse(
+          throw new IllegalStateException("relation index not sharded"))
+        val annSpec = PointSpec
+        val shardDir = s"$ShardedLayerDir/$key"
+        val segids = (0L until 8L)
+        s.createDataset(segids.toSeq)
+          .groupByKey(segid => spec.shardLocation(segid)._1)
+          .flatMapGroups { (shardNo, it) =>
+            val path =
+              Paths.get(shardDir, spec.shardFilename(shardNo)).toString
+            graft.sources.ShardedIO.readLabelsRanged(path, spec, it.toSeq)
+              .iterator.flatMap { case (segid, bin) =>
+                AnnotationCodec.decode(annSpec, bin).map { a =>
+                  (segid, a.id, a.geometry(0).toLong,
+                    a.geometry(1).toLong, a.geometry(2).toLong)
+                }
+              }
+          }.toDF("segid", "aid", "ax", "ay", "az")
+      },
+      Some(s"""WITH $PtsCte
+        |SELECT (aid * 3) % 40 AS segid, aid, ax, ay, az FROM pts
+        |WHERE (aid * 3) % 40 < 8""".stripMargin)),
 
     // P8 multi-relationship + rgba round-trip (annotation/metadata.py:
     // 27-39 relationship declarations, rgba in _PROPERTY_DTYPES): a
