@@ -273,7 +273,8 @@ object AnnotationCodec {
     * goes to the next finer level).
     */
   final case class SpatialLevel(key: String, gridShape: Seq[Long],
-    chunkSize: Seq[Long], limit: Long)
+    chunkSize: Seq[Long], limit: Long,
+    sharding: Option[ShardingSpec] = None)
 
   def writeInfo(dir: String, spec: AnnotationSpec,
       byId: Option[(String, Option[ShardingSpec])] = None,
@@ -291,6 +292,10 @@ object AnnotationCodec {
         val gs = ln.putArray("grid_shape"); lvl.gridShape.foreach(gs.add)
         val cs = ln.putArray("chunk_size"); lvl.chunkSize.foreach(cs.add)
         ln.put("limit", lvl.limit)
+        // sharded spatial level: cells keyed by compressed morton code
+        // (annotation/reader.py:253-257)
+        lvl.sharding.foreach(sp2 =>
+          ShardingSpec.putJson(ln.putObject("sharding"), sp2))
       }
     }
     byId.foreach { case (key, sh) =>
@@ -346,7 +351,8 @@ object AnnotationCodec {
           (0 until a.size).map(a.get(_).asLong)
         }
         SpatialLevel(ln.get("key").asText, longs("grid_shape"),
-          longs("chunk_size"), ln.get("limit").asLong)
+          longs("chunk_size"), ln.get("limit").asLong,
+          Option(ln.get("sharding")).map(ShardingSpec.fromJson))
       }
     }.getOrElse(Seq.empty)
   }

@@ -3,7 +3,7 @@ package graft.ops
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession, Row}
 import org.apache.spark.sql.functions._
-import graft.core.{AnnotationCodec, ShardCodec, ShardingSpec}
+import graft.core.{AnnotationCodec, Morton, ShardCodec, ShardingSpec, Vec3}
 import graft.core.AnnotationCodec.{Annotation, AnnotationSpec, PropSpec}
 
 /** Annotation layers over REAL binary chunk files (F18 + P8 extended
@@ -307,7 +307,8 @@ object AnnotationQueries {
   def ensureSharded(s: SparkSession, sfDir: String): Unit = synchronized {
     ensure(s, sfDir)
     val marker = Paths.get(Root, ".built_byid_sharded_from")
-    val markerVal = s"${Fixtures.srcStamp(sfDir)}|v3|annsh-v2" // v2: +rel shards
+    val markerVal =
+      s"${Fixtures.srcStamp(sfDir)}|v3|annsh-v3" // v3: +rel/spatial shards
     if (Files.exists(marker) && Files.readString(marker) == markerVal) return
     FixtureLog.rebuild(marker)
     val layerP = Paths.get(ShardedLayerDir)
@@ -322,7 +323,10 @@ object AnnotationQueries {
     AnnotationCodec.writeInfo(ShardedLayerDir, PointSpec,
       byId = Some(("by_id", Some(spec))),
       relationships = Seq(("presynaptic_to", "rel_presynaptic_to")),
-      relSharding = Map("presynaptic_to" -> spec))
+      relSharding = Map("presynaptic_to" -> spec),
+      spatial = Seq(AnnotationCodec.SpatialLevel("spatial1",
+        Seq(2L, 2L, 1L), Seq(32L, 32L, 32L), Long.MaxValue,
+        sharding = Some(spec))))
     // group label-keyed binaries by shard number; each task
     // synthesizes one full shard file (S12 shuffle shape). Runs once
     // for the by-id single-annotation objects and once for the
@@ -349,6 +353,32 @@ object AnnotationQueries {
     }
     synthesize(s"$Root/by_id", "by_id")
     synthesize(s"$Root/rel_presynaptic_to", "rel_presynaptic_to")
+    // sharded spatial level: cell files keyed by the cell's
+    // compressed morton code (annotation/reader.py:253-257)
+    locally {
+      val srcDir = s"$Root/points/spatial1"
+      val outDir = s"$ShardedLayerDir/spatial1"
+      Files.createDirectories(Paths.get(outDir))
+      val grid = Vec3(2, 2, 1)
+      val items = Files.list(Paths.get(srcDir)).iterator.asScala
+        .map(_.getFileName.toString).toSeq.sorted
+      items.toDS()
+        .map { n =>
+          val Array(gx, gy, gz) = n.split("_").map(_.toLong)
+          (spec.shardLocation(Morton.encode(Vec3(gx, gy, gz), grid))._1,
+            Morton.encode(Vec3(gx, gy, gz), grid),
+            Files.readAllBytes(Paths.get(srcDir, n)))
+        }
+        .groupByKey(_._1)
+        .mapGroups { (shard, it) =>
+          val cells = it.map(t => (t._2, t._3)).toSeq
+          (shard, ShardCodec.synthesizeShard(spec, cells))
+        }
+        .foreach { t: (Long, Array[Byte]) =>
+          Files.write(Paths.get(outDir, spec.shardFilename(t._1)), t._2)
+          ()
+        }
+    }
     Files.writeString(marker, markerVal)
   }
 
@@ -684,6 +714,65 @@ object AnnotationQueries {
       Some(s"""WITH $PtsCte
         |SELECT (aid * 3) % 40 AS segid, aid, ax, ay, az FROM pts
         |WHERE (aid * 3) % 40 < 8""".stripMargin)),
+
+    // P8 SHARDED spatial query (annotation/reader.py:230-306: when
+    // spatial[mip]["sharding"] is declared, the bbox's overlapping
+    // grid cells become compressed morton codes resolved through the
+    // shard container, decoded multi-annotation binaries are cropped
+    // to the ORIGINAL bbox). The bbox here overlaps 2 of the 4 level-1
+    // cells, so planning-time cell pruning is visible in the read set;
+    // cells group by shard with index + ranged reads like every other
+    // shard path. Level key, grid, chunk size, and spec all come from
+    // the layer info's spatial declaration.
+    "p8m_annotation_spatial_sharded" -> Q(
+      (s, dir) => {
+        ensureSharded(s, dir)
+        import s.implicits._
+        val lvl = AnnotationCodec.readSpatial(ShardedLayerDir)
+          .find(_.key == "spatial1").get
+        val spec = lvl.sharding.getOrElse(
+          throw new IllegalStateException("spatial level not sharded"))
+        val grid = Vec3(lvl.gridShape(0), lvl.gridShape(1), lvl.gridShape(2))
+        val cs = Vec3(lvl.chunkSize(0), lvl.chunkSize(1), lvl.chunkSize(2))
+        val annSpec = PointSpec
+        val shardDir = s"$ShardedLayerDir/${lvl.key}"
+        // query bbox: x [0,30), y [10,60), z [0,32) -> cells gx=0 only
+        val (bx0, bx1, by0, by1, bz0, bz1) = (0L, 30L, 10L, 60L, 0L, 32L)
+        val cells = for {
+          gx <- (bx0 / cs.x) to ((bx1 - 1) / cs.x)
+          gy <- (by0 / cs.y) to ((by1 - 1) / cs.y)
+          gz <- (bz0 / cs.z) to ((bz1 - 1) / cs.z)
+          if gx < grid.x && gy < grid.y && gz < grid.z
+        } yield Morton.encode(Vec3(gx, gy, gz), grid)
+        s.createDataset(cells.toSeq)
+          .groupByKey(code => spec.shardLocation(code)._1)
+          .flatMapGroups { (shardNo, it) =>
+            val path =
+              Paths.get(shardDir, spec.shardFilename(shardNo)).toString
+            graft.sources.ShardedIO.readLabelsRanged(path, spec, it.toSeq)
+              .iterator.flatMap { case (_, bin) =>
+                AnnotationCodec.decode(annSpec, bin).map { a =>
+                  (a.id, a.geometry(0).toLong, a.geometry(1).toLong,
+                    a.geometry(2).toLong)
+                }
+              }
+          }
+          // crop to the original (non-cell-aligned) bbox, reader.py:306
+          .filter(t => t._2 >= bx0 && t._2 < bx1 && t._3 >= by0 &&
+            t._3 < by1 && t._4 >= bz0 && t._4 < bz1)
+          .toDF("aid", "ax", "ay", "az")
+      },
+      Some(s"""WITH $PtsCte,
+        |p AS (SELECT aid, ax, ay, az,
+        |        ('0x' || substr(md5('sp:' || CAST(aid AS VARCHAR)), 1, 12))
+        |          ::BIGINT AS prio
+        |      FROM pts),
+        |r AS (SELECT aid, ax, ay, az, row_number() OVER (
+        |        PARTITION BY ax // 64, ay // 64, az // 32
+        |        ORDER BY prio, aid) AS rk FROM p)
+        |SELECT aid, ax, ay, az FROM r
+        |WHERE rk > ${SpatialLimit0}
+        |  AND ax < 30 AND ay >= 10 AND ay < 60""".stripMargin)),
 
     // P8 multi-relationship + rgba round-trip (annotation/metadata.py:
     // 27-39 relationship declarations, rgba in _PROPERTY_DTYPES): a
