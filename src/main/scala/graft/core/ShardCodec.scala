@@ -61,6 +61,83 @@ object ShardCodec {
     (0 until n).map(i => MinishardEntry(labels(i), offsets(i), sizes(i)))
   }
 
+  /** Shard synthesis with a PREAMBLE laid immediately before each
+    * indexed record — the sharded multires-mesh layout, where a
+    * segid's fragment bytes precede its manifest in the shard file
+    * and only the manifest is minishard-indexed (mesh/multilod.py:
+    * 282-284 `manifest.shard_offset - total_fragment_size`). The gap
+    * rides in the record's offset DELTA (the neuroglancer minishard
+    * encoding permits non-contiguous records). Raw data encoding
+    * only: fragment byte math needs file offsets, which gzip'd
+    * records would break.
+    */
+  def synthesizeShardWithPreambles(spec: ShardingSpec,
+      labelGroup: Seq[(Long, Array[Byte], Array[Byte])]): Array[Byte] = {
+    require(spec.dataEncoding == "raw",
+      "preamble layout requires raw data encoding")
+    val byMinishard =
+      mutable.SortedMap.empty[Long, mutable.ArrayBuffer[(Long, Array[Byte], Array[Byte])]]
+    labelGroup.foreach { case (label, pre, bin) =>
+      val (_, msn) = spec.shardLocation(label)
+      byMinishard.getOrElseUpdate(msn, mutable.ArrayBuffer.empty) +=
+        ((label, pre, bin))
+    }
+    val minishardnos = mutable.ArrayBuffer.empty[Long]
+    val indices = mutable.ArrayBuffer.empty[Array[Long]]
+    val datas = mutable.ArrayBuffer.empty[Array[Byte]]
+    byMinishard.foreach { case (msn, grp) =>
+      val sorted = grp.sortWith((a, b) =>
+        java.lang.Long.compareUnsigned(a._1, b._1) < 0)
+      val n = sorted.size
+      val idx = new Array[Long](3 * n)
+      val out = new java.io.ByteArrayOutputStream()
+      var lastLabel = 0L
+      var i = 0
+      sorted.foreach { case (label, pre, bin) =>
+        out.write(pre)
+        out.write(bin)
+        idx(i) = label - lastLabel
+        idx(n + i) = pre.length.toLong // gap: preamble precedes record
+        idx(2 * n + i) = bin.length.toLong
+        lastLabel = label
+        i += 1
+      }
+      minishardnos += msn
+      indices += idx
+      datas += out.toByteArray
+    }
+    assembleShard(spec, minishardnos.toSeq, indices.toSeq, datas.toSeq)
+  }
+
+  private def assembleShard(spec: ShardingSpec, minishardnos: Seq[Long],
+      indices0: Seq[Array[Long]], datas: Seq[Array[Byte]]): Array[Byte] = {
+    val indices = indices0.map(_.clone())
+    var cum = 0L
+    indices.zip(datas).foreach { case (idx, data) =>
+      val n = idx.length / 3
+      if (n > 0) idx(n) += cum
+      cum += data.length
+    }
+    val indexParts: Seq[Array[Byte]] = indices.map { idx =>
+      val bb = ByteBuffer.allocate(8 * idx.length).order(ByteOrder.LITTLE_ENDIAN)
+      idx.foreach(bb.putLong)
+      val raw = bb.array()
+      if (spec.minishardIndexEncoding == "gzip") Codec.gzip(raw) else raw
+    }
+    val dataPart = datas.foldLeft(Array.emptyByteArray)(_ ++ _)
+    val fixed = ByteBuffer.allocate(indexLength(spec).toInt)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    var start = dataPart.length.toLong
+    minishardnos.zip(indexParts).foreach { case (msn, part) =>
+      val end = start + part.length
+      fixed.putLong(16 * msn.toInt, start)
+      fixed.putLong(16 * msn.toInt + 8, end)
+      start = end
+    }
+    fixed.array() ++ dataPart ++
+      indexParts.foldLeft(Array.emptyByteArray)(_ ++ _)
+  }
+
   /** Assemble a full shard file from (label, payload) pairs that all
     * map to this shard (sharding.py:868-983 synthesize_shard_file).
     * Payloads are compressed per spec.dataEncoding; minishard indices
@@ -104,32 +181,9 @@ object ShardCodec {
       indices += idx
       datas += out.toByteArray
     }
-    // offset run: first entry of each minishard = cumulative data size
-    var cum = 0L
-    indices.zip(datas).foreach { case (idx, data) =>
-      val n = idx.length / 3
-      if (n > 0) idx(n) += cum
-      cum += data.length
-    }
-    val indexParts: Seq[Array[Byte]] = indices.toSeq.map { idx =>
-      val bb = ByteBuffer.allocate(8 * idx.length).order(ByteOrder.LITTLE_ENDIAN)
-      idx.foreach(bb.putLong)
-      val raw = bb.array()
-      if (spec.minishardIndexEncoding == "gzip") Codec.gzip(raw) else raw
-    }
-    val dataPart = datas.foldLeft(Array.emptyByteArray)(_ ++ _)
-    // fixed index: ranges of each minishard index, relative to end of
-    // fixed index; the variable index goes after the data part
-    val fixed = ByteBuffer.allocate(indexLength(spec).toInt)
-      .order(ByteOrder.LITTLE_ENDIAN)
-    var start = dataPart.length.toLong
-    minishardnos.zip(indexParts).foreach { case (msn, part) =>
-      val end = start + part.length
-      fixed.putLong(16 * msn.toInt, start)
-      fixed.putLong(16 * msn.toInt + 8, end)
-      start = end
-    }
-    fixed.array() ++ dataPart ++ indexParts.foldLeft(Array.emptyByteArray)(_ ++ _)
+    // offset run + fixed index + final layout shared with the
+    // preamble variant
+    assembleShard(spec, minishardnos.toSeq, indices.toSeq, datas.toSeq)
   }
 
   // ---- whole-file reader helpers (byte-array based; the Spark path

@@ -31,8 +31,64 @@ object MeshQueries {
   val Root = "/tmp/graft_fixture/mesh"
   val MeshDir = s"$Root/mesh"
   val MultiresDir = s"$Root/multires"
+  val MultiresShardedDir = s"$Root/multires_sharded"
 
   private val NSeg = 40L
+
+  /** Sharded multires mesh container (mesh/multilod.py:188-196):
+    * segid-keyed; raw data encoding is REQUIRED — the fragment bytes
+    * live in the same file at offsets computed from the manifest's
+    * record offset, which gzip'd records would break.
+    */
+  val meshShardSpec: ShardingSpec = ShardingSpec(
+    preshiftBits = 0, minishardBits = 2, shardBits = 1,
+    hashName = "identity",
+    minishardIndexEncoding = "gzip", dataEncoding = "raw")
+
+  /** Synthesize the sharded multires container from the unsharded
+    * multires fixture: per segid the fragment blob is the PREAMBLE
+    * and the manifest is the indexed record — the reference layout
+    * where `manifest_byte_start = shard_offset - total_fragment_size`
+    * (multilod.py:282-284).
+    */
+  def ensureMultiresSharded(s: SparkSession, sfDir: String): Unit =
+    synchronized {
+      ensure(s, sfDir)
+      val marker = Paths.get(Root, ".built_multires_sharded_from")
+      val markerVal = s"${Fixtures.srcStamp(sfDir)}|v3|meshsh-v1"
+      if (Files.exists(marker) && Files.readString(marker) == markerVal) return
+      FixtureLog.rebuild(marker)
+      val outP = Paths.get(MultiresShardedDir)
+      if (Files.exists(outP)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(outP).iterator.asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+      }
+      Files.createDirectories(outP)
+      import s.implicits._
+      import scala.jdk.CollectionConverters._
+      val spec = meshShardSpec
+      val mrDir = MultiresDir
+      val outDir = MultiresShardedDir
+      val segids = Files.list(Paths.get(mrDir)).iterator.asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".index"))
+        .map(_.stripSuffix(".index").toLong).toSeq.sorted
+      segids.toDS()
+        .groupByKey(segid => spec.shardLocation(segid)._1)
+        .mapGroups { (shard, it) =>
+          val items = it.map { segid =>
+            (segid,
+              Files.readAllBytes(Paths.get(mrDir, s"$segid.blob")),
+              Files.readAllBytes(Paths.get(mrDir, s"$segid.index")))
+          }.toSeq
+          (shard, ShardCodec.synthesizeShardWithPreambles(spec, items))
+        }
+        .foreach { t: (Long, Array[Byte]) =>
+          Files.write(Paths.get(outDir, spec.shardFilename(t._1)), t._2)
+          ()
+        }
+      Files.writeString(marker, markerVal)
+    }
 
   /** Vertex derivation (mirrored verbatim in the oracle CTEs): one
     * vertex per part row; coarse coordinates so positions repeat and
@@ -489,6 +545,65 @@ object MeshQueries {
               vidBase += frag.vertices.length / 3
               rows
             }
+          }.toDF("segid", "vid", "x", "y", "z")
+      },
+      Some(s"""WITH $VertCte
+        |SELECT segid, vid, x, y, z FROM g""".stripMargin)),
+
+    // W5 SHARDED multires read (mesh/multilod.py:188-319
+    // ShardedMultiLevelPrecomputedMeshSource.get): each segid's
+    // manifest is the minishard-indexed record and its fragment bytes
+    // sit immediately BEFORE it in the same shard file, located by
+    // `manifest_byte_start = shard_offset - total_fragment_size`
+    // (:282-284). Segids group by shard; each task resolves manifests
+    // via index + ranged reads (return_byte_range=True), computes the
+    // lod0 span from the manifest's fragment sizes, ranged-reads JUST
+    // that span, and decodes per-fragment slices into the same global
+    // vertex table w5b proves for the unsharded layout.
+    "w5c_multires_sharded" -> Q(
+      (s, dir) => {
+        ensureMultiresSharded(s, dir)
+        import s.implicits._
+        import scala.jdk.CollectionConverters._
+        val spec = meshShardSpec
+        val shardDir = MultiresShardedDir
+        val segids = Files.list(Paths.get(MultiresDir)).iterator.asScala
+          .map(_.getFileName.toString).filter(_.endsWith(".index"))
+          .map(_.stripSuffix(".index").toLong).toSeq.sorted
+        segids.toDS()
+          .groupByKey(segid => spec.shardLocation(segid)._1)
+          .flatMapGroups { (shardNo, it) =>
+            val path =
+              Paths.get(shardDir, spec.shardFilename(shardNo)).toString
+            val manifests = graft.sources.ShardedIO
+              .readLabelsRangedWithOffsets(path, spec, it.toSeq)
+            val raf = new java.io.RandomAccessFile(path, "r")
+            try {
+              manifests.flatMap { case (segid, shardOffset, manBytes) =>
+                val man = MeshCodec.decodeManifest(manBytes)
+                val totalFrag =
+                  man.fragmentOffsets.map(_.map(_.toLong).sum).sum
+                val lod0Size = man.fragmentOffsets(0).map(_.toLong).sum
+                // lod 0 starts at the front of the preamble
+                val lod0Start = shardOffset - totalFrag
+                val lod0 = new Array[Byte](lod0Size.toInt)
+                raf.seek(lod0Start); raf.readFully(lod0)
+                var start = 0L
+                var vidBase = 0L
+                man.fragmentOffsets(0).toSeq.flatMap { sz =>
+                  val frag = MeshCodec.decode(java.util.Arrays.copyOfRange(
+                    lod0, start.toInt, (start + sz).toInt))
+                  start += sz
+                  val rows = frag.vertices.grouped(3).zipWithIndex.map {
+                    case (v, i) =>
+                      (segid, vidBase + i, v(0).toLong, v(1).toLong,
+                        v(2).toLong)
+                  }.toSeq
+                  vidBase += frag.vertices.length / 3
+                  rows
+                }
+              }.iterator
+            } finally raf.close()
           }.toDF("segid", "vid", "x", "y", "z")
       },
       Some(s"""WITH $VertCte

@@ -36,7 +36,18 @@ object ShardedIO {
     * for the labels present, gunzipped per the spec's data encoding.
     */
   def readLabelsRanged(shardPath: String, spec: ShardingSpec,
-      labels: Seq[Long]): Seq[(Long, Array[Byte])] = {
+      labels: Seq[Long]): Seq[(Long, Array[Byte])] =
+    readLabelsRangedWithOffsets(shardPath, spec, labels)
+      .map(t => (t._1, t._3))
+
+  /** Like readLabelsRanged but also returns each record's absolute
+    * byte offset in the shard file — the `shard_offset` the sharded
+    * multires-mesh reader needs to locate the fragment bytes laid
+    * BEFORE the manifest (mesh/multilod.py:206-223,282-284
+    * `return_byte_range=True`).
+    */
+  def readLabelsRangedWithOffsets(shardPath: String, spec: ShardingSpec,
+      labels: Seq[Long]): Seq[(Long, Long, Array[Byte])] = {
     val want = labels.toSet
     val raf = new RandomAccessFile(shardPath, "r")
     try {
@@ -71,7 +82,7 @@ object ShardedIO {
       }
       entries.map { e =>
         val raw = slice(e.offset, e.size)
-        (e.label,
+        (e.label, e.offset,
           if (spec.dataEncoding == "gzip") Codec.gunzip(raw) else raw)
       }
     } finally raf.close()
