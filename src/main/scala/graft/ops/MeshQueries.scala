@@ -367,6 +367,31 @@ object MeshQueries {
     // filename, mesh/unsharded.py:99) drives the face index offsets —
     // the faces of fragment k are shifted by the vertex counts of
     // fragments 0..k-1 (prefix-sum window)
+    // T4 mesh-manifest existence (mesh/unsharded.py:102-128 exists:
+    // {label: path or None}): requested segids left-join the manifest
+    // listing; probes past the populated range so both branches
+    // execute. The oracle derives the populated set from `part`
+    // itself — independent of the writer.
+    "t4b_mesh_exists" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        import s.implicits._
+        import scala.jdk.CollectionConverters._
+        val listed = Files.list(Paths.get(MeshDir)).iterator.asScala
+          .map(_.getFileName.toString).filter(_.matches("\\d+:0"))
+          .map(_.stripSuffix(":0").toLong).toSeq.sorted
+        val listedDf = listed.toDF("segid").withColumn("found", lit(1L))
+        s.range(0, 60).toDF("segid")
+          .join(broadcast(listedDf), Seq("segid"), "left")
+          .select(col("segid"), coalesce(col("found"), lit(0L)).as("exists"))
+      },
+      Some("""WITH req AS (SELECT unnest(range(60)) AS segid),
+        |pop AS (SELECT DISTINCT p_partkey % 40 AS segid FROM part)
+        |SELECT CAST(r.segid AS BIGINT) AS segid,
+        |  CAST(CASE WHEN p.segid IS NULL THEN 0 ELSE 1 END AS BIGINT)
+        |    AS exists
+        |FROM req r LEFT JOIN pop p ON p.segid = r.segid""".stripMargin)),
+
     "o3_mesh_concat" -> Q(
       (s, dir) => { ensure(s, dir); globalFaces(s) },
       Some(s"""WITH $FaceCte

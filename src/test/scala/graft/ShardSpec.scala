@@ -63,6 +63,43 @@ class ShardSpec extends AnyFunSuite {
     assert(fixed(3)._2 == fixed(3)._1)
   }
 
+  test("preamble layout: records indexed past their preambles, gap in " +
+      "the offset delta") {
+    val spec = ShardingSpec(0, 2, 1, "identity",
+      minishardIndexEncoding = "gzip", dataEncoding = "raw")
+    val items = Seq(
+      (0L, Array.fill(37)(9: Byte), Array[Byte](1, 1)),
+      (4L, Array.fill(11)(8: Byte), Array[Byte](2, 2, 2)),
+      (1L, Array.emptyByteArray, Array[Byte](3))) // empty preamble ok
+    val shard = ShardCodec.synthesizeShardWithPreambles(spec, items)
+    // record payloads resolve exactly (not the preamble bytes)
+    items.foreach { case (label, _, rec) =>
+      assert(ShardCodec.getData(shard, spec, label).get.toSeq == rec.toSeq)
+    }
+    // each record's absolute offset sits exactly preamble-length past
+    // the previous record's end — the multires-mesh byte math
+    // (manifest_byte_start = shard_offset - total_fragment_size)
+    val entries = ShardCodec.allEntries(shard, spec).map(_._2)
+      .sortBy(_.offset)
+    val byLabel = items.map(t => t._1 -> t).toMap
+    var expected = ShardCodec.indexLength(spec)
+    entries.foreach { e =>
+      val (_, pre, rec) = byLabel(e.label)
+      expected += pre.length
+      assert(e.offset == expected, s"label ${e.label}")
+      assert(e.size == rec.length)
+      expected += rec.length
+      // the preamble bytes are recoverable at offset - pre.length
+      val preBytes = shard.slice((e.offset - pre.length).toInt, e.offset.toInt)
+      assert(preBytes.toSeq == pre.toSeq)
+    }
+    // gzip'd data encoding is rejected — gaps need raw byte math
+    intercept[IllegalArgumentException] {
+      ShardCodec.synthesizeShardWithPreambles(
+        spec.copy(dataEncoding = "gzip"), items)
+    }
+  }
+
   test("delta encoding in the wire bytes (labels ascending, first absolute)") {
     val spec = ShardingSpec(0, 0, 0, "identity") // single shard+minishard
     val shard = ShardCodec.synthesizeShard(spec,
