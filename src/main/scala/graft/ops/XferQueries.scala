@@ -266,6 +266,45 @@ object XferQueries {
         |WHERE x BETWEEN 2 AND 53 AND y BETWEEN 6 AND 49
         |  AND z BETWEEN 3 AND 24""".stripMargin)),
 
+    // S16 RESHARD: migrate a sharded layer to DIFFERENT shard
+    // parameters (to_sharded with a new compute_shard_params result —
+    // the re-tune a petabyte layer needs when its shard files grew
+    // past the object-store sweet spot). Chunk-level ranged reads
+    // from the source shards, ONE regroup shuffle keyed by the NEW
+    // spec's shard number, per-task shard synthesis, read back
+    // through the sharded cutout path against the new spec. Chunks
+    // move once; voxels never explode.
+    "s16_reshard" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        val target = s"${RealLayerQueries.Root}/layer_s16_reshard"
+        val root = Paths.get(target)
+        if (Files.exists(root)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(root).iterator.asScala.toSeq.reverse
+            .foreach(p => Files.deleteIfExists(p))
+        }
+        // new parameters: 2 shards x 8 minishards (source: 4 x 4)
+        val newSpec = ShardingSpec(
+          preshiftBits = 0, minishardBits = 3, shardBits = 1,
+          hashName = "identity",
+          minishardIndexEncoding = "gzip", dataEncoding = "gzip")
+        val metaResharded = metaSharded.copy(scales =
+          Seq(metaSharded.scale(0).copy(sharding = Some(newSpec))))
+        PrecomputedIO.writeInfo(target, metaResharded)
+        val full = Bbox(Vec3(0, 0, 0), Vec3(SX, SY, SZ))
+        ShardedIO.writeSharded(
+          ShardedIO.readChunksSharded(s,
+              RealLayerQueries.LayerShardedDir, full)
+            .select(col("gx"), col("gy"), col("gz"), col("payload")),
+          target, metaResharded, 0)
+        ShardedIO.cutoutVoxelsSharded(s, target,
+          Bbox(Vec3(4, 3, 1), Vec3(52, 51, 27)))
+      },
+      Some(s"""SELECT x, y, z, label FROM $Sidecar
+        |WHERE x BETWEEN 4 AND 51 AND y BETWEEN 3 AND 50
+        |  AND z BETWEEN 1 AND 26""".stripMargin)),
+
     // S16 pathway 4: transfer with a DIFFERENT chunk size — the
     // reference's transfer_to(chunk_size=...) re-gridding
     // (xfer.py:59-493 dest_chunk_size). Source chunks 16x16x8 align
