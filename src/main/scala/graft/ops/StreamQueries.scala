@@ -66,13 +66,14 @@ object StreamQueries {
     synchronized {
       val dir = Paths.get(Root, "docs")
       val marker = Paths.get(Root, ".docs_from")
-      val srcId = Fixtures.srcStamp(sfDir)
+      val srcId = s"${Fixtures.srcStamp(sfDir)}|v2" // v2: +lang column
       if (!Files.exists(marker) || Files.readString(marker) != srcId) {
         FixtureLog.rebuild(marker)
         val docs = s.read.parquet(s"$sfDir/documents.parquet")
-          .select(col("doc_id"), col("text"))
+          .select(col("doc_id"), col("lang"), col("text"))
         docs.unionAll(docs.filter(col("doc_id") % 2 === 0)
-            .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+            .select((col("doc_id") + 10000).as("doc_id"), col("lang"),
+              col("text")))
           .write.mode("overwrite").parquet(dir.toString)
         Files.writeString(marker, srcId)
       }
@@ -239,6 +240,45 @@ object StreamQueries {
         |SELECT ('0x' || substr(md5(lower(trim(text))), 1, 12))::BIGINT AS h,
         |       min(doc_id) AS keeper, count(*) AS n_copies
         |FROM corpus GROUP BY 1""".stripMargin)),
+
+    // §2.9 end-to-end INGEST PIPELINE: the composition a continuous
+    // training-data ingestion actually runs — stream in documents,
+    // gate on a quality signal (word count — a narrow map inside the
+    // micro-batch), collapse duplicates in streaming state (one
+    // (lang, content-hash) group per distinct doc), and emit per-lang
+    // unique/ingested counts. The dedup aggregation is the streaming
+    // state; the final per-lang rollup happens on the result table
+    // (streaming count-DISTINCT isn't expressible directly — the
+    // two-stage shape IS the scalable formulation, state keyed by
+    // content hash, rollup metadata-sized).
+    "st9_stream_ingest_pipeline" -> Q(
+      (s, dir) => {
+        val src = stageDocs(s, dir)
+        val schema = s.read.parquet(src).schema
+        val stream = s.readStream.schema(schema).parquet(src)
+          .select(col("lang"),
+            size(split(col("text"), " ")).cast("long").as("nw"),
+            conv(substring(md5(lower(trim(col("text"))).cast("binary")),
+              1, 12), 16, 10).cast("long").as("h"))
+          .filter(col("nw") >= 40) // quality gate
+          .groupBy("lang", "h").agg(count(lit(1)).as("n_copies"))
+        runToTable(s, stream, "graft_st9", "complete")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_unique"),
+            sum("n_copies").as("n_ingested"))
+      },
+      Some("""WITH corpus AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, lang, text FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |q AS (SELECT lang,
+        |        ('0x' || substr(md5(lower(trim(text))), 1, 12))::BIGINT AS h
+        |      FROM corpus WHERE len(string_split(text, ' ')) >= 40),
+        |d AS (SELECT lang, h, count(*) AS n FROM q GROUP BY 1, 2)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_unique,
+        |       CAST(sum(n) AS BIGINT) AS n_ingested
+        |FROM d GROUP BY lang""".stripMargin)),
 
     // §2.9 event-time SESSION windows — Spark's native session_window
     // (dynamic-gap session state, the streaming analogue of w6's batch
