@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.core.AnnotationCodec
+import graft.core.{AnnotationCodec, ShardingSpec}
 import graft.core.AnnotationCodec.{Annotation, AnnotationSpec, PropSpec}
 
 /** Annotation wire-format tests (annotation/reader.py:151-181,
@@ -94,5 +94,34 @@ class AnnotationCodecSpec extends AnyFunSuite {
     val dir2 = java.nio.file.Files.createTempDirectory("ann_plain").toString
     AnnotationCodec.writeInfo(dir2, spec)
     assert(AnnotationCodec.readSpatial(dir2).isEmpty)
+  }
+
+  test("sharded index declarations round-trip (by_id, relationship, " +
+      "spatial — reader.py:183-205,319-339,253-257 routing)") {
+    val dir = java.nio.file.Files.createTempDirectory("ann_sharded").toString
+    val spec = AnnotationSpec("POINT", 3, Seq.empty)
+    val sh = ShardingSpec(preshiftBits = 0, minishardBits = 2,
+      shardBits = 1, hashName = "murmurhash3_x86_128",
+      minishardIndexEncoding = "gzip", dataEncoding = "gzip")
+    AnnotationCodec.writeInfo(dir, spec,
+      byId = Some(("by_id", Some(sh))),
+      relationships = Seq(("presynaptic_to", "rel_pre"),
+        ("postsynaptic_to", "rel_post")),
+      relSharding = Map("presynaptic_to" -> sh),
+      spatial = Seq(AnnotationCodec.SpatialLevel("spatial0",
+        Seq(2L, 2L, 1L), Seq(32L, 32L, 32L), 150L, sharding = Some(sh))))
+    assert(AnnotationCodec.readByIdIndex(dir) === Some(("by_id", Some(sh))))
+    // only the declared-sharded relation carries a spec; the other is
+    // unsharded; an undeclared id resolves to None
+    assert(AnnotationCodec.readRelationshipIndex(dir, "presynaptic_to")
+      === Some(("rel_pre", Some(sh))))
+    assert(AnnotationCodec.readRelationshipIndex(dir, "postsynaptic_to")
+      === Some(("rel_post", None)))
+    assert(AnnotationCodec.readRelationshipIndex(dir, "nope").isEmpty)
+    val lvl = AnnotationCodec.readSpatial(dir).head
+    assert(lvl.sharding === Some(sh))
+    // declaration order is preserved (decodeSingle section order)
+    assert(AnnotationCodec.readRelationships(dir).map(_._1)
+      === Seq("presynaptic_to", "postsynaptic_to"))
   }
 }
