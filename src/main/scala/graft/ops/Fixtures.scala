@@ -56,7 +56,7 @@ object Fixtures {
 
   def ensureAll(s: SparkSession, sfDir: String): Unit = {
     RealLayerQueries.ensure(s, sfDir)
-    MeshQueries.ensure(s, sfDir)
+    MeshQueries.ensureMultiresSharded(s, sfDir) // also builds the base mesh set
     AnnotationQueries.ensureSharded(s, sfDir) // also builds the unsharded set
     AnnotationQueries.ensurePolyline(s, sfDir)
     SkeletonQueries.ensureSharded(s, sfDir) // also builds the unsharded set
