@@ -466,6 +466,142 @@ object RealLayerQueries {
         |UNION ALL
         |SELECT '4_4_4', CAST(0 AS BIGINT), CAST(0 AS BIGINT)""".stripMargin)),
 
+    // A1 over the SHARDED layer (test_cloudvolume.py:569
+    // test_unique_sharded): distinct labels with the chunk stream
+    // arriving through the shard container's ranged reads instead of
+    // per-chunk objects — same codec labels() + partial+final
+    // distinct downstream.
+    "a1_unique_sharded" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        graft.sources.ShardedIO.readChunksSharded(s, LayerShardedDir,
+            Bbox(Vec3(0, 0, 0), Vec3(SX, SY, SZ)))
+          .select(explode(labelsUdf(col("payload"))).as("label"))
+          .distinct()
+      },
+      Some(s"SELECT DISTINCT label FROM $Sidecar")),
+
+    // S4 point lookups over the SHARDED layer (test_cloudvolume.py:
+    // 285 test_point_reads_sharded): points group by owning SHARD
+    // (chunk -> morton -> shard), each task ranged-reads only the
+    // chunks its points land in, and raw encoding lets each value
+    // come out by direct offset math — no full-chunk decode, no
+    // whole-shard read. The random-access pattern of proofreading
+    // tools against a petabyte sharded layer.
+    "s4c_point_lookup_sharded" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        val spec = shardSpec
+        val scale = metaSharded.scale(0)
+        val grid = scale.gridSize
+        val bounds = scale.bounds
+        val cs = scale.chunkSize
+        val shardDir = s"$LayerShardedDir/${scale.key}"
+        val pts = Derived.table(s, dir, "orders")
+          .filter(col("o_orderkey") % 7 === 2)
+          .select(col("o_orderkey").cast("long").as("pid"),
+            ((col("o_orderkey") * 3) % SX).cast("long").as("x"),
+            (col("o_custkey") % SY).cast("long").as("y"),
+            ((col("o_orderkey") * 5) % SZ).cast("long").as("z"))
+        import s.implicits._
+        pts.as[(Long, Long, Long, Long)]
+          .groupByKey { t =>
+            val m = Morton.encode(
+              Vec3(t._2 / CX, t._3 / CY, t._4 / CZ), grid)
+            spec.shardLocation(m)._1
+          }
+          .flatMapGroups { (shardNo, it) =>
+            val wanted = it.toSeq
+            val byMorton = wanted.groupBy(t =>
+              Morton.encode(Vec3(t._2 / CX, t._3 / CY, t._4 / CZ), grid))
+            val path = Paths.get(shardDir,
+              spec.shardFilename(shardNo)).toString
+            graft.sources.ShardedIO
+              .readLabelsRanged(path, spec, byMorton.keys.toSeq)
+              .iterator.flatMap { case (m, payload) =>
+                val g = Morton.decode(m, grid)
+                val cb = Geom.chunkBbox(g, bounds, cs)
+                byMorton(m).map { case (pid, x, y, z) =>
+                  val idx = (x - cb.minpt.x) + cb.size.x *
+                    ((y - cb.minpt.y) + cb.size.y * (z - cb.minpt.z))
+                  val bb = java.nio.ByteBuffer.wrap(payload)
+                    .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+                  (pid, x, y, z, bb.getInt(4 * idx.toInt).toLong & 0xFFFFFFFFL)
+                }
+              }
+          }.toDF("pid", "x", "y", "z", "label")
+      },
+      Some(s"""WITH pts AS (
+        |  SELECT o_orderkey AS pid, (o_orderkey * 3) % 60 AS x,
+        |         o_custkey % 60 AS y, (o_orderkey * 5) % 28 AS z
+        |  FROM orders WHERE o_orderkey % 7 = 2)
+        |SELECT p.pid, p.x, p.y, p.z, v.label
+        |FROM pts p JOIN $Sidecar v
+        |  ON v.x = p.x AND v.y = p.y AND v.z = p.z""".stripMargin)),
+
+    // S4 with a NEGATIVE voxel_offset (test_cloudvolume.py:996
+    // test_negative_coords_upload_download — the reference supports
+    // volumes whose bounds start below zero): a fresh layer at offset
+    // (-16,-16,-8) is written through the chunk writer (filenames
+    // carry negative ranges, e.g. "-16--0_..."), then read back with
+    // a cutout spanning the origin. Exercises the floorDiv grid math,
+    // negative-coordinate filename round-trip, and clamping on a
+    // bounds box with a negative minpt. Voxel values are a coordinate
+    // formula both engines replay exactly.
+    "s4d_cutout_negative_offset" -> Q(
+      (s, dir) => {
+        val target = s"$Root/layer_negoff"
+        val root = Paths.get(target)
+        if (Files.exists(root)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(root).iterator.asScala.toSeq.reverse
+            .foreach(p => Files.deleteIfExists(p))
+        }
+        val scaleNeg = ScaleMeta(
+          key = "1_1_1", encoding = "raw", resolution = Seq(1, 1, 1),
+          chunkSize = Vec3(16, 16, 8), size = Vec3(32, 32, 16),
+          voxelOffset = Vec3(-16, -16, -8))
+        val metaNeg = VolumeMeta(
+          layerType = "segmentation", dataType = "uint32",
+          numChannels = 1, scales = Seq(scaleNeg))
+        PrecomputedIO.writeInfo(target, metaNeg)
+        import s.implicits._
+        val bounds = scaleNeg.bounds
+        val cs = scaleNeg.chunkSize
+        val chunks = s.range(32L * 32 * 16).map { id =>
+            val x = -16 + (id % 32)
+            val y = -16 + ((id / 32) % 32)
+            val z = -8 + id / 1024
+            (x, y, z, (x + 16) * 100000L + (y + 16) * 100L + (z + 8))
+          }
+          .groupByKey(t => (Math.floorDiv(t._1 + 16, 16),
+            Math.floorDiv(t._2 + 16, 16), Math.floorDiv(t._3 + 8, 8)))
+          .mapGroups { (g: (Long, Long, Long),
+              it: Iterator[(Long, Long, Long, Long)]) =>
+            val cb = Geom.chunkBbox(Vec3(g._1, g._2, g._3), bounds, cs)
+            val bb = java.nio.ByteBuffer
+              .allocate(4 * cb.volume.toInt)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            it.foreach { case (x, y, z, l) =>
+              val idx = (x - cb.minpt.x) + cb.size.x *
+                ((y - cb.minpt.y) + cb.size.y * (z - cb.minpt.z))
+              bb.putInt(4 * idx.toInt, l.toInt)
+            }
+            (g._1, g._2, g._3, bb.array())
+          }.toDF("gx", "gy", "gz", "payload")
+        PrecomputedIO.writeChunks(chunks, target, metaNeg, 0)
+        PrecomputedIO.cutoutVoxels(s, target,
+          Bbox(Vec3(-12, -10, -6), Vec3(10, 12, 6)))
+      },
+      Some("""WITH v AS (SELECT unnest(range(16384)) AS id),
+        |d AS (SELECT -16 + (id % 32) AS x, -16 + ((id // 32) % 32) AS y,
+        |             -8 + (id // 1024) AS z FROM v)
+        |SELECT x, y, z,
+        |  (x + 16) * 100000 + (y + 16) * 100 + (z + 8) AS label
+        |FROM d
+        |WHERE x BETWEEN -12 AND 9 AND y BETWEEN -10 AND 11
+        |  AND z BETWEEN -6 AND 5""".stripMargin)),
+
     // S4 over real chunk files: bbox cutout, partition-pruned scan
     // (pushed gx/gy/gz bounds), decode once per chunk (rx.py:239-379)
     "s4_cutout_real" -> Q(
