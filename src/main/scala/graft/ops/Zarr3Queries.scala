@@ -938,6 +938,43 @@ object Zarr3Queries {
         |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')"""
         .stripMargin)),
 
+    // zarr3 DELETE lifecycle (test_zarr.py:167-206 delete_all /
+    // delete_some): chunk objects in a chunk-aligned region are
+    // removed executor-side, and — zarr semantics — absent keys read
+    // back as fill_value, so the full cutout returns zeros exactly in
+    // the deleted region. Completes the zarr family's lifecycle
+    // (read / write / transfer / DELETE / fill).
+    "s18_zarr3_delete" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        val target = s"$Root/rt_zarr3_del"
+        rmTree(target)
+        val m = Zarr3Meta(
+          shape = Vec3(SX, SY, SZ), chunkShape = Vec3(CX, CY, CZ),
+          dataType = "uint32", fillValue = 0L, compressor = "zstd")
+        Zarr3IO.writeMeta(target, m)
+        Zarr3IO.writeChunks(fullChunks(s), target, m)
+        import s.implicits._
+        val targetStr = target
+        val doomed = for {
+          gx <- 1L to 2L
+        } yield (gx, 1L, 1L)
+        s.createDataset(doomed)
+          .foreachPartition { it: Iterator[(Long, Long, Long)] =>
+            it.foreach { case (gx, gy, gz) =>
+              Files.deleteIfExists(Paths.get(targetStr, "c",
+                gx.toString, gy.toString, gz.toString))
+            }
+          }
+        Zarr3IO.cutoutVoxels(s, target,
+          Bbox(Vec3(0, 0, 0), Vec3(SX, SY, SZ)))
+      },
+      Some(s"""SELECT x, y, z,
+        |  CASE WHEN x BETWEEN 16 AND 47 AND y BETWEEN 16 AND 31
+        |        AND z BETWEEN 8 AND 15 THEN 0 ELSE label END AS label
+        |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')"""
+        .stripMargin)),
+
     "s18_zarr3_sharded_write_roundtrip" -> Q(
       (s, dir) => {
         ensure(s, dir) // shared sidecar
