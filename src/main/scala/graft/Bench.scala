@@ -218,6 +218,14 @@ object Bench {
 
     val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Lane split (r11 brief item 7): streaming entries (st*) carry
+    // micro-batch trigger machinery and async state-store unload whose
+    // residue lands on whichever entry runs NEXT. Keeping the st lane
+    // at the END of each pass means batch entries never time in a JVM
+    // that is mid-churn from a state-store teardown; within each lane
+    // the order still varies per pass so the median keeps rejecting
+    // predecessor-specific bias.
+    val (streamLane, batchLane) = sorted.partition(_._1.startsWith("st"))
     // Full untimed warm pass before the timed loop: r5→r6 showed a
     // systematic 1.3-2.4x swing in whichever family ran first as the
     // fixture set grew (JIT, codegen cache, page cache, old-gen churn
@@ -242,6 +250,21 @@ object Bench {
     val passes = if (cutoutOnly) 0 else 3
     val timings = scala.collection.mutable.LinkedHashMap
       .empty[String, Vector[Double]]
+    // Per-entry per-pass breadcrumbs (r11 brief items 1-2): the driver
+    // runs showed medians inflated 3-4x over min on entries whose code
+    // hadn't changed, with the fixture-rebuild breadcrumb empty. Record
+    // for every timed invocation its pass, position, predecessor, wall,
+    // JVM-GC-time delta, and any fixture rebuild inside the window, so
+    // a distorted number carries its own attribution instead of needing
+    // a forensic session.
+    case class PassRec(name: String, pass: Int, pos: Int, prev: String,
+      wall: Double, gcMs: Long, rebuilds: Int)
+    val passRecs = scala.collection.mutable.ArrayBuffer.empty[PassRec]
+    val gcBeans = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+    }
+    def gcTimeMs(): Long = gcBeans.map(_.getCollectionTime.max(0L)).sum
     for (pass <- 1 to passes) {
       // Deterministically DIFFERENT order per pass (seed = pass): r9/r10
       // forensics showed the alphabetical loop charges each query the
@@ -250,8 +273,12 @@ object Bench {
       // after st4 in all 3 passes, 1.5-1.8 s in isolation or after a
       // full warm pass. A different predecessor each pass turns that
       // systematic bias into one-pass noise the median rejects.
-      val order = new scala.util.Random(pass).shuffle(sorted)
-      order.foreach { case (name, fn) =>
+      val rnd = new scala.util.Random(pass)
+      val order = rnd.shuffle(batchLane) ++ rnd.shuffle(streamLane)
+      var prev = "<pass-start>"
+      order.zipWithIndex.foreach { case ((name, fn), pos) =>
+        val rb0 = graft.ops.FixtureLog.rebuildsSince(0L).size
+        val gc0 = gcTimeMs()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case e: Throwable =>
@@ -260,6 +287,9 @@ object Bench {
         }
         val dt = (System.nanoTime() - t0) / 1e9
         timings(name) = timings.getOrElse(name, Vector.empty) :+ dt
+        passRecs += PassRec(name, pass, pos, prev, dt, gcTimeMs() - gc0,
+          graft.ops.FixtureLog.rebuildsSince(0L).size - rb0)
+        prev = name
       }
       System.gc()
     }
@@ -274,6 +304,14 @@ object Bench {
       s"\"" + k + "\":{\"median\":" + num(median(v), 1) +
         ",\"min\":" + num(v.min, 1) + ",\"max\":" + num(v.max, 1) + "}"
     }.mkString("{", ",", "}")
+    // every timed invocation with its attribution context — lets a
+    // cross-round regression call answer "which pass spiked, after
+    // what, and was it GC or a fixture rebuild" from the artifact alone
+    val passesJson = passRecs.map { r =>
+      s"""{"q":"${jstr(r.name)}","pass":${r.pass},"pos":${r.pos},""" +
+      s""""prev":"${jstr(r.prev)}","wall":${num(r.wall, 3)},""" +
+      s""""gc_ms":${r.gcMs},"rebuilds":${r.rebuilds}}"""
+    }.mkString("[", ",", "]")
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + num(v, 3) }
       .mkString("{", ",", "}")
@@ -306,6 +344,7 @@ object Bench {
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,""" +
       s""""queries":$qs,"query_stats":$statsJson,"mbps_stats":$mbpsStatsJson,""" +
+      s""""query_passes":$passesJson,""" +
       s""""fixture_rebuilds_in_timed_loop":$rebuildsJson,""" +
       s""""n_failed":${errs.size},"errors":$errJson,$mbpsJson,"sf":"$sfDir"}"""
     // Full per-query timings for humans/judge: one stdout line (NOT the

@@ -609,7 +609,13 @@ object MeshQueries {
                 val totalFrag =
                   man.fragmentOffsets.map(_.map(_.toLong).sum).sum
                 val lod0Size = man.fragmentOffsets(0).map(_.toLong).sum
-                // lod 0 starts at the front of the preamble
+                // lod 0 starts at the front of the preamble; the span
+                // is read as one buffer, so an over-2GB lod-0 preamble
+                // must fail loudly (fragment-at-a-time ranged reads are
+                // the fallback shape) rather than truncate via toInt
+                require(lod0Size <= Int.MaxValue,
+                  s"lod-0 fragment span $lod0Size exceeds one buffer; " +
+                    "read fragments individually")
                 val lod0Start = shardOffset - totalFrag
                 val lod0 = new Array[Byte](lod0Size.toInt)
                 raf.seek(lod0Start); raf.readFully(lod0)

@@ -484,10 +484,12 @@ object RealLayerQueries {
     // S4 point lookups over the SHARDED layer (test_cloudvolume.py:
     // 285 test_point_reads_sharded): points group by owning SHARD
     // (chunk -> morton -> shard), each task ranged-reads only the
-    // chunks its points land in, and raw encoding lets each value
-    // come out by direct offset math — no full-chunk decode, no
-    // whole-shard read. The random-access pattern of proofreading
-    // tools against a petabyte sharded layer.
+    // chunks its points land in — no whole-shard read. The chunk
+    // encoding is raw, so once readLabelsRanged has decompressed a
+    // chunk's payload (the shard's dataEncoding=gzip container is
+    // per-chunk) each point value comes out by direct offset math
+    // with no further decode. The random-access pattern of
+    // proofreading tools against a petabyte sharded layer.
     "s4c_point_lookup_sharded" -> Q(
       (s, dir) => {
         ensure(s, dir)
@@ -548,8 +550,11 @@ object RealLayerQueries {
     // negative-coordinate filename round-trip, and clamping on a
     // bounds box with a negative minpt. Voxel values are a coordinate
     // formula both engines replay exactly.
+    // delete-and-rewrite of a fixed target dir: serialized on the
+    // object lock (same discipline as ensure) so concurrent
+    // invocations can't interleave deletes with writes
     "s4d_cutout_negative_offset" -> Q(
-      (s, dir) => {
+      (s, dir) => RealLayerQueries.synchronized {
         val target = s"$Root/layer_negoff"
         val root = Paths.get(target)
         if (Files.exists(root)) {
@@ -592,7 +597,7 @@ object RealLayerQueries {
         PrecomputedIO.writeChunks(chunks, target, metaNeg, 0)
         PrecomputedIO.cutoutVoxels(s, target,
           Bbox(Vec3(-12, -10, -6), Vec3(10, 12, 6)))
-      },
+      }: DataFrame,
       Some("""WITH v AS (SELECT unnest(range(16384)) AS id),
         |d AS (SELECT -16 + (id % 32) AS x, -16 + ((id // 32) % 32) AS y,
         |             -8 + (id // 1024) AS z FROM v)

@@ -240,8 +240,11 @@ object XferQueries {
     // sink writes one object per chunk. No shuffle at all: chunks
     // already arrive grouped by shard and the writer is
     // embarrassingly parallel — the plan a petabyte un-sharding needs.
+    // delete-and-rewrite of a fixed target dir: serialized on the
+    // object lock (same discipline as the ensure* builders) so two
+    // concurrent invocations can't interleave deletes with writes
     "s16_transfer_unsharded" -> Q(
-      (s, dir) => {
+      (s, dir) => XferQueries.synchronized {
         ensure(s, dir)
         val target = s"${RealLayerQueries.Root}/layer_s16_unsharded"
         val root = Paths.get(target)
@@ -261,7 +264,7 @@ object XferQueries {
           target, metaUnsharded, 0)
         PrecomputedIO.cutoutVoxels(s, target,
           Bbox(Vec3(2, 6, 3), Vec3(54, 50, 25)))
-      },
+      }: DataFrame,
       Some(s"""SELECT x, y, z, label FROM $Sidecar
         |WHERE x BETWEEN 2 AND 53 AND y BETWEEN 6 AND 49
         |  AND z BETWEEN 3 AND 24""".stripMargin)),
@@ -275,7 +278,7 @@ object XferQueries {
     // through the sharded cutout path against the new spec. Chunks
     // move once; voxels never explode.
     "s16_reshard" -> Q(
-      (s, dir) => {
+      (s, dir) => XferQueries.synchronized {
         ensure(s, dir)
         val target = s"${RealLayerQueries.Root}/layer_s16_reshard"
         val root = Paths.get(target)
@@ -300,7 +303,7 @@ object XferQueries {
           target, metaResharded, 0)
         ShardedIO.cutoutVoxelsSharded(s, target,
           Bbox(Vec3(4, 3, 1), Vec3(52, 51, 27)))
-      },
+      }: DataFrame,
       Some(s"""SELECT x, y, z, label FROM $Sidecar
         |WHERE x BETWEEN 4 AND 51 AND y BETWEEN 3 AND 50
         |  AND z BETWEEN 1 AND 26""".stripMargin)),

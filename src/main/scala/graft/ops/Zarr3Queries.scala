@@ -905,7 +905,7 @@ object Zarr3Queries {
     // same reader validated against spec-shaped fixtures can decode,
     // full volume including edge chunks. ----
     "s18_zarr2_write_roundtrip" -> Q(
-      (s, dir) => {
+      (s, dir) => Zarr3Queries.synchronized {
         ensure(s, dir) // shared sidecar
         val target = s"$Root/rt_zarr2"
         rmTree(target)
@@ -923,7 +923,7 @@ object Zarr3Queries {
         .stripMargin)),
 
     "s18_zarr3_write_roundtrip" -> Q(
-      (s, dir) => {
+      (s, dir) => Zarr3Queries.synchronized {
         ensure(s, dir)
         val target = s"$Root/rt_zarr3"
         rmTree(target)
@@ -945,7 +945,7 @@ object Zarr3Queries {
     // the deleted region. Completes the zarr family's lifecycle
     // (read / write / transfer / DELETE / fill).
     "s18_zarr3_delete" -> Q(
-      (s, dir) => {
+      (s, dir) => Zarr3Queries.synchronized {
         ensure(s, dir)
         val target = s"$Root/rt_zarr3_del"
         rmTree(target)
@@ -976,7 +976,7 @@ object Zarr3Queries {
         .stripMargin)),
 
     "s18_zarr3_sharded_write_roundtrip" -> Q(
-      (s, dir) => {
+      (s, dir) => Zarr3Queries.synchronized {
         ensure(s, dir) // shared sidecar
         val target = s"$Root/rt_zarr3_sharded"
         rmTree(target)
@@ -992,7 +992,7 @@ object Zarr3Queries {
         .stripMargin)),
 
     "s18_n5_write_roundtrip" -> Q(
-      (s, dir) => {
+      (s, dir) => Zarr3Queries.synchronized {
         ensure(s, dir)
         val target = s"$Root/rt_n5"
         rmTree(target)

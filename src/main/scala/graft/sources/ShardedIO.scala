@@ -49,6 +49,11 @@ object ShardedIO {
   def readLabelsRangedWithOffsets(shardPath: String, spec: ShardingSpec,
       labels: Seq[Long]): Seq[(Long, Long, Array[Byte])] = {
     val want = labels.toSet
+    // a probe may hash to a shard that was never written (e.g. a
+    // spatial bbox over an empty cell): the reference treats a missing
+    // shard as "label absent" (sharding.py:573-579 returns None), so
+    // yield no rows rather than failing the task
+    if (!Files.exists(Paths.get(shardPath))) return Seq.empty
     val raf = new RandomAccessFile(shardPath, "r")
     try {
       val idxLen = ShardCodec.indexLength(spec).toInt
