@@ -39,7 +39,12 @@ object Scaling {
       .appName("graft-scaling").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val sfs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    // r12: SPARK_GRAFT_SCALING_SFS overrides the decade under test —
+    // "/root/testdata/sf0.1,/tmp/graft_sf1" runs the sf0.1->sf1 decade
+    // against the ScaleUp-synthesized corpus (timing only, no oracle)
+    val sfs = sys.env.get("SPARK_GRAFT_SCALING_SFS")
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1"))
     val medians = scala.collection.mutable.Map[(String, String), Double]()
     val rows = scala.collection.mutable.Map[(String, String), Long]()
     for (sfDir <- sfs) {

@@ -3,7 +3,7 @@ package graft.ops
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession, Row}
 import org.apache.spark.sql.functions._
-import graft.core.{AnnotationCodec, Morton, ShardCodec, ShardingSpec, Vec3}
+import graft.core.{AnnotationCodec, Bbox, Geom, Morton, ShardCodec, ShardingSpec, Vec3}
 import graft.core.AnnotationCodec.{Annotation, AnnotationSpec, PropSpec}
 
 /** Annotation layers over REAL binary chunk files (F18 + P8 extended
@@ -557,6 +557,56 @@ object AnnotationQueries {
         |  END AS cell,
         |  ax, ay, az
         |FROM r""".stripMargin)),
+
+    // P8 progressive SAMPLING read (annotation/reader.py:225-235
+    // get_by_bbox(mip): "for annotations, mips are coarsest to
+    // finest" — a viewer's preview queries the COARSEST level, whose
+    // cells hold only the top-`limit` annotations elected by the
+    // deterministic priority rank at build time, and crops the decoded
+    // result to the original bbox, :296-307). The entry replays that
+    // read: enumerate the level-0 cells intersecting the bbox from the
+    // layer's own info (grid/chunk metadata, metadata-sized), decode
+    // just those cell objects, crop inclusively. The oracle re-elects
+    // the per-cell cap from `events` (rk <= limit) and applies the
+    // same bbox — so the gate asserts BOTH the cap and the election,
+    // not just row counts. At scale: a preview touches |bbox ∩ grid|
+    // cell objects of ≤ limit annotations each, never the full layer.
+    "p8n_annotation_spatial_sample" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        import s.implicits._
+        val lvl0 = AnnotationCodec.readSpatial(s"$Root/points").head
+        val cs = Vec3(lvl0.chunkSize(0), lvl0.chunkSize(1), lvl0.chunkSize(2))
+        val bounds = Bbox(Vec3(0, 0, 0),
+          Vec3(cs.x * lvl0.gridShape(0), cs.y * lvl0.gridShape(1),
+            cs.z * lvl0.gridShape(2)))
+        val bbox = Bbox(Vec3(8, 8, 4), Vec3(49, 49, 25)) // incl. 8..48/4..24
+        val cells = Geom.gridpoints(bbox, bounds, cs)
+          .map(g => s"${g.x}_${g.y}_${g.z}")
+        val key = lvl0.key
+        cells.toDS()
+          .flatMap { cell =>
+            AnnotationCodec.decode(PointSpec, Files.readAllBytes(
+              Paths.get(s"$Root/points/$key", cell))).map { a =>
+              (a.id, a.geometry(0).toLong, a.geometry(1).toLong,
+                a.geometry(2).toLong)
+            }
+          }.toDF("aid", "ax", "ay", "az")
+          .filter(col("ax").between(8, 48) && col("ay").between(8, 48) &&
+            col("az").between(4, 24))
+      },
+      Some(s"""WITH $PtsCte,
+        |p AS (SELECT aid, ax, ay, az,
+        |        ('0x' || substr(md5('sp:' || CAST(aid AS VARCHAR)), 1, 12))
+        |          ::BIGINT AS prio
+        |      FROM pts),
+        |r AS (SELECT aid, ax, ay, az, row_number() OVER (
+        |        PARTITION BY ax // 64, ay // 64, az // 32
+        |        ORDER BY prio, aid) AS rk FROM p)
+        |SELECT aid, ax, ay, az FROM r
+        |WHERE rk <= ${SpatialLimit0}
+        |  AND ax BETWEEN 8 AND 48 AND ay BETWEEN 8 AND 48
+        |  AND az BETWEEN 4 AND 24""".stripMargin)),
 
     // P8 (ELLIPSOID variant): center-in-box crop
     // (annotation/metadata.py:104-109)

@@ -347,6 +347,67 @@ object GrapheneQueries {
         |SELECT root, 800000 + sk AS ancestor, CAST(2 AS BIGINT) AS depth
         |FROM q WHERE sk % 2 = 0""".stripMargin)),
 
+    // J5 lineage over a TIME WINDOW (frontends/graphene.py get_roots
+    // timestamp semantics + the chunkedgraph lineage-graph endpoint's
+    // timestamp_past/timestamp_future bounds): all ids a segid maps to
+    // within [t0, t1] — the op-log closure reached by walking merges/
+    // splits BACKWARD only through operations at ts >= t0 and FORWARD
+    // only through operations at ts <= t1. Modeled as a validity-
+    // windowed operation-edge table (old id -> new id at ts) built
+    // arithmetically from supplier: each segid has three generations
+    // (500k/600k/700k + sk) handed off at ts a = sk%50+20 and
+    // b = a+30, and every 3rd sk's generation-3 id was a MERGE with a
+    // sibling 650k+sk. Bounded bidirectional frontier join: per round,
+    // the frontier joins the broadcast op log once in each direction,
+    // new nodes dedup against the known set via left-anti (never a
+    // re-scan of history), rounds bounded by op-log depth — the shape
+    // that holds when the op log is millions of edits but any one
+    // id's history is shallow.
+    "j5f_lineage_window" -> Q(
+      (s, dir) => {
+        val t0 = 25L; val t1 = 60L
+        val g = table(s, dir, "supplier")
+          .select(col("s_suppkey").cast("long").as("sk"))
+          .withColumn("a", col("sk") % 50 + 20)
+          .withColumn("b", col("sk") % 50 + 50)
+        val e1 = g.select((lit(500000L) + col("sk")).as("old"),
+          (lit(600000L) + col("sk")).as("new"), col("a").as("ts"))
+        val e2 = g.select((lit(600000L) + col("sk")).as("old"),
+          (lit(700000L) + col("sk")).as("new"), col("b").as("ts"))
+        val e3 = g.filter(col("sk") % 3 === 0)
+          .select((lit(650000L) + col("sk")).as("old"),
+            (lit(700000L) + col("sk")).as("new"), col("b").as("ts"))
+        val ops = broadcast(e1.unionAll(e2).unionAll(e3))
+        var known = g.filter(col("sk") % 5 === 2)
+          .select((lit(600000L) + col("sk")).as("q"))
+          .select(col("q"), col("q").as("id"))
+        var frontier = known
+        // 3 generations -> closure fixed-points in <= 3 rounds
+        (0 until 3).foreach { _ =>
+          val back = frontier
+            .join(ops, frontier("id") === ops("new") && ops("ts") >= t0)
+            .select(col("q"), col("old").as("id"))
+          val fwd = frontier
+            .join(ops, frontier("id") === ops("old") && ops("ts") <= t1)
+            .select(col("q"), col("new").as("id"))
+          frontier = back.unionAll(fwd).distinct()
+            .join(known, Seq("q", "id"), "left_anti")
+            .localCheckpoint()
+          known = known.unionAll(frontier)
+        }
+        known
+      },
+      Some("""WITH q AS (SELECT s_suppkey AS sk FROM supplier
+        |           WHERE s_suppkey % 5 = 2)
+        |SELECT 600000 + sk AS q, 600000 + sk AS id FROM q
+        |UNION ALL
+        |SELECT 600000 + sk, 500000 + sk FROM q WHERE sk % 50 >= 5
+        |UNION ALL
+        |SELECT 600000 + sk, 700000 + sk FROM q WHERE sk % 50 <= 10
+        |UNION ALL
+        |SELECT 600000 + sk, 650000 + sk FROM q
+        |WHERE sk % 50 <= 10 AND sk % 3 = 0""".stripMargin)),
+
     // J7: agglomerate cutout — real-layer cutout, distinct labels
     // resolve through a 2-level mapping, voxels remapped in place
     "j7_agglomerate_cutout" -> Q(

@@ -82,13 +82,23 @@ object StreamQueries {
 
   private def runToTable(s: SparkSession, df: DataFrame, name: String,
       outputMode: String): DataFrame = {
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(outputMode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // state-partition count is frozen at query start from this conf:
+    // size it to the state volume (tens of KB here — 8 partitions),
+    // not the batch-shuffle 32; a 100 TB ingest sizes it to key
+    // cardinality. Scoped + restored so batch queries are unaffected.
+    // (st7/st8 apply the same scoping around their runToTable calls —
+    // re-setting 8 there is a no-op.)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(outputMode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
 
@@ -145,6 +155,12 @@ object StreamQueries {
             (length(col("event_type")) % 16).cast("long").as("fy"))
           .select(expr("tus div 3600000000").as("t"), col("fx"), col("fy"))
           .groupBy("t", "fx", "fy").agg(count(lit(1)).as("n"))
+        // same state-partition sizing as runToTable: the complete-mode
+        // agg's state stores (and the inner per-batch regroup) are
+        // ~40k tiny rows — 8 partitions, scoped + restored
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
         val q = frames.writeStream
           .outputMode("complete")
           .trigger(Trigger.AvailableNow())
@@ -168,6 +184,7 @@ object StreamQueries {
           }
           .start()
         q.awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
         // batch read-back: decode every frame, emit nonzero cells
         import s.implicits._
         import scala.jdk.CollectionConverters._
