@@ -345,6 +345,9 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,""" +
       s""""queries":$qs,"query_stats":$statsJson,"mbps_stats":$mbpsStatsJson,""" +
       s""""query_passes":$passesJson,""" +
+      s""""lanes":{"batch":${batchLane.size},"stream":${streamLane.size},""" +
+      s""""note":"per pass: batch lane shuffled first, st* lane shuffled last — """ +
+      s"""micro-batch state-store teardown residue stays off batch timings"},""" +
       s""""fixture_rebuilds_in_timed_loop":$rebuildsJson,""" +
       s""""n_failed":${errs.size},"errors":$errJson,$mbpsJson,"sf":"$sfDir"}"""
     // Full per-query timings for humans/judge: one stdout line (NOT the

@@ -75,7 +75,22 @@ object ScaleUp {
     tables.foreach { t =>
       val in = spark.read.parquet(s"$src/$t.parquet")
       val out = if (passthrough.contains(t)) in else replicate(in, factor)
-      out.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      // the driver's drop stores each table as ONE parquet FILE (and
+      // stageEvents Files.copy's it as such) — write a single part and
+      // move it to <table>.parquet
+      val tmp = s"$dst/.tmp_$t"
+      out.coalesce(1).write.mode("overwrite").parquet(tmp)
+      import scala.jdk.CollectionConverters._
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .iterator.asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dst))
+      java.nio.file.Files.move(part,
+        java.nio.file.Paths.get(dst, s"$t.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+        .iterator.asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
       println(s"[scaleup] $t: ${in.count()} -> ${out.count()} rows")
     }
     spark.stop()

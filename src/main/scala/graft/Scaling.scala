@@ -56,19 +56,27 @@ object Scaling {
           System.err.println(s"[scaling] warm $n @ $sfDir FAILED: $e") }
       }
       for (n <- names) {
-        val reps = (1 to 3).map { _ =>
-          val t0 = System.nanoTime()
-          val c = SparkEntry.queries(n)(spark, sfDir).count()
-          rows((n, sfDir)) = c
-          (System.nanoTime() - t0) / 1e9
-        }.sorted
-        medians((n, sfDir)) = reps(1)
-        println(f"[scaling] $n @ ${sfDir.split('/').last}: " +
-          f"median=${reps(1)}%.3f s reps=${reps.map(r => f"$r%.3f").mkString(",")} " +
-          f"rows=${rows((n, sfDir))}")
+        // a failing query records NaN and the sweep continues — one
+        // broken entry must not void the other ratios
+        try {
+          val reps = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            val c = SparkEntry.queries(n)(spark, sfDir).count()
+            rows((n, sfDir)) = c
+            (System.nanoTime() - t0) / 1e9
+          }.sorted
+          medians((n, sfDir)) = reps(1)
+          println(f"[scaling] $n @ ${sfDir.split('/').last}: " +
+            f"median=${reps(1)}%.3f s reps=${reps.map(r => f"$r%.3f").mkString(",")} " +
+            f"rows=${rows((n, sfDir))}")
+        } catch { case e: Throwable =>
+          medians((n, sfDir)) = Double.NaN
+          System.err.println(s"[scaling] timed $n @ $sfDir FAILED: $e")
+        }
       }
     }
-    println("query\tsf0.01_s\tsf0.1_s\tratio\trows0.01\trows0.1")
+    val sfA = sfs(0).split('/').last; val sfB = sfs(1).split('/').last
+    println(s"query\t${sfA}_s\t${sfB}_s\tratio\trows_$sfA\trows_$sfB")
     names.foreach { n =>
       val a = medians.getOrElse((n, sfs(0)), Double.NaN)
       val b = medians.getOrElse((n, sfs(1)), Double.NaN)

@@ -382,8 +382,12 @@ object GrapheneQueries {
           .select((lit(600000L) + col("sk")).as("q"))
           .select(col("q"), col("q").as("id"))
         var frontier = known
-        // 3 generations -> closure fixed-points in <= 3 rounds
-        (0 until 3).foreach { _ =>
+        // 3 generations -> closure fixed-points in <= 3 rounds; an
+        // empty frontier short-circuits (one cheap probe on the
+        // checkpointed rows beats a full dead round of join jobs)
+        var round = 0
+        while (round < 3 && frontier.limit(1).count() > 0) {
+          round += 1
           val back = frontier
             .join(ops, frontier("id") === ops("new") && ops("ts") >= t0)
             .select(col("q"), col("old").as("id"))

@@ -100,6 +100,19 @@ class ShardSpec extends AnyFunSuite {
     }
   }
 
+  test("missing shard file reads as label-absent, not an error") {
+    // sharding.py:573-579: a probe hashing to an unwritten shard
+    // returns None per label — the ranged reader yields no rows
+    val spec = ShardingSpec(0, 2, 1, "identity")
+    val ghost = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_missing_${System.nanoTime()}.shard").toString
+    assert(graft.sources.ShardedIO
+      .readLabelsRanged(ghost, spec, Seq(1L, 2L, 3L)).isEmpty)
+    assert(graft.sources.ShardedIO
+      .readLabelsRangedWithOffsets(ghost, spec, Seq(7L)).isEmpty)
+  }
+
   test("delta encoding in the wire bytes (labels ascending, first absolute)") {
     val spec = ShardingSpec(0, 0, 0, "identity") // single shard+minishard
     val shard = ShardCodec.synthesizeShard(spec,
