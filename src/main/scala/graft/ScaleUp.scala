@@ -49,10 +49,14 @@ object ScaleUp {
         if (hasText)
           r = r.withColumn("text", concat(col("text"), lit(s" r$i")))
         embCol.foreach { e =>
-          // rotate by i: distinct vector, same norm
-          r = r.withColumn(e, concat(
-            slice(col(e), lit(i + 1), size(col(e)) - i),
-            slice(col(e), lit(1), lit(i))))
+          // deterministic per-(replica, index) SIGN FLIP: same norm,
+          // expected cosine ~0 against every other replica. (A cyclic
+          // rotation — the first attempt — left replicas highly
+          // correlated because the synthetic vectors are smooth, which
+          // made every embedding a 10-way near-dup family and blew the
+          // cosine-NN pair count up 104x.)
+          r = r.withColumn(e, expr(
+            s"transform($e, (x, j) -> CAST(x * (1 - 2 * pmod(hash(j, $i), 2)) AS FLOAT))"))
         }
       }
       r

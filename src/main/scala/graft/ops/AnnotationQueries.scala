@@ -430,7 +430,7 @@ object AnnotationQueries {
     // roundtrips; the read side re-derives the spec from the written
     // info JSON rather than trusting the in-memory one
     "p8i_annotation_write_roundtrip" -> Q(
-      (s, dir) => {
+      (s, dir) => AnnotationQueries.synchronized {
         val target = s"$Root/rt_points"
         val tp = Paths.get(target)
         if (Files.exists(tp)) {
@@ -586,11 +586,16 @@ object AnnotationQueries {
         val key = lvl0.key
         cells.toDS()
           .flatMap { cell =>
-            AnnotationCodec.decode(PointSpec, Files.readAllBytes(
-              Paths.get(s"$Root/points/$key", cell))).map { a =>
-              (a.id, a.geometry(0).toLong, a.geometry(1).toLong,
-                a.geometry(2).toLong)
-            }
+            // an unpopulated cell has no object — absent reads as
+            // empty, like the reference's cache.download of a missing
+            // key (same semantics as the missing-shard rule)
+            val p = Paths.get(s"$Root/points/$key", cell)
+            if (!Files.exists(p)) Seq.empty
+            else AnnotationCodec.decode(PointSpec, Files.readAllBytes(p))
+              .map { a =>
+                (a.id, a.geometry(0).toLong, a.geometry(1).toLong,
+                  a.geometry(2).toLong)
+              }
           }.toDF("aid", "ax", "ay", "az")
           .filter(col("ax").between(8, 48) && col("ay").between(8, 48) &&
             col("az").between(4, 24))
@@ -833,7 +838,7 @@ object AnnotationQueries {
     // the relationship section count comes from readRelationships,
     // not a hardcoded 2.
     "p8j_annotation_rel_rgba" -> Q(
-      (s, dir) => {
+      (s, dir) => AnnotationQueries.synchronized {
         import s.implicits._
         import scala.jdk.CollectionConverters._
         val target = s"$Root/rt_rel_rgba"

@@ -287,20 +287,34 @@ object SimilarityQueries {
         val e = table(s, dir, "embeddings")
           .select(col("vec_id"), quantUdf(col("embedding")).as("q"))
           .withColumn("nrm", norm2Udf(col("q")))
-          .localCheckpoint() // feeds cents/assigned/qa/cb — quantize once
+          .localCheckpoint() // feeds cents/lists/probes/qa/cb — quantize once
         val cents = e.filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("cid_c"), col("q").as("qc"))
-        // exact integer squared-L2 to every centroid; keep rank info
-        val assigned = e.crossJoin(broadcast(cents))
+        // exact integer squared-L2 to every centroid. Inverted lists
+        // come from a map-side min_by partial agg over the STREAMED
+        // N x C distance kernel — the r11 shape checkpointed the
+        // crossJoin with both vectors on every row (N x C wide rows;
+        // ~10 GB at the sf1 decade), which the scale-slope protocol
+        // caught as an OOM. Same winner as row_number()=1: min_by on
+        // (d2, cid_c) lexicographic. Checkpointed narrow: (id, cell).
+        val lists = e.select(col("vec_id"), col("q"))
+          .crossJoin(broadcast(cents))
           .withColumn("d2", dist2Udf(col("q"), col("qc")))
+          .groupBy("vec_id")
+          .agg(min_by(col("cid_c"), struct(col("d2"), col("cid_c")))
+            .as("cell"))
+          .localCheckpoint()
+        // probe selection filters to the 10 query vectors BEFORE the
+        // centroid crossJoin — a 10 x C window, never N x C
+        val probes = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("q").as("qp"))
+          .crossJoin(broadcast(cents))
+          .withColumn("d2", dist2Udf(col("qp"), col("qc")))
           .withColumn("rk", row_number().over(
-            org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+            org.apache.spark.sql.expressions.Window.partitionBy("qid")
               .orderBy(col("d2"), col("cid_c"))))
-          .localCheckpoint() // feeds both lists and probes
-        val lists = assigned.filter(col("rk") === 1)
-          .select(col("vec_id"), col("cid_c").as("cell"))
-        val probes = assigned.filter(col("vec_id") < 10 && col("rk") <= 2)
-          .select(col("vec_id").as("qid"), col("cid_c").as("cell"))
+          .filter(col("rk") <= 2)
+          .select(col("qid"), col("cid_c").as("cell"))
         val cands = probes.join(lists, Seq("cell"))
           .filter(col("qid") =!= col("vec_id"))
           .select(col("qid"), col("vec_id").as("cid")).distinct()
@@ -493,25 +507,33 @@ object SimilarityQueries {
         val e = table(s, dir, "embeddings")
           .select(col("vec_id"), quantUdf(col("embedding")).as("q"))
           .withColumn("nrm", norm2Udf(col("q")))
-          .localCheckpoint() // feeds cents/assigned/codebook/queries
+          .localCheckpoint() // feeds cents/cellOf/probes/queries
         val cents = e.filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("cid_c"), col("q").as("qc"))
-        val assigned = e.crossJoin(broadcast(cents))
-          .withColumn("d2", dist2Udf(col("q"), col("qc")))
-          .withColumn("rk", row_number().over(
-            Window.partitionBy("vec_id").orderBy(col("d2"), col("cid_c"))))
-          .localCheckpoint() // feeds cell lists and probes
         val subUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
           val out = new Array[Long](a.length)
           var i = 0
           while (i < a.length) { out(i) = a(i) - b(i); i += 1 }
           out
         }
-        // cell assignment keeps the winning centroid's vector: the
-        // residual and the ADC coarse term both need it
-        val cellOf = assigned.filter(col("rk") === 1)
-          .select(col("vec_id"), col("cid_c").as("cell"),
-            col("qc").as("qcell"), col("q"), col("nrm"))
+        // cell assignment keeps the winning centroid's vector (the
+        // residual and the ADC coarse term both need it) — computed as
+        // a map-side min_by partial agg over the STREAMED N x C
+        // distance kernel. The r11 shape checkpointed the crossJoin
+        // itself, materializing N x C rows each carrying two
+        // 64-element vectors; at the sf1 decade (20k x 400 = 8M wide
+        // rows, ~10 GB) that OOMed the sweep — caught by SCALING.md's
+        // second-decade protocol. Same winner as the old
+        // row_number()=1: min_by on (d2, cid_c) lexicographic.
+        val cellOf = e.crossJoin(broadcast(cents))
+          .withColumn("d2", dist2Udf(col("q"), col("qc")))
+          .groupBy("vec_id")
+          .agg(
+            min_by(struct(col("cid_c"), col("qc")),
+              struct(col("d2"), col("cid_c"))).as("w"),
+            first(col("q")).as("q"), first(col("nrm")).as("nrm"))
+          .select(col("vec_id"), col("w.cid_c").as("cell"),
+            col("w.qc").as("qcell"), col("q"), col("nrm"))
           .withColumn("resid", subUdf(col("q"), col("qcell")))
           .localCheckpoint() // feeds codebook collect + coding + cands
         // deterministic codebook stand-in: residuals of the K
@@ -557,8 +579,16 @@ object SimilarityQueries {
         val coded = cellOf.select(col("vec_id").as("cid"),
           col("cell"), col("qcell"), col("q").as("qb"), col("nrm").as("nb"),
           codesUdf(col("resid")).as("codes"))
-        val probes = assigned.filter(col("vec_id") < 10 && col("rk") <= 2)
-          .select(col("vec_id").as("qid"), col("cid_c").as("cell"))
+        // probe selection filters to the 10 query vectors BEFORE the
+        // centroid crossJoin — a 10 x C window, never N x C
+        val probes = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("q").as("qp"))
+          .crossJoin(broadcast(cents))
+          .withColumn("d2", dist2Udf(col("qp"), col("qc")))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("qid").orderBy(col("d2"), col("cid_c"))))
+          .filter(col("rk") <= 2)
+          .select(col("qid"), col("cid_c").as("cell"))
         val qs = e.filter(col("vec_id") < 10).select(
           col("vec_id").as("qid"), col("q").as("qa"), col("nrm").as("na"))
         coded.join(broadcast(probes), Seq("cell"))

@@ -232,7 +232,7 @@ object SkeletonQueries {
     // like the s18 format and p8i annotation roundtrips (the cached
     // fixture only proves the writer that built it once)
     "skel_write_roundtrip" -> Q(
-      (s, dir) => {
+      (s, dir) => SkeletonQueries.synchronized {
         val target = s"$Root/rt_skels"
         val tp = Paths.get(target)
         if (Files.exists(tp)) {
