@@ -192,6 +192,11 @@ object MultimodalOps {
   def pngTable(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     table(s, dir, "documents").select(col("doc_id").cast("long"))
+      // the corpus arrives as ONE small parquet file -> one input
+      // partition; encode is embarrassingly parallel, so spread it
+      // across the session's shuffle width (at 100 TB the input is
+      // already many splits and this is a no-op by comparison)
+      .repartition(col("doc_id"))
       .as[Long].mapPartitions { ids =>
         // one writer per partition (see mm_decode_png: the static
         // ImageIO entry points pay a synchronized registry lookup per
@@ -232,6 +237,7 @@ object MultimodalOps {
   def wavTable(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     table(s, dir, "documents").select(col("doc_id").cast("long"))
+      .repartition(col("doc_id")) // same single-input-file note as pngTable
       .as[Long].mapPartitions { ids =>
         val fmt = new javax.sound.sampled.AudioFormat(
           8000f, 16, 1, true, false) // 8 kHz, s16le, mono

@@ -525,15 +525,24 @@ object SimilarityQueries {
         // rows, ~10 GB) that OOMed the sweep — caught by SCALING.md's
         // second-decade protocol. Same winner as the old
         // row_number()=1: min_by on (d2, cid_c) lexicographic.
-        val cellOf = e.crossJoin(broadcast(cents))
+        // NARROW agg value (just the winning cell id): ObjectHashAgg
+        // falls back to sort-based aggregation past 128 distinct keys
+        // per partition, and a min_by value carrying the 64-long
+        // centroid vector would drag vectors through that sort (the
+        // 14s/47s-spread sf1 reps). With a long value the fallback
+        // sorts 3-column rows; the winner's vector rejoins from the
+        // broadcast centroid table afterwards.
+        val cellOf = e.select(col("vec_id"), col("q"))
+          .crossJoin(broadcast(cents))
           .withColumn("d2", dist2Udf(col("q"), col("qc")))
           .groupBy("vec_id")
-          .agg(
-            min_by(struct(col("cid_c"), col("qc")),
-              struct(col("d2"), col("cid_c"))).as("w"),
-            first(col("q")).as("q"), first(col("nrm")).as("nrm"))
-          .select(col("vec_id"), col("w.cid_c").as("cell"),
-            col("w.qc").as("qcell"), col("q"), col("nrm"))
+          .agg(min_by(col("cid_c"), struct(col("d2"), col("cid_c")))
+            .as("cell"))
+          .join(e, Seq("vec_id"))
+          .join(broadcast(cents.select(col("cid_c").as("cell"),
+            col("qc").as("qcell"))), Seq("cell"))
+          .select(col("vec_id"), col("cell"), col("qcell"), col("q"),
+            col("nrm"))
           .withColumn("resid", subUdf(col("q"), col("qcell")))
           .localCheckpoint() // feeds codebook collect + coding + cands
         // deterministic codebook stand-in: residuals of the K
