@@ -269,6 +269,54 @@ object MetaQueries {
         |  (2, 30, 4, 16, 58, 30, 26))
         |  AS t(rank, rx0, ry0, rz0, rx1, ry1, rz1)""".stripMargin)),
 
+    // F15 provenance ROUNDTRIP (test_cloudvolume.py:1036
+    // test_provenance; provenance.py DataLayerProvenance): a
+    // processing audit log derived from orders is committed as the
+    // layer's provenance JSON and read back through the json5-tolerant
+    // parser — write + parse oracle-gated end-to-end (the reference
+    // appends {'method': ..., 'by': ...} entries and round-trips them
+    // through commit_provenance/refresh_provenance). Metadata-sized:
+    // one small JSON object, like the reference's one-per-layer file.
+    "f15_provenance_roundtrip" -> Q(
+      (s, dir) => MetaQueries.synchronized {
+        import s.implicits._
+        val methods = Seq("downsample", "remap", "transfer", "mesh")
+        val entries = table(s, dir, "orders")
+          .filter(col("o_orderkey") % 500 === 3)
+          .select(col("o_orderkey").cast("long").as("k"),
+            (col("o_custkey") % 10).cast("long").as("w"))
+          .orderBy("k")
+          .as[(Long, Long)].collect() // audit log: metadata-sized
+          .map { case (k, w) =>
+            s"""{"method":"${methods((k % 4).toInt)}","by":"worker-$w","task":$k}"""
+          }
+        val target = java.nio.file.Paths.get(
+          "/tmp/graft_fixture/provenance_rt.json")
+        java.nio.file.Files.createDirectories(target.getParent)
+        java.nio.file.Files.writeString(target, Provenance.toJson(Provenance(
+          description = "graft synthesized layer",
+          sources = Seq("file:///tmp/graft_fixture/layer"),
+          processing = entries.toSeq,
+          owners = Seq("graft@example.org"))))
+        val back = Provenance.fromJson(
+          java.nio.file.Files.readString(target))
+        back.processing.zipWithIndex.map { case (e, i) =>
+          val m = """"method":"([a-z]+)"""".r.findFirstMatchIn(e).get.group(1)
+          val b = """"by":"([-a-z0-9]+)"""".r.findFirstMatchIn(e).get.group(1)
+          val t = """"task":(\d+)""".r.findFirstMatchIn(e).get.group(1).toLong
+          (i.toLong, m, b, t)
+        }.toSeq.toDS().toDF("seq", "method", "actor", "task")
+      },
+      Some("""WITH p AS (
+        |  SELECT o_orderkey AS k, o_custkey % 10 AS w FROM orders
+        |  WHERE o_orderkey % 500 = 3),
+        |r AS (SELECT k, w, CAST(row_number() OVER (ORDER BY k) - 1 AS BIGINT) AS seq FROM p)
+        |SELECT seq,
+        |  CASE k % 4 WHEN 0 THEN 'downsample' WHEN 1 THEN 'remap'
+        |             WHEN 2 THEN 'transfer' ELSE 'mesh' END AS method,
+        |  'worker-' || w AS actor, k AS task
+        |FROM r""".stripMargin)),
+
     // A11: cache stats — files + (uncompressed) bytes PER MIP of the
     // real two-scale layer (cacheservice.py:98-130 num_files/num_bytes)
     "a11_cache_stats" -> Q(

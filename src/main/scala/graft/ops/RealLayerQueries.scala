@@ -1040,6 +1040,34 @@ object RealLayerQueries {
         |WHERE x BETWEEN 9 AND 50 AND y BETWEEN 13 AND 46
         |  AND z BETWEEN 2 AND 22""".stripMargin)),
 
+    // S5 + A2 composed: sharded cutout with renumber
+    // (test_cloudvolume.py:240 test_read_sharded_renumber —
+    // download(renumber=True) on a sharded layer returns the cutout
+    // remapped to a dense label space plus the mapping). The distinct
+    // label set of the cutout renumbers in sorted order (same
+    // convention as a2_renumber's oracle), the tiny mapping broadcasts
+    // back over the voxels — the remap join never shuffles the cutout.
+    "s5b_cutout_sharded_renumber" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        import s.implicits._
+        val cut = graft.sources.ShardedIO.cutoutVoxelsSharded(s,
+          LayerShardedDir, Bbox(Vec3(5, 8, 3), Vec3(52, 48, 24)))
+        val mapping = cut.select("label").distinct()
+          .as[Long].rdd.sortBy(identity).zipWithIndex
+          .map { case (l, i) => (l, i + 1L) }.toDF("label", "renumbered")
+        cut.join(broadcast(mapping), Seq("label"))
+          .select(col("x"), col("y"), col("z"), col("renumbered"))
+      },
+      Some(s"""WITH v AS (SELECT x, y, z, label FROM $Sidecar
+        |  WHERE x BETWEEN 5 AND 51 AND y BETWEEN 8 AND 47
+        |    AND z BETWEEN 3 AND 23),
+        |m AS (SELECT label, CAST(dense_rank() OVER (ORDER BY label)
+        |        AS BIGINT) AS renumbered
+        |      FROM (SELECT DISTINCT label FROM v))
+        |SELECT v.x, v.y, v.z, m.renumbered
+        |FROM v JOIN m ON m.label = v.label""".stripMargin)),
+
     // A10 num_chunks / num_voxels from parsed info metadata alone
     // (metadata.py:504-506, lib.py:864-867) — zero file IO
     "a10_counts" -> Q(

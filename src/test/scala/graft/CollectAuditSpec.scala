@@ -23,7 +23,12 @@ class CollectAuditSpec extends AnyFunSuite {
   // residual codebook (16 vectors, sim_topk_ivfpq), k-means centroids
   // — each tiny and closed over by compiled kernels)
   private val Allow = Map(
-    "src/main/scala/graft/ops/SimilarityQueries.scala" -> 4)
+    "src/main/scala/graft/ops/SimilarityQueries.scala" -> 4,
+    // f15_provenance_roundtrip: the processing audit log IS the
+    // metadata (one provenance JSON object per layer, like the
+    // reference's commit_provenance) — collected to write that one
+    // small driver-side file
+    "src/main/scala/graft/ops/MetaQueries.scala" -> 1)
 
   test("no .collect()/toLocalIterator outside allowlisted metadata-sized sites") {
     val root = Paths.get("src/main/scala/graft")
