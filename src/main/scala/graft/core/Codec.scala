@@ -518,4 +518,35 @@ object Codec {
     case "jpeg" | "jxl" | "png" | "fpzip" | "kempressed" | "zfpc" => false
     case _ => false
   }
+
+  /** F12: HTTP Content-Type per chunk encoding
+    * (datasource/precomputed/common.py:7-16).
+    */
+  def contentType(encoding: String): String = encoding match {
+    case "jpeg" => "image/jpeg"
+    case "png" => "image/png"
+    case "jxl" => "image/jxl"
+    case "compresso" | "compressed_segmentation" | "fpzip" |
+        "kempressed" | "zfpc" | "crackle" => s"image/x.$encoding"
+    case _ => "application/octet-stream"
+  }
+
+  /** F12: cdn_cache setting -> Cache-Control header
+    * (common.py:32-53). None/absent and `true` mean the 1-hour
+    * default, `false` and 0 mean no-cache, a positive int is a
+    * max-age, a string passes through, negatives reject.
+    */
+  def cdnCacheControl(v: Option[Any]): String = v match {
+    case None | Some(true) => "max-age=3600, s-max-age=3600"
+    case Some(false) => "no-cache"
+    case Some(s: String) => s
+    case Some(i: Int) if i == 0 => "no-cache"
+    case Some(i: Int) if i > 0 => s"max-age=$i, s-max-age=$i"
+    case Some(i: Int) =>
+      throw new IllegalArgumentException(
+        s"cdn_cache must be a positive integer, boolean, or string. Got: $i")
+    case Some(other) =>
+      throw new IllegalArgumentException(
+        s"${other.getClass} is not a supported cache_control setting.")
+  }
 }

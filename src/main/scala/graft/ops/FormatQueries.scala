@@ -181,5 +181,61 @@ object FormatQueries {
         |  ('jxl', false), ('png', false), ('fpzip', false),
         |  ('kempressed', false), ('zfpc', false))
         |  AS t(encoding, gzip_default)""".stripMargin)),
+
+    // F12: Content-Type per encoding + cdn_cache -> Cache-Control
+    // header (common.py:7-16 content_type, :32-53 cdn_cache_control;
+    // test_cloudvolume.py:1732 test_cdn_cache_control). Each orders
+    // row picks an encoding and a cdn_cache flavor (default / bool /
+    // int seconds), mapped through the core functions; the oracle
+    // replays the policy table arithmetically.
+    "f12_content_type_cdn" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val encs = Seq("raw", "jpeg", "png", "jxl",
+          "compressed_segmentation", "compresso", "npz")
+        Derived.table(s, dir, "orders")
+          .filter(col("o_orderkey") % 100 === 11)
+          .select(col("o_orderkey").cast("long").as("id"),
+            (col("o_orderkey") % 7).cast("long").as("ei"),
+            (col("o_custkey") % 4).cast("long").as("cv"))
+          .as[(Long, Long, Long)]
+          .map { case (id, ei, cvv) =>
+            val cdn: Option[Any] = cvv match {
+              case 0 => None
+              case 1 => Some(false)
+              case 2 => Some(true)
+              case _ => Some((id % 7200).toInt)
+            }
+            (id, encs(ei.toInt), Codec.contentType(encs(ei.toInt)),
+              Codec.cdnCacheControl(cdn))
+          }
+          .toDF("id", "encoding", "content_type", "cache_control")
+      },
+      Some("""WITH src AS (
+        |  SELECT o_orderkey AS id, o_orderkey % 7 AS ei,
+        |         o_custkey % 4 AS cv
+        |  FROM orders WHERE o_orderkey % 100 = 11),
+        |e AS (SELECT id, cv,
+        |        CASE ei WHEN 0 THEN 'raw' WHEN 1 THEN 'jpeg'
+        |                WHEN 2 THEN 'png' WHEN 3 THEN 'jxl'
+        |                WHEN 4 THEN 'compressed_segmentation'
+        |                WHEN 5 THEN 'compresso' ELSE 'npz' END AS encoding
+        |      FROM src)
+        |SELECT id, encoding,
+        |  CASE encoding
+        |    WHEN 'jpeg' THEN 'image/jpeg' WHEN 'png' THEN 'image/png'
+        |    WHEN 'jxl' THEN 'image/jxl'
+        |    WHEN 'compressed_segmentation' THEN 'image/x.compressed_segmentation'
+        |    WHEN 'compresso' THEN 'image/x.compresso'
+        |    ELSE 'application/octet-stream' END AS content_type,
+        |  CASE cv
+        |    WHEN 0 THEN 'max-age=3600, s-max-age=3600'
+        |    WHEN 1 THEN 'no-cache'
+        |    WHEN 2 THEN 'max-age=3600, s-max-age=3600'
+        |    ELSE CASE WHEN id % 7200 = 0 THEN 'no-cache'
+        |         ELSE 'max-age=' || (id % 7200) || ', s-max-age=' || (id % 7200)
+        |         END
+        |  END AS cache_control
+        |FROM e""".stripMargin)),
   )
 }
