@@ -231,6 +231,82 @@ object XferQueries {
         |WHERE x BETWEEN 3 AND 54 AND y BETWEEN 5 AND 48
         |  AND z BETWEEN 2 AND 25""".stripMargin)),
 
+    // S14 SHARDED black-chunk elision (test_sharding.py:325
+    // test_write_image_shard_empty / :357 _partly_empty): all-black
+    // chunks are dropped BEFORE shard synthesis, so a fully-black
+    // shard leaves NO file and a partly-black shard omits those
+    // labels from its index. The spec here puts one chunk per shard
+    // (shardBits = morton width, identity hash), so every elided
+    // chunk exercises the missing-shard-file -> label-absent read
+    // path end-to-end, and present chunks read back through the
+    // normal index + ranged-read path. The oracle keeps only voxels
+    // of non-elided chunks.
+    "s14b_sharded_black_elision" -> Q(
+      (s, dir) => XferQueries.synchronized {
+        val target = s"${RealLayerQueries.Root}/layer_s14b"
+        val root = Paths.get(target)
+        if (Files.exists(root)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(root).iterator.asScala.toSeq.reverse
+            .foreach(p => Files.deleteIfExists(p))
+        }
+        // 64x64x32 vol, 16x16x8 chunks -> 4x4x4 grid, 6-bit morton:
+        // one chunk per shard
+        val spec = ShardingSpec(
+          preshiftBits = 0, minishardBits = 0, shardBits = 6,
+          hashName = "identity",
+          minishardIndexEncoding = "gzip", dataEncoding = "gzip")
+        val scaleB = ScaleMeta(
+          key = "1_1_1", encoding = "raw", resolution = Seq(1, 1, 1),
+          chunkSize = Vec3(16, 16, 8), size = Vec3(64, 64, 32),
+          voxelOffset = Vec3(0, 0, 0), sharding = Some(spec))
+        val metaB = VolumeMeta(layerType = "segmentation",
+          dataType = "uint32", numChannels = 1, scales = Seq(scaleB))
+        PrecomputedIO.writeInfo(target, metaB)
+        import s.implicits._
+        val bounds = scaleB.bounds
+        val cs = scaleB.chunkSize
+        val chunks = s.range(4L * 4 * 4)
+          .map { id =>
+            val gx = id % 4; val gy = (id / 4) % 4; val gz = id / 16
+            (gx, gy, gz)
+          }
+          // black-chunk elision: every 3rd grid cell is all-background
+          // and is dropped before synthesis (delete_black_uploads)
+          .filter(g => (g._1 + g._2 + g._3) % 3 != 0)
+          .map { case (gx, gy, gz) =>
+            val cb = Geom.chunkBbox(Vec3(gx, gy, gz), bounds, cs)
+            val bb = java.nio.ByteBuffer.allocate(4 * cb.volume.toInt)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            var z = cb.minpt.z
+            while (z < cb.maxpt.z) {
+              var y = cb.minpt.y
+              while (y < cb.maxpt.y) {
+                var x = cb.minpt.x
+                while (x < cb.maxpt.x) {
+                  val idx = (x - cb.minpt.x) + cb.size.x *
+                    ((y - cb.minpt.y) + cb.size.y * (z - cb.minpt.z))
+                  bb.putInt(4 * idx.toInt,
+                    (x * 10000L + y * 100 + z).toInt)
+                  x += 1
+                }
+                y += 1
+              }
+              z += 1
+            }
+            (gx, gy, gz, bb.array())
+          }.toDF("gx", "gy", "gz", "payload")
+        ShardedIO.writeSharded(chunks, target, metaB, 0)
+        ShardedIO.cutoutVoxelsSharded(s, target,
+          Bbox(Vec3(0, 0, 0), Vec3(64, 64, 32)))
+      }: DataFrame,
+      Some("""WITH ids AS (SELECT unnest(range(131072)) AS i),
+        |v AS (SELECT i % 64 AS x, (i // 64) % 64 AS y, i // 4096 AS z
+        |      FROM ids)
+        |SELECT x, y, z, x * 10000 + y * 100 + z AS label
+        |FROM v
+        |WHERE (x // 16 + y // 16 + z // 8) % 3 <> 0""".stripMargin)),
+
     // S16 pathway 2b, reversed: sharded -> unsharded migration. The
     // reference flips the metadata with to_unsharded (image/
     // __init__.py:855-857 pops the sharding spec) and moves the data
