@@ -314,6 +314,31 @@ object SkeletonCodec {
     * component, ordered by each component's lowest vertex index;
     * vertices keep their relative order within a component.
     */
+  /** skeleton.py remove_disconnected_vertices (test_skeletons.py:240):
+    * drop vertices referenced by NO edge; survivors keep their order
+    * and edges renumber through the order-preserving map. A skeleton
+    * with no edges prunes to empty (the reference keeps nothing).
+    */
+  def removeDisconnected(s: Skeleton): Skeleton = {
+    val nv = s.nv
+    val keep = new Array[Boolean](nv)
+    s.edges.foreach(e => keep(e) = true)
+    val remap = new Array[Int](nv)
+    var next = 0
+    var v = 0
+    while (v < nv) {
+      if (keep(v)) { remap(v) = next; next += 1 } else remap(v) = -1
+      v += 1
+    }
+    val ids = (0 until nv).filter(keep)
+    Skeleton(
+      ids.flatMap(i => Seq(s.vertices(3 * i), s.vertices(3 * i + 1),
+        s.vertices(3 * i + 2))).toArray,
+      s.edges.map(remap),
+      ids.map(s.radii).toArray,
+      ids.map(s.vertexTypes).toArray)
+  }
+
   def components(s: Skeleton): Seq[Skeleton] = {
     val nv = s.nv
     val (start, adj) = adjacency(s)

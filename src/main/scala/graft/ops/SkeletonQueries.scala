@@ -378,6 +378,45 @@ object SkeletonQueries {
         |SELECT mid, cid, CAST(nv AS BIGINT) AS nv,
         |       CAST(nv - 1 AS BIGINT) AS ne FROM r""".stripMargin)),
 
+    // Skeleton PRUNE (skeleton.py remove_disconnected_vertices,
+    // test_skeletons.py:240): vertices referenced by no edge drop,
+    // survivors keep their order, edges renumber through the
+    // order-preserving map. Each decoded fragment gets a synthetic
+    // isolated vertex INSERTED mid-array (position (segid*7) % (nv+1))
+    // with edge indices shifted — the prune must restore the original
+    // chain exactly, so the oracle is the untouched edge table. Narrow
+    // per-fragment map; no shuffle.
+    "skel_prune_disconnected" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        val pruneRows = udf((vs: Seq[Float], es: Seq[Int], segid: Long) => {
+          val nv = vs.length / 3
+          val p = ((segid * 7) % (nv + 1)).toInt
+          val vs2 = (vs.take(3 * p) ++ Seq(9999f, 9999f, 9999f) ++
+            vs.drop(3 * p)).toArray
+          val es2 = es.map(e => if (e >= p) e + 1 else e).toArray
+          val pruned = SkeletonCodec.removeDisconnected(
+            SkeletonCodec.Skeleton(vs2, es2,
+              new Array[Float](nv + 1), new Array[Byte](nv + 1)))
+          (0 until pruned.ne).map { i =>
+            (i.toLong, pruned.edges(2 * i).toLong,
+              pruned.edges(2 * i + 1).toLong)
+          }
+        })
+        decoded(s)
+          .select(col("segid"),
+            explode(pruneRows(col("verts"), col("edges"), col("segid")))
+              .as("e"))
+          .select(col("segid"), col("e._1").as("eid"),
+            col("e._2").as("va"), col("e._3").as("vb"))
+      },
+      Some(s"""WITH $VertCte,
+        |n AS (SELECT segid, count(*) AS nv FROM g GROUP BY segid)
+        |SELECT g.segid, CAST(g.vid AS BIGINT) AS eid,
+        |       CAST(g.vid AS BIGINT) AS va, CAST(g.vid + 1 AS BIGINT) AS vb
+        |FROM g JOIN n ON n.segid = g.segid
+        |WHERE g.vid < n.nv - 1""".stripMargin)),
+
     // Skeleton edges + per-skeleton cable metric: edge list decode and
     // the sum of squared segment lengths (integer-exact across
     // engines; the reference's cable_length is the sqrt-sum analog)

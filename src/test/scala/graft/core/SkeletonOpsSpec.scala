@@ -96,6 +96,29 @@ class SkeletonOpsSpec extends AnyFunSuite {
       Seq((0, 1), (0, 2), (0, 3), (1, 2), (3, 4), (4, 5), (5, 6)))
   }
 
+  test("remove_disconnected_vertices (test_skeletons.py:240)") {
+    // 7 vertices, vertex 6 isolated; two components among 0..5
+    val skel = mk(
+      Seq((0, 0, 0), (1, 0, 0), (2, 0, 0), (0, 1, 0), (0, 2, 0),
+        (0, 3, 0), (-1, -1, -1)),
+      Seq((0, 1), (1, 2), (3, 4), (4, 5), (3, 5)),
+      radii = (0 to 6).map(_.toFloat), types = 0 to 6)
+    val r = SkeletonCodec.removeDisconnected(skel)
+    assert(r.nv == 6 && r.ne == 5)
+    assert(r.radii.length == 6 && r.vertexTypes.length == 6)
+    assert(r.edges.toSeq == skel.edges.toSeq) // 6 was last: indices keep
+    // isolated vertex mid-array: later indices shift down by one
+    val skel2 = mk(
+      Seq((0, 0, 0), (9, 9, 9), (1, 0, 0), (2, 0, 0)),
+      Seq((0, 2), (2, 3)))
+    val r2 = SkeletonCodec.removeDisconnected(skel2)
+    assert(r2.nv == 3)
+    assert(r2.edges.toSeq == Seq(0, 1, 1, 2))
+    // no edges -> nothing kept
+    assert(SkeletonCodec.removeDisconnected(
+      mk(Seq((0, 0, 0)), Nil)).nv == 0)
+  }
+
   test("paths: isolated vertex and cycle shapes") {
     val iso = mk(Seq((0, 0, 0)), Nil)
     assert(SkeletonCodec.paths(iso).map(_.toSeq) == Seq(Seq(0)))
