@@ -19,15 +19,20 @@ final case class ShardingSpec(
     dataEncoding: String = "raw", // or "gzip"
 ) {
   require(preshiftBits >= 0 && minishardBits >= 0 && shardBits >= 0)
+  // sharding.py ShardingSpecification.validate (test_sharding.py:127):
+  // the two bit fields must fit a uint64 TOGETHER — 64+0 and 0+64 are
+  // valid, 64+1 and 1+64 are SpecViolations
+  require(minishardBits + shardBits <= 64,
+    s"shard_bits ($shardBits) + minishard_bits ($minishardBits) " +
+      "must be <= 64")
   require(hashName == "identity" || hashName == "murmurhash3_x86_128",
     s"unknown hash $hashName")
 
-  val minishardMask: Long =
-    if (minishardBits == 0) 0L else (1L << minishardBits) - 1L
-  val shardMask: Long = {
-    val full = (1L << (minishardBits + shardBits)) - 1L
-    full ^ minishardMask
-  }
+  // JVM shifts are mod 64, so the legal 64-bit-wide masks need the
+  // explicit all-ones case ((1L << 64) - 1 would wrap to 0)
+  private def lowMask(n: Int): Long = if (n >= 64) -1L else (1L << n) - 1L
+  val minishardMask: Long = lowMask(minishardBits)
+  val shardMask: Long = lowMask(minishardBits + shardBits) ^ minishardMask
 
   def applyHash(v: Long): Long = hashName match {
     case "identity" => v

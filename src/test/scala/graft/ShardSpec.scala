@@ -100,6 +100,26 @@ class ShardSpec extends AnyFunSuite {
     }
   }
 
+  test("spec validation: bit budget + hash names (test_sharding.py:127)") {
+    // valid boundary cases per the reference's validate()
+    ShardingSpec(6, 11, 7, "murmurhash3_x86_128", "gzip", "gzip")
+    ShardingSpec(0, 0, 0)
+    ShardingSpec(0, 64, 0)
+    ShardingSpec(0, 0, 64)
+    // 64-wide masks must be all-ones, not the JVM shift-wrap zero
+    assert(ShardingSpec(0, 64, 0).minishardMask == -1L)
+    assert(ShardingSpec(0, 0, 64).shardMask == -1L)
+    assert(ShardingSpec(0, 32, 32).shardMask ==
+      (-1L ^ ((1L << 32) - 1)))
+    // violations: joint budget over 64, unknown/case-sensitive hash
+    intercept[IllegalArgumentException] { ShardingSpec(0, 1, 64) }
+    intercept[IllegalArgumentException] { ShardingSpec(0, 64, 1) }
+    intercept[IllegalArgumentException] {
+      ShardingSpec(0, 2, 2, "murmurhash3_X86_128") }
+    intercept[IllegalArgumentException] {
+      ShardingSpec(0, 2, 2, "something else") }
+  }
+
   test("missing shard file reads as label-absent, not an error") {
     // sharding.py:573-579: a probe hashing to an unwritten shard
     // returns None per label — the ranged reader yields no rows

@@ -96,6 +96,31 @@ class SkeletonOpsSpec extends AnyFunSuite {
       Seq((0, 1), (0, 2), (0, 3), (1, 2), (3, 4), (4, 5), (5, 6)))
   }
 
+  test("downsample preserves joints (test_skeletons.py:408)") {
+    // cross-shaped skeleton: vertex 5 is a degree-4 joint; the
+    // reference ground truth keeps radii {0,2,3,5,7,9,10}
+    val skel = mk(
+      Seq((2, 3, 0), (2, 2, 0), (2, 1, 0), (0, 0, 0), (1, 0, 0),
+        (2, 0, 0), (3, 0, 0), (4, 0, 0), (2, -1, 0), (2, -2, 0),
+        (2, -3, 0)),
+      Seq((0, 1), (1, 2), (2, 5), (3, 4), (4, 5), (5, 6), (6, 7),
+        (5, 8), (8, 9), (9, 10)),
+      radii = (0 to 10).map(_.toFloat), types = 0 to 10)
+    val d = SkeletonCodec.downsample(skel, 2)
+    assert(d.radii.toSet == Set(0f, 2, 3, 5, 7, 9, 10),
+      s"kept radii ${d.radii.toSeq.sorted}")
+    def v(i: Int) = (d.vertices(3 * i), d.vertices(3 * i + 1))
+    val edges = (0 until d.ne).map { i =>
+      val a = v(d.edges(2 * i)); val b = v(d.edges(2 * i + 1))
+      Set(a, b)
+    }.toSet
+    val gt = Set(
+      Set((2f, 3f), (2f, 1f)), Set((2f, 1f), (2f, 0f)),
+      Set((0f, 0f), (2f, 0f)), Set((2f, 0f), (4f, 0f)),
+      Set((2f, 0f), (2f, -2f)), Set((2f, -2f), (2f, -3f)))
+    assert(edges == gt, s"edges $edges")
+  }
+
   test("remove_disconnected_vertices (test_skeletons.py:240)") {
     // 7 vertices, vertex 6 isolated; two components among 0..5
     val skel = mk(
