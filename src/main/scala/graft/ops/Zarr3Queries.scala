@@ -975,6 +975,50 @@ object Zarr3Queries {
         |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')"""
         .stripMargin)),
 
+    // zarr3 EXISTS probe (test_zarr.py:144-165 test_zarr3_exists):
+    // per-chunk key existence over the full grid after deleting two
+    // chunk objects — the reference's image.exists(bbox) dict of
+    // key -> bool. Probes run executor-side, one listing stat per
+    // grid cell, never a data read.
+    "s18_zarr3_exists" -> Q(
+      (s, dir) => Zarr3Queries.synchronized {
+        ensure(s, dir)
+        val target = s"$Root/rt_zarr3_ex"
+        rmTree(target)
+        val m = Zarr3Meta(
+          shape = Vec3(SX, SY, SZ), chunkShape = Vec3(CX, CY, CZ),
+          dataType = "uint32", fillValue = 0L, compressor = "zstd")
+        Zarr3IO.writeMeta(target, m)
+        Zarr3IO.writeChunks(fullChunks(s), target, m)
+        import s.implicits._
+        val targetStr = target
+        val doomed = Seq((0L, 1L, 1L), (2L, 0L, 3L))
+        s.createDataset(doomed)
+          .foreachPartition { it: Iterator[(Long, Long, Long)] =>
+            it.foreach { case (gx, gy, gz) =>
+              Files.deleteIfExists(Paths.get(targetStr, "c",
+                gx.toString, gy.toString, gz.toString))
+            }
+          }
+        val grid = for {
+          gz <- 0L until (SZ + CZ - 1) / CZ
+          gy <- 0L until (SY + CY - 1) / CY
+          gx <- 0L until (SX + CX - 1) / CX
+        } yield (gx, gy, gz)
+        s.createDataset(grid)
+          .map { case (gx, gy, gz) =>
+            (gx, gy, gz, Files.exists(Paths.get(targetStr, "c",
+              gx.toString, gy.toString, gz.toString)))
+          }.toDF("gx", "gy", "gz", "present")
+      },
+      Some("""WITH ids AS (SELECT unnest(range(64)) AS i),
+        |g AS (SELECT i % 4 AS gx, (i // 4) % 4 AS gy, i // 16 AS gz
+        |      FROM ids)
+        |SELECT gx, gy, gz,
+        |  NOT ((gx = 0 AND gy = 1 AND gz = 1)
+        |       OR (gx = 2 AND gy = 0 AND gz = 3)) AS present
+        |FROM g""".stripMargin)),
+
     "s18_zarr3_sharded_write_roundtrip" -> Q(
       (s, dir) => Zarr3Queries.synchronized {
         ensure(s, dir) // shared sidecar
