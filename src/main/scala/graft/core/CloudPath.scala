@@ -5,22 +5,41 @@ package graft.core
   * `FORMAT://PROTOCOL://BUCKET/PATH` per paths.py:13-120
   * (strict_extract / extract_format_protocol): the leading token may
   * be a format (explicit) or a protocol (format defaults to
-  * "precomputed"); a second format token is an error; the last path
-  * segment is the layer, the rest after the bucket is the dataset.
+  * "precomputed"); a second format token is an error. Field semantics
+  * mirror the reference's ExtractedPath (test_paths.py:10-133):
+  * `layer` is the LAST path segment, `dataset` the second-to-last
+  * (the bucket itself for a two-segment path; everything for a
+  * bucket-only path), `basepath` is the whole path minus the layer,
+  * `noBucketBasepath` is basepath minus the bucket — intermediate
+  * directories live there, NOT in dataset. file:// paths keep their
+  * leading slash on the bucket ("/tmp"), matching the reference.
   */
 final case class CloudPath(
     format: String,
     protocol: String,
     bucket: String,
+    basepath: String,
+    noBucketBasepath: String,
     dataset: String,
     layer: String) {
   /** Render back to canonical form (paths.py:42-46 ascloudpath). */
   def render: String = {
-    val tail = Seq(bucket, dataset, layer).filter(_.nonEmpty).mkString("/")
+    val tail =
+      if (basepath.isEmpty) layer
+      else if (layer.isEmpty) basepath
+      else s"$basepath/$layer"
     s"$format://$protocol://$tail"
   }
-  /** Filesystem path for file:// (bucket is the leading root dir). */
-  def localPath: String = s"/$bucket/$dataset/$layer"
+  /** Filesystem path for file:// (absolute; bucket carries the root
+    * slash for file paths, others get one prepended).
+    */
+  def localPath: String = {
+    val joined =
+      if (basepath.isEmpty) layer
+      else if (layer.isEmpty) basepath
+      else s"$basepath/$layer"
+    if (joined.startsWith("/")) joined else s"/$joined"
+  }
 }
 
 object CloudPath {
@@ -62,11 +81,27 @@ object CloudPath {
           throw new IllegalArgumentException(s"unknown protocol $p")
         (tok1, p, rest2)
       } else throw new IllegalArgumentException(s"unknown token $tok1")
-    val clean = rest.stripPrefix("/").stripSuffix("/")
-    val segs = clean.split("/").filter(_.nonEmpty)
-    val bucket = segs.headOption.getOrElse("")
-    val layer = if (segs.length > 1) segs.last else ""
-    val dataset = segs.drop(1).dropRight(1).mkString("/")
-    CloudPath(fmt, proto, bucket, dataset, layer)
+    val segs = rest.split("/").filter(_.nonEmpty)
+    val n = segs.length
+    // file:// keeps the absolute path's root slash on the bucket
+    // (test_paths.py: extract('file:///tmp/dataset/layer').bucket ==
+    // "/tmp")
+    val bucketSeg =
+      if (n == 0) ""
+      else if (proto == "file" && rest.startsWith("/")) "/" + segs(0)
+      else segs(0)
+    if (n <= 1)
+      // bucket-only path: dataset and layer both collapse to the
+      // bucket, basepath is empty (strict_extract("precomputed://
+      // gs://bucket32_24") in test_paths.py)
+      CloudPath(fmt, proto, bucketSeg, "", "", bucketSeg, bucketSeg)
+    else {
+      val layer = segs(n - 1)
+      val noBucket = segs.slice(1, n - 1).mkString("/")
+      val basepath =
+        if (noBucket.isEmpty) bucketSeg else s"$bucketSeg/$noBucket"
+      CloudPath(fmt, proto, bucketSeg, basepath, noBucket, segs(n - 2),
+        layer)
+    }
   }
 }

@@ -9,7 +9,8 @@ class FormatSpec extends AnyFunSuite {
 
   test("cloudpath with explicit format") {
     val p = CloudPath.parse("graphene://https://example.com/image/em")
-    assert(p === CloudPath("graphene", "https", "example.com", "image", "em"))
+    assert(p === CloudPath("graphene", "https", "example.com",
+      "example.com/image", "image", "image", "em"))
     assert(p.render === "graphene://https://example.com/image/em")
   }
 
@@ -18,15 +19,48 @@ class FormatSpec extends AnyFunSuite {
     assert(p.format === "precomputed")
     assert(p.protocol === "gs")
     assert(p.bucket === "test_bucket")
-    assert(p.dataset === "")
+    // two segments: dataset collapses to the bucket (test_paths.py
+    // strict_extract('precomputed://gs://fafb-ffn1-1234567/segmentation'))
+    assert(p.dataset === "test_bucket")
+    assert(p.basepath === "test_bucket")
+    assert(p.noBucketBasepath === "")
     assert(p.layer === "em")
   }
 
-  test("file paths with deep datasets") {
+  test("bucket-only path: dataset and layer collapse to the bucket") {
+    // test_paths.py strict_extract("precomputed://gs://bucket32_24")
+    val p = CloudPath.parse("precomputed://gs://bucket32_24")
+    assert(p === CloudPath("precomputed", "gs", "bucket32_24", "", "",
+      "bucket32_24", "bucket32_24"))
+  }
+
+  test("intermediate path segments live in basepath, not dataset") {
+    // test_paths.py extract('s3://seunglab-test/intermediate/path/
+    // dataset/layer')
+    val p = CloudPath.parse("s3://seunglab-test/intermediate/path/dataset/layer")
+    assert(p === CloudPath("precomputed", "s3", "seunglab-test",
+      "seunglab-test/intermediate/path/dataset", "intermediate/path/dataset",
+      "dataset", "layer"))
+  }
+
+  test("graphene over http: host is the bucket") {
+    // test_paths.py strict_extract('graphene://http://localhost:8080/
+    // segmentation/1.0/testvol')
+    val p = CloudPath.parse(
+      "graphene://http://localhost:8080/segmentation/1.0/testvol")
+    assert(p === CloudPath("graphene", "http", "localhost:8080",
+      "localhost:8080/segmentation/1.0", "segmentation/1.0", "1.0",
+      "testvol"))
+  }
+
+  test("file paths keep the root slash and deep intermediates") {
     val p = CloudPath.parse("zarr3://file:///tmp/fixtures/ds/sub/layer1")
     assert(p.format === "zarr3")
-    assert(p.bucket === "tmp")
-    assert(p.dataset === "fixtures/ds/sub")
+    // test_paths.py: extract('file:///tmp/dataset/layer').bucket == "/tmp"
+    assert(p.bucket === "/tmp")
+    assert(p.basepath === "/tmp/fixtures/ds/sub")
+    assert(p.noBucketBasepath === "fixtures/ds/sub")
+    assert(p.dataset === "sub")
     assert(p.layer === "layer1")
     assert(p.localPath === "/tmp/fixtures/ds/sub/layer1")
   }
