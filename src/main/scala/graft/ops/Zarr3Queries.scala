@@ -1019,6 +1019,29 @@ object Zarr3Queries {
         |       OR (gx = 2 AND gy = 0 AND gz = 3)) AS present
         |FROM g""".stripMargin)),
 
+    // S16 zarr3 -> zarr3 TRANSCODE (test_zarr.py:207
+    // test_zarr3_transfer_to + the reference transfer's compress
+    // re-encode): the zstd source array read chunk-granular
+    // (Zarr3IO.readChunksF — one decode per chunk object), re-encoded
+    // gzip by the chunk writer into a fresh target, read back
+    // voxel-exact against the shared sidecar. One decode + one encode
+    // per chunk, no shuffle; chunks never explode to voxel rows in
+    // flight — the petabyte zarr-to-zarr migration shape.
+    "s16_transcode_zarr3" -> Q(
+      (s, dir) => Zarr3Queries.synchronized {
+        ensureZstd(s, dir)
+        val target = s"$Root/rt_zarr3_transcode"
+        rmTree(target)
+        val m2 = Zarr3IO.readMeta(ZstdDir).copy(compressor = "gzip")
+        Zarr3IO.writeMeta(target, m2)
+        Zarr3IO.writeChunks(Zarr3IO.readChunksF(s, ZstdDir), target, m2)
+        Zarr3IO.cutoutVoxels(s, target,
+          Bbox(Vec3(0, 0, 0), Vec3(SX, SY, SZ)))
+      },
+      Some(s"""SELECT x, y, z, label
+        |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')"""
+        .stripMargin)),
+
     "s18_zarr3_sharded_write_roundtrip" -> Q(
       (s, dir) => Zarr3Queries.synchronized {
         ensure(s, dir) // shared sidecar

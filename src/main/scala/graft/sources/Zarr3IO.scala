@@ -507,6 +507,38 @@ object Zarr3IO {
     }
   }
 
+  /** Chunk-granular read of a plain spatial array: one row per
+    * EXISTING chunk object, voxels decoded to the canonical F-order
+    * block — the dual of [[writeChunks]] and the transcode source
+    * shape (absent keys are skipped; they stay absent in a transcode
+    * target too). One decode per chunk, never a voxel-row explosion.
+    */
+  def readChunksF(spark: SparkSession, dir: String): DataFrame = {
+    val m = readMeta(dir)
+    require(m.timeFrames.isEmpty && m.channels.isEmpty &&
+      m.innerChunkShape.isEmpty,
+      s"$dir: plain spatial array expected for chunk-granular read")
+    val g = m.gridSize
+    val cs = m.chunkShape
+    val dtb = m.dtypeBytes
+    val dirStr = dir
+    import spark.implicits._
+    val grid = for {
+      gz <- 0L until g.z; gy <- 0L until g.y; gx <- 0L until g.x
+    } yield (gx, gy, gz)
+    spark.createDataset(grid)
+      .repartition(math.max(grid.size / 2, 1))
+      .flatMap { t: (Long, Long, Long) =>
+        val (gx, gy, gz) = t
+        val key = spatialKey(m, gx, gy, gz)
+        val p = Paths.get(dirStr, "c", key(0), key(1), key(2))
+        if (!Files.exists(p)) None
+        else Some((gx, gy, gz,
+          decodeFrameToF(m, unpack(m, Files.readAllBytes(p)), cs, dtb)
+            .toSeq))
+      }.toDF("gx", "gy", "gz", "vox")
+  }
+
   /** Write 4-D chunk rows (tc, gx, gy, gz, vox) where `vox` is
     * `timeChunk` consecutive F-order full-chunk frames back to back.
     * Each frame is transposed to C order independently — with t the
