@@ -906,5 +906,40 @@ object SimilarityQueries {
         |  SELECT qid, lbl, row_number() OVER (
         |    PARTITION BY qid ORDER BY votes DESC, lbl ASC) AS rn FROM votes)
         |SELECT qid, lbl AS pred FROM best WHERE rn = 1""".stripMargin)),
+
+    // Symmetric per-dimension int8 quantization (the serving-side
+    // compression pass before shipping an embedding table to an ANN
+    // index): pass 1 computes the per-dimension max-abs scale over the
+    // FULL corpus (a 64-row aggregate — partial map-side combine, then
+    // one tiny shuffle), pass 2 re-joins the 64-row scale table
+    // (broadcast by AQE) and floors each component into [-127, 127].
+    // Output is a deterministic 1-in-20 sample of the quantized rows
+    // (exploded to (vec_id, dim, q8) — the corpus-sized result stays
+    // distributed; only the probe sample is compared).
+    "emb_quantize_int8" -> Q(
+      (s, dir) => {
+        val q = table(s, dir, "embeddings")
+          .select(col("vec_id"), posexplode(quantUdf(col("embedding"))))
+          .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+            col("col").as("qv"))
+        val mx = q.groupBy("dim").agg(max(abs(col("qv"))).as("maxabs"))
+        q.filter(col("vec_id") % 20 === 0)
+          .join(broadcast(mx), "dim")
+          .select(col("vec_id"), col("dim"),
+            floor((col("qv") * 127).cast("double") / col("maxabs"))
+              .cast("long").as("q8"),
+            col("maxabs"))
+      },
+      Some("""WITH t AS (SELECT vec_id, embedding,
+        |          unnest(generate_series(1, 64)) AS dim FROM embeddings),
+        |q AS (SELECT vec_id, dim,
+        |        CAST(round(embedding[dim]::DOUBLE * 1000) AS BIGINT) AS qv
+        |      FROM t),
+        |mx AS (SELECT dim, CAST(max(abs(qv)) AS BIGINT) AS maxabs
+        |       FROM q GROUP BY 1)
+        |SELECT q.vec_id, q.dim,
+        |  CAST(floor(CAST(q.qv * 127 AS DOUBLE) / mx.maxabs) AS BIGINT)
+        |    AS q8, mx.maxabs
+        |FROM q JOIN mx USING (dim) WHERE q.vec_id % 20 = 0""".stripMargin)),
   )
 }

@@ -1213,5 +1213,159 @@ object TextQueries {
         |  FROM tf JOIN df USING (term))
         |SELECT doc_id, rank, term, tf, df FROM ranked
         |WHERE rank <= 3""".stripMargin)),
+
+    // BPE merge-candidate statistics (the first iteration of BPE
+    // vocabulary training, Sennrich 2016): corpus word-frequency table,
+    // then adjacent symbol-pair counts weighted by word frequency, with
+    // the '_' end-of-word marker. This is the distributed shape of
+    // tokenizer training: the corpus collapses to a word-frequency
+    // table FIRST (one hash aggregate — vocab-sized, not corpus-sized),
+    // and all pair work runs on distinct words. Top-20 via
+    // TakeOrderedAndProject (partial per-partition top-k, no global
+    // window, no full sort at scale).
+    "bpe_pair_stats" -> Q(
+      (s, dir) => {
+        val wf = table(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+          .groupBy(concat(col("w"), lit("_")).as("ws"))
+          .agg(count(lit(1)).as("n"))
+        wf.select(col("n"), explode(expr(
+            "transform(sequence(1, length(ws) - 1), " +
+              "i -> concat(substr(ws, i, 1), ' ', substr(ws, i + 1, 1)))"))
+            .as("pair"))
+          .groupBy("pair").agg(sum("n").as("pair_n"))
+          .orderBy(col("pair_n").desc, col("pair").asc)
+          .limit(20)
+      },
+      Some("""WITH wd AS (SELECT unnest(string_split(text, ' ')) AS w
+        |          FROM documents),
+        |wf AS (SELECT w || '_' AS ws, CAST(count(*) AS BIGINT) AS n
+        |       FROM wd GROUP BY 1),
+        |idx AS (SELECT ws, n,
+        |          unnest(generate_series(1, len(ws) - 1)) AS i FROM wf),
+        |pr AS (SELECT substr(ws, i, 1) || ' ' || substr(ws, i + 1, 1)
+        |         AS pair, n FROM idx),
+        |agg AS (SELECT pair, CAST(sum(n) AS BIGINT) AS pair_n
+        |        FROM pr GROUP BY 1)
+        |SELECT pair, pair_n FROM agg
+        |ORDER BY pair_n DESC, pair ASC LIMIT 20""".stripMargin)),
+
+    // Gopher-style rule filter (Rae 2021 appendix A1.1, the standard
+    // pre-training quality gate): per-document boolean rules from
+    // integer counts only — word-count bounds, mean-word-length bounds
+    // (as cross-multiplied integer comparisons, no float division),
+    // >= 2 distinct stopwords, and an alpha-word fraction >= 80%.
+    // Narrow per-row map, zero shuffles — the cheapest possible scan
+    // shape at 100 TB.
+    "quality_gopher_rules" -> Q(
+      (s, dir) => {
+        val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+        table(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            split(col("text"), " ").as("w"))
+          .withColumn("n_words", size(col("w")).cast("long"))
+          .withColumn("sum_wlen", col("n_chars") - (col("n_words") - 1))
+          .withColumn("n_stop_distinct",
+            size(array_distinct(filter(col("w"),
+              x => stops.map(x === _).reduce(_ || _)))).cast("long"))
+          .withColumn("n_alpha", size(filter(col("w"),
+            x => x.rlike("[a-z]"))).cast("long"))
+          .withColumn("r_wordcount",
+            col("n_words") >= 50 && col("n_words") <= 100000)
+          .withColumn("r_wordlen",
+            col("sum_wlen") >= col("n_words") * 3 &&
+              col("sum_wlen") <= col("n_words") * 10)
+          .withColumn("r_stopwords", col("n_stop_distinct") >= 2)
+          .withColumn("r_alpha", col("n_alpha") * 5 >= col("n_words") * 4)
+          .withColumn("keep", col("r_wordcount") && col("r_wordlen") &&
+            col("r_stopwords") && col("r_alpha"))
+          .select("doc_id", "n_words", "sum_wlen", "n_stop_distinct",
+            "n_alpha", "r_wordcount", "r_wordlen", "r_stopwords",
+            "r_alpha", "keep")
+      },
+      Some("""WITH w AS (SELECT doc_id, n_chars,
+        |           string_split(text, ' ') AS w FROM documents),
+        |m AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        |   n_chars - (len(w) - 1) AS sum_wlen,
+        |   CAST(len(list_distinct(list_filter(w, x -> x = 'the'
+        |     OR x = 'a' OR x = 'of' OR x = 'and' OR x = 'to'
+        |     OR x = 'in' OR x = 'is'))) AS BIGINT) AS n_stop_distinct,
+        |   CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+        |     AS BIGINT) AS n_alpha
+        |  FROM w)
+        |SELECT doc_id, n_words, sum_wlen, n_stop_distinct, n_alpha,
+        |  (n_words >= 50 AND n_words <= 100000) AS r_wordcount,
+        |  (sum_wlen >= n_words * 3 AND sum_wlen <= n_words * 10)
+        |    AS r_wordlen,
+        |  (n_stop_distinct >= 2) AS r_stopwords,
+        |  (n_alpha * 5 >= n_words * 4) AS r_alpha,
+        |  ((n_words >= 50 AND n_words <= 100000)
+        |    AND (sum_wlen >= n_words * 3 AND sum_wlen <= n_words * 10)
+        |    AND n_stop_distinct >= 2
+        |    AND n_alpha * 5 >= n_words * 4) AS keep
+        |FROM m""".stripMargin)),
+
+    // URL-canonicalization dedup (the Common-Crawl first pass: strip
+    // scheme / www / query-string / trailing slash, then exact-dedup
+    // on the canonical URL). The corpus has no URL column, so both
+    // engines derive a deterministic messy URL per doc (scheme and
+    // www/query decorations vary by doc_id residues; the PATH varies
+    // only by doc_id % 150, so distinct docs genuinely collide after
+    // normalization). Hash groupBy on the canonical key — one keyed
+    // shuffle of (url, id), never content.
+    "dedup_url" -> Q(
+      (s, dir) => {
+        val d = table(s, dir, "documents").select(col("doc_id"),
+          col("source"))
+        val url = d.select(col("doc_id"), concat(
+          when(col("doc_id") % 2 === 0, lit("https://"))
+            .otherwise(lit("http://")),
+          when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+          col("source"), lit(".example.org/p/"),
+          (col("doc_id") % 150).cast("string"),
+          when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit("?utm_source=feed"))
+            .otherwise(lit(""))).as("url"))
+        url.withColumn("canon",
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              col("url"), "^https?://", ""), "^www\\.", ""),
+              "\\?.*$", ""), "/$", ""))
+          .groupBy("canon")
+          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dupes"))
+      },
+      Some("""WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+        |    || source || '.example.org/p/' || (doc_id % 150)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 7 = 0 THEN '?utm_source=feed'
+        |        ELSE '' END) AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id, regexp_replace(regexp_replace(
+        |        regexp_replace(regexp_replace(url, '^https?://', ''),
+        |        '^www\.', ''), '\?.*$', ''), '/$', '') AS canon FROM u)
+        |SELECT canon, min(doc_id) AS keep_id, count(*) AS n_dupes
+        |FROM c GROUP BY canon""".stripMargin)),
+
+    // Length-distribution quantiles per source (the corpus-audit pass
+    // before choosing packing/truncation lengths): exact
+    // linearly-interpolated percentiles, one partial-aggregated
+    // groupBy. Spark's `percentile` and DuckDB's `quantile_cont` share
+    // the type-7 (n-1)*p formula, and inputs are integers, so the
+    // interpolated doubles agree bit-for-bit.
+    "agg_length_quantiles" -> Q(
+      (s, dir) => table(s, dir, "documents")
+        .groupBy("source")
+        .agg(expr("percentile(n_chars, 0.25)").as("p25"),
+          expr("percentile(n_chars, 0.5)").as("p50"),
+          expr("percentile(n_chars, 0.75)").as("p75"),
+          expr("percentile(n_chars, 0.95)").as("p95")),
+      Some("""SELECT source,
+        |  quantile_cont(n_chars, 0.25) AS p25,
+        |  quantile_cont(n_chars, 0.5) AS p50,
+        |  quantile_cont(n_chars, 0.75) AS p75,
+        |  quantile_cont(n_chars, 0.95) AS p95
+        |FROM documents GROUP BY source""".stripMargin)),
   )
 }
