@@ -941,5 +941,102 @@ object SimilarityQueries {
         |  CAST(floor(CAST(q.qv * 127 AS DOUBLE) / mx.maxabs) AS BIGINT)
         |    AS q8, mx.maxabs
         |FROM q JOIN mx USING (dim) WHERE q.vec_id % 20 = 0""".stripMargin)),
+
+    // SemDeDup (Abbas 2023): semantic dedup = k-means cluster the
+    // embeddings, then pairwise-cosine ONLY within each cluster and
+    // drop the pair member closer to its centroid (keep the outlier —
+    // the paper's diversity-preserving rule; ties drop the larger id).
+    // The corpus is near-random, so near-duplicate vectors are
+    // injected at the quantized-integer level (every 10th vector,
+    // id+10000, +50 milli-units on dim 1 — cosine ~0.99998 to its
+    // original vs <=0.49 for every true pair), and the 0.95 threshold
+    // separates them cleanly in both engines. Scale shape: assignment
+    // is a broadcast-centroid narrow map, and the quadratic stage is
+    // confined within clusters — k grows with the corpus so cluster
+    // sizes stay bounded; the corpus is never all-pairs joined.
+    "semdedup" -> Q(
+      (s, dir) => {
+        val base = table(s, dir, "embeddings")
+          .select(col("vec_id"), quantUdf(col("embedding")).as("q"))
+        val e = base.unionAll(base.filter(col("vec_id") % 10 === 0)
+            .select((col("vec_id") + 10000).as("vec_id"),
+              expr("transform(q, (x, i) -> IF(i = 0, x + 50, x))")
+                .as("q")))
+          .withColumn("nrm", norm2Udf(col("q")))
+        val cents = base.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("q").as("cv"))
+          .withColumn("cnrm", norm2Udf(col("cv")))
+        // assignment without a driver collect: broadcast the 8-row
+        // centroid table, min_by over PRIMITIVE values only (the
+        // ivfpq sort-fallback lesson), then rejoin the vector payload
+        val asg = e.join(broadcast(cents))
+          .withColumn("d2", dist2Udf(col("q"), col("cv")))
+          .groupBy("vec_id")
+          .agg(min_by(col("cid"), struct(col("d2"), col("cid")))
+            .as("cluster"))
+        val withC = e.join(asg, "vec_id")
+          .join(broadcast(cents), col("cluster") === col("cid"))
+          .withColumn("cosc", dotUdf(col("q"), col("cv")) /
+            sqrt(col("nrm").cast("double") * col("cnrm").cast("double")))
+          .select("vec_id", "cluster", "q", "nrm", "cosc")
+        val a = withC.select(col("cluster"), col("vec_id").as("ida"),
+          col("q").as("qa"), col("nrm").as("na"), col("cosc").as("ca"))
+        val b = withC.select(col("cluster"), col("vec_id").as("idb"),
+          col("q").as("qb"), col("nrm").as("nb"), col("cosc").as("cb"))
+        a.join(b, Seq("cluster")).filter(col("ida") < col("idb"))
+          .withColumn("cos", dotUdf(col("qa"), col("qb")) /
+            sqrt(col("na").cast("double") * col("nb").cast("double")))
+          .filter(col("cos") >= 0.95)
+          .select(col("cluster"),
+            when(col("ca") > col("cb") ||
+                (col("ca") === col("cb") && col("ida") > col("idb")),
+              col("ida")).otherwise(col("idb")).as("drop_id"))
+          .distinct()
+      },
+      Some("""WITH t AS (SELECT vec_id, embedding,
+        |          unnest(generate_series(1, 64)) AS k FROM embeddings),
+        |base AS (SELECT vec_id, k,
+        |           CAST(round(embedding[k]::DOUBLE * 1000) AS BIGINT)
+        |             AS qv FROM t),
+        |q AS (SELECT * FROM base
+        |      UNION ALL
+        |      SELECT vec_id + 10000, k,
+        |             qv + CASE WHEN k = 1 THEN 50 ELSE 0 END
+        |      FROM base WHERE vec_id % 10 = 0),
+        |nrm AS (SELECT vec_id, sum(qv * qv) AS nrm FROM q GROUP BY 1),
+        |c AS (SELECT vec_id AS cid, k, qv AS cv FROM base
+        |      WHERE vec_id < 8),
+        |cn AS (SELECT cid, sum(cv * cv) AS cnrm FROM c GROUP BY 1),
+        |d AS (SELECT q.vec_id, c.cid,
+        |        CAST(sum((qv - cv) * (qv - cv)) AS BIGINT) AS d2
+        |      FROM q JOIN c ON c.k = q.k GROUP BY 1, 2),
+        |r AS (SELECT vec_id, cid, row_number() OVER (
+        |        PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d),
+        |asg AS (SELECT vec_id, cid AS cluster FROM r WHERE rn = 1),
+        |cdot AS (SELECT q.vec_id, a.cluster, sum(q.qv * c.cv) AS dot
+        |         FROM q JOIN asg a ON a.vec_id = q.vec_id
+        |         JOIN c ON c.cid = a.cluster AND c.k = q.k
+        |         GROUP BY 1, 2),
+        |wc AS (SELECT cd.vec_id, cd.cluster,
+        |         cd.dot / sqrt(n.nrm::DOUBLE * cn.cnrm::DOUBLE) AS cosc
+        |       FROM cdot cd JOIN nrm n ON n.vec_id = cd.vec_id
+        |       JOIN cn ON cn.cid = cd.cluster),
+        |pairs AS (SELECT x.cluster, x.vec_id AS ida, y.vec_id AS idb,
+        |            x.cosc AS ca, y.cosc AS cb
+        |          FROM wc x JOIN wc y
+        |            ON x.cluster = y.cluster AND x.vec_id < y.vec_id),
+        |pdot AS (SELECT p.cluster, p.ida, p.idb, p.ca, p.cb,
+        |           sum(qa.qv * qb.qv) AS dot
+        |         FROM pairs p JOIN q qa ON qa.vec_id = p.ida
+        |         JOIN q qb ON qb.vec_id = p.idb AND qb.k = qa.k
+        |         GROUP BY 1, 2, 3, 4, 5),
+        |scored AS (SELECT cluster, ida, idb, ca, cb,
+        |             dot / sqrt(na.nrm::DOUBLE * nb.nrm::DOUBLE) AS cos
+        |           FROM pdot JOIN nrm na ON na.vec_id = ida
+        |           JOIN nrm nb ON nb.vec_id = idb)
+        |SELECT DISTINCT cluster,
+        |  CASE WHEN ca > cb OR (ca = cb AND ida > idb)
+        |       THEN ida ELSE idb END AS drop_id
+        |FROM scored WHERE cos >= 0.95""".stripMargin)),
   )
 }

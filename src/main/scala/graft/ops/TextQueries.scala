@@ -1367,5 +1367,33 @@ object TextQueries {
         |  quantile_cont(n_chars, 0.75) AS p75,
         |  quantile_cont(n_chars, 0.95) AS p95
         |FROM documents GROUP BY source""".stripMargin)),
+
+    // Retrieval-index chunking (the RAG ingestion pass): slide a
+    // 120-char window with stride 90 (30-char overlap) over each
+    // document, emitting (doc_id, widx, chunk) plus each chunk's
+    // md5-derived 48-bit id for downstream embedding/dedup joins.
+    // Narrow map + explode — row count grows ~len/stride per doc and
+    // the op never shuffles; at 100 TB this is a pure scan stage that
+    // pipelines into the embedding UDF batch.
+    "rag_chunk_windows" -> Q(
+      (s, dir) => table(s, dir, "documents")
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, CAST(floor((n_chars - 1) / 90) AS INT))," +
+            " i -> substr(text, i * 90 + 1, 120))")))
+        .select(col("doc_id"), col("pos").cast("long").as("widx"),
+          col("col").as("chunk"),
+          conv(substring(md5(col("col").cast("binary")), 1, 12), 16, 10)
+            .cast("long").as("chunk_id"))
+        .withColumn("chunk_len", length(col("chunk")).cast("long")),
+      Some("""WITH w AS (SELECT doc_id, text,
+        |          unnest(generate_series(0, (n_chars - 1) // 90)) AS i
+        |        FROM documents)
+        |SELECT doc_id, CAST(i AS BIGINT) AS widx,
+        |  substr(text, i * 90 + 1, 120) AS chunk,
+        |  ('0x' || substr(md5(substr(text, i * 90 + 1, 120)),
+        |    1, 12))::BIGINT AS chunk_id,
+        |  CAST(len(substr(text, i * 90 + 1, 120)) AS BIGINT)
+        |    AS chunk_len
+        |FROM w""".stripMargin)),
   )
 }
