@@ -422,5 +422,84 @@ object MultimodalOps {
         |  CAST(sum(((doc_id * 7 + i * 31) % 4096 - 2048) * 8) AS BIGINT)
         |    AS frame_sum
         |FROM b GROUP BY doc_id, f""".stripMargin)),
+
+    // Perceptual average-hash over REAL decoded PNGs (the image-dedup
+    // pass of a multimodal pipeline): pool each raster onto an 8x4
+    // grid (cx = x*8/w, cy = y*4/h — the standard aHash cell map,
+    // grid coarse enough that every cell is nonempty at the fixture's
+    // minimum 8x6 size), set bit (cy*8+cx) iff the cell mean exceeds
+    // the image mean via exact cross-multiplied integers (ties -> 0),
+    // then bucket-count hash collisions — near-dup images collide,
+    // and at 100 TB the groupBy carries 8 bytes per image, not
+    // pixels. Decode + hash is one partition-wise pass.
+    "mm_image_ahash" -> Q(
+      (s, dir) => {
+        val sess = s
+        import sess.implicits._
+        val hashed = pngTable(s, dir).as[(Long, Array[Byte])]
+          .mapPartitions { rows =>
+            val reader = javax.imageio.ImageIO
+              .getImageReadersByFormatName("png").next()
+            rows.map { case (id, payload) =>
+              val iis = javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(payload))
+              reader.setInput(iis, true, true)
+              val img = try reader.read(0) finally iis.close()
+              val raster = img.getRaster
+              val w = img.getWidth; val h = img.getHeight
+              val cellSum = new Array[Long](32)
+              val cellN = new Array[Long](32)
+              var tot = 0L
+              var y = 0
+              while (y < h) {
+                val cy = y * 4 / h
+                var x = 0
+                while (x < w) {
+                  val p = raster.getSample(x, y, 0).toLong
+                  val c = cy * 8 + x * 8 / w
+                  cellSum(c) += p; cellN(c) += 1; tot += p
+                  x += 1
+                }
+                y += 1
+              }
+              val nTot = w.toLong * h
+              var hash = 0L
+              var c = 0
+              while (c < 32) {
+                if (cellSum(c) * nTot > tot * cellN(c))
+                  hash |= 1L << (31 - c)
+                c += 1
+              }
+              (id, hash)
+            }
+          }.toDF("doc_id", "ahash")
+        val buckets = hashed.groupBy("ahash")
+          .agg(count(lit(1)).as("n_bucket"))
+        hashed.join(buckets, "ahash")
+          .select("doc_id", "ahash", "n_bucket")
+      },
+      Some("""WITH d AS (SELECT doc_id, 8 + doc_id % 25 AS w,
+        |               6 + doc_id % 17 AS h FROM documents),
+        |ys AS (SELECT doc_id, w, h, unnest(range(0, h)) AS y FROM d),
+        |xs AS (SELECT doc_id, w, h, y, unnest(range(0, w)) AS x FROM ys),
+        |px AS (SELECT doc_id, w, h, x, y,
+        |         (y * 4) // h * 8 + (x * 8) // w AS c,
+        |         (doc_id * 31 + x * 7 + y * 13) % 256 AS p FROM xs),
+        |cells AS (SELECT doc_id, w, h, c,
+        |            CAST(sum(p) AS BIGINT) AS cs, count(*) AS cn
+        |          FROM px GROUP BY 1, 2, 3, 4),
+        |tots AS (SELECT doc_id, CAST(sum(cs) AS BIGINT) AS tot,
+        |           CAST(sum(cn) AS BIGINT) AS nt
+        |         FROM cells GROUP BY 1),
+        |hashes AS (SELECT c.doc_id,
+        |             CAST(sum(CASE WHEN c.cs * t.nt > t.tot * c.cn
+        |               THEN 1::BIGINT << (31 - c.c) ELSE 0 END)
+        |               AS BIGINT) AS ahash
+        |           FROM cells c JOIN tots t USING (doc_id)
+        |           GROUP BY 1),
+        |b AS (SELECT ahash, count(*) AS n_bucket FROM hashes
+        |      GROUP BY 1)
+        |SELECT h.doc_id, h.ahash, b.n_bucket
+        |FROM hashes h JOIN b USING (ahash)""".stripMargin)),
   )
 }
