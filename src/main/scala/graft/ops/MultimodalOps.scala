@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: opaque binary payloads with typed
@@ -501,5 +502,144 @@ object MultimodalOps {
         |      GROUP BY 1)
         |SELECT h.doc_id, h.ahash, b.n_bucket
         |FROM hashes h JOIN b USING (ahash)""".stripMargin)),
+
+    // Voice-activity detection over REAL decoded PCM (the speech-data
+    // curation gate: keep utterance spans, drop silence): 64-sample
+    // frame energies, a frame is active when energy >= 4.5e9, and
+    // runs of >= 2 consecutive active frames become speech segments
+    // (start/end frame, length, total energy). The island scan runs
+    // INSIDE the decode task — a payload's frames are sequential by
+    // nature and already resident, so shuffling per-frame rows into a
+    // window would move 64x more rows for zero extra parallelism (the
+    // file is the unit of work); the oracle replays the islands with
+    // the classic row_number gaps-and-islands instead.
+    "mm_audio_vad" -> Q(
+      (s, dir) => {
+        val sess = s
+        import sess.implicits._
+        wavTable(s, dir).as[(Long, Array[Byte])].mapPartitions { rows =>
+          rows.flatMap { case (id, payload) =>
+            val samples = decodePcm(payload)
+            val fsz = 64
+            val nf = (samples.length + fsz - 1) / fsz
+            val energy = new Array[Long](nf)
+            var f = 0
+            while (f < nf) {
+              var e = 0L
+              var i = f * fsz
+              val end = math.min((f + 1) * fsz, samples.length)
+              while (i < end) { e += samples(i) * samples(i); i += 1 }
+              energy(f) = e; f += 1
+            }
+            val segs = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Long, Long, Long, Long)]
+            var start = -1; var segE = 0L
+            var g = 0
+            while (g <= nf) {
+              val active = g < nf && energy(g) >= 4500000000L
+              if (active) {
+                if (start < 0) { start = g; segE = 0L }
+                segE += energy(g)
+              } else if (start >= 0) {
+                val len = g - start
+                if (len >= 2)
+                  segs += ((id, start.toLong, (g - 1).toLong,
+                    len.toLong, segE))
+                start = -1
+              }
+              g += 1
+            }
+            segs
+          }
+        }.toDF("doc_id", "start_f", "end_f", "n_frames", "seg_energy")
+      },
+      Some("""WITH d AS (SELECT doc_id, 256 + doc_id % 256 AS n
+        |          FROM documents),
+        |sm AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+        |pv AS (SELECT doc_id, i // 64 AS f,
+        |         ((doc_id * 7 + i * 31) % 4096 - 2048) * 8 AS p FROM sm),
+        |en AS (SELECT doc_id, f, CAST(sum(p * p) AS BIGINT) AS energy
+        |       FROM pv GROUP BY 1, 2),
+        |act AS (SELECT doc_id, f, energy,
+        |          CAST(energy >= 4500000000 AS INT) AS a FROM en),
+        |isl AS (SELECT doc_id, f, energy, a,
+        |          f - CAST(row_number() OVER (PARTITION BY doc_id, a
+        |            ORDER BY f) AS BIGINT) AS grp
+        |        FROM act),
+        |seg AS (SELECT doc_id, CAST(min(f) AS BIGINT) AS start_f,
+        |          CAST(max(f) AS BIGINT) AS end_f,
+        |          CAST(count(*) AS BIGINT) AS n_frames,
+        |          CAST(sum(energy) AS BIGINT) AS seg_energy
+        |        FROM isl WHERE a = 1 GROUP BY doc_id, grp)
+        |SELECT * FROM seg WHERE n_frames >= 2""".stripMargin)),
+
+    // Scene-cut detection over REAL decoded PNG frames (the video
+    // shot-segmentation pass of a multimodal ingest): frames group
+    // into videos (video_id = doc_id % 50, frame_idx = doc_id / 50 —
+    // the corpus as 50 synthetic videos), each frame's luminance sum
+    // comes off the genuine decoded raster, and a cut fires when the
+    // mean-luminance delta to the previous frame is >= 20 gray levels
+    // — tested as EXACT cross-multiplied integers (|s1·n2 - s2·n1| >=
+    // 20·n1·n2, frames differ in size so means never share a
+    // denominator). Scale shape: decode is a partition-wise narrow
+    // pass; the lag window partitions by video (millions of
+    // independent partitions at scale, never one global window) and
+    // carries 3 longs per frame, not pixels.
+    "mm_scene_cut" -> Q(
+      (s, dir) => {
+        val sess = s
+        import sess.implicits._
+        val frames = pngTable(s, dir).as[(Long, Array[Byte])]
+          .mapPartitions { rows =>
+            val reader = javax.imageio.ImageIO
+              .getImageReadersByFormatName("png").next()
+            rows.map { case (id, payload) =>
+              val iis = javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(payload))
+              reader.setInput(iis, true, true)
+              val img = try reader.read(0) finally iis.close()
+              val raster = img.getRaster
+              var sum = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  sum += raster.getSample(x, y, 0); x += 1
+                }
+                y += 1
+              }
+              (id % 50, id / 50, sum, img.getWidth.toLong * img.getHeight)
+            }
+          }.toDF("video_id", "frame_idx", "lum_sum", "n_px")
+        val w = Window.partitionBy("video_id").orderBy("frame_idx")
+        frames
+          .withColumn("prev_sum", lag("lum_sum", 1).over(w))
+          .withColumn("prev_n", lag("n_px", 1).over(w))
+          .filter(col("prev_n").isNotNull &&
+            abs(col("lum_sum") * col("prev_n") -
+              col("prev_sum") * col("n_px")) >=
+              col("n_px") * col("prev_n") * 20)
+          .select("video_id", "frame_idx", "lum_sum", "n_px",
+            "prev_sum", "prev_n")
+      },
+      Some("""WITH f AS (SELECT doc_id, doc_id % 50 AS video_id,
+        |          doc_id // 50 AS frame_idx, 8 + doc_id % 25 AS w,
+        |          6 + doc_id % 17 AS h FROM documents),
+        |px AS (SELECT doc_id, video_id, frame_idx, w, h,
+        |         unnest(range(0, w * h)) AS k FROM f),
+        |s AS (SELECT video_id, frame_idx, CAST(w * h AS BIGINT) AS n_px,
+        |        CAST(sum((doc_id * 31 + (k % w) * 7 + (k // w) * 13)
+        |          % 256) AS BIGINT) AS lum_sum
+        |      FROM px GROUP BY video_id, frame_idx, w, h),
+        |lg AS (SELECT video_id, frame_idx, lum_sum, n_px,
+        |         lag(lum_sum) OVER (PARTITION BY video_id
+        |           ORDER BY frame_idx) AS prev_sum,
+        |         lag(n_px) OVER (PARTITION BY video_id
+        |           ORDER BY frame_idx) AS prev_n
+        |       FROM s)
+        |SELECT video_id, frame_idx, lum_sum, n_px, prev_sum, prev_n
+        |FROM lg WHERE prev_n IS NOT NULL
+        |  AND abs(lum_sum * prev_n - prev_sum * n_px)
+        |    >= 20 * n_px * prev_n""".stripMargin)),
   )
 }

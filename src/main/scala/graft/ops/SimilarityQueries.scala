@@ -1038,5 +1038,111 @@ object SimilarityQueries {
         |  CASE WHEN ca > cb OR (ca = cb AND ida > idb)
         |       THEN ida ELSE idb END AS drop_id
         |FROM scored WHERE cos >= 0.95""".stripMargin)),
+
+    // Sparse random projection 64-d -> 8-d (Achlioptas 2003 /
+    // Johnson-Lindenstrauss: entries in {-1, 0, +1}, density 1/3,
+    // derived from a deterministic hash of (i, j) so the oracle
+    // replays the matrix arithmetically). Components are
+    // milli-quantized first, so y = R·x is an exact integer sum. The
+    // projection matrix is 64x8 — it broadcasts at ANY corpus scale
+    // (this is the whole point of JL reduction in a pipeline: the
+    // matrix is constant-size, the pass is a narrow map + one keyed
+    // partial agg per vector, and downstream ANN runs on vectors 8x
+    // smaller).
+    "emb_random_projection" -> Q(
+      (s, dir) => {
+        val q = table(s, dir, "embeddings")
+          .select(col("vec_id"), posexplode(quantUdf(col("embedding"))))
+          .select(col("vec_id"), col("pos").cast("long").as("i"),
+            col("col").as("qv"))
+        val r = s.range(0, 64).toDF("i")
+          .crossJoin(s.range(0, 8).toDF("j"))
+          .select(col("i"), col("j"), expr(
+            "CASE (i * 2654435761L + j * 40503L) % 6 WHEN 0 THEN 1L " +
+              "WHEN 1 THEN -1L ELSE 0L END").as("sgn"))
+        q.join(broadcast(r), "i")
+          .groupBy("vec_id", "j")
+          .agg(sum(expr("qv * sgn")).as("y_q"))
+      },
+      Some("""WITH t AS (SELECT vec_id, embedding,
+        |          unnest(generate_series(1, 64)) AS dim FROM embeddings),
+        |q AS (SELECT vec_id, dim - 1 AS i,
+        |        CAST(round(embedding[dim]::DOUBLE * 1000) AS BIGINT) AS qv
+        |      FROM t),
+        |r AS (SELECT i, j,
+        |        CASE ((i * 2654435761 + j * 40503) % 6)
+        |          WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS sgn
+        |      FROM (SELECT unnest(range(0, 64)) AS i),
+        |           (SELECT unnest(range(0, 8)) AS j))
+        |SELECT vec_id, CAST(j AS BIGINT) AS j,
+        |  CAST(sum(qv * sgn) AS BIGINT) AS y_q
+        |FROM q JOIN r USING (i) GROUP BY 1, 2""".stripMargin)),
+
+    // Semantic decontamination (the eval-set leak gate of Llama/phi
+    // data prep): flag corpus vectors whose cosine to ANY held-out
+    // eval vector >= 0.5. Eval set = vec_id < 8; contamination is
+    // real — every eval vector is re-injected at vec_id+20000 with a
+    // +30 milli-unit perturbation on dim 1 (cos ~0.9998 to its eval
+    // source vs <= 0.49 for all organic pairs). The threshold test is
+    // EXACT integer arithmetic: cos >= 1/2 <=> dot > 0 AND 4·dot² >=
+    // |a|²·|b|² over milli-quantized components — no float in the
+    // decision. Scale shape: the eval side is broadcast (eval sets
+    // are thousands of rows at any corpus size), the corpus is
+    // scanned once as a narrow map over its 8-vector probe set, and
+    // the per-vector flag is a partial-agg groupBy.
+    "decontaminate_semantic" -> Q(
+      (s, dir) => {
+        val base = table(s, dir, "embeddings")
+          .select(col("vec_id"), quantUdf(col("embedding")).as("q"))
+        val corpus = base.filter(col("vec_id") >= 8)
+          .unionAll(base.filter(col("vec_id") < 8)
+            .select((col("vec_id") + 20000L).as("vec_id"),
+              expr("transform(q, (x, i) -> IF(i = 1, x + 30L, x))")
+                .as("q")))
+        val ev = base.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("eval_id"), col("q").as("eq"))
+        val pairs = corpus.crossJoin(broadcast(ev))
+          .select(col("vec_id"), col("eval_id"),
+            expr("aggregate(zip_with(q, eq, (a, b) -> a * b), 0L," +
+              " (acc, x) -> acc + x)").as("dot"),
+            expr("aggregate(q, 0L, (acc, x) -> acc + x * x)").as("na2"),
+            expr("aggregate(eq, 0L, (acc, x) -> acc + x * x)").as("nb2"))
+        pairs
+          .withColumn("hit", (col("dot") > 0 &&
+            col("dot") * col("dot") * 4 >= col("na2") * col("nb2"))
+            .cast("long"))
+          .groupBy("vec_id")
+          .agg(sum("hit").as("n_eval_hits"),
+            max(when(col("hit") === 1, col("eval_id")).otherwise(lit(-1L)))
+              .as("worst_eval_id"))
+          .withColumn("contaminated", (col("n_eval_hits") > 0).cast("long"))
+      },
+      Some("""WITH t AS (SELECT vec_id, embedding,
+        |          unnest(generate_series(1, 64)) AS dim FROM embeddings),
+        |q0 AS (SELECT vec_id, dim,
+        |         CAST(round(embedding[dim]::DOUBLE * 1000) AS BIGINT)
+        |           AS qv FROM t),
+        |corpus AS (SELECT vec_id, dim, qv FROM q0 WHERE vec_id >= 8
+        |  UNION ALL
+        |  SELECT vec_id + 20000 AS vec_id, dim,
+        |    CASE WHEN dim = 2 THEN qv + 30 ELSE qv END AS qv
+        |  FROM q0 WHERE vec_id < 8),
+        |ev AS (SELECT vec_id AS eval_id, dim, qv AS ev_q
+        |       FROM q0 WHERE vec_id < 8),
+        |pair AS (SELECT c.vec_id, ev.eval_id,
+        |           CAST(sum(c.qv * ev.ev_q) AS BIGINT) AS dot,
+        |           CAST(sum(c.qv * c.qv) AS BIGINT) AS na2,
+        |           CAST(sum(ev.ev_q * ev.ev_q) AS BIGINT) AS nb2
+        |         FROM corpus c JOIN ev USING (dim) GROUP BY 1, 2),
+        |h AS (SELECT vec_id, eval_id,
+        |        CASE WHEN dot > 0 AND 4 * dot * dot >= na2 * nb2
+        |          THEN 1 ELSE 0 END AS hit
+        |      FROM pair)
+        |SELECT vec_id, CAST(sum(hit) AS BIGINT) AS n_eval_hits,
+        |  CAST(max(CASE WHEN hit = 1 THEN eval_id ELSE -1 END) AS BIGINT)
+        |    AS worst_eval_id,
+        |  CAST(CASE WHEN sum(hit) > 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS contaminated
+        |FROM h GROUP BY 1""".stripMargin)),
   )
 }

@@ -1395,5 +1395,197 @@ object TextQueries {
         |  CAST(len(substr(text, i * 90 + 1, 120)) AS BIGINT)
         |    AS chunk_len
         |FROM w""".stripMargin)),
+
+    // DSIR importance weights (Xie 2023, Data Selection via Importance
+    // Resampling): score every raw document by how target-like its
+    // unigram distribution is — the log-likelihood-ratio feature made
+    // integer-exact as a Laplace-smoothed frequency RATIO in ppm,
+    // ratio(w) = (ct+1)(Tr+V) * 1e6 div (cr+1)(Tt+V), doc score =
+    // Σ count_doc(w)·ratio(w). Target domain = source 'src0'. Scale
+    // shape: the corpus collapses to per-doc word counts and two
+    // vocab-sized frequency tables (partial-agg groupBys); the ratio
+    // table is vocabulary-sized so it broadcasts (co-partitioned join
+    // on the word key when the vocab outgrows that), and the totals
+    // are a 1-row broadcast — the corpus itself is scanned once and
+    // never re-shuffled on content.
+    "dsir_importance" -> Q(
+      (s, dir) => {
+        val wd = table(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            explode(split(col("text"), " ")).as("w"))
+        val cd = wd.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        val cr = wd.groupBy("w").agg(count(lit(1)).as("cr"))
+        val ct = wd.filter(col("source") === "src0")
+          .groupBy("w").agg(count(lit(1)).as("ct"))
+        val tot = wd.agg(count(lit(1)).as("tr"),
+          count(when(col("source") === "src0", 1)).as("tt"),
+          countDistinct("w").as("v"))
+        val r = cr.join(ct, Seq("w"), "left").crossJoin(broadcast(tot))
+          .select(col("w"), expr(
+            "(coalesce(ct, 0L) + 1L) * (tr + v) * 1000000L" +
+              " div ((cr + 1L) * (tt + v))").as("ratio_ppm"))
+        cd.join(r, Seq("w"))
+          .groupBy("doc_id")
+          .agg(sum("c").as("n_words"),
+            sum(expr("c * ratio_ppm")).as("score_sum"))
+          .select(col("doc_id"), col("n_words"), col("score_sum"),
+            expr("score_sum div n_words").as("score_avg_ppm"),
+            expr("CAST(score_sum div n_words >= 1000000 AS BIGINT)")
+              .as("keep"))
+      },
+      Some("""WITH wd AS (SELECT doc_id, source,
+        |          unnest(string_split(text, ' ')) AS w FROM documents),
+        |cd AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+        |       FROM wd GROUP BY 1, 2),
+        |cr AS (SELECT w, CAST(count(*) AS BIGINT) AS cr
+        |       FROM wd GROUP BY 1),
+        |ct AS (SELECT w, CAST(count(*) AS BIGINT) AS ct
+        |       FROM wd WHERE source = 'src0' GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS tr,
+        |          CAST(count(*) FILTER (source = 'src0') AS BIGINT) AS tt,
+        |          CAST(count(DISTINCT w) AS BIGINT) AS v FROM wd),
+        |r AS (SELECT cr.w,
+        |        ((coalesce(ct.ct, 0) + 1) * (tot.tr + tot.v) * 1000000)
+        |          // ((cr.cr + 1) * (tot.tt + tot.v)) AS ratio_ppm
+        |      FROM cr LEFT JOIN ct USING (w) CROSS JOIN tot),
+        |sc AS (SELECT cd.doc_id, CAST(sum(cd.c) AS BIGINT) AS n_words,
+        |         CAST(sum(cd.c * r.ratio_ppm) AS BIGINT) AS score_sum
+        |       FROM cd JOIN r USING (w) GROUP BY 1)
+        |SELECT doc_id, n_words, score_sum,
+        |  score_sum // n_words AS score_avg_ppm,
+        |  CAST(CASE WHEN score_sum // n_words >= 1000000 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS keep
+        |FROM sc""".stripMargin)),
+
+    // Heaps-law vocabulary-growth curve over 3-word shingles (the
+    // corpus audit that sizes dedup/LSH state: how fast does the
+    // shingle universe grow with the corpus?): at 10 doc-id-prefix
+    // checkpoints, cumulative docs, shingle instances, and DISTINCT
+    // shingles. Scale shape: the corpus collapses to a per-doc count
+    // table and a first-occurrence-per-shingle table (both partial-agg
+    // groupBys — first-occurrence is min(doc_id), the same trick as
+    // renumber); the 10-row checkpoint table broadcasts into a
+    // nested-loop range join against those AGGREGATES, never against
+    // the corpus.
+    "vocab_growth" -> Q(
+      (s, dir) => {
+        val tg = table(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(w) - 3), " +
+              "i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))")).as("g"))
+        val fd = tg.groupBy("g").agg(min("doc_id").as("first_doc"))
+        val dt = tg.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+        val mx = table(s, dir, "documents").agg(max("doc_id").as("m"))
+        val cp = s.range(1, 11).toDF("k").crossJoin(broadcast(mx))
+          .select(col("k"), expr("m * k div 10").as("t"))
+        val tok = dt.join(broadcast(cp), dt("doc_id") <= cp("t"))
+          .groupBy("k", "t")
+          .agg(count(lit(1)).as("cum_docs"),
+            sum("n_shingles").as("cum_shingles"))
+        val vc = fd.join(broadcast(cp), fd("first_doc") <= cp("t"))
+          .groupBy(col("k").as("k2"))
+          .agg(count(lit(1)).as("cum_vocab"))
+        tok.join(vc, tok("k") === vc("k2"))
+          .select("k", "t", "cum_docs", "cum_shingles", "cum_vocab")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+        |          FROM documents),
+        |tg AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |       FROM (SELECT doc_id, w,
+        |               unnest(generate_series(1, len(w) - 2)) AS i
+        |             FROM w WHERE len(w) >= 3)),
+        |fd AS (SELECT g, CAST(min(doc_id) AS BIGINT) AS first_doc
+        |       FROM tg GROUP BY 1),
+        |dt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+        |       FROM tg GROUP BY 1),
+        |mx AS (SELECT max(doc_id) AS m FROM documents),
+        |cp AS (SELECT CAST(k AS BIGINT) AS k,
+        |         (SELECT m FROM mx) * k // 10 AS t
+        |       FROM (SELECT unnest(range(1, 11)) AS k)),
+        |tok AS (SELECT cp.k, cp.t, CAST(count(*) AS BIGINT) AS cum_docs,
+        |          CAST(sum(dt.n_shingles) AS BIGINT) AS cum_shingles
+        |        FROM cp JOIN dt ON dt.doc_id <= cp.t GROUP BY 1, 2),
+        |vc AS (SELECT cp.k, CAST(count(*) AS BIGINT) AS cum_vocab
+        |       FROM cp JOIN fd ON fd.first_doc <= cp.t GROUP BY 1)
+        |SELECT k, t, cum_docs, cum_shingles, cum_vocab
+        |FROM tok JOIN vc USING (k)""".stripMargin)),
+
+    // URL blocklist filter (the RefinedWeb/C4 pre-crawl gate): split
+    // each doc's URL into host + path, then match against a small
+    // rule table — blocked domains match exactly OR as a subdomain
+    // suffix ('.'||domain), path rules match by prefix. The rule
+    // table broadcasts (blocklists are thousands of rows at 100 TB,
+    // the corpus side never shuffles); ties across rules resolve to
+    // the smallest rule_id. Unblocked docs pass through with
+    // rule_id = -1 via the left join.
+    "filter_url_blocklist" -> Q(
+      (s, dir) => {
+        val urls = table(s, dir, "documents")
+          .select(col("doc_id"), concat(
+            when(col("doc_id") % 2 === 0, lit("https://"))
+              .otherwise(lit("http://")),
+            when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+            col("source"), lit(".example.org/p/"),
+            (col("doc_id") % 150).cast("string"),
+            when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+            when(col("doc_id") % 7 === 0, lit("?utm_source=feed"))
+              .otherwise(lit(""))).as("url"))
+          .select(col("doc_id"),
+            regexp_extract(regexp_replace(col("url"), "^https?://", ""),
+              "^[^/]+", 0).as("host"),
+            regexp_replace(regexp_replace(col("url"), "^https?://", ""),
+              "^[^/]+", "").as("path"))
+        val rules = s.createDataFrame(Seq(
+            (1L, "domain", "src1.example.org"),
+            (2L, "domain", "src7.example.org"),
+            (3L, "path", "/p/13")))
+          .toDF("rule_id", "kind", "pat")
+        val hits = urls.join(broadcast(rules),
+            (rules("kind") === "domain" &&
+              (urls("host") === rules("pat") ||
+                urls("host").endsWith(concat(lit("."), rules("pat"))))) ||
+              (rules("kind") === "path" &&
+                urls("path").startsWith(rules("pat"))))
+          .groupBy(col("doc_id").as("hit_id"))
+          .agg(min("rule_id").as("min_rule"))
+        urls.join(hits, urls("doc_id") === hits("hit_id"), "left")
+          .select(col("doc_id"), col("host"), col("path"),
+            col("min_rule").isNotNull.cast("long").as("blocked"),
+            coalesce(col("min_rule"), lit(-1L)).as("rule_id"))
+      },
+      Some("""WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+        |    || source || '.example.org/p/' || (doc_id % 150)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 7 = 0 THEN '?utm_source=feed'
+        |        ELSE '' END) AS url
+        |  FROM documents),
+        |hp AS (SELECT doc_id,
+        |    regexp_extract(regexp_replace(url, '^https?://', ''),
+        |      '^[^/]+') AS host,
+        |    regexp_replace(regexp_replace(url, '^https?://', ''),
+        |      '^[^/]+', '') AS path
+        |  FROM u),
+        |rules AS (SELECT * FROM (VALUES
+        |    (CAST(1 AS BIGINT), 'domain', 'src1.example.org'),
+        |    (CAST(2 AS BIGINT), 'domain', 'src7.example.org'),
+        |    (CAST(3 AS BIGINT), 'path', '/p/13'))
+        |  AS t(rule_id, kind, pat)),
+        |hits AS (SELECT hp.doc_id, CAST(min(r.rule_id) AS BIGINT)
+        |           AS min_rule
+        |         FROM hp JOIN rules r ON
+        |           (r.kind = 'domain' AND (hp.host = r.pat
+        |              OR suffix(hp.host, '.' || r.pat)))
+        |           OR (r.kind = 'path' AND prefix(hp.path, r.pat))
+        |         GROUP BY 1)
+        |SELECT hp.doc_id, hp.host, hp.path,
+        |  CAST(CASE WHEN hits.min_rule IS NOT NULL THEN 1 ELSE 0 END
+        |    AS BIGINT) AS blocked,
+        |  coalesce(hits.min_rule, -1) AS rule_id
+        |FROM hp LEFT JOIN hits USING (doc_id)""".stripMargin)),
   )
 }

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.ops.{TextQueries, SimilarityQueries, MultimodalOps}
+
+/** Semantic invariants for the round-13 pipeline operators (the oracle
+  * gate proves Spark==DuckDB; these prove the answers mean what the
+  * operator claims).
+  */
+class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = { if (spark != null) spark.stop() }
+
+  test("dsir_importance ranks the target domain above the rest") {
+    val sc = TextQueries.queries("dsir_importance").fn(spark, sfDir)
+    val src = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source")
+    val j = sc.join(src, "doc_id")
+      .groupBy(col("source") === "src0")
+      .agg(avg("score_avg_ppm").as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(j(true) > j(false),
+      s"target-domain docs must out-score the rest: $j")
+    // smoothed ratio scores hover around 1.0 (1e6 ppm) by construction
+    assert(j(false) > 500000 && j(true) < 2000000, s"score scale sane: $j")
+  }
+
+  test("vocab_growth is monotone and ends at the corpus totals") {
+    val rows = TextQueries.queries("vocab_growth").fn(spark, sfDir)
+      .orderBy("k").collect()
+    assert(rows.length == 10)
+    val vocab = rows.map(_.getAs[Long]("cum_vocab"))
+    val sh = rows.map(_.getAs[Long]("cum_shingles"))
+    val docs = rows.map(_.getAs[Long]("cum_docs"))
+    assert(vocab.zip(vocab.tail).forall { case (a, b) => a <= b })
+    assert(sh.zip(sh.tail).forall { case (a, b) => a <= b })
+    assert(docs.last == 500 && vocab.last > vocab.head,
+      s"final checkpoint covers the corpus and vocab grows: " +
+        s"docs=${docs.last} vocab ${vocab.head}->${vocab.last}")
+  }
+
+  test("filter_url_blocklist blocks listed domains incl. subdomains") {
+    val r = TextQueries.queries("filter_url_blocklist").fn(spark, sfDir)
+    val blockedHosts = r.filter(col("blocked") === 1)
+      .select("host").distinct().collect().map(_.getString(0)).toSet
+    assert(blockedHosts.exists(_ == "src1.example.org"))
+    assert(blockedHosts.exists(_ == "www.src1.example.org"),
+      "subdomain suffix match must fire")
+    // every doc with a /p/13* path is blocked (rule 3)
+    val leaked = r.filter(col("path").startsWith("/p/13") &&
+      col("blocked") === 0).count()
+    assert(leaked == 0, s"$leaked /p/13* paths escaped the path rule")
+    // and unlisted-domain, non-matching-path docs pass through
+    assert(r.filter(col("blocked") === 0).count() > 0)
+  }
+
+  test("emb_random_projection emits 8 mixed components per vector") {
+    val r = SimilarityQueries.queries("emb_random_projection").fn(spark, sfDir)
+    val per = r.groupBy("vec_id").agg(count(lit(1)).as("n"),
+      sum(when(col("y_q") =!= 0, 1).otherwise(0)).as("nz"))
+    assert(per.filter(col("n") =!= 8).count() == 0)
+    // a projection that zeroed most outputs would mean a degenerate R
+    // (a handful of near-zero input vectors may land short)
+    val mixed = per.filter(col("nz") >= 6).count()
+    assert(mixed * 100 >= per.count() * 99,
+      s"only $mixed/${per.count()} vectors have >= 6 nonzero components")
+  }
+
+  test("decontaminate_semantic flags exactly the injected leaks") {
+    val r = SimilarityQueries.queries("decontaminate_semantic").fn(spark, sfDir)
+    val flagged = r.filter(col("contaminated") === 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(flagged == (20000L until 20008L).toSet,
+      s"flagged=$flagged — the 8 injected near-copies, nothing organic")
+    // each flagged vector points at its eval source
+    val pairs = r.filter(col("contaminated") === 1)
+      .select("vec_id", "worst_eval_id").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(pairs.forall { case (v, e) => v - 20000L == e })
+  }
+
+  test("mm_audio_vad segments are well-formed islands") {
+    val segs = MultimodalOps.queries("mm_audio_vad").fn(spark, sfDir)
+      .collect()
+    assert(segs.nonEmpty)
+    segs.foreach { r =>
+      val (s, e, n) = (r.getAs[Long]("start_f"), r.getAs[Long]("end_f"),
+        r.getAs[Long]("n_frames"))
+      assert(n == e - s + 1 && n >= 2, s"malformed island $r")
+      assert(r.getAs[Long]("seg_energy") >= n * 4500000000L,
+        "every member frame cleared the activity threshold")
+    }
+  }
+
+  test("mm_scene_cut rows genuinely exceed the 20-level delta") {
+    val cuts = MultimodalOps.queries("mm_scene_cut").fn(spark, sfDir)
+      .collect()
+    assert(cuts.nonEmpty)
+    cuts.foreach { r =>
+      val d = math.abs(
+        r.getAs[Long]("lum_sum") * r.getAs[Long]("prev_n") -
+          r.getAs[Long]("prev_sum") * r.getAs[Long]("n_px"))
+      assert(d >= 20L * r.getAs[Long]("n_px") * r.getAs[Long]("prev_n"))
+      assert(r.getAs[Long]("frame_idx") > 0, "first frame can't be a cut")
+    }
+  }
+}
