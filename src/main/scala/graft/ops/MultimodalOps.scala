@@ -503,6 +503,91 @@ object MultimodalOps {
         |SELECT h.doc_id, h.ahash, b.n_bucket
         |FROM hashes h JOIN b USING (ahash)""".stripMargin)),
 
+    // Histogram equalization over REAL decoded PNGs (the contrast
+    // normalization pass before visual feature extraction): 16-bin
+    // luminance histogram, CDF, and the classic remap p' =
+    // (cdf(bin(p)) - cdf_min) * 255 div (n_px - cdf_min) — all
+    // integer, so both engines agree exactly; the entry emits the
+    // equalized pixel sum (decode + histogram + remap must all be
+    // bit-exact). Per-image local work stays inside the decode task —
+    // histograms of one raster never need a shuffle; the oracle
+    // replays the pixel formula through groupBy bin + a per-doc
+    // cumulative window.
+    "mm_hist_equalize" -> Q(
+      (s, dir) => {
+        val sess = s
+        import sess.implicits._
+        pngTable(s, dir).as[(Long, Array[Byte])].mapPartitions { rows =>
+          val reader = javax.imageio.ImageIO
+            .getImageReadersByFormatName("png").next()
+          rows.map { case (id, payload) =>
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            reader.setInput(iis, true, true)
+            val img = try reader.read(0) finally iis.close()
+            val raster = img.getRaster
+            val w = img.getWidth; val h = img.getHeight
+            val hist = new Array[Long](16)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                hist(raster.getSample(x, y, 0) / 16) += 1; x += 1
+              }
+              y += 1
+            }
+            val cdf = new Array[Long](16)
+            var acc = 0L
+            var b = 0
+            var cdfMin = 0L
+            while (b < 16) {
+              acc += hist(b); cdf(b) = acc
+              if (cdfMin == 0L && hist(b) > 0) cdfMin = acc
+              b += 1
+            }
+            val nPx = w.toLong * h
+            var eqSum = 0L
+            y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val c = cdf(raster.getSample(x, y, 0) / 16)
+                if (nPx > cdfMin)
+                  eqSum += (c - cdfMin) * 255 / (nPx - cdfMin)
+                x += 1
+              }
+              y += 1
+            }
+            (id, nPx, cdfMin, eqSum)
+          }
+        }.toDF("doc_id", "n_px", "cdf_min", "eq_sum")
+      },
+      Some("""WITH d AS (SELECT doc_id, 8 + doc_id % 25 AS w,
+        |               6 + doc_id % 17 AS h FROM documents),
+        |px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS k FROM d),
+        |pv AS (SELECT doc_id, w, h,
+        |         ((doc_id * 31 + (k % w) * 7 + (k // w) * 13) % 256) // 16
+        |           AS b FROM px),
+        |hist AS (SELECT doc_id, w, h, b, CAST(count(*) AS BIGINT) AS n
+        |         FROM pv GROUP BY 1, 2, 3, 4),
+        |cdf AS (SELECT doc_id, w, h, b, n,
+        |          CAST(sum(n) OVER (PARTITION BY doc_id ORDER BY b)
+        |            AS BIGINT) AS cdf
+        |        FROM hist),
+        |cm AS (SELECT doc_id, CAST(w * h AS BIGINT) AS n_px,
+        |         CAST(min(cdf) AS BIGINT) AS cdf_min
+        |       FROM cdf GROUP BY doc_id, w, h),
+        |eq AS (SELECT pv.doc_id,
+        |         CAST(sum(CASE WHEN cm.n_px > cm.cdf_min THEN
+        |           (cdf.cdf - cm.cdf_min) * 255 // (cm.n_px - cm.cdf_min)
+        |           ELSE 0 END) AS BIGINT) AS eq_sum
+        |       FROM pv JOIN cdf ON cdf.doc_id = pv.doc_id
+        |         AND cdf.b = pv.b
+        |       JOIN cm ON cm.doc_id = pv.doc_id
+        |       GROUP BY 1)
+        |SELECT cm.doc_id, cm.n_px, cm.cdf_min, eq.eq_sum
+        |FROM cm JOIN eq USING (doc_id)""".stripMargin)),
+
     // Voice-activity detection over REAL decoded PCM (the speech-data
     // curation gate: keep utterance spans, drop silence): 64-sample
     // frame energies, a frame is active when energy >= 4.5e9, and

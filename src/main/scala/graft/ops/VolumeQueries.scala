@@ -264,6 +264,92 @@ object VolumeQueries {
         |SELECT label, count(*) AS n FROM voxels GROUP BY label
         |ORDER BY n DESC, label LIMIT 20""".stripMargin)),
 
+    // O2 at sketch scale: count-min-sketch heavy hitters (Cormode
+    // 2005 — the streaming/sublinear-memory shape of top-k when the
+    // label universe doesn't fit an exact hash agg). Depth 4 x width
+    // 256, row hashes from md5("r:label") so both engines replay the
+    // sketch bit-for-bit; estimate = min over rows of the hashed
+    // cell, always >= the exact count (collisions only ADD). Scale
+    // shape: the corpus collapses to per-label counts once (one
+    // partial agg — at true stream scale the counts pass IS the
+    // sketch update), the sketch is 1024 cells regardless of corpus
+    // size and broadcasts back for the estimate join; top-10 via
+    // TakeOrderedAndProject, never a global window.
+    "o2b_top_labels_cms" -> Q(
+      (s, dir) => {
+        val counts = voxels(s, dir).groupBy("label")
+          .agg(count(lit(1)).as("n"))
+        val hashed = counts.select(col("label"), col("n"),
+            explode(expr("sequence(0, 3)")).as("r"))
+          .withColumn("c",
+            conv(substring(md5(concat(col("r").cast("string"), lit(":"),
+              col("label").cast("string")).cast("binary")), 1, 12), 16, 10)
+              .cast("long") % 256L)
+        val cells = hashed.groupBy("r", "c").agg(sum("n").as("cell"))
+        hashed.join(broadcast(cells), Seq("r", "c"))
+          .groupBy("label")
+          .agg(max("n").as("exact_n"), min("cell").as("est_n"))
+          .orderBy(col("est_n").desc, col("label").asc)
+          .limit(10)
+      },
+      Some(s"""WITH $VoxelsCte,
+        |counts AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+        |           FROM voxels GROUP BY 1),
+        |hashed AS (SELECT label, n, r,
+        |    ('0x' || substr(md5(r || ':' || label), 1, 12))::BIGINT % 256
+        |      AS c
+        |  FROM counts, (SELECT unnest(range(0, 4)) AS r)),
+        |cells AS (SELECT r, c, CAST(sum(n) AS BIGINT) AS cell
+        |          FROM hashed GROUP BY 1, 2),
+        |est AS (SELECT h.label, CAST(max(h.n) AS BIGINT) AS exact_n,
+        |          CAST(min(cells.cell) AS BIGINT) AS est_n
+        |        FROM hashed h JOIN cells USING (r, c) GROUP BY 1)
+        |SELECT label, exact_n, est_n FROM est
+        |ORDER BY est_n DESC, label ASC LIMIT 10""".stripMargin)),
+
+    // Label-contact adjacency (the contact-site/region-graph pass a
+    // segmentation pipeline runs after agglomeration — igneous-style,
+    // beyond the reference's own surface): resolve each occupied
+    // voxel to one label (min on position ties), emit its +x/+y/+z
+    // half-neighborhood, and count 6-connected face contacts between
+    // DIFFERENT labels as canonical (la < lb) pairs; top-20. Scale
+    // shape: ONE equi-join on the position key (the shifted side is a
+    // narrow 3x explode — half the 6-neighborhood, so each face is
+    // counted once), co-partitioned by the join hash; contact counts
+    // partial-agg before the final top-k, and nothing is ever
+    // all-pairs in label space.
+    "a4c_label_adjacency" -> Q(
+      (s, dir) => {
+        val dv = voxels(s, dir).groupBy("x", "y", "z")
+          .agg(min("label").as("label"))
+        val shifted = dv.select(col("label").as("la"),
+            explode(expr("array(struct(x + 1L AS x, y, z)," +
+              " struct(x, y + 1L AS y, z), struct(x, y, z + 1L AS z))"))
+              .as("p"))
+          .select(col("la"), col("p.x").as("x"), col("p.y").as("y"),
+            col("p.z").as("z"))
+        shifted.join(dv, Seq("x", "y", "z"))
+          .filter(col("la") =!= col("label"))
+          .select(least(col("la"), col("label")).as("la"),
+            greatest(col("la"), col("label")).as("lb"))
+          .groupBy("la", "lb").agg(count(lit(1)).as("contacts"))
+          .orderBy(col("contacts").desc, col("la").asc, col("lb").asc)
+          .limit(20)
+      },
+      Some(s"""WITH $VoxelsCte,
+        |dv AS (SELECT x, y, z, CAST(min(label) AS BIGINT) AS label
+        |       FROM voxels GROUP BY 1, 2, 3),
+        |sh AS (SELECT label AS la, x + dx AS x, y + dy AS y, z + dz AS z
+        |       FROM dv, (VALUES (1, 0, 0), (0, 1, 0), (0, 0, 1))
+        |         AS o(dx, dy, dz)),
+        |pairs AS (SELECT least(sh.la, dv.label) AS la,
+        |            greatest(sh.la, dv.label) AS lb
+        |          FROM sh JOIN dv USING (x, y, z)
+        |          WHERE sh.la <> dv.label)
+        |SELECT la, lb, CAST(count(*) AS BIGINT) AS contacts
+        |FROM pairs GROUP BY 1, 2
+        |ORDER BY contacts DESC, la ASC, lb ASC LIMIT 20""".stripMargin)),
+
     // T1: core/shell chunk partition of an expanded request
     // (rx.py:915-929)
     "t1_core_shell" -> Q(

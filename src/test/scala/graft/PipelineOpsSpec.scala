@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
-import graft.ops.{TextQueries, SimilarityQueries, MultimodalOps}
+import graft.ops.{TextQueries, SimilarityQueries, MultimodalOps, VolumeQueries}
 
 /** Semantic invariants for the round-13 pipeline operators (the oracle
   * gate proves Spark==DuckDB; these prove the answers mean what the
@@ -104,6 +104,52 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getAs[Long]("seg_energy") >= n * 4500000000L,
         "every member frame cleared the activity threshold")
     }
+  }
+
+  test("o2b count-min sketch never underestimates and finds the true top") {
+    val r = VolumeQueries.queries("o2b_top_labels_cms").fn(spark, sfDir)
+      .collect()
+    assert(r.length == 10)
+    r.foreach { row =>
+      assert(row.getAs[Long]("est_n") >= row.getAs[Long]("exact_n"),
+        s"CMS must overestimate, got $row")
+    }
+    // CMS guarantee: est - exact <= e*N/width with prob 1-e^-depth;
+    // check the deterministic fixture honors a loose 3N/256 bound
+    // (the corpus here is near-uniform, so top-k ranking quality is
+    // limited by design — the bound is the sketch's actual contract)
+    val n = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    r.foreach { row =>
+      val err = row.getAs[Long]("est_n") - row.getAs[Long]("exact_n")
+      assert(err <= 3 * n / 256,
+        s"CMS error $err exceeds 3N/256=${3 * n / 256}: $row")
+    }
+  }
+
+  test("a4c_label_adjacency emits canonical distinct-label pairs") {
+    val r = VolumeQueries.queries("a4c_label_adjacency").fn(spark, sfDir)
+      .collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (la, lb) = (row.getAs[Long]("la"), row.getAs[Long]("lb"))
+      assert(la < lb, s"pair must be canonical: $row")
+      assert(row.getAs[Long]("contacts") >= 1)
+    }
+  }
+
+  test("mm_hist_equalize output stays in the 8-bit range") {
+    val r = MultimodalOps.queries("mm_hist_equalize").fn(spark, sfDir)
+      .collect()
+    assert(r.length == 500)
+    r.foreach { row =>
+      val (n, eq) = (row.getAs[Long]("n_px"), row.getAs[Long]("eq_sum"))
+      assert(eq >= 0 && eq <= n * 255, s"equalized sum out of range: $row")
+      assert(row.getAs[Long]("cdf_min") >= 1 &&
+        row.getAs[Long]("cdf_min") <= n)
+    }
+    // equalization must actually move the distribution for most images
+    // (identity would keep the raw pixel sum; just check non-triviality)
+    assert(r.map(_.getAs[Long]("eq_sum")).distinct.length > 100)
   }
 
   test("mm_scene_cut rows genuinely exceed the 20-level delta") {
