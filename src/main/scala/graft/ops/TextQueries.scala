@@ -1587,5 +1587,147 @@ object TextQueries {
         |    AS BIGINT) AS blocked,
         |  coalesce(hits.min_rule, -1) AS rule_id
         |FROM hp LEFT JOIN hits USING (doc_id)""".stripMargin)),
+
+    // Training-shard JSONL export (the LAST stage of a data pipeline:
+    // materialize the curated corpus as sharded {"id":...,"text":...}
+    // line files for the trainer): shard = doc_id % 8, one writer
+    // task per shard partition (foreachPartition, no driver funnel —
+    // the s9 object-put shape for text), then the entry READS THE
+    // FILES BACK and reports per-shard line + byte counts, so the
+    // oracle checks what's on disk, not what the writer intended.
+    // The corpus is printable-ASCII with no quote/backslash, so JSON
+    // escaping is the identity and byte counts are arithmetically
+    // replayable: 18 + len(digits) + n_chars per line.
+    "docs_export_jsonl" -> Q(
+      (s, dir) => {
+        val root = new java.io.File("/tmp/graft_fixture/jsonl_export")
+        // fresh export every invocation (driver may re-run the entry)
+        if (root.exists()) {
+          root.listFiles().foreach(_.delete()); root.delete()
+        }
+        root.mkdirs()
+        table(s, dir, "documents").select(col("doc_id"), col("text"),
+            (col("doc_id") % 8).as("shard"))
+          .repartition(8, col("shard"))
+          .sortWithinPartitions("shard", "doc_id")
+          .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+            var shard = -1L
+            var out: java.io.BufferedWriter = null
+            rows.foreach { r =>
+              val sh = r.getAs[Long]("shard")
+              if (sh != shard) {
+                if (out != null) out.close()
+                shard = sh
+                out = new java.io.BufferedWriter(new java.io.FileWriter(
+                  s"/tmp/graft_fixture/jsonl_export/shard_$sh.jsonl"))
+              }
+              out.write(s"""{"id":${r.getAs[Long]("doc_id")},"text":"${
+                r.getAs[String]("text")}"}""")
+              out.write("\n")
+            }
+            if (out != null) out.close()
+          }
+        s.read.text("/tmp/graft_fixture/jsonl_export")
+          .select(regexp_extract(input_file_name(),
+              "shard_(\\d+)\\.jsonl", 1).cast("long").as("shard"),
+            (length(col("value")) + 1).cast("long").as("nb"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"), sum("nb").as("n_bytes"))
+      },
+      Some("""SELECT doc_id % 8 AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(18 + len(CAST(doc_id AS VARCHAR)) + n_chars)
+        |    AS BIGINT) AS n_bytes
+        |FROM documents GROUP BY 1""".stripMargin)),
+
+    // CCNet head/middle/tail bucketing (Wenzek 2020: split the corpus
+    // into three quality tiers by LM-score terciles; training mixes
+    // then draw per-tier). Reuses the registered quality_lm_score
+    // pipeline, computes the 33.3/66.7 percentile thresholds as one
+    // 1-row agg (type-7 interpolation — Spark `percentile` == DuckDB
+    // `quantile_cont` bit-for-bit on integer inputs), broadcasts
+    // them, and assigns tiers in a narrow map. At 100 TB the
+    // threshold agg is a partial-agg scan and the corpus is never
+    // re-shuffled for the assignment.
+    "quality_ccnet_bucket" -> Q(
+      (s, dir) => {
+        val sc = queries("quality_lm_score").fn(s, dir)
+          .select("doc_id", "lm_avg_ppm")
+        val th = sc.agg(
+          expr("percentile(lm_avg_ppm, 0.333)").as("t33"),
+          expr("percentile(lm_avg_ppm, 0.667)").as("t67"))
+        sc.crossJoin(broadcast(th))
+          .select(col("doc_id"), col("lm_avg_ppm"),
+            when(col("lm_avg_ppm") >= col("t67"), "head")
+              .when(col("lm_avg_ppm") >= col("t33"), "middle")
+              .otherwise("tail").as("bucket"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |bg AS (SELECT doc_id, w[i] AS prev, w[i+1] AS cur
+        |       FROM (SELECT doc_id, w,
+        |               unnest(generate_series(1, len(w) - 1)) AS i
+        |             FROM w WHERE len(w) >= 2)),
+        |c2 AS (SELECT prev, cur, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT prev, count(*) AS c1 FROM bg GROUP BY 1),
+        |p AS (SELECT c2.prev, c2.cur, (c2.c2 * 1000000) // c1.c1 AS p_ppm
+        |      FROM c2 JOIN c1 ON c1.prev = c2.prev),
+        |sc AS (SELECT bg.doc_id,
+        |         CAST(sum(p.p_ppm) AS BIGINT)
+        |           // CAST(count(*) AS BIGINT) AS lm_avg_ppm
+        |       FROM bg JOIN p ON p.prev = bg.prev AND p.cur = bg.cur
+        |       GROUP BY bg.doc_id),
+        |th AS (SELECT quantile_cont(lm_avg_ppm, 0.333) AS t33,
+        |         quantile_cont(lm_avg_ppm, 0.667) AS t67 FROM sc)
+        |SELECT sc.doc_id, sc.lm_avg_ppm,
+        |  CASE WHEN sc.lm_avg_ppm >= th.t67 THEN 'head'
+        |       WHEN sc.lm_avg_ppm >= th.t33 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM sc CROSS JOIN th""".stripMargin)),
+
+    // DSIR acceptance resampling (the second half of Xie 2023: having
+    // scored raw docs against the target distribution, KEEP each doc
+    // with probability proportional to its importance weight). The
+    // coin is a deterministic md5 uniform u in [0, 1e6); accept iff
+    // u < min(score_avg_ppm / 2, 1e6) — docs twice as target-like as
+    // average are always kept, anti-target docs are dropped ~3:1.
+    // Deterministic coins make the resample reproducible AND
+    // replayable by the oracle; at scale this is a narrow map over
+    // the score table (itself shuffle-minimal, see dsir_importance).
+    "sample_dsir" -> Q(
+      (s, dir) => queries("dsir_importance").fn(s, dir)
+        .select(col("doc_id"), col("score_avg_ppm"))
+        .withColumn("u",
+          conv(substring(md5(concat(lit("dsir:"),
+            col("doc_id").cast("string")).cast("binary")), 1, 12), 16, 10)
+            .cast("long") % 1000000L)
+        .filter(col("u") <
+          least(expr("score_avg_ppm div 2"), lit(1000000L)))
+        .select("doc_id", "score_avg_ppm", "u"),
+      Some("""WITH wd AS (SELECT doc_id, source,
+        |          unnest(string_split(text, ' ')) AS w FROM documents),
+        |cd AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+        |       FROM wd GROUP BY 1, 2),
+        |cr AS (SELECT w, CAST(count(*) AS BIGINT) AS cr
+        |       FROM wd GROUP BY 1),
+        |ct AS (SELECT w, CAST(count(*) AS BIGINT) AS ct
+        |       FROM wd WHERE source = 'src0' GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS tr,
+        |          CAST(count(*) FILTER (source = 'src0') AS BIGINT) AS tt,
+        |          CAST(count(DISTINCT w) AS BIGINT) AS v FROM wd),
+        |r AS (SELECT cr.w,
+        |        ((coalesce(ct.ct, 0) + 1) * (tot.tr + tot.v) * 1000000)
+        |          // ((cr.cr + 1) * (tot.tt + tot.v)) AS ratio_ppm
+        |      FROM cr LEFT JOIN ct USING (w) CROSS JOIN tot),
+        |sc AS (SELECT cd.doc_id,
+        |         CAST(sum(cd.c * r.ratio_ppm) AS BIGINT)
+        |           // CAST(sum(cd.c) AS BIGINT) AS score_avg_ppm
+        |       FROM cd JOIN r USING (w) GROUP BY 1),
+        |coin AS (SELECT doc_id, score_avg_ppm,
+        |    ('0x' || substr(md5('dsir:' || doc_id), 1, 12))::BIGINT
+        |      % 1000000 AS u
+        |  FROM sc)
+        |SELECT doc_id, score_avg_ppm, u FROM coin
+        |WHERE u < least(score_avg_ppm // 2, 1000000)""".stripMargin)),
   )
 }

@@ -106,6 +106,48 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("docs_export_jsonl round-trips real shard files") {
+    val r = TextQueries.queries("docs_export_jsonl").fn(spark, sfDir)
+      .collect()
+    assert(r.length == 8 && r.map(_.getAs[Long]("n_docs")).sum == 500)
+    val f = new java.io.File("/tmp/graft_fixture/jsonl_export")
+      .listFiles().filter(_.getName.endsWith(".jsonl"))
+    assert(f.length == 8, "8 shard files on disk")
+    val line = scala.io.Source.fromFile(f.head).getLines().next()
+    assert(line.matches("""\{"id":\d+,"text":".*"\}"""),
+      s"line not JSONL-shaped: $line")
+  }
+
+  test("quality_ccnet_bucket tiers are ordered terciles") {
+    val r = TextQueries.queries("quality_ccnet_bucket").fn(spark, sfDir)
+      .collect()
+    val by = r.groupBy(_.getAs[String]("bucket"))
+      .view.mapValues(_.map(_.getAs[Long]("lm_avg_ppm"))).toMap
+    assert(Set("head", "middle", "tail").subsetOf(by.keySet))
+    assert(by("head").min >= by("middle").max ||
+      by("head").min >= by("middle").min, "head above middle")
+    assert(by("middle").min >= by("tail").max ||
+      by("middle").min >= by("tail").min, "middle above tail")
+    // terciles: no bucket should hold less than ~20% or more than ~50%
+    val n = r.length.toDouble
+    by.values.foreach(v =>
+      assert(v.length > n * 0.2 && v.length < n * 0.5, s"skewed tiers: ${
+        by.view.mapValues(_.length).toMap}"))
+  }
+
+  test("sample_dsir keeps target-leaning docs preferentially") {
+    val scores = TextQueries.queries("dsir_importance").fn(spark, sfDir)
+      .select("doc_id", "score_avg_ppm").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kept = TextQueries.queries("sample_dsir").fn(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.nonEmpty && kept.size < scores.size)
+    val keptMean = kept.toSeq.map(scores).sum.toDouble / kept.size
+    val allMean = scores.values.sum.toDouble / scores.size
+    assert(keptMean > allMean,
+      f"resample must shift toward the target: kept=$keptMean%.0f all=$allMean%.0f")
+  }
+
   test("o2b count-min sketch never underestimates and finds the true top") {
     val r = VolumeQueries.queries("o2b_top_labels_cms").fn(spark, sfDir)
       .collect()
