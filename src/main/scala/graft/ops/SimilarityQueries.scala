@@ -1078,6 +1078,91 @@ object SimilarityQueries {
         |  CAST(sum(qv * sgn) AS BIGINT) AS y_q
         |FROM q JOIN r USING (i) GROUP BY 1, 2""".stripMargin)),
 
+    // Matryoshka prefix-truncation quality probe (Kusupati 2022 MRL /
+    // the OpenAI-style shortened-embedding serving trick): rank the
+    // probe set's top-5 by cosine with the FULL 64-dim vectors and
+    // with the 16-dim PREFIX, and report per-query top-5 overlap plus
+    // both rank-1 ids — the measurement a pipeline runs before
+    // switching its ANN index to truncated vectors (4x smaller index,
+    // 4x faster scan). Same exact-integer dot/norm machinery as the
+    // bruteforce baseline; the prefix is a narrow `slice`, both
+    // rankings share one broadcast-probe scan, and the windows
+    // partition per query.
+    "emb_matryoshka_topk" -> Q(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+          .select(col("vec_id"), quantUdf(col("embedding")).as("q"))
+          .withColumn("q16", expr("slice(q, 1, 16)"))
+          .withColumn("n64", norm2Udf(col("q")))
+          .withColumn("n16", norm2Udf(col("q16")))
+        val qs = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("q").as("qa"),
+            col("q16").as("qa16"), col("n64").as("na64"),
+            col("n16").as("na16"))
+        val cand = e.select(col("vec_id").as("cid"), col("q").as("qb"),
+          col("q16").as("qb16"), col("n64").as("nb64"),
+          col("n16").as("nb16"))
+        val scored = broadcast(qs).join(cand, col("qid") =!= col("cid"))
+          .withColumn("cos64", round(dotUdf(col("qa"), col("qb")) /
+            sqrt(col("na64").cast("double") * col("nb64").cast("double")), 6))
+          .withColumn("cos16", round(dotUdf(col("qa16"), col("qb16")) /
+            sqrt(col("na16").cast("double") * col("nb16").cast("double")), 6))
+        val w64 = Window.partitionBy("qid")
+          .orderBy(col("cos64").desc, col("cid"))
+        val w16 = Window.partitionBy("qid")
+          .orderBy(col("cos16").desc, col("cid"))
+        scored.withColumn("r64", row_number().over(w64).cast("long"))
+          .withColumn("r16", row_number().over(w16).cast("long"))
+          .filter(col("r64") <= 5 || col("r16") <= 5)
+          .groupBy("qid")
+          .agg(sum(when(col("r64") <= 5 && col("r16") <= 5, 1L)
+              .otherwise(0L)).as("n_overlap"),
+            max(when(col("r64") === 1, col("cid"))).as("top_cid_64"),
+            max(when(col("r16") === 1, col("cid"))).as("top_cid_16"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |t AS (SELECT vec_id, embedding,
+        |        unnest(generate_series(1, 64)) AS k FROM e),
+        |q AS (SELECT vec_id, k,
+        |        CAST(round(embedding[k]::DOUBLE * 1000) AS BIGINT) AS qv
+        |      FROM t),
+        |nrm AS (SELECT vec_id, sum(qv * qv) AS n64,
+        |          sum(CASE WHEN k <= 16 THEN qv * qv ELSE 0 END) AS n16
+        |        FROM q GROUP BY vec_id),
+        |pairs AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+        |         sum(qa.qv * qb.qv) AS dot64,
+        |         sum(CASE WHEN qa.k <= 16 THEN qa.qv * qb.qv ELSE 0 END)
+        |           AS dot16
+        |  FROM e a JOIN e b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
+        |  JOIN q qa ON qa.vec_id = a.vec_id
+        |  JOIN q qb ON qb.vec_id = b.vec_id AND qb.k = qa.k
+        |  GROUP BY a.vec_id, b.vec_id),
+        |scored AS (
+        |  SELECT qid, cid,
+        |    round(dot64 / sqrt(CAST(na.n64 AS DOUBLE)
+        |      * CAST(nb.n64 AS DOUBLE)), 6) AS cos64,
+        |    round(dot16 / sqrt(CAST(na.n16 AS DOUBLE)
+        |      * CAST(nb.n16 AS DOUBLE)), 6) AS cos16
+        |  FROM pairs JOIN nrm na ON na.vec_id = qid
+        |  JOIN nrm nb ON nb.vec_id = cid),
+        |ranked AS (
+        |  SELECT qid, cid,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY cos64 DESC, cid) AS BIGINT) AS r64,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY cos16 DESC, cid) AS BIGINT) AS r16
+        |  FROM scored)
+        |SELECT qid,
+        |  CAST(sum(CASE WHEN r64 <= 5 AND r16 <= 5 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_overlap,
+        |  CAST(max(CASE WHEN r64 = 1 THEN cid END) AS BIGINT)
+        |    AS top_cid_64,
+        |  CAST(max(CASE WHEN r16 = 1 THEN cid END) AS BIGINT)
+        |    AS top_cid_16
+        |FROM ranked WHERE r64 <= 5 OR r16 <= 5
+        |GROUP BY qid""".stripMargin)),
+
     // Semantic decontamination (the eval-set leak gate of Llama/phi
     // data prep): flag corpus vectors whose cosine to ANY held-out
     // eval vector >= 0.5. Eval set = vec_id < 8; contamination is

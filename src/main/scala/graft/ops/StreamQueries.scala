@@ -469,5 +469,54 @@ object StreamQueries {
         |         AS sum_vc
         |FROM events e JOIN customer c ON c.c_custkey = e.user_id
         |GROUP BY 1""".stripMargin)),
+
+    // §2.9 streaming count-min sketch: heavy hitters maintained AS the
+    // stream runs (the production shape for top-k over an unbounded
+    // stream — the sketch is the state, fixed 2x64 cells no matter
+    // how many distinct labels arrive; a streaming exact groupBy
+    // would grow state with the key universe). Sketch cells update
+    // as a streaming aggregation in complete mode; the batch side
+    // then probes the FINAL sketch for the label estimates and
+    // reports the estimated top-10 (min over rows, >= exact always).
+    // Oracle replays sketch + probe over the same events batch-side.
+    "st10_stream_cms" -> Q(
+      (s, dir) => {
+        val src = stageEvents(s, dir)
+        val schema = s.read.parquet(src).schema
+        def hashCol(r: org.apache.spark.sql.Column,
+            label: org.apache.spark.sql.Column) =
+          conv(substring(md5(concat(r.cast("string"), lit(":"),
+            label.cast("string")).cast("binary")), 1, 12), 16, 10)
+            .cast("long") % 64L
+        val cells = s.readStream.schema(schema).parquet(src)
+          .select((col("user_id") % 1000L).as("label"))
+          .select(col("label"), explode(expr("sequence(0, 1)")).as("r"))
+          .withColumn("c", hashCol(col("r"), col("label")))
+          .groupBy("r", "c").agg(count(lit(1)).as("cell"))
+        val sketch = runToTable(s, cells, "graft_st10", "complete")
+        val labels = s.read.parquet(src)
+          .select((col("user_id") % 1000L).as("label")).distinct()
+          .select(col("label"), explode(expr("sequence(0, 1)")).as("r"))
+          .withColumn("c", hashCol(col("r"), col("label")))
+        labels.join(broadcast(sketch), Seq("r", "c"))
+          .groupBy("label").agg(min("cell").as("est_n"))
+          .orderBy(col("est_n").desc, col("label").asc)
+          .limit(10)
+      },
+      Some("""WITH lb AS (SELECT user_id % 1000 AS label FROM events),
+        |h AS (SELECT label, r,
+        |        ('0x' || substr(md5(r || ':' || label), 1, 12))::BIGINT
+        |          % 64 AS c
+        |      FROM lb, (SELECT unnest(range(0, 2)) AS r)),
+        |cells AS (SELECT r, c, CAST(count(*) AS BIGINT) AS cell
+        |          FROM h GROUP BY 1, 2),
+        |probe AS (SELECT DISTINCT label, r,
+        |    ('0x' || substr(md5(r || ':' || label), 1, 12))::BIGINT % 64
+        |      AS c
+        |  FROM lb, (SELECT unnest(range(0, 2)) AS r)),
+        |est AS (SELECT p.label, CAST(min(cells.cell) AS BIGINT) AS est_n
+        |        FROM probe p JOIN cells USING (r, c) GROUP BY 1)
+        |SELECT label, est_n FROM est
+        |ORDER BY est_n DESC, label ASC LIMIT 10""".stripMargin)),
   )
 }

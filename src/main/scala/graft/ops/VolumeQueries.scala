@@ -264,6 +264,77 @@ object VolumeQueries {
         |SELECT label, count(*) AS n FROM voxels GROUP BY label
         |ORDER BY n DESC, label LIMIT 20""".stripMargin)),
 
+    // A1 at sketch scale: HyperLogLog cardinality estimate (Flajolet
+    // 2007) vs the exact distinct count. m=256 registers over a
+    // 48-bit md5 hash: bucket = h % 256, rho = leading-zeros(h div
+    // 256 as a 40-bit word) + 1 = 41 - bitlength, register =
+    // max(rho). Both engines replay the sketch bit-for-bit (md5 +
+    // integer bit math), and the harmonic-mean estimate is EXACT
+    // double arithmetic — every 2^-rho term is dyadic and the 256-
+    // term sum needs < 52 mantissa bits, so addition order cannot
+    // matter. Scale shape: the register table is 256 rows at ANY
+    // corpus size — the distributed groupBy(bucket).max(rho) IS the
+    // whole sketch; production code would apply linear counting
+    // below 2.5m (the raw estimate is emitted here, with the zero-
+    // register count alongside).
+    "a1b_unique_hll" -> Q(
+      (s, dir) => {
+        val reg = voxels(s, dir).select(col("label")).distinct()
+          .select(conv(substring(md5(concat(lit("hll:"),
+              col("label").cast("string")).cast("binary")), 1, 12), 16, 10)
+              .cast("long").as("hv"))
+          .select((col("hv") % 256L).as("bucket"),
+            expr("hv div 256").as("w"))
+          .groupBy("bucket")
+          .agg(max(expr(
+            "CASE WHEN w = 0 THEN 41L ELSE 41L - length(bin(w)) END"))
+            .as("rho"))
+        val full = s.range(0, 256).toDF("bucket")
+          .join(reg, Seq("bucket"), "left")
+          .select(col("bucket"), coalesce(col("rho"), lit(0L)).as("rho"))
+        val est = full.agg(
+          sum(pow(lit(2.0), -col("rho"))).as("s"),
+          sum(when(col("rho") === 0, 1L).otherwise(0L)).as("zeros"))
+        val exact = voxels(s, dir).agg(
+          countDistinct("label").as("exact_distinct"))
+        est.crossJoin(exact)
+          .select(lit(256L).as("m"), col("zeros"),
+            floor(lit(47072.71267120224) / col("s"))
+              .cast("long").as("raw_est"),
+            col("exact_distinct"),
+            expr("(CAST(floor(47072.71267120224 / s) AS BIGINT)" +
+              " - exact_distinct) * 100 div exact_distinct")
+              .as("err_pct"),
+            expr("CASE WHEN CAST(floor(47072.71267120224 / s) AS BIGINT)" +
+              " <= 640 AND zeros > 0 THEN 'linear_counting'" +
+              " ELSE 'raw' END").as("branch"))
+      },
+      Some(s"""WITH $VoxelsCte,
+        |d AS (SELECT DISTINCT label FROM voxels),
+        |h AS (SELECT ('0x' || substr(md5('hll:' || label), 1, 12))::BIGINT
+        |        AS hv FROM d),
+        |b AS (SELECT hv % 256 AS bucket, hv // 256 AS w FROM h),
+        |reg AS (SELECT bucket, CAST(max(CASE WHEN w = 0 THEN 41
+        |          ELSE 41 - len(bin(w)) END) AS BIGINT) AS rho
+        |        FROM b GROUP BY 1),
+        |allb AS (SELECT CAST(i AS BIGINT) AS bucket
+        |         FROM (SELECT unnest(range(0, 256)) AS i)),
+        |fullr AS (SELECT allb.bucket, coalesce(reg.rho, 0) AS rho
+        |          FROM allb LEFT JOIN reg USING (bucket)),
+        |est AS (SELECT CAST(sum(power(2.0, -rho)) AS DOUBLE) AS s,
+        |          CAST(count(*) FILTER (rho = 0) AS BIGINT) AS zeros
+        |        FROM fullr),
+        |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_distinct FROM d)
+        |SELECT CAST(256 AS BIGINT) AS m, est.zeros,
+        |  CAST(floor(47072.71267120224 / est.s) AS BIGINT) AS raw_est,
+        |  ex.exact_distinct,
+        |  (CAST(floor(47072.71267120224 / est.s) AS BIGINT)
+        |    - ex.exact_distinct) * 100 // ex.exact_distinct AS err_pct,
+        |  CASE WHEN CAST(floor(47072.71267120224 / est.s) AS BIGINT)
+        |      <= 640 AND est.zeros > 0 THEN 'linear_counting'
+        |    ELSE 'raw' END AS branch
+        |FROM est CROSS JOIN ex""".stripMargin)),
+
     // O2 at sketch scale: count-min-sketch heavy hitters (Cormode
     // 2005 — the streaming/sublinear-memory shape of top-k when the
     // label universe doesn't fit an exact hash agg). Depth 4 x width

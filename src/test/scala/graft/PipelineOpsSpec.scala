@@ -106,6 +106,46 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("a1b_unique_hll estimates within the HLL error envelope") {
+    val r = VolumeQueries.queries("a1b_unique_hll").fn(spark, sfDir)
+      .collect().head
+    val (raw, exact, zeros) = (r.getAs[Long]("raw_est"),
+      r.getAs[Long]("exact_distinct"), r.getAs[Long]("zeros"))
+    // the entry emits the exact-integer sketch outputs; the estimator
+    // branch (raw vs linear counting below 2.5m) is replayed here so
+    // the float ln stays OUT of the oracle-gated columns
+    val est =
+      if (r.getAs[String]("branch") == "linear_counting")
+        math.floor(256.0 * math.log(256.0 / zeros)).toLong
+      else raw
+    // 1.04/sqrt(256) = 6.5% std error; allow 4 sigma
+    assert(math.abs(est - exact).toDouble / exact < 0.26,
+      s"HLL estimate $est (branch ${r.getAs[String]("branch")}) " +
+        s"too far from exact $exact")
+  }
+
+  test("emb_matryoshka_topk agrees with bruteforce at full dim") {
+    val full = SimilarityQueries.queries("sim_topk_bruteforce")
+      .fn(spark, sfDir).filter(col("rank") === 1)
+      .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("cid"))
+      .toMap
+    val mrl = SimilarityQueries.queries("emb_matryoshka_topk")
+      .fn(spark, sfDir).collect()
+    assert(mrl.length == 10)
+    mrl.foreach { r =>
+      assert(r.getAs[Long]("top_cid_64") == full(r.getAs[Long]("qid")),
+        "64-dim rank-1 must equal the bruteforce rank-1")
+      val ov = r.getAs[Long]("n_overlap")
+      assert(ov >= 0 && ov <= 5)
+    }
+    // this corpus is near-random, so a 16-dim prefix retains little of
+    // the full-dim neighborhood (unlike MRL-trained embeddings) — the
+    // entry MEASURES that; just require the measurement is non-degenerate
+    val mean = mrl.map(_.getAs[Long]("n_overlap")).sum / 10.0
+    assert(mean >= 0.2 && mean < 5.0,
+      s"overlap measurement degenerate: mean=$mean")
+  }
+
   test("docs_export_jsonl round-trips real shard files") {
     val r = TextQueries.queries("docs_export_jsonl").fn(spark, sfDir)
       .collect()
