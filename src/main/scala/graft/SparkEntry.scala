@@ -15,7 +15,8 @@ object SparkEntry {
       WriteQueries.queries ++ MeshQueries.queries ++ XferQueries.queries ++
       MetaQueries.queries ++ GrapheneQueries.queries ++
       Zarr3Queries.queries ++ StreamQueries.queries ++ FormatQueries.queries ++
-      SkeletonQueries.queries ++ SpatialIndexQueries.queries
+      SkeletonQueries.queries ++ SpatialIndexQueries.queries ++
+      GraphQueries.queries
 
   /** Flagship: write sf0.001 voxels into encoded chunk payloads, read
     * back the distinct labels through the codec path (A1 `unique`).

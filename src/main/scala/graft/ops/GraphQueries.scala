@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over a deterministic edge list derived from the
+  * testdata (nodes/edges from lineitem key residues) — the iterative-
+  * join and multi-way-join shapes a distributed analytics engine must
+  * handle at scale (the same frontier-join machinery as the graphene
+  * family, exercised on a general graph).
+  *
+  * All arithmetic is integer (ppm-scaled PageRank, exact triangle
+  * counts) so the DuckDB oracle replays bit-for-bit.
+  */
+object GraphQueries {
+  import Derived.table
+
+  /** Undirected deterministic graph: a = l_partkey % 200,
+    * b = (l_partkey div 7 + l_suppkey) % 200 (non-bipartite mix),
+    * canonical u < v, thinned to ~10% by an md5 coin so the graph
+    * stays sparse at every sf.
+    */
+  private val EdgeCte =
+    """edges AS (
+      |  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+      |  FROM (SELECT l_partkey % 200 AS a,
+      |          (l_partkey // 7 + l_suppkey) % 200 AS b FROM lineitem)
+      |  WHERE a <> b
+      |    AND ('0x' || substr(md5(least(a, b) || ':' || greatest(a, b)),
+      |      1, 12))::BIGINT % 10 = 0)""".stripMargin
+
+  private def edges(s: org.apache.spark.sql.SparkSession, dir: String) =
+    table(s, dir, "lineitem")
+      .select((col("l_partkey") % 200).cast("long").as("a"),
+        expr("(l_partkey div 7 + l_suppkey) % 200").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+      .filter(conv(substring(md5(concat(col("u").cast("string"), lit(":"),
+        col("v").cast("string")).cast("binary")), 1, 12), 16, 10)
+        .cast("long") % 10 === 0)
+
+  val queries: Map[String, Q] = Map(
+
+    // PageRank, 3 unrolled power iterations in exact integer ppm
+    // (pr0 = 1e6; pr_{k+1} = 0.15e6 + 0.85 * Σ_in (pr_k div deg)) —
+    // the canonical iterative-join workload. Scale shape: each
+    // iteration is ONE keyed shuffle (contributions group by target
+    // node); degrees and ranks are node-sized tables co-partitioned
+    // on the node key; nothing is ever all-pairs, and the unrolled
+    // plan is what a Pregel superstep compiles to relationally.
+    "graph_pagerank3" -> Q(
+      (s, dir) => {
+        val e = edges(s, dir)
+        val bidir = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+        val outd = bidir.groupBy("u").agg(count(lit(1)).as("deg"))
+        val nodes = bidir.select(col("u").as("node")).distinct()
+        var pr = nodes.withColumn("pr", lit(1000000L))
+        for (_ <- 1 to 3) {
+          val contrib = bidir
+            .join(pr.select(col("node").as("u"), col("pr")), Seq("u"))
+            .join(outd, Seq("u"))
+            .select(col("v").as("node"), expr("pr div deg").as("w"))
+            .groupBy("node").agg(sum("w").as("inw"))
+          pr = nodes.join(contrib, Seq("node"), "left")
+            .select(col("node"),
+              (lit(150000L) + expr("85 * coalesce(inw, 0L) div 100"))
+                .as("pr"))
+        }
+        pr
+      },
+      Some(s"""WITH $EdgeCte,
+        |bidir AS (SELECT u, v FROM edges
+        |          UNION ALL SELECT v AS u, u AS v FROM edges),
+        |outd AS (SELECT u, CAST(count(*) AS BIGINT) AS deg
+        |         FROM bidir GROUP BY 1),
+        |nodes AS (SELECT DISTINCT u AS node FROM bidir),
+        |pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+        |c1 AS (SELECT b.v AS node, CAST(sum(p.pr // o.deg) AS BIGINT)
+        |         AS inw
+        |       FROM bidir b JOIN pr0 p ON p.node = b.u
+        |       JOIN outd o ON o.u = b.u GROUP BY 1),
+        |pr1 AS (SELECT n.node,
+        |          150000 + (85 * coalesce(c1.inw, 0)) // 100 AS pr
+        |        FROM nodes n LEFT JOIN c1 USING (node)),
+        |c2 AS (SELECT b.v AS node, CAST(sum(p.pr // o.deg) AS BIGINT)
+        |         AS inw
+        |       FROM bidir b JOIN pr1 p ON p.node = b.u
+        |       JOIN outd o ON o.u = b.u GROUP BY 1),
+        |pr2 AS (SELECT n.node,
+        |          150000 + (85 * coalesce(c2.inw, 0)) // 100 AS pr
+        |        FROM nodes n LEFT JOIN c2 USING (node)),
+        |c3 AS (SELECT b.v AS node, CAST(sum(p.pr // o.deg) AS BIGINT)
+        |         AS inw
+        |       FROM bidir b JOIN pr2 p ON p.node = b.u
+        |       JOIN outd o ON o.u = b.u GROUP BY 1)
+        |SELECT n.node,
+        |  CAST(150000 + (85 * coalesce(c3.inw, 0)) // 100 AS BIGINT)
+        |    AS pr
+        |FROM nodes n LEFT JOIN c3 USING (node)""".stripMargin)),
+
+    // Triangle counting via the two-path + closing-edge join (the
+    // textbook multi-way-join benchmark): canonical u<v edges, paths
+    // (a<b<c) from e⋈e on the middle vertex, closed by a semi-join
+    // back to the edge table. Scale shape: both joins are keyed
+    // shuffles (middle vertex, then (a,c)); the canonical ordering
+    // counts each triangle exactly once — the MapReduce-era answer to
+    // counting without materializing neighborhoods driver-side.
+    "graph_triangles" -> Q(
+      (s, dir) => {
+        val e = edges(s, dir)
+        val paths = e.select(col("u").as("a"), col("v").as("b"))
+          .join(e.select(col("u").as("b"), col("v").as("c")), Seq("b"))
+        val tri = paths.join(e.select(col("u").as("a"), col("v").as("c")),
+          Seq("a", "c"), "left_semi")
+        val stats = e.agg(count(lit(1)).as("n_edges"),
+          countDistinct(col("u")).as("nu"))
+        val nodes = e.select(col("u").as("n"))
+          .unionAll(e.select(col("v").as("n"))).distinct()
+          .agg(count(lit(1)).as("n_nodes"))
+        tri.agg(count(lit(1)).as("n_triangles"))
+          .crossJoin(broadcast(stats.select("n_edges")))
+          .crossJoin(broadcast(nodes))
+      },
+      Some(s"""WITH $EdgeCte,
+        |paths AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |          FROM edges e1 JOIN edges e2 ON e2.u = e1.v),
+        |tri AS (SELECT p.a, p.b, p.c FROM paths p
+        |        WHERE EXISTS (SELECT 1 FROM edges e
+        |                      WHERE e.u = p.a AND e.v = p.c)),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM
+        |        (SELECT u AS n FROM edges
+        |         UNION SELECT v AS n FROM edges))
+        |SELECT CAST((SELECT count(*) FROM tri) AS BIGINT)
+        |    AS n_triangles,
+        |  st.n_edges, nd.n_nodes
+        |FROM st CROSS JOIN nd""".stripMargin)),
+  )
+}

@@ -451,6 +451,86 @@ object MetaQueries {
         |    AS session_idx
         |FROM n""".stripMargin)),
 
+    // W7 (pipeline extension): ordered funnel analysis — the product-
+    // analytics pass over the event log (view -> click -> purchase,
+    // each step's timestamp strictly after the previous step's). Two
+    // co-partitioned joins on user_id (each step table is a per-user
+    // min agg — partial-agg'd map-side), no windows, no global state;
+    // at 100 TB every step is one keyed shuffle of (user, ts) pairs.
+    "w7_funnel" -> Q(
+      (s, dir) => {
+        val src = table(s, dir, "events")
+        val e = src.select(col("user_id"), col("event_type"),
+          Derived.tsMicros(src.schema).as("tus"))
+        val v = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("tus").as("t_view"))
+        val c = e.filter(col("event_type") === "click")
+          .join(v, "user_id").filter(col("tus") > col("t_view"))
+          .groupBy("user_id").agg(min("tus").as("t_click"))
+        val p = e.filter(col("event_type") === "purchase")
+          .join(c, "user_id").filter(col("tus") > col("t_click"))
+          .groupBy("user_id").agg(min("tus").as("t_purchase"))
+        v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+          .select(col("user_id"), col("t_view"),
+            coalesce(col("t_click"), lit(-1L)).as("t_click"),
+            coalesce(col("t_purchase"), lit(-1L)).as("t_purchase"),
+            (lit(1L) + col("t_click").isNotNull.cast("long") +
+              col("t_purchase").isNotNull.cast("long"))
+              .as("steps_completed"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type,
+        |          epoch_ns(ts) // 1000 AS tus FROM events),
+        |v AS (SELECT user_id, CAST(min(tus) AS BIGINT) AS t_view
+        |      FROM e WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, CAST(min(e.tus) AS BIGINT) AS t_click
+        |      FROM e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.tus > v.t_view
+        |      GROUP BY 1),
+        |p AS (SELECT e.user_id, CAST(min(e.tus) AS BIGINT) AS t_purchase
+        |      FROM e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.tus > c.t_click
+        |      GROUP BY 1)
+        |SELECT v.user_id, v.t_view,
+        |  coalesce(c.t_click, -1) AS t_click,
+        |  coalesce(p.t_purchase, -1) AS t_purchase,
+        |  CAST(1 + (CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END)
+        |    + (CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS steps_completed
+        |FROM v LEFT JOIN c USING (user_id)
+        |LEFT JOIN p USING (user_id)""".stripMargin)),
+
+    // W8 (pipeline extension): retention cohorts — users grouped by
+    // first-activity day, counted on each later activity-day offset
+    // (the (cohort x day-N) retention matrix every analytics engine
+    // ships). Integral day buckets from epoch micros; one per-user
+    // min agg + one distinct (user, day) set + one keyed join — all
+    // partial-agg'd, the matrix itself is (days x days)-sized, tiny
+    // at any corpus scale.
+    "w8_retention" -> Q(
+      (s, dir) => {
+        val src = table(s, dir, "events")
+        val e = src.select(col("user_id"),
+          Derived.tsMicros(src.schema).as("tus"))
+          .select(col("user_id"),
+            expr("tus div 86400000000").as("day"))
+        val cohort = e.groupBy("user_id").agg(min("day").as("cohort_day"))
+        val active = e.distinct()
+        active.join(cohort, "user_id")
+          .groupBy(col("cohort_day"),
+            (col("day") - col("cohort_day")).as("day_offset"))
+          .agg(countDistinct("user_id").as("n_users"))
+      },
+      Some("""WITH e AS (SELECT user_id,
+        |          (epoch_ns(ts) // 1000) // 86400000000 AS day
+        |        FROM events),
+        |cohort AS (SELECT user_id, CAST(min(day) AS BIGINT)
+        |             AS cohort_day FROM e GROUP BY 1),
+        |active AS (SELECT DISTINCT user_id, day FROM e)
+        |SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+        |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |FROM active a JOIN cohort c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin)),
+
     // Skew-safe exact count-distinct (pipeline extension): events has
     // 5 hot event_type keys over the whole stream — the shape where a
     // naive per-key distinct funnels every row into 5 reducers and

@@ -335,6 +335,91 @@ object VolumeQueries {
         |    ELSE 'raw' END AS branch
         |FROM est CROSS JOIN ex""".stripMargin)),
 
+    // HLL MERGEABILITY — the property that makes sketches the right
+    // distributed answer: registers computed independently per data
+    // shard (here 4 shards by l_orderkey % 4, labels OVERLAP across
+    // shards) merge by per-bucket max into EXACTLY the registers a
+    // single global pass produces — so a 1000-executor cluster unions
+    // cardinalities by shipping 256 bytes per executor, never
+    // re-reading data. The entry emits per-shard estimates alongside
+    // the merged one; the merged raw_est provably equals
+    // a1b_unique_hll's (same hash, max is associative).
+    "a1c_unique_hll_merge" -> Q(
+      (s, dir) => {
+        val base = table(s, dir, "lineitem").select(
+          (col("l_orderkey") % 4).cast("long").as("shard"),
+          (col("l_partkey") % 1000).cast("long").as("label"))
+        val reg = base.distinct()
+          .select(col("shard"), conv(substring(md5(concat(lit("hll:"),
+              col("label").cast("string")).cast("binary")), 1, 12), 16, 10)
+              .cast("long").as("hv"))
+          .select(col("shard"), (col("hv") % 256L).as("bucket"),
+            expr("hv div 256").as("w"))
+          .groupBy("shard", "bucket")
+          .agg(max(expr(
+            "CASE WHEN w = 0 THEN 41L ELSE 41L - length(bin(w)) END"))
+            .as("rho"))
+        val merged = reg.groupBy("bucket").agg(max("rho").as("rho"))
+          .withColumn("scope", lit("merged"))
+        val perShard = reg.select(
+          concat(lit("shard_"), col("shard").cast("string")).as("scope"),
+          col("bucket"), col("rho"))
+        val scopes = perShard.unionAll(
+          merged.select("scope", "bucket", "rho"))
+        // fill empty registers per scope, then the dyadic-exact sum
+        val allScopes = scopes.select("scope").distinct()
+        val full = allScopes.crossJoin(broadcast(
+            s.range(0, 256).toDF("bucket")))
+          .join(scopes, Seq("scope", "bucket"), "left")
+          .select(col("scope"), coalesce(col("rho"), lit(0L)).as("rho"))
+        val est = full.groupBy("scope")
+          .agg(sum(pow(lit(2.0), -col("rho"))).as("s"))
+          .select(col("scope"),
+            floor(lit(47072.71267120224) / col("s")).cast("long")
+              .as("raw_est"))
+        val exact = base.select(
+            concat(lit("shard_"), col("shard").cast("string")).as("scope"),
+            col("label"))
+          .unionAll(base.select(lit("merged").as("scope"), col("label")))
+          .groupBy("scope")
+          .agg(countDistinct("label").as("exact_distinct"))
+        est.join(exact, "scope")
+      },
+      Some("""WITH base AS (SELECT l_orderkey % 4 AS shard,
+        |          l_partkey % 1000 AS label FROM lineitem),
+        |d AS (SELECT DISTINCT shard, label FROM base),
+        |h AS (SELECT shard,
+        |        ('0x' || substr(md5('hll:' || label), 1, 12))::BIGINT
+        |          AS hv FROM d),
+        |b AS (SELECT shard, hv % 256 AS bucket, hv // 256 AS w FROM h),
+        |reg AS (SELECT shard, bucket, CAST(max(CASE WHEN w = 0 THEN 41
+        |          ELSE 41 - len(bin(w)) END) AS BIGINT) AS rho
+        |        FROM b GROUP BY 1, 2),
+        |scopes AS (SELECT 'shard_' || shard AS scope, bucket, rho
+        |             FROM reg
+        |           UNION ALL
+        |           SELECT 'merged' AS scope, bucket,
+        |             CAST(max(rho) AS BIGINT) AS rho
+        |           FROM reg GROUP BY 2),
+        |sc AS (SELECT DISTINCT scope FROM scopes),
+        |allb AS (SELECT sc.scope, CAST(i AS BIGINT) AS bucket
+        |         FROM sc, (SELECT unnest(range(0, 256)) AS i)),
+        |fullr AS (SELECT allb.scope, allb.bucket,
+        |            coalesce(scopes.rho, 0) AS rho
+        |          FROM allb LEFT JOIN scopes USING (scope, bucket)),
+        |est AS (SELECT scope,
+        |          CAST(floor(47072.71267120224
+        |            / sum(power(2.0, -rho))) AS BIGINT) AS raw_est
+        |        FROM fullr GROUP BY 1),
+        |ex AS (SELECT scope, CAST(count(DISTINCT label) AS BIGINT)
+        |         AS exact_distinct
+        |       FROM (SELECT 'shard_' || shard AS scope, label FROM base
+        |             UNION ALL
+        |             SELECT 'merged' AS scope, label FROM base)
+        |       GROUP BY 1)
+        |SELECT est.scope, est.raw_est, ex.exact_distinct
+        |FROM est JOIN ex USING (scope)""".stripMargin)),
+
     // O2 at sketch scale: count-min-sketch heavy hitters (Cormode
     // 2005 — the streaming/sublinear-memory shape of top-k when the
     // label universe doesn't fit an exact hash agg). Depth 4 x width

@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
-import graft.ops.{TextQueries, SimilarityQueries, MultimodalOps, VolumeQueries}
+import graft.ops.{TextQueries, SimilarityQueries, MultimodalOps,
+  VolumeQueries, MetaQueries, GraphQueries}
 
 /** Semantic invariants for the round-13 pipeline operators (the oracle
   * gate proves Spark==DuckDB; these prove the answers mean what the
@@ -91,6 +92,82 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("vec_id", "worst_eval_id").collect()
       .map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(pairs.forall { case (v, e) => v - 20000L == e })
+  }
+
+  test("w7_funnel step timestamps are strictly ordered") {
+    val rows = MetaQueries.queries("w7_funnel").fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tv, tc, tp, st) = (r.getAs[Long]("t_view"),
+        r.getAs[Long]("t_click"), r.getAs[Long]("t_purchase"),
+        r.getAs[Long]("steps_completed"))
+      assert(st == 1 + (if (tc > 0) 1 else 0) + (if (tp > 0) 1 else 0))
+      if (tc > 0) assert(tc > tv)
+      if (tp > 0) assert(tc > 0 && tp > tc,
+        "purchase step requires the click step first")
+    }
+  }
+
+  test("w8_retention day-0 row covers each full cohort") {
+    val rows = MetaQueries.queries("w8_retention").fn(spark, sfDir)
+      .collect()
+    val day0 = rows.filter(_.getAs[Long]("day_offset") == 0)
+      .map(r => r.getAs[Long]("cohort_day") -> r.getAs[Long]("n_users"))
+      .toMap
+    assert(rows.forall(_.getAs[Long]("day_offset") >= 0))
+    // every later offset of a cohort retains at most the day-0 users
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_users") <=
+        day0(r.getAs[Long]("cohort_day")), s"retention exceeds cohort: $r")
+    }
+  }
+
+  test("a1c merged HLL equals the single-pass sketch") {
+    val merged = VolumeQueries.queries("a1c_unique_hll_merge")
+      .fn(spark, sfDir).filter(col("scope") === "merged")
+      .collect().head
+    val global = VolumeQueries.queries("a1b_unique_hll").fn(spark, sfDir)
+      .collect().head
+    assert(merged.getAs[Long]("raw_est") == global.getAs[Long]("raw_est"),
+      "per-shard max-merge must reproduce the global registers exactly")
+    assert(merged.getAs[Long]("exact_distinct") ==
+      global.getAs[Long]("exact_distinct"))
+  }
+
+  test("graph_pagerank3 conserves mass and stays positive") {
+    val pr = GraphQueries.queries("graph_pagerank3").fn(spark, sfDir)
+      .collect().map(_.getAs[Long]("pr"))
+    assert(pr.nonEmpty && pr.forall(_ >= 150000L))
+    val total = pr.sum.toDouble / (pr.length * 1000000.0)
+    assert(total > 0.95 && total <= 1.0,
+      f"rank mass drifted: $total%.4f of N (integer div only loses)")
+  }
+
+  test("graph_triangles matches a local recount") {
+    val row = GraphQueries.queries("graph_triangles").fn(spark, sfDir)
+      .collect().head
+    // independent recount from the same deterministic edge derivation
+    val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_partkey").cast("long").as("l_partkey"),
+        col("l_suppkey").cast("long").as("l_suppkey")).collect()
+    def md5mod10(u: Long, v: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$u:$v".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(6).map(b => f"$b%02x").mkString, 16) % 10
+    }
+    val edges = lineitem.map { r =>
+      val a = r.getAs[Long]("l_partkey") % 200
+      val b = (r.getAs[Long]("l_partkey") / 7 + r.getAs[Long]("l_suppkey")) % 200
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).distinct.filter(e => md5mod10(e._1, e._2) == 0)
+    val eset = edges.toSet
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    var tri = 0L
+    for ((a, bs) <- adj; b <- bs; c <- adj.getOrElse(b, Array.empty[Long]))
+      if (eset.contains((a, c))) tri += 1
+    assert(row.getAs[Long]("n_triangles") == tri,
+      s"distributed count ${row.getAs[Long]("n_triangles")} != local $tri")
+    assert(row.getAs[Long]("n_edges") == edges.length)
   }
 
   test("mm_audio_vad segments are well-formed islands") {
