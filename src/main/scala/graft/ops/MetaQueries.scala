@@ -531,6 +531,52 @@ object MetaQueries {
         |FROM active a JOIN cohort c USING (user_id)
         |GROUP BY 1, 2""".stripMargin)),
 
+    // W9 (pipeline extension): z-score outlier detection per
+    // (event_type, day) — the monitoring/data-validation pass — with
+    // the z² > 2.89 test done in EXACT integers: (n·v − S)² · 100 >
+    // 289 · (nQ − S²) avoids every division, so both engines agree
+    // bit-for-bit with no float ever materialized. Values are whole
+    // units (not cents): with v <= 512 the worst term 289·n·Q stays
+    // under 2^63 through n ~ 1.3e5 rows per (type, day) group — two
+    // decades past the sf1 replica, which OVERFLOWED the cents
+    // version (the scale-slope protocol caught it); past that the
+    // algebra moves to the centered two-pass form. One partial-agg
+    // groupBy builds the (n, S, Q) moment table (days × types rows —
+    // tiny), broadcast back across the events; at 100 TB the moment
+    // pass and the flag pass are two scans, zero wide shuffles.
+    "w9_anomaly_zscore" -> Q(
+      (s, dir) => {
+        val src = table(s, dir, "events")
+        val e = src.select(col("event_id"), col("event_type"),
+          Derived.tsMicros(src.schema).as("tus"),
+          round(col("value")).cast("long").as("vc"))
+          .select(col("event_id"), col("event_type"),
+            expr("tus div 86400000000").as("day"), col("vc"))
+        val g = e.groupBy("event_type", "day")
+          .agg(count(lit(1)).as("n"), sum("vc").as("s"),
+            sum(expr("vc * vc")).as("q"))
+        e.join(broadcast(g), Seq("event_type", "day"))
+          .filter(expr("(vc * n - s) * (vc * n - s) * 100" +
+            " > 289 * (n * q - s * s)"))
+          .select(col("event_id"), col("event_type"), col("day"),
+            col("vc"), col("n"),
+            expr("(vc * n - s) * (vc * n - s) * 100").as("dev2_scaled"),
+            expr("289 * (n * q - s * s)").as("threshold"))
+      },
+      Some("""WITH e AS (SELECT event_id, event_type,
+        |          (epoch_ns(ts) // 1000) // 86400000000 AS day,
+        |          CAST(round(value) AS BIGINT) AS vc FROM events),
+        |g AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(vc) AS BIGINT) AS s,
+        |        CAST(sum(vc * vc) AS BIGINT) AS q
+        |      FROM e GROUP BY 1, 2)
+        |SELECT e.event_id, e.event_type, e.day, e.vc, g.n,
+        |  (e.vc * g.n - g.s) * (e.vc * g.n - g.s) * 100 AS dev2_scaled,
+        |  289 * (g.n * g.q - g.s * g.s) AS threshold
+        |FROM e JOIN g USING (event_type, day)
+        |WHERE (e.vc * g.n - g.s) * (e.vc * g.n - g.s) * 100
+        |  > 289 * (g.n * g.q - g.s * g.s)""".stripMargin)),
+
     // Skew-safe exact count-distinct (pipeline extension): events has
     // 5 hot event_type keys over the whole stream — the shape where a
     // naive per-key distinct funnels every row into 5 reducers and

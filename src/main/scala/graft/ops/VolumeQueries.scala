@@ -859,6 +859,122 @@ object VolumeQueries {
         |             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)""".stripMargin)),
 
     // Q1-style pricing summary — headline scan+agg for the bench
+    // TPC-H Q3 shape (shipping priority): segment-filtered customer
+    // broadcast into orders ⋈ lineitem co-partitioned on the order
+    // key; revenue in exact integer ten-thousandths (price_c × (100 −
+    // disc_pct)); top-10 via TakeOrderedAndProject. The join order is
+    // the one Catalyst should pick at 100 TB: dimension broadcast,
+    // fact-fact shuffle on the shared key, partial aggs before the
+    // final top-k. Date columns normalized to epoch micros so every
+    // testdata drop (ns-long vs us-timestamp) compares identically.
+    "q3_shipping_priority" -> Q(
+      (s, dir) => {
+        val cutoff = 896659200000000L // 1998-06-01 UTC, epoch micros
+        def tsc(df: DataFrame, c: String) =
+          df.schema(c).dataType match {
+            case org.apache.spark.sql.types.LongType => expr(s"$c div 1000")
+            case _ => unix_micros(col(c).cast("timestamp"))
+          }
+        val cust = table(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))
+        val ord = table(s, dir, "orders")
+        val orders = ord
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderpriority"), tsc(ord, "o_orderdate").as("odate_us"))
+          .filter(col("odate_us") < cutoff)
+        val li = table(s, dir, "lineitem")
+        val items = li.select(col("l_orderkey"),
+            tsc(li, "l_shipdate").as("sdate_us"),
+            (round(col("l_extendedprice") * 100).cast("long") *
+              (lit(100L) - round(col("l_discount") * 100).cast("long")))
+              .as("rev"))
+          .filter(col("sdate_us") > cutoff)
+        items.join(orders, items("l_orderkey") === orders("o_orderkey"))
+          .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+          .groupBy("l_orderkey", "odate_us", "o_orderpriority")
+          .agg(sum("rev").as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey").asc)
+          .limit(10)
+      },
+      Some("""SELECT l.l_orderkey,
+        |  CAST(epoch_ns(o.o_orderdate) // 1000 AS BIGINT) AS odate_us,
+        |  o.o_orderpriority,
+        |  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+        |    AS BIGINT) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND epoch_ns(o.o_orderdate) // 1000 < 896659200000000
+        |  AND epoch_ns(l.l_shipdate) // 1000 > 896659200000000
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin)),
+
+    // TPC-H Q5 shape (local-supplier volume): the 6-way join —
+    // region→nation→customer broadcast chain into orders ⋈ lineitem ⋈
+    // supplier with the c_nationkey = s_nationkey "local" constraint;
+    // revenue per nation. The dimension chain stays broadcast at any
+    // scale (regions/nations/customers are small next to facts); the
+    // only wide shuffles are the fact keys. Exact integer revenue as
+    // in Q3.
+    "q5_local_supplier" -> Q(
+      (s, dir) => {
+        def tsc(df: DataFrame, c: String) =
+          df.schema(c).dataType match {
+            case org.apache.spark.sql.types.LongType => expr(s"$c div 1000")
+            case _ => unix_micros(col(c).cast("timestamp"))
+          }
+        val nations = table(s, dir, "nation")
+          .join(broadcast(table(s, dir, "region")
+              .filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").cast("long").as("nationkey"),
+            col("n_name"))
+        val cust = table(s, dir, "customer")
+          .join(broadcast(nations),
+            col("c_nationkey").cast("long") === col("nationkey"))
+          .select(col("c_custkey"), col("nationkey"), col("n_name"))
+        val ord = table(s, dir, "orders")
+        val orders = ord.select(col("o_orderkey"), col("o_custkey"),
+            tsc(ord, "o_orderdate").as("odate_us"))
+          .filter(col("odate_us") >= 820454400000000L && // 1996-01-01
+            col("odate_us") < 852076800000000L) // 1997-01-01
+        val supp = table(s, dir, "supplier")
+          .select(col("s_suppkey"),
+            col("s_nationkey").cast("long").as("s_nat"))
+        val li = table(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_suppkey"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            .as("rev"))
+        li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+          .join(broadcast(cust),
+            orders("o_custkey") === cust("c_custkey"))
+          .join(broadcast(supp),
+            li("l_suppkey") === supp("s_suppkey") &&
+              cust("nationkey") === supp("s_nat"))
+          .groupBy("n_name")
+          .agg(sum("rev").as("revenue"), count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT n.n_name,
+        |  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+        |    AS BIGINT) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem l
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  AND s.s_nationkey = c.c_nationkey
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |JOIN region r ON r.r_regionkey = n.n_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND epoch_ns(o.o_orderdate) // 1000 >= 820454400000000
+        |  AND epoch_ns(o.o_orderdate) // 1000 < 852076800000000
+        |GROUP BY 1""".stripMargin)),
+
     "q1_pricing" -> Q(
       (s, dir) => table(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")

@@ -170,6 +170,33 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getAs[Long]("n_edges") == edges.length)
   }
 
+  test("w9_anomaly_zscore flags a plausible outlier fraction") {
+    val flagged = MetaQueries.queries("w9_anomaly_zscore").fn(spark, sfDir)
+      .collect()
+    val total = spark.read.parquet(s"$sfDir/events.parquet").count()
+    flagged.foreach(r => assert(
+      r.getAs[Long]("dev2_scaled") > r.getAs[Long]("threshold")))
+    val rate = flagged.length.toDouble / total
+    assert(rate > 0.005 && rate < 0.2, s"outlier rate off: $rate")
+  }
+
+  test("q3/q5 join plans broadcast their dimensions") {
+    val q3 = VolumeQueries.queries("q3_shipping_priority").fn(spark, sfDir)
+    val rows = q3.collect()
+    assert(rows.length == 10)
+    val revs = rows.map(_.getAs[Long]("revenue"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b },
+      "top-10 must be revenue-descending")
+    val plan3 = q3.queryExecution.executedPlan.toString
+    assert(plan3.contains("BroadcastHashJoin"),
+      "q3 must broadcast the customer dimension")
+    val q5 = VolumeQueries.queries("q5_local_supplier").fn(spark, sfDir)
+    assert(q5.collect().forall(_.getAs[Long]("revenue") > 0))
+    val plan5 = q5.queryExecution.executedPlan.toString
+    assert(plan5.contains("BroadcastHashJoin"),
+      "q5 must broadcast the dimension chain")
+  }
+
   test("mm_audio_vad segments are well-formed islands") {
     val segs = MultimodalOps.queries("mm_audio_vad").fn(spark, sfDir)
       .collect()
