@@ -503,6 +503,91 @@ object MultimodalOps {
         |SELECT h.doc_id, h.ahash, b.n_bucket
         |FROM hashes h JOIN b USING (ahash)""".stripMargin)),
 
+    // Keyframe election per scene (the thumbnail/representative-frame
+    // pass after shot segmentation): scenes = cumulative scene-cut
+    // count per video (the mm_scene_cut predicate), keyframe = the
+    // scene's brightest frame by mean luminance (ties -> earliest).
+    // Both engines IEEE-divide the same exact integers for the
+    // ordering ratio, so ranks agree bit-for-bit. Decode narrow,
+    // windows per video, election per (video, scene) partition — the
+    // same shape at a million videos.
+    "mm_video_keyframes" -> Q(
+      (s, dir) => {
+        val sess = s
+        import sess.implicits._
+        val frames = pngTable(s, dir).as[(Long, Array[Byte])]
+          .mapPartitions { rows =>
+            val reader = javax.imageio.ImageIO
+              .getImageReadersByFormatName("png").next()
+            rows.map { case (id, payload) =>
+              val iis = javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(payload))
+              reader.setInput(iis, true, true)
+              val img = try reader.read(0) finally iis.close()
+              val raster = img.getRaster
+              var sum = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  sum += raster.getSample(x, y, 0); x += 1
+                }
+                y += 1
+              }
+              (id % 50, id / 50, sum, img.getWidth.toLong * img.getHeight)
+            }
+          }.toDF("video_id", "frame_idx", "lum_sum", "n_px")
+        val w = Window.partitionBy("video_id").orderBy("frame_idx")
+        val scenes = frames
+          .withColumn("prev_sum", lag("lum_sum", 1).over(w))
+          .withColumn("prev_n", lag("n_px", 1).over(w))
+          .withColumn("is_cut", (col("prev_n").isNotNull &&
+            abs(col("lum_sum") * col("prev_n") -
+              col("prev_sum") * col("n_px")) >=
+              col("n_px") * col("prev_n") * 20).cast("long"))
+          .withColumn("scene", sum("is_cut").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        scenes.withColumn("rk", row_number().over(
+            Window.partitionBy("video_id", "scene")
+              .orderBy((col("lum_sum").cast("double") / col("n_px")).desc,
+                col("frame_idx").asc)))
+          .filter(col("rk") === 1)
+          .groupBy("video_id", "scene")
+          .agg(max("frame_idx").as("keyframe_idx"),
+            max("lum_sum").as("key_lum_sum"), max("n_px").as("key_n_px"))
+      },
+      Some("""WITH f AS (SELECT doc_id, doc_id % 50 AS video_id,
+        |          doc_id // 50 AS frame_idx, 8 + doc_id % 25 AS w,
+        |          6 + doc_id % 17 AS h FROM documents),
+        |px AS (SELECT doc_id, video_id, frame_idx, w, h,
+        |         unnest(range(0, w * h)) AS k FROM f),
+        |s AS (SELECT video_id, frame_idx, CAST(w * h AS BIGINT) AS n_px,
+        |        CAST(sum((doc_id * 31 + (k % w) * 7 + (k // w) * 13)
+        |          % 256) AS BIGINT) AS lum_sum
+        |      FROM px GROUP BY video_id, frame_idx, w, h),
+        |lg AS (SELECT video_id, frame_idx, lum_sum, n_px,
+        |         lag(lum_sum) OVER vw AS prev_sum,
+        |         lag(n_px) OVER vw AS prev_n
+        |       FROM s WINDOW vw AS (PARTITION BY video_id
+        |         ORDER BY frame_idx)),
+        |sc AS (SELECT video_id, frame_idx, lum_sum, n_px,
+        |         CAST(sum(CASE WHEN prev_n IS NOT NULL
+        |             AND abs(lum_sum * prev_n - prev_sum * n_px)
+        |               >= 20 * n_px * prev_n THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY video_id ORDER BY frame_idx
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS scene
+        |       FROM lg),
+        |rk AS (SELECT video_id, scene, frame_idx, lum_sum, n_px,
+        |         row_number() OVER (PARTITION BY video_id, scene
+        |           ORDER BY CAST(lum_sum AS DOUBLE) / n_px DESC,
+        |             frame_idx ASC) AS rk
+        |       FROM sc)
+        |SELECT video_id, scene, CAST(frame_idx AS BIGINT)
+        |    AS keyframe_idx,
+        |  lum_sum AS key_lum_sum, n_px AS key_n_px
+        |FROM rk WHERE rk = 1""".stripMargin)),
+
     // Histogram equalization over REAL decoded PNGs (the contrast
     // normalization pass before visual feature extraction): 16-bin
     // luminance histogram, CDF, and the classic remap p' =

@@ -557,5 +557,72 @@ object SkeletonQueries {
         |SELECT segid, vid, x * 2 + 7 AS tx, y * 3 - 5 AS ty,
         |       z * 4 + 11 AS tz, radius
         |FROM g""".stripMargin)),
+
+    // Terminals + branch points (osteoid Skeleton.terminals /
+    // .branches — the reference's Skeleton delegates to osteoid,
+    // skeleton.py:1): degree classification over a BRANCHED topology.
+    // The chain fixture has no branches, so this entry builds a
+    // binary-tree skeleton per segid (edge vid -> vid div 2), runs it
+    // through the REAL precomputed codec (encode -> decode in the
+    // task — non-chain edge lists through the wire format), and
+    // classifies decoded vertices by degree: 1 = terminal, >= 3 =
+    // branch point. The oracle replays the tree arithmetic
+    // relationally. Per-skeleton work stays task-local; the vertex
+    // stream out is a narrow flatMap.
+    "skel_terminals" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        baseVertices(s, dir)
+          .groupBy("segid")
+          .agg(sort_array(collect_list(struct(col("ck"), col("x"),
+            col("y"), col("z"), col("radius"), col("vtype")))).as("vs"))
+          .as[(Long, Seq[(Long, Long, Long, Long, Long, Long)])]
+          .flatMap { case (segid, vs) =>
+            val n = vs.length
+            val verts = new Array[Float](3 * n)
+            val radii = new Array[Float](n)
+            val vtypes = new Array[Byte](n)
+            vs.zipWithIndex.foreach { case ((_, x, y, z, r, t), i) =>
+              verts(3 * i) = x.toFloat
+              verts(3 * i + 1) = y.toFloat
+              verts(3 * i + 2) = z.toFloat
+              radii(i) = r.toFloat
+              vtypes(i) = t.toByte
+            }
+            val edges = new Array[Int](2 * math.max(n - 1, 0))
+            (1 until n).foreach { i =>
+              edges(2 * (i - 1)) = i
+              edges(2 * (i - 1) + 1) = i / 2
+            }
+            val sk = SkeletonCodec.decode(SkeletonCodec.encode(
+              SkeletonCodec.Skeleton(verts, edges, radii, vtypes)))
+            val degree = new Array[Long](n)
+            var i = 0
+            while (i < sk.edges.length) {
+              degree(sk.edges(i)) += 1; i += 1
+            }
+            (0 until n).map(v => (segid, v.toLong, degree(v)))
+          }
+          .toDF("segid", "vid", "degree")
+          .select(col("segid"), col("vid"), col("degree"),
+            (col("degree") === 1).cast("long").as("is_terminal"),
+            (col("degree") >= 3).cast("long").as("is_branch"))
+      },
+      Some(s"""WITH $VertCte,
+        |ed AS (SELECT segid, vid AS a, vid // 2 AS b
+        |       FROM g WHERE vid >= 1),
+        |touch AS (SELECT segid, a AS v FROM ed
+        |          UNION ALL SELECT segid, b AS v FROM ed),
+        |degs AS (SELECT segid, v AS vid, CAST(count(*) AS BIGINT)
+        |           AS degree
+        |         FROM touch GROUP BY 1, 2)
+        |SELECT g.segid, CAST(g.vid AS BIGINT) AS vid,
+        |  coalesce(d.degree, 0) AS degree,
+        |  CAST(CASE WHEN coalesce(d.degree, 0) = 1 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS is_terminal,
+        |  CAST(CASE WHEN coalesce(d.degree, 0) >= 3 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS is_branch
+        |FROM g LEFT JOIN degs d ON d.segid = g.segid
+        |  AND d.vid = g.vid""".stripMargin)),
   )
 }

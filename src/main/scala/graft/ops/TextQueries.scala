@@ -1588,6 +1588,131 @@ object TextQueries {
         |  coalesce(hits.min_rule, -1) AS rule_id
         |FROM hp LEFT JOIN hits USING (doc_id)""".stripMargin)),
 
+    // Asymmetric containment dedup (|A∩B| / |A| and / |B| — catches a
+    // document CONTAINED in another where Jaccard stays low; the
+    // subset-duplication case C4/RefinedWeb handle separately from
+    // symmetric near-dup). Same distinct-shingle machinery as the
+    // Jaccard entry over the (doc, doc+10000 first-word-dropped)
+    // pairs; integer percentage both directions, flagged at >= 90
+    // either way. Shingle-key join only — never all-pairs.
+    "dedup_containment" -> Q(
+      (s, dir) => {
+        val sh = shingleHashes(corpus(s, dir)).distinct()
+        val a = sh.filter(col("doc_id") < 10000 && col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("a"), col("hv"))
+        val b = sh.filter(col("doc_id") >= 10000)
+          .select((col("doc_id") - 10000).as("ab"), col("hv").as("hvb"))
+        val inter = a.join(b, a("hv") === b("hvb") && a("a") === b("ab"))
+          .groupBy("a").agg(count(lit(1)).as("n_inter"))
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val szA = sizes.filter(col("doc_id") < 10000 && col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("a"), col("sz").as("sz_a"))
+        val szB = sizes.filter(col("doc_id") >= 10000)
+          .select((col("doc_id") - 10000).as("a"), col("sz").as("sz_b"))
+        szA.join(szB, "a").join(inter, Seq("a"), "left")
+          .select(col("a"), (col("a") + 10000).as("b"), col("sz_a"),
+            col("sz_b"), coalesce(col("n_inter"), lit(0L)).as("n_inter"))
+          .withColumn("c_ab_pct", expr("n_inter * 100 div sz_a"))
+          .withColumn("c_ba_pct", expr("n_inter * 100 div sz_b"))
+          .withColumn("contained",
+            (col("c_ab_pct") >= 90 || col("c_ba_pct") >= 90).cast("long"))
+      },
+      Some(s"""WITH $CorpusCte,
+        |$ShinglesSql,
+        |shd AS (SELECT DISTINCT doc_id, hv FROM hv),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+        |          FROM shd GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a, CAST(count(*) AS BIGINT) AS n_inter
+        |  FROM shd a JOIN shd b ON b.doc_id = a.doc_id + 10000
+        |    AND a.hv = b.hv
+        |  WHERE a.doc_id < 10000 AND a.doc_id % 2 = 0
+        |  GROUP BY a.doc_id),
+        |base AS (
+        |  SELECT sa.doc_id AS a, sa.doc_id + 10000 AS b, sa.sz AS sz_a,
+        |         sb.sz AS sz_b
+        |  FROM sizes sa JOIN sizes sb ON sb.doc_id = sa.doc_id + 10000
+        |  WHERE sa.doc_id < 10000 AND sa.doc_id % 2 = 0)
+        |SELECT base.a, base.b, sz_a, sz_b,
+        |  coalesce(i.n_inter, 0) AS n_inter,
+        |  coalesce(i.n_inter, 0) * 100 // sz_a AS c_ab_pct,
+        |  coalesce(i.n_inter, 0) * 100 // sz_b AS c_ba_pct,
+        |  CAST(CASE WHEN coalesce(i.n_inter, 0) * 100 // sz_a >= 90
+        |    OR coalesce(i.n_inter, 0) * 100 // sz_b >= 90
+        |    THEN 1 ELSE 0 END AS BIGINT) AS contained
+        |FROM base LEFT JOIN inter i ON base.a = i.a""".stripMargin)),
+
+    // Quality-gate ensemble (the composed decision an actual pipeline
+    // ships: Gopher rules AND the linear classifier AND the LM score
+    // must all pass): reuses the three REGISTERED gates and reports
+    // the 2x2x2(±missing) agreement matrix — the calibration view
+    // that tells you which gate is doing the filtering. Composition
+    // costs nothing extra at scale: three scans (each itself
+    // shuffle-minimal) joined on doc_id, aggregated to at most 12
+    // rows; the lm gate skips <2-word docs, surfaced as lm_keep = -1.
+    "quality_ensemble" -> Q(
+      (s, dir) => {
+        val g = queries("quality_gopher_rules").fn(s, dir)
+          .select(col("doc_id"), col("keep").cast("long").as("gopher_keep"))
+        val c = queries("quality_classifier").fn(s, dir)
+          .select(col("doc_id"), col("keep").as("clf_keep"))
+        val l = queries("quality_lm_score").fn(s, dir)
+          .select(col("doc_id"), col("keep").as("lm_keep"))
+        g.join(c, "doc_id").join(l, Seq("doc_id"), "left")
+          .select(col("gopher_keep"), col("clf_keep"),
+            coalesce(col("lm_keep"), lit(-1L)).as("lm_keep"))
+          .groupBy("gopher_keep", "clf_keep", "lm_keep")
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("keep_all", (col("gopher_keep") === 1 &&
+            col("clf_keep") === 1 && col("lm_keep") === 1).cast("long"))
+      },
+      Some("""WITH w AS (SELECT doc_id, n_chars,
+        |           string_split(text, ' ') AS w FROM documents),
+        |gm AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        |    n_chars - (len(w) - 1) AS sum_wlen,
+        |    CAST(len(list_distinct(list_filter(w, x -> x = 'the'
+        |      OR x = 'a' OR x = 'of' OR x = 'and' OR x = 'to'
+        |      OR x = 'in' OR x = 'is'))) AS BIGINT) AS n_stop,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+        |      AS BIGINT) AS n_alpha
+        |  FROM w),
+        |g AS (SELECT doc_id, CAST(CASE WHEN
+        |    n_words >= 50 AND n_words <= 100000
+        |    AND sum_wlen >= n_words * 3 AND sum_wlen <= n_words * 10
+        |    AND n_stop >= 2 AND n_alpha * 5 >= n_words * 4
+        |    THEN 1 ELSE 0 END AS BIGINT) AS gopher_keep FROM gm),
+        |wd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+        |       FROM documents),
+        |cw AS (SELECT doc_id,
+        |         ('0x' || substr(md5(wd), 1, 12))::BIGINT % 2001 - 1000
+        |           AS wt FROM wd),
+        |c AS (SELECT doc_id, CAST(CASE WHEN sum(wt) >= 0 THEN 1 ELSE 0
+        |        END AS BIGINT) AS clf_keep FROM cw GROUP BY 1),
+        |bg AS (SELECT doc_id, w[i] AS prev, w[i+1] AS cur
+        |       FROM (SELECT doc_id, w,
+        |               unnest(generate_series(1, len(w) - 1)) AS i
+        |             FROM w WHERE len(w) >= 2)),
+        |c2 AS (SELECT prev, cur, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT prev, count(*) AS c1 FROM bg GROUP BY 1),
+        |p AS (SELECT c2.prev, c2.cur,
+        |        (c2.c2 * 1000000) // c1.c1 AS p_ppm
+        |      FROM c2 JOIN c1 ON c1.prev = c2.prev),
+        |l AS (SELECT bg.doc_id, CAST(CASE WHEN
+        |        CAST(sum(p.p_ppm) AS BIGINT)
+        |          // CAST(count(*) AS BIGINT) >= 2000
+        |        THEN 1 ELSE 0 END AS BIGINT) AS lm_keep
+        |      FROM bg JOIN p ON p.prev = bg.prev AND p.cur = bg.cur
+        |      GROUP BY bg.doc_id),
+        |m AS (SELECT g.gopher_keep, c.clf_keep,
+        |        coalesce(l.lm_keep, -1) AS lm_keep
+        |      FROM g JOIN c USING (doc_id)
+        |      LEFT JOIN l USING (doc_id))
+        |SELECT gopher_keep, clf_keep, lm_keep,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(CASE WHEN gopher_keep = 1 AND clf_keep = 1
+        |    AND lm_keep = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep_all
+        |FROM m GROUP BY 1, 2, 3""".stripMargin)),
+
     // Training-shard JSONL export (the LAST stage of a data pipeline:
     // materialize the curated corpus as sharded {"id":...,"text":...}
     // line files for the trainer): shard = doc_id % 8, one writer

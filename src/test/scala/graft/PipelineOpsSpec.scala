@@ -197,6 +197,59 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q5 must broadcast the dimension chain")
   }
 
+  test("skel_terminals classifies the binary tree correctly") {
+    val rows = graft.ops.SkeletonQueries.queries("skel_terminals")
+      .fn(spark, sfDir).collect()
+    val bySeg = rows.groupBy(_.getAs[Long]("segid"))
+    bySeg.foreach { case (seg, vs) =>
+      val n = vs.length
+      val degSum = vs.map(_.getAs[Long]("degree")).sum
+      assert(degSum == 2L * (n - 1), s"degree sum != 2(n-1) for $seg")
+      val terminals = vs.count(_.getAs[Long]("is_terminal") == 1)
+      // a binary tree with parent(i) = i/2 has ceil(n/2) leaves for
+      // n >= 3 (vertex 0 keeps degree >= 2 once it has two children)
+      if (n >= 3) assert(terminals == (n + 1) / 2,
+        s"leaf count $terminals != ${(n + 1) / 2} for n=$n")
+    }
+  }
+
+  test("dedup_containment catches the subset near-dups") {
+    val rows = TextQueries.queries("dedup_containment").fn(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    // B = A minus its first word, so B's shingles are ~contained in A
+    val contained = rows.count(_.getAs[Long]("contained") == 1)
+    assert(contained * 10 >= rows.length * 8,
+      s"only $contained/${rows.length} pairs flagged contained")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("c_ba_pct") >= r.getAs[Long]("c_ab_pct"),
+        s"the shrunken doc must be the more-contained side: $r")
+    }
+  }
+
+  test("quality_ensemble matrix partitions the corpus") {
+    val rows = TextQueries.queries("quality_ensemble").fn(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == 500)
+    rows.foreach { r =>
+      val (g, c, l) = (r.getAs[Long]("gopher_keep"),
+        r.getAs[Long]("clf_keep"), r.getAs[Long]("lm_keep"))
+      assert(Set(0L, 1L)(g) && Set(0L, 1L)(c) && Set(-1L, 0L, 1L)(l))
+      assert(r.getAs[Long]("keep_all") ==
+        (if (g == 1 && c == 1 && l == 1) 1L else 0L))
+    }
+  }
+
+  test("mm_video_keyframes elects one frame per scene") {
+    val keys = MultimodalOps.queries("mm_video_keyframes").fn(spark, sfDir)
+      .collect()
+    val cuts = MultimodalOps.queries("mm_scene_cut").fn(spark, sfDir)
+      .count()
+    val videos = keys.map(_.getAs[Long]("video_id")).distinct.length
+    assert(keys.length == cuts + videos,
+      s"scenes (${keys.length}) must equal cuts ($cuts) + videos ($videos)")
+  }
+
   test("mm_audio_vad segments are well-formed islands") {
     val segs = MultimodalOps.queries("mm_audio_vad").fn(spark, sfDir)
       .collect()
