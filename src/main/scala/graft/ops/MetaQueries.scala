@@ -451,6 +451,46 @@ object MetaQueries {
         |    AS session_idx
         |FROM n""".stripMargin)),
 
+    // W10 (pipeline extension): first-order Markov transition matrix
+    // over the event stream — the per-user behavioral model behind
+    // next-event prediction and anomaly scoring. The lag window runs
+    // PARTITIONED by user_id (never a global window), the transition
+    // count is one keyed aggregate over (prev, next) pairs — a
+    // state-space-sized table, not an event-sized one — and the
+    // per-source normalization joins a broadcast total. Probabilities
+    // kept in integer ppm so the oracle replays exactly.
+    "w10_markov_transitions" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val src = table(s, dir, "events")
+        val e = src.select(col("event_id"), col("user_id"),
+          col("event_type"), Derived.tsMicros(src.schema).as("ts"))
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val pairs = e
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("n"))
+        val tot = pairs.groupBy("prev_type").agg(sum("n").as("tot"))
+        pairs.join(broadcast(tot), Seq("prev_type"))
+          .withColumn("p_ppm", expr("n * 1000000 div tot"))
+          .select("prev_type", "next_type", "n", "p_ppm")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type,
+        |          epoch_ns(ts) // 1000 AS tus FROM events),
+        |g AS (SELECT user_id, event_type,
+        |        lag(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY tus, event_id) AS prev_type
+        |      FROM e),
+        |p AS (SELECT prev_type, event_type AS next_type,
+        |        CAST(count(*) AS BIGINT) AS n
+        |      FROM g WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS tot
+        |      FROM p GROUP BY 1)
+        |SELECT p.prev_type, p.next_type, p.n,
+        |  p.n * 1000000 // t.tot AS p_ppm
+        |FROM p JOIN t USING (prev_type)""".stripMargin)),
+
     // W7 (pipeline extension): ordered funnel analysis — the product-
     // analytics pass over the event log (view -> click -> purchase,
     // each step's timestamp strictly after the previous step's). Two

@@ -811,5 +811,71 @@ object MultimodalOps {
         |FROM lg WHERE prev_n IS NOT NULL
         |  AND abs(lum_sum * prev_n - prev_sum * n_px)
         |    >= 20 * n_px * prev_n""".stripMargin)),
+
+    // ViT-style patch extraction over REAL decoded PNGs: each image is
+    // cut into non-overlapping 4x4 patches (the patchify step of
+    // vision-transformer training prep — image -> patch sequence);
+    // per patch we emit integer stats (sum/min/max) the oracle can
+    // replay against the generation formula. Partition-wise decode
+    // with one reusable reader, flatMap fan-out to patch rows — the
+    // same batch shape mapInPandas gives a Python pipeline. Only FULL
+    // patches are emitted (edge remainders dropped), matching the
+    // crop-to-multiple convention of patch tokenizers. At 100 TB the
+    // fan-out is narrow (no shuffle): rows multiply inside the
+    // partition and flow straight to the sink/consumer.
+    "mm_image_tiles" -> Q(
+      (s, dir) => {
+        val sess = s
+        import sess.implicits._
+        pngTable(s, dir).as[(Long, Array[Byte])].mapPartitions { rows =>
+          val reader = javax.imageio.ImageIO
+            .getImageReadersByFormatName("png").next()
+          rows.flatMap { case (id, payload) =>
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            reader.setInput(iis, true, true)
+            val img = try reader.read(0) finally iis.close()
+            val raster = img.getRaster
+            val tw = img.getWidth / 4
+            val th = img.getHeight / 4
+            for { ty <- 0 until th; tx <- 0 until tw } yield {
+              var sum = 0L; var mn = 255L; var mx = 0L
+              var y = ty * 4
+              while (y < ty * 4 + 4) {
+                var x = tx * 4
+                while (x < tx * 4 + 4) {
+                  val p = raster.getSample(x, y, 0).toLong
+                  sum += p
+                  if (p < mn) mn = p
+                  if (p > mx) mx = p
+                  x += 1
+                }
+                y += 1
+              }
+              (id, tx.toLong, ty.toLong, sum, mn, mx)
+            }
+          }
+        }.toDF("doc_id", "tile_x", "tile_y", "tile_sum", "tile_min",
+          "tile_max")
+      },
+      Some("""WITH d AS (SELECT doc_id, 8 + doc_id % 25 AS w,
+        |               6 + doc_id % 17 AS h FROM documents),
+        |t AS (SELECT doc_id, w, h, unnest(range(0, w // 4)) AS tx
+        |      FROM d),
+        |t2 AS (SELECT doc_id, w, h, tx, unnest(range(0, h // 4)) AS ty
+        |       FROM t),
+        |px AS (SELECT doc_id, tx, ty, unnest(range(0, 4)) AS ix
+        |       FROM t2),
+        |py AS (SELECT doc_id, tx, ty, ix, unnest(range(0, 4)) AS iy
+        |       FROM px),
+        |v AS (SELECT doc_id, tx, ty,
+        |        (doc_id * 31 + (tx * 4 + ix) * 7 + (ty * 4 + iy) * 13)
+        |          % 256 AS p
+        |      FROM py)
+        |SELECT doc_id, tx AS tile_x, ty AS tile_y,
+        |  CAST(sum(p) AS BIGINT) AS tile_sum,
+        |  CAST(min(p) AS BIGINT) AS tile_min,
+        |  CAST(max(p) AS BIGINT) AS tile_max
+        |FROM v GROUP BY 1, 2, 3""".stripMargin)),
   )
 }

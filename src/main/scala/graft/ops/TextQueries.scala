@@ -1854,5 +1854,167 @@ object TextQueries {
         |  FROM sc)
         |SELECT doc_id, score_avg_ppm, u FROM coin
         |WHERE u < least(score_avg_ppm // 2, 1000000)""".stripMargin)),
+
+    // Two-stage near-dup VERIFICATION — the production second stage of
+    // MinHash-LSH dedup. An LSH candidate pair only proves one band
+    // (2 of 8 minhash slots) collided; before destroying data, real
+    // pipelines verify each candidate against the EXACT shingle-set
+    // Jaccard and keep only pairs over threshold (the precision stage
+    // of SlimPajama/FineWeb-style dedup). Distributed shape: the
+    // candidate graph is LSH-sized (tiny vs the corpus); both
+    // intersection joins co-partition on doc_id/hv keys, and the
+    // intersection is a keyed count over candidate-shared shingles —
+    // never an all-pairs set comparison. Jaccard kept in integer ppm
+    // so the oracle replays the arithmetic exactly.
+    "dedup_minhash_verify" -> Q(
+      (s, dir) => {
+        val pairs = sharedPairs(s, dir)
+        // distinct shingle sets feed the size agg AND both sides of
+        // the intersection join — materialize once (at corpus scale
+        // this is the persisted shingle table of the dedup snapshot)
+        val dsh = shingleHashes(corpus(s, dir)).distinct()
+          .localCheckpoint()
+        val sizes = dsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = pairs
+          .join(dsh.select(col("doc_id").as("a"), col("hv")), Seq("a"))
+          .join(dsh.select(col("doc_id").as("b"), col("hv")),
+            Seq("b", "hv"))
+          .groupBy("a", "b").agg(count(lit(1)).as("inter_n"))
+        pairs
+          .join(inter, Seq("a", "b"), "left")
+          .na.fill(0L, Seq("inter_n"))
+          .join(sizes.select(col("doc_id").as("a"), col("n").as("na")),
+            Seq("a"))
+          .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")),
+            Seq("b"))
+          .withColumn("union_n", col("na") + col("nb") - col("inter_n"))
+          .withColumn("jaccard_ppm",
+            expr("inter_n * 1000000 div union_n"))
+          .withColumn("is_dup",
+            when(col("jaccard_ppm") >= 500000L, 1L).otherwise(0L))
+          .select("a", "b", "inter_n", "union_n", "jaccard_ppm",
+            "is_dup")
+      },
+      Some(s"""WITH $PairsCtes,
+        |dsh AS (SELECT DISTINCT doc_id, hv FROM hv),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+        |       FROM dsh GROUP BY 1),
+        |inter AS (SELECT p.a, p.b, CAST(count(*) AS BIGINT) AS inter_n
+        |          FROM pairs p
+        |          JOIN dsh da ON da.doc_id = p.a
+        |          JOIN dsh db ON db.doc_id = p.b AND db.hv = da.hv
+        |          GROUP BY 1, 2)
+        |SELECT p.a, p.b,
+        |  CAST(coalesce(i.inter_n, 0) AS BIGINT) AS inter_n,
+        |  CAST(sa.n + sb.n - coalesce(i.inter_n, 0) AS BIGINT)
+        |    AS union_n,
+        |  CAST(coalesce(i.inter_n, 0) * 1000000
+        |    // (sa.n + sb.n - coalesce(i.inter_n, 0)) AS BIGINT)
+        |    AS jaccard_ppm,
+        |  CAST(CASE WHEN coalesce(i.inter_n, 0) * 1000000
+        |    // (sa.n + sb.n - coalesce(i.inter_n, 0)) >= 500000
+        |    THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+        |FROM pairs p
+        |LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+        |JOIN sz sa ON sa.doc_id = p.a
+        |JOIN sz sb ON sb.doc_id = p.b""".stripMargin)),
+
+    // BM25 lexical retrieval top-k (the RAG retrieval shape): a small
+    // broadcast query-term set probes the corpus postings. tf
+    // saturation is EXACT BM25 (k1=1.2, b=0.75) carried in integer
+    // rational arithmetic (ppm); idf = log2(1 + (N-df+0.5)/(df+0.5))
+    // quantized via the integer bit-length log2 with a linear-mantissa
+    // fraction (16 frac bits) — log-free, so Spark and DuckDB agree
+    // bit-for-bit with no float in the plan. Distributed shape: tf is
+    // one hash aggregate over the corpus; df broadcasts (vocab-sized);
+    // the query-term probe is a broadcast semi-join so the corpus
+    // never shuffles; per-query top-k runs through row_number, which
+    // Spark 4 rewrites to WindowGroupLimit (partial top-k before the
+    // exchange) — at 100 TB only ~k rows per partition move.
+    "rag_bm25_topk" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents").select("doc_id", "text")
+        val wd = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("term"))
+        val tf = wd.groupBy("doc_id", "term")
+          .agg(count(lit(1)).as("tf"))
+        val dl = wd.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val dfT = wd.select("doc_id", "term").distinct()
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        val stats = wd.agg(count(lit(1)).as("total_dl"),
+          countDistinct("doc_id").as("n_docs"))
+        val qterms = docs.filter(col("doc_id").isin(7L, 42L, 128L))
+          .select(col("doc_id").as("query_id"),
+            explode(expr("slice(split(text, ' '), 1, 4)")).as("term"))
+          .distinct()
+        val scored = tf
+          .join(broadcast(qterms), Seq("term"))
+          .join(dl, Seq("doc_id"))
+          .join(broadcast(dfT), Seq("term"))
+          .crossJoin(broadcast(stats))
+          // BM25 denom in ppm: 1e6*tf + k1*(1-b)*1e6 + k1*b*dl/avgdl
+          .withColumn("denom_ppm", expr(
+            "1000000L * tf + 300000L + " +
+              "(900000L * dl * n_docs) div total_dl"))
+          .withColumn("tfc_ppm",
+            expr("(2200000L * tf * 1000000L) div denom_ppm"))
+          // v = (1 + odds) in ppm, odds = (N-df+0.5)/(df+0.5) exact
+          .withColumn("v_ppm", expr(
+            "1000000L + ((2L * (n_docs - df) + 1L) * 1000000L) " +
+              "div (2L * df + 1L)"))
+          .withColumn("lg", expr("length(bin(v_ppm)) - 1"))
+          .withColumn("p2", expr("shiftleft(1L, lg)"))
+          .withColumn("idf_micro", expr(
+            "lg * 65536L + ((v_ppm - p2) * 65536L) div p2"))
+          .groupBy("query_id", "doc_id")
+          .agg(sum(expr("idf_micro * tfc_ppm")).as("score"))
+        scored
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("query_id")
+              .orderBy(col("score").desc, col("doc_id").asc))
+            .cast("long"))
+          .filter(col("rank") <= 5)
+          .select("query_id", "rank", "doc_id", "score")
+      },
+      Some("""WITH wd AS (SELECT doc_id,
+        |          unnest(string_split(text, ' ')) AS term
+        |        FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM wd GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        |       FROM wd GROUP BY 1),
+        |dft AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT)
+        |          AS df FROM wd GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS total_dl,
+        |            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |          FROM wd),
+        |qt AS (SELECT DISTINCT doc_id AS query_id,
+        |         unnest((string_split(text, ' '))[1:4]) AS term
+        |       FROM documents WHERE doc_id IN (7, 42, 128)),
+        |j AS (SELECT qt.query_id, tf.doc_id, tf.tf, dl.dl,
+        |        dft.df, s.total_dl, s.n_docs
+        |      FROM tf JOIN qt USING (term) JOIN dl USING (doc_id)
+        |      JOIN dft USING (term) CROSS JOIN stats s),
+        |terms AS (SELECT query_id, doc_id,
+        |    (2200000 * tf * 1000000) //
+        |      (1000000 * tf + 300000 +
+        |       (900000 * dl * n_docs) // total_dl) AS tfc_ppm,
+        |    1000000 + ((2 * (n_docs - df) + 1) * 1000000)
+        |      // (2 * df + 1) AS v_ppm
+        |  FROM j),
+        |idf AS (SELECT query_id, doc_id, tfc_ppm,
+        |    length(bin(v_ppm)) - 1 AS lg,
+        |    1::BIGINT << (length(bin(v_ppm)) - 1) AS p2, v_ppm
+        |  FROM terms),
+        |sc AS (SELECT query_id, doc_id,
+        |    CAST(sum((lg * 65536 + ((v_ppm - p2) * 65536) // p2)
+        |      * tfc_ppm) AS BIGINT) AS score
+        |  FROM idf GROUP BY 1, 2),
+        |ranked AS (SELECT query_id, doc_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+        |  FROM sc)
+        |SELECT query_id, rank, doc_id, score FROM ranked
+        |WHERE rank <= 5""".stripMargin)),
   )
 }

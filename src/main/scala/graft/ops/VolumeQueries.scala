@@ -506,6 +506,49 @@ object VolumeQueries {
         |FROM pairs GROUP BY 1, 2
         |ORDER BY contacts DESC, la ASC, lb ASC LIMIT 20""".stripMargin)),
 
+    // A4d (pipeline extension of A4/a4c): per-label exposed SURFACE
+    // AREA under 6-connectivity — for every voxel, each of its 6 faces
+    // counts when the neighbor is absent (background) or carries a
+    // different label. The morphology statistic behind contact-area /
+    // surface-to-volume analyses (the same neighborhood algebra as
+    // a4c's contact graph, extended to the background boundary via a
+    // LEFT join). Distributed shape: one dedupe aggregate, a narrow
+    // 6-way face fan-out (explode, no shuffle), one co-partitioned
+    // coordinate join, one keyed count — top-20 via
+    // TakeOrderedAndProject, never a global sort.
+    "a4d_label_surface" -> Q(
+      (s, dir) => {
+        val dv = voxels(s, dir).groupBy("x", "y", "z")
+          .agg(min("label").as("label"))
+        val faces = dv.select(col("label").as("la"),
+            explode(expr(
+              "array(struct(x + 1L AS x, y AS y, z AS z)," +
+                " struct(x - 1L AS x, y AS y, z AS z)," +
+                " struct(x AS x, y + 1L AS y, z AS z)," +
+                " struct(x AS x, y - 1L AS y, z AS z)," +
+                " struct(x AS x, y AS y, z + 1L AS z)," +
+                " struct(x AS x, y AS y, z - 1L AS z))")).as("p"))
+          .select(col("la"), col("p.x").as("x"), col("p.y").as("y"),
+            col("p.z").as("z"))
+        faces.join(dv, Seq("x", "y", "z"), "left")
+          .filter(col("label").isNull || col("la") =!= col("label"))
+          .groupBy(col("la").as("label"))
+          .agg(count(lit(1)).as("surface_faces"))
+          .orderBy(col("surface_faces").desc, col("label").asc)
+          .limit(20)
+      },
+      Some(s"""WITH $VoxelsCte,
+        |dv AS (SELECT x, y, z, CAST(min(label) AS BIGINT) AS label
+        |       FROM voxels GROUP BY 1, 2, 3),
+        |sh AS (SELECT label AS la, x + dx AS x, y + dy AS y, z + dz AS z
+        |       FROM dv, (VALUES (1, 0, 0), (-1, 0, 0), (0, 1, 0),
+        |         (0, -1, 0), (0, 0, 1), (0, 0, -1)) AS o(dx, dy, dz)),
+        |f AS (SELECT sh.la FROM sh LEFT JOIN dv USING (x, y, z)
+        |      WHERE dv.label IS NULL OR sh.la <> dv.label)
+        |SELECT la AS label, CAST(count(*) AS BIGINT) AS surface_faces
+        |FROM f GROUP BY 1
+        |ORDER BY surface_faces DESC, label ASC LIMIT 20""".stripMargin)),
+
     // T1: core/shell chunk partition of an expanded request
     // (rx.py:915-929)
     "t1_core_shell" -> Q(

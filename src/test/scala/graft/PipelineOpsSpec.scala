@@ -403,4 +403,111 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getAs[Long]("frame_idx") > 0, "first frame can't be a cut")
     }
   }
+
+  test("dedup_minhash_verify: jaccard exact, planted near-dups confirmed") {
+    val r = TextQueries.queries("dedup_minhash_verify").fn(spark, sfDir)
+      .collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (i, u, j) = (row.getAs[Long]("inter_n"),
+        row.getAs[Long]("union_n"), row.getAs[Long]("jaccard_ppm"))
+      assert(i >= 0 && i <= u && j >= 0 && j <= 1000000,
+        s"jaccard out of range: $row")
+      assert(row.getAs[Long]("is_dup") == (if (j >= 500000) 1L else 0L))
+    }
+    // planted pairs (d, d+10000) share all shingles except those
+    // touching the dropped first word -> high exact jaccard
+    val planted = r.filter(row => row.getAs[Long]("b") ==
+      row.getAs[Long]("a") + 10000)
+    assert(planted.nonEmpty, "LSH must recover some planted near-dups")
+    assert(planted.forall(_.getAs[Long]("is_dup") == 1L),
+      "planted near-dups must verify above the 0.5 jaccard threshold")
+  }
+
+  test("rag_bm25_topk: 3 queries, monotone scores, source doc retrieved") {
+    val r = TextQueries.queries("rag_bm25_topk").fn(spark, sfDir)
+      .collect()
+    val byQ = r.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet == Set(7L, 42L, 128L))
+    byQ.foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq ==
+        (1L to sorted.length).toSeq)
+      val scores = sorted.map(_.getAs[Long]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"scores must be non-increasing by rank for query $q")
+    }
+    // lexical guarantee: every retrieved doc contains >= 1 query term
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(row => row.getAs[Long]("doc_id") -> row.getAs[String]("text"))
+      .toMap
+    r.foreach { row =>
+      val qTerms = texts(row.getAs[Long]("query_id"))
+        .split(" ").take(4).toSet
+      val hitTerms = texts(row.getAs[Long]("doc_id")).split(" ").toSet
+      assert(qTerms.intersect(hitTerms).nonEmpty,
+        s"retrieved doc must share a term with its query: $row")
+    }
+  }
+
+  test("w10_markov_transitions: rows are a stochastic matrix in ppm") {
+    val r = MetaQueries.queries("w10_markov_transitions").fn(spark, sfDir)
+      .collect()
+    assert(r.nonEmpty)
+    val byPrev = r.groupBy(_.getAs[String]("prev_type"))
+    byPrev.foreach { case (p, rows) =>
+      val sum = rows.map(_.getAs[Long]("p_ppm")).sum
+      // floor division loses < 1 ppm per row
+      assert(sum <= 1000000 && sum > 1000000 - rows.length,
+        s"row $p of the transition matrix must sum to ~1e6 ppm: $sum")
+    }
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val nEvents = events.count()
+    val nUsers = events.select("user_id").distinct().count()
+    assert(r.map(_.getAs[Long]("n")).sum == nEvents - nUsers,
+      "every event except each user's first is a transition")
+  }
+
+  test("mm_image_tiles: full 4x4 patch grid with formula-exact stats") {
+    val r = MultimodalOps.queries("mm_image_tiles").fn(spark, sfDir)
+      .collect()
+    val byDoc = r.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (id, rows) =>
+      val (w, h) = (8 + id % 25, 6 + id % 17)
+      assert(rows.length == (w / 4) * (h / 4),
+        s"doc $id must yield a full (w/4)x(h/4) patch grid")
+      rows.foreach { t =>
+        assert(t.getAs[Long]("tile_min") <= t.getAs[Long]("tile_max"))
+        assert(t.getAs[Long]("tile_sum") >= 16 * t.getAs[Long]("tile_min")
+          && t.getAs[Long]("tile_sum") <= 16 * t.getAs[Long]("tile_max"))
+      }
+    }
+    // formula replay for one patch: pixel = (id*31 + 7x + 13y) % 256
+    val one = r.find(t => t.getAs[Long]("doc_id") == 5L &&
+      t.getAs[Long]("tile_x") == 1L && t.getAs[Long]("tile_y") == 0L).get
+    val expect = (for { y <- 0 until 4; x <- 4 until 8 }
+      yield (5L * 31 + 7L * x + 13L * y) % 256).sum
+    assert(one.getAs[Long]("tile_sum") == expect)
+  }
+
+  test("a4d_label_surface bounds: faces within [1, 6*volume]") {
+    val r = VolumeQueries.queries("a4d_label_surface").fn(spark, sfDir)
+      .collect()
+    assert(r.length == 20)
+    val vol = graft.ops.Derived.voxels(spark, sfDir)
+      .groupBy("x", "y", "z").agg(min("label").as("label"))
+      .groupBy("label").count().collect()
+      .map(row => row.getAs[Long]("label") -> row.getAs[Long]("count"))
+      .toMap
+    r.foreach { row =>
+      val (l, f) = (row.getAs[Long]("label"),
+        row.getAs[Long]("surface_faces"))
+      assert(f >= 1 && f <= 6 * vol(l),
+        s"label $l surface $f out of bounds for volume ${vol(l)}")
+    }
+    val faces = r.map(_.getAs[Long]("surface_faces"))
+    assert(faces.zip(faces.tail).forall { case (a, b) => a >= b },
+      "top-20 must be ordered by surface desc")
+  }
 }
