@@ -952,5 +952,63 @@ object AnnotationQueries {
         |           AND vz BETWEEN 4 AND 28)
         |SELECT aid, npts, vi, vx, vy, vz, w FROM vv JOIN keep USING (aid)"""
         .stripMargin)),
+
+    // P8o: grid-bucketed k-nearest-neighbor lookup over the POINT
+    // layer — the spatial-join shape behind "annotations near this
+    // point" (the nearest-annotation probe a viewer issues). Contract:
+    // RADIUS-BOUNDED kNN — candidates come from the query cell's
+    // 3x3x3 neighborhood (cell = 8 voxels, so every neighbor within
+    // 8 voxels is guaranteed found), ranked by exact squared distance,
+    // k=3. The bounded form is the one that scales: point->cell is a
+    // narrow projection (corpus never shuffles for the probe), the
+    // 27-cell query expansion broadcasts, and the per-query top-k
+    // window rewrites to WindowGroupLimit. Unbounded exact kNN is an
+    // expanding-ring loop of this same round.
+    "p8o_annotation_knn" -> Q(
+      (s, dir) => {
+        val sess = s
+        import sess.implicits._
+        val qpts = Seq((1L, 10L, 10L, 10L), (2L, 32L, 16L, 8L),
+          (3L, 55L, 60L, 30L), (4L, 5L, 50L, 20L))
+          .toDF("qid", "qx", "qy", "qz")
+        val qcells = qpts
+          .withColumn("ox", explode(expr("sequence(-1L, 1L)")))
+          .withColumn("oy", explode(expr("sequence(-1L, 1L)")))
+          .withColumn("oz", explode(expr("sequence(-1L, 1L)")))
+          .select(col("qid"), col("qx"), col("qy"), col("qz"),
+            expr("qx div 8 + ox").as("cx"),
+            expr("qy div 8 + oy").as("cy"),
+            expr("qz div 8 + oz").as("cz"))
+        val pts = pointsDf(s, dir).select(col("aid"), col("ax"),
+            col("ay"), col("az"))
+          .withColumn("cx", expr("ax div 8"))
+          .withColumn("cy", expr("ay div 8"))
+          .withColumn("cz", expr("az div 8"))
+        pts.join(broadcast(qcells), Seq("cx", "cy", "cz"))
+          .withColumn("d2", expr(
+            "(ax - qx) * (ax - qx) + (ay - qy) * (ay - qy) + " +
+              "(az - qz) * (az - qz)"))
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("qid")
+              .orderBy(col("d2").asc, col("aid").asc)).cast("long"))
+          .filter(col("rank") <= 3)
+          .select("qid", "rank", "aid", "d2")
+      },
+      Some(s"""WITH $PtsCte,
+        |q AS (SELECT * FROM (VALUES (1, 10, 10, 10), (2, 32, 16, 8),
+        |       (3, 55, 60, 30), (4, 5, 50, 20)) AS q(qid, qx, qy, qz)),
+        |cand AS (SELECT q.qid, p.aid,
+        |    (p.ax - q.qx) * (p.ax - q.qx)
+        |      + (p.ay - q.qy) * (p.ay - q.qy)
+        |      + (p.az - q.qz) * (p.az - q.qz) AS d2
+        |  FROM q JOIN pts p
+        |    ON abs(p.ax // 8 - q.qx // 8) <= 1
+        |   AND abs(p.ay // 8 - q.qy // 8) <= 1
+        |   AND abs(p.az // 8 - q.qz // 8) <= 1),
+        |r AS (SELECT qid, aid, d2, row_number() OVER (PARTITION BY qid
+        |        ORDER BY d2, aid) AS rank FROM cand)
+        |SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
+        |  aid, CAST(d2 AS BIGINT) AS d2
+        |FROM r WHERE rank <= 3""".stripMargin)),
   )
 }

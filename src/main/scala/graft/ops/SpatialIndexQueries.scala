@@ -243,5 +243,100 @@ object SpatialIndexQueries {
         |SELECT label, string_agg(filename, ',' ORDER BY filename) AS files,
         |       count(*) AS n_tiles
         |FROM tiled GROUP BY label""".stripMargin)),
+
+    // A3c: spatial RANGE JOIN — bbox-overlap join between two box sets
+    // with NO cartesian product: each box fans out (narrow explode,
+    // bounded by the extent cap: <= 2 cells/axis for the order boxes,
+    // <= 3 for ellipsoid bounds at cell = 8) to the grid cells it
+    // covers, candidates pair on a cell equi-join, dedupe, then the
+    // exact half-open overlap predicate and a per-box aggregate
+    // (n_overlaps + total shared volume). This is the standard
+    // scalable spatial-join plan — the thing a naive Spark overlap
+    // join (theta join -> cartesian + filter) cannot do at 100 TB.
+    // Coordinates are +64-shifted so cell arithmetic never goes
+    // negative (Spark div truncates toward zero, DuckDB // floors —
+    // they disagree below 0).
+    "a3c_spatial_range_join" -> Q(
+      (s, dir) => {
+        val boxes = table(s, dir, "orders")
+          .filter(col("o_orderkey") % 10 === 0).select(
+            col("o_orderkey").cast("long").as("aid"),
+            (col("o_orderkey") % 50 + 64).cast("long").as("x0"),
+            (col("o_custkey") % 50 + 64).cast("long").as("y0"),
+            (col("o_orderkey") % 25 + 64).cast("long").as("z0"))
+          .withColumn("x1", col("x0") + 1 + col("aid") % 8)
+          .withColumn("y1", col("y0") + 1 + (col("aid") * 3) % 8)
+          .withColumn("z1", col("z0") + 1 + col("aid") % 6)
+        val els = table(s, dir, "customer")
+          .filter(col("c_custkey") % 4 === 0).select(
+            col("c_custkey").cast("long").as("eid"),
+            (col("c_custkey") % 60 + 64 - (col("c_custkey") % 5 + 1))
+              .cast("long").as("ex0"),
+            ((col("c_custkey") * 3) % 60 + 64 - (col("c_custkey") % 7 + 1))
+              .cast("long").as("ey0"),
+            (col("c_custkey") % 30 + 64 - (col("c_custkey") % 3 + 1))
+              .cast("long").as("ez0"))
+          .withColumn("ex1",
+            col("ex0") + (col("eid") % 5 + 1) * 2 + 1)
+          .withColumn("ey1",
+            col("ey0") + (col("eid") % 7 + 1) * 2 + 1)
+          .withColumn("ez1",
+            col("ez0") + (col("eid") % 3 + 1) * 2 + 1)
+        val cellsA = boxes
+          .withColumn("cx", explode(expr("sequence(x0 div 8, (x1 - 1) div 8)")))
+          .withColumn("cy", explode(expr("sequence(y0 div 8, (y1 - 1) div 8)")))
+          .withColumn("cz", explode(expr("sequence(z0 div 8, (z1 - 1) div 8)")))
+        val cellsB = els
+          .withColumn("cx", explode(expr("sequence(ex0 div 8, (ex1 - 1) div 8)")))
+          .withColumn("cy", explode(expr("sequence(ey0 div 8, (ey1 - 1) div 8)")))
+          .withColumn("cz", explode(expr("sequence(ez0 div 8, (ez1 - 1) div 8)")))
+        val ov = cellsA.join(cellsB, Seq("cx", "cy", "cz"))
+          .filter(col("x0") < col("ex1") && col("ex0") < col("x1") &&
+            col("y0") < col("ey1") && col("ey0") < col("y1") &&
+            col("z0") < col("ez1") && col("ez0") < col("z1"))
+          .select("aid", "eid", "x0", "y0", "z0", "x1", "y1", "z1",
+            "ex0", "ey0", "ez0", "ex1", "ey1", "ez1")
+          .distinct()
+          .withColumn("vol", expr(
+            "(least(x1, ex1) - greatest(x0, ex0)) * " +
+              "(least(y1, ey1) - greatest(y0, ey0)) * " +
+              "(least(z1, ez1) - greatest(z0, ez0))"))
+          .groupBy("aid")
+          .agg(count(lit(1)).as("n_overlaps"), sum("vol").as("vol_sum"))
+        boxes.select("aid").join(ov, Seq("aid"), "left")
+          .na.fill(0L, Seq("n_overlaps", "vol_sum"))
+          .select("aid", "n_overlaps", "vol_sum")
+      },
+      Some("""WITH ab AS (
+        |  SELECT o_orderkey AS aid,
+        |    o_orderkey % 50 + 64 AS x0, o_custkey % 50 + 64 AS y0,
+        |    o_orderkey % 25 + 64 AS z0,
+        |    o_orderkey % 50 + 64 + 1 + o_orderkey % 8 AS x1,
+        |    o_custkey % 50 + 64 + 1 + (o_orderkey * 3) % 8 AS y1,
+        |    o_orderkey % 25 + 64 + 1 + o_orderkey % 6 AS z1
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |el AS (
+        |  SELECT c_custkey AS eid,
+        |    c_custkey % 60 + 64 - (c_custkey % 5 + 1) AS ex0,
+        |    (c_custkey * 3) % 60 + 64 - (c_custkey % 7 + 1) AS ey0,
+        |    c_custkey % 30 + 64 - (c_custkey % 3 + 1) AS ez0,
+        |    c_custkey % 60 + 64 + (c_custkey % 5 + 1) + 1 AS ex1,
+        |    (c_custkey * 3) % 60 + 64 + (c_custkey % 7 + 1) + 1 AS ey1,
+        |    c_custkey % 30 + 64 + (c_custkey % 3 + 1) + 1 AS ez1
+        |  FROM customer WHERE c_custkey % 4 = 0),
+        |ov AS (SELECT ab.aid,
+        |    (least(ab.x1, el.ex1) - greatest(ab.x0, el.ex0)) *
+        |    (least(ab.y1, el.ey1) - greatest(ab.y0, el.ey0)) *
+        |    (least(ab.z1, el.ez1) - greatest(ab.z0, el.ez0)) AS vol
+        |  FROM ab JOIN el
+        |    ON ab.x0 < el.ex1 AND el.ex0 < ab.x1
+        |   AND ab.y0 < el.ey1 AND el.ey0 < ab.y1
+        |   AND ab.z0 < el.ez1 AND el.ez0 < ab.z1),
+        |agg AS (SELECT aid, CAST(count(*) AS BIGINT) AS n_overlaps,
+        |          CAST(sum(vol) AS BIGINT) AS vol_sum
+        |        FROM ov GROUP BY 1)
+        |SELECT ab.aid, coalesce(agg.n_overlaps, 0) AS n_overlaps,
+        |  coalesce(agg.vol_sum, 0) AS vol_sum
+        |FROM ab LEFT JOIN agg USING (aid)""".stripMargin)),
   )
 }

@@ -510,4 +510,71 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(faces.zip(faces.tail).forall { case (a, b) => a >= b },
       "top-20 must be ordered by surface desc")
   }
+
+  test("p8o_annotation_knn equals brute force within the cell bound") {
+    val r = graft.ops.AnnotationQueries.queries("p8o_annotation_knn")
+      .fn(spark, sfDir).collect()
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("event_id") % 5 === 0)
+      .select(col("event_id"), col("user_id")).collect()
+      .map(row => (row.getAs[Long]("event_id"),
+        row.getAs[Long]("event_id") % 64,
+        row.getAs[Long]("user_id") % 64,
+        (row.getAs[Long]("event_id") / 64) % 32))
+    val queries = Seq((1L, 10L, 10L, 10L), (2L, 32L, 16L, 8L),
+      (3L, 55L, 60L, 30L), (4L, 5L, 50L, 20L))
+    queries.foreach { case (qid, qx, qy, qz) =>
+      val brute = events.filter { case (_, ax, ay, az) =>
+        math.abs(ax / 8 - qx / 8) <= 1 && math.abs(ay / 8 - qy / 8) <= 1 &&
+          math.abs(az / 8 - qz / 8) <= 1
+      }.map { case (aid, ax, ay, az) =>
+        ((ax - qx) * (ax - qx) + (ay - qy) * (ay - qy) +
+          (az - qz) * (az - qz), aid)
+      }.sorted.take(3)
+      val got = r.filter(_.getAs[Long]("qid") == qid)
+        .sortBy(_.getAs[Long]("rank"))
+        .map(row => (row.getAs[Long]("d2"), row.getAs[Long]("aid")))
+      assert(got.toSeq == brute.toSeq,
+        s"query $qid: grid kNN must equal brute force in-neighborhood")
+    }
+  }
+
+  test("a3c_spatial_range_join equals the brute-force overlap join") {
+    val r = graft.ops.SpatialIndexQueries.queries("a3c_spatial_range_join")
+      .fn(spark, sfDir).collect()
+      .map(row => row.getAs[Long]("aid") ->
+        (row.getAs[Long]("n_overlaps"), row.getAs[Long]("vol_sum"))).toMap
+    val boxes = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(col("o_orderkey") % 10 === 0)
+      .select("o_orderkey", "o_custkey").collect().map { row =>
+        val k = row.getAs[Long]("o_orderkey")
+        val c = row.getAs[Long]("o_custkey")
+        (k, k % 50 + 64, c % 50 + 64, k % 25 + 64,
+          k % 50 + 64 + 1 + k % 8, c % 50 + 64 + 1 + (k * 3) % 8,
+          k % 25 + 64 + 1 + k % 6)
+      }
+    val els = spark.read.parquet(s"$sfDir/customer.parquet")
+      .filter(col("c_custkey") % 4 === 0)
+      .select("c_custkey").collect().map { row =>
+        val c = row.getAs[Long]("c_custkey")
+        (c % 60 + 64 - (c % 5 + 1), (c * 3) % 60 + 64 - (c % 7 + 1),
+          c % 30 + 64 - (c % 3 + 1), c % 60 + 64 + (c % 5 + 1) + 1,
+          (c * 3) % 60 + 64 + (c % 7 + 1) + 1,
+          c % 30 + 64 + (c % 3 + 1) + 1)
+      }
+    assert(r.size == boxes.length, "every box gets an output row")
+    boxes.foreach { case (aid, x0, y0, z0, x1, y1, z1) =>
+      val hits = els.filter { case (ex0, ey0, ez0, ex1, ey1, ez1) =>
+        x0 < ex1 && ex0 < x1 && y0 < ey1 && ey0 < y1 &&
+          z0 < ez1 && ez0 < z1
+      }
+      val vol = hits.map { case (ex0, ey0, ez0, ex1, ey1, ez1) =>
+        (math.min(x1, ex1) - math.max(x0, ex0)) *
+          (math.min(y1, ey1) - math.max(y0, ey0)) *
+          (math.min(z1, ez1) - math.max(z0, ez0))
+      }.sum
+      assert(r(aid) == (hits.length.toLong, vol),
+        s"box $aid: grid range join must equal brute force")
+    }
+  }
 }
