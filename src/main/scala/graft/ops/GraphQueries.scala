@@ -140,5 +140,49 @@ object GraphQueries {
         |    AS n_triangles,
         |  st.n_edges, nd.n_nodes
         |FROM st CROSS JOIN nd""".stripMargin)),
+
+    // 3-core peeling, 3 synchronous rounds: each round recomputes
+    // degrees over the surviving edge set and drops nodes with
+    // deg < 3 plus their incident edges. A DIFFERENT iterative shape
+    // from the min-propagation family (CC, cluster dedup): the working
+    // set monotonically SHRINKS, and each round is one keyed degree
+    // aggregate + two semi-join filters — the k-core/anti-spam/
+    // graph-densification peel. The fixpoint loop is this round
+    // repeated until no node drops; 3 unrolled rounds keep the oracle
+    // expressible. Per-round localCheckpoint caps lineage exactly as
+    // in ConnectedComponents (at scale: persist + truncate per round).
+    "graph_kcore3" -> Q(
+      (s, dir) => {
+        var e = edges(s, dir).localCheckpoint()
+        for (_ <- 1 to 3) {
+          val bidir = e.unionAll(
+            e.select(col("v").as("u"), col("u").as("v")))
+          val keep = bidir.groupBy("u").agg(count(lit(1)).as("deg"))
+            .filter(col("deg") >= 3).select("u")
+          e = e.join(keep, Seq("u"))
+            .join(keep.select(col("u").as("v")), Seq("v"))
+            .select("u", "v").localCheckpoint()
+        }
+        val bidir = e.unionAll(
+          e.select(col("v").as("u"), col("u").as("v")))
+        bidir.groupBy(col("u").as("node"))
+          .agg(count(lit(1)).as("deg"))
+      },
+      Some(s"""WITH $EdgeCte,
+        |b0 AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+        |k0 AS (SELECT u FROM b0 GROUP BY u HAVING count(*) >= 3),
+        |e1 AS (SELECT e.u, e.v FROM edges e
+        |       JOIN k0 a ON a.u = e.u JOIN k0 b ON b.u = e.v),
+        |b1 AS (SELECT u, v FROM e1 UNION ALL SELECT v, u FROM e1),
+        |k1 AS (SELECT u FROM b1 GROUP BY u HAVING count(*) >= 3),
+        |e2 AS (SELECT e.u, e.v FROM e1 e
+        |       JOIN k1 a ON a.u = e.u JOIN k1 b ON b.u = e.v),
+        |b2 AS (SELECT u, v FROM e2 UNION ALL SELECT v, u FROM e2),
+        |k2 AS (SELECT u FROM b2 GROUP BY u HAVING count(*) >= 3),
+        |e3 AS (SELECT e.u, e.v FROM e2 e
+        |       JOIN k2 a ON a.u = e.u JOIN k2 b ON b.u = e.v),
+        |b3 AS (SELECT u, v FROM e3 UNION ALL SELECT v, u FROM e3)
+        |SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+        |FROM b3 GROUP BY 1""".stripMargin)),
   )
 }

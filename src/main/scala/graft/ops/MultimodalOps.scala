@@ -877,5 +877,48 @@ object MultimodalOps {
         |  CAST(min(p) AS BIGINT) AS tile_min,
         |  CAST(max(p) AS BIGINT) AS tile_max
         |FROM v GROUP BY 1, 2, 3""".stripMargin)),
+
+    // Zero-crossing rate + peak amplitude over REAL decoded WAV PCM —
+    // the classic cheap voicing/noisiness features (ZCR separates
+    // voiced from fricative/noise segments; peak feeds clipping
+    // detection). Same partition-wise AudioSystem decode as
+    // mm_decode_wav; integer counts so the oracle replays the
+    // synthesis formula sample-by-sample, including the sign logic.
+    "mm_audio_zcr" -> Q(
+      (s, dir) => {
+        val sess = s
+        import sess.implicits._
+        wavTable(s, dir).as[(Long, Array[Byte])].mapPartitions { rows =>
+          rows.map { case (id, payload) =>
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            val fmt = ais.getFormat
+            require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1)
+            val pcm = ais.readAllBytes()
+            var zc = 0L; var peak = 0L; var prev = 0L; var first = true
+            var i = 0
+            while (i + 1 < pcm.length) {
+              val v = ((pcm(i) & 0xff) | (pcm(i + 1) << 8)).toShort.toLong
+              if (!first && prev * v < 0) zc += 1
+              if (math.abs(v) > peak) peak = math.abs(v)
+              prev = v; first = false
+              i += 2
+            }
+            (id, (pcm.length / 2).toLong, zc, peak)
+          }
+        }.toDF("doc_id", "n_samples", "zero_crossings", "peak")
+      },
+      Some("""WITH d AS (SELECT doc_id, 256 + doc_id % 256 AS n
+        |        FROM documents),
+        |i AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+        |p AS (SELECT doc_id, n, i,
+        |        ((doc_id * 7 + i * 31) % 4096 - 2048) * 8 AS s1,
+        |        ((doc_id * 7 + (i - 1) * 31) % 4096 - 2048) * 8 AS s0
+        |      FROM i)
+        |SELECT doc_id, n AS n_samples,
+        |  CAST(sum(CASE WHEN i >= 1 AND s0 * s1 < 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS zero_crossings,
+        |  CAST(max(abs(s1)) AS BIGINT) AS peak
+        |FROM p GROUP BY 1, 2""".stripMargin)),
   )
 }

@@ -549,6 +549,35 @@ object VolumeQueries {
         |FROM f GROUP BY 1
         |ORDER BY surface_faces DESC, label ASC LIMIT 20""".stripMargin)),
 
+    // A4e (pipeline extension of A4b): per-label SECOND moments — the
+    // raw integer sums (n, Σx.., Σx².., Σxy..) behind centroid,
+    // covariance, and principal-axis shape analysis of a segment
+    // (elongation/flatness QC over segmentation output). One wide
+    // partial-aggregable groupBy: every executor contributes one
+    // 10-long row per resident label, so at 100 TB the shuffle is
+    // label-cardinality-sized, not voxel-sized. Sums stay exact in
+    // int64 (coords < 64 -> Σx² < n·4096, needs n < 2^50).
+    "a4e_label_moments" -> Q(
+      (s, dir) => {
+        voxels(s, dir).groupBy("label").agg(
+          count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"), sum("z").as("sz"),
+          sum(expr("x * x")).as("sxx"), sum(expr("y * y")).as("syy"),
+          sum(expr("z * z")).as("szz"), sum(expr("x * y")).as("sxy"),
+          sum(expr("x * z")).as("sxz"), sum(expr("y * z")).as("syz"))
+      },
+      Some(s"""WITH $VoxelsCte
+        |SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(z) AS BIGINT) AS sz,
+        |  CAST(sum(x * x) AS BIGINT) AS sxx,
+        |  CAST(sum(y * y) AS BIGINT) AS syy,
+        |  CAST(sum(z * z) AS BIGINT) AS szz,
+        |  CAST(sum(x * y) AS BIGINT) AS sxy,
+        |  CAST(sum(x * z) AS BIGINT) AS sxz,
+        |  CAST(sum(y * z) AS BIGINT) AS syz
+        |FROM voxels GROUP BY 1""".stripMargin)),
+
     // T1: core/shell chunk partition of an expanded request
     // (rx.py:915-929)
     "t1_core_shell" -> Q(

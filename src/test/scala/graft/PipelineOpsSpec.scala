@@ -577,4 +577,71 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"box $aid: grid range join must equal brute force")
     }
   }
+
+  test("a4e_label_moments sums satisfy the moment inequalities") {
+    val r = VolumeQueries.queries("a4e_label_moments").fn(spark, sfDir)
+      .collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val n = row.getAs[Long]("n")
+      val (sx, sxx) = (row.getAs[Long]("sx"), row.getAs[Long]("sxx"))
+      val (sy, syy) = (row.getAs[Long]("sy"), row.getAs[Long]("syy"))
+      val sxy = row.getAs[Long]("sxy")
+      // per-axis variance is non-negative: n*Σx² >= (Σx)²
+      assert(n * sxx >= sx * sx && n * syy >= sy * sy,
+        s"moment inequality violated: $row")
+      // covariance Cauchy-Schwarz: (nΣxy - ΣxΣy)² <= (nΣx²-Σx²)(nΣy²-Σy²)
+      val cxy = n * sxy - sx * sy
+      assert(cxy.toDouble * cxy <=
+        (n * sxx - sx * sx).toDouble * (n * syy - sy * sy) + 1e-6,
+        s"covariance bound violated: $row")
+    }
+  }
+
+  test("mm_audio_zcr replays the synthesis formula exactly") {
+    val r = MultimodalOps.queries("mm_audio_zcr").fn(spark, sfDir)
+      .collect()
+    assert(r.length == 500)
+    r.take(25).foreach { row =>
+      val id = row.getAs[Long]("doc_id")
+      val n = (256 + id % 256).toInt
+      val s = Array.tabulate(n)(i => ((id * 7 + i * 31) % 4096 - 2048) * 8)
+      val zc = (1 until n).count(i => s(i - 1) * s(i) < 0).toLong
+      assert(row.getAs[Long]("n_samples") == n.toLong)
+      assert(row.getAs[Long]("zero_crossings") == zc,
+        s"doc $id zcr mismatch")
+      assert(row.getAs[Long]("peak") == s.map(math.abs).max)
+    }
+  }
+
+  test("graph_kcore3 equals a local 3-round peel recount") {
+    val r = GraphQueries.queries("graph_kcore3").fn(spark, sfDir)
+      .collect().map(row => row.getAs[Long]("node") ->
+        row.getAs[Long]("deg")).toMap
+    // local recount from the same derived edge list
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_partkey", "l_suppkey").collect()
+    def md5mod(u: Long, v: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$u:$v".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(6).map(b => f"$b%02x").mkString, 16) % 10
+    }
+    var es = li.map { row =>
+      val a = row.getAs[Long]("l_partkey") % 200
+      val b = (row.getAs[Long]("l_partkey") / 7 +
+        row.getAs[Long]("l_suppkey")) % 200
+      (math.min(a, b), math.max(a, b))
+    }.filter { case (u, v) => u != v }.distinct
+      .filter { case (u, v) => md5mod(u, v) == 0 }.toSet
+    for (_ <- 1 to 3) {
+      val deg = es.toSeq.flatMap { case (u, v) => Seq(u, v) }
+        .groupBy(identity).map { case (k, vs) => k -> vs.size }
+      val keep = deg.filter(_._2 >= 3).keySet
+      es = es.filter { case (u, v) => keep(u) && keep(v) }
+    }
+    val local = es.toSeq.flatMap { case (u, v) => Seq(u, v) }
+      .groupBy(identity).map { case (k, vs) => k -> vs.size.toLong }
+    assert(r == local, "3-round peel must match the local recount")
+  }
 }
