@@ -518,5 +518,60 @@ object StreamQueries {
         |        FROM probe p JOIN cells USING (r, c) GROUP BY 1)
         |SELECT label, est_n FROM est
         |ORDER BY est_n DESC, label ASC LIMIT 10""".stripMargin)),
+
+    // §2.9 continued: streaming QUANTILES with bounded state — the
+    // observability workhorse (p50/p90/p99 latency over an unbounded
+    // stream). State is a FIXED 64-bucket integer-cent histogram
+    // (32-cent buckets, top bucket open) regardless of stream volume:
+    // the streaming agg keys on bucket id, so a 100 TB/day firehose
+    // carries exactly 64 state rows. The batch side turns the sketch
+    // into quantiles: cumulative counts via a broadcast self-join on
+    // the 64-row sketch (NOT a global window — the sketch is
+    // fixed-size, the nested-loop is 64x64) and the classic
+    // "smallest bucket whose cumulative share >= q" pick. Histogram
+    // quantiles are exact at bucket granularity — the integer contract
+    // the oracle replays.
+    "st11_stream_quantiles" -> Q(
+      (s, dir) => {
+        val sess = s
+        import sess.implicits._
+        val src = stageEvents(s, dir)
+        val schema = s.read.parquet(src).schema
+        val hist = s.readStream.schema(schema).parquet(src)
+          .select(expr("greatest(0L, least(cast(round(value * 100) " +
+            "as bigint) div 32, 63L))").as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n"))
+        val sketch = runToTable(s, hist, "graft_st11", "complete")
+        val lower = sketch.select(col("bucket").as("lb"),
+          col("n").as("ln"))
+        val cum = sketch
+          .join(broadcast(lower), col("lb") <= col("bucket"))
+          .groupBy("bucket").agg(sum(col("ln")).as("cum_n"))
+        val total = sketch.agg(sum("n").as("total_n"))
+        val qs = Seq(50L, 90L, 99L).toDF("q")
+        val pick = cum.crossJoin(broadcast(total))
+          .crossJoin(broadcast(qs))
+          .filter(col("cum_n") * 100 >= col("q") * col("total_n"))
+          .groupBy("q").agg(min("bucket").as("bucket"))
+        pick.join(cum, Seq("bucket"))
+          .crossJoin(broadcast(total))
+          .select("q", "bucket", "cum_n", "total_n")
+      },
+      Some("""WITH v AS (SELECT greatest(0, least(
+        |          CAST(round(value * 100) AS BIGINT) // 32, 63))
+        |          AS bucket FROM events),
+        |h AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n
+        |      FROM v GROUP BY 1),
+        |c AS (SELECT a.bucket, CAST(sum(b.n) AS BIGINT) AS cum_n
+        |      FROM h a JOIN h b ON b.bucket <= a.bucket GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total_n FROM h),
+        |qq AS (SELECT unnest([50, 90, 99]) AS q),
+        |pick AS (SELECT qq.q, min(c.bucket) AS bucket
+        |         FROM qq CROSS JOIN t
+        |         JOIN c ON c.cum_n * 100 >= qq.q * t.total_n
+        |         GROUP BY 1)
+        |SELECT CAST(pick.q AS BIGINT) AS q,
+        |  CAST(pick.bucket AS BIGINT) AS bucket, c.cum_n, t.total_n
+        |FROM pick JOIN c USING (bucket) CROSS JOIN t""".stripMargin)),
   )
 }

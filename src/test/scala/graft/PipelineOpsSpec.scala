@@ -644,4 +644,27 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .groupBy(identity).map { case (k, vs) => k -> vs.size.toLong }
     assert(r == local, "3-round peel must match the local recount")
   }
+
+  test("st11_stream_quantiles picks minimal buckets in order") {
+    val r = graft.ops.StreamQueries.queries("st11_stream_quantiles")
+      .fn(spark, sfDir).collect()
+      .map(row => row.getAs[Long]("q") ->
+        (row.getAs[Long]("bucket"), row.getAs[Long]("cum_n"),
+          row.getAs[Long]("total_n"))).toMap
+    assert(r.keySet == Set(50L, 90L, 99L))
+    val total = r(50L)._3
+    assert(r.values.forall(_._3 == total))
+    // each pick reaches its share, and quantiles are monotone
+    r.foreach { case (q, (_, cum, tot)) => assert(cum * 100 >= q * tot) }
+    assert(r(50L)._1 <= r(90L)._1 && r(90L)._1 <= r(99L)._1)
+    // minimality: the histogram bucket below the p50 pick is short of 50%
+    val hist = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(expr("greatest(0L, least(cast(round(value * 100) as " +
+        "bigint) div 32, 63L))").as("bucket"))
+      .groupBy("bucket").count().collect()
+      .map(row => row.getAs[Long]("bucket") -> row.getAs[Long]("count"))
+      .toMap
+    val below50 = hist.filter(_._1 < r(50L)._1).values.sum
+    assert(below50 * 100 < 50 * total, "p50 pick must be minimal")
+  }
 }
