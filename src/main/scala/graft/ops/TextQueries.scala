@@ -1855,6 +1855,88 @@ object TextQueries {
         |SELECT doc_id, score_avg_ppm, u FROM coin
         |WHERE u < least(score_avg_ppm // 2, 1000000)""".stripMargin)),
 
+    // Weighted sampling without replacement, Efraimidis-Spirakis
+    // A-ES shape: each doc draws a deterministic uniform u and gets
+    // priority u^(1/w) (w = n_chars); the k highest priorities are the
+    // weighted sample. Comparing u^(1/w) is comparing log2(u)/w, so
+    // the priority is carried as the INTEGER bit-length log2 with a
+    // 16-bit linear mantissa (the rag_bm25_topk quantization) divided
+    // by the weight — log-free, bit-exact in both engines. Distributed
+    // shape: one narrow map (hash + key arithmetic) then top-20 via
+    // TakeOrderedAndProject — per-partition partial top-k, only k rows
+    // per partition reach the driver-side merge; the corpus never
+    // shuffles. This is how you draw a weighted 10M-doc sample from
+    // 100 TB in one pass.
+    "sample_weighted_topk" -> Q(
+      (s, dir) => {
+        table(s, dir, "documents").select("doc_id", "n_chars")
+          .withColumn("u_ppm",
+            conv(substring(md5(concat(lit("wrs:"),
+              col("doc_id").cast("string")).cast("binary")), 1, 12), 16, 10)
+              .cast("long") % 1000000L + 1L)
+          .withColumn("lg", expr("length(bin(u_ppm)) - 1"))
+          .withColumn("p2", expr("shiftleft(1L, lg)"))
+          // L2(1e6) = 1304708 in the same quantization; key is the
+          // (negated, scaled) E-S log-priority -log2(u)/w
+          .withColumn("key", expr(
+            "(1304708L - (lg * 65536L + ((u_ppm - p2) * 65536L) div p2))" +
+              " * 1000000L div n_chars"))
+          .orderBy(col("key").asc, col("doc_id").asc)
+          .limit(20)
+          .select("doc_id", "n_chars", "u_ppm", "key")
+      },
+      Some("""WITH u AS (SELECT doc_id, n_chars,
+        |        ('0x' || substr(md5('wrs:' || doc_id), 1, 12))::BIGINT
+        |          % 1000000 + 1 AS u_ppm
+        |      FROM documents),
+        |k AS (SELECT doc_id, n_chars, u_ppm,
+        |        (1304708 - ((length(bin(u_ppm)) - 1) * 65536
+        |          + ((u_ppm - (1::BIGINT << (length(bin(u_ppm)) - 1)))
+        |             * 65536) // (1::BIGINT << (length(bin(u_ppm)) - 1))))
+        |          * 1000000 // n_chars AS key
+        |      FROM u)
+        |SELECT doc_id, n_chars, u_ppm, CAST(key AS BIGINT) AS key
+        |FROM k ORDER BY key ASC, doc_id ASC LIMIT 20""".stripMargin)),
+
+    // Corpus-health telemetry: per-source exact-duplication rate — the
+    // report a production dedup pass emits before destructive delete
+    // (which sources are polluting the corpus?). Two keyed aggregates:
+    // text-hash groups (map-side partial), then per-source counts with
+    // the dup flag; rates in integer ppm. At 100 TB this is the same
+    // one-pass shape as dedup_exact plus a source-sized rollup.
+    "report_dup_rate" -> Q(
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+          .select("doc_id", "text", "source")
+        val c = d.unionAll(d.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text"),
+            col("source")))
+        val groups = c.groupBy(md5(col("text").cast("binary")).as("h"))
+          .agg(count(lit(1)).as("copies"))
+        c.withColumn("h", md5(col("text").cast("binary")))
+          .join(groups, Seq("h"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("copies") > 1, 1L).otherwise(0L)).as("n_dup"))
+          .withColumn("dup_ppm", expr("n_dup * 1000000 div n_docs"))
+          .select("source", "n_docs", "n_dup", "dup_ppm")
+      },
+      Some("""WITH corpus AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, text, source
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |g AS (SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS copies
+        |      FROM corpus GROUP BY 1),
+        |j AS (SELECT c.source, g.copies
+        |      FROM corpus c JOIN g ON g.h = md5(c.text)),
+        |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |          CAST(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_dup
+        |        FROM j GROUP BY 1)
+        |SELECT source, n_docs, n_dup, n_dup * 1000000 // n_docs AS dup_ppm
+        |FROM agg""".stripMargin)),
+
     // Two-stage near-dup VERIFICATION — the production second stage of
     // MinHash-LSH dedup. An LSH candidate pair only proves one band
     // (2 of 8 minhash slots) collided; before destroying data, real

@@ -667,4 +667,43 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val below50 = hist.filter(_._1 < r(50L)._1).values.sum
     assert(below50 * 100 < 50 * total, "p50 pick must be minimal")
   }
+
+  test("sample_weighted_topk favors heavy docs and keys are minimal") {
+    val r = TextQueries.queries("sample_weighted_topk").fn(spark, sfDir)
+      .collect()
+    assert(r.length == 20)
+    val keys = r.map(_.getAs[Long]("key"))
+    assert(keys.zip(keys.tail).forall { case (a, b) => a <= b },
+      "sample rows must arrive in ascending key order")
+    val corpusAvg = spark.read.parquet(s"$sfDir/documents.parquet")
+      .agg(avg("n_chars")).collect()(0).getDouble(0)
+    val sampleAvg = r.map(_.getAs[Long]("n_chars")).sum.toDouble / 20
+    assert(sampleAvg > corpusAvg,
+      s"weighted sample must lean heavy: $sampleAvg vs corpus $corpusAvg")
+  }
+
+  test("report_dup_rate counts exactly the planted duplicates") {
+    val r = TextQueries.queries("report_dup_rate").fn(spark, sfDir)
+      .collect()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "source").collect()
+      .map(row => (row.getAs[Long]("doc_id"), row.getAs[String]("text"),
+        row.getAs[String]("source")))
+    val corpus = docs ++ docs.filter(_._1 % 3 == 0)
+      .map { case (id, t, s0) => (id + 10000, t, s0) }
+    val byText = corpus.groupBy(_._2).view.mapValues(_.length).toMap
+    val expected = corpus.groupBy(_._3).map { case (src, rows) =>
+      src -> (rows.length.toLong,
+        rows.count(row => byText(row._2) > 1).toLong)
+    }
+    r.foreach { row =>
+      val src = row.getAs[String]("source")
+      val (n, nd) = expected(src)
+      assert(row.getAs[Long]("n_docs") == n &&
+        row.getAs[Long]("n_dup") == nd,
+        s"source $src: expected ($n, $nd), got $row")
+      assert(row.getAs[Long]("dup_ppm") == nd * 1000000 / n)
+    }
+    assert(r.length == expected.size)
+  }
 }
