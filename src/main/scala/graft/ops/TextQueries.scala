@@ -1855,6 +1855,49 @@ object TextQueries {
         |SELECT doc_id, score_avg_ppm, u FROM coin
         |WHERE u < least(score_avg_ppm // 2, 1000000)""".stripMargin)),
 
+    // Model-eval telemetry: language-ID confusion matrix — the
+    // registered text_langid classifier's predictions crossed with the
+    // corpus's stored lang labels, with per-true-language row shares
+    // in ppm. The eval-harness shape every classifier gate needs
+    // before it filters 100 TB: one doc_id join (co-partitioned), one
+    // label-space-sized aggregate, one broadcast normalization.
+    "report_langid_confusion" -> Q(
+      (s, dir) => {
+        val pred = queries("text_langid").fn(s, dir)
+          .select("doc_id", "pred_lang")
+        val truth = table(s, dir, "documents").select("doc_id", "lang")
+        val cm = truth.join(pred, Seq("doc_id"))
+          .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+        val tot = cm.groupBy("lang").agg(sum("n").as("tot"))
+        cm.join(broadcast(tot), Seq("lang"))
+          .withColumn("share_ppm", expr("n * 1000000 div tot"))
+          .select("lang", "pred_lang", "n", "share_ppm")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+        |         FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(list_filter(w, x -> x = 'the' OR x = 'a' OR x = 'of')) AS s_en,
+        |  len(list_filter(w, x -> x = 'der' OR x = 'die' OR x = 'und')) AS s_de,
+        |  len(list_filter(w, x -> x = 'le' OR x = 'la' OR x = 'et')) AS s_fr,
+        |  len(list_filter(w, x -> x = 'el' OR x = 'los' OR x = 'y')) AS s_es,
+        |  len(list_filter(w, x -> x = 'il' OR x = 'di' OR x = 'che')) AS s_it
+        |  FROM w),
+        |p AS (SELECT doc_id,
+        |  CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_it) <= 0 THEN 'unknown'
+        |       WHEN s_en >= greatest(s_de, s_fr, s_es, s_it) THEN 'en'
+        |       WHEN s_de >= greatest(s_fr, s_es, s_it) THEN 'de'
+        |       WHEN s_fr >= greatest(s_es, s_it) THEN 'fr'
+        |       WHEN s_es >= s_it THEN 'es'
+        |       ELSE 'it' END AS pred_lang
+        |  FROM s),
+        |cm AS (SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n
+        |       FROM documents d JOIN p USING (doc_id) GROUP BY 1, 2),
+        |t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS tot
+        |      FROM cm GROUP BY 1)
+        |SELECT cm.lang, cm.pred_lang, cm.n,
+        |  cm.n * 1000000 // t.tot AS share_ppm
+        |FROM cm JOIN t USING (lang)""".stripMargin)),
+
     // Weighted sampling without replacement, Efraimidis-Spirakis
     // A-ES shape: each doc draws a deterministic uniform u and gets
     // priority u^(1/w) (w = n_chars); the k highest priorities are the

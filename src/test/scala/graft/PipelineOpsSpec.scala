@@ -706,4 +706,17 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(r.length == expected.size)
   }
+
+  test("report_langid_confusion covers the corpus and rows sum to 1e6") {
+    val r = TextQueries.queries("report_langid_confusion").fn(spark, sfDir)
+      .collect()
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(r.map(_.getAs[Long]("n")).sum == nDocs,
+      "confusion matrix must cover every document exactly once")
+    r.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
+      val share = rows.map(_.getAs[Long]("share_ppm")).sum
+      assert(share <= 1000000 && share > 1000000 - rows.length,
+        s"true-lang row $lang must sum to ~1e6 ppm: $share")
+    }
+  }
 }
