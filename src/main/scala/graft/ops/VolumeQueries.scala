@@ -930,6 +930,37 @@ object VolumeQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)""".stripMargin)),
 
+    // W11: TIME-RANGE window frame — the other window-frame semantic
+    // (w1 is ROWS-based): a trailing 30-minute per-user sum/count,
+    // RANGE BETWEEN interval PRECEDING AND CURRENT ROW, peers at the
+    // same timestamp included by value not position. The rolling-
+    // exposure / rate-limit shape on an event log. Partitioned by
+    // user (never global); cents-integer sums; the frame bound is an
+    // epoch-micros literal identical in both engines.
+    "w11_rolling_range_window" -> Q(
+      (s, dir) => {
+        val src = table(s, dir, "events")
+        val e = src.select(col("event_id"), col("user_id"),
+          Derived.tsMicros(src.schema).as("tus"),
+          round(col("value") * 100).cast("long").as("vc"))
+        val w = Window.partitionBy("user_id").orderBy(col("tus"))
+          .rangeBetween(-1800000000L, 0)
+        e.select(col("event_id"), col("user_id"),
+          sum(col("vc")).over(w).as("trail_sum_c"),
+          count(lit(1)).over(w).as("trail_n"))
+      },
+      Some("""WITH e AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus,
+        |         CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(sum(vc) OVER w AS BIGINT) AS trail_sum_c,
+        |  CAST(count(*) OVER w AS BIGINT) AS trail_n
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tus
+        |             RANGE BETWEEN 1800000000 PRECEDING
+        |               AND CURRENT ROW)""".stripMargin)),
+
     // Q1-style pricing summary — headline scan+agg for the bench
     // TPC-H Q3 shape (shipping priority): segment-filtered customer
     // broadcast into orders ⋈ lineitem co-partitioned on the order
