@@ -1855,6 +1855,42 @@ object TextQueries {
         |SELECT doc_id, score_avg_ppm, u FROM coin
         |WHERE u < least(score_avg_ppm // 2, 1000000)""".stripMargin)),
 
+    // Dedup-harness telemetry: LSH RECALL against the planted ground
+    // truth. The dirty corpus plants one known near-duplicate per even
+    // doc_id (first word dropped, id+10000); this measures how many of
+    // those the banded MinHash-LSH candidate stage actually recovers —
+    // the empirical point on the (bands, rows) S-curve that tells you
+    // whether the LSH config is destroying recall before the verify
+    // stage ever runs. Ground truth restricted to pairs BOTH sides of
+    // which can shingle (original >= 4 words). One broadcast-sized
+    // join between the candidate graph and the planted-pair table.
+    "report_lsh_recall" -> Q(
+      (s, dir) => {
+        val pairs = sharedPairs(s, dir)
+        val truth = table(s, dir, "documents")
+          .filter(col("doc_id") % 2 === 0 &&
+            size(split(col("text"), " ")) >= 4)
+          .select(col("doc_id").as("a"),
+            (col("doc_id") + 10000).as("b"))
+        val nT = truth.agg(count(lit(1)).as("n_truth"))
+        val nR = truth.join(pairs, Seq("a", "b"))
+          .agg(count(lit(1)).as("n_recovered"))
+        broadcast(nT).crossJoin(broadcast(nR))
+          .select(col("n_truth"), col("n_recovered"),
+            expr("n_recovered * 1000000 div n_truth").as("recall_ppm"))
+      },
+      Some(s"""WITH $PairsCtes,
+        |truth AS (SELECT doc_id AS a, doc_id + 10000 AS b
+        |          FROM documents
+        |          WHERE doc_id % 2 = 0
+        |            AND len(string_split(text, ' ')) >= 4),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+        |r AS (SELECT CAST(count(*) AS BIGINT) AS n_recovered
+        |      FROM truth JOIN pairs USING (a, b))
+        |SELECT t.n_truth, r.n_recovered,
+        |  r.n_recovered * 1000000 // t.n_truth AS recall_ppm
+        |FROM t CROSS JOIN r""".stripMargin)),
+
     // Model-eval telemetry: language-ID confusion matrix — the
     // registered text_langid classifier's predictions crossed with the
     // corpus's stored lang labels, with per-true-language row shares

@@ -264,6 +264,66 @@ object VolumeQueries {
         |SELECT label, count(*) AS n FROM voxels GROUP BY label
         |ORDER BY n DESC, label LIMIT 20""".stripMargin)),
 
+    // A1d: KMV/theta-sketch SET OPERATIONS — the sketch family's
+    // answer to what HLL cannot do: estimate |A∩B| between two label
+    // sets without materializing either. A = labels in the lower half
+    // volume (z < 16), B = labels in the upper half. Each set keeps
+    // its k=64 SMALLEST 48-bit hashes (one TakeOrderedAndProject per
+    // side — k rows cross the wire at any scale); theta = min of the
+    // two k-th values; intersection samples = common labels with
+    // hash STRICTLY below theta; every estimate is (k-1 or n)·2^48
+    // div threshold in exact int64. The oracle replays hash, rank,
+    // and estimator arithmetic bit-for-bit.
+    "a1d_kmv_intersection" -> Q(
+      (s, dir) => {
+        val dom = 1L << 48
+        def sk(df: DataFrame) = df.select(col("label")).distinct()
+          .select(col("label"),
+            conv(substring(md5(concat(lit("kmv:"),
+              col("label").cast("string")).cast("binary")), 1, 12), 16, 10)
+              .cast("long").as("h"))
+          .orderBy(col("h").asc).limit(64)
+        val v = voxels(s, dir)
+        val sa = sk(v.filter(col("z") < 16)).localCheckpoint()
+        val sb = sk(v.filter(col("z") >= 16)).localCheckpoint()
+        val ta = sa.agg(max("h").as("theta_a"))
+        val tb = sb.agg(max("h").as("theta_b"))
+        val inter = sa.join(sb.select("label"), Seq("label"))
+          .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+          .filter(col("h") < least(col("theta_a"), col("theta_b")))
+          .agg(count(lit(1)).as("n_inter_samples"))
+        broadcast(ta).crossJoin(broadcast(tb)).crossJoin(broadcast(inter))
+          .select(lit(64L).as("k"),
+            least(col("theta_a"), col("theta_b")).as("theta"),
+            expr(s"63 * ${dom}L div theta_a").as("est_a"),
+            expr(s"63 * ${dom}L div theta_b").as("est_b"),
+            col("n_inter_samples"),
+            expr(s"n_inter_samples * ${dom}L div " +
+              "least(theta_a, theta_b)").as("est_inter"))
+      },
+      Some(s"""WITH $VoxelsCte,
+        |la AS (SELECT DISTINCT label FROM voxels WHERE z < 16),
+        |lb AS (SELECT DISTINCT label FROM voxels WHERE z >= 16),
+        |ha AS (SELECT label, ('0x' || substr(md5('kmv:' || label), 1, 12))
+        |         ::BIGINT AS h FROM la),
+        |hb AS (SELECT label, ('0x' || substr(md5('kmv:' || label), 1, 12))
+        |         ::BIGINT AS h FROM lb),
+        |sa AS (SELECT label, h FROM ha ORDER BY h LIMIT 64),
+        |sb AS (SELECT label, h FROM hb ORDER BY h LIMIT 64),
+        |ta AS (SELECT max(h) AS theta_a FROM sa),
+        |tb AS (SELECT max(h) AS theta_b FROM sb),
+        |i AS (SELECT CAST(count(*) AS BIGINT) AS n_inter_samples
+        |      FROM sa JOIN sb USING (label) CROSS JOIN ta CROSS JOIN tb
+        |      WHERE sa.h < least(theta_a, theta_b))
+        |SELECT CAST(64 AS BIGINT) AS k,
+        |  least(theta_a, theta_b) AS theta,
+        |  63 * 281474976710656 // theta_a AS est_a,
+        |  63 * 281474976710656 // theta_b AS est_b,
+        |  i.n_inter_samples,
+        |  i.n_inter_samples * 281474976710656
+        |    // least(theta_a, theta_b) AS est_inter
+        |FROM ta CROSS JOIN tb CROSS JOIN i""".stripMargin)),
+
     // A1 at sketch scale: HyperLogLog cardinality estimate (Flajolet
     // 2007) vs the exact distinct count. m=256 registers over a
     // 48-bit md5 hash: bucket = h % 256, rho = leading-zeros(h div

@@ -707,6 +707,42 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.length == expected.size)
   }
 
+  test("a1d_kmv_intersection estimates land in the KMV error envelope") {
+    val r = VolumeQueries.queries("a1d_kmv_intersection").fn(spark, sfDir)
+      .collect()(0)
+    val v = graft.ops.Derived.voxels(spark, sfDir)
+    val a = v.filter(col("z") < 16).select("label").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val b = v.filter(col("z") >= 16).select("label").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val inter = (a & b).size
+    // k=64 -> relative sigma ~ 1/sqrt(k-2) ~ 13%; allow 4 sigma
+    def within(est: Long, truth: Int, tol: Double) =
+      math.abs(est - truth) <= tol * truth
+    assert(within(r.getAs[Long]("est_a"), a.size, 0.5),
+      s"est_a ${r.getAs[Long]("est_a")} vs ${a.size}")
+    assert(within(r.getAs[Long]("est_b"), b.size, 0.5),
+      s"est_b ${r.getAs[Long]("est_b")} vs ${b.size}")
+    assert(within(r.getAs[Long]("est_inter"), inter, 0.6),
+      s"est_inter ${r.getAs[Long]("est_inter")} vs $inter")
+    assert(r.getAs[Long]("n_inter_samples") <= 64)
+  }
+
+  test("report_lsh_recall is consistent with the candidate pair graph") {
+    val r = TextQueries.queries("report_lsh_recall").fn(spark, sfDir)
+      .collect()(0)
+    val (nT, nR, recall) = (r.getAs[Long]("n_truth"),
+      r.getAs[Long]("n_recovered"), r.getAs[Long]("recall_ppm"))
+    assert(nT > 0 && nR <= nT && recall == nR * 1000000 / nT)
+    assert(nR > 0, "LSH must recover at least one planted near-dup")
+    // cross-check against the candidate graph itself
+    val planted = TextQueries.queries("dedup_minhash_lsh").fn(spark, sfDir)
+      .filter(col("b") === col("a") + 10000 && col("a") % 2 === 0)
+      .count()
+    assert(nR <= planted,
+      "recovered planted pairs must be a subset of candidate planted pairs")
+  }
+
   test("report_langid_confusion covers the corpus and rows sum to 1e6") {
     val r = TextQueries.queries("report_langid_confusion").fn(spark, sfDir)
       .collect()
