@@ -184,5 +184,57 @@ object GraphQueries {
         |b3 AS (SELECT u, v FROM e3 UNION ALL SELECT v, u FROM e3)
         |SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
         |FROM b3 GROUP BY 1""".stripMargin)),
+
+    // Link prediction by neighbor-set Jaccard: score every NON-edge
+    // (a, c) that shares at least one neighbor by |N(a)∩N(c)| /
+    // |N(a)∪N(c)| — the classic graph-ML similarity feature.
+    // Distributed shape: candidate pairs come from the WEDGE join
+    // (two keyed joins through the shared middle vertex — the same
+    // path join as triangle counting, so candidates are wedge-bounded,
+    // never all-pairs), existing edges drop via one anti-join, degrees
+    // broadcast, and top-20 rides TakeOrderedAndProject. Scores in
+    // integer ppm for the oracle.
+    "graph_link_pred" -> Q(
+      (s, dir) => {
+        val e = edges(s, dir).localCheckpoint()
+        val nb = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+        val deg = nb.groupBy("u").agg(count(lit(1)).as("deg"))
+        val wedges = nb.select(col("u").as("a"), col("v").as("b"))
+          .join(nb.select(col("u").as("b"), col("v").as("c")), Seq("b"))
+          .filter(col("a") < col("c"))
+        val common = wedges
+          .join(e.select(col("u").as("a"), col("v").as("c")),
+            Seq("a", "c"), "left_anti")
+          .groupBy("a", "c").agg(count(lit(1)).as("common"))
+        common
+          .join(broadcast(deg.select(col("u").as("a"),
+            col("deg").as("da"))), Seq("a"))
+          .join(broadcast(deg.select(col("u").as("c"),
+            col("deg").as("dc"))), Seq("c"))
+          .withColumn("jacc_ppm",
+            expr("common * 1000000 div (da + dc - common)"))
+          .orderBy(col("jacc_ppm").desc, col("a").asc, col("c").asc)
+          .limit(20)
+          .select("a", "c", "common", "da", "dc", "jacc_ppm")
+      },
+      Some(s"""WITH $EdgeCte,
+        |nb AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg
+        |        FROM nb GROUP BY 1),
+        |w AS (SELECT n1.u AS a, n2.v AS c
+        |      FROM nb n1 JOIN nb n2 ON n2.u = n1.v
+        |      WHERE n1.u < n2.v),
+        |cand AS (SELECT a, c, CAST(count(*) AS BIGINT) AS common
+        |         FROM w
+        |         WHERE NOT EXISTS (SELECT 1 FROM edges e
+        |                           WHERE e.u = w.a AND e.v = w.c)
+        |         GROUP BY 1, 2)
+        |SELECT cand.a, cand.c, cand.common,
+        |  da.deg AS da, dc.deg AS dc,
+        |  cand.common * 1000000 // (da.deg + dc.deg - cand.common)
+        |    AS jacc_ppm
+        |FROM cand JOIN deg da ON da.u = cand.a
+        |JOIN deg dc ON dc.u = cand.c
+        |ORDER BY jacc_ppm DESC, a ASC, c ASC LIMIT 20""".stripMargin)),
   )
 }

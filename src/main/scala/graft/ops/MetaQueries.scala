@@ -491,6 +491,31 @@ object MetaQueries {
         |  p.n * 1000000 // t.tot AS p_ppm
         |FROM p JOIN t USING (prev_type)""".stripMargin)),
 
+    // W12 (pipeline extension): SEMI-STRUCTURED column handling — the
+    // events table's `props` column is a JSON string; extract a typed
+    // field (get_json_object, codegen'd) and aggregate it per event
+    // type. The log-processing reality at 100 TB: JSON stays a string
+    // in the lake, extraction is a narrow map feeding a partial-agg'd
+    // keyed aggregate — no UDF, no schema migration. Integer stats so
+    // the oracle (json_extract_string in DuckDB) replays exactly.
+    "w12_props_json_agg" -> Q(
+      (s, dir) => {
+        table(s, dir, "events")
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("k").as("k_sum"),
+            min("k").as("k_min"), max("k").as("k_max"))
+      },
+      Some("""WITH e AS (SELECT event_type,
+        |          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |        FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(k) AS BIGINT) AS k_sum,
+        |  CAST(min(k) AS BIGINT) AS k_min,
+        |  CAST(max(k) AS BIGINT) AS k_max
+        |FROM e GROUP BY 1""".stripMargin)),
+
     // W7 (pipeline extension): ordered funnel analysis — the product-
     // analytics pass over the event log (view -> click -> purchase,
     // each step's timestamp strictly after the previous step's). Two

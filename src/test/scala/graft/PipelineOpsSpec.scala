@@ -743,6 +743,53 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "recovered planted pairs must be a subset of candidate planted pairs")
   }
 
+  test("w12_props_json_agg recovers the typed field from JSON strings") {
+    val r = MetaQueries.queries("w12_props_json_agg").fn(spark, sfDir)
+      .collect()
+    val e = spark.read.parquet(s"$sfDir/events.parquet").count()
+    assert(r.map(_.getAs[Long]("n")).sum == e,
+      "every event row must be aggregated exactly once")
+    r.foreach { row =>
+      val (n, s0, mn, mx) = (row.getAs[Long]("n"),
+        row.getAs[Long]("k_sum"), row.getAs[Long]("k_min"),
+        row.getAs[Long]("k_max"))
+      assert(mn <= mx && s0 >= n * mn && s0 <= n * mx,
+        s"json field stats inconsistent: $row")
+    }
+  }
+
+  test("graph_link_pred scores non-edges only, jaccard within bounds") {
+    val r = GraphQueries.queries("graph_link_pred").fn(spark, sfDir)
+      .collect()
+    assert(r.length == 20)
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_partkey", "l_suppkey").collect()
+    def md5mod(u: Long, v: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$u:$v".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(6).map(b => f"$b%02x").mkString, 16) % 10
+    }
+    val es = li.map { row =>
+      val a = row.getAs[Long]("l_partkey") % 200
+      val b = (row.getAs[Long]("l_partkey") / 7 +
+        row.getAs[Long]("l_suppkey")) % 200
+      (math.min(a, b), math.max(a, b))
+    }.filter { case (u, v) => u != v }.distinct
+      .filter { case (u, v) => md5mod(u, v) == 0 }.toSet
+    val nbrs = es.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    r.foreach { row =>
+      val (a, c) = (row.getAs[Long]("a"), row.getAs[Long]("c"))
+      assert(!es((a, c)), s"($a,$c) is an existing edge")
+      val common = (nbrs(a) & nbrs(c)).size.toLong
+      assert(row.getAs[Long]("common") == common,
+        s"common-neighbor recount mismatch for ($a,$c)")
+      val j = row.getAs[Long]("jacc_ppm")
+      assert(j > 0 && j <= 1000000)
+    }
+  }
+
   test("report_langid_confusion covers the corpus and rows sum to 1e6") {
     val r = TextQueries.queries("report_langid_confusion").fn(spark, sfDir)
       .collect()
