@@ -1855,6 +1855,126 @@ object TextQueries {
         |SELECT doc_id, score_avg_ppm, u FROM coin
         |WHERE u < least(score_avg_ppm // 2, 1000000)""".stripMargin)),
 
+    // Word co-occurrence PMI — the word2vec/GloVe pretraining prep:
+    // skip-gram pairs within a 2-token forward window, pointwise
+    // mutual information log2(p(ab) / p(a)p(b)) carried ENTIRELY in
+    // the integer bit-length log2 quantization (PMI is a log-space
+    // SUM/DIFFERENCE, so no division ever happens — no overflow at
+    // any corpus size, no rare-word div-by-zero). Distributed shape:
+    // one positional self-join co-partitioned on doc_id (window-
+    // bounded, never all-pairs), vocabulary-sized unigram broadcast,
+    // top-20 by TakeOrderedAndProject. Min pair count 5 drops
+    // rare-pair noise.
+    "text_cooccurrence_pmi" -> Q(
+      (s, dir) => {
+        def l2(c: String) =
+          s"((length(bin($c)) - 1) * 65536L + (($c - " +
+            s"shiftleft(1L, length(bin($c)) - 1)) * 65536L) div " +
+            s"shiftleft(1L, length(bin($c)) - 1))"
+        val wp = table(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+          .localCheckpoint() // feeds unigrams, totals, both join sides
+        val uni = wp.groupBy("w").agg(count(lit(1)).as("n"))
+        val tot = wp.agg(count(lit(1)).as("tot_tokens"))
+        val p2 = wp.select(col("doc_id"), col("pos").as("pos2"),
+          col("w").as("w2"))
+        val co = wp.join(p2, Seq("doc_id"))
+          .filter((col("pos2") - col("pos")).between(1, 2))
+          .select(least(col("w"), col("w2")).as("wa"),
+            greatest(col("w"), col("w2")).as("wb"))
+          .groupBy("wa", "wb").agg(count(lit(1)).as("n_ab"))
+        val tp = co.agg(sum("n_ab").as("tot_pairs"))
+        co.filter(col("n_ab") >= 5)
+          .join(broadcast(uni.select(col("w").as("wa"),
+            col("n").as("na"))), Seq("wa"))
+          .join(broadcast(uni.select(col("w").as("wb"),
+            col("n").as("nb"))), Seq("wb"))
+          .crossJoin(broadcast(tot)).crossJoin(broadcast(tp))
+          .withColumn("pmi_micro", expr(
+            s"${l2("n_ab")} + 2 * ${l2("tot_tokens")} - ${l2("na")}" +
+              s" - ${l2("nb")} - ${l2("tot_pairs")}"))
+          .orderBy(col("pmi_micro").desc, col("wa").asc, col("wb").asc)
+          .limit(20)
+          .select("wa", "wb", "n_ab", "na", "nb", "pmi_micro")
+      },
+      { def l2(c: String) =
+          s"((length(bin($c)) - 1) * 65536 + (($c - " +
+            s"(1::BIGINT << (length(bin($c)) - 1))) * 65536) // " +
+            s"(1::BIGINT << (length(bin($c)) - 1)))"
+        Some(s"""WITH wl AS (SELECT doc_id, string_split(text, ' ') AS w
+        |          FROM documents),
+        |wp AS (SELECT doc_id, unnest(w) AS w,
+        |         generate_subscripts(w, 1) AS pos FROM wl),
+        |co0 AS (SELECT least(a.w, b.w) AS wa, greatest(a.w, b.w) AS wb
+        |        FROM wp a JOIN wp b ON a.doc_id = b.doc_id
+        |          AND b.pos - a.pos BETWEEN 1 AND 2),
+        |coc AS (SELECT wa, wb, CAST(count(*) AS BIGINT) AS n_ab
+        |        FROM co0 GROUP BY 1, 2),
+        |tp AS (SELECT CAST(sum(n_ab) AS BIGINT) AS tot_pairs FROM coc),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS n
+        |        FROM wp GROUP BY 1),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS tot_tokens FROM wp),
+        |sel AS (SELECT c.wa, c.wb, c.n_ab, ua.n AS na, ub.n AS nb,
+        |          tt.tot_tokens, tp.tot_pairs
+        |        FROM coc c
+        |        JOIN uni ua ON ua.w = c.wa JOIN uni ub ON ub.w = c.wb
+        |        CROSS JOIN tt CROSS JOIN tp
+        |        WHERE c.n_ab >= 5)
+        |SELECT wa, wb, n_ab, na, nb,
+        |  CAST(${l2("n_ab")} + 2 * ${l2("tot_tokens")} - ${l2("na")}
+        |    - ${l2("nb")} - ${l2("tot_pairs")} AS BIGINT) AS pmi_micro
+        |FROM sel
+        |ORDER BY pmi_micro DESC, wa ASC, wb ASC LIMIT 20""".stripMargin)
+      }),
+
+    // Quality-aware duplicate election: production dedup keeps the
+    // BEST member of each near-dup cluster, not the first — here the
+    // longest variant (max token count, tie-break min doc_id), which
+    // on the planted corpus means the untrimmed original must win its
+    // cluster. Same cluster machinery as dedup_keep (pointer-jumping
+    // min-label CC over the LSH pair graph); the election is one
+    // cluster-partitioned window — millions of tiny partitions at
+    // scale, never global.
+    "dedup_keep_best" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val pairs = sharedPairs(s, dir)
+        val edges = pairs.select(col("a").as("vid"), col("b").as("nvid"))
+          .unionAll(pairs.select(col("b").as("vid"), col("a").as("nvid")))
+        val nodes = edges.select("vid").distinct()
+        val clusters = ConnectedComponents.propagateMin(s, edges, nodes)
+          .select(col("vid").as("doc_id"), col("comp").as("cluster"))
+        val words = corpus(s, dir).select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_words"))
+        clusters.join(words, Seq("doc_id"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("cluster")
+              .orderBy(col("n_words").desc, col("doc_id").asc)))
+          .filter(col("rk") === 1)
+          .select(col("cluster"), col("doc_id").as("keep_id"),
+            col("n_words").as("keep_words"))
+      },
+      Some(s"""WITH RECURSIVE $PairsCtes,
+        |edges AS (SELECT a, b FROM pairs
+        |          UNION SELECT b AS a, a AS b FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT a AS id, a AS r FROM edges
+        |  UNION
+        |  SELECT t.id, e.b AS r FROM reach t JOIN edges e ON e.a = t.r),
+        |clusters AS (SELECT id AS doc_id, min(r) AS cluster
+        |             FROM reach GROUP BY id),
+        |words AS (SELECT doc_id,
+        |            CAST(len(string_split(text, ' ')) AS BIGINT)
+        |              AS n_words
+        |          FROM corpus),
+        |ranked AS (SELECT c.cluster, c.doc_id, w.n_words,
+        |    row_number() OVER (PARTITION BY c.cluster
+        |      ORDER BY w.n_words DESC, c.doc_id ASC) AS rk
+        |  FROM clusters c JOIN words w USING (doc_id))
+        |SELECT cluster, doc_id AS keep_id, n_words AS keep_words
+        |FROM ranked WHERE rk = 1""".stripMargin)),
+
     // Dedup-harness telemetry: LSH RECALL against the planted ground
     // truth. The dirty corpus plants one known near-duplicate per even
     // doc_id (first word dropped, id+10000); this measures how many of

@@ -1138,6 +1138,39 @@ object VolumeQueries {
         |  AND epoch_ns(o.o_orderdate) // 1000 < 852076800000000
         |GROUP BY 1""".stripMargin)),
 
+    // TPC-H Q18 shape (large-volume customers): the HAVING-gated
+    // aggregate pushed INTO a join — the fact table collapses to
+    // per-order quantity sums FIRST (partial-agg'd map-side), the
+    // HAVING filter shrinks it to the rare heavy orders, and only
+    // then do orders/customer join (both sides now small, AQE
+    // broadcasts). The anti-pattern this shape kills at 100 TB is
+    // joining the raw fact table before aggregating.
+    "q18_large_orders" -> Q(
+      (s, dir) => {
+        val heavy = table(s, dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(sum(round(col("l_quantity") * 100).cast("long"))
+            .as("total_qty_c"))
+          .filter(col("total_qty_c") > 15000L)
+        heavy
+          .join(table(s, dir, "orders")
+            .select("o_orderkey", "o_custkey"),
+            heavy("l_orderkey") === col("o_orderkey"))
+          .join(table(s, dir, "customer").select("c_custkey"),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("c_custkey"),
+            col("total_qty_c"))
+      },
+      Some("""WITH heavy AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+        |      AS BIGINT) AS total_qty_c
+        |  FROM lineitem GROUP BY 1 HAVING total_qty_c > 15000)
+        |SELECT o.o_orderkey, c.c_custkey, h.total_qty_c
+        |FROM heavy h
+        |JOIN orders o ON o.o_orderkey = h.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey""".stripMargin)),
+
     "q1_pricing" -> Q(
       (s, dir) => table(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")

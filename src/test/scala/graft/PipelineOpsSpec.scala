@@ -790,6 +790,67 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("dedup_keep_best elects the untrimmed original per cluster") {
+    val keeps = TextQueries.queries("dedup_keep_best").fn(spark, sfDir)
+      .collect()
+    assert(keeps.map(_.getAs[Long]("cluster")).distinct.length ==
+      keeps.length, "one keeper per cluster")
+    // wherever a planted pair (d, d+10000) landed in a cluster, the
+    // keeper cannot be a trimmed +10000 copy whose original is present
+    val kept = keeps.map(_.getAs[Long]("keep_id")).toSet
+    // the trimmed copy is strictly shorter, so if any +10000 doc was
+    // elected, its original must NOT be in the same cluster
+    val clusterOf = TextQueries.queries("dedup_cluster").fn(spark, sfDir)
+      .collect().map(row => row.getAs[Long]("doc_id") ->
+        row.getAs[Long]("cluster")).toMap
+    kept.filter(_ >= 10000).foreach { k =>
+      val orig = k - 10000
+      assert(!clusterOf.contains(orig) ||
+        clusterOf(orig) != clusterOf(k),
+        s"trimmed copy $k elected over its present original")
+    }
+  }
+
+  test("text_cooccurrence_pmi top pairs recount locally") {
+    val r = TextQueries.queries("text_cooccurrence_pmi").fn(spark, sfDir)
+      .collect()
+    assert(r.length == 20)
+    assert(r.forall(_.getAs[Long]("n_ab") >= 5))
+    val pmis = r.map(_.getAs[Long]("pmi_micro"))
+    assert(pmis.zip(pmis.tail).forall { case (x, y) => x >= y })
+    // local recount of the pair count for the top entry
+    val top = r(0)
+    val (wa, wb) = (top.getAs[String]("wa"), top.getAs[String]("wb"))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val ord = math.Ordering.String
+    val n = docs.map { t =>
+      val w = t.split(" ")
+      (0 until w.length).map { i =>
+        (1 to 2).count { d =>
+          i + d < w.length &&
+            ord.min(w(i), w(i + d)) == wa &&
+            ord.max(w(i), w(i + d)) == wb
+        }
+      }.sum
+    }.sum
+    assert(top.getAs[Long]("n_ab") == n.toLong,
+      s"local recount of ($wa,$wb) must match: got $n")
+  }
+
+  test("q18_large_orders rows all exceed the HAVING threshold") {
+    val r = VolumeQueries.queries("q18_large_orders").fn(spark, sfDir)
+      .collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_.getAs[Long]("total_qty_c") > 15000L))
+    val expected = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_orderkey")
+      .agg(sum(round(col("l_quantity") * 100).cast("long")).as("t"))
+      .filter(col("t") > 15000L).count()
+    assert(r.length.toLong == expected,
+      "every heavy order must appear exactly once")
+  }
+
   test("report_langid_confusion covers the corpus and rows sum to 1e6") {
     val r = TextQueries.queries("report_langid_confusion").fn(spark, sfDir)
       .collect()
