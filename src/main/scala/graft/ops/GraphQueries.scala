@@ -185,6 +185,35 @@ object GraphQueries {
         |SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
         |FROM b3 GROUP BY 1""".stripMargin)),
 
+    // Bipartite projection / market-basket co-occurrence: project the
+    // order-part bipartite graph onto parts — count how often two
+    // parts appear in the SAME order (the co-purchase graph behind
+    // recommendations). Scale shape: the pair fan-out happens inside
+    // an order (bounded by per-order line count, ~7 lines → ≤ 21
+    // pairs), via ONE self-join co-partitioned on the order key —
+    // never a global cross of the parts catalog; counts partial-agg;
+    // top-20 by TakeOrderedAndProject.
+    "graph_copurchase" -> Q(
+      (s, dir) => {
+        val lp = table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"),
+            col("l_partkey").cast("long").as("p"))
+          .distinct()
+        lp.join(lp.select(col("ok"), col("p").as("p2")), Seq("ok"))
+          .filter(col("p") < col("p2"))
+          .groupBy(col("p").as("pa"), col("p2").as("pb"))
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy(col("n_orders").desc, col("pa").asc, col("pb").asc)
+          .limit(20)
+      },
+      Some("""WITH lp AS (SELECT DISTINCT l_orderkey AS ok,
+        |          l_partkey AS p FROM lineitem)
+        |SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT)
+        |    AS n_orders
+        |FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p
+        |GROUP BY 1, 2
+        |ORDER BY n_orders DESC, pa ASC, pb ASC LIMIT 20""".stripMargin)),
+
     // Link prediction by neighbor-set Jaccard: score every NON-edge
     // (a, c) that shares at least one neighbor by |N(a)∩N(c)| /
     // |N(a)∪N(c)| — the classic graph-ML similarity feature.

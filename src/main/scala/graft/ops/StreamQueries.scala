@@ -130,6 +130,40 @@ object StreamQueries {
         |         AS sum_vc
         |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // §2.9 continued: SLIDING event-time windows — every event lands
+    // in TWO overlapping 1-hour windows (30-minute slide), the rate
+    // dashboard / rolling-SLA semantic tumbling windows (st1) cannot
+    // express. Structured Streaming expands the window set per row at
+    // ingest (state keys = windows × types, bounded by time range);
+    // the oracle replays the expansion with the two half-hour-aligned
+    // window starts each event belongs to.
+    "st12_stream_sliding_window" -> Q(
+      (s, dir) => {
+        val src = stageEvents(s, dir)
+        val schema = s.read.parquet(src).schema
+        val stream = s.readStream.schema(schema).parquet(src)
+          .select(timestamp_micros(Derived.tsMicros(schema)).as("ets"),
+            col("event_type"),
+            round(col("value") * 100).cast("long").as("vc"))
+          .groupBy(window(col("ets"), "1 hour", "30 minutes"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("vc")).as("sum_vc"))
+          .select(unix_micros(col("window.start")).as("wstart_us"),
+            col("event_type"), col("n"), col("sum_vc"))
+        runToTable(s, stream, "graft_st12", "complete")
+      },
+      Some("""WITH e AS (SELECT epoch_ns(ts) // 1000 AS tus, event_type,
+        |          CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |x AS (SELECT tus, event_type, vc,
+        |        unnest([(tus // 1800000000) * 1800000000,
+        |                (tus // 1800000000) * 1800000000 - 1800000000])
+        |          AS wstart_us
+        |      FROM e)
+        |SELECT wstart_us, event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(vc) AS BIGINT) AS sum_vc
+        |FROM x WHERE tus >= wstart_us AND tus < wstart_us + 3600000000
+        |GROUP BY 1, 2""".stripMargin)),
+
     // §2.9 time-axis ingest: the zarr3 t-chunked write as a micro-batch
     // sink (zarr3/metadata.py:211-261 — "a t-chunked write is a
     // micro-batch sink partitioned by time chunk"). Events aggregate

@@ -851,6 +851,35 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "every heavy order must appear exactly once")
   }
 
+  test("st12 sliding windows cover each event exactly twice") {
+    val r = graft.ops.StreamQueries.queries("st12_stream_sliding_window")
+      .fn(spark, sfDir).collect()
+    val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
+    assert(r.map(_.getAs[Long]("n")).sum == 2 * nEvents,
+      "1-hour windows on a 30-minute slide hold every event twice")
+    // window starts align to the 30-minute slide grid
+    assert(r.forall(_.getAs[Long]("wstart_us") % 1800000000L == 0))
+  }
+
+  test("graph_copurchase top pair recounts exactly") {
+    val r = GraphQueries.queries("graph_copurchase").fn(spark, sfDir)
+      .collect()
+    assert(r.length == 20)
+    r.foreach(row => assert(row.getAs[Long]("pa") <
+      row.getAs[Long]("pb")))
+    val ns = r.map(_.getAs[Long]("n_orders"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    val top = r(0)
+    val recount = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .filter(col("p").isin(top.getAs[Long]("pa"),
+        top.getAs[Long]("pb")))
+      .distinct()
+      .groupBy("ok").count().filter(col("count") === 2).count()
+    assert(top.getAs[Long]("n_orders") == recount,
+      "top co-purchase pair must recount")
+  }
+
   test("report_langid_confusion covers the corpus and rows sum to 1e6") {
     val r = TextQueries.queries("report_langid_confusion").fn(spark, sfDir)
       .collect()
