@@ -265,5 +265,75 @@ object GraphQueries {
         |FROM cand JOIN deg da ON da.u = cand.a
         |JOIN deg dc ON dc.u = cand.c
         |ORDER BY jacc_ppm DESC, a ASC, c ASC LIMIT 20""".stripMargin)),
+
+    // Label propagation (3 synchronous rounds): each node adopts the
+    // most frequent label among its neighbors, ties broken to the
+    // SMALLEST label — community detection with zero global state.
+    // A DIFFERENT iterative shape from min-propagation (CC) and
+    // peeling (k-core): each round is a per-node MODE election, done
+    // as two keyed shuffles — count labels per (node, label), then an
+    // integer argmax with priority cnt * 1000 + (999 - label) (node
+    // space is 200 < 999, neighbor count < 1000), so no window
+    // function, no driver state, and partial aggregation applies to
+    // both steps. Unrolled 3 rounds keep the oracle expressible; at
+    // scale the same round repeats to a fixpoint with per-round
+    // checkpointing exactly as in ConnectedComponents.
+    "graph_lpa" -> Q(
+      (s, dir) => {
+        val e = edges(s, dir).localCheckpoint()
+        val bidir = e.unionAll(
+          e.select(col("v").as("u"), col("u").as("v")))
+        val nodes = bidir.select(col("u").as("node")).distinct()
+        var lab = nodes.withColumn("label", col("node"))
+        for (_ <- 1 to 3) {
+          val elected = bidir
+            .join(lab.select(col("node").as("u"), col("label")), Seq("u"))
+            .groupBy(col("v").as("node"), col("label"))
+            .agg(count(lit(1)).as("cnt"))
+            .groupBy("node")
+            .agg(max(expr("cnt * 1000 + (999 - label)")).as("p"))
+            .select(col("node"), expr("999L - p % 1000").as("label"))
+          // every node in `nodes` has >= 1 neighbor (it came from the
+          // edge list), so the election always lands — inner join
+          lab = nodes.join(elected, Seq("node"))
+        }
+        // cap the 3-round lineage once: `lab` is consumed twice below
+        // (size aggregate + final join) and would otherwise re-derive
+        // the whole unrolled plan per consumer
+        val done = lab.localCheckpoint()
+        val sizes = done.groupBy("label").agg(count(lit(1)).as("csize"))
+        done.join(sizes, Seq("label")).select("node", "label", "csize")
+      },
+      Some(s"""WITH $EdgeCte,
+        |bidir AS (SELECT u, v FROM edges
+        |          UNION ALL SELECT v AS u, u AS v FROM edges),
+        |nodes AS (SELECT DISTINCT u AS node FROM bidir),
+        |l0 AS (SELECT node, node AS label FROM nodes),
+        |r1 AS (SELECT b.v AS node, l.label,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |       FROM bidir b JOIN l0 l ON l.node = b.u GROUP BY 1, 2),
+        |m1 AS (SELECT node, max(cnt * 1000 + (999 - label)) AS p
+        |       FROM r1 GROUP BY 1),
+        |l1 AS (SELECT n.node, 999 - (m.p % 1000) AS label
+        |       FROM nodes n JOIN m1 m ON m.node = n.node),
+        |r2 AS (SELECT b.v AS node, l.label,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |       FROM bidir b JOIN l1 l ON l.node = b.u GROUP BY 1, 2),
+        |m2 AS (SELECT node, max(cnt * 1000 + (999 - label)) AS p
+        |       FROM r2 GROUP BY 1),
+        |l2 AS (SELECT n.node, 999 - (m.p % 1000) AS label
+        |       FROM nodes n JOIN m2 m ON m.node = n.node),
+        |r3 AS (SELECT b.v AS node, l.label,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |       FROM bidir b JOIN l2 l ON l.node = b.u GROUP BY 1, 2),
+        |m3 AS (SELECT node, max(cnt * 1000 + (999 - label)) AS p
+        |       FROM r3 GROUP BY 1),
+        |l3 AS (SELECT n.node, CAST(999 - (m.p % 1000) AS BIGINT)
+        |         AS label
+        |       FROM nodes n JOIN m3 m ON m.node = n.node),
+        |sz AS (SELECT label, CAST(count(*) AS BIGINT) AS csize
+        |       FROM l3 GROUP BY 1)
+        |SELECT l3.node, l3.label, sz.csize
+        |FROM l3 JOIN sz USING (label)""".stripMargin)),
   )
 }

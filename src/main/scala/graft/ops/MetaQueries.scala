@@ -683,5 +683,76 @@ object MetaQueries {
         |  o_orderkey % 8 AS worker,
         |  count(*) OVER (PARTITION BY o_custkey) > 1 AS is_dup
         |FROM orders""".stripMargin)),
+
+    // Robust anomaly detection by median/MAD (the heavy-tail-safe
+    // complement to w9's z-score): per event_type, exact lower median
+    // and median-absolute-deviation, flagging values > 5×MAD out.
+    // The exact distributed median does NOT sort raw rows — it
+    // aggregates a VALUE HISTOGRAM per (type, value) first (one keyed
+    // shuffle, partial-agg friendly), then runs the cumulative-count
+    // window over histogram rows only (distinct values per type, not
+    // events), electing the value whose cumulative count first covers
+    // position (n+1) div 2. Same machinery again on |x − med| for the
+    // MAD. At 100 TB the window input is bounded by value cardinality
+    // — the corpus itself never passes through a sort.
+    "w13_anomaly_mad" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = table(s, dir, "events").select(col("event_type"),
+          round(col("value")).cast("long").as("vc"))
+        val wCum = Window.partitionBy("event_type").orderBy("vc")
+        val wAll = Window.partitionBy("event_type")
+        val med = e.groupBy("event_type", "vc")
+          .agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum("c").over(wCum))
+          .withColumn("n", sum("c").over(wAll))
+          .filter(expr("cum - c < (n + 1) div 2 AND (n + 1) div 2 <= cum"))
+          .select(col("event_type"), col("vc").as("med"), col("n"))
+        val dev = e.join(broadcast(med), Seq("event_type"))
+          .select(col("event_type"), col("vc"),
+            abs(col("vc") - col("med")).as("ad"), col("med"), col("n"))
+        val wCumA = Window.partitionBy("event_type").orderBy("ad")
+        val mad = dev.groupBy("event_type", "ad")
+          .agg(count(lit(1)).as("c"), max("n").as("n"))
+          .withColumn("cum", sum("c").over(wCumA))
+          .filter(expr("cum - c < (n + 1) div 2 AND (n + 1) div 2 <= cum"))
+          .select(col("event_type"), col("ad").as("mad"))
+        dev.join(broadcast(mad), Seq("event_type"))
+          .groupBy("event_type")
+          .agg(max("n").as("n"), max("med").as("med"),
+            max("mad").as("mad"),
+            sum(expr("IF(ad > 5 * mad, 1L, 0L)")).as("n_outliers"))
+      },
+      Some("""WITH e AS (SELECT event_type,
+        |          CAST(round(value) AS BIGINT) AS vc FROM events),
+        |h AS (SELECT event_type, vc, CAST(count(*) AS BIGINT) AS c
+        |      FROM e GROUP BY 1, 2),
+        |cum AS (SELECT event_type, vc, c,
+        |          sum(c) OVER (PARTITION BY event_type ORDER BY vc)
+        |            AS cum,
+        |          sum(c) OVER (PARTITION BY event_type) AS n
+        |        FROM h),
+        |med AS (SELECT event_type, vc AS med, CAST(n AS BIGINT) AS n
+        |        FROM cum
+        |        WHERE cum - c < (n + 1) // 2 AND (n + 1) // 2 <= cum),
+        |dev AS (SELECT e.event_type, e.vc, abs(e.vc - m.med) AS ad,
+        |          m.med, m.n
+        |        FROM e JOIN med m USING (event_type)),
+        |ha AS (SELECT event_type, ad, CAST(count(*) AS BIGINT) AS c,
+        |         max(n) AS n
+        |       FROM dev GROUP BY 1, 2),
+        |cuma AS (SELECT event_type, ad, c, n,
+        |           sum(c) OVER (PARTITION BY event_type ORDER BY ad)
+        |             AS cum
+        |         FROM ha),
+        |mad AS (SELECT event_type, ad AS mad FROM cuma
+        |        WHERE cum - c < (n + 1) // 2 AND (n + 1) // 2 <= cum)
+        |SELECT d.event_type, CAST(max(d.n) AS BIGINT) AS n,
+        |  CAST(max(d.med) AS BIGINT) AS med,
+        |  CAST(max(m.mad) AS BIGINT) AS mad,
+        |  CAST(sum(CASE WHEN d.ad > 5 * m.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY 1""".stripMargin)),
   )
 }

@@ -1229,5 +1229,169 @@ object SimilarityQueries {
         |  CAST(CASE WHEN sum(hit) > 0 THEN 1 ELSE 0 END AS BIGINT)
         |    AS contaminated
         |FROM h GROUP BY 1""".stripMargin)),
+
+    // Hybrid retrieval by reciprocal-rank fusion: fuse the BM25
+    // lexical ranking (rag_bm25_topk scoring, TextQueries) with the
+    // dense cosine ranking (sim_topk_bruteforce scoring) for the same
+    // query set, rrf = sum over lists of 1/(60 + rank) — the standard
+    // two-tower + lexical production retrieval stack. Corpus alignment
+    // doc_id = vec_id (the testdata's documents/embeddings tables are
+    // row-aligned). Scale shape: the dense side broadcasts the query
+    // rows against the corpus (no corpus shuffle) and top-20 rides
+    // WindowGroupLimit; the lexical side broadcasts query terms + df
+    // (vocab-sized); the FUSION inputs are k-sized per query (≤ 20
+    // rows per list), so the full-outer join and final re-rank move
+    // only O(queries × k) rows regardless of corpus size. RRF in
+    // integer ppm so the oracle replays exactly.
+    "rag_hybrid_rrf" -> Q(
+      (s, dir) => {
+        // dense list: integer-quantized cosine, rank per query
+        val e = table(s, dir, "embeddings")
+          .select(col("vec_id"), quantUdf(col("embedding")).as("q"))
+          .withColumn("nrm", norm2Udf(col("q")))
+        val qs = e.filter(col("vec_id").isin(7L, 42L, 128L))
+          .select(col("vec_id").as("qid"), col("q").as("qa"),
+            col("nrm").as("na"))
+        val dense = broadcast(qs)
+          .join(e.select(col("vec_id").as("id"), col("q").as("qb"),
+            col("nrm").as("nb")), col("qid") =!= col("id"))
+          .withColumn("dot", dotUdf(col("qa"), col("qb")))
+          .withColumn("cosine", round(col("dot") /
+            sqrt(col("na").cast("double") * col("nb").cast("double")), 6))
+          .withColumn("rd", row_number().over(Window.partitionBy("qid")
+            .orderBy(col("cosine").desc, col("id"))).cast("long"))
+          .filter(col("rd") <= 20)
+          .select(col("qid"), col("id"), col("rd"))
+        // lexical list: BM25 (identical integer scoring to
+        // rag_bm25_topk — see TextQueries.scala for the derivation)
+        val docs = table(s, dir, "documents").select("doc_id", "text")
+        val wd = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("term"))
+        val tf = wd.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dl = wd.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val dfT = wd.select("doc_id", "term").distinct()
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        val stats = wd.agg(count(lit(1)).as("total_dl"),
+          countDistinct("doc_id").as("n_docs"))
+        val qterms = docs.filter(col("doc_id").isin(7L, 42L, 128L))
+          .select(col("doc_id").as("qid"),
+            explode(expr("slice(split(text, ' '), 1, 4)")).as("term"))
+          .distinct()
+        val lexical = tf
+          .join(broadcast(qterms), Seq("term"))
+          .join(dl, Seq("doc_id"))
+          .join(broadcast(dfT), Seq("term"))
+          .crossJoin(broadcast(stats))
+          .withColumn("denom_ppm", expr(
+            "1000000L * tf + 300000L + " +
+              "(900000L * dl * n_docs) div total_dl"))
+          .withColumn("tfc_ppm",
+            expr("(2200000L * tf * 1000000L) div denom_ppm"))
+          .withColumn("v_ppm", expr(
+            "1000000L + ((2L * (n_docs - df) + 1L) * 1000000L) " +
+              "div (2L * df + 1L)"))
+          .withColumn("lg", expr("length(bin(v_ppm)) - 1"))
+          .withColumn("p2", expr("shiftleft(1L, lg)"))
+          .withColumn("idf_micro", expr(
+            "lg * 65536L + ((v_ppm - p2) * 65536L) div p2"))
+          .groupBy("qid", "doc_id")
+          .agg(sum(expr("idf_micro * tfc_ppm")).as("score"))
+          .withColumn("rb", row_number().over(Window.partitionBy("qid")
+            .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+          .filter(col("rb") <= 20)
+          .select(col("qid"), col("doc_id").as("id"), col("rb"))
+        dense.join(lexical, Seq("qid", "id"), "full_outer")
+          .select(col("qid"), col("id"),
+            coalesce(col("rd"), lit(0L)).as("rank_dense"),
+            coalesce(col("rb"), lit(0L)).as("rank_bm25"))
+          .withColumn("rrf_ppm", expr(
+            "IF(rank_dense > 0, 1000000L div (60 + rank_dense), 0L) + " +
+              "IF(rank_bm25 > 0, 1000000L div (60 + rank_bm25), 0L)"))
+          .withColumn("rank", row_number().over(Window.partitionBy("qid")
+            .orderBy(col("rrf_ppm").desc, col("id").asc)).cast("long"))
+          .filter(col("rank") <= 10)
+          .select("qid", "rank", "id", "rrf_ppm", "rank_dense",
+            "rank_bm25")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |t AS (SELECT vec_id, embedding,
+        |        unnest(generate_series(1, 64)) AS k FROM e),
+        |q AS (SELECT vec_id, k,
+        |        CAST(round(embedding[k]::DOUBLE * 1000) AS BIGINT) AS qv
+        |      FROM t),
+        |nrm AS (SELECT vec_id, sum(qv * qv) AS nrm FROM q GROUP BY 1),
+        |pairs AS (SELECT a.vec_id AS qid, b.vec_id AS id,
+        |            sum(qa.qv * qb.qv) AS dot
+        |          FROM e a JOIN e b ON a.vec_id IN (7, 42, 128)
+        |            AND a.vec_id <> b.vec_id
+        |          JOIN q qa ON qa.vec_id = a.vec_id
+        |          JOIN q qb ON qb.vec_id = b.vec_id AND qb.k = qa.k
+        |          GROUP BY 1, 2),
+        |dscore AS (SELECT qid, id,
+        |    round(dot / sqrt(CAST(na.nrm AS DOUBLE)
+        |      * CAST(nb.nrm AS DOUBLE)), 6) AS cosine
+        |  FROM pairs JOIN nrm na ON na.vec_id = qid
+        |  JOIN nrm nb ON nb.vec_id = id),
+        |dranked AS (SELECT qid, id, CAST(row_number() OVER (
+        |    PARTITION BY qid ORDER BY cosine DESC, id) AS BIGINT) AS rd
+        |  FROM dscore),
+        |dense AS (SELECT qid, id, rd FROM dranked WHERE rd <= 20),
+        |wd AS (SELECT doc_id,
+        |        unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM wd GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        |       FROM wd GROUP BY 1),
+        |dft AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT)
+        |          AS df FROM wd GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS total_dl,
+        |            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |          FROM wd),
+        |qt AS (SELECT DISTINCT doc_id AS qid,
+        |         unnest((string_split(text, ' '))[1:4]) AS term
+        |       FROM documents WHERE doc_id IN (7, 42, 128)),
+        |j AS (SELECT qt.qid, tf.doc_id, tf.tf, dl.dl,
+        |        dft.df, s.total_dl, s.n_docs
+        |      FROM tf JOIN qt USING (term) JOIN dl USING (doc_id)
+        |      JOIN dft USING (term) CROSS JOIN stats s),
+        |terms AS (SELECT qid, doc_id,
+        |    (2200000 * tf * 1000000) //
+        |      (1000000 * tf + 300000 +
+        |       (900000 * dl * n_docs) // total_dl) AS tfc_ppm,
+        |    1000000 + ((2 * (n_docs - df) + 1) * 1000000)
+        |      // (2 * df + 1) AS v_ppm
+        |  FROM j),
+        |idf AS (SELECT qid, doc_id, tfc_ppm,
+        |    length(bin(v_ppm)) - 1 AS lg,
+        |    1::BIGINT << (length(bin(v_ppm)) - 1) AS p2, v_ppm
+        |  FROM terms),
+        |sc AS (SELECT qid, doc_id,
+        |    CAST(sum((lg * 65536 + ((v_ppm - p2) * 65536) // p2)
+        |      * tfc_ppm) AS BIGINT) AS score
+        |  FROM idf GROUP BY 1, 2),
+        |branked AS (SELECT qid, doc_id AS id, CAST(row_number() OVER (
+        |    PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS BIGINT)
+        |      AS rb
+        |  FROM sc),
+        |bm AS (SELECT qid, id, rb FROM branked WHERE rb <= 20),
+        |fused AS (SELECT coalesce(d.qid, b.qid) AS qid,
+        |    coalesce(d.id, b.id) AS id,
+        |    CAST(coalesce(d.rd, 0) AS BIGINT) AS rank_dense,
+        |    CAST(coalesce(b.rb, 0) AS BIGINT) AS rank_bm25
+        |  FROM dense d FULL OUTER JOIN bm b
+        |    ON b.qid = d.qid AND b.id = d.id),
+        |scored AS (SELECT qid, id, rank_dense, rank_bm25,
+        |    CAST((CASE WHEN rank_dense > 0
+        |            THEN 1000000 // (60 + rank_dense) ELSE 0 END)
+        |      + (CASE WHEN rank_bm25 > 0
+        |            THEN 1000000 // (60 + rank_bm25) ELSE 0 END)
+        |      AS BIGINT) AS rrf_ppm
+        |  FROM fused),
+        |ranked AS (SELECT qid, CAST(row_number() OVER (
+        |      PARTITION BY qid ORDER BY rrf_ppm DESC, id ASC) AS BIGINT)
+        |        AS rank, id, rrf_ppm, rank_dense, rank_bm25
+        |  FROM scored)
+        |SELECT qid, rank, id, rrf_ppm, rank_dense, rank_bm25
+        |FROM ranked WHERE rank <= 10""".stripMargin)),
   )
 }

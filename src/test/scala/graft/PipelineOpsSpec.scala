@@ -892,4 +892,99 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"true-lang row $lang must sum to ~1e6 ppm: $share")
     }
   }
+
+  test("rag_hybrid_rrf fuses both lists and rrf decomposes into ranks") {
+    val r = SimilarityQueries.queries("rag_hybrid_rrf").fn(spark, sfDir)
+      .collect()
+    val qids = r.map(_.getAs[Long]("qid")).distinct.sorted
+    assert(qids.sameElements(Array(7L, 42L, 128L).sorted))
+    r.foreach { row =>
+      val rd = row.getAs[Long]("rank_dense")
+      val rb = row.getAs[Long]("rank_bm25")
+      assert(rd >= 0 && rd <= 20 && rb >= 0 && rb <= 20)
+      assert(rd > 0 || rb > 0, "fused rows must come from some list")
+      val expect = (if (rd > 0) 1000000L / (60 + rd) else 0L) +
+        (if (rb > 0) 1000000L / (60 + rb) else 0L)
+      assert(row.getAs[Long]("rrf_ppm") == expect,
+        s"rrf must decompose: $row")
+    }
+    // per-query output is a ranked top-10 (fewer only if lists are thin)
+    r.groupBy(_.getAs[Long]("qid")).foreach { case (q, rows) =>
+      val ranks = rows.map(_.getAs[Long]("rank")).sorted
+      assert(ranks.sameElements(1L to ranks.length),
+        s"qid $q ranks must be 1..k")
+      assert(ranks.length <= 10)
+    }
+    // fusion must draw from BOTH retrievers (the synthetic embeddings
+    // are not text-correlated, so list overlap isn't guaranteed — but
+    // each list's own top entries must survive into the fused top-10:
+    // rank 1 of either list scores 16393 ppm, above rank >= 2 of the
+    // other, so both sources are always represented)
+    assert(r.exists(_.getAs[Long]("rank_dense") > 0),
+      "dense list must contribute fused rows")
+    assert(r.exists(_.getAs[Long]("rank_bm25") > 0),
+      "bm25 list must contribute fused rows")
+  }
+
+  test("graph_lpa labels are mode-stable and sizes recount") {
+    val r = GraphQueries.queries("graph_lpa").fn(spark, sfDir).collect()
+    val labels = r.map(x => x.getAs[Long]("node") ->
+      x.getAs[Long]("label")).toMap
+    // every label is a node id (labels only propagate, never invent)
+    r.foreach(x => assert(labels.contains(x.getAs[Long]("label"))))
+    // csize recounts the label multiset
+    val sizes = r.groupBy(_.getAs[Long]("label")).map { case (l, xs) =>
+      l -> xs.length.toLong }
+    r.foreach(x => assert(x.getAs[Long]("csize") ==
+      sizes(x.getAs[Long]("label"))))
+    // round-3 labels replay the synchronous mode election locally
+    val e = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .selectExpr("l_partkey % 200 as a",
+        "(l_partkey div 7 + l_suppkey) % 200 as b")
+      .filter(col("a") =!= col("b"))
+      .selectExpr("least(a, b) as u", "greatest(a, b) as v").distinct()
+      .filter(conv(substring(md5(concat(col("u").cast("string"),
+        lit(":"), col("v").cast("string")).cast("binary")), 1, 12),
+        16, 10).cast("long") % 10 === 0)
+      .collect().map(x => (x.getAs[Long]("u"), x.getAs[Long]("v")))
+    val nbr = (e ++ e.map(_.swap)).groupBy(_._1)
+      .map { case (u, xs) => u -> xs.map(_._2) }
+    var lab = nbr.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      lab = nbr.map { case (n, ns) =>
+        val cnt = ns.groupBy(lab).map { case (l, xs) =>
+          l -> xs.size }
+        val best = cnt.maxBy { case (l, c) => (c, -l) }
+        n -> best._1
+      }
+    }
+    assert(labels == lab, "distributed LPA must equal the local replay")
+  }
+
+  test("w13_anomaly_mad medians replay against a local sort") {
+    val r = MetaQueries.queries("w13_anomaly_mad").fn(spark, sfDir)
+      .collect()
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("event_type", "cast(round(value) as long) as vc")
+      .collect().map(x => (x.getAs[String]("event_type"),
+        x.getAs[Long]("vc")))
+    def lowerMedian(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      s(((s.length + 1) / 2) - 1)
+    }
+    val byType = ev.groupBy(_._1).map { case (t, xs) =>
+      t -> xs.map(_._2).toSeq }
+    r.foreach { row =>
+      val t = row.getAs[String]("event_type")
+      val vs = byType(t)
+      val med = lowerMedian(vs)
+      val mad = lowerMedian(vs.map(v => math.abs(v - med)))
+      assert(row.getAs[Long]("n") == vs.length)
+      assert(row.getAs[Long]("med") == med, s"median for $t")
+      assert(row.getAs[Long]("mad") == mad, s"mad for $t")
+      assert(row.getAs[Long]("n_outliers") ==
+        vs.count(v => math.abs(v - med) > 5 * mad), s"outliers for $t")
+    }
+    assert(r.length == byType.size)
+  }
 }
