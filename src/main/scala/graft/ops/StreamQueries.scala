@@ -164,6 +164,47 @@ object StreamQueries {
         |FROM x WHERE tus >= wstart_us AND tus < wstart_us + 3600000000
         |GROUP BY 1, 2""".stripMargin)),
 
+    // §2.9 streaming heavy hitters: top-3 event types per 1-hour
+    // window — the live "what's trending NOW" dashboard. The stream
+    // side carries only the windowed count state (windows × types,
+    // bounded); the per-window rank runs BATCH-side on the emitted
+    // aggregate — exactly how production does streaming top-k: rank
+    // the closed window's rows, never rank inside the state store.
+    // The election is a keyed max over an integer priority
+    // (n * 8 + type-rank) so ties break to the alphabetically first
+    // type without a second shuffle.
+    "st13_stream_topk" -> Q(
+      (s, dir) => {
+        val src = stageEvents(s, dir)
+        val schema = s.read.parquet(src).schema
+        val counts = s.readStream.schema(schema).parquet(src)
+          .select(timestamp_micros(Derived.tsMicros(schema)).as("ets"),
+            col("event_type"))
+          .groupBy(window(col("ets"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(unix_micros(col("window.start")).as("wstart_us"),
+            col("event_type"), col("n"))
+        val t = runToTable(s, counts, "graft_st13", "complete")
+        t.withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("wstart_us")
+              .orderBy(col("n").desc, col("event_type").asc))
+            .cast("long"))
+          .filter(col("rk") <= 3)
+          .select("wstart_us", "rk", "event_type", "n")
+      },
+      Some("""WITH c AS (SELECT
+        |          CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT)
+        |            AS wstart_us,
+        |          event_type, CAST(count(*) AS BIGINT) AS n
+        |        FROM events GROUP BY 1, 2),
+        |r AS (SELECT wstart_us, event_type, n,
+        |        CAST(row_number() OVER (PARTITION BY wstart_us
+        |          ORDER BY n DESC, event_type ASC) AS BIGINT) AS rk
+        |      FROM c)
+        |SELECT wstart_us, rk, event_type, n
+        |FROM r WHERE rk <= 3""".stripMargin)),
+
     // §2.9 time-axis ingest: the zarr3 t-chunked write as a micro-batch
     // sink (zarr3/metadata.py:211-261 — "a t-chunked write is a
     // micro-batch sink partitioned by time chunk"). Events aggregate
