@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{BooleanType, LongType}
-import graft.core.{Codec, Cseg, Vec3}
+import graft.core.{Codec, Compresso, Cseg, Vec3}
 
 /** Catalyst optimizer rule: push a voxel-level `label = K` filter down
   * to a payload-level codec `contains()` gate BELOW the decode stage.
@@ -102,7 +102,8 @@ object ContainsGateRule extends Rule[LogicalPlan] with PredicateHelper {
       case Array(a, b, c) => Vec3(a, b, c)
       case _ => return None
     }
-    if (enc != "raw" && enc != "compressed_segmentation") return None
+    if (enc != "raw" && enc != "compressed_segmentation" && enc != "compresso")
+      return None
     if (ks.isEmpty) return None
     // a missing (null-payload) chunk reads back as all-background —
     // the decode name's trailing field (absent on older names = 0)
@@ -114,7 +115,9 @@ object ContainsGateRule extends Rule[LogicalPlan] with PredicateHelper {
       else if (enc == "compressed_segmentation") {
         val ls = Cseg.labels(p, Vec3(x1 - x0, y1 - y0, z1 - z0), bs, dtb)
         karr.exists(ls.contains)
-      } else karr.exists(k => Codec.rawContains(p, dtb, k))
+      } else if (enc == "compresso")
+        karr.exists(k => Compresso.contains(p, k))
+      else karr.exists(k => Codec.rawContains(p, dtb, k))
     Some(ScalaUDF(fn, BooleanType, u.children, Nil, None, Some(GateName),
       false, true))
   }

@@ -301,6 +301,7 @@ object PrecomputedIO {
         if (payload == null) Array.fill((sx * sy * sz).toInt)(bg)
         else if (enc == "compressed_segmentation")
           Cseg.decode(payload, Vec3(sx, sy, sz), csegBs, dtb)
+        else if (enc == "compresso") Compresso.decode(payload)._2
         else if (enc == "png" && dtb == 2) Codec.decodePng16(payload)
         else if (enc == "png")
           Codec.decodeRawToLongs(Codec.decodePng(payload), 1)
