@@ -14,6 +14,13 @@ import org.apache.spark.sql.functions._
 object GraphQueries {
   import Derived.table
 
+  /** Node-id modulus of the derived graph. The LPA election packs
+    * (count, label) into one int64 as cnt * NodeMod + (NodeMod-1-label);
+    * deriving the packing base from this bound keeps the argmax exact if
+    * the graph size ever changes (cnt <= distinct neighbors < NodeMod and
+    * label < NodeMod by construction). */
+  private val NodeMod = 200
+
   /** Undirected deterministic graph: a = l_partkey % 200,
     * b = (l_partkey div 7 + l_suppkey) % 200 (non-bipartite mix),
     * canonical u < v, thinned to ~10% by an md5 coin so the graph
@@ -35,10 +42,14 @@ object GraphQueries {
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("u"),
         greatest(col("a"), col("b")).as("v"))
-      .distinct()
+      // thin BEFORE distinct: the md5 coin is deterministic per (u, v),
+      // so filtering first is semantically identical and the distinct
+      // shuffle carries ~10% of the rows — irrelevant at 200 nodes,
+      // real at 100 TB edge volumes
       .filter(conv(substring(md5(concat(col("u").cast("string"), lit(":"),
         col("v").cast("string")).cast("binary")), 1, 12), 16, 10)
         .cast("long") % 10 === 0)
+      .distinct()
 
   val queries: Map[String, Q] = Map(
 
@@ -291,8 +302,9 @@ object GraphQueries {
             .groupBy(col("v").as("node"), col("label"))
             .agg(count(lit(1)).as("cnt"))
             .groupBy("node")
-            .agg(max(expr("cnt * 1000 + (999 - label)")).as("p"))
-            .select(col("node"), expr("999L - p % 1000").as("label"))
+            .agg(max(expr(s"cnt * $NodeMod + (${NodeMod - 1} - label)")).as("p"))
+            .select(col("node"),
+              expr(s"${NodeMod - 1}L - p % $NodeMod").as("label"))
           // every node in `nodes` has >= 1 neighbor (it came from the
           // edge list), so the election always lands — inner join
           lab = nodes.join(elected, Seq("node"))
@@ -312,23 +324,23 @@ object GraphQueries {
         |r1 AS (SELECT b.v AS node, l.label,
         |         CAST(count(*) AS BIGINT) AS cnt
         |       FROM bidir b JOIN l0 l ON l.node = b.u GROUP BY 1, 2),
-        |m1 AS (SELECT node, max(cnt * 1000 + (999 - label)) AS p
+        |m1 AS (SELECT node, max(cnt * $NodeMod + (${NodeMod - 1} - label)) AS p
         |       FROM r1 GROUP BY 1),
-        |l1 AS (SELECT n.node, 999 - (m.p % 1000) AS label
+        |l1 AS (SELECT n.node, ${NodeMod - 1} - (m.p % $NodeMod) AS label
         |       FROM nodes n JOIN m1 m ON m.node = n.node),
         |r2 AS (SELECT b.v AS node, l.label,
         |         CAST(count(*) AS BIGINT) AS cnt
         |       FROM bidir b JOIN l1 l ON l.node = b.u GROUP BY 1, 2),
-        |m2 AS (SELECT node, max(cnt * 1000 + (999 - label)) AS p
+        |m2 AS (SELECT node, max(cnt * $NodeMod + (${NodeMod - 1} - label)) AS p
         |       FROM r2 GROUP BY 1),
-        |l2 AS (SELECT n.node, 999 - (m.p % 1000) AS label
+        |l2 AS (SELECT n.node, ${NodeMod - 1} - (m.p % $NodeMod) AS label
         |       FROM nodes n JOIN m2 m ON m.node = n.node),
         |r3 AS (SELECT b.v AS node, l.label,
         |         CAST(count(*) AS BIGINT) AS cnt
         |       FROM bidir b JOIN l2 l ON l.node = b.u GROUP BY 1, 2),
-        |m3 AS (SELECT node, max(cnt * 1000 + (999 - label)) AS p
+        |m3 AS (SELECT node, max(cnt * $NodeMod + (${NodeMod - 1} - label)) AS p
         |       FROM r3 GROUP BY 1),
-        |l3 AS (SELECT n.node, CAST(999 - (m.p % 1000) AS BIGINT)
+        |l3 AS (SELECT n.node, CAST(${NodeMod - 1} - (m.p % $NodeMod) AS BIGINT)
         |         AS label
         |       FROM nodes n JOIN m3 m ON m.node = n.node),
         |sz AS (SELECT label, CAST(count(*) AS BIGINT) AS csize

@@ -1263,22 +1263,22 @@ object SimilarityQueries {
           .filter(col("rd") <= 20)
           .select(col("qid"), col("id"), col("rd"))
         // lexical list: BM25 (identical integer scoring to
-        // rag_bm25_topk — see TextQueries.scala for the derivation)
+        // rag_bm25_topk — see TextQueries.scala for the derivation);
+        // the tf/dl/df/corpus-stats tables come from the shared
+        // TextQueries.bm25Stats memo, materialized once per corpus
+        // snapshot instead of re-tokenized per consumer
         val docs = table(s, dir, "documents").select("doc_id", "text")
-        val wd = docs.select(col("doc_id"),
-          explode(split(col("text"), " ")).as("term"))
-        val tf = wd.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val dl = wd.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-        val dfT = wd.select("doc_id", "term").distinct()
-          .groupBy("term").agg(count(lit(1)).as("df"))
-        val stats = wd.agg(count(lit(1)).as("total_dl"),
-          countDistinct("doc_id").as("n_docs"))
+        val (tf, dl, dfT, stats) = TextQueries.bm25Stats(s, dir)
         val qterms = docs.filter(col("doc_id").isin(7L, 42L, 128L))
           .select(col("doc_id").as("qid"),
             explode(expr("slice(split(text, ' '), 1, 4)")).as("term"))
           .distinct()
         val lexical = tf
           .join(broadcast(qterms), Seq("term"))
+          // exclude the query document itself — symmetric with the
+          // dense arm's qid =!= id, so the fusion never returns the
+          // query as its own top hit
+          .filter(col("doc_id") =!= col("qid"))
           .join(dl, Seq("doc_id"))
           .join(broadcast(dfT), Seq("term"))
           .crossJoin(broadcast(stats))
@@ -1353,7 +1353,8 @@ object SimilarityQueries {
         |j AS (SELECT qt.qid, tf.doc_id, tf.tf, dl.dl,
         |        dft.df, s.total_dl, s.n_docs
         |      FROM tf JOIN qt USING (term) JOIN dl USING (doc_id)
-        |      JOIN dft USING (term) CROSS JOIN stats s),
+        |      JOIN dft USING (term) CROSS JOIN stats s
+        |      WHERE tf.doc_id <> qt.qid),
         |terms AS (SELECT qid, doc_id,
         |    (2200000 * tf * 1000000) //
         |      (1000000 * tf + 300000 +

@@ -182,6 +182,38 @@ object TextQueries {
       minhashPairs(s, dir).localCheckpoint())
   }
 
+  /** Per-(session, corpus) memo of the BM25 statistics tables
+    * (tf, dl, df, corpus totals) — the shared upstream of rag_bm25_topk
+    * and rag_hybrid_rrf. A production retrieval stack materializes the
+    * inverted-index stats once per corpus snapshot; re-tokenizing the
+    * corpus per consumer is the 100 TB anti-pattern (same memo
+    * convention as [[sharedPairs]]: keyed by appId + corpus mtime,
+    * rag_bm25_topk stays un-memoized so one entry times the full
+    * pipeline).
+    */
+  private val bm25Memo = scala.collection.concurrent.TrieMap
+    .empty[(String, String, Long), (DataFrame, DataFrame, DataFrame, DataFrame)]
+  private[ops] def bm25Stats(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val src = java.nio.file.Paths.get(dir, "documents.parquet")
+    val mtime =
+      try java.nio.file.Files.getLastModifiedTime(src).toMillis
+      catch { case _: java.io.IOException => 0L }
+    bm25Memo.getOrElseUpdate((s.sparkContext.applicationId, dir, mtime), {
+      val wd = table(s, dir, "documents").select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      val tf = wd.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
+      val dl = wd.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        .localCheckpoint()
+      val dfT = wd.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df")).localCheckpoint()
+      val stats = wd.agg(count(lit(1)).as("total_dl"),
+        countDistinct("doc_id").as("n_docs")).localCheckpoint()
+      (tf, dl, dfT, stats)
+    })
+  }
+
   /** DuckDB CTE chain ending in `pairs(a, b)` — the oracle twin of
     * [[minhashPairs]]. Callers prepend WITH [RECURSIVE].
     */
@@ -1725,34 +1757,57 @@ object TextQueries {
     // replayable: 18 + len(digits) + n_chars per line.
     "docs_export_jsonl" -> Q(
       (s, dir) => {
-        val root = new java.io.File("/tmp/graft_fixture/jsonl_export")
-        // fresh export every invocation (driver may re-run the entry)
-        if (root.exists()) {
-          root.listFiles().foreach(_.delete()); root.delete()
-        }
+        // per-invocation output dir + per-task-attempt temp files with
+        // atomic rename on task success: a retried or speculative task
+        // can never interleave with another attempt's shard file, and
+        // concurrent runs (or multi-JVM deployments reading back through
+        // a shared filesystem) never race on one fixed path — the task-
+        // commit discipline a production JSONL exporter needs
+        val appId = s.sparkContext.applicationId
+        val base = new java.io.File("/tmp/graft_fixture")
+        // reap this session's prior exports (driver may re-run the entry)
+        Option(base.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith(s"jsonl_export_${appId}_"))
+          .foreach { d =>
+            Option(d.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+            d.delete()
+          }
+        val root = new java.io.File(base,
+          s"jsonl_export_${appId}_${java.util.UUID.randomUUID().toString.take(8)}")
         root.mkdirs()
+        val rootPath = root.getAbsolutePath
         table(s, dir, "documents").select(col("doc_id"), col("text"),
             (col("doc_id") % 8).as("shard"))
           .repartition(8, col("shard"))
           .sortWithinPartitions("shard", "doc_id")
           .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+            val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
             var shard = -1L
             var out: java.io.BufferedWriter = null
+            var tmp: java.nio.file.Path = null
+            def commit(): Unit = if (out != null) {
+              out.close()
+              java.nio.file.Files.move(tmp,
+                tmp.resolveSibling(s"shard_$shard.jsonl"),
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            }
             rows.foreach { r =>
               val sh = r.getAs[Long]("shard")
               if (sh != shard) {
-                if (out != null) out.close()
+                commit()
                 shard = sh
-                out = new java.io.BufferedWriter(new java.io.FileWriter(
-                  s"/tmp/graft_fixture/jsonl_export/shard_$sh.jsonl"))
+                tmp = java.nio.file.Paths.get(rootPath,
+                  s".shard_$sh.jsonl.tmp-$attempt")
+                out = java.nio.file.Files.newBufferedWriter(tmp)
               }
               out.write(s"""{"id":${r.getAs[Long]("doc_id")},"text":"${
                 r.getAs[String]("text")}"}""")
               out.write("\n")
             }
-            if (out != null) out.close()
+            commit()
           }
-        s.read.text("/tmp/graft_fixture/jsonl_export")
+        s.read.text(rootPath)
           .select(regexp_extract(input_file_name(),
               "shard_(\\d+)\\.jsonl", 1).cast("long").as("shard"),
             (length(col("value")) + 1).cast("long").as("nb"))

@@ -286,17 +286,20 @@ object VolumeQueries {
         val v = voxels(s, dir)
         val sa = sk(v.filter(col("z") < 16)).localCheckpoint()
         val sb = sk(v.filter(col("z") >= 16)).localCheckpoint()
-        val ta = sa.agg(max("h").as("theta_a"))
-        val tb = sb.agg(max("h").as("theta_b"))
+        val ta = sa.agg(max("h").as("theta_a"), count(lit(1)).as("n_a"))
+        val tb = sb.agg(max("h").as("theta_b"), count(lit(1)).as("n_b"))
         val inter = sa.join(sb.select("label"), Seq("label"))
           .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
           .filter(col("h") < least(col("theta_a"), col("theta_b")))
           .agg(count(lit(1)).as("n_inter_samples"))
+        // a sketch that never filled (n < k) holds EVERY distinct value,
+        // so the exact count is the estimate; 63*dom/theta only applies
+        // to a full sketch where theta is the k-th order statistic
         broadcast(ta).crossJoin(broadcast(tb)).crossJoin(broadcast(inter))
-          .select(lit(64L).as("k"),
+          .select(lit(64L).as("k"), col("n_a"), col("n_b"),
             least(col("theta_a"), col("theta_b")).as("theta"),
-            expr(s"63 * ${dom}L div theta_a").as("est_a"),
-            expr(s"63 * ${dom}L div theta_b").as("est_b"),
+            expr(s"IF(n_a < 64, n_a, 63 * ${dom}L div theta_a)").as("est_a"),
+            expr(s"IF(n_b < 64, n_b, 63 * ${dom}L div theta_b)").as("est_b"),
             col("n_inter_samples"),
             expr(s"n_inter_samples * ${dom}L div " +
               "least(theta_a, theta_b)").as("est_inter"))
@@ -310,15 +313,19 @@ object VolumeQueries {
         |         ::BIGINT AS h FROM lb),
         |sa AS (SELECT label, h FROM ha ORDER BY h LIMIT 64),
         |sb AS (SELECT label, h FROM hb ORDER BY h LIMIT 64),
-        |ta AS (SELECT max(h) AS theta_a FROM sa),
-        |tb AS (SELECT max(h) AS theta_b FROM sb),
+        |ta AS (SELECT max(h) AS theta_a, CAST(count(*) AS BIGINT) AS n_a
+        |       FROM sa),
+        |tb AS (SELECT max(h) AS theta_b, CAST(count(*) AS BIGINT) AS n_b
+        |       FROM sb),
         |i AS (SELECT CAST(count(*) AS BIGINT) AS n_inter_samples
         |      FROM sa JOIN sb USING (label) CROSS JOIN ta CROSS JOIN tb
         |      WHERE sa.h < least(theta_a, theta_b))
-        |SELECT CAST(64 AS BIGINT) AS k,
+        |SELECT CAST(64 AS BIGINT) AS k, n_a, n_b,
         |  least(theta_a, theta_b) AS theta,
-        |  63 * 281474976710656 // theta_a AS est_a,
-        |  63 * 281474976710656 // theta_b AS est_b,
+        |  CAST(CASE WHEN n_a < 64 THEN n_a
+        |       ELSE 63 * 281474976710656 // theta_a END AS BIGINT) AS est_a,
+        |  CAST(CASE WHEN n_b < 64 THEN n_b
+        |       ELSE 63 * 281474976710656 // theta_b END AS BIGINT) AS est_b,
         |  i.n_inter_samples,
         |  i.n_inter_samples * 281474976710656
         |    // least(theta_a, theta_b) AS est_inter
