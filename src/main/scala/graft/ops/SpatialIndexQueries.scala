@@ -144,6 +144,38 @@ object SpatialIndexQueries {
         |WHERE x0 < 40 AND x1 > 8 AND y0 < 44 AND y1 > 6
         |  AND z0 < 20 AND z1 > 3""".stripMargin)),
 
+    // A3 over the reference's OWN committed spatial-index tile
+    // (test_cv/skeletons_mip_2/0-8192_0-8192_0-20480.spatial,
+    // spatial_index.py:248-307 format): same from_json MapType parse as
+    // a3_spatial_real, against real reference bytes; the oracle reads
+    // golden parquet emitted by tools/spatial_oracle_gen.py's
+    // independent stdlib-json parse. SURVEY §5 pattern (b) on a real
+    // spatial tile rather than a synthesized one.
+    "a3_spatial_golden" -> Q(
+      (s, dir) => {
+        val tile =
+          "/root/reference/test/test_cv/skeletons_mip_2/" // committed fixture
+        val mapType = MapType(StringType, ArrayType(LongType))
+        val rows = s.read.option("wholetext", "true")
+          .text(tile + "0-8192_0-8192_0-20480.spatial")
+          .select(explode(from_json(col("value"), mapType))
+            .as(Seq("label", "b")))
+          .select(col("label").cast("long").as("label"),
+            col("b").getItem(0).as("x0"), col("b").getItem(1).as("y0"),
+            col("b").getItem(2).as("z0"), col("b").getItem(3).as("x1"),
+            col("b").getItem(4).as("y1"), col("b").getItem(5).as("z1"))
+        // spatial query: labels whose bbox intersects [0,1024)^2 x [0,2048)
+        rows.filter(col("x0") < 1024 && col("x1") > 0 &&
+            col("y0") < 1024 && col("y1") > 0 &&
+            col("z0") < 2048 && col("z1") > 0)
+          .select("label", "x0", "y0", "z0", "x1", "y1", "z1")
+      },
+      Some("""SELECT label, x0, y0, z0, x1, y1, z1
+        |FROM read_parquet(
+        |  '/root/repo/src/test/resources/golden/skeleton_spatial.parquet')
+        |WHERE x0 < 1024 AND x1 > 0 AND y0 < 1024 AND y1 > 0
+        |  AND z0 < 2048 AND z1 > 0""".stripMargin)),
+
     // A3/J2 write side: BUILD a spatial index from the real layer's
     // voxels (the reference's index construction — per-task label
     // bboxes aggregated per tile, spatial_index.py:80-160 +
