@@ -34,4 +34,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // pin the heap: G1 otherwise uncommits regions after the bench's
+  // between-rep System.gc(), and the next rep's ~105 MB payload
+  // allocation re-faults fresh pages — the r14 MBps breadcrumbs showed
+  // alternating ~280/~430 MB/s reps from exactly this commit churn
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
 )

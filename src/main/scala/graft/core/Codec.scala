@@ -140,12 +140,76 @@ object Codec {
   }
 
   def gunzip(data: Array[Byte]): Array[Byte] = {
-    val in = new GZIPInputStream(new ByteArrayInputStream(data))
-    val bos = new ByteArrayOutputStream(data.length * 3 + 64)
-    val buf = new Array[Byte](65536)
-    var n = in.read(buf)
-    while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
-    bos.toByteArray
+    // fast path: single-member gzip carries the exact output size in the
+    // ISIZE trailer — inflate straight into one right-sized array. The
+    // streaming fallback's ByteArrayOutputStream doubles its way up to
+    // the output size (for a 105 MB chunk payload: ~2x the bytes
+    // memcpy'd plus a ladder of humongous garbage arrays, which the r13
+    // bench breadcrumbs showed as 20-30 ms of GC INSIDE every timed
+    // read rep). Integrity matches GZIPInputStream: CRC32 + ISIZE of
+    // the inflated bytes are verified, any mismatch falls back.
+    val fast = gunzipExact(data)
+    if (fast != null) fast
+    else {
+      val in = new GZIPInputStream(new ByteArrayInputStream(data))
+      val bos = new ByteArrayOutputStream(data.length * 3 + 64)
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      bos.toByteArray
+    }
+  }
+
+  /** Single-member gzip decode into a preallocated ISIZE-sized array;
+    * null when the payload is not a verifiable single member (multi-
+    * member streams, >2 GB outputs, header variants that fail to
+    * parse) — callers fall back to the streaming path.
+    */
+  private def gunzipExact(data: Array[Byte]): Array[Byte] = {
+    val n = data.length
+    if (n < 18 || (data(0) & 0xff) != 0x1f || (data(1) & 0xff) != 0x8b ||
+      data(2) != 8) return null
+    val flg = data(3) & 0xff
+    var off = 10
+    if ((flg & 4) != 0) { // FEXTRA
+      if (off + 2 > n) return null
+      off += 2 + ((data(off) & 0xff) | ((data(off + 1) & 0xff) << 8))
+    }
+    if ((flg & 8) != 0) { // FNAME
+      while (off < n && data(off) != 0) off += 1
+      off += 1
+    }
+    if ((flg & 16) != 0) { // FCOMMENT
+      while (off < n && data(off) != 0) off += 1
+      off += 1
+    }
+    if ((flg & 2) != 0) off += 2 // FHCRC
+    if (off >= n - 8) return null
+    val isizeL = (data(n - 4) & 0xffL) | ((data(n - 3) & 0xffL) << 8) |
+      ((data(n - 2) & 0xffL) << 16) | ((data(n - 1) & 0xffL) << 24)
+    if (isizeL > Int.MaxValue - 8) return null
+    val isize = isizeL.toInt
+    val out = new Array[Byte](isize)
+    val inf = new java.util.zip.Inflater(true)
+    try {
+      inf.setInput(data, off, n - off)
+      var pos = 0
+      while (!inf.finished()) {
+        val k = inf.inflate(out, pos, isize - pos)
+        pos += k
+        if (!inf.finished() && (k == 0 || pos == isize)) return null
+      }
+      // exactly the 8-byte CRC32+ISIZE trailer may remain (single member)
+      if (pos != isize || n - off - inf.getBytesRead != 8) return null
+      val crc = new java.util.zip.CRC32()
+      crc.update(out, 0, isize)
+      val want = (data(n - 8) & 0xffL) | ((data(n - 7) & 0xffL) << 8) |
+        ((data(n - 6) & 0xffL) << 16) | ((data(n - 5) & 0xffL) << 24)
+      if (crc.getValue != want) return null
+      out
+    } catch {
+      case _: java.util.zip.DataFormatException => null
+    } finally inf.end()
   }
 
   /** zlib (RFC1950) wrap — the zarr2 "zlib" compressor
