@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Draco
+
+/** Golden parity for the draco decoder against the reference's own
+  * committed fixtures (test/test_cv/mesh_mip_2_draco_sv16): every
+  * fragment must decode with exact counts and exhausted buffers, and
+  * replaying the reference's chunk-boundary dedup (mesh.py:379-419)
+  * must yield exactly the 3 connected components its own test asserts
+  * (test/test_graphene.py:490-501, ccs==3). */
+class DracoSpec extends AnyFunSuite {
+
+  private val dir = Paths.get("/root/reference/test/test_cv/mesh_mip_2_draco_sv16")
+
+  private def fragments: Seq[java.nio.file.Path] = {
+    val st = Files.list(dir)
+    try {
+      val it = st.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.count(_ == ':') == 2) buf += p
+      }
+      buf.sortBy(_.getFileName.toString).toSeq
+    } finally st.close()
+  }
+
+  test("all 21 committed fragments decode with consistent counts") {
+    val frs = fragments
+    assert(frs.size == 21)
+    var totalV = 0; var totalF = 0
+    frs.foreach { p =>
+      val m = Draco.decode(Files.readAllBytes(p))
+      assert(m.positions.length == m.numVertices * 3)
+      assert(m.faces.length % 3 == 0)
+      // faces index decoded vertices
+      assert(m.faces.forall(v => v >= 0 && v < m.numVertices))
+      // dequantized positions stay inside the quantization box
+      var i = 0
+      while (i < m.numVertices) {
+        var c = 0
+        while (c < 3) {
+          val x = m.positions(i * 3 + c)
+          assert(x >= m.qMin(c) - 1e-6 && x <= m.qMin(c) + m.qRange + 1e-6)
+          c += 1
+        }
+        i += 1
+      }
+      totalV += m.numVertices
+      totalF += m.faces.length / 3
+    }
+    assert(totalV == 6289, s"total vertices $totalV")
+    assert(totalF == 10370, s"total faces $totalF")
+  }
+
+  test("tiny fragment decodes to the known 9-vertex fan") {
+    val p = fragments.find(_.getFileName.toString.startsWith("186578533298995658")).get
+    val m = Draco.decode(Files.readAllBytes(p))
+    assert(m.numVertices == 9 && m.faces.length == 24)
+    val got = (0 until 9).map(i =>
+      (m.positions(i * 3), m.positions(i * 3 + 1), m.positions(i * 3 + 2))).toSet
+    val expected = Set( // independently decoded by tools/draco_decode.py
+      (452529.0, 345261.0, 35763.0), (452550.0, 345219.0, 35847.0),
+      (452550.0, 345198.0, 35847.0), (452508.0, 345198.0, 35847.0),
+      (452487.0, 345219.0, 35847.0), (452487.0, 345240.0, 35847.0),
+      (452508.0, 345261.0, 35847.0), (452550.0, 345261.0, 35847.0),
+      (452550.0, 345240.0, 35847.0))
+    assert(got == expected)
+  }
+
+  test("chunk-boundary dedup reproduces the reference's 3 connected components") {
+    // reference semantics: graphene mesh.get at level 2 runs
+    // deduplicate_chunk_boundaries(mesh_chunk_size * resolution, offset=0,
+    // draco_grid_size=21): merge vertices that appear EXACTLY twice and
+    // sit within grid/2 of a chunk border (mesh.py:379-419), then the
+    // test counts face-edge graph components (test_graphene.py:490-501).
+    val chunk = Array(4096.0, 4096.0, 5120.0) // [512,512,128] vox * [8,8,40] nm
+    val grid = 21.0
+    val allV = scala.collection.mutable.ArrayBuffer[(Double, Double, Double)]()
+    val allF = scala.collection.mutable.ArrayBuffer[(Int, Int, Int)]()
+    fragments.foreach { p =>
+      val m = Draco.decode(Files.readAllBytes(p))
+      val base = allV.length
+      (0 until m.numVertices).foreach { i =>
+        allV += ((m.positions(i * 3), m.positions(i * 3 + 1), m.positions(i * 3 + 2)))
+      }
+      (0 until m.faces.length / 3).foreach { f =>
+        allF += ((m.faces(f * 3) + base, m.faces(f * 3 + 1) + base, m.faces(f * 3 + 2) + base))
+      }
+    }
+    val counts = allV.groupBy(identity).map { case (k, v) => k -> v.size }
+    def aligned(v: (Double, Double, Double)): Boolean = {
+      val a = Array(v._1, v._2, v._3)
+      (0 until 3).exists { k =>
+        val m = ((a(k) % chunk(k)) + chunk(k)) % chunk(k)
+        m < grid / 2 || chunk(k) - m <= grid / 2
+      }
+    }
+    val nodeOf = scala.collection.mutable.Map[Any, Int]()
+    val gid = allV.zipWithIndex.map { case (v, i) =>
+      val key: Any = if (counts(v) == 2 && aligned(v)) v else i
+      nodeOf.getOrElseUpdate(key, nodeOf.size)
+    }
+    val parent = Array.tabulate(nodeOf.size)(identity)
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    allF.foreach { case (a, b, c) =>
+      Seq((a, b), (b, c), (c, a)).foreach { case (u, w) =>
+        val ru = find(gid(u)); val rw = find(gid(w))
+        if (ru != rw) parent(ru) = rw
+      }
+    }
+    val comps = (0 until nodeOf.size).groupBy(find).values.map(_.size).toSeq.sorted
+    assert(comps == Seq(16, 1533, 3987), s"components $comps")
+  }
+}
