@@ -16,7 +16,7 @@ object SparkEntry {
       MetaQueries.queries ++ GrapheneQueries.queries ++
       Zarr3Queries.queries ++ StreamQueries.queries ++ FormatQueries.queries ++
       SkeletonQueries.queries ++ SpatialIndexQueries.queries ++
-      GraphQueries.queries ++ CompressoQueries.queries
+      GraphQueries.queries ++ CompressoQueries.queries ++ DracoQueries.queries
 
   /** Flagship: write sf0.001 voxels into encoded chunk payloads, read
     * back the distinct labels through the codec path (A1 `unique`).

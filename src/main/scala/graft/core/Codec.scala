@@ -243,8 +243,8 @@ object Codec {
 
   /** F12: zstd second-stage wrap via the zstd-jni already on the Spark
     * classpath (datasource/precomputed/common.py:7-53 lists gzip, br,
-    * zstd; brotli has no JVM-native impl here and stays unimplemented,
-    * documented).
+    * zstd; `br` is handled by core/Brotli.scala — stored-mode RFC 7932
+    * subset, scope documented there).
     */
   def zstd(data: Array[Byte], level: Int = 3): Array[Byte] =
     com.github.luben.zstd.Zstd.compress(data, level)

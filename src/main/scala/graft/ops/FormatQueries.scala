@@ -11,7 +11,67 @@ import graft.sources.{GraftVolume, PrecomputedIO}
 object FormatQueries {
   import Derived.{table, boxes, BoxesCte}
 
+  /** F12 `br` second-stage fixture: the real layer's mip-0 chunks
+    * transcoded gzip -> brotli (stored-mode RFC 7932 streams,
+    * core/Brotli.scala — see the scope note there). Rebuilds whenever
+    * the source layer's build stamp changes. */
+  private val BrRoot = "/tmp/graft_fixture/seg_br"
+  private val BrLayer = s"$BrRoot/layer"
+
+  private def ensureBr(s: org.apache.spark.sql.SparkSession, dir: String): Unit = synchronized {
+    import java.nio.file.{Files, Paths}
+    RealLayerQueries.ensure(s, dir)
+    val marker = Paths.get(BrRoot, ".built_from")
+    val markerVal = RealLayerQueries.stamp + "|br1"
+    if (Files.exists(marker) && Files.readString(marker) == markerVal &&
+      Files.exists(Paths.get(BrLayer, "info"))) return
+    FixtureLog.rebuild(marker)
+    val rootP = Paths.get(BrRoot)
+    if (Files.exists(rootP)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(rootP).iterator.asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+    val meta = PrecomputedIO.readInfo(RealLayerQueries.LayerDir)
+    val key = meta.scale(0).key
+    Files.createDirectories(Paths.get(BrLayer, key))
+    Files.copy(Paths.get(RealLayerQueries.LayerDir, "info"),
+      Paths.get(BrLayer, "info"))
+    import s.implicits._
+    val srcDir = Paths.get(RealLayerQueries.LayerDir, key)
+    val names = {
+      import scala.jdk.CollectionConverters._
+      val st = Files.list(srcDir)
+      try st.iterator.asScala.map(_.getFileName.toString).toVector.sorted
+      finally st.close()
+    }
+    // transcode executor-side, one task per few chunks
+    s.createDataset(names).repartition(4).foreach { name =>
+      val raw = Files.readAllBytes(Paths.get(RealLayerQueries.LayerDir, key, name))
+      val plain = if (name.endsWith(".gz")) Codec.gunzip(raw) else raw
+      val out = name.stripSuffix(".gz") + ".br"
+      Files.write(Paths.get(BrLayer, key, out), Brotli.compress(plain))
+      ()
+    }
+    Files.writeString(marker, markerVal)
+  }
+
   val queries: Map[String, Q] = Map(
+
+    // S4/F12 over brotli-wrapped chunk objects: the `br` content
+    // encoding of datasource/precomputed/common.py:18-29, decoded by
+    // the stored-mode RFC 7932 codec; same cutout + sidecar oracle as
+    // s4_cutout_real, proving the read path end to end
+    "s4_cutout_br" -> Q(
+      (s, dir) => {
+        ensureBr(s, dir)
+        PrecomputedIO.cutoutVoxels(s, BrLayer,
+          Bbox(Vec3(9, 5, 2), Vec3(41, 39, 18)))
+      },
+      Some(s"""SELECT x, y, z, label
+        |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')
+        |WHERE x BETWEEN 9 AND 40 AND y BETWEEN 5 AND 38
+        |  AND z BETWEEN 2 AND 17""".stripMargin)),
 
     // S1: cloudpath parse — render deterministic FORMAT://PROTOCOL://
     // BUCKET/DATASET/LAYER strings, parse them with the core parser

@@ -320,10 +320,13 @@ final class NgPartitionReader(part: NgInputPartition, required: StructType,
       else {
         val p = java.nio.file.Paths.get(part.layerDir, part.key, cb.toFilename)
         val gz = java.nio.file.Paths.get(p.toString + ".gz")
+        val br = java.nio.file.Paths.get(p.toString + ".br")
         if (java.nio.file.Files.exists(p))
           java.nio.file.Files.readAllBytes(p)
         else if (java.nio.file.Files.exists(gz))
           Codec.gunzip(java.nio.file.Files.readAllBytes(gz))
+        else if (java.nio.file.Files.exists(br))
+          Brotli.decompress(java.nio.file.Files.readAllBytes(br))
         else if (fillMissing) null
         else throw new java.io.FileNotFoundException(
           s"missing chunk ${cb.toFilename} (set fill_missing=true to background-fill)")

@@ -47,8 +47,10 @@ object PrecomputedIO {
   def readChunkBytes(layerDir: String, scale: ScaleMeta, g: Vec3): Option[Array[Byte]] = {
     val p = chunkPath(layerDir, scale, g)
     val gz = Paths.get(p.toString + ".gz")
+    val br = Paths.get(p.toString + ".br")
     if (Files.exists(p)) Some(Files.readAllBytes(p))
     else if (Files.exists(gz)) Some(Codec.gunzip(Files.readAllBytes(gz)))
+    else if (Files.exists(br)) Some(Brotli.decompress(Files.readAllBytes(br)))
     else None
   }
 

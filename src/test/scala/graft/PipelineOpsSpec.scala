@@ -307,8 +307,12 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r = TextQueries.queries("docs_export_jsonl").fn(spark, sfDir)
       .collect()
     assert(r.length == 8 && r.map(_.getAs[Long]("n_docs")).sum == 500)
-    val f = new java.io.File("/tmp/graft_fixture/jsonl_export")
-      .listFiles().filter(_.getName.endsWith(".jsonl"))
+    // the export writes a per-invocation dir (task-commit protocol);
+    // locate this session's newest export root
+    val root = new java.io.File("/tmp/graft_fixture").listFiles()
+      .filter(_.getName.startsWith("jsonl_export_"))
+      .maxBy(_.lastModified())
+    val f = root.listFiles().filter(_.getName.endsWith(".jsonl"))
     assert(f.length == 8, "8 shard files on disk")
     val line = scala.io.Source.fromFile(f.head).getLines().next()
     assert(line.matches("""\{"id":\d+,"text":".*"\}"""),
