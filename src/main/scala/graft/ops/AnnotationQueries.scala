@@ -407,7 +407,87 @@ object AnnotationQueries {
     rows.select(col("aid") +: (geomCols ++ propCols): _*)
   }
 
+  /** The reference's OWN committed annotation layer (H01-derived,
+    * test/test_precomputed_annotation, CC-BY per its README): POINT
+    * annotations with one int32 enum property + one relationship.
+    * Spec mirrors the layer's info; known answers come from the
+    * reference's own test (test/test_annotations.py: 10043 points /
+    * 7 label strings in spatial0, by_id geometry, 4-point axon
+    * relationship). DuckDB oracle reads golden parquet from the
+    * independent stdlib parse (tools/annotation_golden_gen.py).
+    */
+  val H01Dir = "/root/reference/test/test_precomputed_annotation"
+  val H01Golden = "/root/repo/src/test/resources/golden"
+  val H01Spec: AnnotationSpec =
+    AnnotationSpec("POINT", 3, Seq(PropSpec("class_label", "int32")))
+  val H01Enum: Map[Long, String] = Map(
+    0L -> "axon", 1L -> "dendrite", 2L -> "astrocyte", 3L -> "soma",
+    4L -> "cilium", 5L -> "AIS",
+    1000L -> "myelinated axon", 1001L -> "myelinated axon",
+    1002L -> "myelinated fragment", 1003L -> "myelinated fragment",
+    1004L -> "myelinated fragment", 1005L -> "myelinated fragment")
+
   val queries: Map[String, Q] = Map(
+
+    // P8/F18 golden parity: decode the committed spatial0 tile of the
+    // reference's H01 annotation fixture — the reference's get_all
+    // path (test_annotations.py:27-34: 10043 POINTs, 7 label strings)
+    "p8p_annotation_golden_spatial" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val data = graft.core.Codec.gunzip(
+          Files.readAllBytes(Paths.get(H01Dir, "spatial0", "0_0_0.gz")))
+        val enumB = s.sparkContext.broadcast(H01Enum)
+        s.createDataset(Seq(0)).flatMap { _ =>
+          AnnotationCodec.decode(H01Spec, data).iterator.map { a =>
+            val lab = a.props(0).toLong
+            (a.id, a.geometry(0).toDouble, a.geometry(1).toDouble,
+              a.geometry(2).toDouble, lab, enumB.value(lab))
+          }
+        }.toDF("id", "x", "y", "z", "class_label", "class_name")
+      },
+      Some(s"""SELECT id, x, y, z, class_label, class_name
+        |FROM read_parquet('$H01Golden/annotation_h01_spatial.parquet')""".stripMargin)),
+
+    // P8 golden by-id lookup: the single-annotation encoding with the
+    // trailing relationship section (test_annotations.py:19-21's known
+    // geometry; relationship id decoded alongside)
+    "p8q_annotation_golden_by_id" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val data = graft.core.Codec.gunzip(
+          Files.readAllBytes(Paths.get(H01Dir, "by_id", "3867588737.gz")))
+        s.createDataset(Seq(0)).map { _ =>
+          val (a, rels) = AnnotationCodec.decodeSingle(
+            H01Spec, nRels = 1, id = 3867588737L, data)
+          (a.id, a.geometry(0).toDouble, a.geometry(1).toDouble,
+            a.geometry(2).toDouble, a.props(0).toLong,
+            rels.head.length.toLong, rels.head.head)
+        }.toDF("id", "x", "y", "z", "class_label", "n_rel", "skeleton_id")
+      },
+      Some("""SELECT CAST(3867588737 AS BIGINT) AS id,
+        |  CAST(1937760 AS DOUBLE) AS x, CAST(1318752 AS DOUBLE) AS y,
+        |  CAST(96921 AS DOUBLE) AS z, CAST(1 AS BIGINT) AS class_label,
+        |  CAST(1 AS BIGINT) AS n_rel,
+        |  CAST(4781447896 AS BIGINT) AS skeleton_id""".stripMargin)),
+
+    // P8 golden relationship lookup: skeleton_id/243895108 — the
+    // multi-annotation encoding under a relationship key
+    // (test_annotations.py:23-26: 4 points, all 'axon')
+    "p8r_annotation_golden_relationship" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val data = graft.core.Codec.gunzip(
+          Files.readAllBytes(Paths.get(H01Dir, "skeleton_id", "243895108.gz")))
+        s.createDataset(Seq(0)).flatMap { _ =>
+          AnnotationCodec.decode(H01Spec, data).iterator.map { a =>
+            (a.id, a.geometry(0).toDouble, a.geometry(1).toDouble,
+              a.geometry(2).toDouble, a.props(0).toLong)
+          }
+        }.toDF("id", "x", "y", "z", "class_label")
+      },
+      Some(s"""SELECT id, x, y, z, class_label
+        |FROM read_parquet('$H01Golden/annotation_h01_rel.parquet')""".stripMargin)),
 
     // F18: annotation binary round-trip with a full property schema
     // (uint8 + uint16 + float32 + rgb, 4-byte record padding) — the
