@@ -126,7 +126,10 @@ object DracoQueries {
           .withColumn("node",
             when(col("cnt") === 2 && col("aligned"), col("gkey"))
               .otherwise(lit(1L << 50) + col("idx") * 4096L + col("vid")))
-        val nodeMap = nodes.select("idx", "vid", "node", "gkey")
+        // the decode + dup-count subtree feeds the edge join (twice), the
+        // CC node list, and the final aggregation — checkpoint it once so
+        // the fragments decode once, not once per consumer
+        val nodeMap = nodes.select("idx", "vid", "node", "gkey").localCheckpoint()
         val e0 = faces(s)
           .select(col("idx"), explode(array(
             array(col("v0"), col("v1")), array(col("v1"), col("v2")),
