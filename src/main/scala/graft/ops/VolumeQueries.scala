@@ -1089,6 +1089,68 @@ object VolumeQueries {
     // scale (regions/nations/customers are small next to facts); the
     // only wide shuffles are the fact keys. Exact integer revenue as
     // in Q3.
+    // TPC-H Q7 volume shipping: bidirectional two-nation trade flow,
+    // revenue in integer cents grouped by (supplier nation, customer
+    // nation, ship year). Scale shape: both nation dims broadcast; the
+    // fact table joins orders on the order key (the only big-big join,
+    // co-shuffled) after supplier/customer nation filters have pruned
+    // it; year derives from the shipdate in UTC on both engines.
+    "q7_volume_shipping" -> Q(
+      (s, dir) => {
+        def tsc(df: DataFrame, c: String) =
+          df.schema(c).dataType match {
+            case org.apache.spark.sql.types.LongType => expr(s"$c div 1000")
+            case _ => unix_micros(col(c).cast("timestamp"))
+          }
+        val natPair = Seq("NATION_1", "NATION_2")
+        val nat = table(s, dir, "nation")
+          .filter(col("n_name").isin(natPair: _*))
+          .select(col("n_nationkey").cast("long").as("natkey"), col("n_name"))
+        val supp = table(s, dir, "supplier")
+          .join(broadcast(nat), col("s_nationkey").cast("long") === col("natkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+        val cust = table(s, dir, "customer")
+          .join(broadcast(nat), col("c_nationkey").cast("long") === col("natkey"))
+          .select(col("c_custkey"), col("n_name").as("cust_nation"))
+        val li0 = table(s, dir, "lineitem")
+        val li = li0.select(col("l_orderkey"), col("l_suppkey"),
+            tsc(li0, "l_shipdate").as("ship_us"),
+            (round(col("l_extendedprice") * 100).cast("long") *
+              (lit(100L) - round(col("l_discount") * 100).cast("long")))
+              .as("rev"))
+          .filter(col("ship_us") >= 820454400000000L && // 1996-01-01
+            col("ship_us") < 883612800000000L)          // 1998-01-01
+        val ord = table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        li.join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+          .join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .select(col("supp_nation"), col("cust_nation"),
+            year(timestamp_micros(col("ship_us"))).cast("long").as("l_year"),
+            col("rev"))
+          .groupBy("supp_nation", "cust_nation", "l_year")
+          .agg(sum("rev").as("revenue"), count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(make_timestamp(epoch_ns(l.l_shipdate) // 1000)) AS BIGINT)
+        |    AS l_year,
+        |  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+        |    AS BIGINT) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem l
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+        |JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+        |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n1.n_name <> n2.n_name
+        |  AND epoch_ns(l.l_shipdate) // 1000 >= 820454400000000
+        |  AND epoch_ns(l.l_shipdate) // 1000 < 883612800000000
+        |GROUP BY 1, 2, 3""".stripMargin)),
+
     "q5_local_supplier" -> Q(
       (s, dir) => {
         def tsc(df: DataFrame, c: String) =
