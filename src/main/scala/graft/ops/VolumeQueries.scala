@@ -1102,7 +1102,7 @@ object VolumeQueries {
             case org.apache.spark.sql.types.LongType => expr(s"$c div 1000")
             case _ => unix_micros(col(c).cast("timestamp"))
           }
-        val natPair = Seq("NATION_1", "NATION_2")
+        val natPair = Seq("NATION_19", "NATION_20")
         val nat = table(s, dir, "nation")
           .filter(col("n_name").isin(natPair: _*))
           .select(col("n_nationkey").cast("long").as("natkey"), col("n_name"))
@@ -1144,8 +1144,8 @@ object VolumeQueries {
         |JOIN customer c ON c.c_custkey = o.o_custkey
         |JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
         |JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
-        |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
-        |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+        |WHERE n1.n_name IN ('NATION_19', 'NATION_20')
+        |  AND n2.n_name IN ('NATION_19', 'NATION_20')
         |  AND n1.n_name <> n2.n_name
         |  AND epoch_ns(l.l_shipdate) // 1000 >= 820454400000000
         |  AND epoch_ns(l.l_shipdate) // 1000 < 883612800000000
