@@ -272,9 +272,19 @@ object Bench {
     // every query once untimed makes the timed loop measure the
     // steady-state pipeline — the number that is comparable across
     // rounds and the analogue of the reference's warm local benchmark.
+    // Baseline keep-set for the block sweeper: everything persistent at
+    // this point is fixture-era (built once in ensureAll) and must
+    // survive the loop; everything a query invocation pins AFTER this
+    // point is released by the post-invocation sweep unless its memo
+    // registered it in BlockPins (r14 verdict item 1: ~40 per-
+    // invocation localCheckpoint sites x 4 passes x 305 queries pinned
+    // an ever-growing block set and degraded late-position invocations
+    // 3-12x in every pass).
+    val baselineIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
     if (!cutoutOnly) sorted.foreach { case (name, fn) =>
       try { fn(spark, sfDir).count() }
       catch { case _: Throwable => () } // recorded in the timed pass
+      graft.ops.BlockPins.sweep(spark, baselineIds)
     }
     System.gc() // start the timed loop from a settled heap
     // any fixture rebuild AFTER this point happened inside the timed
@@ -297,7 +307,7 @@ object Bench {
     // a distorted number carries its own attribution instead of needing
     // a forensic session.
     case class PassRec(name: String, pass: Int, pos: Int, prev: String,
-      wall: Double, gcMs: Long, rebuilds: Int)
+      wall: Double, gcMs: Long, rebuilds: Int, storageBytes: Long)
     val passRecs = scala.collection.mutable.ArrayBuffer.empty[PassRec]
     val gcBeans = {
       import scala.jdk.CollectionConverters._
@@ -326,8 +336,14 @@ object Bench {
         }
         val dt = (System.nanoTime() - t0) / 1e9
         timings(name) = timings.getOrElse(name, Vector.empty) :+ dt
+        // release this invocation's leaked checkpoint/cache blocks
+        // (memo-pinned and fixture-era blocks survive), THEN record the
+        // resident storage footprint — the breadcrumb that proves (or
+        // refutes) block accumulation on any future in-run degradation
+        graft.ops.BlockPins.sweep(spark, baselineIds)
         passRecs += PassRec(name, pass, pos, prev, dt, gcTimeMs() - gc0,
-          graft.ops.FixtureLog.rebuildsSince(0L).size - rb0)
+          graft.ops.FixtureLog.rebuildsSince(0L).size - rb0,
+          graft.ops.BlockPins.storageBytes(spark))
         prev = name
       }
       System.gc()
@@ -355,7 +371,8 @@ object Bench {
     val passesJson = passRecs.map { r =>
       s"""{"q":"${jstr(r.name)}","pass":${r.pass},"pos":${r.pos},""" +
       s""""prev":"${jstr(r.prev)}","wall":${num(r.wall, 3)},""" +
-      s""""gc_ms":${r.gcMs},"rebuilds":${r.rebuilds}}"""
+      s""""gc_ms":${r.gcMs},"rebuilds":${r.rebuilds},""" +
+      s""""storage_bytes":${r.storageBytes}}"""
     }.mkString("[", ",", "]")
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + num(v, 3) }

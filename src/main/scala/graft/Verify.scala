@@ -30,6 +30,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release this query's leaked checkpoint blocks (memo-pinned
+      // tables survive) — 300+ queries in one session would otherwise
+      // accumulate every invocation's localCheckpoint blocks
+      graft.ops.BlockPins.sweep(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

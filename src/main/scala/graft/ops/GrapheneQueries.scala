@@ -40,9 +40,10 @@ object GrapheneQueries {
     * layer above its child, so descent must key on each node's
     * decoded layer bits, never on a uniform depth).
     */
-  private def edges(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private def edges(s: SparkSession, dir: String,
+      materialize: Boolean = true): (DataFrame, DataFrame) = {
     val enc = Derived.grapheneEncodeUdf
-    val leaves = table(s, dir, "supplier").select(
+    val derived = table(s, dir, "supplier").select(
       col("s_suppkey").cast("long").as("sk"))
       .select(col("sk"),
         enc(lit(1), col("sk") % 20, (col("sk") * 3) % 20, col("sk") % 10,
@@ -54,13 +55,22 @@ object GrapheneQueries {
         col("p2") % 5, col("p2")))
       .withColumn("root", enc(lit(3), col("p3") % 5, (col("p3") * 3) % 5,
         col("p3") % 3, col("p3")))
+    // materialize = true: checkpoint the node table AND the edge union
+    // once per invocation, so iterative consumers (j5c/j6/j6b) join
+    // against blocks instead of re-deriving the scan + distinct in
+    // every frontier union branch — r14's j6b plan scanned the edge
+    // source 48x because this subtree was rebuilt per branch. Single-
+    // pass consumers with a pushable predicate (j5e) pass false and
+    // keep the filter on the parquet scan.
+    val leaves = if (materialize) derived.localCheckpoint() else derived
     val e1 = leaves.select(col("leaf").as("child"),
       when(col("skip"), col("root")).otherwise(col("parent")).as("parent"))
     // layer-2 nodes exist only where some non-skip leaf attaches
     val e2 = leaves.filter(!col("skip"))
       .select(col("parent").as("child"), col("root").as("parent"))
       .distinct()
-    (leaves, e1.unionAll(e2))
+    val es = e1.unionAll(e2)
+    (leaves, if (materialize) es.localCheckpoint() else es)
   }
 
   val queries: Map[String, Q] = Map(
@@ -81,20 +91,16 @@ object GrapheneQueries {
           shiftrightunsigned(col("parent"), 56) === 3)
           .distinct().select(col("parent").as("root"), col("parent").as("node"))
         val stopLayer = 1
+        val layer = shiftrightunsigned(col("node"), 56)
         // bounded by the hierarchy depth from the graphene meta
         // (graphene/metadata.py:116-123): root layer 3 -> stop layer 1
         // is at most 2 descents; nodes AT stop_layer peel off early
-        var frontier = roots
-        var done: DataFrame = null
-        (0 until 2).foreach { _ =>
-          val layer = shiftrightunsigned(col("node"), 56)
-          val atStop = frontier.filter(layer === stopLayer)
-          done = if (done == null) atStop else done.unionAll(atStop)
-          frontier = frontier.filter(layer > stopLayer)
+        val (done, frontier) = Frontier.iterate(roots, maxRounds = 2)(
+          (f, _) => f.filter(layer > stopLayer)
             .join(down, Seq("node"))
-            .select(col("root"), col("child").as("node"))
-        }
-        val all = done.unionAll(frontier)
+            .select(col("root"), col("child").as("node")))(
+          (f, stepped, _) => (Seq(f.filter(layer === stopLayer)), stepped))
+        val all = Frontier.unionAll(done, frontier)
           .filter(shiftrightunsigned(col("node"), 56) === stopLayer)
         val dec = Derived.grapheneDecodeUdf
         all
@@ -127,26 +133,22 @@ object GrapheneQueries {
           shiftrightunsigned(col("parent"), 56) === 3)
           .distinct().select(col("parent").as("root"), col("parent").as("node"))
         val stopLayer = 2
-        var frontier = roots
-        var out: DataFrame = null
-        def acc(d: DataFrame): Unit =
-          out = if (out == null) d else out.unionAll(d)
-        (0 until 2).foreach { _ =>
-          val layer = shiftrightunsigned(col("node"), 56)
-          acc(frontier.filter(layer === stopLayer))
-          val stepped = frontier.filter(layer > stopLayer)
+        val layer = shiftrightunsigned(col("node"), 56)
+        val (emitted, frontier) = Frontier.iterate(roots, maxRounds = 2)(
+          (f, _) => f.filter(layer > stopLayer)
             .join(down, Seq("node"))
             .select(col("root"), col("node"), col("child"),
-              shiftrightunsigned(col("child"), 56).as("clyr"))
-          // skip connection jumping past stop_layer: the parent IS the
-          // lowest ancestor at-or-above it for this branch
-          acc(stepped.filter(col("clyr") < stopLayer)
-            .select(col("root"), col("node")))
-          frontier = stepped.filter(col("clyr") >= stopLayer)
-            .select(col("root"), col("child").as("node"))
-        }
-        acc(frontier.filter(
-          shiftrightunsigned(col("node"), 56) === stopLayer))
+              shiftrightunsigned(col("child"), 56).as("clyr")))(
+          (f, stepped, _) => (Seq(
+            f.filter(layer === stopLayer),
+            // skip connection jumping past stop_layer: the parent IS
+            // the lowest ancestor at-or-above it for this branch
+            stepped.filter(col("clyr") < stopLayer)
+              .select(col("root"), col("node"))),
+            stepped.filter(col("clyr") >= stopLayer)
+              .select(col("root"), col("child").as("node"))))
+        val out = Frontier.unionAll(emitted,
+          frontier.filter(shiftrightunsigned(col("node"), 56) === stopLayer))
         val dec = Derived.grapheneDecodeUdf
         out.distinct()
           .withColumn("d", dec(col("node")))
@@ -193,21 +195,17 @@ object GrapheneQueries {
         val inputs = lv.select(col("leaf").as("segid")).unionAll(
           lv.filter(!col("skip")).select(col("parent").as("segid"))
             .distinct())
-        var frontier = inputs.select(col("segid"), col("segid").as("node"))
-        var out: DataFrame = null
-        def acc(d: DataFrame): Unit =
-          out = if (out == null) d else out.unionAll(d)
+        val start = inputs.select(col("segid"), col("segid").as("node"))
+        val layer = shiftrightunsigned(col("node"), 56)
         // root layer 3 -> at most 2 climbs reach stop_layer from any
         // input; nodes at-or-above stop_layer peel off each round
-        (0 until 2).foreach { _ =>
-          val layer = shiftrightunsigned(col("node"), 56)
-          acc(frontier.filter(layer >= stopLayer))
-          frontier = frontier.filter(layer < stopLayer)
+        val (settled, frontier) = Frontier.iterate(start, maxRounds = 2)(
+          (f, _) => f.filter(layer < stopLayer)
             .join(up, Seq("node"))
-            .select(col("segid"), col("parent").as("node"))
-        }
-        acc(frontier)
-        out.select(col("segid"), col("node").as("resolved"))
+            .select(col("segid"), col("parent").as("node")))(
+          (f, stepped, _) => (Seq(f.filter(layer >= stopLayer)), stepped))
+        Frontier.unionAll(settled, frontier)
+          .select(col("segid"), col("node").as("resolved"))
       },
       Some(s"""WITH lf AS (
         |  SELECT s_suppkey AS sk, s_suppkey // 10 AS p2,
@@ -275,7 +273,9 @@ object GrapheneQueries {
     // predicate-pushdown scan).
     "j5e_chunk_mappings" -> Q(
       (s, dir) => {
-        val (_, es) = edges(s, dir)
+        // un-materialized: this is a single constant-prefix filter, and
+        // the point is the predicate reaching the source scan
+        val (_, es) = edges(s, dir, materialize = false)
         // any label in chunk (layer 2, x=0, y=0, z=0); segid masked off
         val someLabel = 2L * L + 99L
         val segMask = (1L << 26) - 1
@@ -321,20 +321,14 @@ object GrapheneQueries {
         val edges = broadcast(e1.unionAll(e2).unionAll(e3))
         val roots = cur.filter(col("sk") % 5 === 0)
           .select(col("root").as("q"), col("root").as("node"))
-        var frontier = roots
-        var acc: DataFrame = null
-        var depth = 0
-        while (depth < 8 && frontier.limit(1).count() > 0) {
-          depth += 1
-          frontier = frontier
-            .join(edges, frontier("node") === edges("child"))
-            .select(col("q"), col("parent").as("node"))
-            .localCheckpoint()
-          val hop = frontier.select(col("q").as("root"),
-            col("node").as("ancestor"), lit(depth.toLong).as("depth"))
-          acc = if (acc == null) hop else acc.unionAll(hop)
-        }
-        acc
+        val (hops, _) = Frontier.iterate(roots, maxRounds = 8,
+          probeEmpty = true)(
+          (f, _) => f.join(edges, f("node") === edges("child"))
+            .select(col("q"), col("parent").as("node")))(
+          (_, stepped, round) => (Seq(stepped.select(col("q").as("root"),
+            col("node").as("ancestor"),
+            lit(round.toLong + 1L).as("depth"))), stepped))
+        hops.reduce(_ unionAll _)
       },
       Some("""WITH q AS (SELECT 500000 + s_suppkey AS root, s_suppkey AS sk
         |           FROM supplier WHERE s_suppkey % 5 = 0)
@@ -381,24 +375,22 @@ object GrapheneQueries {
         var known = g.filter(col("sk") % 5 === 2)
           .select((lit(600000L) + col("sk")).as("q"))
           .select(col("q"), col("q").as("id"))
-        var frontier = known
         // 3 generations -> closure fixed-points in <= 3 rounds; an
         // empty frontier short-circuits (one cheap probe on the
         // checkpointed rows beats a full dead round of join jobs)
-        var round = 0
-        while (round < 3 && frontier.limit(1).count() > 0) {
-          round += 1
-          val back = frontier
-            .join(ops, frontier("id") === ops("new") && ops("ts") >= t0)
-            .select(col("q"), col("old").as("id"))
-          val fwd = frontier
-            .join(ops, frontier("id") === ops("old") && ops("ts") <= t1)
-            .select(col("q"), col("new").as("id"))
-          frontier = back.unionAll(fwd).distinct()
-            .join(known, Seq("q", "id"), "left_anti")
-            .localCheckpoint()
-          known = known.unionAll(frontier)
-        }
+        Frontier.iterate(known, maxRounds = 3, probeEmpty = true)(
+          (f, _) => {
+            val back = f
+              .join(ops, f("id") === ops("new") && ops("ts") >= t0)
+              .select(col("q"), col("old").as("id"))
+            val fwd = f
+              .join(ops, f("id") === ops("old") && ops("ts") <= t1)
+              .select(col("q"), col("new").as("id"))
+            back.unionAll(fwd).distinct()
+              .join(known, Seq("q", "id"), "left_anti")
+          })(
+          (_, stepped, _) => { known = known.unionAll(stepped)
+            (Seq.empty, stepped) })
         known
       },
       Some("""WITH q AS (SELECT s_suppkey AS sk FROM supplier

@@ -179,7 +179,7 @@ object TextQueries {
       try java.nio.file.Files.getLastModifiedTime(src).toMillis
       catch { case _: java.io.IOException => 0L }
     pairsMemo.getOrElseUpdate((s.sparkContext.applicationId, dir, mtime),
-      minhashPairs(s, dir).localCheckpoint())
+      BlockPins.pinning(s)(minhashPairs(s, dir).localCheckpoint()))
   }
 
   /** Per-(session, corpus) memo of the BM25 statistics tables
@@ -199,19 +199,20 @@ object TextQueries {
     val mtime =
       try java.nio.file.Files.getLastModifiedTime(src).toMillis
       catch { case _: java.io.IOException => 0L }
-    bm25Memo.getOrElseUpdate((s.sparkContext.applicationId, dir, mtime), {
-      val wd = table(s, dir, "documents").select(col("doc_id"),
-        explode(split(col("text"), " ")).as("term"))
-      val tf = wd.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        .localCheckpoint()
-      val dl = wd.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-        .localCheckpoint()
-      val dfT = wd.select("doc_id", "term").distinct()
-        .groupBy("term").agg(count(lit(1)).as("df")).localCheckpoint()
-      val stats = wd.agg(count(lit(1)).as("total_dl"),
-        countDistinct("doc_id").as("n_docs")).localCheckpoint()
-      (tf, dl, dfT, stats)
-    })
+    bm25Memo.getOrElseUpdate((s.sparkContext.applicationId, dir, mtime),
+      BlockPins.pinning(s) {
+        val wd = table(s, dir, "documents").select(col("doc_id"),
+          explode(split(col("text"), " ")).as("term"))
+        val tf = wd.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+          .localCheckpoint()
+        val dl = wd.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+          .localCheckpoint()
+        val dfT = wd.select("doc_id", "term").distinct()
+          .groupBy("term").agg(count(lit(1)).as("df")).localCheckpoint()
+        val stats = wd.agg(count(lit(1)).as("total_dl"),
+          countDistinct("doc_id").as("n_docs")).localCheckpoint()
+        (tf, dl, dfT, stats)
+      })
   }
 
   /** DuckDB CTE chain ending in `pairs(a, b)` — the oracle twin of

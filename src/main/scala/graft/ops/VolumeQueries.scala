@@ -905,29 +905,27 @@ object VolumeQueries {
         val edges = e1.unionAll(e2).cache()
         // Iterate child->parent to fixpoint over the UNSETTLED frontier
         // only: rows whose node has no parent edge are settled and
-        // leave the loop; the remainder re-joins next pass. Each pass
-        // materializes once via eager localCheckpoint, which also cuts
-        // lineage so plan size stays O(1) in depth instead of O(depth).
-        var frontier = leaves.select(col("leaf"), col("leaf").as("node"))
-        var settled: DataFrame = null
-        var depth = 0
-        var empty = false
-        while (!empty && depth < 10) {
-          val stepped = frontier
-            .join(edges, col("node") === col("child"), "left")
-            .select(col("leaf"), col("node"), col("parent"))
-            .localCheckpoint() // the single action per iteration
-          val done = stepped.filter(col("parent").isNull)
-            .select(col("leaf"), col("node").as("root"))
-          settled = if (settled == null) done else settled.unionAll(done)
-          frontier = stepped.filter(col("parent").isNotNull)
-            .select(col("leaf"), col("parent").as("node"))
-          empty = frontier.isEmpty // cheap: reads the checkpointed rows
-          depth += 1
-        }
-        // depth cap safety: anything still unsettled resolves to itself
-        val rest = frontier.select(col("leaf"), col("node").as("root"))
-        settled.unionAll(rest).select(col("leaf"), col("root"))
+        // leave the loop; the remainder re-joins next pass. The shared
+        // Frontier loop materializes each pass once (localCheckpoint),
+        // so plan size stays O(1) in depth instead of O(depth).
+        val start = leaves.select(col("leaf"), col("leaf").as("node"))
+        val (settled, frontier) = Frontier.iterate(start, maxRounds = 10,
+          probeEmpty = true)(
+          (f, _) => f.join(edges, col("node") === col("child"), "left")
+            .select(col("leaf"), col("node"), col("parent")))(
+          (_, stepped, _) => (
+            Seq(stepped.filter(col("parent").isNull)
+              .select(col("leaf"), col("node").as("root"))),
+            stepped.filter(col("parent").isNotNull)
+              .select(col("leaf"), col("parent").as("node"))))
+        // depth cap safety: anything still unsettled resolves to itself.
+        // The result's lineage is rooted at the per-pass checkpoints,
+        // not at `edges` — release the loop-local cache now instead of
+        // leaking one copy per invocation.
+        edges.unpersist(blocking = false)
+        Frontier.unionAll(settled,
+            frontier.select(col("leaf"), col("node").as("root")))
+          .select(col("leaf"), col("root"))
       },
       Some("""SELECT s_suppkey AS leaf,
         |       200000 + (s_suppkey // 100) AS root

@@ -657,6 +657,14 @@ object XferQueries {
     "s17_memory_cutout" -> Q(
       (s, dir) => {
         ensure(s, dir)
+        // release the PREVIOUS invocation's pinned cutout before
+        // re-pinning: createOrReplaceTempView swaps the view but the
+        // old cache entry stays registered in the CacheManager, so a
+        // repeated invocation (bench passes, long sessions) would pin
+        // one dead cutout per call
+        if (s.catalog.tableExists("graft_mem_cutout"))
+          try s.catalog.uncacheTable("graft_mem_cutout")
+          catch { case _: Exception => () } // view existed but uncached
         val cut = PrecomputedIO.cutoutVoxels(s, LayerDir,
           Bbox(Vec3(8, 4, 6), Vec3(40, 36, 22))).cache()
         cut.createOrReplaceTempView("graft_mem_cutout")
