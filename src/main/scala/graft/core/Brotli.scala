@@ -100,7 +100,13 @@ object Brotli {
           r.alignToByte()
           if (skipBytes > 0) r.readBytes(skipLen)
         } else {
-          val mlen = r.bits(mnibbles * 4) + 1
+          val mlenM1 = r.bits(mnibbles * 4)
+          // RFC 7932 §9.2: MNIBBLES must be minimal — with 5 or 6
+          // nibbles the top nibble of MLEN-1 must be non-zero; a
+          // conforming decoder rejects non-minimal encodings
+          require(mnibbles == 4 || (mlenM1 >>> ((mnibbles - 1) * 4)) != 0,
+            "non-minimal MNIBBLES encoding")
+          val mlen = mlenM1 + 1
           val uncompressed = !last && r.bit() == 1
           if (uncompressed) {
             r.alignToByte()
@@ -139,10 +145,16 @@ object Brotli {
     var off = 0
     while (off < data.length) {
       val n = math.min(MaxBlock, data.length - off)
-      putBits(0, 1)      // ISLAST = 0
-      putBits(2, 2)      // MNIBBLES code 2 -> 6 nibbles
-      putBits(n - 1, 24) // MLEN - 1
-      putBits(1, 1)      // ISUNCOMPRESSED
+      putBits(0, 1) // ISLAST = 0
+      // minimal MNIBBLES (RFC 7932 §9.2: if MNIBBLES is 5 or 6 the top
+      // nibble of MLEN-1 must be non-zero — conforming decoders reject
+      // non-minimal encodings, so a fixed 6-nibble field would make
+      // every block under 1 MiB invalid)
+      val nibbles = if (n - 1 < (1 << 16)) 4
+        else if (n - 1 < (1 << 20)) 5 else 6
+      putBits(nibbles - 4, 2)      // MNIBBLES code 0/1/2 -> 4/5/6
+      putBits(n - 1, nibbles * 4)  // MLEN - 1
+      putBits(1, 1)                // ISUNCOMPRESSED
       align()
       out.write(data, off, n)
       off += n

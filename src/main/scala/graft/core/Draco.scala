@@ -16,12 +16,16 @@ import scala.collection.mutable.ArrayBuffer
   * that the spec leaves ambiguous (R/L gluing side, split-edge side,
   * DFS right-corner definition and branch order) were locked by brute
   * force against the reference's own committed fixtures
-  * (tools/draco_lock_conventions.py): the winning convention family is
-  * the unique one under which all 21 fragments decode with exact
-  * vertex/face counts, fully-exhausted buffers, minimal surface edge
-  * length, and — the end-to-end anchor — replaying the reference's
-  * chunk-boundary dedup (mesh.py:379-419) yields exactly the 3 connected
+  * (tools/draco_lock_conventions.py): three combos decode all 21
+  * fragments with exact vertex/face counts and fully-exhausted buffers,
+  * and — the end-to-end anchor — all three replay the reference's
+  * chunk-boundary dedup (mesh.py:379-419) to exactly the 3 connected
   * components its own test asserts (test/test_graphene.py:490-501).
+  * The residual ambiguity is connectivity-only: the gated family
+  * produces IDENTICAL per-fragment vertex-position multisets (verified
+  * by the tool), so positions and stitch components are unambiguous;
+  * the committed combo is the family's unique minimal-median-edge-
+  * length member, the tool's documented tie-break.
   *
   * Unsupported shapes (valence traversal, attribute seams, non-position
   * attributes, other prediction schemes) are rejected loudly.

@@ -119,13 +119,15 @@ object DracoQueries {
             (col("y") % ChunkNm(1) < GridNm / 2) || (lit(ChunkNm(1)) - col("y") % ChunkNm(1) <= GridNm / 2) ||
             (col("z") % ChunkNm(2) < GridNm / 2) || (lit(ChunkNm(2)) - col("z") % ChunkNm(2) <= GridNm / 2))
         val dupCnt = v.groupBy("gkey").agg(count(lit(1)).as("cnt"))
-        // node id: merged pairs collapse to the grid key; all others get
-        // a unique id derived from (fragment idx, vid) — disjoint ranges
-        // (grid keys stay far below 2^50 for this layer's extent)
+        // node id: merged pairs collapse to the (non-negative) grid key;
+        // all others get a unique NEGATIVE id from (fragment idx, vid) —
+        // the two ranges are structurally disjoint with no bound assumed
+        // on fragment count or per-fragment vertex count (vid < 2^32 by
+        // the draco format's u32 indices)
         val nodes = v.join(dupCnt, "gkey")
           .withColumn("node",
             when(col("cnt") === 2 && col("aligned"), col("gkey"))
-              .otherwise(lit(1L << 50) + col("idx") * 4096L + col("vid")))
+              .otherwise(-(col("idx") * 4294967296L + col("vid") + 1L)))
         // the decode + dup-count subtree feeds the edge join (twice), the
         // CC node list, and the final aggregation — checkpoint it once so
         // the fragments decode once, not once per consumer

@@ -22,7 +22,9 @@ object FormatQueries {
     import java.nio.file.{Files, Paths}
     RealLayerQueries.ensure(s, dir)
     val marker = Paths.get(BrRoot, ".built_from")
-    val markerVal = RealLayerQueries.stamp + "|br1"
+    // br2: minimal-MNIBBLES encoder (r15) — br1 fixtures carry 6-nibble
+    // MLEN fields the strict decoder now rejects
+    val markerVal = RealLayerQueries.stamp + "|br2"
     if (Files.exists(marker) && Files.readString(marker) == markerVal &&
       Files.exists(Paths.get(BrLayer, "info"))) return
     FixtureLog.rebuild(marker)

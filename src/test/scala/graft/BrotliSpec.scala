@@ -35,7 +35,7 @@ class BrotliSpec extends AnyFunSuite {
     put(0, 1); put(3, 2); put(0, 1); put(1, 2); put(2, 8) // metadata header
     while (bits.length % 8 != 0) put(0, 1)
     "MET".getBytes.foreach(b => put(b & 0xff, 8))
-    put(0, 1); put(2, 2); put(3, 24); put(1, 1) // block: mlen=4, uncompressed
+    put(0, 1); put(0, 2); put(3, 16); put(1, 1) // block: mlen=4, uncompressed
     while (bits.length % 8 != 0) put(0, 1)
     "DATA".getBytes.foreach(b => put(b & 0xff, 8))
     put(1, 1); put(1, 1) // islast + islastempty
@@ -60,6 +60,33 @@ class BrotliSpec extends AnyFunSuite {
     }.toArray
     val e = intercept[UnsupportedOperationException](Brotli.decompress(bytes))
     assert(e.getMessage.contains("stored-mode"))
+  }
+
+  test("compress picks the minimal MNIBBLES (RFC 7932 §9.2)") {
+    // 4-byte block -> 4 nibbles: header 1+1+2+16+1 = 21 bits = 3 bytes,
+    // + 4 payload + 1 closing ISLAST/ISLASTEMPTY byte = 8 total
+    assert(Brotli.compress("DATA".getBytes).length == 8)
+    // 70000-byte block (> 2^16, <= 2^20) -> 5 nibbles: header 25 bits
+    // = 4 bytes, + payload + 1
+    assert(Brotli.compress(new Array[Byte](70000)).length == 70000 + 5)
+  }
+
+  test("non-minimal MNIBBLES is rejected (conforming-decoder parity)") {
+    // the pre-r15 encoder's shape: a 4-byte block with a 6-nibble MLEN
+    // field — standard brotli decoders reject this, and so do we
+    val bits = new StringBuilder
+    def put(v: Int, n: Int): Unit = (0 until n).foreach(i => bits.append((v >> i) & 1))
+    put(0, 1) // wbits
+    put(0, 1); put(2, 2); put(3, 24); put(1, 1) // mlen=4 in 6 nibbles
+    while (bits.length % 8 != 0) put(0, 1)
+    "DATA".getBytes.foreach(b => put(b & 0xff, 8))
+    put(1, 1); put(1, 1)
+    while (bits.length % 8 != 0) put(0, 1)
+    val bytes = bits.toString.grouped(8).map { g =>
+      g.zipWithIndex.foldLeft(0) { case (a, (c, i)) => a | ((c - '0') << i) }.toByte
+    }.toArray
+    val e = intercept[IllegalArgumentException](Brotli.decompress(bytes))
+    assert(e.getMessage.contains("non-minimal MNIBBLES"))
   }
 
   test("truncated stream fails") {
