@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Bbox, Codec, Compresso, Vec3}
-import graft.sources.PrecomputedIO
+import graft.sources.{PrecomputedIO, ShardedIO}
 
 /** Golden-fixture parity over the reference's OWN committed compresso
   * layer, /root/reference/test/test_seg_unsharded (every mip is
@@ -65,6 +65,24 @@ object CompressoQueries {
       },
       Some(s"""SELECT x, y, z, label
         |FROM read_parquet('$Golden/compresso_cutout.parquet')""".stripMargin)),
+
+    // S5 sharded cutout over REAL committed bytes: the reference ships
+    // test_cv_sharded as metadata only (info + provenance, no shard
+    // data anywhere in its tree), so tools/sharded_golden_gen.py packs
+    // the committed 32_32_40 compresso chunks VERBATIM into one shard
+    // under test_cv_sharded/info's exact sharding spec (preshift 9,
+    // minishard/shard bits 0, identity hash, gzip data + gzip index)
+    // with an independent python implementation of the container. This
+    // entry reads it through the production sharded path — fixed index
+    // -> minishard index -> coalesced ranged reads -> gunzip ->
+    // compresso decode (rx.py:39-155, sharding.py:279-820) — against
+    // an oracle decoded from the committed UNSHARDED bytes by the
+    // independent python decoder, never from the shard.
+    "s5c_cutout_sharded_golden" -> Q(
+      (s, dir) => ShardedIO.cutoutVoxelsSharded(s, s"$Golden/sharded_seg",
+        Bbox(Vec3(128, 192, 120), Vec3(160, 224, 136))),
+      Some(s"""SELECT x, y, z, label
+        |FROM read_parquet('$Golden/sharded_cutout.parquet')""".stripMargin)),
 
     // A1 unique over ALL mips of the golden layer via the codec-level
     // labels() stream scan: unique(chunk) == unique(ids) ++
