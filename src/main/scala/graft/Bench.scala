@@ -170,6 +170,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.ops.BlockPins.quietSweepLogs()
 
     // Fixture construction is test setup, not operator work: build
     // EVERY fixture family once up front so the first query of each

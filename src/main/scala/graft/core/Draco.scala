@@ -29,6 +29,29 @@ import scala.collection.mutable.ArrayBuffer
   *
   * Unsupported shapes (valence traversal, attribute seams, non-position
   * attributes, other prediction schemes) are rejected loudly.
+  *
+  * VALENCE TRAVERSAL SCOPE, decided loudly (same rigor as the Brotli
+  * stored-mode note, core/Brotli.scala): the valence-coded edgebreaker
+  * path (traversal byte 1, the default of several public encoders at
+  * high compression levels) is deliberately NOT implemented, because it
+  * is unverifiable in this environment:
+  *  - every one of the reference's 21 committed fragments is STANDARD
+  *    traversal (the convention-lock tool full-decodes all of them with
+  *    the trav==0 parser), so there is no real valence fixture;
+  *  - no draco library, binary, or python module exists in the
+  *    container (no DracoPy, zero egress), so none can be generated;
+  *  - the standard path's correctness rests on locking its four
+  *    spec-ambiguous conventions against real fixtures; the valence
+  *    path adds MORE unlockable state (per-valence-context symbol
+  *    buffers plus incremental valence bookkeeping with per-symbol
+  *    update rules) and would have zero real anchors — a from-memory
+  *    implementation validated only against its own python inverse
+  *    would be self-consistent, unverified code posing as coverage.
+  * Real-world impact is bounded: the reference's own meshing pipeline
+  * emits standard traversal (these fixtures are its output), and a
+  * valence-coded file fails LOUDLY here with an actionable message.
+  * One committed real valence fragment would unlock the path; until
+  * then the rejection stands.
   */
 object Draco {
 

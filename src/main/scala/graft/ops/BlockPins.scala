@@ -57,6 +57,15 @@ object BlockPins {
     }
   }
 
+  /** Quiet the per-RDD "locally checkpointed ... cannot be recomputed"
+    * WARN that every sweep of a discarded checkpoint emits — a harness
+    * loop sweeps thousands of them by design, and the flood would bury
+    * the real diagnostics in the captured log tail.
+    */
+  def quietSweepLogs(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+
   /** Total bytes (memory + disk) currently held by persistent RDD
     * blocks — the storage breadcrumb the bench records per invocation
     * so a future degradation is attributed by measurement.
