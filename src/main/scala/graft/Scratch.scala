@@ -54,6 +54,22 @@ object Scratch {
       }
       spark.stop(); return
     }
+    // --rrfarms: time rag_hybrid_rrf's two retrieval arms in isolation
+    // (r14 brief item 5: "profile which arm dominates")
+    if (flags.contains("--rrfarms")) {
+      SparkEntry.queries("rag_hybrid_rrf")(spark, sfDir).count() // warm + memos
+      val arms = Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+          org.apache.spark.sql.DataFrame)](
+        "dense" -> graft.ops.SimilarityQueries.rrfDenseArm,
+        "lexical" -> graft.ops.SimilarityQueries.rrfLexicalArm)
+      for ((an, fn) <- arms; rep <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val c = fn(spark, sfDir).count()
+        println(f"[scratch] rrf_$an rep$rep rows=$c " +
+          f"time=${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+      spark.stop(); return
+    }
     // warmup
     SparkEntry.queries("q1_pricing")(spark, sfDir).count()
     for (n <- names; rep <- 1 to 3) {
