@@ -411,7 +411,19 @@ object Bench {
       s""""query_passes":$passesJson,""" +
       s""""lanes":{"batch":${batchLane.size},"stream":${streamLane.size},""" +
       s""""note":"per pass: batch lane shuffled first, st* lane shuffled last — """ +
-      s"""micro-batch state-store teardown residue stays off batch timings"},""" +
+      s"""micro-batch state-store teardown residue stays off batch timings",""" +
+      // Local fixed-cost floors, measured r15 via `Scratch --floor`
+      // (SparkListener job/stage/task attribution, local[32], sf0.1) —
+      // recorded so cross-round regression calls on these entries stop
+      // re-investigating wall times that are job-count x submission
+      // overhead, not data terms.
+      s""""floors":{"batch_job_overhead_s":0.05,"microbatch_job_s":0.6,""" +
+      s""""note":"st7_stream_stream_join = 5 micro-batch jobs x ~0.6 s """ +
+      s"""(task_time 11 s / 32 threads = 0.35 s parallel compute); """ +
+      s"""j6b_leaves_stop_layer = 13 frontier-checkpoint jobs x ~0.07 s """ +
+      s"""(task_time 0.15 s); j5f_lineage_window = 23 jobs x ~0.04 s — """ +
+      s"""at bench scale these medians are job-submission floors; the """ +
+      s"""per-job work is the data term that grows at cluster scale"}},""" +
       s""""fixture_rebuilds_in_timed_loop":$rebuildsJson,""" +
       s""""n_failed":${errs.size},"errors":$errJson,$mbpsJson,"sf":"$sfDir"}"""
     // Full per-query timings for humans/judge: one stdout line (NOT the

@@ -54,6 +54,41 @@ object Scratch {
       }
       spark.stop(); return
     }
+    // --floor: attribute an entry's wall time to Spark job count x
+    // per-job overhead (r14 brief item 7: the stream-stream join and
+    // the frontier descents are multi-job fixed-cost floors at bench
+    // scale — measure it so future rounds stop re-investigating)
+    if (flags.contains("--floor")) {
+      graft.ops.Fixtures.ensureAll(spark, sfDir)
+      @volatile var jobs = 0
+      @volatile var stages = 0
+      @volatile var taskMs = 0L
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            jobs += 1
+          override def onStageCompleted(
+              st: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            stages += 1
+            taskMs += st.stageInfo.taskMetrics.executorRunTime
+          }
+        })
+      for (n <- names) {
+        SparkEntry.queries(n)(spark, sfDir).count() // warm
+        for (rep <- 1 to 3) {
+          jobs = 0; stages = 0; taskMs = 0L
+          val t0 = System.nanoTime()
+          SparkEntry.queries(n)(spark, sfDir).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(200) // let the async listener bus drain
+          println(f"[floor] $n rep$rep wall=$dt%.3f s jobs=$jobs " +
+            f"stages=$stages task_time=${taskMs / 1e3}%.2f s " +
+            f"per_job_overhead=${(dt - taskMs / 1e3 / 32) / math.max(jobs, 1)}%.4f s")
+        }
+      }
+      spark.stop(); return
+    }
     // --rrfarms: time rag_hybrid_rrf's two retrieval arms in isolation
     // (r14 brief item 5: "profile which arm dominates")
     if (flags.contains("--rrfarms")) {
