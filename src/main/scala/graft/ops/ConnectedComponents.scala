@@ -113,41 +113,39 @@ object ConnectedComponents {
       .select(col("vid"), coalesce(col("comp"), col("vid")).as("comp"))
   }
 
-  /** The iterative core: min propagation + pointer jumping, one
-    * checkpointed action per round, monotone-sum convergence probe.
+  /** The iterative core: min propagation + pointer jumping via the
+    * shared Frontier.fixpoint loop (one checkpointed action per
+    * round), monotone-sum convergence probe.
     */
   private def iterateMin(edges0: DataFrame, nodes: DataFrame): DataFrame = {
     val edges = edges0.localCheckpoint()
-    var comp = nodes.select(col("vid"), col("vid").as("comp"))
-      .localCheckpoint()
     // convergence probe: per-node labels are non-increasing (least()
     // then jump to comp(comp) <= comp), so the global sum strictly
     // decreases every non-converged round. decimal(38,0) keeps the
     // sum exact at any node count / id range.
     var prev: java.math.BigDecimal = null
-    var done = false
-    while (!done) {
-      // round part 1: take the min comp over the neighborhood
-      val nbrMin = edges.as("e")
-        .join(comp.as("c"), col("e.nvid") === col("c.vid"))
-        .groupBy(col("e.vid").as("vid")).agg(min(col("c.comp")).as("ncomp"))
-      val stepped = comp.join(nbrMin, Seq("vid"), "left")
-        .select(col("vid"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-      // round part 2: pointer jump comp := comp(comp) (path halving)
-      val ptr = stepped.select(col("vid").as("cvid"), col("comp").as("ccomp"))
-      val jumped = stepped.as("s")
-        .join(ptr.as("p"), col("s.comp") === col("p.cvid"), "left")
-        .select(col("s.vid").as("vid"),
-          coalesce(col("p.ccomp"), col("s.comp")).as("comp"))
-        .localCheckpoint()
+    Frontier.fixpoint(nodes.select(col("vid"), col("vid").as("comp"))) {
+      (comp, _) =>
+        // round part 1: take the min comp over the neighborhood
+        val nbrMin = edges.as("e")
+          .join(comp.as("c"), col("e.nvid") === col("c.vid"))
+          .groupBy(col("e.vid").as("vid")).agg(min(col("c.comp")).as("ncomp"))
+        val stepped = comp.join(nbrMin, Seq("vid"), "left")
+          .select(col("vid"),
+            least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        // round part 2: pointer jump comp := comp(comp) (path halving)
+        val ptr = stepped.select(col("vid").as("cvid"), col("comp").as("ccomp"))
+        stepped.as("s")
+          .join(ptr.as("p"), col("s.comp") === col("p.cvid"), "left")
+          .select(col("s.vid").as("vid"),
+            coalesce(col("p.ccomp"), col("s.comp")).as("comp"))
+    } { (jumped, _) =>
       val cur = jumped
         .agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
-      done = prev != null && cur.compareTo(prev) == 0
+      val done = prev != null && cur.compareTo(prev) == 0
       prev = cur
-      comp = jumped
+      done
     }
-    comp
   }
 
   /** @param fg foreground voxel rows (x, y, z) — caller pre-filters

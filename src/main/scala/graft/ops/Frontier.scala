@@ -69,4 +69,32 @@ object Frontier {
   /** Union an emitted-batch list with a tail, tolerating empty lists. */
   def unionAll(batches: Seq[DataFrame], tail: DataFrame): DataFrame =
     (batches :+ tail).reduce(_ unionAll _)
+
+  /** Whole-table fixpoint iteration (the pointer-jumping shape): the
+    * state is re-derived entirely each round rather than shrinking as
+    * a frontier. Same materialization discipline as [[iterate]] — one
+    * localCheckpoint per round caps lineage at O(1) in depth — with a
+    * caller-supplied convergence probe over the CHECKPOINTED state (a
+    * cheap aggregate on blocks, e.g. a monotone sum; never a compare
+    * join against the previous round's full table).
+    *
+    * @param start     round-0 state (checkpointed before the first step)
+    * @param maxRounds safety cap (pointer jumping converges in
+    *                  O(log diameter); the cap only guards a bug)
+    * @param step      state -> next state, materialized once per round
+    * @param converged probe on the new checkpointed state; true stops
+    */
+  def fixpoint(start: DataFrame, maxRounds: Int = 64)(
+      step: (DataFrame, Int) => DataFrame)(
+      converged: (DataFrame, Int) => Boolean): DataFrame = {
+    var state = start.localCheckpoint()
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      state = step(state, round).localCheckpoint()
+      done = converged(state, round)
+      round += 1
+    }
+    state
+  }
 }

@@ -70,19 +70,23 @@ object GraphQueries {
         val bidir = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
         val outd = bidir.groupBy("u").agg(count(lit(1)).as("deg"))
         val nodes = bidir.select(col("u").as("node")).distinct()
-        var pr = nodes.withColumn("pr", lit(1000000L))
-        for (_ <- 1 to 3) {
-          val contrib = bidir
-            .join(pr.select(col("node").as("u"), col("pr")), Seq("u"))
-            .join(outd, Seq("u"))
-            .select(col("v").as("node"), expr("pr div deg").as("w"))
-            .groupBy("node").agg(sum("w").as("inw"))
-          pr = nodes.join(contrib, Seq("node"), "left")
-            .select(col("node"),
-              (lit(150000L) + expr("85 * coalesce(inw, 0L) div 100"))
-                .as("pr"))
-        }
-        pr
+          .localCheckpoint() // consumed by every round's rebase join
+        // fixed 3-round unroll via the shared fixpoint loop (per-round
+        // checkpoint: each iteration's two shuffles run once, never
+        // re-derived by the next round's plan)
+        Frontier.fixpoint(
+          nodes.withColumn("pr", lit(1000000L)), maxRounds = 3) {
+          (pr, _) =>
+            val contrib = bidir
+              .join(pr.select(col("node").as("u"), col("pr")), Seq("u"))
+              .join(outd, Seq("u"))
+              .select(col("v").as("node"), expr("pr div deg").as("w"))
+              .groupBy("node").agg(sum("w").as("inw"))
+            nodes.join(contrib, Seq("node"), "left")
+              .select(col("node"),
+                (lit(150000L) + expr("85 * coalesce(inw, 0L) div 100"))
+                  .as("pr"))
+        } ((_, _) => false)
       },
       Some(s"""WITH $EdgeCte,
         |bidir AS (SELECT u, v FROM edges
@@ -164,18 +168,18 @@ object GraphQueries {
     // in ConnectedComponents (at scale: persist + truncate per round).
     "graph_kcore3" -> Q(
       (s, dir) => {
-        var e = edges(s, dir).localCheckpoint()
-        for (_ <- 1 to 3) {
-          val bidir = e.unionAll(
-            e.select(col("v").as("u"), col("u").as("v")))
-          val keep = bidir.groupBy("u").agg(count(lit(1)).as("deg"))
-            .filter(col("deg") >= 3).select("u")
-          e = e.join(keep, Seq("u"))
-            .join(keep.select(col("u").as("v")), Seq("v"))
-            .select("u", "v").localCheckpoint()
-        }
-        val bidir = e.unionAll(
-          e.select(col("v").as("u"), col("u").as("v")))
+        val e3 = Frontier.fixpoint(edges(s, dir), maxRounds = 3) {
+          (e, _) =>
+            val bidir = e.unionAll(
+              e.select(col("v").as("u"), col("u").as("v")))
+            val keep = bidir.groupBy("u").agg(count(lit(1)).as("deg"))
+              .filter(col("deg") >= 3).select("u")
+            e.join(keep, Seq("u"))
+              .join(keep.select(col("u").as("v")), Seq("v"))
+              .select("u", "v")
+        } ((_, _) => false) // fixed 3-round unroll (oracle-expressible)
+        val bidir = e3.unionAll(
+          e3.select(col("v").as("u"), col("u").as("v")))
         bidir.groupBy(col("u").as("node"))
           .agg(count(lit(1)).as("deg"))
       },
@@ -295,24 +299,25 @@ object GraphQueries {
         val bidir = e.unionAll(
           e.select(col("v").as("u"), col("u").as("v")))
         val nodes = bidir.select(col("u").as("node")).distinct()
-        var lab = nodes.withColumn("label", col("node"))
-        for (_ <- 1 to 3) {
-          val elected = bidir
-            .join(lab.select(col("node").as("u"), col("label")), Seq("u"))
-            .groupBy(col("v").as("node"), col("label"))
-            .agg(count(lit(1)).as("cnt"))
-            .groupBy("node")
-            .agg(max(expr(s"cnt * $NodeMod + (${NodeMod - 1} - label)")).as("p"))
-            .select(col("node"),
-              expr(s"${NodeMod - 1}L - p % $NodeMod").as("label"))
-          // every node in `nodes` has >= 1 neighbor (it came from the
-          // edge list), so the election always lands — inner join
-          lab = nodes.join(elected, Seq("node"))
-        }
-        // cap the 3-round lineage once: `lab` is consumed twice below
-        // (size aggregate + final join) and would otherwise re-derive
-        // the whole unrolled plan per consumer
-        val done = lab.localCheckpoint()
+          .localCheckpoint() // consumed by every election round
+        // fixed 3-round unroll (oracle-expressible); Frontier.fixpoint
+        // checkpoints each round AND the final state, so the two
+        // consumers below read blocks, never the unrolled plan
+        val done = Frontier.fixpoint(
+          nodes.withColumn("label", col("node")), maxRounds = 3) {
+          (lab, _) =>
+            val elected = bidir
+              .join(lab.select(col("node").as("u"), col("label")), Seq("u"))
+              .groupBy(col("v").as("node"), col("label"))
+              .agg(count(lit(1)).as("cnt"))
+              .groupBy("node")
+              .agg(max(expr(s"cnt * $NodeMod + (${NodeMod - 1} - label)")).as("p"))
+              .select(col("node"),
+                expr(s"${NodeMod - 1}L - p % $NodeMod").as("label"))
+            // every node in `nodes` has >= 1 neighbor (it came from the
+            // edge list), so the election always lands — inner join
+            nodes.join(elected, Seq("node"))
+        } ((_, _) => false)
         val sizes = done.groupBy("label").agg(count(lit(1)).as("csize"))
         done.join(sizes, Seq("label")).select("node", "label", "csize")
       },
