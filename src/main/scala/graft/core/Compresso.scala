@@ -264,6 +264,18 @@ object Compresso {
   def encode(vox: Array[Long], dims: Vec3, dataWidth: Int = 4): Array[Byte] = {
     val sx = dims.x.toInt; val sy = dims.y.toInt; val sz = dims.z.toInt
     require(sx % 4 == 0 && sy % 4 == 0, s"compresso encode needs 4|sx and 4|sy, got $dims")
+    // the v1 streams this encoder writes are u32 (ids AND location
+    // literals, which carry label + 7): a label past u32-7 would wrap
+    // silently and decode as garbage — reject loudly instead (found by
+    // CompressoPropertySpec: a wrapped literal decoded as location
+    // code 2)
+    require(dataWidth == 4, s"compresso encode supports dataWidth 4, got $dataWidth")
+    var mi = 0
+    while (mi < vox.length) {
+      require(vox(mi) >= 0 && vox(mi) <= 0xFFFFFFFFL - 7,
+        s"label ${vox(mi)} exceeds the u32-7 literal domain of compresso v1 dataWidth=4")
+      mi += 1
+    }
     val slice = sx * sy
     val nwx = sx / 4; val nwy = sy / 4
     val boundary = new Array[Boolean](slice * sz)
