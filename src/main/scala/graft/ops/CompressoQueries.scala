@@ -84,6 +84,41 @@ object CompressoQueries {
       Some(s"""SELECT x, y, z, label
         |FROM read_parquet('$Golden/sharded_cutout.parquet')""".stripMargin)),
 
+    // S12/S16 sharded SYNTHESIS of the golden layer — the exact
+    // operation that would have produced test_cv_sharded from
+    // test_seg_unsharded (transfer_to with a sharded target,
+    // image/tx.py + sharding.py:868-983): the committed compresso
+    // chunks are read verbatim, shuffled by shard key, synthesized
+    // into the shard container by OUR writer under test_cv_sharded's
+    // exact spec, and read back through the production ranged path.
+    // The oracle is the same independent decode of the committed
+    // unsharded bytes as s5c — so writer and reader are both checked
+    // against ground truth that neither produced.
+    "s16_transfer_sharded_golden" -> Q(
+      (s, dir) => CompressoQueries.synchronized {
+        import s.implicits._
+        val target = "/tmp/graft_fixture/sharded_golden_xfer"
+        val tp = Paths.get(target)
+        if (Files.exists(tp)) {
+          // JIter (file-local) wraps the java iterator
+          Files.walk(tp).iterator().asScala.toVector.reverse
+            .foreach(p => Files.deleteIfExists(p))
+        }
+        // the spec-bearing info committed with the python-built layer
+        val meta = PrecomputedIO.readInfo(s"$Golden/sharded_seg")
+        PrecomputedIO.writeInfo(target, meta)
+        val chunks = chunkFiles(s, "32_32_40").as[(Long, Long, Long, String)]
+          .map { case (x0, y0, z0, p) =>
+            (x0 / 256, y0 / 256, z0 / 64,
+              Codec.gunzip(Files.readAllBytes(Paths.get(p))))
+          }.toDF("gx", "gy", "gz", "payload")
+        ShardedIO.writeSharded(chunks, target, meta, mip = 0)
+        ShardedIO.cutoutVoxelsSharded(s, target,
+          Bbox(Vec3(128, 192, 120), Vec3(160, 224, 136)))
+      },
+      Some(s"""SELECT x, y, z, label
+        |FROM read_parquet('$Golden/sharded_cutout.parquet')""".stripMargin)),
+
     // A1 unique over ALL mips of the golden layer via the codec-level
     // labels() stream scan: unique(chunk) == unique(ids) ++
     // unique(explicit locations) exactly, so no voxel is ever decoded

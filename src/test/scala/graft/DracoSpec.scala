@@ -27,6 +27,39 @@ class DracoSpec extends AnyFunSuite {
     } finally st.close()
   }
 
+  test("valence-traversal streams are rejected loudly (documented scope)") {
+    // flip the committed fragment's traversal byte to 1 (valence): the
+    // scope note in core/Draco.scala promises a loud, actionable
+    // rejection rather than a garbage decode. The byte offset is found
+    // by walking the header exactly as the decoder does: DRACO(5)
+    // maj min enc method flags(2), then the flagged metadata section
+    // (varint 0, n entries of len-prefixed key/value, varint 0).
+    val bytes = Files.readAllBytes(fragments.head).clone()
+    var p = 9
+    val flags = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8); p += 2
+    def varint(): Long = {
+      var out = 0L; var shift = 0; var more = true
+      while (more) {
+        val b = bytes(p) & 0xff; p += 1
+        out |= (b & 0x7fL) << shift; shift += 7; more = (b & 0x80) != 0
+      }
+      out
+    }
+    assert((flags & 0x8000) != 0, "committed fragments carry metadata")
+    assert(varint() == 0)
+    val n = varint()
+    (0L until n).foreach { _ =>
+      p += 1 + (bytes(p) & 0xff) // key
+      p += 1 + (bytes(p) & 0xff) // value
+    }
+    assert(varint() == 0)
+    assert(bytes(p) == 0, "pristine fragment is standard traversal")
+    Draco.decode(Files.readAllBytes(fragments.head)) // pristine decodes
+    bytes(p) = 1
+    val e = intercept[IllegalArgumentException](Draco.decode(bytes))
+    assert(e.getMessage.contains("traversal"), e.getMessage)
+  }
+
   test("all 21 committed fragments decode with consistent counts") {
     val frs = fragments
     assert(frs.size == 21)
