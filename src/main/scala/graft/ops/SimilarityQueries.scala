@@ -1048,13 +1048,19 @@ object SimilarityQueries {
     // sizes stay bounded; the corpus is never all-pairs joined.
     "semdedup" -> Q(
       (s, dir) => {
-        val base = table(s, dir, "embeddings")
-          .select(col("vec_id"), quantUdf(col("embedding")).as("q"))
+        // quantized corpus from the per-corpus memo; the synthetic
+        // near-dup rows + norms are narrow maps over its blocks. The
+        // corpus table is CHECKPOINTED because it feeds the assignment
+        // join, the payload rejoin, and BOTH sides of the intra-cluster
+        // self-join — un-materialized, the pre-r15 plan re-derived the
+        // embeddings scan 12x per invocation (the j6b defect class).
+        val base = quantNorm(s, dir).select(col("vec_id"), col("q"))
         val e = base.unionAll(base.filter(col("vec_id") % 10 === 0)
             .select((col("vec_id") + 10000).as("vec_id"),
               expr("transform(q, (x, i) -> IF(i = 0, x + 50, x))")
                 .as("q")))
           .withColumn("nrm", norm2Udf(col("q")))
+          .localCheckpoint()
         val cents = base.filter(col("vec_id") < 8)
           .select(col("vec_id").as("cid"), col("q").as("cv"))
           .withColumn("cnrm", norm2Udf(col("cv")))
@@ -1066,11 +1072,14 @@ object SimilarityQueries {
           .groupBy("vec_id")
           .agg(min_by(col("cid"), struct(col("d2"), col("cid")))
             .as("cluster"))
+        // materialized once: both sides of the cluster-confined
+        // self-join read these blocks
         val withC = e.join(asg, "vec_id")
           .join(broadcast(cents), col("cluster") === col("cid"))
           .withColumn("cosc", dotUdf(col("q"), col("cv")) /
             sqrt(col("nrm").cast("double") * col("cnrm").cast("double")))
           .select("vec_id", "cluster", "q", "nrm", "cosc")
+          .localCheckpoint()
         val a = withC.select(col("cluster"), col("vec_id").as("ida"),
           col("q").as("qa"), col("nrm").as("na"), col("cosc").as("ca"))
         val b = withC.select(col("cluster"), col("vec_id").as("idb"),

@@ -398,6 +398,12 @@ object TextQueries {
     // Exact n-gram Jaccard on the candidate pairs
     "dedup_ngram_jaccard" -> Q(
       (s, dir) => {
+        // deliberately NOT checkpointed (measured r15): the four
+        // consumers carry doc_id range filters that push into the
+        // parquet scan, so the "re-derivations" are pruned slices
+        // bounded at ~3 full-corpus shingle passes — materializing the
+        // full shingle table instead doubled the bench median. At
+        // cluster scale the knob to flip is persist() on this table.
         val sh = shingleHashes(corpus(s, dir)).distinct()
         val a = sh.filter(col("doc_id") < 10000 && col("doc_id") % 2 === 0)
           .select(col("doc_id").as("a"), col("hv"))
@@ -1630,6 +1636,8 @@ object TextQueries {
     // either way. Shingle-key join only — never all-pairs.
     "dedup_containment" -> Q(
       (s, dir) => {
+        // not checkpointed — same measured trade as
+        // dedup_ngram_jaccard above
         val sh = shingleHashes(corpus(s, dir)).distinct()
         val a = sh.filter(col("doc_id") < 10000 && col("doc_id") % 2 === 0)
           .select(col("doc_id").as("a"), col("hv"))
