@@ -1840,8 +1840,12 @@ object TextQueries {
     // re-shuffled for the assignment.
     "quality_ccnet_bucket" -> Q(
       (s, dir) => {
+        // checkpoint the doc-count-sized score table: it feeds the
+        // percentile aggregate AND the bucketing join — otherwise the
+        // whole bigram-LM pipeline (3 corpus scans) runs twice
         val sc = queries("quality_lm_score").fn(s, dir)
           .select("doc_id", "lm_avg_ppm")
+          .localCheckpoint()
         val th = sc.agg(
           expr("percentile(lm_avg_ppm, 0.333)").as("t33"),
           expr("percentile(lm_avg_ppm, 0.667)").as("t67"))

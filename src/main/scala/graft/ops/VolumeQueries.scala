@@ -426,6 +426,10 @@ object VolumeQueries {
           .agg(max(expr(
             "CASE WHEN w = 0 THEN 41L ELSE 41L - length(bin(w)) END"))
             .as("rho"))
+          // <= 4 x 256 register rows feeding merged + per-shard + the
+          // register-fill join: checkpoint, or the lineitem scan +
+          // distinct re-derives up to 6x
+          .localCheckpoint()
         val merged = reg.groupBy("bucket").agg(max("rho").as("rho"))
           .withColumn("scope", lit("merged"))
         val perShard = reg.select(
