@@ -3,7 +3,7 @@ package graft.ops
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.Draco
+import graft.core.{Codec, Draco, MeshCodec}
 
 /** Golden-fixture parity over the reference's OWN committed draco mesh
   * layer, /root/reference/test/test_cv/mesh_mip_2_draco_sv16 (21
@@ -26,7 +26,24 @@ import graft.core.Draco
 object DracoQueries {
 
   val FragDir = "/root/reference/test/test_cv/mesh_mip_2_draco_sv16"
+  val Err40Dir = "/root/reference/test/test_cv/mesh_mip_2_err_40_sv16"
   val Golden = "/root/repo/src/test/resources/golden"
+  // the root both committed manifests describe (test_graphene.py
+  // TEST_SEG_ID — its mesh.get fetches this manifest, then fragments)
+  val RootManifest = "648518346349515986:0"
+
+  /** Fragment names listed by a committed `<segid>:0` manifest
+    * (mesh/unsharded.py:66-85 — JSON {"fragments": [paths]}); one
+    * metadata-sized driver read, exactly the reference's manifest GET.
+    */
+  private def manifestFragments(path: String): Seq[String] = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readString(Paths.get(path)))
+    val it = node.get("fragments").elements()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) buf += it.next().asText()
+    buf.sorted.toSeq
+  }
 
   // reference dedup constants for this layer (test_graphene.py fixture
   // info): graph chunk_size [512,512,128] * resolution [8,8,40] nm,
@@ -95,6 +112,66 @@ object DracoQueries {
         col("v2").cast("long").as("v2")),
       Some(s"""SELECT segid, fid, v0, v1, v2
         |FROM read_parquet('$Golden/draco_faces.parquet')""".stripMargin)),
+
+    // A6 manifest-driven fragment resolution (mesh/unsharded.py:66-85:
+    // mesh.get fetches `<segid>:0`, a JSON fragment list, THEN the
+    // fragments): the committed root manifest's 21 entries are parsed,
+    // resolved to their files, and decoded — per-fragment counts must
+    // match the independent decoder's golden tables keyed by the
+    // segids the ORACLE extracts from the same manifest JSON. Proves
+    // the manifest hop of the reference's read path on its own
+    // committed bytes (the directory-listing entries above bypass it).
+    "a6d_mesh_manifest_golden" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val names = manifestFragments(s"$FragDir/$RootManifest")
+          .map(_.split("/").last) // layer-relative path -> file name
+        s.createDataset(names).repartition(8).map { name =>
+          val m = Draco.decode(Files.readAllBytes(Paths.get(FragDir, name)))
+          (name.split(":")(0).toLong, m.numVertices.toLong,
+            (m.faces.length / 3).toLong)
+        }.toDF("segid", "n_verts", "n_faces")
+      },
+      Some(s"""WITH m AS (SELECT unnest(fragments) AS frag
+        |         FROM read_json_auto('$FragDir/$RootManifest')),
+        |seg AS (SELECT CAST(string_split(string_split(frag, '/')[2],
+        |          ':')[1] AS BIGINT) AS segid FROM m),
+        |v AS (SELECT segid, CAST(count(*) AS BIGINT) AS n_verts
+        |      FROM read_parquet('$Golden/draco_vertices.parquet')
+        |      GROUP BY 1),
+        |f AS (SELECT segid, CAST(count(*) AS BIGINT) AS n_faces
+        |      FROM read_parquet('$Golden/draco_faces.parquet')
+        |      GROUP BY 1)
+        |SELECT seg.segid, v.n_verts, f.n_faces
+        |FROM seg JOIN v USING (segid) JOIN f USING (segid)""".stripMargin)),
+
+    // F16 precomputed-binary decode of the OTHER committed mesh layer
+    // (mesh_mip_2_err_40_sv16: the graphene ROOT meshes, ~44 MB of real
+    // bytes that previously flowed through no oracle): manifest ->
+    // gunzip -> MeshCodec.decode per fragment, with ORDER-INDEPENDENT
+    // integer checksums (sum of raw float32 bit patterns, sum of face
+    // indices) against tools/mesh_err40_golden_gen.py's independent
+    // struct parse of the same bytes.
+    "f16e_mesh_precomputed_golden" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val names = manifestFragments(s"$Err40Dir/$RootManifest")
+        s.createDataset(names).repartition(8).map { name =>
+          val m = MeshCodec.decode(Codec.gunzip(
+            Files.readAllBytes(Paths.get(Err40Dir, name + ".gz"))))
+          var vb = 0L; var i = 0
+          while (i < m.vertices.length) {
+            vb += java.lang.Float.floatToRawIntBits(m.vertices(i)) & 0xffffffffL
+            i += 1
+          }
+          var fs = 0L; i = 0
+          while (i < m.faces.length) { fs += m.faces(i); i += 1 }
+          (name, m.vertices.length.toLong / 3, m.faces.length.toLong / 3,
+            vb, fs)
+        }.toDF("frag", "n_verts", "n_faces", "vbits_sum", "fidx_sum")
+      },
+      Some(s"""SELECT frag, n_verts, n_faces, vbits_sum, fidx_sum
+        |FROM read_parquet('$Golden/mesh_err40.parquet')""".stripMargin)),
 
     // A6 graphene draco stitch: the reference's mesh.get path for a
     // level-2 id — fuse all fragments, deduplicate vertices that occur
