@@ -71,11 +71,12 @@ object GraphQueries {
         val outd = bidir.groupBy("u").agg(count(lit(1)).as("deg"))
         val nodes = bidir.select(col("u").as("node")).distinct()
           .localCheckpoint() // consumed by every round's rebase join
-        // fixed 3-round unroll via the shared fixpoint loop (per-round
-        // checkpoint: each iteration's two shuffles run once, never
-        // re-derived by the next round's plan)
-        Frontier.fixpoint(
-          nodes.withColumn("pr", lit(1000000L)), maxRounds = 3) {
+        // fixed 3-round UNROLL (Frontier.unrolled): edges + nodes are
+        // materialized above, so the unrolled plan's fan-out re-reads
+        // blocks — measured 1.3 s vs 2.4 s with per-round checkpoints
+        // (3 x ~0.3 s of checkpoint-job floor on two tiny shuffles)
+        Frontier.unrolled(
+          nodes.withColumn("pr", lit(1000000L)), rounds = 3) {
           (pr, _) =>
             val contrib = bidir
               .join(pr.select(col("node").as("u"), col("pr")), Seq("u"))
@@ -86,7 +87,7 @@ object GraphQueries {
               .select(col("node"),
                 (lit(150000L) + expr("85 * coalesce(inw, 0L) div 100"))
                   .as("pr"))
-        } ((_, _) => false)
+        }
       },
       Some(s"""WITH $EdgeCte,
         |bidir AS (SELECT u, v FROM edges
