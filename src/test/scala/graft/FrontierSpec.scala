@@ -88,6 +88,16 @@ class FrontierSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rounds == 5)
   }
 
+  test("unrolled: fixed rounds in one plan, final state materialized") {
+    val s = spark; import s.implicits._
+    val out = Frontier.unrolled(Seq(1L, 2L).toDF("v"), rounds = 3)(
+      (st, _) => st.select((col("v") * 2).as("v")))
+    assert(out.as[Long].collect().toSet == Set(8L, 16L))
+    // only the FINAL state is checkpointed — consumers read blocks
+    val plan = out.queryExecution.optimizedPlan.toString()
+    assert(plan.contains("LogicalRDD") || plan.contains("ExistingRDD"), plan)
+  }
+
   test("BlockPins: sweep releases unpinned checkpoints, keeps pinned and baseline") {
     val s = spark; import s.implicits._
     def ids = s.sparkContext.getPersistentRDDs.keySet
