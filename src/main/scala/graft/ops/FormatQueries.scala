@@ -61,9 +61,10 @@ object FormatQueries {
   val queries: Map[String, Q] = Map(
 
     // S4/F12 over brotli-wrapped chunk objects: the `br` content
-    // encoding of datasource/precomputed/common.py:18-29, decoded by
-    // the stored-mode RFC 7932 codec; same cutout + sidecar oracle as
-    // s4_cutout_real, proving the read path end to end
+    // encoding of datasource/precomputed/common.py:18-29; same cutout +
+    // sidecar oracle as s4_cutout_real, proving the read path end to end
+    // (this layer is our own stored-mode re-encode; the ENTROPY-coded
+    // path is proven by s4_cutout_br_entropy below)
     "s4_cutout_br" -> Q(
       (s, dir) => {
         ensureBr(s, dir)
@@ -74,6 +75,20 @@ object FormatQueries {
         |FROM read_parquet('${RealLayerQueries.VoxelsDir}/*.parquet')
         |WHERE x BETWEEN 9 AND 40 AND y BETWEEN 5 AND 38
         |  AND z BETWEEN 2 AND 17""".stripMargin)),
+
+    // F12 entropy-coded brotli (RFC 7932 full decoder, core/Brotli.scala):
+    // a COMMITTED layer whose 8 chunks were compressed by the reference C
+    // encoder (libbrotlienc q9 — context maps, block switching, dictionary
+    // transforms; tools/brotli_layer_gen.py, 0.004x ratio so provably not
+    // stored-mode), cut out through the production chunk path; the oracle
+    // parquet was written from the PRE-compression arrays, so Scala decode
+    // is checked against the C encoder with no shared code on either side
+    "s4_cutout_br_entropy" -> Q(
+      (s, dir) => PrecomputedIO.cutoutVoxels(s,
+        "/root/repo/src/test/resources/golden/brotli_seg",
+        Bbox(Vec3(20, 24, 28), Vec3(44, 40, 36))),
+      Some("""SELECT x, y, z, label
+        |FROM read_parquet('/root/repo/src/test/resources/golden/brotli_cutout.parquet')""".stripMargin)),
 
     // S1: cloudpath parse — render deterministic FORMAT://PROTOCOL://
     // BUCKET/DATASET/LAYER strings, parse them with the core parser
