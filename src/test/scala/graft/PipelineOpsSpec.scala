@@ -965,6 +965,48 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(labels == lab, "distributed LPA must equal the local replay")
   }
 
+  test("pack_bins_greedy equals a local greedy replay and respects capacity") {
+    val r = TextQueries.queries("pack_bins_greedy").fn(spark, sfDir).collect()
+      .map(row => (row.getAs[String]("lang"), row.getAs[Long]("shard"),
+        row.getAs[Long]("doc_id"), row.getAs[Long]("n_tokens"),
+        row.getAs[Long]("bin_seq"), row.getAs[Long]("bin_fill")))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("lang", "cast(doc_id as long) as doc_id",
+        "cast(size(split(text, ' ')) as long) as n")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    // local replay of the greedy fold
+    val expected = docs.groupBy(d => (d._1, d._2 / 500)).toSeq.flatMap {
+      case ((lang, shard), ds) =>
+        var bs = 0L; var fill = 0L
+        ds.sortBy(_._2).toSeq.map { case (_, id, n) =>
+          if (fill > 0 && fill + n > 256) { bs += 1; fill = 0 }
+          fill += n
+          (lang, shard, id, n, bs, fill)
+        }
+    }.toSet
+    assert(r.toSet == expected, "distributed packing must equal the local fold")
+    assert(r.length == docs.length, "every document packs exactly once")
+    // capacity law: a bin exceeds 256 only when it holds a single
+    // oversize document (bin_fill > 256 implies fill == that doc's n)
+    r.filter(_._6 > 256).foreach { case (_, _, id, n, _, fill) =>
+      assert(fill == n, s"oversize bin not singleton at doc $id")
+    }
+  }
+
+  test("text_pii_redact counts follow the key arithmetic and scrubs all PII") {
+    val r = TextQueries.queries("text_pii_redact").fn(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val k = row.getAs[Long]("custkey")
+      assert(row.getAs[Long]("n_emails") == (if (k % 3 == 0) 2L else 1L))
+      assert(row.getAs[Long]("n_phones") == (if (k % 4 != 0) 1L else 0L))
+      val red = row.getAs[String]("redacted")
+      assert(!red.contains("@") && !red.contains("555-"),
+        s"unredacted PII survives for $k: $red")
+      assert(red.contains("[EMAIL]"))
+    }
+  }
+
   test("w13_anomaly_mad medians replay against a local sort") {
     val r = MetaQueries.queries("w13_anomaly_mad").fn(spark, sfDir)
       .collect()
