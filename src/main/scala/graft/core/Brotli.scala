@@ -460,15 +460,30 @@ object Brotli {
   // Decoder
   // ------------------------------------------------------------------
 
-  def decompress(data: Array[Byte]): Array[Byte] = {
+  def decompress(data: Array[Byte]): Array[Byte] =
+    decompress(data, Int.MaxValue)
+
+  /** Decode with an output-size ceiling. Callers that know the expected
+    * plaintext size (chunk readers do — the grid geometry fixes it)
+    * should pass it: a corrupt or adversarial stream can otherwise
+    * amplify a few hundred input bytes into gigabytes of copy commands
+    * before any checksum would catch it, which on an executor is an OOM
+    * kill, not an error row. */
+  def decompress(data: Array[Byte], maxOutput: Int): Array[Byte] = {
     val r = new BitReader(data)
     val wbits = readWbits(r)
     val windowSize = (1 << wbits) - 16
-    var out = new Array[Byte](math.max(64, math.min(windowSize, data.length * 4)))
+    var out = new Array[Byte](math.max(64,
+      math.min(maxOutput, math.min(windowSize, data.length * 4))))
     var outPos = 0
-    def ensure(n: Int): Unit =
+    def ensure(n: Int): Unit = {
+      if (outPos + n > maxOutput || outPos + n < 0)
+        throw new IllegalArgumentException(
+          s"brotli output exceeds the $maxOutput-byte ceiling")
       if (outPos + n > out.length)
-        out = java.util.Arrays.copyOf(out, math.max(out.length * 2, outPos + n))
+        out = java.util.Arrays.copyOf(out,
+          math.min(maxOutput, math.max(out.length * 2L, outPos + n.toLong)).toInt)
+    }
     // distance ring buffer: initial "last four distances" = 4, 11, 15, 16
     val ring = Array(16, 15, 11, 4)
     var ringPos = 4 // ring((ringPos-1)&3) is the most recent distance

@@ -396,60 +396,6 @@ object TextQueries {
         |SELECT lang, shard, doc_id, n_tokens, bin_seq, bin_fill
         |FROM fill""".stripMargin)),
 
-    // PII detection + redaction over rendered contact cards (emails,
-    // phone extensions synthesized deterministically from customer
-    // keys so both engines build identical text): regexp counting and
-    // global redaction — the pre-training privacy scrub, a pure narrow
-    // map over the corpus (no shuffle; codegen'd regexp). The oracle
-    // applies DuckDB's OWN regex engine (RE2) to the same text, so the
-    // patterns are cross-validated across two regex implementations.
-    "text_pii_redact" -> Q(
-      (s, dir) => {
-        val email = "[A-Za-z0-9._-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-        val phone = "555-[0-9]{4}"
-        table(s, dir, "customer")
-          .select(col("c_custkey").cast("long").as("custkey"),
-            concat(
-              lit("Contact "), col("c_name"),
-              lit(" <c"), col("c_custkey").cast("string"),
-              lit("@example.com>"),
-              when(col("c_custkey") % 3 === 0,
-                concat(lit(" alt backup-"), col("c_custkey").cast("string"),
-                  lit("@mail.org"))).otherwise(lit("")),
-              when(col("c_custkey") % 4 =!= 0,
-                concat(lit(" phone 555-"),
-                  lpad(((col("c_custkey") * 7) % 10000).cast("string"),
-                    4, "0"))).otherwise(lit("")),
-              lit(" segment "), col("c_mktsegment")).as("text"))
-          .select(col("custkey"),
-            regexp_count(col("text"), lit(email)).cast("long").as("n_emails"),
-            regexp_count(col("text"), lit(phone)).cast("long").as("n_phones"),
-            regexp_replace(regexp_replace(col("text"), email, "[EMAIL]"),
-              phone, "[PHONE]").as("redacted"))
-      },
-      Some("""WITH cards AS (
-        |  SELECT c_custkey AS custkey,
-        |    'Contact ' || c_name || ' <c' || c_custkey || '@example.com>' ||
-        |    CASE WHEN c_custkey % 3 = 0
-        |         THEN ' alt backup-' || c_custkey || '@mail.org'
-        |         ELSE '' END ||
-        |    CASE WHEN c_custkey % 4 <> 0
-        |         THEN ' phone 555-' ||
-        |              lpad(CAST((c_custkey * 7) % 10000 AS VARCHAR), 4, '0')
-        |         ELSE '' END ||
-        |    ' segment ' || c_mktsegment AS text
-        |  FROM customer)
-        |SELECT custkey,
-        |  CAST(len(regexp_extract_all(text,
-        |    '[A-Za-z0-9._-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
-        |    AS n_emails,
-        |  CAST(len(regexp_extract_all(text, '555-[0-9]{4}')) AS BIGINT)
-        |    AS n_phones,
-        |  regexp_replace(regexp_replace(text,
-        |    '[A-Za-z0-9._-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-        |    '555-[0-9]{4}', '[PHONE]', 'g') AS redacted
-        |FROM cards""".stripMargin)),
-
     // SimHash (16-bit) per doc + hamming distance to its near-dup
     "dedup_simhash" -> Q(
       (s, dir) => {

@@ -326,7 +326,8 @@ final class NgPartitionReader(part: NgInputPartition, required: StructType,
         else if (java.nio.file.Files.exists(gz))
           Codec.gunzip(java.nio.file.Files.readAllBytes(gz))
         else if (java.nio.file.Files.exists(br))
-          Brotli.decompress(java.nio.file.Files.readAllBytes(br))
+          Brotli.decompress(java.nio.file.Files.readAllBytes(br),
+            maxOutput = PrecomputedIO.chunkDecodeCeiling(cs))
         else if (fillMissing) null
         else throw new java.io.FileNotFoundException(
           s"missing chunk ${cb.toFilename} (set fill_missing=true to background-fill)")

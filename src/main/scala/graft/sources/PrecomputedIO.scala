@@ -50,8 +50,22 @@ object PrecomputedIO {
     val br = Paths.get(p.toString + ".br")
     if (Files.exists(p)) Some(Files.readAllBytes(p))
     else if (Files.exists(gz)) Some(Codec.gunzip(Files.readAllBytes(gz)))
-    else if (Files.exists(br)) Some(Brotli.decompress(Files.readAllBytes(br)))
+    else if (Files.exists(br))
+      // ceiling = chunk voxels x widest dtype (uint64) + slack: a corrupt
+      // object must error, not OOM the executor (see Brotli.decompress)
+      Some(Brotli.decompress(Files.readAllBytes(br),
+        maxOutput = chunkDecodeCeiling(scale)))
     else None
+  }
+
+  /** Decoded-payload ceiling for one chunk (second-stage decompression
+    * bound; the image codec then enforces exact size). */
+  def chunkDecodeCeiling(scale: ScaleMeta): Int =
+    chunkDecodeCeiling(scale.chunkSize)
+
+  def chunkDecodeCeiling(chunkSize: Vec3): Int = {
+    val voxels = chunkSize.x * chunkSize.y * chunkSize.z
+    (math.min(voxels * 8L + (1L << 20), Int.MaxValue.toLong)).toInt
   }
 
   /** S9 aligned write: chunk rows (gx, gy, gz, payload) — payload

@@ -130,6 +130,46 @@ class BrotliSpec extends AnyFunSuite {
     assert(e.getMessage.contains("large-window"))
   }
 
+  test("output ceiling rejects decode bombs instead of allocating") {
+    val br = Files.readAllBytes(streamsDir.resolve("032_text_q11_w22_m0.br"))
+    val full = Brotli.decompress(br)
+    assert(full.length == 4000)
+    val e = intercept[IllegalArgumentException](Brotli.decompress(br, 1000))
+    assert(e.getMessage.contains("ceiling"))
+    assert(Brotli.decompress(br, 4000).sameElements(full)) // exact fit passes
+  }
+
+  test("corruption fuzz: flipped/truncated streams terminate with an error or bounded output") {
+    val rnd = new scala.util.Random(20260815)
+    val bases = Seq("027_text_q5_w22_m0", "053_seg_u32_q9_w22_m0",
+      "040_dictheavy_q11_w22_m0", "067_repeats_q9_w22_m0")
+    for (base <- bases) {
+      val br = Files.readAllBytes(streamsDir.resolve(base + ".br"))
+      val rawLen = Files.readAllBytes(streamsDir.resolve(base + ".raw")).length
+      for (_ <- 1 to 200) {
+        val mutated = br.clone()
+        rnd.nextInt(3) match {
+          case 0 => // single bit flip
+            val i = rnd.nextInt(mutated.length)
+            mutated(i) = (mutated(i) ^ (1 << rnd.nextInt(8))).toByte
+          case 1 => // random byte splat
+            mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+          case _ => // handled below via truncation
+        }
+        val input = if (rnd.nextBoolean()) mutated
+          else java.util.Arrays.copyOf(mutated, 1 + rnd.nextInt(mutated.length))
+        // any outcome is fine EXCEPT a hang, a crash outside the decoder's
+        // declared error type, or output past the ceiling
+        try {
+          val out = Brotli.decompress(input, maxOutput = rawLen * 4 + 1024)
+          assert(out.length <= rawLen * 4 + 1024)
+        } catch {
+          case _: IllegalArgumentException => // rejected cleanly: fine
+        }
+      }
+    }
+  }
+
   test("truncated stream fails") {
     val enc = Brotli.compress("payload payload".getBytes)
     intercept[IllegalArgumentException](

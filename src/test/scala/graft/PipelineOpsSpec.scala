@@ -993,20 +993,6 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("text_pii_redact counts follow the key arithmetic and scrubs all PII") {
-    val r = TextQueries.queries("text_pii_redact").fn(spark, sfDir).collect()
-    assert(r.nonEmpty)
-    r.foreach { row =>
-      val k = row.getAs[Long]("custkey")
-      assert(row.getAs[Long]("n_emails") == (if (k % 3 == 0) 2L else 1L))
-      assert(row.getAs[Long]("n_phones") == (if (k % 4 != 0) 1L else 0L))
-      val red = row.getAs[String]("redacted")
-      assert(!red.contains("@") && !red.contains("555-"),
-        s"unredacted PII survives for $k: $red")
-      assert(red.contains("[EMAIL]"))
-    }
-  }
-
   test("w13_anomaly_mad medians replay against a local sort") {
     val r = MetaQueries.queries("w13_anomaly_mad").fn(spark, sfDir)
       .collect()
