@@ -27,8 +27,9 @@ import java.io.ByteArrayOutputStream
   * 125 KB of RFC appendix.  MIT-licensed public content.
   *
   * Correctness evidence: byte-for-byte parity with the reference C
-  * encoder/decoder on 71 committed stream pairs spanning qualities
+  * encoder/decoder on 90 committed stream pairs spanning qualities
   * 0/1/2/4/5/9/11, window sizes 10/18/22/24, generic/text/font modes,
+  * forced NPOSTFIX 1-3 / NDIRECT up to 120 (tools/brotli_npostfix_gen.py),
   * and text / dictionary-heavy / UTF-8 / binary-segmentation / random
   * payloads (src/test/resources/golden/brotli_streams, generated and
   * C-round-trip-verified by the same tool), plus 180 golden transform

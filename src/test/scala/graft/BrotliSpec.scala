@@ -5,12 +5,13 @@ import graft.core.Brotli
 import java.nio.file.{Files, Paths}
 
 /** Full RFC 7932 decoder (see core/Brotli.scala).  The load-bearing
-  * evidence is golden-stream parity: 71 committed (raw, br) pairs were
+  * evidence is golden-stream parity: 90 committed (raw, br) pairs were
   * produced and round-trip-verified by the reference C encoder/decoder
   * (libbrotlienc/dec 1.0.9 via tools/brotli_extract_tables.py) across
   * qualities 0/1/2/4/5/9/11, windows 10/18/22/24, generic/text/font
-  * modes, and text / dictionary-heavy / UTF-8 / binary / random
-  * payloads — every one must decode byte-identically here.
+  * modes, forced NPOSTFIX/NDIRECT distance schemes, and text /
+  * dictionary-heavy / UTF-8 / binary / random payloads — every one
+  * must decode byte-identically here.
   */
 class BrotliSpec extends AnyFunSuite {
 
