@@ -163,33 +163,39 @@ object Brotli {
   // ------------------------------------------------------------------
 
   private final class BitReader(d: Array[Byte]) {
-    private var bitPos: Long = 0L
     private val limit: Long = d.length.toLong * 8
+    private var consumed = 0L // bits consumed so far (authoritative position)
+    private var acc = 0L      // next unconsumed bits, LSB-first
+    private var nbits = 0     // valid bits in acc
+    private var bytePos = 0   // next byte to load (runs past end as zero pad)
 
     /** Peek up to 24 bits, zero-padded past end of stream. */
     def peek(n: Int): Int = {
-      val base = (bitPos >> 3).toInt
-      var v = 0L
-      var i = 0
-      while (i < 5) {
-        if (base + i < d.length) v |= (d(base + i) & 0xffL) << (8 * i)
-        i += 1
+      while (nbits < n) {
+        if (bytePos < d.length) acc |= (d(bytePos) & 0xffL) << nbits
+        bytePos += 1
+        nbits += 8
       }
-      ((v >>> (bitPos & 7).toInt) & ((1L << n) - 1)).toInt
+      (acc & ((1L << n) - 1)).toInt
     }
     def skip(n: Int): Unit = {
-      bitPos += n
-      if (bitPos > limit) throw new IllegalArgumentException("truncated brotli stream")
+      if (nbits < n) peek(n)
+      acc >>>= n
+      nbits -= n
+      consumed += n
+      if (consumed > limit)
+        throw new IllegalArgumentException("truncated brotli stream")
     }
     def bits(n: Int): Int = { val v = peek(n); skip(n); v }
     def bit(): Int = bits(1)
-    def alignToByte(): Unit = bitPos = (bitPos + 7) & ~7L
+    def alignToByte(): Unit = skip(((8 - (consumed & 7)) & 7).toInt)
     def readBytes(n: Int): Array[Byte] = {
-      require((bitPos & 7) == 0, "not byte-aligned")
-      val start = (bitPos >> 3).toInt
+      require((consumed & 7) == 0, "not byte-aligned")
+      val start = (consumed >> 3).toInt
       if (start + n > d.length)
         throw new IllegalArgumentException("truncated brotli stream")
-      bitPos += n.toLong * 8
+      consumed += n.toLong * 8
+      acc = 0L; nbits = 0; bytePos = start + n // resync the accumulator
       java.util.Arrays.copyOfRange(d, start, start + n)
     }
   }
@@ -608,11 +614,16 @@ object Brotli {
                 if (distance <= maxDistance) {
                   require(copyLen <= remaining, "copy length exceeds meta-block length")
                   ensure(copyLen)
-                  var k = 0
-                  while (k < copyLen) { // byte-wise: overlap is legal
-                    out(outPos) = out(outPos - distance)
-                    outPos += 1
-                    k += 1
+                  if (distance >= copyLen) {
+                    System.arraycopy(out, outPos - distance, out, outPos, copyLen)
+                    outPos += copyLen
+                  } else {
+                    var k = 0
+                    while (k < copyLen) { // byte-wise: overlap is legal
+                      out(outPos) = out(outPos - distance)
+                      outPos += 1
+                      k += 1
+                    }
                   }
                   remaining -= copyLen
                   if (pushRing) { ring(ringPos & 3) = distance; ringPos += 1 }
