@@ -107,12 +107,26 @@ object Bench {
     * engine change.
     */
   final case class MbpsRec(family: String, rep: Int, mbps: Double,
-      gcMs: Long, load: Double)
+      gcMs: Long, load: Double, ioMs: Long)
   private val mbpsPassRecs = scala.collection.mutable.ArrayBuffer.empty[MbpsRec]
 
   private def loadAvg(): Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
+
+  /** Sum of device-busy milliseconds across real block devices
+    * (/proc/diskstats field 10 after the name). The per-rep DELTA
+    * separates "the disk was hammered by another tenant" from a real
+    * read-path regression: warm fixture reps are served from page
+    * cache, so a large delta during a slow rep is external traffic. */
+  private def diskBusyMs(): Long =
+    try {
+      scala.io.Source.fromFile("/proc/diskstats").getLines()
+        .map(_.trim.split("\\s+"))
+        .filter(f => f.length > 12 && !f(2).startsWith("loop") &&
+          !f(2).startsWith("ram"))
+        .map(_(12).toLong).sum
+    } catch { case _: Throwable => -1L }
 
   /** Time a full-volume read: scan chunk objects (file read + gunzip
     * happen in the DSv2 scan), touch every decoded byte page. Returns
@@ -227,17 +241,20 @@ object Bench {
       // the same heap state, which is what "warm rep" should mean).
       mbpsReps(s"read_$key") = (1 to 9).map { rep =>
         System.gc()
-        val gc0 = gcNowMs(); val ld = loadAvg()
+        val gc0 = gcNowMs(); val ld = loadAvg(); val io0 = diskBusyMs()
         val v = cutoutMBps(spark, dir)
-        mbpsPassRecs += MbpsRec(s"read_$key", rep, v, gcNowMs() - gc0, ld)
+        mbpsPassRecs += MbpsRec(s"read_$key", rep, v, gcNowMs() - gc0, ld,
+          diskBusyMs() - io0)
         v
       }
       writeFamilies.find(_._1 == key).foreach { case (wk, wcs) =>
-        val gc0 = gcNowMs(); val ld = loadAvg()
+        val gc0 = gcNowMs(); val ld = loadAvg(); val io0 = diskBusyMs()
         val reps = writeMBps(spark, wk, wcs, gzip = true)
+        val ioAll = diskBusyMs() - io0 // one delta covers the 5-rep block
         reps.zipWithIndex.foreach { case (v, i) =>
           mbpsPassRecs += MbpsRec(s"write_$wk", i + 1, v,
-            if (i == 0) gcNowMs() - gc0 else -1L, ld)
+            if (i == 0) gcNowMs() - gc0 else -1L, ld,
+            if (i == 0) ioAll else -1L)
         }
         mbpsReps(s"write_$wk") = reps
       }
@@ -365,7 +382,7 @@ object Bench {
     // write reps 2..5: one delta covers the whole 5-rep write block)
     val mbpsPassesJson = mbpsPassRecs.map { r =>
       s"""{"family":"${r.family}","rep":${r.rep},"mbps":${num(r.mbps, 1)},""" +
-      s""""gc_ms":${r.gcMs},"load_avg":${num(r.load, 2)}}"""
+      s""""gc_ms":${r.gcMs},"load_avg":${num(r.load, 2)},"io_ms":${r.ioMs}}"""
     }.mkString("[", ",", "]")
     // every timed invocation with its attribution context — lets a
     // cross-round regression call answer "which pass spiked, after
