@@ -75,6 +75,53 @@ object Compresso {
     case d => throw new IllegalArgumentException(s"data_width $d")
   }
 
+  private def writeLabel(b: ByteBuffer, off: Int, dw: Int, v: Long): Unit = {
+    require(dw == 8 || (v >>> (8 * dw)) == 0,
+      s"label $v overflows data_width $dw")
+    dw match {
+      case 1 => b.put(off, v.toByte)
+      case 2 => b.putShort(off, v.toShort)
+      case 4 => b.putInt(off, v.toInt)
+      case 8 => b.putLong(off, v)
+      case d => throw new IllegalArgumentException(s"data_width $d")
+    }
+  }
+
+  /** O(metadata) label-table rewrite: remap every label VALUE carried by
+    * the binary — the per-component `ids` stream and the explicit
+    * (code >= 7) location entries — without touching boundary windows or
+    * geometry. This is the compresso analogue of crackle.remap, the step
+    * that makes the reference's progressive z-stack build cheap
+    * (image/__init__.py:250-301: download(renumber=True) per z-slab,
+    * compress the small-alphabet array, then remap the label table back
+    * to the global ids instead of re-encoding voxels).
+    */
+  def remapLabels(payload: Array[Byte], f: Long => Long): Array[Byte] = {
+    val h = parseHeader(payload)
+    val out = payload.clone()
+    val b = buf(out)
+    val idsOff = 36
+    var i = 0
+    while (i < h.idSize) {
+      val off = idsOff + i * h.dataWidth
+      writeLabel(b, off, h.dataWidth, f(readLabel(b, off, h.dataWidth)))
+      i += 1
+    }
+    val locOff = idsOff + h.idSize * h.dataWidth + h.valueSize * 2
+    var k = 0
+    while (k < h.locationSize) {
+      val off = locOff + 4 * k
+      val c = b.getInt(off) & 0xffffffffL
+      if (c >= 7) {
+        val nv = f(c - 7) + 7
+        require((nv >>> 32) == 0, s"remapped location label $nv overflows u32")
+        b.putInt(off, nv.toInt)
+      }
+      k += 1
+    }
+    out
+  }
+
   /** O(metadata) distinct-label set: every decoded voxel label comes either
     * from the component `ids` stream or from an explicit location code, so
     * unique(decode(x)) == unique(ids) ++ unique(explicit) exactly — no

@@ -66,6 +66,92 @@ object CompressoQueries {
       Some(s"""SELECT x, y, z, label
         |FROM read_parquet('$Golden/compresso_cutout.parquet')""".stripMargin)),
 
+    // The reference's progressive z-stack build (download_crackle,
+    // image/__init__.py:250-301) re-expressed with the compresso codec
+    // (crackle itself stays n/a — C++-only, no spec or library offline):
+    // per z-slab of the bbox, download -> renumber to a slab-local dense
+    // alphabet (first-seen F-order, the download(renumber=True) step) ->
+    // codec-compress the small-alphabet array -> remap the binary's
+    // LABEL TABLE back to global ids (Compresso.remapLabels, the
+    // crackle.remap analogue: O(metadata), voxels never re-encoded) ->
+    // stack. Distributed shape: slabs are independent tasks keyed by
+    // chunk-z (the shuffle carries chunk payloads once); each task holds
+    // one bbox-by-chunk-z slab — the same working set the reference's
+    // per-slab download holds. The entry decodes the stacked members it
+    // built and must reproduce the committed layer's voxels exactly
+    // (same bbox + oracle as s4_cutout_compresso, so the renumber ->
+    // encode -> remap -> decode chain is identity-checked against real
+    // reference bytes it never saw as a whole).
+    "s4e_zstack_compresso" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val (bx0, bx1, by0, by1, bz0, bz1) = (224L, 288L, 224L, 288L, 48L, 112L)
+        val cdim = 256L
+        val czDim = 64L
+        chunkFiles(s, "16_16_40")
+          .filter(col("x0") < bx1 && col("x0") + cdim > bx0 &&
+            col("y0") < by1 && col("y0") + cdim > by0 &&
+            col("z0") < bz1 && col("z0") + czDim > bz0)
+          .as[(Long, Long, Long, String)]
+          .groupByKey(_._3) // z-slab = chunk-z row
+          .flatMapGroups { (z0: Long, it: Iterator[(Long, Long, Long, String)]) =>
+            val zlo = math.max(bz0, z0)
+            val zhi = math.min(bz1, z0 + czDim)
+            val (nx, ny, nz) = ((bx1 - bx0).toInt, (by1 - by0).toInt,
+              (zhi - zlo).toInt)
+            val sub = new Array[Long](nx * ny * nz)
+            it.foreach { case (cx0, cy0, cz0, path) =>
+              val (cd, vox) = Compresso.decode(
+                Codec.gunzip(Files.readAllBytes(Paths.get(path))))
+              var z = zlo
+              while (z < zhi) {
+                var y = math.max(by0, cy0)
+                val yHi = math.min(by1, cy0 + cdim)
+                while (y < yHi) {
+                  var x = math.max(bx0, cx0)
+                  val xHi = math.min(bx1, cx0 + cdim)
+                  while (x < xHi) {
+                    sub(((x - bx0) + nx * ((y - by0) + ny * (z - zlo))).toInt) =
+                      vox(((x - cx0) + cd.x * ((y - cy0) + cd.y * (z - cz0))).toInt)
+                    x += 1
+                  }
+                  y += 1
+                }
+                z += 1
+              }
+            }
+            // renumber: slab-local dense alphabet, first-seen in F-order
+            val fwd = new java.util.LinkedHashMap[Long, Long]()
+            val ren = new Array[Long](sub.length)
+            var i = 0
+            while (i < sub.length) {
+              var r = fwd.getOrDefault(sub(i), 0L) // ranks start at 1
+              if (r == 0L) {
+                r = fwd.size + 1L
+                fwd.put(sub(i), r)
+              }
+              ren(i) = r
+              i += 1
+            }
+            val inv = new java.util.HashMap[Long, Long]()
+            fwd.forEach((k, v) => { inv.put(v, k); () })
+            val member = Compresso.remapLabels(
+              Compresso.encode(ren, graft.core.Vec3(nx, ny, nz)),
+              v => inv.get(v))
+            // the stack member must reproduce the global labels exactly
+            val (_, out) = Compresso.decode(member)
+            (0 until out.length).iterator.map { j =>
+              val x = j % nx
+              val y = (j / nx) % ny
+              val z = j / (nx * ny)
+              (bx0 + x, by0 + y, zlo + z, out(j))
+            }
+          }
+          .toDF("x", "y", "z", "label")
+      },
+      Some(s"""SELECT x, y, z, label
+        |FROM read_parquet('$Golden/compresso_cutout.parquet')""".stripMargin)),
+
     // S5 sharded cutout over REAL committed bytes: the reference ships
     // test_cv_sharded as metadata only (info + provenance, no shard
     // data anywhere in its tree), so tools/sharded_golden_gen.py packs

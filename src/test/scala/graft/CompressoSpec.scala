@@ -90,4 +90,29 @@ class CompressoSpec extends AnyFunSuite {
     assert(d2 == dims)
     assert(java.util.Arrays.equals(vox, back))
   }
+
+  test("remapLabels rewrites the label table in place of a re-encode") {
+    // on a REFERENCE chunk: remap +1000 must decode as voxel+1000, with
+    // geometry sections byte-identical (only ids / explicit locations move)
+    val payload = readChunk("16_16_40/256-512_0-256_128-192.gz")
+    val (dims, vox) = Compresso.decode(payload)
+    val mapped = Compresso.remapLabels(payload, _ + 1000L)
+    val (d2, back) = Compresso.decode(mapped)
+    assert(d2 == dims)
+    assert(back.zip(vox).forall { case (b, v) => b == v + 1000L })
+    assert(mapped.length == payload.length)
+    // renumber -> encode -> remap-back is identity on decoded voxels
+    // (the download_crackle z-stack chain, image/__init__.py:250-301)
+    val fwd = new java.util.LinkedHashMap[Long, java.lang.Long]()
+    val ren = vox.map { v =>
+      var r = fwd.get(v)
+      if (r == null) { r = java.lang.Long.valueOf(fwd.size + 1L); fwd.put(v, r) }
+      r.longValue()
+    }
+    val inv = new java.util.HashMap[Long, Long]()
+    fwd.forEach((k, v) => { inv.put(v.longValue(), k); () })
+    val member = Compresso.remapLabels(Compresso.encode(ren, dims), inv.get(_))
+    val (_, out) = Compresso.decode(member)
+    assert(java.util.Arrays.equals(out, vox))
+  }
 }
