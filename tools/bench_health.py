@@ -54,6 +54,25 @@ def main():
             print(f"  pass {p}: wall sum first-quartile {early:.1f} s, "
                   f"last-quartile {late:.1f} s")
 
+    # contention attribution (round 16): load_avg rides every query-lane
+    # record, io_ms + load_avg every MBps rep — a slow rep under high
+    # ambient load / disk-busy indicts the shared box, not the code
+    if passes and "load_avg" in passes[0]:
+        las = sorted(r["load_avg"] for r in passes)
+        print(f"query-lane load_avg: min {las[0]:.1f} / p50 "
+              f"{las[len(las)//2]:.1f} / max {las[-1]:.1f}")
+    mbps = d.get("mbps_passes", [])
+    if mbps:
+        worst = sorted((r for r in mbps if r.get("mbps")),
+                       key=lambda r: r["mbps"])[:3]
+        for r in worst:
+            extras = "".join(
+                f" {k}={r[k]}" for k in ("load_avg", "io_ms") if k in r)
+            print(f"  slowest mbps rep: {r['family']} #{r['rep']} "
+                  f"{r['mbps']:.0f} MB/s{extras}")
+    if d.get("mbps_note"):
+        print(f"mbps_note: {d['mbps_note'][:120]}...")
+
     slowest = sorted(stats.items(), key=lambda t: -t[1]["median"])[:10]
     print("slowest 10 (median):")
     for k, v in slowest:
