@@ -35,11 +35,14 @@ import java.io.ByteArrayOutputStream
   * C-round-trip-verified by the same tool), plus 180 golden transform
   * outputs on real dictionary words.
   *
-  * compress() emits conforming stored-mode streams (ISUNCOMPRESSED
-  * meta-blocks with minimal MNIBBLES) — correct, universally decodable
-  * output; entropy *encoding* is intentionally out of scope (the
-  * reference itself writes `br` through a C encoder; our write path
-  * priorities are gzip/zstd, with `br` kept valid).
+  * compress() is a conforming ENTROPY encoder ("quality 2"-class:
+  * greedy hash-chain LZ77 over a 4 MiB window, dynamic prefix codes,
+  * single block types, NPOSTFIX=NDIRECT=0). Every emitted stream is
+  * self-verified (decoded and compared before return) and falls back
+  * to the stored-mode writer (compressStored) when entropy coding does
+  * not win; tools/brotli_encoder_check.py cross-checks the encoder's
+  * output against the reference C DECODER on text / binary / random /
+  * real-chunk payloads.
   */
 object Brotli {
 
@@ -655,11 +658,336 @@ object Brotli {
   }
 
   // ------------------------------------------------------------------
-  // Encoder (stored-mode; conforming output, minimal MNIBBLES)
+  // Encoders
   // ------------------------------------------------------------------
 
-  /** Emit a valid RFC 7932 stream of uncompressed meta-blocks. */
+  /** Compress with the entropy encoder; every stream is SELF-VERIFIED
+    * (decoded and compared before return) and falls back to the
+    * stored-mode writer when entropy coding does not win or the
+    * verification fails — so the write path can never emit a stream
+    * this library would not read back byte-identically. Cross-checked
+    * against the reference C decoder by tools/brotli_encoder_check.py.
+    */
   def compress(data: Array[Byte]): Array[Byte] = {
+    if (data.isEmpty) return compressStored(data)
+    val entropy =
+      try compressEntropy(data)
+      catch { case _: RuntimeException => null }
+    if (entropy != null && entropy.length < data.length + 16 &&
+        java.util.Arrays.equals(decompress(entropy, data.length), data))
+      entropy
+    else compressStored(data)
+  }
+
+  private final class BitWriter {
+    private val out = new ByteArrayOutputStream()
+    private var bitBuf = 0
+    private var bitCnt = 0
+    /** Integer field, LSB-first (RFC §1.5.1). */
+    def putBits(v: Int, n: Int): Unit = {
+      var i = 0
+      while (i < n) {
+        bitBuf |= ((v >> i) & 1) << bitCnt
+        bitCnt += 1
+        if (bitCnt == 8) { out.write(bitBuf); bitBuf = 0; bitCnt = 0 }
+        i += 1
+      }
+    }
+    /** Prefix-code word: first bit written = MSB of the canonical code. */
+    def putCode(code: Int, len: Int): Unit = {
+      var b = len - 1
+      while (b >= 0) { putBits((code >> b) & 1, 1); b -= 1 }
+    }
+    def align(): Unit = if (bitCnt > 0) { out.write(bitBuf); bitBuf = 0; bitCnt = 0 }
+    def toByteArray: Array[Byte] = out.toByteArray
+  }
+
+  /** Canonical codes from lengths (same assignment fromLengths decodes). */
+  private def canonicalCodes(lens: Array[Int]): Array[Int] = {
+    var maxLen = 0
+    lens.foreach(l => if (l > maxLen) maxLen = l)
+    val blCount = new Array[Int](16)
+    lens.foreach(l => if (l > 0) blCount(l) += 1)
+    val nextCode = new Array[Int](16)
+    var code = 0
+    var l = 1
+    while (l <= maxLen) { code = (code + blCount(l - 1)) << 1; nextCode(l) = code; l += 1 }
+    val codes = new Array[Int](lens.length)
+    var sym = 0
+    while (sym < lens.length) {
+      if (lens(sym) > 0) { codes(sym) = nextCode(lens(sym)); nextCode(lens(sym)) += 1 }
+      sym += 1
+    }
+    codes
+  }
+
+  /** Huffman code lengths bounded by maxLen (frequency-flattening retry:
+    * halving repeatedly converges to a balanced tree whose depth
+    * ceil(log2 n) is within every bound this encoder uses). */
+  private def huffLengths(freq: Array[Long], maxLen: Int): Array[Int] = {
+    val used = freq.indices.filter(freq(_) > 0).toArray
+    val lens = new Array[Int](freq.length)
+    if (used.length == 0) return lens
+    if (used.length == 1) { lens(used(0)) = 1; return lens }
+    var f = used.map(freq(_))
+    while (true) {
+      val n = f.length
+      val w = new Array[Long](2 * n - 1)
+      val parent = new Array[Int](2 * n - 1)
+      System.arraycopy(f, 0, w, 0, n)
+      val pq = new java.util.PriorityQueue[Integer](n,
+        (a: Integer, b: Integer) => java.lang.Long.compare(w(a), w(b)))
+      (0 until n).foreach(i => pq.add(i))
+      var next = n
+      while (pq.size > 1) {
+        val a = pq.poll(); val b = pq.poll()
+        w(next) = w(a) + w(b)
+        parent(a) = next; parent(b) = next
+        pq.add(next); next += 1
+      }
+      val root = next - 1
+      var maxD = 0
+      val ds = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        var d = 0; var j = i
+        while (j != root) { j = parent(j); d += 1 }
+        ds(i) = d; if (d > maxD) maxD = d
+        i += 1
+      }
+      if (maxD <= maxLen) {
+        i = 0
+        while (i < n) { lens(used(i)) = ds(i); i += 1 }
+        return lens
+      }
+      f = f.map(v => math.max(1L, v >> 2))
+    }
+    lens // unreachable
+  }
+
+  /** Fixed code for code-length-code lengths (§3.5), value -> (code, len)
+    * in canonical MSB-first form (the inverse of ClLen/ClVal). */
+  private val ClWriteCode = Array(0, 0xe, 0x6, 0x1, 0x2, 0xf)
+  private val ClWriteLen = Array(2, 4, 3, 2, 2, 4)
+
+  /** Emit one prefix code (§3.4 simple / §3.5 complex) for the given
+    * frequency table and return the per-symbol (code << 5 | len) encode
+    * table matching the decoder's canonical assignment. */
+  private def writePrefixCode(w: BitWriter, freq: Array[Long]): Array[Int] = {
+    val alphaBits = log2ceil(freq.length)
+    val used = freq.indices.filter(freq(_) > 0).toArray
+    require(used.nonEmpty, "cannot emit a prefix code with no symbols")
+    val lens = new Array[Int](freq.length)
+    if (used.length <= 4) {
+      // simple code; order by descending frequency so NSYM=3's 1-bit
+      // slot goes to the most frequent symbol
+      val listed = used.sortBy(s => (-freq(s), s))
+      w.putBits(1, 2)                 // HSKIP = 1
+      w.putBits(listed.length - 1, 2) // NSYM - 1
+      listed.foreach(s => w.putBits(s, alphaBits))
+      listed.length match {
+        case 1 => // zero-bit code: nothing more to write, lens stay 0
+        case 2 => lens(listed(0)) = 1; lens(listed(1)) = 1
+        case 3 => lens(listed(0)) = 1; lens(listed(1)) = 2; lens(listed(2)) = 2
+        case 4 =>
+          w.putBits(0, 1) // tree-select 0: lengths 2,2,2,2
+          listed.foreach(s => lens(s) = 2)
+      }
+    } else {
+      w.putBits(0, 2) // HSKIP = 0: complex code
+      val full = huffLengths(freq, 15)
+      System.arraycopy(full, 0, lens, 0, lens.length)
+      // token stream over the per-symbol lengths: literal 0..15 plus
+      // rep-17 zero runs (run-2 in bijective base 8 per the §3.5
+      // consecutive-repeat accumulation); trailing zeros are omitted
+      // (the decoder stops once the code space is complete)
+      val toks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (sym, extra)
+      var last = lens.length - 1
+      while (last >= 0 && lens(last) == 0) last -= 1
+      var i = 0
+      while (i <= last) {
+        if (lens(i) == 0) {
+          var j = i
+          while (j <= last && lens(j) == 0) j += 1
+          val run = j - i
+          if (run < 3) (0 until run).foreach(_ => toks += ((0, 0)))
+          else {
+            var m = (run - 2).toLong
+            val digits = scala.collection.mutable.ArrayBuffer.empty[Int]
+            while (m > 0) {
+              var d = (m % 8).toInt
+              var mm = m / 8
+              if (d == 0) { d = 8; mm -= 1 }
+              digits += d; m = mm
+            }
+            digits.reverseIterator.foreach(d => toks += ((17, d - 1)))
+          }
+          i = j
+        } else { toks += ((lens(i), 0)); i += 1 }
+      }
+      val clFreq = new Array[Long](18)
+      toks.foreach { case (s, _) => clFreq(s) += 1 }
+      val clLens = huffLengths(clFreq, 5)
+      // cl-code lengths in ClOrder, stopping exactly where the decoder
+      // stops (space reaches 32, or all 18 when the code is degenerate)
+      var space = 0
+      var k = 0
+      while (k < 18 && space < 32) {
+        val v = clLens(ClOrder(k))
+        w.putCode(ClWriteCode(v), ClWriteLen(v))
+        if (v != 0) space += 32 >> v
+        k += 1
+      }
+      val clCodes = canonicalCodes(clLens)
+      toks.foreach { case (s, extra) =>
+        if (clLens(s) > 0) w.putCode(clCodes(s), clLens(s))
+        // a degenerate single-symbol cl code writes zero bits
+        if (s == 17) w.putBits(extra, 3)
+      }
+    }
+    val codes = canonicalCodes(lens)
+    lens.indices.map(s => (codes(s) << 5) | lens(s)).toArray
+  }
+
+  /** Find the code index whose [offset, offset + 2^bits) range holds v. */
+  private def codeFor(offsets: Array[Int], bits: Array[Int], v: Int): Int = {
+    var i = offsets.length - 1
+    while (offsets(i) > v) i -= 1
+    // offsets are ascending and ranges tile the domain, so i is the slot
+    require(v - offsets(i) < (1 << bits(i)), s"value $v out of code range")
+    i
+  }
+
+  /** Entropy encoder: greedy hash-chain LZ77 over a 4 MiB window into
+    * single-block-type compressed meta-blocks with dynamic prefix codes
+    * (one literal tree, one insert-and-copy tree, one distance tree;
+    * NPOSTFIX = NDIRECT = 0, no context maps, no ring-buffer distance
+    * codes) — a conforming "quality 2"-class writer. Throws on inputs
+    * it cannot model; compress() catches and falls back to stored mode.
+    */
+  private[core] def compressEntropy(data: Array[Byte]): Array[Byte] = {
+    require(data.nonEmpty)
+    val w = new BitWriter
+    // WBITS = 22: '1' + 3-bit 5 (17 + 5)
+    w.putBits(1, 1); w.putBits(5, 3)
+    val window = (1 << 22) - 16
+    val HashBits = 17
+    val head = new Array[Int](1 << HashBits)
+    java.util.Arrays.fill(head, -1)
+    def hash(i: Int): Int = {
+      val v = (data(i) & 0xff) | ((data(i + 1) & 0xff) << 8) |
+        ((data(i + 2) & 0xff) << 16) | ((data(i + 3) & 0xff) << 24)
+      (v * 0x9e3779b1) >>> (32 - HashBits)
+    }
+    var blockStart = 0
+    while (blockStart < data.length) {
+      val blockEnd = math.min(blockStart + (1 << 24), data.length)
+      val mlen = blockEnd - blockStart
+      val isLast = blockEnd == data.length
+      // ---- LZ parse of this meta-block ----
+      // command = (litStart, litEnd, copyLen, dist); copyLen 0 marks the
+      // trailing literal-only command
+      val cmds = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Int)]
+      var litStart = blockStart
+      var p = blockStart
+      while (p < blockEnd) {
+        var matched = false
+        if (p + 4 <= data.length) {
+          val h = hash(p)
+          val cand = head(h)
+          head(h) = p
+          if (cand >= 0 && p - cand <= window &&
+              data(cand) == data(p) && data(cand + 1) == data(p + 1) &&
+              data(cand + 2) == data(p + 2) && data(cand + 3) == data(p + 3)) {
+            var len = 4
+            val cap = blockEnd - p
+            while (len < cap && data(cand + len) == data(p + len)) len += 1
+            if (len >= 4) {
+              cmds += ((litStart, p, len, p - cand))
+              var q = p + 1
+              val qEnd = math.min(p + len, data.length - 4)
+              while (q < qEnd) { head(hash(q)) = q; q += 1 }
+              p += len
+              litStart = p
+              matched = true
+            }
+          }
+        }
+        if (!matched) p += 1
+      }
+      if (litStart < blockEnd || cmds.isEmpty)
+        cmds += ((litStart, blockEnd, 0, 0)) // trailing literals
+      // ---- symbol streams ----
+      def insCode(l: Int) = codeFor(InsOffset, InsBits, l)
+      def cpyCode(l: Int) = codeFor(CopyOffset, CopyBits, l)
+      // explicit (never implicit-distance) cell for (insHigh, copyHigh)
+      val cellByHighs = Array(2, 3, 6, 4, 5, 8, 7, 9, 10)
+      def cmdSym(ic: Int, cc: Int): Int =
+        cellByHighs((ic >> 3) * 3 + (cc >> 3)) * 64 + ((ic & 7) << 3) + (cc & 7)
+      // distance -> (dcode, ndistbits, dextra) with NPOSTFIX=NDIRECT=0
+      def distSym(d: Int): (Int, Int, Int) = {
+        val big = d + 3 // = offset base + dextra + 4
+        val nb = 30 - Integer.numberOfLeadingZeros(big)
+        val base = 1 << (nb + 1)
+        if (big - base < (1 << nb)) (16 + 2 * (nb - 1), nb, big - base)
+        else (16 + 2 * (nb - 1) + 1, nb, big - 3 * (1 << nb))
+      }
+      val litFreq = new Array[Long](256)
+      val cmdFreq = new Array[Long](704)
+      val distFreq = new Array[Long](64)
+      cmds.foreach { case (ls, le, cl, d) =>
+        var i = ls
+        while (i < le) { litFreq(data(i) & 0xff) += 1; i += 1 }
+        val cLen = if (cl == 0) 4 else cl // trailing command: any copy code
+        cmdFreq(cmdSym(insCode(le - ls), cpyCode(cLen))) += 1
+        if (cl > 0) distFreq(distSym(d)._1) += 1
+      }
+      if (litFreq.forall(_ == 0)) litFreq(0) = 1   // all-copy block
+      if (distFreq.forall(_ == 0)) distFreq(0) = 1 // literal-only block
+      // ---- meta-block header ----
+      if (isLast) { w.putBits(1, 1); w.putBits(0, 1) } // ISLAST, ISLASTEMPTY
+      else w.putBits(0, 1)
+      val nibbles = if (mlen - 1 < (1 << 16)) 4
+        else if (mlen - 1 < (1 << 20)) 5 else 6
+      w.putBits(nibbles - 4, 2)
+      w.putBits(mlen - 1, nibbles * 4)
+      if (!isLast) w.putBits(0, 1) // ISUNCOMPRESSED = 0
+      w.putBits(0, 1); w.putBits(0, 1); w.putBits(0, 1) // NBLTYPES L/I/D = 1
+      w.putBits(0, 2) // NPOSTFIX
+      w.putBits(0, 4) // NDIRECT >> NPOSTFIX
+      w.putBits(0, 2) // context mode LSB6 for the single literal block type
+      w.putBits(0, 1) // NTREESL = 1 (no context map)
+      w.putBits(0, 1) // NTREESD = 1 (no context map)
+      val litTab = writePrefixCode(w, litFreq)
+      val cmdTab = writePrefixCode(w, cmdFreq)
+      val distTab = writePrefixCode(w, distFreq)
+      // ---- command loop ----
+      def putSym(tab: Array[Int], s: Int): Unit =
+        w.putCode(tab(s) >>> 5, tab(s) & 31)
+      cmds.foreach { case (ls, le, cl, d) =>
+        val il = le - ls
+        val cLen = if (cl == 0) 4 else cl
+        val ic = insCode(il)
+        val cc = cpyCode(cLen)
+        putSym(cmdTab, cmdSym(ic, cc))
+        w.putBits(il - InsOffset(ic), InsBits(ic))
+        w.putBits(cLen - CopyOffset(cc), CopyBits(cc))
+        var i = ls
+        while (i < le) { putSym(litTab, data(i) & 0xff); i += 1 }
+        if (cl > 0) {
+          val (ds, nb, ex) = distSym(d)
+          putSym(distTab, ds)
+          w.putBits(ex, nb)
+        }
+      }
+      blockStart = blockEnd
+    }
+    w.align()
+    w.toByteArray
+  }
+
+  /** Emit a valid RFC 7932 stream of uncompressed meta-blocks. */
+  def compressStored(data: Array[Byte]): Array[Byte] = {
     val out = new ByteArrayOutputStream(data.length + 16)
     var bitBuf = 0
     var bitCnt = 0

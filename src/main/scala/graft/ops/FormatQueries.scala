@@ -12,9 +12,9 @@ object FormatQueries {
   import Derived.{table, boxes, BoxesCte}
 
   /** F12 `br` second-stage fixture: the real layer's mip-0 chunks
-    * transcoded gzip -> brotli (stored-mode RFC 7932 streams,
-    * core/Brotli.scala — see the scope note there). Rebuilds whenever
-    * the source layer's build stamp changes. */
+    * transcoded gzip -> brotli (entropy-coded RFC 7932 streams from
+    * core/Brotli.compress, self-verified with stored fallback).
+    * Rebuilds whenever the source layer's build stamp changes. */
   private val BrRoot = "/tmp/graft_fixture/seg_br"
   private val BrLayer = s"$BrRoot/layer"
 
@@ -22,9 +22,10 @@ object FormatQueries {
     import java.nio.file.{Files, Paths}
     RealLayerQueries.ensure(s, dir)
     val marker = Paths.get(BrRoot, ".built_from")
-    // br2: minimal-MNIBBLES encoder (r15) — br1 fixtures carry 6-nibble
-    // MLEN fields the strict decoder now rejects
-    val markerVal = RealLayerQueries.stamp + "|br2"
+    // br3: entropy encoder (r16) — the layer now carries compressed-mode
+    // streams (self-verified, C-decoder-checked via tools); br2 was
+    // stored-mode, br1 carried 6-nibble MLEN fields
+    val markerVal = RealLayerQueries.stamp + "|br3"
     if (Files.exists(marker) && Files.readString(marker) == markerVal &&
       Files.exists(Paths.get(BrLayer, "info"))) return
     FixtureLog.rebuild(marker)
@@ -63,8 +64,9 @@ object FormatQueries {
     // S4/F12 over brotli-wrapped chunk objects: the `br` content
     // encoding of datasource/precomputed/common.py:18-29; same cutout +
     // sidecar oracle as s4_cutout_real, proving the read path end to end
-    // (this layer is our own stored-mode re-encode; the ENTROPY-coded
-    // path is proven by s4_cutout_br_entropy below)
+    // (this layer is OUR OWN entropy encoder's output — the write path —
+    // while s4_cutout_br_entropy below proves the decoder against the
+    // reference C encoder's streams)
     "s4_cutout_br" -> Q(
       (s, dir) => {
         ensureBr(s, dir)

@@ -57,16 +57,40 @@ class BrotliSpec extends AnyFunSuite {
     }
   }
 
-  test("roundtrip through own stored-mode encoder: empty, small, multi-pattern") {
+  test("roundtrip through own encoders: empty, small, multi-pattern") {
     Seq(
       Array.emptyByteArray,
       "hello brotli".getBytes("UTF-8"),
       Array.tabulate(65537)(i => (i * 31 % 251).toByte),
       Array.fill(1 << 20)(0x5a.toByte)
     ).foreach { payload =>
-      val enc = Brotli.compress(payload)
-      assert(Brotli.decompress(enc).sameElements(payload))
+      assert(Brotli.decompress(Brotli.compress(payload)).sameElements(payload))
+      assert(Brotli.decompress(Brotli.compressStored(payload)).sameElements(payload))
     }
+  }
+
+  test("entropy encoder compresses and roundtrips every golden raw payload") {
+    val manifest = Files.readAllLines(streamsDir.resolve("MANIFEST.tsv"))
+    var wins = 0
+    var n = 0
+    manifest.forEach { line =>
+      val base = line.split("\t")(0)
+      val raw = Files.readAllBytes(streamsDir.resolve(base + ".raw"))
+      val enc = Brotli.compress(raw)
+      assert(Brotli.decompress(enc).sameElements(raw), base)
+      if (raw.length > 256) {
+        n += 1
+        if (enc.length < raw.length) wins += 1
+      }
+    }
+    // entropy coding must actually WIN on the compressible corpus (the
+    // random payloads legitimately fall back toward stored mode)
+    assert(wins * 10 >= n * 8, s"only $wins of $n payloads compressed")
+    // and decisively on run-heavy segmentation bytes
+    val seg = Files.readAllBytes(streamsDir.resolve("053_seg_u32_q9_w22_m0.raw"))
+    val segEnc = Brotli.compress(seg)
+    assert(segEnc.length * 10 < seg.length,
+      s"seg payload ${seg.length} -> ${segEnc.length}: expected >10x")
   }
 
   test("multi-block stream (block cap forces >1 uncompressed meta-block)") {
@@ -100,10 +124,10 @@ class BrotliSpec extends AnyFunSuite {
   test("compress picks the minimal MNIBBLES (RFC 7932 §9.2)") {
     // 4-byte block -> 4 nibbles: header 1+1+2+16+1 = 21 bits = 3 bytes,
     // + 4 payload + 1 closing ISLAST/ISLASTEMPTY byte = 8 total
-    assert(Brotli.compress("DATA".getBytes).length == 8)
+    assert(Brotli.compressStored("DATA".getBytes).length == 8)
     // 70000-byte block (> 2^16, <= 2^20) -> 5 nibbles: header 25 bits
     // = 4 bytes, + payload + 1
-    assert(Brotli.compress(new Array[Byte](70000)).length == 70000 + 5)
+    assert(Brotli.compressStored(new Array[Byte](70000)).length == 70000 + 5)
   }
 
   test("non-minimal MNIBBLES is rejected (conforming-decoder parity)") {
@@ -172,7 +196,7 @@ class BrotliSpec extends AnyFunSuite {
   }
 
   test("truncated stream fails") {
-    val enc = Brotli.compress("payload payload".getBytes)
+    val enc = Brotli.compressStored("payload payload".getBytes)
     intercept[IllegalArgumentException](
       Brotli.decompress(java.util.Arrays.copyOf(enc, enc.length - 3)))
     // and a truncated entropy-coded stream from the golden corpus
