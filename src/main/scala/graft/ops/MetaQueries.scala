@@ -564,6 +564,69 @@ object MetaQueries {
         |FROM v LEFT JOIN c USING (user_id)
         |LEFT JOIN p USING (user_id)""".stripMargin)),
 
+    // W14 (pipeline extension): AS-OF JOIN — every purchase event
+    // matched to the user's latest signup at-or-before its timestamp
+    // (the event-to-dimension-history pattern behind slowly-changing
+    // attributes, feature stores, and point-in-time-correct training
+    // joins). The scalable formulation: tag both sides, ONE shuffle
+    // keyed by user, a per-user running max of the build-side
+    // timestamp (build rows sort before probes on ties, so "at or
+    // before" includes equal timestamps), then a co-keyed join back
+    // for the build row's payload — never a per-probe range scan, and
+    // the window is bounded by one user's history, never global.
+    // Purchases with no prior signup surface as -1 (the LEFT branch).
+    "w14_asof_join" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val src = table(s, dir, "events")
+        val e = src.select(col("event_id"), col("user_id"),
+          col("event_type"), Derived.tsMicros(src.schema).as("tus"))
+        val st = e.filter(col("event_type") === "signup")
+          .groupBy("user_id", "tus").agg(max("event_id").as("state_id"))
+        val pr = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("tus"))
+        val tagged = st.select(col("user_id"), col("tus"),
+            lit(1).as("is_b"), lit(-1L).as("purchase_id"))
+          .unionAll(pr.select(col("user_id"), col("tus"),
+            lit(0).as("is_b"), col("purchase_id")))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("tus").asc, col("is_b").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tagged
+          .withColumn("asof_tus",
+            max(when(col("is_b") === 1, col("tus"))).over(w))
+          .filter(col("is_b") === 0)
+          .select(col("purchase_id"), col("user_id"), col("asof_tus"))
+          .join(st.withColumnRenamed("tus", "asof_tus"),
+            Seq("user_id", "asof_tus"), "left")
+          .select(col("purchase_id"), col("user_id"),
+            coalesce(col("asof_tus"), lit(-1L)).as("state_tus"),
+            coalesce(col("state_id"), lit(-1L)).as("state_id"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type,
+        |          epoch_ns(ts) // 1000 AS tus FROM events),
+        |st AS (SELECT user_id, tus, CAST(max(event_id) AS BIGINT)
+        |         AS state_id
+        |       FROM e WHERE event_type = 'signup' GROUP BY 1, 2),
+        |pr AS (SELECT event_id AS purchase_id, user_id, tus FROM e
+        |       WHERE event_type = 'purchase'),
+        |u AS (SELECT user_id, tus, 1 AS is_b,
+        |        CAST(-1 AS BIGINT) AS purchase_id FROM st
+        |      UNION ALL
+        |      SELECT user_id, tus, 0 AS is_b, purchase_id FROM pr),
+        |w AS (SELECT *, max(CASE WHEN is_b = 1 THEN tus END) OVER (
+        |        PARTITION BY user_id ORDER BY tus ASC, is_b DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        AS asof_tus FROM u),
+        |p AS (SELECT purchase_id, user_id, asof_tus FROM w
+        |      WHERE is_b = 0)
+        |SELECT p.purchase_id, p.user_id,
+        |  CAST(coalesce(p.asof_tus, -1) AS BIGINT) AS state_tus,
+        |  CAST(coalesce(st.state_id, -1) AS BIGINT) AS state_id
+        |FROM p LEFT JOIN st
+        |  ON st.user_id = p.user_id AND st.tus = p.asof_tus""".stripMargin)),
+
     // W8 (pipeline extension): retention cohorts — users grouped by
     // first-activity day, counted on each later activity-day offset
     // (the (cohort x day-N) retention matrix every analytics engine

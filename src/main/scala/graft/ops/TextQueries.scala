@@ -264,6 +264,91 @@ object TextQueries {
       |            ON x.band = y.band AND x.bid = y.bid
       |           AND x.doc_id < y.doc_id)""".stripMargin
 
+  // ---- BPE tokenizer training (Sennrich 2016) ----------------------
+
+  /** Word-frequency table in spaced-symbol form. The corpus collapses
+    * to this ONCE (the only corpus-sized aggregate in the BPE loop);
+    * every merge round afterwards is vocab-sized. Symbols are joined
+    * with DOUBLE spaces and the string carries one extra space per
+    * side, so a merge round is ONE engine-native replace(): the
+    * pattern ` a  b ` borrows a space from each neighboring separator
+    * and the replacement ` ab ` restores them — back-to-back
+    * occurrences (`x a b a b y`) then merge simultaneously exactly
+    * like real BPE, where a single-space layout would miss every
+    * second occurrence (the replace scan resumes past the shared
+    * delimiter). `_` is the end-of-word marker (bpe_pair_stats'
+    * convention).
+    */
+  private def bpeWordFreq(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(concat(lit("  "),
+        array_join(expr("transform(sequence(1, length(w) + 1), " +
+          "i -> substr(w || '_', i, 1))"), "  "), lit("  ")).as("sp"),
+        col("n"))
+
+  /** `rounds` BPE merge iterations over [[bpeWordFreq]]: count
+    * adjacent symbol pairs weighted by word frequency, elect the
+    * (pair_n DESC, pair ASC) argmax, rewrite the symbol strings —
+    * each round one vocab-sized pair aggregate plus a 1-row argmax
+    * broadcast-cross-joined back (never a collect), so rounds cost
+    * vocab, not corpus. Frontier.iterate materializes each round's
+    * state once, capping lineage at O(1) in depth. Returns (merge
+    * table rank/pair/pair_n, final spaced-word state).
+    */
+  private def bpeRounds(s: SparkSession, dir: String, rounds: Int)
+      : (DataFrame, DataFrame) = {
+    val (emits, fin) = Frontier.iterate(
+      bpeWordFreq(s, dir).localCheckpoint(), rounds) { (wf, _) =>
+      val pairs = wf
+        .select(col("n"), split(trim(col("sp")), "  ").as("tk"))
+        .select(col("n"), explode(expr(
+          "transform(sequence(0, size(tk) - 2), " +
+            "i -> concat(tk[i], ' ', tk[i+1]))")).as("pair"))
+        .groupBy("pair").agg(sum("n").as("pair_n"))
+      val best = pairs.orderBy(col("pair_n").desc, col("pair").asc).limit(1)
+      wf.crossJoin(broadcast(best))
+        .withColumn("sp", expr(
+          "replace(sp, ' ' || replace(pair, ' ', '  ') || ' ', " +
+            "' ' || replace(pair, ' ', '') || ' ')"))
+    } { (_, stepped, r) =>
+      (Seq(stepped.select(lit((r + 1).toLong).as("rank"),
+        col("pair"), col("pair_n")).limit(1)),
+        stepped.select("sp", "n"))
+    }
+    (emits.reduce(_ unionAll _), fin)
+  }
+
+  /** Oracle twin of [[bpeRounds]]: wf0 plus `rounds` unrolled
+    * (pairs, best, rewrite) round CTEs — ends at wf`rounds` with
+    * b1..b`rounds` available. Callers prepend WITH.
+    */
+  private def bpeCtes(rounds: Int): String = {
+    val base = """wf0 AS (
+      |  SELECT '  ' || array_to_string(list_transform(
+      |           generate_series(1, len(w) + 1),
+      |           i -> substr(w || '_', i, 1)), '  ') || '  ' AS sp,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY 1)""".stripMargin
+    val rs = (1 to rounds).map { r =>
+      s"""p$r AS (SELECT tk[i] || ' ' || tk[i+1] AS pair,
+        |       CAST(sum(n) AS BIGINT) AS pair_n
+        |     FROM (SELECT tk, n,
+        |             unnest(generate_series(1, len(tk) - 1)) AS i
+        |           FROM (SELECT string_split(trim(sp), '  ') AS tk, n
+        |                 FROM wf${r - 1}))
+        |     GROUP BY 1),
+        |b$r AS (SELECT pair, pair_n FROM p$r
+        |      ORDER BY pair_n DESC, pair ASC LIMIT 1),
+        |wf$r AS (SELECT replace(sp, ' ' || replace(pair, ' ', '  ') || ' ',
+        |               ' ' || replace(pair, ' ', '') || ' ') AS sp, n
+        |       FROM wf${r - 1} CROSS JOIN b$r)""".stripMargin
+    }
+    (base +: rs).mkString(",\n")
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Exact dedup: hash-groupBy on content, keep lowest id
@@ -2435,5 +2520,85 @@ object TextQueries {
         |  FROM sc)
         |SELECT query_id, rank, doc_id, score FROM ranked
         |WHERE rank <= 5""".stripMargin)),
+
+    // BPE tokenizer TRAINING (Sennrich 2016), 4 full merge rounds —
+    // bpe_pair_stats measured one iteration's statistics; this runs
+    // the loop. The corpus collapses once to the word-frequency table;
+    // each round is a vocab-sized pair aggregate + a 1-row argmax
+    // broadcast back, and the merge rewrite is one engine-native
+    // replace() over the double-spaced symbol layout (see bpeWordFreq)
+    // so simultaneous leftmost merging matches real BPE on both
+    // engines. At 100 TB the corpus is scanned exactly once; merge
+    // rounds cost vocabulary, not corpus.
+    "bpe_train_merges" -> Q(
+      (s, dir) => bpeRounds(s, dir, 4)._1.orderBy("rank"),
+      Some(s"""WITH ${bpeCtes(4)}
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS rank, pair, pair_n FROM b1
+        |  UNION ALL SELECT CAST(2 AS BIGINT), pair, pair_n FROM b2
+        |  UNION ALL SELECT CAST(3 AS BIGINT), pair, pair_n FROM b3
+        |  UNION ALL SELECT CAST(4 AS BIGINT), pair, pair_n FROM b4)
+        |ORDER BY rank""".stripMargin)),
+
+    // BPE ENCODE with the learned merges: the post-merge symbol
+    // vocabulary (top-20 by corpus frequency) — the tokenizer-
+    // application shape. The per-word replace chain is narrow; the
+    // count is one symbol-space-sized aggregate.
+    "bpe_encode_vocab" -> Q(
+      (s, dir) => bpeRounds(s, dir, 4)._2
+        .select(col("n"), explode(split(trim(col("sp")), "  ")).as("token"))
+        .groupBy("token").agg(sum("n").as("cnt"))
+        .orderBy(col("cnt").desc, col("token").asc).limit(20),
+      Some(s"""WITH ${bpeCtes(4)},
+        |tok AS (SELECT unnest(string_split(trim(sp), '  ')) AS token, n
+        |        FROM wf4)
+        |SELECT token, CAST(sum(n) AS BIGINT) AS cnt FROM tok GROUP BY 1
+        |ORDER BY cnt DESC, token ASC LIMIT 20""".stripMargin)),
+
+    // Line-level boilerplate removal (the jusText/C4 move): nav
+    // header, sidebar stub, and footer lines injected around every
+    // document body are dropped by a per-LINE content gate (>= 6
+    // words) and the document REASSEMBLED — all inside one row via
+    // array HOFs (split -> filter -> array_join), so the pass is
+    // completely narrow: zero shuffles, zero explodes, the cheapest
+    // possible shape for a 100 TB cleanup scan. Every 5th doc carries
+    // a 7-word disclaimer line instead of the 3-word footer so both
+    // gate outcomes occur on non-body lines.
+    "text_boilerplate" -> Q(
+      (s, dir) => table(s, dir, "documents")
+        .select(col("doc_id"), concat_ws("\n",
+          lit("nav home about contact"),
+          col("text"),
+          lit("related articles sidebar"),
+          when(col("doc_id") % 5 === 0,
+            lit("disclaimer this page is provided as is"))
+            .otherwise(lit("copyright footer terms"))).as("rawtext"))
+        .select(col("doc_id"), split(col("rawtext"), "\n").as("lines"))
+        .select(col("doc_id"),
+          size(col("lines")).cast("long").as("n_lines"),
+          expr("filter(lines, x -> size(split(x, ' ')) >= 6)").as("kept"))
+        .select(col("doc_id"), col("n_lines"),
+          size(col("kept")).cast("long").as("n_kept"),
+          length(array_join(col("kept"), "\n")).cast("long")
+            .as("clean_chars"))
+        .orderBy("doc_id"),
+      Some("""WITH raw AS (SELECT doc_id,
+        |  'nav home about contact' || chr(10) || text || chr(10) ||
+        |  'related articles sidebar' || chr(10) ||
+        |  CASE WHEN doc_id % 5 = 0
+        |       THEN 'disclaimer this page is provided as is'
+        |       ELSE 'copyright footer terms' END AS rawtext
+        |  FROM documents),
+        |l AS (SELECT doc_id, string_split(rawtext, chr(10)) AS lines
+        |      FROM raw),
+        |k AS (SELECT doc_id, len(lines) AS n_lines,
+        |        list_filter(lines,
+        |          x -> len(string_split(x, ' ')) >= 6) AS kept
+        |      FROM l)
+        |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+        |       CAST(len(kept) AS BIGINT) AS n_kept,
+        |       CAST(len(array_to_string(kept, chr(10))) AS BIGINT)
+        |         AS clean_chars
+        |FROM k ORDER BY doc_id""".stripMargin)),
   )
 }
