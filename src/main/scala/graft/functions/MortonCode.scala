@@ -252,8 +252,15 @@ object GraftFunctions {
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, inf, builder) =>
       ext.injectFunction((FunctionIdentifier(name), inf, builder))
     }
+    // the P6 codec-membership pushdown rides the same config knob, so
+    // `spark.sql.extensions=graft.functions.GraftExtensions` is the
+    // one-line production setup (functions + optimizer rule); the rule
+    // is idempotent (alreadyGated guard), so sessions that ALSO call
+    // ContainsGateRule.install see it applied once per shape
+    ext.injectOptimizerRule(_ => ContainsGateRule)
+  }
 }

@@ -710,6 +710,37 @@ object RealLayerQueries {
         |  CAST(sum(label) AS BIGINT) // count(*) AS mean_label
         |FROM $Sidecar GROUP BY 1, 2, 3""".stripMargin)),
 
+    // F8 extension: ANISOTROPIC (2,2,1) mode-pooling downsample — the
+    // factor the reference's downsample_scales picks for EM-style
+    // volumes whose z resolution is already coarse (lib.py
+    // find_closest_divisor usage: factors stay (2,2,1) until the
+    // scale turns isotropic, only then (2,2,2)). Same two-shuffle
+    // partial-count + argmax shape as f8b; z passes through unpooled,
+    // so a petabyte pyramid step moves 1/4 (not 1/8) of its input —
+    // the plan must not pay any z-window or extra exchange for that.
+    "f8d_downsample_aniso" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        PrecomputedIO.cutoutVoxels(s, LayerDir,
+            Bbox(Vec3(0, 0, 0), Vec3(SX, SY, SZ)))
+          .select(shiftright(col("x"), 1).as("px"),
+            shiftright(col("y"), 1).as("py"),
+            col("z").as("pz"), col("label"))
+          .groupBy("px", "py", "pz", "label").agg(count(lit(1)).as("cnt"))
+          .groupBy("px", "py", "pz")
+          .agg(max_by(col("label"),
+            struct(col("cnt"), negate(col("label")))).as("label"))
+      },
+      Some(s"""WITH pooled AS (
+        |  SELECT x // 2 AS px, y // 2 AS py, z AS pz, label,
+        |         count(*) AS cnt
+        |  FROM $Sidecar GROUP BY 1, 2, 3, 4),
+        |ranked AS (
+        |  SELECT px, py, pz, label, row_number() OVER (
+        |    PARTITION BY px, py, pz ORDER BY cnt DESC, label ASC) AS rn
+        |  FROM pooled)
+        |SELECT px, py, pz, label FROM ranked WHERE rn = 1""".stripMargin)),
+
     // Extension: distributed 6-connected components over the layer's
     // foreground voxels (pointer-jumping min-label propagation,
     // O(log diameter) rounds — see ConnectedComponents). The DuckDB

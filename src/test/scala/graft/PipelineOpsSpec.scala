@@ -1019,4 +1019,89 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(r.length == byType.size)
   }
+
+  test("BPE double-space layout merges back-to-back pairs simultaneously") {
+    // The reason for the layout: with single-space separators the
+    // replace scan consumes the shared delimiter and misses every
+    // second back-to-back occurrence. ` a  b ` -> ` ab ` must hit both.
+    val got = spark.sql(
+      "SELECT replace('  x  a  b  a  b  y  ', ' a  b ', ' ab ') AS s")
+      .head().getString(0)
+    assert(got == "  x  ab  ab  y  ", s"simultaneous merge broken: '$got'")
+    // and the greedy-leftmost law on a self-overlapping run: a a a -> (aa) a
+    val tri = spark.sql(
+      "SELECT replace('  a  a  a  ', ' a  a ', ' aa ') AS s")
+      .head().getString(0)
+    assert(tri == "  aa  a  ", s"leftmost-greedy broken: '$tri'")
+  }
+
+  test("bpe_train_merges: best-pair count is non-increasing; merged " +
+    "symbols surface in bpe_encode_vocab") {
+    val merges = TextQueries.queries("bpe_train_merges").fn(spark, sfDir)
+      .orderBy("rank").collect()
+    assert(merges.length == 4)
+    val counts = merges.map(_.getAs[Long]("pair_n"))
+    // merging can only create pairs bounded by the merged pair's count,
+    // so the elected maximum never increases round over round
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      s"argmax counts must be non-increasing: ${counts.mkString(",")}")
+    val mergedSyms = merges.map(_.getAs[String]("pair").replace(" ", ""))
+    val vocab = TextQueries.queries("bpe_encode_vocab").fn(spark, sfDir)
+      .collect().map(_.getAs[String]("token")).toSet
+    // every learned merge that survives later merges should be a real
+    // token; at minimum the LAST merge's symbol is intact
+    assert(vocab.contains(mergedSyms.last),
+      s"last merged symbol ${mergedSyms.last} missing from vocab $vocab")
+    mergedSyms.foreach(m => assert(m.length >= 2))
+  }
+
+  test("w14_asof_join replays against a local point-in-time scan") {
+    val r = MetaQueries.queries("w14_asof_join").fn(spark, sfDir).collect()
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val e = ev.select(col("event_id"), col("user_id"), col("event_type"),
+        graft.ops.Derived.tsMicros(ev.schema).as("tus")).collect()
+      .map(x => (x.getAs[Long]("event_id"), x.getAs[Long]("user_id"),
+        x.getAs[String]("event_type"), x.getAs[Long]("tus")))
+    val signups = e.filter(_._3 == "signup")
+    val purchases = e.filter(_._3 == "purchase")
+    assert(r.length == purchases.length, "one row per purchase")
+    val byId = r.map(row => row.getAs[Long]("purchase_id") -> row).toMap
+    purchases.foreach { case (pid, uid, _, tus) =>
+      val row = byId(pid)
+      val prior = signups.filter(s => s._2 == uid && s._4 <= tus)
+      if (prior.isEmpty) {
+        assert(row.getAs[Long]("state_tus") == -1L, s"purchase $pid")
+        assert(row.getAs[Long]("state_id") == -1L, s"purchase $pid")
+      } else {
+        val bestTs = prior.map(_._4).max
+        val bestId = prior.filter(_._4 == bestTs).map(_._1).max
+        assert(row.getAs[Long]("state_tus") == bestTs,
+          s"purchase $pid: latest prior signup ts")
+        assert(row.getAs[Long]("state_id") == bestId,
+          s"purchase $pid: max event_id on ties")
+      }
+    }
+  }
+
+  test("text_boilerplate keeps exactly the >=6-word lines and " +
+    "reassembles byte counts") {
+    val r = TextQueries.queries("text_boilerplate").fn(spark, sfDir)
+      .collect()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("text")).toMap
+    assert(r.length == docs.size)
+    r.foreach { row =>
+      val id = row.getAs[Long]("doc_id")
+      val tail = if (id % 5 == 0) "disclaimer this page is provided as is"
+        else "copyright footer terms"
+      val lines = Seq("nav home about contact", docs(id),
+        "related articles sidebar", tail)
+      val kept = lines.filter(_.split(" ").length >= 6)
+      assert(row.getAs[Long]("n_lines") == 4)
+      assert(row.getAs[Long]("n_kept") == kept.length, s"doc $id")
+      assert(row.getAs[Long]("clean_chars") ==
+        kept.mkString("\n").length, s"doc $id clean_chars")
+    }
+  }
 }
