@@ -1,0 +1,117 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** KMV (k-minimum-values / theta) sketch as a native Catalyst
+  * AGGREGATE function — the mergeable-state formulation of
+  * a1d_kmv_intersection's sort+limit: `graft_kmv(h, k)` keeps the k
+  * smallest DISTINCT long hashes in a bounded tree, partials merge by
+  * set-union-then-trim, and only the ≤k-value state crosses the wire.
+  *
+  * Why an aggregate and not `ORDER BY h LIMIT k`: the sort+limit
+  * formulation needs a distinct() shuffle of every hash plus a
+  * TakeOrdered over the deduped set; the sketch needs NO distinct at
+  * all (the tree dedups as it goes) and ships k longs per partition —
+  * at 100 TB that is the difference between shuffling the corpus'
+  * hash column and shuffling kilobytes. This is the estimator
+  * DataSketches ships for set-operation cardinalities (|A∩B| — see
+  * a1d); the HLL register agg (a1b/a1c) covers union-only cases.
+  *
+  * TypedImperativeAggregate plans as ObjectHashAggregate: the buffer
+  * is an on-heap java.util.TreeSet serialized only at shuffle
+  * boundaries (k longs), never per row.
+  */
+case class KmvSketchAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  require(k > 0 && k <= (1 << 20), s"graft_kmv: k out of range: $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def add(buf: java.util.TreeSet[java.lang.Long], v: Long): Unit = {
+    // insert-then-trim keeps the k smallest distinct values; once the
+    // tree is full, values >= the current k-th smallest short-circuit
+    if (buf.size < k || v < buf.last()) {
+      buf.add(v)
+      if (buf.size > k) buf.pollLast()
+    }
+  }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) add(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(b1: java.util.TreeSet[java.lang.Long],
+      b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = b2.iterator()
+    while (it.hasNext) add(b1, it.next())
+    b1
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val arr = new Array[Long](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_kmv"
+}
+
+object KmvSketchAgg {
+  /** FunctionRegistry builder: graft_kmv(hash_col, k_literal). */
+  def build(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "graft_kmv(h, k) takes 2 arguments")
+    val k = args(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"graft_kmv: k must be an integer literal, got $other")
+    }
+    KmvSketchAgg(args.head, k)
+  }
+}

@@ -242,7 +242,9 @@ object GraftFunctions {
     ("graft_norm2", info("graft_norm2", classOf[Norm2Expr]),
       (args: Seq[Expression]) => Norm2Expr(args)),
     ("graft_dist2", info("graft_dist2", classOf[Dist2Expr]),
-      (args: Seq[Expression]) => Dist2Expr(args)))
+      (args: Seq[Expression]) => Dist2Expr(args)),
+    ("graft_kmv", info("graft_kmv", classOf[KmvSketchAgg]),
+      (args: Seq[Expression]) => KmvSketchAgg.build(args)))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, inf, builder) =>

@@ -516,6 +516,39 @@ object MetaQueries {
         |  CAST(max(k) AS BIGINT) AS k_max
         |FROM e GROUP BY 1""".stripMargin)),
 
+    // W15 (pipeline extension): the VARIANT version of w12 — Spark 4's
+    // open-schema path for semi-structured columns: parse_json()
+    // shreds the string ONCE into the binary variant encoding, and
+    // every later variant_get() walks that encoding instead of
+    // re-parsing text (w12's get_json_object re-parses per path — at
+    // two extractions the variant scan already halves the parse work,
+    // and a real lakehouse props column carries dozens). Extractions
+    // stay codegen'd scalar expressions; the aggregate is the same
+    // partial-agg'd groupBy. The derived flag (k div 10) stands in
+    // for the second extraction path.
+    "w15_variant_extract" -> Q(
+      (s, dir) => {
+        val v = table(s, dir, "events")
+          .select(col("event_type"), parse_json(col("props")).as("pv"))
+          .select(col("event_type"),
+            variant_get(col("pv"), "$.k", "long").as("k"))
+          .select(col("event_type"), col("k"),
+            expr("k div 10").as("kdiv"))
+        v.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("k").as("k_sum"),
+            sum("kdiv").as("kdiv_sum"),
+            sum(when(col("k") >= 50, 1L).otherwise(0L)).as("n_big"))
+      },
+      Some("""WITH e AS (SELECT event_type,
+        |          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |        FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(k) AS BIGINT) AS k_sum,
+        |  CAST(sum(k // 10) AS BIGINT) AS kdiv_sum,
+        |  CAST(sum(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_big
+        |FROM e GROUP BY 1""".stripMargin)),
+
     // W7 (pipeline extension): ordered funnel analysis — the product-
     // analytics pass over the event log (view -> click -> purchase,
     // each step's timestamp strictly after the previous step's). Two

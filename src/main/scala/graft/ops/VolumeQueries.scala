@@ -331,6 +331,33 @@ object VolumeQueries {
         |    // least(theta_a, theta_b) AS est_inter
         |FROM ta CROSS JOIN tb CROSS JOIN i""".stripMargin)),
 
+    // A1d as a NATIVE AGGREGATE: graft_kmv (functions/KmvSketchAgg, a
+    // Catalyst TypedImperativeAggregate) builds the same 64-minimum-
+    // values sketch in ONE pass over the RAW voxel stream — no
+    // distinct() shuffle, no TakeOrdered: each task keeps a bounded
+    // tree of the k smallest distinct hashes and only that ≤64-long
+    // state merges across partitions. At 100 TB this ships kilobytes
+    // where a1d's sort+limit shuffles the deduped hash column. The
+    // oracle replays the sketch as smallest-64-distinct, proving the
+    // in-tree dedup and trim agree with the declarative formulation.
+    "a1e_kmv_agg" -> Q(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        voxels(s, dir)
+          .select(conv(substring(md5(concat(lit("kmv:"),
+            col("label").cast("string")).cast("binary")), 1, 12), 16, 10)
+            .cast("long").as("h"))
+          .agg(expr("graft_kmv(h, 64)").as("ks"))
+          .select(posexplode(col("ks")).as(Seq("i", "h")))
+          .select((col("i") + 1).cast("long").as("rank"), col("h"))
+      },
+      Some(s"""WITH $VoxelsCte,
+        |hv AS (SELECT DISTINCT ('0x' || substr(md5('kmv:' || label), 1, 12))
+        |         ::BIGINT AS h FROM voxels),
+        |sk AS (SELECT h FROM hv ORDER BY h LIMIT 64)
+        |SELECT CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS rank, h
+        |FROM sk""".stripMargin)),
+
     // A1 at sketch scale: HyperLogLog cardinality estimate (Flajolet
     // 2007) vs the exact distinct count. m=256 registers over a
     // 48-bit md5 hash: bucket = h % 256, rho = leading-zeros(h div
