@@ -648,5 +648,80 @@ object StreamQueries {
         |SELECT CAST(pick.q AS BIGINT) AS q,
         |  CAST(pick.bucket AS BIGINT) AS bucket, c.cum_n, t.total_n
         |FROM pick JOIN c USING (bucket) CROSS JOIN t""".stripMargin)),
+
+    // §2.9 modern state API: transformWithState (Spark 4's arbitrary-
+    // stateful successor to mapGroupsWithState) — the per-user profile
+    // st8 packs into one opaque state tuple decomposes here into NAMED
+    // TYPED state variables: a ValueState for the running (n, sum) and
+    // a MapState for per-event-type counts. That is the production
+    // pattern for wide per-key profiles — a MapState update touches
+    // one (key, field) row in the RocksDB state store (the provider
+    // this API requires; conf scoped + restored) instead of rewriting
+    // the whole blob, so profile width stops multiplying state-store
+    // write amplification. Update-mode emissions fold to each user's
+    // final update via max(struct) on the monotone row count.
+    "st14_transform_with_state" -> Q(
+      (s, dir) => {
+        val src = stageEvents(s, dir)
+        val schema = s.read.parquet(src).schema
+        import s.implicits._
+        import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode,
+          OutputMode, TTLConfig, ValueState, MapState, TimerValues}
+        import org.apache.spark.sql.{Encoder, Encoders}
+        val stream = s.readStream.schema(schema).parquet(src)
+          .select(col("user_id"), col("event_type"),
+            round(col("value") * 100).cast("long").as("vc"))
+          .as[(Long, String, Long)]
+          .groupByKey(_._1)
+          .transformWithState(
+            new StatefulProcessor[Long, (Long, String, Long),
+                (Long, Long, Long, Long)] {
+              @transient private var agg: ValueState[(Long, Long)] = _
+              @transient private var types: MapState[String, Long] = _
+              override def init(om: OutputMode, tm: TimeMode): Unit = {
+                agg = getHandle.getValueState[(Long, Long)]("agg",
+                  implicitly[Encoder[(Long, Long)]], TTLConfig.NONE)
+                types = getHandle.getMapState[String, Long]("types",
+                  Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+              }
+              override def handleInputRows(user: Long,
+                  rows: Iterator[(Long, String, Long)],
+                  tv: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+                var (n, sum) = if (agg.exists()) agg.get() else (0L, 0L)
+                rows.foreach { case (_, et, vc) =>
+                  n += 1; sum += vc
+                  val c = if (types.containsKey(et)) types.getValue(et)
+                    else 0L
+                  types.updateValue(et, c + 1)
+                }
+                agg.update((n, sum))
+                Iterator.single((user, n, sum, types.keys().size.toLong))
+              }
+            }, TimeMode.None(), OutputMode.Update())
+          .toDF("user_id", "n", "sum_vc", "n_types")
+        val prevProvider = s.conf.getOption(
+          "spark.sql.streaming.stateStore.providerClass")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider")
+        val updates =
+          try runToTable(s, stream, "graft_st14", "update")
+          finally prevProvider match {
+            case Some(p) => s.conf.set(
+              "spark.sql.streaming.stateStore.providerClass", p)
+            case None => s.conf.unset(
+              "spark.sql.streaming.stateStore.providerClass")
+          }
+        updates
+          .groupBy("user_id")
+          .agg(max(struct(col("n"), col("sum_vc"), col("n_types"))).as("m"))
+          .select(col("user_id"), col("m.n").as("n"),
+            col("m.sum_vc").as("sum_vc"), col("m.n_types").as("n_types"))
+      },
+      Some("""SELECT user_id, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_vc,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        |FROM events GROUP BY 1""".stripMargin)),
   )
 }
