@@ -4,6 +4,8 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
+import graft.core.{Bbox, ScaleMeta, Vec3, VolumeMeta}
+import graft.sources.PrecomputedIO
 
 /** Structured Streaming surface (SURVEY §2.9). The reference has no
   * streaming engine; these are the streaming analogues it motivates:
@@ -723,5 +725,94 @@ object StreamQueries {
         |    AS sum_vc,
         |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
         |FROM events GROUP BY 1""".stripMargin)),
+
+    // §2.9 + S9: the DSv2 sink's STREAMING face — continuous chunk
+    // ingestion lands in a real precomputed layer through
+    // `writeStream.format("neuroglancer")` (StreamingWrite +
+    // per-epoch StreamingDataWriterFactory), not foreachBatch. Chunk
+    // objects are atomic puts named by their bbox, so epoch REPLAY
+    // after failure rewrites byte-identical objects and the sink
+    // needs no epoch log beyond the stream checkpoint — the
+    // object-store semantics of the reference's upload path
+    // (tx.py:35-61) carried over to exactly-once-by-idempotence.
+    // 32 disjoint chunk specs arrive across 4 micro-batches
+    // (maxFilesPerTrigger=1); payloads synthesize in-flight (u32
+    // F-order, value = chunk base + intra-chunk index); the written
+    // layer reads back voxel-exact through the batch cutout path and
+    // folds to per-chunk (count, sum, mismatch-vs-closed-form) so the
+    // oracle states every voxel arithmetically.
+    // Scale shape: a 100 TB ingest is this plan with more epochs —
+    // the stream's only state is the source's file log; writes are
+    // narrow per-partition puts, no shuffle anywhere.
+    "st15_stream_sink_dsv2" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val root = Paths.get(Root, "st15")
+        // fresh run per invocation: the sink is idempotent, but a
+        // leftover checkpoint would make the restart a no-op replay
+        if (Files.exists(root)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(root).iterator.asScala.toSeq.reverse
+            .foreach(p => Files.deleteIfExists(p))
+        }
+        val srcDir = root.resolve("specs")
+        val ckpt = root.resolve("ckpt")
+        val target = root.resolve("layer").toString
+        Files.createDirectories(srcDir)
+        val specs = for (gx <- 0L until 4L; gy <- 0L until 4L;
+            gz <- 0L until 2L)
+          yield (gx, gy, gz, (gx * 64 + gy * 8 + gz) * 100000L)
+        specs.toDF("gx", "gy", "gz", "base")
+          .repartition(4).write.mode("overwrite").parquet(srcDir.toString)
+        PrecomputedIO.writeInfo(target, VolumeMeta(
+          layerType = "segmentation", dataType = "uint32",
+          numChannels = 1, scales = Seq(ScaleMeta(key = "1_1_1",
+            encoding = "raw", resolution = Seq(1, 1, 1),
+            chunkSize = Vec3(16, 16, 16), size = Vec3(64, 64, 32),
+            voxelOffset = Vec3(0, 0, 0)))))
+        val payloadUdf = udf((base: Long) => {
+          val bb = java.nio.ByteBuffer.allocate(16 * 16 * 16 * 4)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          var i = 0
+          while (i < 4096) { bb.putInt((base + i).toInt); i += 1 }
+          bb.array()
+        })
+        val schema = s.read.parquet(srcDir.toString).schema
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+          .select(col("gx"), col("gy"), col("gz"),
+            payloadUdf(col("base")).as("payload"))
+          .writeStream.format("neuroglancer")
+          .option("path", target)
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val cut = PrecomputedIO.cutoutVoxels(s, target,
+          Bbox(Vec3(0, 0, 0), Vec3(64, 64, 32)))
+        val gxc = shiftrightunsigned(col("x"), 4)
+        val gyc = shiftrightunsigned(col("y"), 4)
+        val gzc = shiftrightunsigned(col("z"), 4)
+        val base = (gxc * 64 + gyc * 8 + gzc) * lit(100000L)
+        val expected = base + col("x").bitwiseAND(lit(15L)) +
+          col("y").bitwiseAND(lit(15L)) * 16 +
+          col("z").bitwiseAND(lit(15L)) * 256
+        cut.select(col("label"), gxc.as("gx"), gyc.as("gy"), gzc.as("gz"),
+            (col("label") =!= expected).cast("long").as("bad"))
+          .groupBy("gx", "gy", "gz")
+          .agg(count(lit(1)).as("n"), sum(col("label")).as("sum_label"),
+            sum(col("bad")).as("mism"))
+      },
+      Some("""WITH g AS (
+        |  SELECT a.gx AS gx, b.gy AS gy, c.gz AS gz,
+        |         (a.gx*64 + b.gy*8 + c.gz) * 100000 AS base
+        |  FROM (SELECT unnest(range(4)) AS gx) a,
+        |       (SELECT unnest(range(4)) AS gy) b,
+        |       (SELECT unnest(range(2)) AS gz) c)
+        |SELECT gx, gy, gz, CAST(4096 AS BIGINT) AS n,
+        |  CAST(4096*base + (4095*4096)//2 AS BIGINT) AS sum_label,
+        |  CAST(0 AS BIGINT) AS mism
+        |FROM g""".stripMargin)),
   )
 }

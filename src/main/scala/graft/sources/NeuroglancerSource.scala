@@ -8,6 +8,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -67,7 +68,8 @@ final class NgTable(props: Map[String, String]) extends Table
   override def name(): String = s"neuroglancer:$path"
   override def schema(): StructType = Neuroglancer.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new NgScanBuilder(path,
       options.getInt("mip", props.get("mip").map(_.toInt).getOrElse(0)),
@@ -120,6 +122,9 @@ final class NgWriteBuilder(layerDir: String, scale: ScaleMeta,
     override def toBatch: BatchWrite = new NgBatchWrite(
       layerDir, scale.key, scale.bounds.minpt.toArray,
       scale.bounds.maxpt.toArray, scale.chunkSize.toArray, gzipped, idx)
+    override def toStreaming: StreamingWrite = new NgStreamingWrite(
+      layerDir, scale.key, scale.bounds.minpt.toArray,
+      scale.bounds.maxpt.toArray, scale.chunkSize.toArray, gzipped, idx)
   }
 }
 
@@ -133,6 +138,41 @@ final class NgBatchWrite(layerDir: String, key: String,
       gzipped, idx)
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+/** Structured Streaming sink face of the same layer (§2.9 continuous
+  * chunk ingestion — `updates.writeStream.format("neuroglancer")`).
+  * Chunk objects are atomic per-grid-key puts named by their bbox, so
+  * the sink is naturally idempotent under micro-batch REPLAY: a failed
+  * epoch re-executed after recovery rewrites byte-identical objects
+  * (the same argument tx.py:35-61 makes for task retries in the batch
+  * path), which is why per-epoch commit/abort have nothing to
+  * finalize and no epoch log is needed beyond the stream's own
+  * checkpoint. Last-write-wins across epochs matches the reference's
+  * overwrite semantics for repeated uploads of one chunk.
+  */
+final class NgStreamingWrite(layerDir: String, key: String,
+    boundsMin: Array[Long], boundsMax: Array[Long], chunkSize: Array[Long],
+    gzipped: Boolean, idx: Array[Int]) extends StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new NgStreamingWriterFactory(layerDir, key, boundsMin, boundsMax,
+      chunkSize, gzipped, idx)
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final class NgStreamingWriterFactory(layerDir: String, key: String,
+    boundsMin: Array[Long], boundsMax: Array[Long], chunkSize: Array[Long],
+    gzipped: Boolean, idx: Array[Int]) extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new NgDataWriter(layerDir, key,
+      Bbox(Vec3(boundsMin(0), boundsMin(1), boundsMin(2)),
+        Vec3(boundsMax(0), boundsMax(1), boundsMax(2))),
+      Vec3(chunkSize(0), chunkSize(1), chunkSize(2)), gzipped, idx)
 }
 
 final class NgWriterFactory(layerDir: String, key: String,
