@@ -128,6 +128,37 @@ object Derived {
 
   val grapheneDecodeUdf = udf((label: Long) => grapheneSpec.decode(label))
 
+  // Column-level graphene label codec — the same bit layout as
+  // grapheneSpec (layer 8 bits, 10 spatial bits/axis, 26 segid bits)
+  // as pure Catalyst arithmetic, so the iterative frontier joins
+  // (j5/j6 families) never break their whole-stage-codegen span on a
+  // ScalaUDF eval boundary. f9 deliberately keeps the kernel UDF:
+  // there GrapheneLabelSpec itself is the operator under test, and
+  // its oracle pins this arithmetic against the kernel's. Unlike the
+  // kernel's encode() these don't range-check x/y/z — callers derive
+  // them mod-bounded (an out-of-range coordinate would bleed into the
+  // layer bits, which f9's UDF/oracle pairing would catch).
+  private val GCt = grapheneSpec.spatialBitCount(0) // constant per spec
+  private val GSb = 64 - grapheneSpec.layerBits - 3 * GCt
+
+  def grapheneEncodeCol(layer: Column, x: Column, y: Column, z: Column,
+      segid: Column): Column =
+    shiftleft(layer.cast("long"), 64 - grapheneSpec.layerBits)
+      .bitwiseOR(shiftleft(x, GSb + 2 * GCt))
+      .bitwiseOR(shiftleft(y, GSb + GCt))
+      .bitwiseOR(shiftleft(z, GSb))
+      .bitwiseOR(segid.bitwiseAND(lit((1L << GSb) - 1)))
+
+  def grapheneDecodeCol(label: Column): Column = {
+    val mask = (1L << GCt) - 1L
+    struct(
+      shiftrightunsigned(label, 64 - grapheneSpec.layerBits).as("_1"),
+      shiftrightunsigned(label, GSb + 2 * GCt).bitwiseAND(lit(mask)).as("_2"),
+      shiftrightunsigned(label, GSb + GCt).bitwiseAND(lit(mask)).as("_3"),
+      shiftrightunsigned(label, GSb).bitwiseAND(lit(mask)).as("_4"),
+      label.bitwiseAND(lit((1L << GSb) - 1)).as("_5"))
+  }
+
   val parseFilenameUdf = udf((name: String) => {
     val b = Bbox.fromFilename(name)
     (b.minpt.x, b.minpt.y, b.minpt.z, b.maxpt.x, b.maxpt.y, b.maxpt.z)

@@ -42,7 +42,9 @@ object GrapheneQueries {
     */
   private def edges(s: SparkSession, dir: String,
       materialize: Boolean = true): (DataFrame, DataFrame) = {
-    val enc = Derived.grapheneEncodeUdf
+    // Column-level codec: keeps the derive inside whole-stage codegen
+    // (the kernel-UDF twin is pinned against this arithmetic by f9)
+    val enc = Derived.grapheneEncodeCol _
     val derived = table(s, dir, "supplier").select(
       col("s_suppkey").cast("long").as("sk"))
       .select(col("sk"),
@@ -102,7 +104,7 @@ object GrapheneQueries {
           (f, stepped, _) => (Seq(f.filter(layer === stopLayer)), stepped))
         val all = Frontier.unionAll(done, frontier)
           .filter(shiftrightunsigned(col("node"), 56) === stopLayer)
-        val dec = Derived.grapheneDecodeUdf
+        val dec = Derived.grapheneDecodeCol _
         all
           .withColumn("d", dec(col("node")))
           .filter(col("d._2") < 10 && col("d._3") < 10 && col("d._4") < 5)
@@ -149,7 +151,7 @@ object GrapheneQueries {
               .select(col("root"), col("child").as("node"))))
         val out = Frontier.unionAll(emitted,
           frontier.filter(shiftrightunsigned(col("node"), 56) === stopLayer))
-        val dec = Derived.grapheneDecodeUdf
+        val dec = Derived.grapheneDecodeCol _
         out.distinct()
           .withColumn("d", dec(col("node")))
           .filter(col("d._2") < 8 && col("d._3") < 8 && col("d._4") < 4)
