@@ -814,5 +814,95 @@ object StreamQueries {
         |  CAST(4096*base + (4095*4096)//2 AS BIGINT) AS sum_label,
         |  CAST(0 AS BIGINT) AS mism
         |FROM g""".stripMargin)),
+
+    // §2.9 + S4: the DSv2 source's STREAMING face — chunk-arrival
+    // processing straight off a precomputed layer through
+    // `readStream.format("neuroglancer")` (NgMicroBatchStream:
+    // journal-backed offsets, SupportsAdmissionControl pacing via
+    // max_chunks_per_trigger, SupportsTriggerAvailableNow snapshot).
+    // A layer is written batch-side (32 chunks, st15's closed-form
+    // payloads), then a stream drains it 8 chunks per micro-batch,
+    // decoding per-chunk label sums in-flight; the gx<2 predicate
+    // restates the discovery window (correctness never depends on
+    // where it's applied — scan pruning or post-filter). At scale
+    // this is a downsample/mesh/stats pipeline CHASING an ingest —
+    // the stream journals only new arrivals per batch instead of
+    // re-listing + re-scanning the whole layer.
+    "st16_stream_source_dsv2" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val root = Paths.get(Root, "st16")
+        if (Files.exists(root)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(root).iterator.asScala.toSeq.reverse
+            .foreach(p => Files.deleteIfExists(p))
+        }
+        val target = root.resolve("layer").toString
+        val ckpt = root.resolve("ckpt")
+        PrecomputedIO.writeInfo(target, VolumeMeta(
+          layerType = "segmentation", dataType = "uint32",
+          numChannels = 1, scales = Seq(ScaleMeta(key = "1_1_1",
+            encoding = "raw", resolution = Seq(1, 1, 1),
+            chunkSize = Vec3(16, 16, 16), size = Vec3(64, 64, 32),
+            voxelOffset = Vec3(0, 0, 0)))))
+        val payloadUdf = udf((base: Long) => {
+          val bb = java.nio.ByteBuffer.allocate(16 * 16 * 16 * 4)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          var i = 0
+          while (i < 4096) { bb.putInt((base + i).toInt); i += 1 }
+          bb.array()
+        })
+        val specs = for (gx <- 0L until 4L; gy <- 0L until 4L;
+            gz <- 0L until 2L)
+          yield (gx, gy, gz, (gx * 64 + gy * 8 + gz) * 100000L)
+        // batch writes resolve against the full table schema; the bbox
+        // columns are derived (the writer ignores them, bounds come
+        // from the grid) — streaming writes (st15) need only the four
+        specs.toDF("gx", "gy", "gz", "base")
+          .select(col("gx"), col("gy"), col("gz"),
+            (col("gx") * 16).as("x0"), (col("gy") * 16).as("y0"),
+            (col("gz") * 16).as("z0"),
+            (col("gx") * 16 + 16).as("x1"), (col("gy") * 16 + 16).as("y1"),
+            (col("gz") * 16 + 16).as("z1"),
+            payloadUdf(col("base")).as("payload"))
+          .write.format("neuroglancer").mode("append").save(target)
+        val sumUdf = udf((p: Array[Byte]) => {
+          val a = graft.core.Codec.decodeRawToLongs(p, 4)
+          (a.length.toLong, a.sum)
+        })
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val q = s.readStream.format("neuroglancer")
+            .option("path", target)
+            .option("max_chunks_per_trigger", "8")
+            // window option prunes DISCOVERY (journals 16 of the 32
+            // arrivals); the filter restates it relationally — Spark
+            // runs no V2 predicate pushdown for micro-batch scans
+            .option("gx_hi", "1")
+            .load()
+            .filter(col("gx") < 2)
+            .select(col("gx"), col("gy"), col("gz"),
+              sumUdf(col("payload")).as("m"))
+            .select(col("gx"), col("gy"), col("gz"),
+              col("m._1").as("n"), col("m._2").as("sum_label"))
+            .writeStream.format("memory").queryName("graft_st16")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt.toString)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        s.table("graft_st16")
+      },
+      Some("""WITH g AS (
+        |  SELECT a.gx AS gx, b.gy AS gy, c.gz AS gz,
+        |         (a.gx*64 + b.gy*8 + c.gz) * 100000 AS base
+        |  FROM (SELECT unnest(range(2)) AS gx) a,
+        |       (SELECT unnest(range(4)) AS gy) b,
+        |       (SELECT unnest(range(2)) AS gz) c)
+        |SELECT gx, gy, gz, CAST(4096 AS BIGINT) AS n,
+        |  CAST(4096*base + (4095*4096)//2 AS BIGINT) AS sum_label
+        |FROM g""".stripMargin)),
   )
 }

@@ -69,12 +69,23 @@ final class NgTable(props: Map[String, String]) extends Table
   override def schema(): StructType = Neuroglancer.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE).asJava
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new NgScanBuilder(path,
       options.getInt("mip", props.get("mip").map(_.toInt).getOrElse(0)),
       options.getBoolean("fill_missing",
-        props.get("fill_missing").exists(_.toBoolean)))
+        props.get("fill_missing").exists(_.toBoolean)),
+      options.getInt("max_chunks_per_trigger",
+        props.get("max_chunks_per_trigger").map(_.toInt).getOrElse(0)),
+      // explicit grid-window options (gx_lo..gz_hi, inclusive): the
+      // stream-side stand-in for filter pushdown — Spark does not run
+      // V2 predicate pushdown for micro-batch scans, so a windowed
+      // stream states its window here and discovery prunes to it;
+      // batch scans may use them too (they compose with pushdown)
+      winLo = Array("gx_lo", "gy_lo", "gz_lo").map(k =>
+        options.getLong(k, Long.MinValue)),
+      winHi = Array("gx_hi", "gy_hi", "gz_hi").map(k =>
+        options.getLong(k, Long.MaxValue)))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val mip = info.options.getInt("mip", props.get("mip").map(_.toInt).getOrElse(0))
@@ -207,15 +218,19 @@ final class NgDataWriter(layerDir: String, key: String, bounds: Bbox,
   override def close(): Unit = ()
 }
 
-final class NgScanBuilder(layerDir: String, mip: Int, fillMissing: Boolean)
+final class NgScanBuilder(layerDir: String, mip: Int, fillMissing: Boolean,
+    maxChunksPerTrigger: Int = 0,
+    winLo: Array[Long] = Array.fill(3)(Long.MinValue),
+    winHi: Array[Long] = Array.fill(3)(Long.MaxValue))
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = Neuroglancer.Schema
   private var accepted: Array[Filter] = Array.empty
   // inclusive grid-coordinate bounds per axis, tightened by pushdown
-  private val glo = Array(Long.MinValue, Long.MinValue, Long.MinValue)
-  private val ghi = Array(Long.MaxValue, Long.MaxValue, Long.MaxValue)
+  // (batch) and/or the explicit gx_lo..gz_hi window options (streams)
+  private val glo = winLo.clone()
+  private val ghi = winHi.clone()
 
   private val meta = VolumeMeta.readInfo(layerDir)
   private val scale = meta.scale(mip)
@@ -283,7 +298,8 @@ final class NgScanBuilder(layerDir: String, mip: Int, fillMissing: Boolean)
     val lo = Vec3(math.max(0L, glo(0)), math.max(0L, glo(1)), math.max(0L, glo(2)))
     val hi = Vec3(math.min(grid.x - 1, ghi(0)), math.min(grid.y - 1, ghi(1)),
       math.min(grid.z - 1, ghi(2)))
-    new NgScan(layerDir, scale, meta.dtypeBytes, lo, hi, required, fillMissing)
+    new NgScan(layerDir, scale, meta.dtypeBytes, lo, hi, required,
+      fillMissing, maxChunksPerTrigger)
   }
 }
 
@@ -293,11 +309,16 @@ final case class NgInputPartition(
   extends InputPartition
 
 final class NgScan(layerDir: String, scale: ScaleMeta, dtypeBytes: Int,
-    lo: Vec3, hi: Vec3, required: StructType, fillMissing: Boolean)
+    lo: Vec3, hi: Vec3, required: StructType, fillMissing: Boolean,
+    maxChunksPerTrigger: Int = 0)
   extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new NgMicroBatchStream(layerDir, scale, lo, hi, required, fillMissing,
+      checkpointLocation, maxChunksPerTrigger)
   override def description(): String =
     s"neuroglancer $layerDir key=${scale.key} grid=[$lo..$hi] cols=${required.fieldNames.mkString(",")}"
 
@@ -314,6 +335,163 @@ final class NgScan(layerDir: String, scale: ScaleMeta, dtypeBytes: Int,
     pts.grouped(Geom.ceilDiv(pts.size, nParts).toInt).map { group =>
       NgInputPartition(layerDir, scale.key, group.toArray,
         b.minpt.toArray, b.maxpt.toArray, scale.chunkSize.toArray)
+        : InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new NgReaderFactory(required, fillMissing)
+}
+
+/** Offset = count of chunk objects journaled so far; the journal
+  * (`ng_chunk_log` under the stream checkpoint) IS the ordered file
+  * log, so `planInputPartitions(start, end)` is reproducible across
+  * driver restarts — the same contract Spark's own file stream source
+  * keeps, at the same cost (the log grows with chunk count; a
+  * production variant compacts it like FileStreamSourceLog does).
+  */
+final case class NgStreamOffset(n: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json: String = n.toString
+}
+
+/** Micro-batch STREAMING READ of a precomputed layer (§2.9 chunk
+  * arrival — `spark.readStream.format("neuroglancer")`): downstream
+  * pipelines (downsample cascades, meshing, label stats) chase a
+  * layer while another job is still writing it, instead of re-listing
+  * and re-scanning the finished layer. Each batch discovers newly
+  * arrived chunk objects by listing the scale directory, journals
+  * them in discovery order, and serves them through the SAME
+  * executor-side reader as the batch scan (one file open per chunk,
+  * transparent .gz/.br).
+  *
+  * The full modern source protocol is implemented, not just the
+  * minimal face:
+  *  - SupportsAdmissionControl: `max_chunks_per_trigger` bounds each
+  *    batch (ReadLimit.maxFiles), so a backlogged layer catches up in
+  *    paced batches instead of one giant one;
+  *  - SupportsTriggerAvailableNow: the target is snapshotted at
+  *    prepare time, so AvailableNow drains exactly the chunks present
+  *    at start and stops — late arrivals wait for the next run;
+  *  - discovery prunes to the scan's grid window, so a stream over
+  *    0.1% of a 100 TB layer journals 0.1% of the arrivals. Spark
+  *    does not run V2 predicate pushdown for micro-batch scans, so
+  *    streams state the window via the gx_lo..gz_hi options (batch
+  *    scans get the same window from real filter pushdown).
+  */
+final class NgMicroBatchStream(layerDir: String, scale: ScaleMeta,
+    lo: Vec3, hi: Vec3, required: StructType, fillMissing: Boolean,
+    checkpointLocation: String, maxChunksPerTrigger: Int)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
+  import java.nio.file.{Files, Paths, StandardOpenOption}
+
+  private val journal = {
+    // Spark hands the per-source checkpoint dir as a URI string
+    // ("file:/..."); fall back to the raw string for plain paths
+    val local = scala.util.Try(
+      Option(new java.net.URI(checkpointLocation).getPath))
+      .toOption.flatten.filter(_.nonEmpty).getOrElse(checkpointLocation)
+    val d = Paths.get(local)
+    Files.createDirectories(d)
+    d.resolve("ng_chunk_log")
+  }
+  // discovery-ordered chunk filenames; list index IS the offset space
+  private val entries = new scala.collection.mutable.ArrayBuffer[String]
+  private val seen = new scala.collection.mutable.HashSet[String]
+  if (Files.exists(journal)) {
+    import scala.jdk.CollectionConverters._
+    Files.readAllLines(journal).asScala.foreach { l =>
+      if (l.nonEmpty && seen.add(l)) entries += l
+    }
+  }
+  private var availableNowTarget: Option[Long] = None
+
+  /** Parse a listed object name to its grid key; None = not a chunk
+    * of this scale or outside the pushed-down grid window.
+    */
+  private def gridOf(name: String): Option[Vec3] = {
+    val base = name.stripSuffix(".gz").stripSuffix(".br")
+    scala.util.Try {
+      val b = Bbox.fromFilename(base)
+      Vec3(
+        Math.floorDiv(b.minpt.x - scale.bounds.minpt.x, scale.chunkSize.x),
+        Math.floorDiv(b.minpt.y - scale.bounds.minpt.y, scale.chunkSize.y),
+        Math.floorDiv(b.minpt.z - scale.bounds.minpt.z, scale.chunkSize.z))
+    }.toOption.filter(g => g.x >= lo.x && g.x <= hi.x &&
+      g.y >= lo.y && g.y <= hi.y && g.z >= lo.z && g.z <= hi.z)
+  }
+
+  /** Journal up to `limit` (0 = all) not-yet-seen chunk objects,
+    * sorted by name for a deterministic append order.
+    */
+  private def discover(limit: Int): Unit = synchronized {
+    val dir = Paths.get(layerDir, scale.key)
+    if (!Files.exists(dir)) return
+    import scala.jdk.CollectionConverters._
+    val listing = Files.list(dir)
+    val fresh =
+      try listing.iterator.asScala.map(_.getFileName.toString)
+        .filter(n => !seen.contains(n) && gridOf(n).isDefined)
+        .toSeq.sorted
+      finally listing.close()
+    val take = if (limit <= 0) fresh else fresh.take(limit)
+    if (take.nonEmpty) {
+      Files.write(journal, take.mkString("", "\n", "\n").getBytes("UTF-8"),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      take.foreach { n => seen.add(n); entries += n }
+    }
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxChunksPerTrigger > 0) ReadLimit.maxFiles(maxChunksPerTrigger)
+    else ReadLimit.allAvailable()
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    discover(0) // journal everything present now; that IS the target
+    availableNowTarget = Some(entries.size.toLong)
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cur = start.asInstanceOf[NgStreamOffset].n
+    val cap = limit match {
+      case f: ReadMaxFiles => f.maxFiles()
+      case _ => 0
+    }
+    // after prepareForTriggerAvailableNow the journal is the fixed
+    // target; otherwise top it up to one batch's worth of new arrivals
+    if (availableNowTarget.isEmpty) {
+      val backlog = entries.size - cur
+      if (cap <= 0 || backlog < cap)
+        discover(if (cap <= 0) 0 else (cap - backlog).toInt)
+    }
+    val target = availableNowTarget.getOrElse(entries.size.toLong)
+    NgStreamOffset(if (cap > 0) math.min(target, cur + cap) else target)
+  }
+
+  override def reportLatestOffset(): Offset = NgStreamOffset(entries.size)
+  override def initialOffset(): Offset = NgStreamOffset(0L)
+  override def deserializeOffset(json: String): Offset =
+    NgStreamOffset(json.trim.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val a = start.asInstanceOf[NgStreamOffset].n.toInt
+    val b = end.asInstanceOf[NgStreamOffset].n.toInt
+    val grids = entries.slice(a, b).flatMap(gridOf)
+    if (grids.isEmpty) return Array.empty
+    val bd = scale.bounds
+    grids.map(g => Array(g.x, g.y, g.z)).grouped(64).map { group =>
+      NgInputPartition(layerDir, scale.key, group.toArray,
+        bd.minpt.toArray, bd.maxpt.toArray, scale.chunkSize.toArray)
         : InputPartition
     }.toArray
   }
