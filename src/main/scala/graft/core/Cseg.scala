@@ -266,6 +266,53 @@ object Cseg {
     }
   }
 
+  /** Codec-level remap (chunks.py:395-421 dispatch → cseg.remap):
+    * rewrite each block's lookup-table entries through `mapping`,
+    * leaving the bit-packed index streams untouched — O(tables),
+    * never O(voxels). Shared tables (the encoder cache) are rewritten
+    * once; a table's length is recovered as the max used index over
+    * ALL blocks sharing its offset (tables don't store a length).
+    * preserveMissing=false raises on an unmapped label (fastremap's
+    * KeyError semantics); true leaves it unchanged.
+    */
+  def remap(bytes: Array[Byte], volSize: Vec3, blockSize: Vec3,
+      dtypeBytes: Int, mapping: collection.Map[Long, Long],
+      preserveMissing: Boolean): Array[Byte] = {
+    val out = bytes.clone()
+    val bb = java.nio.ByteBuffer.wrap(out)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val w = new Words(bytes)
+    val tw = dtypeBytes / 4
+    val nVals = (blockSize.x * blockSize.y * blockSize.z).toInt
+    val tableLen = mutable.HashMap.empty[Int, Int]
+    blockMeta(w, volSize, blockSize).foreach { case (bits, tableOff, valOff) =>
+      val n = maxIndex(w, bits, valOff, nVals) + 1
+      tableLen(tableOff) = math.max(tableLen.getOrElse(tableOff, 0), n)
+    }
+    tableLen.foreach { case (tableOff, n) =>
+      var id = 0
+      while (id < n) {
+        val lo = w(tableOff + id * tw).toLong & 0xffffffffL
+        val v = if (tw == 1) lo
+          else lo | (w(tableOff + id * tw + 1).toLong << 32)
+        val m = mapping.getOrElse(v,
+          if (preserveMissing) v
+          else throw new NoSuchElementException(
+            s"label $v not in remap mapping"))
+        if (tw == 1) {
+          require(m >= 0 && m <= 0xffffffffL,
+            s"remapped label $m exceeds uint32")
+          bb.putInt(4 * (tableOff + id), m.toInt)
+        } else {
+          bb.putInt(4 * (tableOff + id * 2), m.toInt)
+          bb.putInt(4 * (tableOff + id * 2 + 1), (m >>> 32).toInt)
+        }
+        id += 1
+      }
+    }
+    out
+  }
+
   /** O(1) random access (chunks.py:423-457 read_voxel). */
   def readVoxel(bytes: Array[Byte], volSize: Vec3, blockSize: Vec3,
       dtypeBytes: Int, x: Long, y: Long, z: Long): Long = {

@@ -84,6 +84,43 @@ object XferQueries {
       },
       Some(s"SELECT x, y, z, label FROM $Sidecar")),
 
+    // J4 remap at the CODEC level (chunks.py:395-421 dispatch →
+    // cseg.remap): relabel a compressed_segmentation layer by
+    // rewriting each chunk's per-block label TABLES inside the scan
+    // task — the bit-packed voxel index streams are never touched, so
+    // a petabyte relabel costs O(label tables), not O(voxels), and
+    // nothing decodes. Even labels move to a new id space; odd labels
+    // ride preserve_missing_labels=True (fastremap's keep semantics).
+    // The remapped layer reads back voxel-exact through the normal
+    // cseg decode path, proving stream integrity survived the
+    // in-place table rewrite.
+    "j4c_remap_encoded" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        val target = s"${RealLayerQueries.Root}/layer_j4c_remap"
+        val bs = CsegBlock
+        val mapping: Map[Long, Long] =
+          (0L until 1000L by 2).map(l => l -> (3000000L + l / 2)).toMap
+        val remapUdf = udf((x0: Long, y0: Long, z0: Long, x1: Long,
+            y1: Long, z1: Long, p: Array[Byte]) =>
+          Cseg.remap(p, Vec3(x1 - x0, y1 - y0, z1 - z0), bs, 4, mapping,
+            preserveMissing = true))
+        PrecomputedIO.writeInfo(target, metaCseg)
+        PrecomputedIO.writeChunks(
+          PrecomputedIO.readChunks(s, RealLayerQueries.LayerCsegDir)
+            .select(col("gx"), col("gy"), col("gz"),
+              remapUdf(col("x0"), col("y0"), col("z0"),
+                col("x1"), col("y1"), col("z1"), col("payload"))
+                .as("payload")),
+          target, metaCseg, 0)
+        PrecomputedIO.cutoutVoxels(s, target,
+          Bbox(Vec3(0, 0, 0), Vec3(SX, SY, SZ)))
+      },
+      Some(s"""SELECT x, y, z,
+        |  CASE WHEN label % 2 = 0 THEN 3000000 + label // 2
+        |       ELSE label END AS label
+        |FROM $Sidecar""".stripMargin)),
+
     // S16 CROSS-FORMAT transfer: migrate the real precomputed layer
     // to a zarr v3 array in one query — chunk-granular (encoded
     // payloads stream task-side, voxels never shuffle): decode each

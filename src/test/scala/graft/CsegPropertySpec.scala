@@ -63,4 +63,28 @@ object CsegPropertySpec extends Properties("graft.core.cseg") {
       }
       lossless && labelsOk && containsOk && absentOk && readOk
     }
+
+  property("codec-level remap == voxel-level remap (shared tables, both widths)") =
+    Prop.forAll(caseGen) { case (vol, bs, dtype, flavor, seed) =>
+      val vox = volume(vol, dtype, flavor, seed)
+      val enc = Cseg.encode(vox, vol, bs, dtype)
+      // partial mapping: every 3rd distinct label moves, rest preserved
+      val distinct = vox.distinct.sorted
+      val mapping = distinct.zipWithIndex.collect {
+        case (l, i) if i % 3 == 0 =>
+          l -> (if (dtype == 4) (l + 1) & 0xFFFFFFFFL else l + 1)
+      }.toMap
+      val remapped = Cseg.remap(enc, vol, bs, dtype, mapping,
+        preserveMissing = true)
+      val back = Cseg.decode(remapped, vol, bs, dtype)
+      val expect = vox.map(v => mapping.getOrElse(v, v))
+      val valuesOk = java.util.Arrays.equals(expect, back)
+      // strict mode raises on any unmapped label
+      val strictOk = mapping.size == distinct.length || {
+        try { Cseg.remap(enc, vol, bs, dtype, mapping,
+          preserveMissing = false); false }
+        catch { case _: NoSuchElementException => true }
+      }
+      valuesOk && strictOk
+    }
 }
