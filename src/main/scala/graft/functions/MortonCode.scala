@@ -244,7 +244,9 @@ object GraftFunctions {
     ("graft_dist2", info("graft_dist2", classOf[Dist2Expr]),
       (args: Seq[Expression]) => Dist2Expr(args)),
     ("graft_kmv", info("graft_kmv", classOf[KmvSketchAgg]),
-      (args: Seq[Expression]) => KmvSketchAgg.build(args)))
+      (args: Seq[Expression]) => KmvSketchAgg.build(args)),
+    ("graft_label_set", info("graft_label_set", classOf[LabelSetAgg]),
+      (args: Seq[Expression]) => LabelSetAgg.build(args)))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, inf, builder) =>

@@ -1001,6 +1001,32 @@ object RealLayerQueries {
       },
       Some(s"SELECT DISTINCT label FROM $Sidecar")),
 
+    // A1 as a NATIVE EXACT AGGREGATE (SURVEY §2.10's last "worth
+    // adding" row): graft_label_set (functions/LabelSetAgg, a
+    // TypedImperativeAggregate over a primitive open-addressing long
+    // set) unions each chunk's codec-level labels() array map-side,
+    // so only per-partition DISTINCT sets cross the wire — the
+    // explode+distinct twin (a1_unique_cseg) shuffles one row per
+    // (chunk,label) occurrence and re-exchanges on label. Same rows,
+    // exact (not a sketch like a1b/a1d): unsigned-sorted set out, one
+    // ObjectHashAggregate in the plan. At 100 TB the shuffle is
+    // bounded by true label cardinality, not occurrence count.
+    "a1f_unique_label_set" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        graft.functions.GraftFunctions.register(s)
+        val csegLabelsUdf = udf(
+          (x0: Long, y0: Long, z0: Long, x1: Long, y1: Long, z1: Long,
+              p: Array[Byte]) =>
+            Cseg.labels(p, Vec3(x1 - x0, y1 - y0, z1 - z0), CsegBlock, 4))
+        PrecomputedIO.readChunks(s, LayerCsegDir)
+          .select(csegLabelsUdf(col("x0"), col("y0"), col("z0"),
+            col("x1"), col("y1"), col("z1"), col("payload")).as("labels"))
+          .agg(expr("graft_label_set(labels)").as("ls"))
+          .select(explode(col("ls")).as("label"))
+      },
+      Some(s"SELECT DISTINCT label FROM $Sidecar")),
+
     // S4 cutout decoding real compressed_segmentation chunk files —
     // proves the palette-block codec end-to-end (encode -> gzip ->
     // file -> read -> decode) including partial edge blocks

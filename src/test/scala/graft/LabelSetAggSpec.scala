@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** LabelSetAgg (graft_label_set): the native exact distinct-label
+  * aggregate — agreement with explode+distinct, unsigned output
+  * order over full-uint64 labels, array vs scalar inputs, partition
+  * independence, and the primitive LongHashSet's grow/dedup laws.
+  */
+class LabelSetAggSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.functions.GraftFunctions.register(s)
+    s
+  }
+
+  test("array input: union of per-row label arrays == explode+distinct") {
+    val s = spark
+    // 200 rows over 8 partitions, each an overlapping 5-label window
+    val df = s.range(0, 200, 1, 8)
+      .selectExpr("transform(sequence(id, id + 4), x -> x % 97) AS labels")
+    val got = df.selectExpr("graft_label_set(labels) AS ls")
+      .head().getSeq[Long](0)
+    assert(got == (0L until 97L))
+  }
+
+  test("scalar input and duplicate collapse across partitions") {
+    val got = spark.range(0, 3000, 1, 16)
+      .selectExpr("id % 300 AS label")
+      .selectExpr("graft_label_set(label) AS ls")
+      .head().getSeq[Long](0)
+    assert(got == (0L until 300L))
+  }
+
+  test("unsigned order across the uint64 domain (incl. MinValue, -1)") {
+    val got = spark.sql(
+      "SELECT graft_label_set(l) FROM VALUES (0L), (-1L), " +
+        s"(${Long.MinValue}L), (5L), (${Long.MaxValue}L) AS t(l)")
+      .head().getSeq[Long](0)
+    // uint64 ascending: 0, 5, 2^63-1, 2^63 (=MinValue), 2^64-1 (=-1)
+    assert(got == Seq(0L, 5L, Long.MaxValue, Long.MinValue, -1L))
+  }
+
+  test("nulls skipped; grouped aggregation keeps per-group sets") {
+    val got = spark.sql(
+      """SELECT g, graft_label_set(labels) AS ls FROM VALUES
+        |  (0, array(1L, 2L)), (0, array(2L, 3L)),
+        |  (1, array(9L)), (0, CAST(NULL AS array<bigint>))
+        |AS t(g, labels) GROUP BY g ORDER BY g""".stripMargin)
+      .collect()
+    assert(got(0).getSeq[Long](1) == Seq(1L, 2L, 3L))
+    assert(got(1).getSeq[Long](1) == Seq(9L))
+  }
+
+  test("LongHashSet grows past initial capacity without losing keys") {
+    val hs = new graft.functions.LongHashSet(16)
+    val rnd = new scala.util.Random(7)
+    val vals = Array.fill(50000)(rnd.nextLong())
+    vals.foreach(hs.add); vals.foreach(hs.add) // idempotent re-add
+    assert(hs.size == vals.distinct.length)
+    assert(hs.toArray.sorted.toSeq == vals.distinct.sorted.toSeq)
+  }
+
+  test("plans as ObjectHashAggregate (buffer object, not sort-based)") {
+    val df = spark.range(0, 100, 1, 4)
+      .selectExpr("transform(sequence(id, id + 2), x -> x) AS labels")
+      .selectExpr("graft_label_set(labels) AS ls")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
+}
