@@ -268,10 +268,14 @@ object Cseg {
 
   /** Codec-level remap (chunks.py:395-421 dispatch → cseg.remap):
     * rewrite each block's lookup-table entries through `mapping`,
-    * leaving the bit-packed index streams untouched — O(tables),
-    * never O(voxels). Shared tables (the encoder cache) are rewritten
-    * once; a table's length is recovered as the max used index over
-    * ALL blocks sharing its offset (tables don't store a length).
+    * leaving the bit-packed index streams untouched — no decode and
+    * no label-array materialization. (Not O(tables) alone: a table's
+    * length is recovered as the max used index over ALL blocks
+    * sharing its offset — tables don't store a length — and that
+    * recovery bit-scans each block's packed indices once, the same
+    * cache-friendly pass labels() makes. The win over decode+remap+
+    * encode is the absent voxel expansion and re-encode, not the
+    * scan.) Shared tables (the encoder cache) are rewritten once.
     * preserveMissing=false raises on an unmapped label (fastremap's
     * KeyError semantics); true leaves it unchanged.
     */

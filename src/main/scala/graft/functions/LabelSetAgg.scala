@@ -113,7 +113,12 @@ case class LabelSetAgg(
         val arr = v.asInstanceOf[ArrayData]
         var i = 0
         val n = arr.numElements()
-        while (i < n) { buf.add(arr.getLong(i)); i += 1 }
+        // the accepted type admits containsNull arrays; getLong on a
+        // null slot would read 0 and invent a spurious label
+        while (i < n) {
+          if (!arr.isNullAt(i)) buf.add(arr.getLong(i))
+          i += 1
+        }
       } else buf.add(v.asInstanceOf[Long])
     }
     buf

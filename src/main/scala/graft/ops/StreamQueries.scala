@@ -82,6 +82,39 @@ object StreamQueries {
       dir.toString
     }
 
+  private def deleteTree(root: java.nio.file.Path): Unit =
+    if (Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).iterator.asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+
+  // Shared by st15 (sink face) and st16 (source face): one 64×64×32
+  // uint32 layer of 32 disjoint 16³ chunks whose voxels follow a
+  // closed form BOTH oracles restate — value = base(gx,gy,gz) + i in
+  // F-order, base = (gx*64 + gy*8 + gz) * 100000.
+  private val ChunkLayerMeta = VolumeMeta(
+    layerType = "segmentation", dataType = "uint32",
+    numChannels = 1, scales = Seq(ScaleMeta(key = "1_1_1",
+      encoding = "raw", resolution = Seq(1, 1, 1),
+      chunkSize = Vec3(16, 16, 16), size = Vec3(64, 64, 32),
+      voxelOffset = Vec3(0, 0, 0))))
+
+  private def chunkSpecs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (for (gx <- 0L until 4L; gy <- 0L until 4L; gz <- 0L until 2L)
+      yield (gx, gy, gz, (gx * 64 + gy * 8 + gz) * 100000L))
+      .toDF("gx", "gy", "gz", "base")
+  }
+
+  private val chunkPayloadUdf = udf((base: Long) => {
+    val bb = java.nio.ByteBuffer.allocate(16 * 16 * 16 * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < 4096) { bb.putInt((base + i).toInt); i += 1 }
+    bb.array()
+  })
+
   private def runToTable(s: SparkSession, df: DataFrame, name: String,
       outputMode: String): DataFrame = {
     // state-partition count is frozen at query start from this conf:
@@ -746,42 +779,22 @@ object StreamQueries {
     // narrow per-partition puts, no shuffle anywhere.
     "st15_stream_sink_dsv2" -> Q(
       (s, dir) => {
-        import s.implicits._
         val root = Paths.get(Root, "st15")
         // fresh run per invocation: the sink is idempotent, but a
         // leftover checkpoint would make the restart a no-op replay
-        if (Files.exists(root)) {
-          import scala.jdk.CollectionConverters._
-          Files.walk(root).iterator.asScala.toSeq.reverse
-            .foreach(p => Files.deleteIfExists(p))
-        }
+        deleteTree(root)
         val srcDir = root.resolve("specs")
         val ckpt = root.resolve("ckpt")
         val target = root.resolve("layer").toString
         Files.createDirectories(srcDir)
-        val specs = for (gx <- 0L until 4L; gy <- 0L until 4L;
-            gz <- 0L until 2L)
-          yield (gx, gy, gz, (gx * 64 + gy * 8 + gz) * 100000L)
-        specs.toDF("gx", "gy", "gz", "base")
+        chunkSpecs(s)
           .repartition(4).write.mode("overwrite").parquet(srcDir.toString)
-        PrecomputedIO.writeInfo(target, VolumeMeta(
-          layerType = "segmentation", dataType = "uint32",
-          numChannels = 1, scales = Seq(ScaleMeta(key = "1_1_1",
-            encoding = "raw", resolution = Seq(1, 1, 1),
-            chunkSize = Vec3(16, 16, 16), size = Vec3(64, 64, 32),
-            voxelOffset = Vec3(0, 0, 0)))))
-        val payloadUdf = udf((base: Long) => {
-          val bb = java.nio.ByteBuffer.allocate(16 * 16 * 16 * 4)
-            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          var i = 0
-          while (i < 4096) { bb.putInt((base + i).toInt); i += 1 }
-          bb.array()
-        })
+        PrecomputedIO.writeInfo(target, ChunkLayerMeta)
         val schema = s.read.parquet(srcDir.toString).schema
         val q = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
           .select(col("gx"), col("gy"), col("gz"),
-            payloadUdf(col("base")).as("payload"))
+            chunkPayloadUdf(col("base")).as("payload"))
           .writeStream.format("neuroglancer")
           .option("path", target)
           .option("checkpointLocation", ckpt.toString)
@@ -830,41 +843,21 @@ object StreamQueries {
     // re-listing + re-scanning the whole layer.
     "st16_stream_source_dsv2" -> Q(
       (s, dir) => {
-        import s.implicits._
         val root = Paths.get(Root, "st16")
-        if (Files.exists(root)) {
-          import scala.jdk.CollectionConverters._
-          Files.walk(root).iterator.asScala.toSeq.reverse
-            .foreach(p => Files.deleteIfExists(p))
-        }
+        deleteTree(root)
         val target = root.resolve("layer").toString
         val ckpt = root.resolve("ckpt")
-        PrecomputedIO.writeInfo(target, VolumeMeta(
-          layerType = "segmentation", dataType = "uint32",
-          numChannels = 1, scales = Seq(ScaleMeta(key = "1_1_1",
-            encoding = "raw", resolution = Seq(1, 1, 1),
-            chunkSize = Vec3(16, 16, 16), size = Vec3(64, 64, 32),
-            voxelOffset = Vec3(0, 0, 0)))))
-        val payloadUdf = udf((base: Long) => {
-          val bb = java.nio.ByteBuffer.allocate(16 * 16 * 16 * 4)
-            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          var i = 0
-          while (i < 4096) { bb.putInt((base + i).toInt); i += 1 }
-          bb.array()
-        })
-        val specs = for (gx <- 0L until 4L; gy <- 0L until 4L;
-            gz <- 0L until 2L)
-          yield (gx, gy, gz, (gx * 64 + gy * 8 + gz) * 100000L)
+        PrecomputedIO.writeInfo(target, ChunkLayerMeta)
         // batch writes resolve against the full table schema; the bbox
         // columns are derived (the writer ignores them, bounds come
         // from the grid) — streaming writes (st15) need only the four
-        specs.toDF("gx", "gy", "gz", "base")
+        chunkSpecs(s)
           .select(col("gx"), col("gy"), col("gz"),
             (col("gx") * 16).as("x0"), (col("gy") * 16).as("y0"),
             (col("gz") * 16).as("z0"),
             (col("gx") * 16 + 16).as("x1"), (col("gy") * 16 + 16).as("y1"),
             (col("gz") * 16 + 16).as("z1"),
-            payloadUdf(col("base")).as("payload"))
+            chunkPayloadUdf(col("base")).as("payload"))
           .write.format("neuroglancer").mode("append").save(target)
         val sumUdf = udf((p: Array[Byte]) => {
           val a = graft.core.Codec.decodeRawToLongs(p, 4)

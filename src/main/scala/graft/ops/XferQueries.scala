@@ -87,9 +87,10 @@ object XferQueries {
     // J4 remap at the CODEC level (chunks.py:395-421 dispatch →
     // cseg.remap): relabel a compressed_segmentation layer by
     // rewriting each chunk's per-block label TABLES inside the scan
-    // task — the bit-packed voxel index streams are never touched, so
-    // a petabyte relabel costs O(label tables), not O(voxels), and
-    // nothing decodes. Even labels move to a new id space; odd labels
+    // task — the bit-packed voxel index streams are never rewritten,
+    // so a petabyte relabel never decodes, expands to voxels, or
+    // re-encodes (one packed-index bit-scan per block recovers table
+    // lengths). Even labels move to a new id space; odd labels
     // ride preserve_missing_labels=True (fastremap's keep semantics).
     // The remapped layer reads back voxel-exact through the normal
     // cseg decode path, proving stream integrity survived the

@@ -167,7 +167,7 @@ final class NgStreamingWrite(layerDir: String, key: String,
     gzipped: Boolean, idx: Array[Int]) extends StreamingWrite {
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new NgStreamingWriterFactory(layerDir, key, boundsMin, boundsMax,
+    new NgWriterFactory(layerDir, key, boundsMin, boundsMax,
       chunkSize, gzipped, idx)
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = ()
@@ -175,25 +175,22 @@ final class NgStreamingWrite(layerDir: String, key: String,
       messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-final class NgStreamingWriterFactory(layerDir: String, key: String,
-    boundsMin: Array[Long], boundsMax: Array[Long], chunkSize: Array[Long],
-    gzipped: Boolean, idx: Array[Int]) extends StreamingDataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long,
-      epochId: Long): DataWriter[InternalRow] =
-    new NgDataWriter(layerDir, key,
-      Bbox(Vec3(boundsMin(0), boundsMin(1), boundsMin(2)),
-        Vec3(boundsMax(0), boundsMax(1), boundsMax(2))),
-      Vec3(chunkSize(0), chunkSize(1), chunkSize(2)), gzipped, idx)
-}
-
+/** One factory for both write faces: the writer is epoch-agnostic
+  * (puts are idempotent and named by grid key), so the streaming
+  * 3-arg overload delegates to the batch one.
+  */
 final class NgWriterFactory(layerDir: String, key: String,
     boundsMin: Array[Long], boundsMax: Array[Long], chunkSize: Array[Long],
-    gzipped: Boolean, idx: Array[Int]) extends DataWriterFactory {
+    gzipped: Boolean, idx: Array[Int])
+    extends DataWriterFactory with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new NgDataWriter(layerDir, key,
       Bbox(Vec3(boundsMin(0), boundsMin(1), boundsMin(2)),
         Vec3(boundsMax(0), boundsMax(1), boundsMax(2))),
       Vec3(chunkSize(0), chunkSize(1), chunkSize(2)), gzipped, idx)
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    createWriter(partitionId, taskId)
 }
 
 final class NgDataWriter(layerDir: String, key: String, bounds: Bbox,
@@ -489,11 +486,18 @@ final class NgMicroBatchStream(layerDir: String, scale: ScaleMeta,
     val grids = entries.slice(a, b).flatMap(gridOf)
     if (grids.isEmpty) return Array.empty
     val bd = scale.bounds
-    grids.map(g => Array(g.x, g.y, g.z)).grouped(64).map { group =>
-      NgInputPartition(layerDir, scale.key, group.toArray,
-        bd.minpt.toArray, bd.maxpt.toArray, scale.chunkSize.toArray)
-        : InputPartition
-    }.toArray
+    // same split math as the batch scan: a small micro-batch still
+    // spreads across the cluster instead of decoding in one task
+    val parallelism = math.max(
+      SparkSession.active.sparkContext.defaultParallelism, 1)
+    val nParts = math.min(grids.size,
+      math.max(parallelism, grids.size / 64))
+    grids.map(g => Array(g.x, g.y, g.z))
+      .grouped(Geom.ceilDiv(grids.size, nParts).toInt).map { group =>
+        NgInputPartition(layerDir, scale.key, group.toArray,
+          bd.minpt.toArray, bd.maxpt.toArray, scale.chunkSize.toArray)
+          : InputPartition
+      }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

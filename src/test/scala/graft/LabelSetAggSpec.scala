@@ -46,6 +46,14 @@ class LabelSetAggSpec extends AnyFunSuite {
     assert(got == Seq(0L, 5L, Long.MaxValue, Long.MinValue, -1L))
   }
 
+  test("null ARRAY ELEMENTS are skipped, not read as label 0") {
+    val got = spark.sql(
+      "SELECT graft_label_set(labels) FROM VALUES " +
+        "(array(1L, CAST(NULL AS BIGINT), 2L)) AS t(labels)")
+      .head().getSeq[Long](0)
+    assert(got == Seq(1L, 2L)) // a getLong on the null slot would add 0
+  }
+
   test("nulls skipped; grouped aggregation keeps per-group sets") {
     val got = spark.sql(
       """SELECT g, graft_label_set(labels) AS ls FROM VALUES
