@@ -1125,6 +1125,109 @@ object RealLayerQueries {
         |SELECT v.x, v.y, v.z, m.renumbered
         |FROM v JOIN m ON m.label = v.label""".stripMargin)),
 
+    // Contact sites / label adjacency (volumetric extension of the
+    // A-family; the downstream op igneous runs on exactly these
+    // layers to find candidate synapse regions): every unordered
+    // pair of non-background labels sharing a 6-adjacent voxel face,
+    // with the shared-face count. Two-level like cc_components:
+    // faces INTERIOR to a chunk are counted in the decode task (one
+    // pass, local hash map, partial rows out), and only the chunk-
+    // SURFACE voxels shuffle — each boundary face keyed by its
+    // global (lower-voxel, axis) so the two owning chunks meet in one
+    // keyed groupBy. At 100 TB the exchange is the chunk surface
+    // area, never the voxel volume; the DuckDB oracle replays all
+    // three axis self-joins over the sidecar.
+    "a12_contact_sites" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        import s.implicits._
+        val sxv = SX
+        val chunks = PrecomputedIO.readChunks(s, LayerDir)
+          .select("x0", "y0", "z0", "x1", "y1", "z1", "payload")
+          .as[(Long, Long, Long, Long, Long, Long, Array[Byte])]
+        val tagged = chunks.flatMap { case (x0, y0, z0, x1, y1, z1, p) =>
+          val ax = (x1 - x0).toInt; val ay = (y1 - y0).toInt
+          val az = (z1 - z0).toInt
+          val vox = Codec.decodeRawToLongs(p, 4)
+          val internal =
+            scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Int, Long, Long, Long, Long, Long)]
+          @inline def at(x: Int, y: Int, z: Int): Long =
+            vox(x + ax * (y + ay * z))
+          @inline def pair(a: Long, b: Long): Unit =
+            if (b != 0L && b != a) {
+              val k = if (a < b) (a, b) else (b, a)
+              internal(k) = internal.getOrElse(k, 0L) + 1L
+            }
+          var z = 0
+          while (z < az) {
+            var y = 0
+            while (y < ay) {
+              var x = 0
+              while (x < ax) {
+                val v = at(x, y, z)
+                if (v != 0L) {
+                  if (x + 1 < ax) pair(v, at(x + 1, y, z))
+                  if (y + 1 < ay) pair(v, at(x, y + 1, z))
+                  if (z + 1 < az) pair(v, at(x, y, z + 1))
+                  // chunk-surface faces: key = global lower voxel +
+                  // axis, identical from both owning chunks
+                  if (x + 1 == ax && x1 < sxv)
+                    out += ((1, x0 + x, y0 + y, z0 + z, 0L, v))
+                  if (x == 0 && x0 > 0)
+                    out += ((1, x0 - 1, y0 + y, z0 + z, 0L, v))
+                  if (y + 1 == ay && y1 < SY)
+                    out += ((1, x0 + x, y0 + y, z0 + z, 1L, v))
+                  if (y == 0 && y0 > 0)
+                    out += ((1, x0 + x, y0 + y - 1, z0 + z, 1L, v))
+                  if (z + 1 == az && z1 < SZ)
+                    out += ((1, x0 + x, y0 + y, z0 + z, 2L, v))
+                  if (z == 0 && z0 > 0)
+                    out += ((1, x0 + x, y0 + y, z0 + z - 1, 2L, v))
+                }
+                x += 1
+              }
+              y += 1
+            }
+            z += 1
+          }
+          internal.foreach { case ((a, b), n) =>
+            out += ((0, a, b, 0L, 0L, n))
+          }
+          out
+        }.toDF("tag", "k1", "k2", "k3", "k4", "v")
+          // two consumers below — materialize the decode pass once
+          .localCheckpoint()
+        val interior = tagged.filter(col("tag") === 0)
+          .select(col("k1").as("la"), col("k2").as("lb"),
+            col("v").as("n"))
+        val boundary = tagged.filter(col("tag") === 1)
+          .groupBy("k1", "k2", "k3", "k4")
+          .agg(min(col("v")).as("la"), max(col("v")).as("lb"))
+          .filter(col("la") =!= col("lb"))
+          .select(col("la"), col("lb"), lit(1L).as("n"))
+        interior.unionAll(boundary).groupBy("la", "lb")
+          .agg(sum(col("n")).as("contact_faces"))
+      },
+      Some(s"""WITH v AS (
+        |  SELECT x, y, z, label FROM $Sidecar WHERE label <> 0),
+        |pr AS (
+        |  SELECT LEAST(a.label, b.label) AS la,
+        |         GREATEST(a.label, b.label) AS lb
+        |  FROM v a JOIN v b ON b.x = a.x + 1 AND b.y = a.y AND b.z = a.z
+        |  WHERE a.label <> b.label
+        |  UNION ALL
+        |  SELECT LEAST(a.label, b.label), GREATEST(a.label, b.label)
+        |  FROM v a JOIN v b ON b.x = a.x AND b.y = a.y + 1 AND b.z = a.z
+        |  WHERE a.label <> b.label
+        |  UNION ALL
+        |  SELECT LEAST(a.label, b.label), GREATEST(a.label, b.label)
+        |  FROM v a JOIN v b ON b.x = a.x AND b.y = a.y AND b.z = a.z + 1
+        |  WHERE a.label <> b.label)
+        |SELECT la, lb, CAST(count(*) AS BIGINT) AS contact_faces
+        |FROM pr GROUP BY 1, 2""".stripMargin)),
+
     // A10 num_chunks / num_voxels from parsed info metadata alone
     // (metadata.py:504-506, lib.py:864-867) — zero file IO
     "a10_counts" -> Q(
