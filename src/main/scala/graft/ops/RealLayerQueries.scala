@@ -1228,6 +1228,133 @@ object RealLayerQueries {
         |SELECT la, lb, CAST(count(*) AS BIGINT) AS contact_faces
         |FROM pr GROUP BY 1, 2""".stripMargin)),
 
+    // Contact REGIONS: each label pair's contact surface decomposed
+    // into connected patches (the igneous contact-sites shape: a pair
+    // touching in two separate places is two candidate sites, not
+    // one). Region definition, pinned identically in both engines:
+    // project each contact face to its lower-voxel position
+    // (axis-agnostic), regions = 6-connected components of that
+    // position set per pair. Faces stream out of the decode tasks
+    // (one row per face, output-proportional — patches are tiny, max
+    // 9 faces/pair at sf0.01), adjacency is three shifted
+    // co-partitioned self-joins, and components resolve through the
+    // SAME two-level pointer-jumping loop as cc_components. Oracle:
+    // DuckDB transitive closure per pair (safe because patches are
+    // small by construction).
+    "a12b_contact_regions" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        import s.implicits._
+        val sxv = SX
+        val chunks = PrecomputedIO.readChunks(s, LayerDir)
+          .select("x0", "y0", "z0", "x1", "y1", "z1", "payload")
+          .as[(Long, Long, Long, Long, Long, Long, Array[Byte])]
+        // tag 0 = interior face (a=la, b=lb, pos = lower voxel);
+        // tag 1 = boundary half-face (a=label, b=axis, pos = face key)
+        val tagged = chunks.flatMap { case (x0, y0, z0, x1, y1, z1, p) =>
+          val ax = (x1 - x0).toInt; val ay = (y1 - y0).toInt
+          val az = (z1 - z0).toInt
+          val vox = Codec.decodeRawToLongs(p, 4)
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Int, Long, Long, Long, Long, Long)]
+          @inline def at(x: Int, y: Int, z: Int): Long =
+            vox(x + ax * (y + ay * z))
+          @inline def face(v: Long, w: Long, x: Long, y: Long, z: Long)
+              : Unit =
+            if (w != 0L && w != v)
+              out += ((0, math.min(v, w), math.max(v, w), x, y, z))
+          var z = 0
+          while (z < az) {
+            var y = 0
+            while (y < ay) {
+              var x = 0
+              while (x < ax) {
+                val v = at(x, y, z)
+                if (v != 0L) {
+                  val gx = x0 + x; val gy = y0 + y; val gz = z0 + z
+                  if (x + 1 < ax) face(v, at(x + 1, y, z), gx, gy, gz)
+                  if (y + 1 < ay) face(v, at(x, y + 1, z), gx, gy, gz)
+                  if (z + 1 < az) face(v, at(x, y, z + 1), gx, gy, gz)
+                  if (x + 1 == ax && x1 < sxv) out += ((1, v, 0L, gx, gy, gz))
+                  if (x == 0 && x0 > 0) out += ((1, v, 0L, gx - 1, gy, gz))
+                  if (y + 1 == ay && y1 < SY) out += ((1, v, 1L, gx, gy, gz))
+                  if (y == 0 && y0 > 0) out += ((1, v, 1L, gx, gy - 1, gz))
+                  if (z + 1 == az && z1 < SZ) out += ((1, v, 2L, gx, gy, gz))
+                  if (z == 0 && z0 > 0) out += ((1, v, 2L, gx, gy, gz - 1))
+                }
+                x += 1
+              }
+              y += 1
+            }
+            z += 1
+          }
+          out
+        }.toDF("tag", "a", "b", "x", "y", "z").localCheckpoint()
+        val bfaces = tagged.filter(col("tag") === 1)
+          .groupBy("x", "y", "z", "b")
+          .agg(min(col("a")).as("la"), max(col("a")).as("lb"))
+          .filter(col("la") =!= col("lb"))
+          .select("la", "lb", "x", "y", "z")
+        val ifaces = tagged.filter(col("tag") === 0)
+          .select(col("a").as("la"), col("b").as("lb"),
+            col("x"), col("y"), col("z"))
+        // axis-agnostic position projection; vid frozen by checkpoint
+        val nodes = ifaces.unionAll(bfaces).distinct()
+          .withColumn("vid", monotonically_increasing_id())
+          .localCheckpoint()
+        val rhs = nodes.toDF("la", "lb", "bx", "by", "bz", "nvid")
+        val edges = Seq((1, 0, 0), (0, 1, 0), (0, 0, 1)).map {
+          case (dx, dy, dz) =>
+            nodes.join(rhs,
+              nodes("la") === rhs("la") && nodes("lb") === rhs("lb") &&
+                nodes("x") + dx === rhs("bx") &&
+                nodes("y") + dy === rhs("by") &&
+                nodes("z") + dz === rhs("bz"))
+              .select(col("vid"), col("nvid"))
+        }.reduce(_ unionAll _)
+        val comp = ConnectedComponents.propagateMin(s, edges,
+          nodes.select("vid"))
+        nodes.join(comp, Seq("vid"))
+          .groupBy("la", "lb", "comp").agg(count(lit(1)).as("m"))
+          .groupBy("la", "lb")
+          .agg(count(lit(1)).as("n_regions"), max(col("m")).as("max_region"))
+      },
+      Some(s"""WITH RECURSIVE vv AS (
+        |  SELECT x, y, z, label FROM $Sidecar WHERE label <> 0),
+        |f AS (
+        |  SELECT LEAST(a.label, b.label) AS la,
+        |         GREATEST(a.label, b.label) AS lb, a.x AS x, a.y AS y,
+        |         a.z AS z
+        |  FROM vv a JOIN vv b ON b.x = a.x + 1 AND b.y = a.y AND b.z = a.z
+        |  WHERE a.label <> b.label
+        |  UNION ALL
+        |  SELECT LEAST(a.label, b.label), GREATEST(a.label, b.label),
+        |         a.x, a.y, a.z
+        |  FROM vv a JOIN vv b ON b.x = a.x AND b.y = a.y + 1 AND b.z = a.z
+        |  WHERE a.label <> b.label
+        |  UNION ALL
+        |  SELECT LEAST(a.label, b.label), GREATEST(a.label, b.label),
+        |         a.x, a.y, a.z
+        |  FROM vv a JOIN vv b ON b.x = a.x AND b.y = a.y AND b.z = a.z + 1
+        |  WHERE a.label <> b.label),
+        |n AS (SELECT DISTINCT la, lb, x, y, z FROM f),
+        |nn AS (SELECT la, lb, x, y, z, x + 64*(y + 64*z) AS pid FROM n),
+        |e AS (
+        |  SELECT p.la AS la, p.lb AS lb, p.pid AS s, q.pid AS t
+        |  FROM nn p JOIN nn q ON p.la = q.la AND p.lb = q.lb
+        |    AND abs(p.x - q.x) + abs(p.y - q.y) + abs(p.z - q.z) <= 1),
+        |reach AS (
+        |  SELECT la, lb, s, t FROM e
+        |  UNION
+        |  SELECT r.la, r.lb, r.s, e2.t
+        |  FROM reach r JOIN e e2
+        |    ON e2.la = r.la AND e2.lb = r.lb AND e2.s = r.t),
+        |root AS (SELECT la, lb, s, min(t) AS comp FROM reach GROUP BY 1, 2, 3),
+        |sz AS (SELECT la, lb, comp, count(*) AS m FROM root GROUP BY 1, 2, 3)
+        |SELECT la, lb, CAST(count(*) AS BIGINT) AS n_regions,
+        |       CAST(max(m) AS BIGINT) AS max_region
+        |FROM sz GROUP BY 1, 2""".stripMargin)),
+
     // A10 num_chunks / num_voxels from parsed info metadata alone
     // (metadata.py:504-506, lib.py:864-867) — zero file IO
     "a10_counts" -> Q(
