@@ -897,5 +897,84 @@ object StreamQueries {
         |SELECT gx, gy, gz, CAST(4096 AS BIGINT) AS n,
         |  CAST(4096*base + (4095*4096)//2 AS BIGINT) AS sum_label
         |FROM g""".stripMargin)),
+
+    // §2.9 end-to-end streaming layer ETL: ONE streaming query reads
+    // chunk arrivals off a source layer (st16's MicroBatchStream),
+    // transforms each chunk IN FLIGHT (per-voxel relabel inside the
+    // micro-batch task — no decode/shuffle boundary between the
+    // faces), and lands them in a second real layer through the
+    // streaming sink (st15's StreamingWrite). This is the pipeline a
+    // downsample/remap cascade runs while an upstream job is still
+    // writing the source: per batch it lists + journals only new
+    // arrivals, transforms them narrowly, and puts idempotent chunk
+    // objects — nothing global, restart-safe on both faces at once.
+    // Read-back folds the TARGET layer to per-chunk
+    // (count, sum, mismatch-vs-closed-form(v*2+7)).
+    "st17_stream_layer_etl" -> Q(
+      (s, dir) => {
+        val root = Paths.get(Root, "st17")
+        deleteTree(root)
+        val src = root.resolve("src").toString
+        val dst = root.resolve("dst").toString
+        val ckpt = root.resolve("ckpt")
+        PrecomputedIO.writeInfo(src, ChunkLayerMeta)
+        PrecomputedIO.writeInfo(dst, ChunkLayerMeta)
+        chunkSpecs(s)
+          .select(col("gx"), col("gy"), col("gz"),
+            (col("gx") * 16).as("x0"), (col("gy") * 16).as("y0"),
+            (col("gz") * 16).as("z0"),
+            (col("gx") * 16 + 16).as("x1"), (col("gy") * 16 + 16).as("y1"),
+            (col("gz") * 16 + 16).as("z1"),
+            chunkPayloadUdf(col("base")).as("payload"))
+          .write.format("neuroglancer").mode("append").save(src)
+        val relabelUdf = udf((p: Array[Byte]) => {
+          val bb = java.nio.ByteBuffer.wrap(p.clone())
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          var i = 0
+          while (i < p.length) {
+            bb.putInt(i, bb.getInt(i) * 2 + 7)
+            i += 4
+          }
+          bb.array()
+        })
+        val q = s.readStream.format("neuroglancer")
+          .option("path", src)
+          .option("max_chunks_per_trigger", "8")
+          .load()
+          .select(col("gx"), col("gy"), col("gz"),
+            relabelUdf(col("payload")).as("payload"))
+          .writeStream.format("neuroglancer")
+          .option("path", dst)
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val cut = PrecomputedIO.cutoutVoxels(s, dst,
+          Bbox(Vec3(0, 0, 0), Vec3(64, 64, 32)))
+        val gxc = shiftrightunsigned(col("x"), 4)
+        val gyc = shiftrightunsigned(col("y"), 4)
+        val gzc = shiftrightunsigned(col("z"), 4)
+        val base = (gxc * 64 + gyc * 8 + gzc) * lit(100000L)
+        val expected = (base + col("x").bitwiseAND(lit(15L)) +
+          col("y").bitwiseAND(lit(15L)) * 16 +
+          col("z").bitwiseAND(lit(15L)) * 256) * 2 + 7
+        cut.select(col("label"), gxc.as("gx"), gyc.as("gy"), gzc.as("gz"),
+            (col("label") =!= expected).cast("long").as("bad"))
+          .groupBy("gx", "gy", "gz")
+          .agg(count(lit(1)).as("n"), sum(col("label")).as("sum_label"),
+            sum(col("bad")).as("mism"))
+      },
+      Some("""WITH g AS (
+        |  SELECT a.gx AS gx, b.gy AS gy, c.gz AS gz,
+        |         (a.gx*64 + b.gy*8 + c.gz) * 100000 AS base
+        |  FROM (SELECT unnest(range(4)) AS gx) a,
+        |       (SELECT unnest(range(4)) AS gy) b,
+        |       (SELECT unnest(range(2)) AS gz) c)
+        |SELECT gx, gy, gz, CAST(4096 AS BIGINT) AS n,
+        |  CAST(2 * (4096*base + (4095*4096)//2) + 7*4096 AS BIGINT)
+        |    AS sum_label,
+        |  CAST(0 AS BIGINT) AS mism
+        |FROM g""".stripMargin)),
   )
 }
