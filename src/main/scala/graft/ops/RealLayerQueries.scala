@@ -1355,6 +1355,137 @@ object RealLayerQueries {
         |       CAST(max(m) AS BIGINT) AS max_region
         |FROM sz GROUP BY 1, 2""".stripMargin)),
 
+    // Halo-exchange stencil (W-family extension): 3×3×3 box-mean
+    // filter over the layer, the ghost-zone pattern every volumetric
+    // stencil at scale needs — downsample transfers pool WITHIN a
+    // chunk by construction, but a centered stencil needs the
+    // 1-voxel SHELL of each of up to 26 neighbor chunks. Each decode
+    // task emits only its boundary shell, keyed by the neighbor grid
+    // cell it serves (shell volume ≈ chunk surface, never the
+    // interior); one keyed shuffle assembles (chunk payload + its
+    // halos), and the 27-point stencil runs in the receiving task.
+    // Integer mean (floor of sum/count over IN-VOLUME taps) keeps the
+    // oracle exact; boundary voxels use their clamped neighborhoods.
+    "w16_box_mean_halo" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        import s.implicits._
+        val (sxv, syv, szv) = (SX, SY, SZ)
+        val chunks = PrecomputedIO.readChunks(s, LayerDir)
+          .select("gx", "gy", "gz", "x0", "y0", "z0", "x1", "y1", "z1",
+            "payload")
+          .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long,
+            Array[Byte])]
+        // shell rows: (target chunk, global pos, label) — a boundary
+        // voxel serves every adjacent grid cell whose halo needs it
+        val shells = chunks.flatMap { case (gx, gy, gz,
+            x0, y0, z0, x1, y1, z1, p) =>
+          val ax = (x1 - x0).toInt; val ay = (y1 - y0).toInt
+          val az = (z1 - z0).toInt
+          val vox = Codec.decodeRawToLongs(p, 4)
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Long, Long, Long, Long)]
+          var z = 0
+          while (z < az) {
+            var y = 0
+            while (y < ay) {
+              var x = 0
+              while (x < ax) {
+                // boundary voxels only
+                if (x == 0 || x == ax - 1 || y == 0 || y == ay - 1 ||
+                    z == 0 || z == az - 1) {
+                  val v = vox(x + ax * (y + ay * z))
+                  var dgz = -1
+                  while (dgz <= 1) {
+                    var dgy = -1
+                    while (dgy <= 1) {
+                      var dgx = -1
+                      while (dgx <= 1) {
+                        if ((dgx | dgy | dgz) != 0 &&
+                            (dgx == 0 || (if (dgx < 0) x == 0 else x == ax - 1)) &&
+                            (dgy == 0 || (if (dgy < 0) y == 0 else y == ay - 1)) &&
+                            (dgz == 0 || (if (dgz < 0) z == 0 else z == az - 1))) {
+                          val t = (gx + dgx, gy + dgy, gz + dgz)
+                          if (t._1 >= 0 && t._2 >= 0 && t._3 >= 0 &&
+                              t._1 * CX < sxv && t._2 * CY < syv &&
+                              t._3 * CZ < szv)
+                            out += ((t._1, t._2, t._3,
+                              x0 + x, y0 + y, z0 + z, v))
+                        }
+                        dgx += 1
+                      }
+                      dgy += 1
+                    }
+                    dgz += 1
+                  }
+                }
+                x += 1
+              }
+              y += 1
+            }
+            z += 1
+          }
+          out
+        }.toDF("tgx", "tgy", "tgz", "hx", "hy", "hz", "hl")
+        val halos = shells
+          .groupBy(col("tgx").as("gx"), col("tgy").as("gy"),
+            col("tgz").as("gz"))
+          .agg(collect_list(struct(col("hx"), col("hy"), col("hz"),
+            col("hl"))).as("halo"))
+        val joined = PrecomputedIO.readChunks(s, LayerDir)
+          .select("gx", "gy", "gz", "x0", "y0", "z0", "x1", "y1", "z1",
+            "payload")
+          .join(halos, Seq("gx", "gy", "gz"), "left")
+        joined.as[(Long, Long, Long, Long, Long, Long, Long, Long, Long,
+            Array[Byte], Seq[(Long, Long, Long, Long)])]
+          .flatMap { case (_, _, _, x0, y0, z0, x1, y1, z1, p, halo) =>
+            val ax = (x1 - x0).toInt; val ay = (y1 - y0).toInt
+            val az = (z1 - z0).toInt
+            val vox = Codec.decodeRawToLongs(p, 4)
+            val hm = new java.util.HashMap[Long, Long]()
+            if (halo != null) halo.foreach { case (hx, hy, hz, hl) =>
+              hm.put(hx + sxv * (hy + syv * hz), hl)
+            }
+            @inline def tap(x: Long, y: Long, z: Long): Long =
+              if (x >= x0 && x < x1 && y >= y0 && y < y1 &&
+                  z >= z0 && z < z1)
+                vox(((x - x0) + (x1 - x0) * ((y - y0) +
+                  (y1 - y0) * (z - z0))).toInt)
+              else hm.get(x + sxv * (y + syv * z))
+            (0 until ax * ay * az).iterator.map { i =>
+              val x = x0 + i % ax
+              val y = y0 + (i / ax) % ay
+              val z = z0 + i / (ax * ay)
+              var sum = 0L; var cnt = 0L
+              var dz = -1L
+              while (dz <= 1) {
+                var dy = -1L
+                while (dy <= 1) {
+                  var dx = -1L
+                  while (dx <= 1) {
+                    val (tx, ty, tz) = (x + dx, y + dy, z + dz)
+                    if (tx >= 0 && tx < sxv && ty >= 0 && ty < syv &&
+                        tz >= 0 && tz < szv) {
+                      sum += tap(tx, ty, tz); cnt += 1
+                    }
+                    dx += 1
+                  }
+                  dy += 1
+                }
+                dz += 1
+              }
+              (x, y, z, sum / cnt)
+            }
+          }.toDF("x", "y", "z", "sm")
+      },
+      Some(s"""WITH v AS (SELECT x, y, z, label FROM $Sidecar)
+        |SELECT a.x, a.y, a.z,
+        |  CAST(sum(b.label) // count(*) AS BIGINT) AS sm
+        |FROM v a JOIN v b
+        |  ON abs(a.x - b.x) <= 1 AND abs(a.y - b.y) <= 1
+        | AND abs(a.z - b.z) <= 1
+        |GROUP BY 1, 2, 3""".stripMargin)),
+
     // A10 num_chunks / num_voxels from parsed info metadata alone
     // (metadata.py:504-506, lib.py:864-867) — zero file IO
     "a10_counts" -> Q(
