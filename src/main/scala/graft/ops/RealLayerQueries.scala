@@ -1486,6 +1486,44 @@ object RealLayerQueries {
         | AND abs(a.z - b.z) <= 1
         |GROUP BY 1, 2, 3""".stripMargin)),
 
+    // Two-LAYER aligned zip (join-family extension): voxel-wise
+    // combine of two co-gridded layers — the mask-overlay every
+    // paired segmentation+image workflow needs (apply an image-layer
+    // threshold mask to a segmentation). The join is CHUNK-granular:
+    // both DSv2 scans shuffle once on the shared grid key and the
+    // payload pair zips inside the task (raw uint32 beside png
+    // uint8) — voxels never explode before the combine. At 100 TB a
+    // layer pair joins on (gx,gy,gz) at chunk cost; bucketing both
+    // layers by grid key would remove even that exchange.
+    "j10_layer_zip" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        import s.implicits._
+        val a = PrecomputedIO.readChunks(s, LayerDir)
+          .select(col("gx"), col("gy"), col("gz"), col("x0"), col("y0"),
+            col("z0"), col("x1"), col("y1"), col("z1"),
+            col("payload").as("pa"))
+        val b = PrecomputedIO.readChunks(s, LayerPngDir)
+          .select(col("gx"), col("gy"), col("gz"), col("payload").as("pb"))
+        a.join(b, Seq("gx", "gy", "gz"))
+          .select("x0", "y0", "z0", "x1", "y1", "z1", "pa", "pb")
+          .as[(Long, Long, Long, Long, Long, Long, Array[Byte], Array[Byte])]
+          .flatMap { case (x0, y0, z0, x1, y1, z1, pa, pb) =>
+            val ax = (x1 - x0).toInt; val ay = (y1 - y0).toInt
+            val az = (z1 - z0).toInt
+            val lab = Codec.decodeRawToLongs(pa, 4)
+            val mask = Codec.decodePng(pb)
+            (0 until ax * ay * az).iterator.map { i =>
+              val m = mask(i) & 0xff
+              (x0 + i % ax, y0 + (i / ax) % ay, z0 + i / (ax * ay),
+                if (m >= 128) lab(i) else 0L)
+            }
+          }.toDF("x", "y", "z", "out")
+      },
+      Some(s"""SELECT x, y, z,
+        |  CASE WHEN label % 251 >= 128 THEN label ELSE 0 END AS out
+        |FROM $Sidecar""".stripMargin)),
+
     // A10 num_chunks / num_voxels from parsed info metadata alone
     // (metadata.py:504-506, lib.py:864-867) — zero file IO
     "a10_counts" -> Q(
