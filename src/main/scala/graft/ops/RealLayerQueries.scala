@@ -1524,6 +1524,52 @@ object RealLayerQueries {
         |  CASE WHEN label % 251 >= 128 THEN label ELSE 0 END AS out
         |FROM $Sidecar""".stripMargin)),
 
+    // Per-slice percentile contrast normalization (the
+    // luminance-levels pass the reference's ecosystem runs on EM
+    // imagery before display: clip each z-slice to its [p1, p99]
+    // luminance band and stretch to 0..255). Statistics-then-
+    // broadcast shape: the per-(slice, value) histogram is a tiny
+    // agg (≤ 256 bins × slices), the percentile bounds come from a
+    // SLICE-partitioned cumulative window (never global), and the
+    // bounds table broadcasts back onto the voxel stream as a narrow
+    // map. All-integer thresholds and scaling (clip before divide so
+    // both engines floor non-negative numerators identically).
+    "f21_luminance_levels" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        val vox = PrecomputedIO.cutoutVoxels(s, LayerPngDir,
+          Bbox(Vec3(0, 0, 0), Vec3(SX, SY, SZ)))
+          .select(col("x"), col("y"), col("z"), col("label").as("v"))
+        val hist = vox.groupBy("z", "v").agg(count(lit(1)).as("c"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("z").orderBy("v")
+        val cum = hist.withColumn("cc", sum(col("c")).over(w))
+        val tot = vox.groupBy("z").agg(count(lit(1)).as("n"))
+        val lh = cum.join(tot, "z").groupBy("z").agg(
+          min(when(col("cc") * 100 >= col("n"), col("v"))).as("lo"),
+          min(when(col("cc") * 100 >= col("n") * 99, col("v"))).as("hi"))
+        vox.join(broadcast(lh), Seq("z"))
+          .selectExpr("x", "y", "z",
+            // `div` = integer division (matches DuckDB's //; the
+            // clip keeps the numerator non-negative in both engines)
+            "((greatest(lo, least(hi, v)) - lo) * 255) div " +
+              "greatest(hi - lo, 1) AS nv")
+      },
+      Some(s"""WITH px AS (
+        |  SELECT x, y, z, label % 251 AS v FROM $Sidecar),
+        |h AS (SELECT z, v, count(*) AS c FROM px GROUP BY 1, 2),
+        |cum AS (SELECT z, v,
+        |          sum(c) OVER (PARTITION BY z ORDER BY v) AS cc FROM h),
+        |tot AS (SELECT z, count(*) AS n FROM px GROUP BY 1),
+        |lh AS (SELECT cum.z AS z,
+        |         min(CASE WHEN cc * 100 >= n THEN v END) AS lo,
+        |         min(CASE WHEN cc * 100 >= 99 * n THEN v END) AS hi
+        |       FROM cum JOIN tot ON tot.z = cum.z GROUP BY 1)
+        |SELECT p.x, p.y, p.z,
+        |  CAST((GREATEST(lo, LEAST(hi, p.v)) - lo) * 255
+        |       // GREATEST(hi - lo, 1) AS BIGINT) AS nv
+        |FROM px p JOIN lh ON lh.z = p.z""".stripMargin)),
+
     // A10 num_chunks / num_voxels from parsed info metadata alone
     // (metadata.py:504-506, lib.py:864-867) — zero file IO
     "a10_counts" -> Q(
