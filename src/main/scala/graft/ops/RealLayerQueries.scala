@@ -666,6 +666,105 @@ object RealLayerQueries {
         |  FROM pooled)
         |SELECT px, py, pz, label FROM ranked WHERE rn = 1""".stripMargin)),
 
+    // F8 extension: the whole pyramid in ONE PASS — mips 1 and 2
+    // (2× and 4× mode cascade, each level pooled from the previous,
+    // the reference pipeline's semantics) computed inside each source
+    // chunk's decode task and emitted together. The naive cascade
+    // reads mip0, writes mip1, re-reads mip1, writes mip2 — at 100 TB
+    // that is 1.125 reads + 0.14 writes of the volume; this plan
+    // reads the source ONCE and emits both levels (possible because
+    // every chunk dim, clamped tails included, divides by 4 — the
+    // alignment invariant the reference's downsample task sizing
+    // guarantees, igneous-style). No shuffle at all before the
+    // output: pooling never crosses a chunk.
+    "f8e_pyramid_one_pass" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        import s.implicits._
+        val chunks = PrecomputedIO.readChunks(s, LayerDir)
+          .select("x0", "y0", "z0", "x1", "y1", "z1", "payload")
+          .as[(Long, Long, Long, Long, Long, Long, Array[Byte])]
+        chunks.flatMap { case (x0, y0, z0, x1, y1, z1, p) =>
+          val ax = (x1 - x0).toInt; val ay = (y1 - y0).toInt
+          val az = (z1 - z0).toInt
+          val vox = Codec.decodeRawToLongs(p, 4)
+          // mode of a 2x2x2 cell, smallest label on ties (COUNTLESS
+          // tie-break, matching f8b)
+          def mode8(src: Array[Long], sx: Int, sy: Int,
+              cx: Int, cy: Int, cz: Int): Long = {
+            var best = Long.MaxValue; var bestN = 0
+            var i = 0
+            while (i < 8) {
+              val v = src((2 * cx + (i & 1)) + sx *
+                ((2 * cy + ((i >> 1) & 1)) + sy * (2 * cz + (i >> 2))))
+              var n = 0; var j = 0
+              while (j < 8) {
+                if (src((2 * cx + (j & 1)) + sx *
+                    ((2 * cy + ((j >> 1) & 1)) + sy * (2 * cz + (j >> 2))))
+                    == v) n += 1
+                j += 1
+              }
+              if (n > bestN || (n == bestN && v < best)) {
+                best = v; bestN = n
+              }
+              i += 1
+            }
+            best
+          }
+          def pool(src: Array[Long], sx: Int, sy: Int, sz: Int)
+              : Array[Long] = {
+            val out = new Array[Long]((sx / 2) * (sy / 2) * (sz / 2))
+            var cz = 0
+            while (cz < sz / 2) {
+              var cy = 0
+              while (cy < sy / 2) {
+                var cx = 0
+                while (cx < sx / 2) {
+                  out(cx + (sx / 2) * (cy + (sy / 2) * cz)) =
+                    mode8(src, sx, sy, cx, cy, cz)
+                  cx += 1
+                }
+                cy += 1
+              }
+              cz += 1
+            }
+            out
+          }
+          val l1 = pool(vox, ax, ay, az)
+          val l2 = pool(l1, ax / 2, ay / 2, az / 2)
+          def rows(lvl: Long, arr: Array[Long], f: Int)
+              : Iterator[(Long, Long, Long, Long, Long)] = {
+            val (bx, by) = (ax / f, ay / f)
+            arr.indices.iterator.map { i =>
+              (lvl, x0 / f + i % bx, y0 / f + (i / bx) % by,
+                z0 / f + i / (bx * by), arr(i))
+            }
+          }
+          rows(1L, l1, 2) ++ rows(2L, l2, 4)
+        }.toDF("lvl", "px", "py", "pz", "label")
+      },
+      Some(s"""WITH p1 AS (
+        |  SELECT x // 2 AS px, y // 2 AS py, z // 2 AS pz, label,
+        |         count(*) AS cnt
+        |  FROM $Sidecar GROUP BY 1, 2, 3, 4),
+        |k1 AS (
+        |  SELECT px, py, pz, label, row_number() OVER (
+        |    PARTITION BY px, py, pz ORDER BY cnt DESC, label ASC) AS rn
+        |  FROM p1),
+        |l1 AS (SELECT px, py, pz, label FROM k1 WHERE rn = 1),
+        |p2 AS (
+        |  SELECT px // 2 AS px, py // 2 AS py, pz // 2 AS pz, label,
+        |         count(*) AS cnt
+        |  FROM l1 GROUP BY 1, 2, 3, 4),
+        |k2 AS (
+        |  SELECT px, py, pz, label, row_number() OVER (
+        |    PARTITION BY px, py, pz ORDER BY cnt DESC, label ASC) AS rn
+        |  FROM p2)
+        |SELECT CAST(1 AS BIGINT) AS lvl, px, py, pz, label FROM l1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS lvl, px, py, pz, label
+        |FROM k2 WHERE rn = 1""".stripMargin)),
+
     // A4 extension: per-label voxel centroid (integer floor) + voxel
     // count — the seed-point statistic the downstream skeletonization/
     // proofreading ecosystem derives per segment. One
