@@ -687,6 +687,13 @@ object RealLayerQueries {
         chunks.flatMap { case (x0, y0, z0, x1, y1, z1, p) =>
           val ax = (x1 - x0).toInt; val ay = (y1 - y0).toInt
           val az = (z1 - z0).toInt
+          // the in-task cascade is only valid when every chunk dim
+          // AND origin divides by the deepest factor — fail loudly
+          // rather than silently floor-dropping a tail plane
+          require(ax % 4 == 0 && ay % 4 == 0 && az % 4 == 0 &&
+            x0 % 4 == 0 && y0 % 4 == 0 && z0 % 4 == 0,
+            s"pyramid cascade needs 4-aligned chunks, got " +
+              s"($x0,$y0,$z0)+($ax,$ay,$az)")
           val vox = Codec.decodeRawToLongs(p, 4)
           // mode of a 2x2x2 cell, smallest label on ties (COUNTLESS
           // tie-break, matching f8b)
@@ -1240,7 +1247,6 @@ object RealLayerQueries {
       (s, dir) => {
         ensure(s, dir)
         import s.implicits._
-        val sxv = SX
         val chunks = PrecomputedIO.readChunks(s, LayerDir)
           .select("x0", "y0", "z0", "x1", "y1", "z1", "payload")
           .as[(Long, Long, Long, Long, Long, Long, Array[Byte])]
@@ -1272,7 +1278,7 @@ object RealLayerQueries {
                   if (z + 1 < az) pair(v, at(x, y, z + 1))
                   // chunk-surface faces: key = global lower voxel +
                   // axis, identical from both owning chunks
-                  if (x + 1 == ax && x1 < sxv)
+                  if (x + 1 == ax && x1 < SX)
                     out += ((1, x0 + x, y0 + y, z0 + z, 0L, v))
                   if (x == 0 && x0 > 0)
                     out += ((1, x0 - 1, y0 + y, z0 + z, 0L, v))
@@ -1344,7 +1350,6 @@ object RealLayerQueries {
       (s, dir) => {
         ensure(s, dir)
         import s.implicits._
-        val sxv = SX
         val chunks = PrecomputedIO.readChunks(s, LayerDir)
           .select("x0", "y0", "z0", "x1", "y1", "z1", "payload")
           .as[(Long, Long, Long, Long, Long, Long, Array[Byte])]
@@ -1374,7 +1379,7 @@ object RealLayerQueries {
                   if (x + 1 < ax) face(v, at(x + 1, y, z), gx, gy, gz)
                   if (y + 1 < ay) face(v, at(x, y + 1, z), gx, gy, gz)
                   if (z + 1 < az) face(v, at(x, y, z + 1), gx, gy, gz)
-                  if (x + 1 == ax && x1 < sxv) out += ((1, v, 0L, gx, gy, gz))
+                  if (x + 1 == ax && x1 < SX) out += ((1, v, 0L, gx, gy, gz))
                   if (x == 0 && x0 > 0) out += ((1, v, 0L, gx - 1, gy, gz))
                   if (y + 1 == ay && y1 < SY) out += ((1, v, 1L, gx, gy, gz))
                   if (y == 0 && y0 > 0) out += ((1, v, 1L, gx, gy - 1, gz))
@@ -1541,16 +1546,23 @@ object RealLayerQueries {
             val ax = (x1 - x0).toInt; val ay = (y1 - y0).toInt
             val az = (z1 - z0).toInt
             val vox = Codec.decodeRawToLongs(p, 4)
-            val hm = new java.util.HashMap[Long, Long]()
+            val hm = new java.util.HashMap[java.lang.Long, java.lang.Long]()
             if (halo != null) halo.foreach { case (hx, hy, hz, hl) =>
-              hm.put(hx + sxv * (hy + syv * hz), hl)
+              hm.put(Long.box(hx + sxv * (hy + syv * hz)), Long.box(hl))
             }
             @inline def tap(x: Long, y: Long, z: Long): Long =
               if (x >= x0 && x < x1 && y >= y0 && y < y1 &&
                   z >= z0 && z < z1)
                 vox(((x - x0) + (x1 - x0) * ((y - y0) +
                   (y1 - y0) * (z - z0))).toInt)
-              else hm.get(x + sxv * (y + syv * z))
+              else {
+                // a missing halo tap means the shell emission is
+                // incomplete — corrupt loudly, never average in a 0
+                val h = hm.get(Long.box(x + sxv * (y + syv * z)))
+                if (h == null) throw new IllegalStateException(
+                  s"missing halo voxel ($x,$y,$z) for chunk at ($x0,$y0,$z0)")
+                h.longValue
+              }
             (0 until ax * ay * az).iterator.map { i =>
               val x = x0 + i % ax
               val y = y0 + (i / ax) % ay
@@ -1636,14 +1648,17 @@ object RealLayerQueries {
     "f21_luminance_levels" -> Q(
       (s, dir) => {
         ensure(s, dir)
+        // two consumers (histogram + final join) — decode once
         val vox = PrecomputedIO.cutoutVoxels(s, LayerPngDir,
           Bbox(Vec3(0, 0, 0), Vec3(SX, SY, SZ)))
           .select(col("x"), col("y"), col("z"), col("label").as("v"))
+          .localCheckpoint()
         val hist = vox.groupBy("z", "v").agg(count(lit(1)).as("c"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("z").orderBy("v")
         val cum = hist.withColumn("cc", sum(col("c")).over(w))
-        val tot = vox.groupBy("z").agg(count(lit(1)).as("n"))
+        // slice totals fold from the (tiny) histogram, not the voxels
+        val tot = hist.groupBy("z").agg(sum(col("c")).as("n"))
         val lh = cum.join(tot, "z").groupBy("z").agg(
           min(when(col("cc") * 100 >= col("n"), col("v"))).as("lo"),
           min(when(col("cc") * 100 >= col("n") * 99, col("v"))).as("hi"))

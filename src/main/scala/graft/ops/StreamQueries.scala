@@ -47,11 +47,7 @@ object StreamQueries {
       val srcId = Fixtures.srcStamp(sfDir)
       if (!Files.exists(marker) || Files.readString(marker) != srcId) {
         FixtureLog.rebuild(marker)
-        if (Files.exists(dir)) {
-          import scala.jdk.CollectionConverters._
-          Files.walk(dir).iterator.asScala.toSeq.reverse
-            .foreach(p => Files.deleteIfExists(p))
-        }
+        deleteTree(dir)
         Files.createDirectories(dir)
         Files.copy(Paths.get(sfDir, "events.parquet"),
           dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
@@ -85,8 +81,10 @@ object StreamQueries {
   private def deleteTree(root: java.nio.file.Path): Unit =
     if (Files.exists(root)) {
       import scala.jdk.CollectionConverters._
-      Files.walk(root).iterator.asScala.toSeq.reverse
+      val walk = Files.walk(root)
+      try walk.iterator.asScala.toSeq.reverse
         .foreach(p => Files.deleteIfExists(p))
+      finally walk.close()
     }
 
   // Shared by st15 (sink face) and st16 (source face): one 64×64×32
@@ -250,11 +248,7 @@ object StreamQueries {
       (s, dir) => {
         val src = stageEvents(s, dir)
         val frameDir = Paths.get(Root, "tchunks")
-        if (Files.exists(frameDir)) {
-          import scala.jdk.CollectionConverters._
-          Files.walk(frameDir).iterator.asScala.toSeq.reverse
-            .foreach(p => Files.deleteIfExists(p))
-        }
+        deleteTree(frameDir)
         Files.createDirectories(frameDir)
         val frameDirStr = frameDir.toString
         val schema = s.read.parquet(src).schema
