@@ -418,6 +418,87 @@ object RealLayerQueries {
       col("y1") > bbox.minpt.y && col("y0") < bbox.maxpt.y &&
       col("z1") > bbox.minpt.z && col("z0") < bbox.maxpt.z
 
+  /** Shared by a12b/a12c: per-position contact components
+    * (la, lb, x, y, z, comp) — faces stream from the decode tasks,
+    * boundary halves pair on the global face key, and 6-connected
+    * position patches resolve through the shared pointer-jumping
+    * loop. Positions are the axis-agnostic lower-voxel projection.
+    */
+  private def contactComponents(s: SparkSession, dir: String): DataFrame = {
+        ensure(s, dir)
+        import s.implicits._
+        val chunks = PrecomputedIO.readChunks(s, LayerDir)
+          .select("x0", "y0", "z0", "x1", "y1", "z1", "payload")
+          .as[(Long, Long, Long, Long, Long, Long, Array[Byte])]
+        // tag 0 = interior face (a=la, b=lb, pos = lower voxel);
+        // tag 1 = boundary half-face (a=label, b=axis, pos = face key)
+        val tagged = chunks.flatMap { case (x0, y0, z0, x1, y1, z1, p) =>
+          val ax = (x1 - x0).toInt; val ay = (y1 - y0).toInt
+          val az = (z1 - z0).toInt
+          val vox = Codec.decodeRawToLongs(p, 4)
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Int, Long, Long, Long, Long, Long)]
+          @inline def at(x: Int, y: Int, z: Int): Long =
+            vox(x + ax * (y + ay * z))
+          @inline def face(v: Long, w: Long, x: Long, y: Long, z: Long)
+              : Unit =
+            if (w != 0L && w != v)
+              out += ((0, math.min(v, w), math.max(v, w), x, y, z))
+          var z = 0
+          while (z < az) {
+            var y = 0
+            while (y < ay) {
+              var x = 0
+              while (x < ax) {
+                val v = at(x, y, z)
+                if (v != 0L) {
+                  val gx = x0 + x; val gy = y0 + y; val gz = z0 + z
+                  if (x + 1 < ax) face(v, at(x + 1, y, z), gx, gy, gz)
+                  if (y + 1 < ay) face(v, at(x, y + 1, z), gx, gy, gz)
+                  if (z + 1 < az) face(v, at(x, y, z + 1), gx, gy, gz)
+                  if (x + 1 == ax && x1 < SX) out += ((1, v, 0L, gx, gy, gz))
+                  if (x == 0 && x0 > 0) out += ((1, v, 0L, gx - 1, gy, gz))
+                  if (y + 1 == ay && y1 < SY) out += ((1, v, 1L, gx, gy, gz))
+                  if (y == 0 && y0 > 0) out += ((1, v, 1L, gx, gy - 1, gz))
+                  if (z + 1 == az && z1 < SZ) out += ((1, v, 2L, gx, gy, gz))
+                  if (z == 0 && z0 > 0) out += ((1, v, 2L, gx, gy, gz - 1))
+                }
+                x += 1
+              }
+              y += 1
+            }
+            z += 1
+          }
+          out
+        }.toDF("tag", "a", "b", "x", "y", "z").localCheckpoint()
+        val bfaces = tagged.filter(col("tag") === 1)
+          .groupBy("x", "y", "z", "b")
+          .agg(min(col("a")).as("la"), max(col("a")).as("lb"))
+          .filter(col("la") =!= col("lb"))
+          .select("la", "lb", "x", "y", "z")
+        val ifaces = tagged.filter(col("tag") === 0)
+          .select(col("a").as("la"), col("b").as("lb"),
+            col("x"), col("y"), col("z"))
+        // axis-agnostic position projection; vid frozen by checkpoint
+        val nodes = ifaces.unionAll(bfaces).distinct()
+          .withColumn("vid", monotonically_increasing_id())
+          .localCheckpoint()
+        val rhs = nodes.toDF("la", "lb", "bx", "by", "bz", "nvid")
+        val edges = Seq((1, 0, 0), (0, 1, 0), (0, 0, 1)).map {
+          case (dx, dy, dz) =>
+            nodes.join(rhs,
+              nodes("la") === rhs("la") && nodes("lb") === rhs("lb") &&
+                nodes("x") + dx === rhs("bx") &&
+                nodes("y") + dy === rhs("by") &&
+                nodes("z") + dz === rhs("bz"))
+              .select(col("vid"), col("nvid"))
+        }.reduce(_ unionAll _)
+        val comp = ConnectedComponents.propagateMin(s, edges,
+          nodes.select("vid"))
+        nodes.join(comp, Seq("vid"))
+          .select("la", "lb", "x", "y", "z", "comp")
+  }
+
   val queries: Map[String, Q] = Map(
 
     // A1 over real chunk files: scan -> codec labels() pushdown ->
@@ -1347,82 +1428,10 @@ object RealLayerQueries {
     // DuckDB transitive closure per pair (safe because patches are
     // small by construction).
     "a12b_contact_regions" -> Q(
-      (s, dir) => {
-        ensure(s, dir)
-        import s.implicits._
-        val chunks = PrecomputedIO.readChunks(s, LayerDir)
-          .select("x0", "y0", "z0", "x1", "y1", "z1", "payload")
-          .as[(Long, Long, Long, Long, Long, Long, Array[Byte])]
-        // tag 0 = interior face (a=la, b=lb, pos = lower voxel);
-        // tag 1 = boundary half-face (a=label, b=axis, pos = face key)
-        val tagged = chunks.flatMap { case (x0, y0, z0, x1, y1, z1, p) =>
-          val ax = (x1 - x0).toInt; val ay = (y1 - y0).toInt
-          val az = (z1 - z0).toInt
-          val vox = Codec.decodeRawToLongs(p, 4)
-          val out = scala.collection.mutable.ArrayBuffer
-            .empty[(Int, Long, Long, Long, Long, Long)]
-          @inline def at(x: Int, y: Int, z: Int): Long =
-            vox(x + ax * (y + ay * z))
-          @inline def face(v: Long, w: Long, x: Long, y: Long, z: Long)
-              : Unit =
-            if (w != 0L && w != v)
-              out += ((0, math.min(v, w), math.max(v, w), x, y, z))
-          var z = 0
-          while (z < az) {
-            var y = 0
-            while (y < ay) {
-              var x = 0
-              while (x < ax) {
-                val v = at(x, y, z)
-                if (v != 0L) {
-                  val gx = x0 + x; val gy = y0 + y; val gz = z0 + z
-                  if (x + 1 < ax) face(v, at(x + 1, y, z), gx, gy, gz)
-                  if (y + 1 < ay) face(v, at(x, y + 1, z), gx, gy, gz)
-                  if (z + 1 < az) face(v, at(x, y, z + 1), gx, gy, gz)
-                  if (x + 1 == ax && x1 < SX) out += ((1, v, 0L, gx, gy, gz))
-                  if (x == 0 && x0 > 0) out += ((1, v, 0L, gx - 1, gy, gz))
-                  if (y + 1 == ay && y1 < SY) out += ((1, v, 1L, gx, gy, gz))
-                  if (y == 0 && y0 > 0) out += ((1, v, 1L, gx, gy - 1, gz))
-                  if (z + 1 == az && z1 < SZ) out += ((1, v, 2L, gx, gy, gz))
-                  if (z == 0 && z0 > 0) out += ((1, v, 2L, gx, gy, gz - 1))
-                }
-                x += 1
-              }
-              y += 1
-            }
-            z += 1
-          }
-          out
-        }.toDF("tag", "a", "b", "x", "y", "z").localCheckpoint()
-        val bfaces = tagged.filter(col("tag") === 1)
-          .groupBy("x", "y", "z", "b")
-          .agg(min(col("a")).as("la"), max(col("a")).as("lb"))
-          .filter(col("la") =!= col("lb"))
-          .select("la", "lb", "x", "y", "z")
-        val ifaces = tagged.filter(col("tag") === 0)
-          .select(col("a").as("la"), col("b").as("lb"),
-            col("x"), col("y"), col("z"))
-        // axis-agnostic position projection; vid frozen by checkpoint
-        val nodes = ifaces.unionAll(bfaces).distinct()
-          .withColumn("vid", monotonically_increasing_id())
-          .localCheckpoint()
-        val rhs = nodes.toDF("la", "lb", "bx", "by", "bz", "nvid")
-        val edges = Seq((1, 0, 0), (0, 1, 0), (0, 0, 1)).map {
-          case (dx, dy, dz) =>
-            nodes.join(rhs,
-              nodes("la") === rhs("la") && nodes("lb") === rhs("lb") &&
-                nodes("x") + dx === rhs("bx") &&
-                nodes("y") + dy === rhs("by") &&
-                nodes("z") + dz === rhs("bz"))
-              .select(col("vid"), col("nvid"))
-        }.reduce(_ unionAll _)
-        val comp = ConnectedComponents.propagateMin(s, edges,
-          nodes.select("vid"))
-        nodes.join(comp, Seq("vid"))
-          .groupBy("la", "lb", "comp").agg(count(lit(1)).as("m"))
-          .groupBy("la", "lb")
-          .agg(count(lit(1)).as("n_regions"), max(col("m")).as("max_region"))
-      },
+      (s, dir) => contactComponents(s, dir)
+        .groupBy("la", "lb", "comp").agg(count(lit(1)).as("m"))
+        .groupBy("la", "lb")
+        .agg(count(lit(1)).as("n_regions"), max(col("m")).as("max_region")),
       Some(s"""WITH RECURSIVE vv AS (
         |  SELECT x, y, z, label FROM $Sidecar WHERE label <> 0),
         |f AS (
@@ -1458,6 +1467,67 @@ object RealLayerQueries {
         |SELECT la, lb, CAST(count(*) AS BIGINT) AS n_regions,
         |       CAST(max(m) AS BIGINT) AS max_region
         |FROM sz GROUP BY 1, 2""".stripMargin)),
+
+    // Contact-region GEOMETRY (completes the igneous contact-sites
+    // output): one row per connected contact patch with its size,
+    // integer centroid, and bbox — the candidate-site table a
+    // proofreader or synapse-detection stage consumes directly.
+    // Region identity never crosses the engine boundary (component
+    // ids differ by engine); rows are keyed only by (pair +
+    // deterministic geometry), which the sorted multiset compare
+    // checks exactly.
+    "a12c_contact_region_geometry" -> Q(
+      (s, dir) => contactComponents(s, dir)
+        .groupBy("la", "lb", "comp")
+        .agg(count(lit(1)).as("m"),
+          expr("sum(x) div count(1)").as("cx"),
+          expr("sum(y) div count(1)").as("cy"),
+          expr("sum(z) div count(1)").as("cz"),
+          min(col("x")).as("bx0"), max(col("x")).as("bx1"),
+          min(col("y")).as("by0"), max(col("y")).as("by1"),
+          min(col("z")).as("bz0"), max(col("z")).as("bz1"))
+        .drop("comp"),
+      Some(s"""WITH RECURSIVE vv AS (
+        |  SELECT x, y, z, label FROM $Sidecar WHERE label <> 0),
+        |f AS (
+        |  SELECT LEAST(a.label, b.label) AS la,
+        |         GREATEST(a.label, b.label) AS lb, a.x AS x, a.y AS y,
+        |         a.z AS z
+        |  FROM vv a JOIN vv b ON b.x = a.x + 1 AND b.y = a.y AND b.z = a.z
+        |  WHERE a.label <> b.label
+        |  UNION ALL
+        |  SELECT LEAST(a.label, b.label), GREATEST(a.label, b.label),
+        |         a.x, a.y, a.z
+        |  FROM vv a JOIN vv b ON b.x = a.x AND b.y = a.y + 1 AND b.z = a.z
+        |  WHERE a.label <> b.label
+        |  UNION ALL
+        |  SELECT LEAST(a.label, b.label), GREATEST(a.label, b.label),
+        |         a.x, a.y, a.z
+        |  FROM vv a JOIN vv b ON b.x = a.x AND b.y = a.y AND b.z = a.z + 1
+        |  WHERE a.label <> b.label),
+        |n AS (SELECT DISTINCT la, lb, x, y, z FROM f),
+        |nn AS (SELECT la, lb, x, y, z, x + 64*(y + 64*z) AS pid FROM n),
+        |e AS (
+        |  SELECT p.la AS la, p.lb AS lb, p.pid AS s, q.pid AS t
+        |  FROM nn p JOIN nn q ON p.la = q.la AND p.lb = q.lb
+        |    AND abs(p.x - q.x) + abs(p.y - q.y) + abs(p.z - q.z) <= 1),
+        |reach AS (
+        |  SELECT la, lb, s, t FROM e
+        |  UNION
+        |  SELECT r.la, r.lb, r.s, e2.t
+        |  FROM reach r JOIN e e2
+        |    ON e2.la = r.la AND e2.lb = r.lb AND e2.s = r.t),
+        |root AS (SELECT la, lb, s, min(t) AS comp FROM reach GROUP BY 1, 2, 3)
+        |SELECT nn.la AS la, nn.lb AS lb, CAST(count(*) AS BIGINT) AS m,
+        |  CAST(sum(nn.x) AS BIGINT) // count(*) AS cx,
+        |  CAST(sum(nn.y) AS BIGINT) // count(*) AS cy,
+        |  CAST(sum(nn.z) AS BIGINT) // count(*) AS cz,
+        |  min(nn.x) AS bx0, max(nn.x) AS bx1,
+        |  min(nn.y) AS by0, max(nn.y) AS by1,
+        |  min(nn.z) AS bz0, max(nn.z) AS bz1
+        |FROM nn JOIN root
+        |  ON root.la = nn.la AND root.lb = nn.lb AND root.s = nn.pid
+        |GROUP BY nn.la, nn.lb, comp""".stripMargin)),
 
     // Halo-exchange stencil (W-family extension): 3×3×3 box-mean
     // filter over the layer, the ghost-zone pattern every volumetric
@@ -1683,6 +1753,51 @@ object RealLayerQueries {
         |  CAST((GREATEST(lo, LEAST(hi, p.v)) - lo) * 255
         |       // GREATEST(hi - lo, 1) AS BIGINT) AS nv
         |FROM px p JOIN lh ON lh.z = p.z""".stripMargin)),
+
+    // T3 label-set algebra through the native exact aggregate: the
+    // distinct-label sets of two overlapping cutout windows and their
+    // intersection/difference/union sizes — the "what segments span
+    // this boundary" question. ONE volume pass computes both sets as
+    // conditional graft_label_set aggregates (the agg skips the CASE
+    // nulls), so there is no second scan and no 1×1 cross join; the
+    // set algebra itself is array functions over the two sorted-set
+    // arrays inside a single row.
+    "t3b_label_set_algebra" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        graft.functions.GraftFunctions.register(s)
+        PrecomputedIO.cutoutVoxels(s, LayerDir,
+            Bbox(Vec3(0, 0, 0), Vec3(SX, SY, SZ)))
+          .agg(
+            expr("graft_label_set(CASE WHEN x < 32 THEN label END)")
+              .as("sa"),
+            expr("graft_label_set(CASE WHEN x >= 28 THEN label END)")
+              .as("sb"))
+          .select(
+            expr("cast(size(array_intersect(sa, sb)) as bigint)")
+              .as("n_inter"),
+            expr("cast(size(array_except(sa, sb)) as bigint)")
+              .as("n_only_a"),
+            expr("cast(size(array_except(sb, sa)) as bigint)")
+              .as("n_only_b"),
+            expr("cast(size(array_union(sa, sb)) as bigint)")
+              .as("n_union"))
+      },
+      Some(s"""WITH a AS (
+        |  SELECT DISTINCT label FROM $Sidecar WHERE x < 32),
+        |b AS (SELECT DISTINCT label FROM $Sidecar WHERE x >= 28)
+        |SELECT
+        |  CAST((SELECT count(*) FROM a
+        |        WHERE label IN (SELECT label FROM b)) AS BIGINT) AS n_inter,
+        |  CAST((SELECT count(*) FROM a
+        |        WHERE label NOT IN (SELECT label FROM b)) AS BIGINT)
+        |    AS n_only_a,
+        |  CAST((SELECT count(*) FROM b
+        |        WHERE label NOT IN (SELECT label FROM a)) AS BIGINT)
+        |    AS n_only_b,
+        |  CAST((SELECT count(*) FROM
+        |        (SELECT label FROM a UNION SELECT label FROM b)) AS BIGINT)
+        |    AS n_union""".stripMargin)),
 
     // A10 num_chunks / num_voxels from parsed info metadata alone
     // (metadata.py:504-506, lib.py:864-867) — zero file IO
