@@ -1451,7 +1451,7 @@ object RealLayerQueries {
         |  FROM vv a JOIN vv b ON b.x = a.x AND b.y = a.y AND b.z = a.z + 1
         |  WHERE a.label <> b.label),
         |n AS (SELECT DISTINCT la, lb, x, y, z FROM f),
-        |nn AS (SELECT la, lb, x, y, z, x + 64*(y + 64*z) AS pid FROM n),
+        |nn AS (SELECT la, lb, x, y, z, x + $SX*(y + $SY*z) AS pid FROM n),
         |e AS (
         |  SELECT p.la AS la, p.lb AS lb, p.pid AS s, q.pid AS t
         |  FROM nn p JOIN nn q ON p.la = q.la AND p.lb = q.lb
@@ -1506,7 +1506,7 @@ object RealLayerQueries {
         |  FROM vv a JOIN vv b ON b.x = a.x AND b.y = a.y AND b.z = a.z + 1
         |  WHERE a.label <> b.label),
         |n AS (SELECT DISTINCT la, lb, x, y, z FROM f),
-        |nn AS (SELECT la, lb, x, y, z, x + 64*(y + 64*z) AS pid FROM n),
+        |nn AS (SELECT la, lb, x, y, z, x + $SX*(y + $SY*z) AS pid FROM n),
         |e AS (
         |  SELECT p.la AS la, p.lb AS lb, p.pid AS s, q.pid AS t
         |  FROM nn p JOIN nn q ON p.la = q.la AND p.lb = q.lb
