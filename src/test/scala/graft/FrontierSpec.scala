@@ -9,6 +9,26 @@ import graft.ops.{BlockPins, Frontier}
 /** The shared iterative-loop helper (ops/Frontier.scala): frontier
   * iteration with per-round materialization, whole-table fixpoint —
   * and the BlockPins pin/sweep contract the harness loops rely on.
+  *
+  * WHICH LOOPS CHECKPOINT, AND WHY (the registry, pinned here so a
+  * future port doesn't re-litigate it per site):
+  *  - `iterate` (per-round checkpoint): graphene j5/j6/j7 descent,
+  *    lineage closure, BPE merge rounds — DATA-BOUNDED or deep loops
+  *    where each round's output feeds multiple consumers (emit
+  *    branches + next frontier + emptiness probe); without the
+  *    checkpoint the union fan-out re-derives the join per consumer
+  *    (j6b's r14 failure: 48 scans of the edge source).
+  *  - `fixpoint` (per-round checkpoint): pointer-jumping CC,
+  *    graph_kcore3 — state REFERENCED SEVERAL TIMES per round (CC
+  *    self-join; kcore's surviving-edge set feeds bidir twice plus
+  *    two semi-joins), so unrolling would multiply scans
+  *    exponentially in depth; and CC's depth is data-dependent.
+  *  - `unrolled` (final checkpoint only): graph_pagerank3, graph_lpa
+  *    — SHALLOW FIXED round counts whose state is consumed once per
+  *    round and whose expensive inputs (edge/node tables) are
+  *    already materialized blocks; per-round checkpoints would buy
+  *    nothing and cost ~70 ms of job-submission floor each at bench
+  *    scale (r15 verdict item 4).
   */
 class FrontierSpec extends AnyFunSuite with BeforeAndAfterAll {
 

@@ -41,6 +41,42 @@ class KmvAggSpec extends AnyFunSuite {
     assert(got == Seq(0L, 1L, 2L, 3L, 4L))
   }
 
+  test("unsigned domain: hashes above 2^63 sort ABOVE, never evict the low end") {
+    // k=4 over values straddling 2^63: the k minimum values in
+    // [0, 2^64) are the small positives; the negatives (top bit set)
+    // are the LARGEST hashes and must all be trimmed (r15 verdict
+    // item 7 — with signed order -1L would evict Long.MaxValue's whole
+    // cohort and bias the threshold estimate)
+    val got = spark.sql(
+      s"""SELECT graft_kmv(h, 4) FROM VALUES
+         |  (-1L), (${Long.MinValue}L), (${Long.MinValue + 5}L),
+         |  (10L), (3L), (${Long.MaxValue}L), (99L), (7L)
+         |AS t(h)""".stripMargin).head().getSeq[Long](0)
+    assert(got == Seq(3L, 7L, 10L, 99L), s"got $got")
+  }
+
+  test("unsigned order WITHIN the sketch when only top-bit values fit") {
+    val got = spark.sql(
+      s"""SELECT graft_kmv(h, 3) FROM VALUES
+         |  (-1L), (${Long.MinValue}L), (${Long.MinValue + 5}L), (-2L)
+         |AS t(h)""".stripMargin).head().getSeq[Long](0)
+    // uint64 ascending: 2^63, 2^63+5, 2^64-2 — and -1 (2^64-1) trimmed
+    assert(got == Seq(Long.MinValue, Long.MinValue + 5, -2L), s"got $got")
+  }
+
+  test("cross-partition merge preserves the unsigned threshold") {
+    // negatives isolated in their own partitions: the merge path (not
+    // just update) must apply the same unsigned compare
+    val df = spark.range(0, 64, 1, 8).selectExpr(
+      "CASE WHEN id % 8 = 7 THEN CAST(id - 9223372036854775808 AS BIGINT) " +
+        "ELSE id END AS h")
+    val got = df.selectExpr("graft_kmv(h, 8) AS ks").head().getSeq[Long](0)
+    val expect = (0L until 64L)
+      .map(i => if (i % 8 == 7) i + Long.MinValue else i)
+      .sortBy(_ ^ Long.MinValue).take(8)
+    assert(got == expect, s"got $got")
+  }
+
   test("null inputs are skipped; empty input yields an empty sketch") {
     val got = spark.sql(
       "SELECT graft_kmv(h, 8) FROM VALUES (1L), (CAST(NULL AS BIGINT)), " +

@@ -65,6 +65,57 @@ class LabelSetAggSpec extends AnyFunSuite {
     assert(got(1).getSeq[Long](1) == Seq(9L))
   }
 
+  test("set algebra over sets straddling 2^63 (the t3b path, u64 domain)") {
+    // two conditional sets from one pass, then intersect/except/union —
+    // membership is value-based so top-bit labels must behave exactly
+    // like small ones (r15 verdict item 7)
+    val big = Long.MinValue + 3 // 2^63 + 3 unsigned
+    val row = spark.sql(
+      s"""SELECT
+         |  graft_label_set(CASE WHEN part = 0 THEN l END) AS sa,
+         |  graft_label_set(CASE WHEN part = 1 THEN l END) AS sb
+         |FROM VALUES
+         |  (0, 1L), (0, -1L), (0, ${big}L), (0, ${Long.MaxValue}L),
+         |  (1, 1L), (1, ${big}L), (1, 7L)
+         |AS t(part, l)""".stripMargin)
+      .selectExpr(
+        "array_intersect(sa, sb) AS inter",
+        "array_except(sa, sb) AS only_a",
+        "array_except(sb, sa) AS only_b",
+        "cast(size(array_union(sa, sb)) as bigint) AS n_union")
+      .head()
+    assert(row.getSeq[Long](0).sorted == Seq(big, 1L).sorted)
+    assert(row.getSeq[Long](1).toSet == Set(-1L, Long.MaxValue))
+    assert(row.getSeq[Long](2) == Seq(7L))
+    assert(row.getLong(3) == 5L)
+  }
+
+  test("mistyped argument fails analysis, not construction") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_label_set(s) FROM VALUES ('x') AS t(s)")
+        .collect()
+    }
+    assert(e.getMessage.contains("graft_label_set"), e.getMessage)
+  }
+
+  test("LongLongMap: put/get/contains over the full key domain, growth") {
+    val m = new graft.functions.LongLongMap(16)
+    val rnd = new scala.util.Random(11)
+    val keys = Array.fill(20000)(rnd.nextLong()) :+ 0L :+ -1L :+
+      Long.MinValue :+ Long.MaxValue
+    keys.zipWithIndex.foreach { case (k, i) => m.put(k, i.toLong) }
+    val last = keys.zipWithIndex.groupBy(_._1)
+      .map { case (k, kv) => k -> kv.last._2.toLong }
+    assert(m.size == last.size)
+    last.foreach { case (k, v) =>
+      assert(m.contains(k))
+      assert(m.getOrElse(k, -999L) == v)
+    }
+    assert(!m.contains(123456789012345L) ||
+      last.contains(123456789012345L))
+    assert(m.getOrElse(42L, -7L) == last.getOrElse(42L, -7L))
+  }
+
   test("LongHashSet grows past initial capacity without losing keys") {
     val hs = new graft.functions.LongHashSet(16)
     val rnd = new scala.util.Random(7)

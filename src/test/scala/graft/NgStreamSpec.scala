@@ -84,6 +84,47 @@ class NgStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Files.readAllLines(journal).size() == 7)
   }
 
+  test("a compression-suffix rewrite of a journaled chunk is not re-emitted") {
+    // the journal keys on the suffix-stripped base name: chunk objects
+    // are immutable-once-written, so 'name' later reappearing as
+    // 'name.gz' is the same cell (r15 advisor) — rewrite wave-1's
+    // first chunk gzipped and restart: zero new rows, zero new journal
+    // lines
+    val scaleDir = Paths.get(layer, "1_1_1")
+    val gz = Files.list(scaleDir).toArray.map(_.toString)
+      .map(Paths.get(_)).find(_.getFileName.toString.endsWith(".gz"))
+      .get
+    val plain = gz.resolveSibling(gz.getFileName.toString.stripSuffix(".gz"))
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(Files.readAllBytes(gz)))
+    Files.write(plain, in.readAllBytes())
+    Files.delete(gz)
+    val before = Files.readAllLines(
+      Paths.get(ckpt, "sources", "0", "ng_chunk_log")).size()
+    assert(drain() == 7) // sink count unchanged from the restart test
+    val after = Files.readAllLines(
+      Paths.get(ckpt, "sources", "0", "ng_chunk_log")).size()
+    assert(after == before, s"suffix rewrite re-journaled: $before -> $after")
+  }
+
+  test("non-file checkpoint scheme fails loudly instead of journaling locally") {
+    val q = intercept[Exception] {
+      val st = spark.readStream.format("neuroglancer")
+        .option("path", layer)
+        .load().select("gx")
+        .writeStream.format("memory").queryName("ng_stream_badckpt")
+        .option("checkpointLocation", "hdfs://nn:8020/tmp/ng_ck")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      st.awaitTermination()
+    }
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: causes(t.getCause)
+    assert(causes(q).exists(m => m != null &&
+      (m.contains("local file: path") || m.contains("hdfs"))),
+      causes(q).mkString(" | "))
+  }
+
   test("discovery window prunes the journal, not just the result") {
     val ckpt2 = s"$dir/ckpt2"
     val q = spark.readStream.format("neuroglancer")
