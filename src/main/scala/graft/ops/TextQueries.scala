@@ -481,6 +481,199 @@ object TextQueries {
         |SELECT lang, shard, doc_id, n_tokens, bin_seq, bin_fill
         |FROM fill""".stripMargin)),
 
+    // THE COMPOSED BATCH PIPELINE (r15 verdict item 5): corpus →
+    // quality gate → exact dedup → minhash keep → decontaminate →
+    // temperature mix → greedy bin packing, as ONE registered DAG.
+    // Every stage exists as an individually-oracled entry; this entry
+    // is the 100 TB story — the composition a training-data run
+    // actually executes (st9/st17 proved it for streaming; this is
+    // the batch twin). Ingest = originals + byte-identical dupes
+    // (every 3rd, +20000) + near-dups (evens, +10000 — the SAME id
+    // space as the dirty dedup corpus, so the memoized cluster
+    // drop-list applies verbatim).
+    //
+    // Stage order and materialization discipline (what EXPLAIN
+    // audits): three localCheckpoints, one per multi-consumer
+    // boundary — `gated` (feeds the hash agg AND the semi-join),
+    // `surv2` (feeds survivor shingles AND the decontamination
+    // anti-join), `langed` (feeds the lang stats AND the mix filter
+    // AND the packer). Everything between boundaries is narrow maps +
+    // broadcast anti-joins over the previous checkpoint's blocks — no
+    // stage re-derives an earlier stage's subtree. Scale shape: the
+    // only corpus-keyed shuffles are the exact-dup hash agg + its
+    // semi-join and the base-id lang join; drop-lists (cluster
+    // members, contaminated ids, eval shingles, per-lang thresholds)
+    // are all output-sized broadcasts.
+    "pipeline_corpus_to_pack" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+        val ingest = docs.select(col("doc_id"), col("text"))
+          .unionAll(docs.filter(col("doc_id") % 3 === 0)
+            .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+          .unionAll(docs.filter(col("doc_id") % 2 === 0)
+            .select((col("doc_id") + 10000).as("doc_id"),
+              expr("substr(text, instr(text, ' ') + 1)").as("text")))
+        // 1. quality gate — the gopher rule set over the ingest text
+        // (length(text), not the sidecar n_chars: dupes differ)
+        val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+        val gated = ingest
+          .withColumn("w", split(col("text"), " "))
+          .withColumn("n_tokens", size(col("w")).cast("long"))
+          .withColumn("sum_wlen",
+            length(col("text")).cast("long") - (col("n_tokens") - 1))
+          .withColumn("n_stop", size(array_distinct(filter(col("w"),
+            x => stops.map(x === _).reduce(_ || _)))).cast("long"))
+          .withColumn("n_alpha", size(filter(col("w"),
+            x => x.rlike("[a-z]"))).cast("long"))
+          .filter(col("n_tokens") >= 50 && col("n_tokens") <= 100000 &&
+            col("sum_wlen") >= col("n_tokens") * 3 &&
+            col("sum_wlen") <= col("n_tokens") * 10 &&
+            col("n_stop") >= 2 &&
+            col("n_alpha") * 5 >= col("n_tokens") * 4)
+          .select("doc_id", "text", "n_tokens")
+          .localCheckpoint()
+        // 2a. exact dedup — content-hash groupBy, keep the min id
+        val hashed = gated.withColumn("h",
+          conv(substring(md5(lower(trim(col("text"))).cast("binary")),
+            1, 12), 16, 10).cast("long"))
+        val keepers = hashed.groupBy("h").agg(min("doc_id").as("doc_id"))
+        val exactKept = hashed
+          .join(keepers.select("doc_id"), Seq("doc_id"), "left_semi")
+        // 2b. minhash keep — the memoized corpus-snapshot cluster
+        // drop-list (dedup_keep's shape), broadcast anti-join
+        val mdrop = sharedClusters(s, dir)
+          .filter(col("vid") =!= col("comp"))
+          .select(col("vid").as("doc_id"))
+        val surv2 = exactKept.join(broadcast(mdrop), Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        // 3. decontaminate — drop the eval deck itself (base id ≡ 0
+        // mod 97) and any survivor sharing a 3-gram shingle with it
+        val evalSh = shingleHashes(docs.select("doc_id", "text")
+            .filter(col("doc_id") % 97 === 0))
+          .select("hv").distinct()
+        val contaminated = shingleHashes(surv2.select("doc_id", "text"))
+          .join(broadcast(evalSh), "hv")
+          .select("doc_id").distinct()
+        val surv3 = surv2.filter(col("doc_id") % 10000 % 97 =!= 0)
+          .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+        // 4. temperature mix (T=2) — per-lang keep rates from the
+        // SURVIVING corpus counts; lang rides the base-id join
+        val langed = surv3
+          .withColumn("base_id", col("doc_id") % 10000)
+          .join(docs.select(col("doc_id").as("base_id"), col("lang")),
+            Seq("base_id"))
+          .select("lang", "doc_id", "n_tokens")
+          .localCheckpoint()
+        val stats = langed.groupBy("lang").agg(count(lit(1)).as("n"))
+          .withColumn("w", sqrt(col("n").cast("double")))
+        val wmax = stats.agg(max("w").as("wmax"))
+        val thresh = stats.crossJoin(broadcast(wmax))
+          .select(col("lang"),
+            floor(lit(10000.0) * col("w") / col("wmax")).cast("long")
+              .as("thresh"))
+        val mixed = langed
+          .withColumn("bucket", conv(substring(md5(concat(lit("temp:"),
+            col("doc_id").cast("string")).cast("binary")), 1, 12), 16, 10)
+            .cast("long") % 10000)
+          .join(broadcast(thresh), Seq("lang"))
+          .filter(col("bucket") < col("thresh"))
+          .select(col("lang"), col("doc_id").cast("long").as("doc_id"),
+            col("n_tokens"))
+        // 5. greedy bin packing per (lang, shard) — pack_bins_greedy's
+        // fold over the mixed survivors
+        val Capacity = 256L
+        val Stride = 500L
+        mixed.as[(String, Long, Long)]
+          .groupByKey { case (lang, id, _) => (lang, id / Stride) }
+          .flatMapGroups { (key: (String, Long),
+              it: Iterator[(String, Long, Long)]) =>
+            val (lang, shard) = key
+            val ds = it.toArray.sortBy(_._2)
+            var binSeq = 0L
+            var fill = 0L
+            ds.iterator.map { case (_, id, n) =>
+              if (fill > 0 && fill + n > Capacity) { binSeq += 1; fill = 0L }
+              fill += n
+              (lang, shard, id, n, binSeq, fill)
+            }
+          }
+          .toDF("lang", "shard", "doc_id", "n_tokens", "bin_seq", "bin_fill")
+      },
+      Some(s"""WITH RECURSIVE $PairsCtes,
+        |edges AS (SELECT a, b FROM pairs
+        |          UNION SELECT b AS a, a AS b FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT a AS id, a AS r FROM edges
+        |  UNION
+        |  SELECT t.id, e.b AS r FROM reach t JOIN edges e ON e.a = t.r),
+        |clusters AS (SELECT id AS doc_id, min(r) AS cluster
+        |             FROM reach GROUP BY id),
+        |mdrop AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster),
+        |pc AS (SELECT doc_id, text FROM documents
+        |       UNION ALL
+        |       SELECT doc_id + 20000, text FROM documents
+        |       WHERE doc_id % 3 = 0
+        |       UNION ALL
+        |       SELECT doc_id + 10000, substr(text, strpos(text, ' ') + 1)
+        |       FROM documents WHERE doc_id % 2 = 0),
+        |gw AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM pc),
+        |gm AS (SELECT doc_id, text, CAST(len(w) AS BIGINT) AS n_tokens,
+        |   length(text) - (len(w) - 1) AS sum_wlen,
+        |   len(list_distinct(list_filter(w, x -> x = 'the' OR x = 'a'
+        |     OR x = 'of' OR x = 'and' OR x = 'to' OR x = 'in'
+        |     OR x = 'is'))) AS n_stop,
+        |   len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS n_alpha
+        |  FROM gw),
+        |gated AS (SELECT doc_id, text, n_tokens FROM gm
+        |  WHERE n_tokens BETWEEN 50 AND 100000
+        |    AND sum_wlen >= n_tokens * 3 AND sum_wlen <= n_tokens * 10
+        |    AND n_stop >= 2 AND n_alpha * 5 >= n_tokens * 4),
+        |eh AS (SELECT doc_id, text, n_tokens,
+        |         ('0x' || substr(md5(lower(trim(text))), 1, 12))::BIGINT
+        |           AS h
+        |       FROM gated),
+        |ek AS (SELECT min(doc_id) AS doc_id FROM eh GROUP BY h),
+        |ex AS (SELECT e.doc_id, e.text, e.n_tokens FROM eh e
+        |       JOIN ek ON ek.doc_id = e.doc_id),
+        |mk AS (SELECT * FROM ex
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM mdrop)),
+        |evh AS (SELECT DISTINCT hv FROM hv
+        |        WHERE doc_id < 10000 AND doc_id % 97 = 0),
+        |ct AS (SELECT DISTINCT s.doc_id FROM hv s
+        |       JOIN evh ON evh.hv = s.hv),
+        |dc AS (SELECT doc_id, n_tokens FROM mk
+        |       WHERE doc_id % 10000 % 97 <> 0
+        |         AND doc_id NOT IN (SELECT doc_id FROM ct)),
+        |lg AS (SELECT dc.doc_id, dc.n_tokens, d.lang FROM dc
+        |       JOIN documents d ON d.doc_id = dc.doc_id % 10000),
+        |tn AS (SELECT lang, count(*) AS n FROM lg GROUP BY 1),
+        |tw AS (SELECT lang, sqrt(CAST(n AS DOUBLE)) AS w FROM tn),
+        |tt AS (SELECT lang, CAST(floor(10000 * w /
+        |         (SELECT max(w) FROM tw)) AS BIGINT) AS thresh FROM tw),
+        |mixed AS (SELECT lg.lang, lg.doc_id, lg.n_tokens FROM lg
+        |  JOIN tt USING (lang)
+        |  WHERE ('0x' || substr(md5('temp:' || CAST(lg.doc_id AS VARCHAR)),
+        |    1, 12))::BIGINT % 10000 < tt.thresh),
+        |toks AS (SELECT lang, doc_id // 500 AS shard, doc_id, n_tokens,
+        |         row_number() OVER (PARTITION BY lang, doc_id // 500
+        |           ORDER BY doc_id) AS rn
+        |  FROM mixed),
+        |fill(lang, shard, rn, doc_id, n_tokens, bin_seq, bin_fill) AS (
+        |  SELECT lang, shard, rn, doc_id, n_tokens,
+        |         CAST(0 AS BIGINT), n_tokens
+        |  FROM toks WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.lang, t.shard, t.rn, t.doc_id, t.n_tokens,
+        |    CASE WHEN f.bin_fill + t.n_tokens > 256
+        |         THEN f.bin_seq + 1 ELSE f.bin_seq END,
+        |    CASE WHEN f.bin_fill + t.n_tokens > 256
+        |         THEN t.n_tokens ELSE f.bin_fill + t.n_tokens END
+        |  FROM fill f JOIN toks t
+        |    ON t.lang = f.lang AND t.shard = f.shard AND t.rn = f.rn + 1)
+        |SELECT lang, shard, doc_id, n_tokens, bin_seq, bin_fill
+        |FROM fill""".stripMargin)),
+
     // SimHash (16-bit) per doc + hamming distance to its near-dup
     "dedup_simhash" -> Q(
       (s, dir) => {
