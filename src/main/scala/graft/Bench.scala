@@ -75,7 +75,7 @@ object Bench {
     * timing of `vol[:] = img` from an in-memory array.
     */
   private def writeMBps(spark: SparkSession, name: String, cs: Vec3,
-      gzip: Boolean): Seq[Double] = {
+      method: String): Seq[Double] = {
     val meta = benchMeta(cs)
     val dir = s"$BenchRoot/write_$name"
     val chunks = blackChunks(spark, meta).cache()
@@ -89,7 +89,7 @@ object Bench {
       }
       PrecomputedIO.writeInfo(dir, meta)
       val t0 = System.nanoTime()
-      PrecomputedIO.writeChunks(chunks, dir, meta, 0, compress = Some(gzip))
+      PrecomputedIO.writeChunks(chunks, dir, meta, 0, codec = Some(method))
       VolBytes / 1e6 / ((System.nanoTime() - t0) / 1e9)
     }
     once() // warm-up
@@ -221,9 +221,15 @@ object Bench {
       ("z64", Vec3(1024, 1024, 64), true),
       ("c128", Vec3(128, 128, 128), true),
       ("plain_z100", Vec3(1024, 1024, 100), false))
+    // (key, triggering read family, chunking, codec): the brotli lane
+    // (r15 verdict item 6) writes the c128 geometry so the pure-JVM
+    // encoder cost is VISIBLE as a headline MB/s, parallel across the
+    // 64-chunk grid like a real sharded upload — BrotliPerf puts the
+    // single-thread encoder at ~160 MB/s on zero payloads
     val writeFamilies = Seq(
-      ("z100", Vec3(1024, 1024, 100)),
-      ("c128", Vec3(128, 128, 128)))
+      ("z100", "z100", Vec3(1024, 1024, 100), "gzip"),
+      ("c128", "c128", Vec3(128, 128, 128), "gzip"),
+      ("br_c128", "c128", Vec3(128, 128, 128), "br"))
     val mbpsReps = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val gcBeansMbps = {
       import scala.jdk.CollectionConverters._
@@ -247,9 +253,9 @@ object Bench {
           diskBusyMs() - io0)
         v
       }
-      writeFamilies.find(_._1 == key).foreach { case (wk, wcs) =>
+      writeFamilies.filter(_._2 == key).foreach { case (wk, _, wcs, method) =>
         val gc0 = gcNowMs(); val ld = loadAvg(); val io0 = diskBusyMs()
-        val reps = writeMBps(spark, wk, wcs, gzip = true)
+        val reps = writeMBps(spark, wk, wcs, method)
         val ioAll = diskBusyMs() - io0 // one delta covers the 5-rep block
         reps.zipWithIndex.foreach { case (v, i) =>
           mbpsPassRecs += MbpsRec(s"write_$wk", i + 1, v,
@@ -268,9 +274,9 @@ object Bench {
       k -> med5(mbpsReps(s"read_$k")) }.toMap
     val mbpsPeak = readFamilies.map { case (k, _, _) =>
       k -> mbpsReps(s"read_$k").max }.toMap
-    val wMbps = writeFamilies.map { case (k, _) =>
+    val wMbps = writeFamilies.map { case (k, _, _, _) =>
       k -> med5(mbpsReps(s"write_$k")) }.toMap
-    val wMbpsPeak = writeFamilies.map { case (k, _) =>
+    val wMbpsPeak = writeFamilies.map { case (k, _, _, _) =>
       k -> mbpsReps(s"write_$k").max }.toMap
 
     val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -465,12 +471,14 @@ object Bench {
       s""""baseline_write_MBps_chunk1024_1024_100":31.7,""" +
       s""""write_MBps_chunk128_128_128":${num(wMbps("c128"), 1)},""" +
       s""""baseline_write_MBps_chunk128_128_128":1.0,""" +
+      s""""write_MBps_brotli_chunk128_128_128":${num(wMbps("br_c128"), 1)},""" +
       s""""cutout_MBps_peak_chunk1024_1024_100":${num(mbpsPeak("z100"), 1)},""" +
       s""""cutout_MBps_peak_chunk1024_1024_64":${num(mbpsPeak("z64"), 1)},""" +
       s""""cutout_MBps_peak_chunk128_128_128":${num(mbpsPeak("c128"), 1)},""" +
       s""""cutout_MBps_peak_nogzip_chunk1024_1024_100":${num(mbpsPeak("plain_z100"), 1)},""" +
       s""""write_MBps_peak_chunk1024_1024_100":${num(wMbpsPeak("z100"), 1)},""" +
-      s""""write_MBps_peak_chunk128_128_128":${num(wMbpsPeak("c128"), 1)}"""
+      s""""write_MBps_peak_chunk128_128_128":${num(wMbpsPeak("c128"), 1)},""" +
+      s""""write_MBps_peak_brotli_chunk128_128_128":${num(wMbpsPeak("br_c128"), 1)}"""
     val timedRebuilds = graft.ops.FixtureLog.rebuildsSince(timedLoopStart)
     val rebuildsJson = timedRebuilds.map(m => "\"" + jstr(m) + "\"")
       .mkString("[", ",", "]")

@@ -839,9 +839,17 @@ object Brotli {
         k += 1
       }
       val clCodes = canonicalCodes(clLens)
+      // a DEGENERATE cl code (exactly one distinct token symbol — e.g.
+      // every literal at length 8 on near-uniform random bytes) consumes
+      // ZERO bits per token on the decode side (§3.5 num_codes == 1;
+      // fromLengths -> singleSymbol), so the writer must emit none:
+      // huffLengths assigns the lone symbol length 1, and writing that
+      // 1-bit code per token desynced the stream (found by the r16
+      // random-payload fuzz; masked before because the oversized stream
+      // also failed compress()'s size gate and fell back to stored)
+      val clDegenerate = clLens.count(_ > 0) == 1
       toks.foreach { case (s, extra) =>
-        if (clLens(s) > 0) w.putCode(clCodes(s), clLens(s))
-        // a degenerate single-symbol cl code writes zero bits
+        if (!clDegenerate) w.putCode(clCodes(s), clLens(s))
         if (s == 17) w.putBits(extra, 3)
       }
     }
@@ -865,7 +873,7 @@ object Brotli {
     * codes) — a conforming "quality 2"-class writer. Throws on inputs
     * it cannot model; compress() catches and falls back to stored mode.
     */
-  private[core] def compressEntropy(data: Array[Byte]): Array[Byte] = {
+  private[graft] def compressEntropy(data: Array[Byte]): Array[Byte] = {
     require(data.nonEmpty)
     val w = new BitWriter
     // WBITS = 22: '1' + 3-bit 5 (17 + 5)

@@ -77,7 +77,8 @@ object PrecomputedIO {
     */
   def writeChunks(chunks: DataFrame, layerDir: String, meta: VolumeMeta,
       mip: Int, deleteBlack: Option[Array[Byte]] = None,
-      compress: Option[Boolean] = None): Unit = {
+      compress: Option[Boolean] = None,
+      codec: Option[String] = None): Unit = {
     // P10 write-lock guard (metadata.py:840-885, frontends/
     // precomputed.py:57-59): refuse writes to locked mips
     if (meta.lockedMips.contains(mip))
@@ -87,8 +88,15 @@ object PrecomputedIO {
     val dir = Paths.get(layerDir, scale.key)
     Files.createDirectories(dir)
     // compress=Some(b) overrides the per-encoding policy, like the
-    // reference's `compress` kwarg on upload (tx.py:35-61)
-    val gzipped = compress.getOrElse(Codec.shouldCompress(scale.encoding))
+    // reference's `compress` kwarg on upload (tx.py:35-61); codec
+    // selects the second-stage method itself ("gzip" | "br" | "none",
+    // the reference's compress='gzip'/'br'/False values) and takes
+    // precedence over the boolean form
+    val method = codec.getOrElse(
+      if (compress.getOrElse(Codec.shouldCompress(scale.encoding))) "gzip"
+      else "none")
+    require(Set("gzip", "br", "none")(method),
+      s"unsupported chunk compression codec: $method")
     val bounds = scale.bounds
     val cs = scale.chunkSize
     val dirStr = dir.toString
@@ -100,10 +108,15 @@ object PrecomputedIO {
           val black = deleteBlack.exists(bg => java.util.Arrays.equals(bg, payload))
           if (!black) {
             val name = Geom.chunkBbox(g, bounds, cs).toFilename
-            if (gzipped)
-              Files.write(Paths.get(dirStr, name + ".gz"), Codec.gzip(payload))
-            else
-              Files.write(Paths.get(dirStr, name), payload)
+            method match {
+              case "gzip" =>
+                Files.write(Paths.get(dirStr, name + ".gz"), Codec.gzip(payload))
+              case "br" =>
+                Files.write(Paths.get(dirStr, name + ".br"),
+                  graft.core.Brotli.compress(payload))
+              case _ =>
+                Files.write(Paths.get(dirStr, name), payload)
+            }
           }
         }
       }

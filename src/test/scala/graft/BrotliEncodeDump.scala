@@ -34,6 +34,23 @@ object BrotliEncodeDump {
     rnd.nextBytes(noise)
     Files.write(outDir.resolve("big_noise.raw"), noise)
     Files.write(outDir.resolve("big_noise.br"), Brotli.compress(noise))
-    println(s"dumped ${n + 2} pairs to $outDir")
+    // RAW entropy streams (no size gate / stored fallback): the
+    // degenerate-cl-code regime (near-uniform random literals) only
+    // exercises the entropy writer when the oversized stream is kept —
+    // exactly the stream shape the r16 fuzz caught desyncing, now
+    // C-checked directly
+    var extra = 2
+    for ((name, size) <- Seq(("ent_noise_64k", 65537),
+        ("ent_noise_4k", 4096), ("ent_noise_300k", 300000))) {
+      val p = new Array[Byte](size)
+      rnd.nextBytes(p)
+      try {
+        val enc = Brotli.compressEntropy(p)
+        Files.write(outDir.resolve(name + ".raw"), p)
+        Files.write(outDir.resolve(name + ".br"), enc)
+        extra += 1
+      } catch { case _: RuntimeException => () } // legitimate give-up
+    }
+    println(s"dumped ${n + extra} pairs to $outDir")
   }
 }

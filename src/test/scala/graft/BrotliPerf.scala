@@ -30,5 +30,25 @@ object BrotliPerf {
       val mbps = raw.length.toDouble * reps / dt / 1e6
       println(f"$base%-28s raw=${raw.length}%7d reps=$reps%5d  ${mbps}%8.1f MB/s")
     }
+    // ENCODER throughput (the write-lane cost): the bench's brotli
+    // write family pays compress() per chunk — report MB/s per input
+    // regime so the write_MBps_brotli number has an engine-side floor
+    println("-- encoder --")
+    val encCases = Seq(
+      ("zeros_2m", Array.fill(2 << 20)(0.toByte)),
+      ("seg_u32_2m", Array.tabulate(2 << 20)(i =>
+        (Array(7, 0, 0, 0)((i & 3)) + (i >> 14)).toByte)),
+      ("random_1m", { val r = new scala.util.Random(1); val a = new Array[Byte](1 << 20); r.nextBytes(a); a }))
+    for ((name, raw) <- encCases) {
+      (1 to 3).foreach(_ => Brotli.compress(raw))
+      val reps = math.max(3, (16 << 20) / raw.length)
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < reps) { Brotli.compress(raw); i += 1 }
+      val dt = (System.nanoTime() - t0) / 1e9
+      val enc = Brotli.compress(raw)
+      val mbps = raw.length.toDouble * reps / dt / 1e6
+      println(f"$name%-28s raw=${raw.length}%7d -> ${enc.length}%8d  ${mbps}%8.1f MB/s")
+    }
   }
 }
