@@ -109,11 +109,18 @@ object Frontier {
     * vs 2.4 s with per-round checkpoints at bench scale). For unbounded
     * or deep loops use [[fixpoint]] — lineage growth is the bigger
     * enemy there.
+    *
+    * `materializeFinal = false` skips the final checkpoint too: right
+    * when the result has exactly ONE consumer (a count, one sink
+    * write), where materializing first just pays an extra job to copy
+    * blocks the single action would have streamed anyway. Leave it on
+    * for multi-consumer results (graph_lpa's sizes agg + rejoin).
     */
-  def unrolled(start: DataFrame, rounds: Int)(
+  def unrolled(start: DataFrame, rounds: Int,
+      materializeFinal: Boolean = true)(
       step: (DataFrame, Int) => DataFrame): DataFrame = {
     var state = start
     (0 until rounds).foreach(r => state = step(state, r))
-    state.localCheckpoint()
+    if (materializeFinal) state.localCheckpoint() else state
   }
 }

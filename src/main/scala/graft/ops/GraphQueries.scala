@@ -90,25 +90,32 @@ object GraphQueries {
         // Same localCheckpoint pattern as ConnectedComponents' rounds.
         val e = edges(s, dir).localCheckpoint()
         val bidir = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
-        val outd = bidir.groupBy("u").agg(count(lit(1)).as("deg"))
-        val nodes = bidir.select(col("u").as("node")).distinct()
-          .localCheckpoint() // consumed by every round's rebase join
-        // fixed 3-round UNROLL (Frontier.unrolled): edges + nodes are
+        // DEGREE-ANNOTATED adjacency, materialized once: degrees join
+        // the edge list a single time here instead of once per round
+        // (3 edge-sized joins saved at scale; one exchange + AQE stage
+        // job per round saved at bench scale). Also the node set: the
+        // graph is BIDIRECTIONAL so every node appears as `u`, pr0
+        // derives from the distinct u's, and no per-round rebase join
+        // is needed — the contribution agg already covers every node,
+        // so the oracle's LEFT JOIN + coalesce(inw, 0) never fires.
+        val adj = bidir
+          .join(bidir.groupBy("u").agg(count(lit(1)).as("deg")), Seq("u"))
+          .localCheckpoint()
+        // fixed 3-round UNROLL (Frontier.unrolled): the adjacency is
         // materialized above, so the unrolled plan's fan-out re-reads
-        // blocks — measured 1.3 s vs 2.4 s with per-round checkpoints
-        // (3 x ~0.3 s of checkpoint-job floor on two tiny shuffles)
+        // blocks; no final checkpoint either — the result has a single
+        // consumer (r15 floors note: each AQE stage job costs ~0.1 s
+        // at bench scale, so every removed exchange is wall time).
         Frontier.unrolled(
-          nodes.withColumn("pr", lit(1000000L)), rounds = 3) {
+          adj.select(col("u").as("node")).distinct()
+            .withColumn("pr", lit(1000000L)),
+          rounds = 3, materializeFinal = false) {
           (pr, _) =>
-            val contrib = bidir
+            adj
               .join(pr.select(col("node").as("u"), col("pr")), Seq("u"))
-              .join(outd, Seq("u"))
               .select(col("v").as("node"), expr("pr div deg").as("w"))
-              .groupBy("node").agg(sum("w").as("inw"))
-            nodes.join(contrib, Seq("node"), "left")
-              .select(col("node"),
-                (lit(150000L) + expr("85 * coalesce(inw, 0L) div 100"))
-                  .as("pr"))
+              .groupBy("node").agg(
+                (lit(150000L) + expr("85 * sum(w) div 100")).as("pr"))
         }
       },
       Some(s"""WITH $EdgeCte,

@@ -1104,4 +1104,36 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         kept.mkString("\n").length, s"doc $id clean_chars")
     }
   }
+
+  test("pipeline_corpus_to_pack: stage laws the oracle hash can't localize") {
+    val out = TextQueries.queries("pipeline_corpus_to_pack")
+      .fn(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val n = r.getAs[Long]("n_tokens")
+      val fill = r.getAs[Long]("bin_fill")
+      // capacity law: a bin's fill never exceeds 256 unless a single
+      // oversized doc IS the bin (the greedy packer never splits)
+      assert(fill <= 256 || fill == n, s"doc $id fill $fill n $n")
+      // gate law: survivors carry >= 50 tokens (the gopher word floor)
+      assert(n >= 50, s"doc $id tokens $n below the gate")
+      // decontamination law: no eval-deck doc (base id % 97 == 0)
+      assert(id % 10000 % 97 != 0, s"eval doc $id leaked through")
+      // exact-dedup law: no +20000 byte-identical dupe survives (its
+      // original is gated identically and always wins the min-id keep)
+      assert(id < 20000 || !docs.contains(id - 20000),
+        s"exact dupe $id survived next to its original")
+    }
+    // every (lang, shard) group's bin sequence starts at 0 and is
+    // contiguous — the fold never skips a bin
+    out.groupBy(r => (r.getAs[String]("lang"), r.getAs[Long]("shard")))
+      .foreach { case (key, rows) =>
+        val bins = rows.map(_.getAs[Long]("bin_seq")).distinct.sorted.toSeq
+        assert(bins == (0L until bins.length: Seq[Long]),
+          s"$key bins $bins")
+      }
+  }
 }
