@@ -548,13 +548,25 @@ object TextQueries {
         val surv2 = exactKept.join(broadcast(mdrop), Seq("doc_id"), "left_anti")
           .localCheckpoint()
         // 3. decontaminate — drop the eval deck itself (base id ≡ 0
-        // mod 97) and any survivor sharing a 3-gram shingle with it
+        // mod 97) and any survivor whose distinct 3-gram shingles
+        // overlap the eval deck's by >= 20%. RATIO-thresholded, not
+        // >= 1 hit: a templated corpus shares incidental 3-grams
+        // broadly (at sf0.1, 94% of docs hit >= 1 eval shingle — a
+        // hit-any rule would nuke the corpus), while >= 20% distinct-
+        // shingle overlap isolates the eval docs and their true
+        // near-copies at every sf. The hit table is output-sized; the
+        // per-doc totals are one distinct+count over the shingle
+        // stream — the standard decontamination-index shape.
         val evalSh = shingleHashes(docs.select("doc_id", "text")
             .filter(col("doc_id") % 97 === 0))
           .select("hv").distinct()
-        val contaminated = shingleHashes(surv2.select("doc_id", "text"))
-          .join(broadcast(evalSh), "hv")
-          .select("doc_id").distinct()
+        val survSh = shingleHashes(surv2.select("doc_id", "text")).distinct()
+        val contaminated = survSh
+          .join(broadcast(evalSh.withColumn("hit", lit(1))), Seq("hv"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_sh"), count(col("hit")).as("n_hit"))
+          .filter(col("n_hit") * 5 >= col("n_sh"))
+          .select("doc_id")
         val surv3 = surv2.filter(col("doc_id") % 10000 % 97 =!= 0)
           .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
         // 4. temperature mix (T=2) — per-lang keep rates from the
@@ -640,8 +652,12 @@ object TextQueries {
         |       WHERE doc_id NOT IN (SELECT doc_id FROM mdrop)),
         |evh AS (SELECT DISTINCT hv FROM hv
         |        WHERE doc_id < 10000 AND doc_id % 97 = 0),
-        |ct AS (SELECT DISTINCT s.doc_id FROM hv s
-        |       JOIN evh ON evh.hv = s.hv),
+        |tot AS (SELECT doc_id, count(DISTINCT hv) AS n_sh
+        |        FROM hv GROUP BY 1),
+        |hitn AS (SELECT s.doc_id, count(DISTINCT s.hv) AS n_hit
+        |         FROM hv s JOIN evh ON evh.hv = s.hv GROUP BY 1),
+        |ct AS (SELECT t.doc_id FROM tot t JOIN hitn h USING (doc_id)
+        |       WHERE h.n_hit * 5 >= t.n_sh),
         |dc AS (SELECT doc_id, n_tokens FROM mk
         |       WHERE doc_id % 10000 % 97 <> 0
         |         AND doc_id NOT IN (SELECT doc_id FROM ct)),
