@@ -1497,6 +1497,63 @@ object TextQueries {
         |SELECT a.doc_id, nb.n_blocks, a.n_kept, a.clean_text
         |FROM agg a JOIN nb ON nb.doc_id = a.doc_id""".stripMargin)),
 
+    // Gopher's REPETITION rules (the §A1 section quality_gopher_rules
+    // does not cover): a doc is repetitious when its most frequent
+    // 2-gram accounts for too much of the text or too many of its
+    // 3-grams occur more than once — the filter that kills boilerplate
+    // and keyword-stuffed pages. Exact integer permille on both sides;
+    // each fraction is one partial-aggregated groupBy over the doc's
+    // own n-grams (key = (doc_id, gram), so state is bounded by a
+    // doc's distinct grams — never global), then a per-doc argmax/sum
+    // fold. Scale shape: two keyed shuffles of (doc, gram, count)
+    // streams, no window over the corpus, no driver state.
+    "quality_repetition" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 3)
+        val g2 = docs.select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(w) - 2), " +
+            "i -> concat(w[i], ' ', w[i+1]))")).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+          .groupBy("doc_id").agg(sum("n").as("n2"), max("n").as("top2"))
+        val g3 = docs.select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(w) - 3), " +
+            "i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))")).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+          .groupBy("doc_id").agg(sum("n").as("n3"),
+            sum(when(col("n") > 1, col("n")).otherwise(0L)).as("dup3"))
+        g2.join(g3, Seq("doc_id"))
+          .select(col("doc_id"),
+            expr("top2 * 1000 div n2").as("top2_permille"),
+            expr("dup3 * 1000 div n3").as("dup3_permille"),
+            (expr("top2 * 1000 div n2") < 180 &&
+              expr("dup3 * 1000 div n3") < 300).as("keep"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+        |       FROM documents),
+        |wf AS (SELECT * FROM w WHERE len(w) >= 3),
+        |g2 AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+        |       FROM (SELECT doc_id, w,
+        |               unnest(generate_series(1, len(w) - 1)) AS i
+        |             FROM wf)),
+        |c2 AS (SELECT doc_id, g, count(*) AS n FROM g2 GROUP BY 1, 2),
+        |s2 AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n2,
+        |         CAST(max(n) AS BIGINT) AS top2 FROM c2 GROUP BY 1),
+        |g3 AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |       FROM (SELECT doc_id, w,
+        |               unnest(generate_series(1, len(w) - 2)) AS i
+        |             FROM wf)),
+        |c3 AS (SELECT doc_id, g, count(*) AS n FROM g3 GROUP BY 1, 2),
+        |s3 AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n3,
+        |         CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+        |           AS dup3
+        |       FROM c3 GROUP BY 1)
+        |SELECT s2.doc_id, top2 * 1000 // n2 AS top2_permille,
+        |  dup3 * 1000 // n3 AS dup3_permille,
+        |  (top2 * 1000 // n2 < 180 AND dup3 * 1000 // n3 < 300) AS keep
+        |FROM s2 JOIN s3 ON s3.doc_id = s2.doc_id""".stripMargin)),
+
     // LM-probability quality filter (the CCNet shape: score each doc
     // under a language model trained on the corpus itself and drop
     // the improbable tail — here a bigram MLE proxy instead of a
