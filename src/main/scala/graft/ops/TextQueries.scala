@@ -557,8 +557,15 @@ object TextQueries {
         // near-copies at every sf. The hit table is output-sized; the
         // per-doc totals are one distinct+count over the shingle
         // stream — the standard decontamination-index shape.
+        // the deck is FIXED (base ids only, < 10000 — the same bound
+        // the oracle's evh states): a deck that scaled with the corpus
+        // would blanket a templated shingle space as the corpus grows
+        // (measured on the sf1 replica corpus: a corpus-proportional
+        // deck marked 49,992 of 50,000 docs ≥20%-contaminated and the
+        // packed output collapsed to zero — benchmarks are a constant,
+        // never a corpus fraction)
         val evalSh = shingleHashes(docs.select("doc_id", "text")
-            .filter(col("doc_id") % 97 === 0))
+            .filter(col("doc_id") % 97 === 0 && col("doc_id") < 10000))
           .select("hv").distinct()
         val survSh = shingleHashes(surv2.select("doc_id", "text")).distinct()
         val contaminated = survSh
@@ -1509,21 +1516,27 @@ object TextQueries {
     // streams, no window over the corpus, no driver state.
     "quality_repetition" -> Q(
       (s, dir) => {
-        val docs = table(s, dir, "documents")
+        // BOTH gram orders in one explosion (tagged), so the corpus is
+        // scanned and shuffled once — separate 2-gram/3-gram branches
+        // would scan twice and meet in a join
+        val grams = table(s, dir, "documents")
           .select(col("doc_id"), split(col("text"), " ").as("w"))
           .filter(size(col("w")) >= 3)
-        val g2 = docs.select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(w) - 2), " +
-            "i -> concat(w[i], ' ', w[i+1]))")).as("g"))
-          .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
-          .groupBy("doc_id").agg(sum("n").as("n2"), max("n").as("top2"))
-        val g3 = docs.select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(w) - 3), " +
-            "i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))")).as("g"))
-          .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
-          .groupBy("doc_id").agg(sum("n").as("n3"),
-            sum(when(col("n") > 1, col("n")).otherwise(0L)).as("dup3"))
-        g2.join(g3, Seq("doc_id"))
+          .select(col("doc_id"), explode(expr(
+            "concat(" +
+              "transform(sequence(0, size(w) - 2), " +
+              "  i -> struct(2L AS t, concat(w[i], ' ', w[i+1]) AS g)), " +
+              "transform(sequence(0, size(w) - 3), " +
+              "  i -> struct(3L AS t, concat(w[i], ' ', w[i+1], ' ', w[i+2]) AS g)))"))
+            .as("x"))
+          .select(col("doc_id"), col("x.t").as("t"), col("x.g").as("g"))
+        grams.groupBy("doc_id", "t", "g").agg(count(lit(1)).as("n"))
+          .groupBy("doc_id").agg(
+            sum(when(col("t") === 2, col("n")).otherwise(0L)).as("n2"),
+            max(when(col("t") === 2, col("n"))).as("top2"),
+            sum(when(col("t") === 3, col("n")).otherwise(0L)).as("n3"),
+            sum(when(col("t") === 3 && col("n") > 1, col("n"))
+              .otherwise(0L)).as("dup3"))
           .select(col("doc_id"),
             expr("top2 * 1000 div n2").as("top2_permille"),
             expr("dup3 * 1000 div n3").as("dup3_permille"),
