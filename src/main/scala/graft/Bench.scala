@@ -156,6 +156,25 @@ object Bench {
     totalBytes / 1e6 / sec
   }
 
+  /** Pure core of the outlier-retry policy (unit-tested in
+    * BenchRetrySpec — the path only executes on a contended box, so
+    * the decision logic must be provably right before it ever fires):
+    * given a query's rep walls and a re-measured wall, replace the
+    * WORST rep iff the re-run beat it. Never touches any other rep —
+    * the median can only move toward the uncontended value, and a
+    * retry that is itself contended leaves the data unchanged.
+    */
+  private[graft] def foldRetry(reps: Vector[Double], retryWall: Double)
+      : (Vector[Double], Boolean) = {
+    val worst = reps.indexOf(reps.max)
+    if (retryWall < reps(worst)) (reps.updated(worst, retryWall), true)
+    else (reps, false)
+  }
+
+  /** max/median spread — the published trust stat the retry targets. */
+  private[graft] def spreadOf(reps: Seq[Double]): Double =
+    reps.max / math.max(reps.sorted.apply(reps.size / 2), 1e-9)
+
   /** Locale-independent decimal rendering for JSON. */
   private def num(v: Double, decimals: Int): String =
     String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
@@ -392,15 +411,14 @@ object Bench {
     if (!cutoutOnly) {
       var budget = 60
       val byName = sorted.toMap
-      def spread(v: Seq[Double]): Double = v.max / math.max(median(v), 1e-9)
       val outliers = timings.toSeq
-        .filter { case (n, v) => !errs.contains(n) && spread(v) > SpreadTarget }
-        .sortBy { case (_, v) => -spread(v) }
+        .filter { case (n, v) => !errs.contains(n) && spreadOf(v) > SpreadTarget }
+        .sortBy { case (_, v) => -spreadOf(v) }
         .map(_._1)
       outliers.foreach { name =>
         var attempt = 0
         while (attempt < 3 && budget > 0 &&
-            spread(timings(name)) > SpreadTarget) {
+            spreadOf(timings(name)) > SpreadTarget) {
           attempt += 1; budget -= 1
           val gc0 = gcTimeMs(); val ld = loadAvg()
           val t0 = System.nanoTime()
@@ -408,11 +426,10 @@ object Bench {
           catch { case _: Throwable => () } // already recorded in the pass loop
           val dt = (System.nanoTime() - t0) / 1e9
           graft.ops.BlockPins.sweep(spark, baselineIds)
-          val v = timings(name)
-          val worst = v.indexOf(v.max)
-          val replaced = dt < v.max
-          if (replaced) timings(name) = v.updated(worst, dt)
-          retryRecs += RetryRec(name, attempt, v.max, dt,
+          val oldMax = timings(name).max
+          val (folded, replaced) = foldRetry(timings(name), dt)
+          timings(name) = folded
+          retryRecs += RetryRec(name, attempt, oldMax, dt,
             gcTimeMs() - gc0, ld, replaced)
         }
       }
