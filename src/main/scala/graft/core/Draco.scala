@@ -488,7 +488,27 @@ object Draco {
 
   // ---------- top level ----------
 
-  def decode(data: Array[Byte]): Mesh = {
+  def decode(data: Array[Byte]): Mesh =
+    // hostile-input contract: every failure mode surfaces as
+    // IllegalArgumentException (the declared error type the chunk/mesh
+    // readers catch) — a truncated buffer otherwise escapes as the
+    // JVM's bounds check from the hot byte-reader paths
+    try decodeImpl(data)
+    catch {
+      case e: IndexOutOfBoundsException => // array reads + ByteBuffer.wrap
+        throw new IllegalArgumentException(
+          "truncated or corrupt draco stream", e)
+      case e: NegativeArraySizeException =>
+        throw new IllegalArgumentException(
+          "corrupt draco stream (negative size field)", e)
+      case e: IllegalStateException =>
+        // the walk-termination guards: a corrupt stream can encode
+        // inconsistent connectivity whose boundary walks never close
+        throw new IllegalArgumentException(
+          "corrupt draco stream (inconsistent connectivity)", e)
+    }
+
+  private def decodeImpl(data: Array[Byte]): Mesh = {
     val b = new Buf(data, 0)
     require(new String(b.raw(5), "ASCII") == "DRACO", "not a draco stream")
     val major = b.u8(); val minor = b.u8()
@@ -505,13 +525,29 @@ object Draco {
     }
     val trav = b.u8()
     require(trav == 0, s"only standard edgebreaker traversal supported, got $trav")
-    val numVertices = b.varintI()
-    val numFaces = b.varintI()
+    // decode-bomb rail (same concern as Brotli.decompress's maxOutput):
+    // the count varints drive array allocations, and a corrupt stream
+    // can claim 2^31 faces from a few hundred bytes — an executor OOM,
+    // not an error row. The per-byte bound is generous (256 elements
+    // per input byte — real fragments carry 1-3 BYTES per vertex of
+    // quantized position data) with a 2^26 absolute ceiling; every
+    // committed real fragment sits orders of magnitude below both.
+    val bombCap: Long =
+      math.min(1L << 26, math.max(1024L, 256L * data.length))
+    def capped(name: String): Int = {
+      val v = b.varintI()
+      require(v >= 0 && v <= bombCap,
+        s"draco $name $v exceeds the ${bombCap}-element decode ceiling " +
+          s"for a ${data.length}-byte stream")
+      v
+    }
+    val numVertices = capped("vertex count")
+    val numFaces = capped("face count")
     require(b.u8() == 0, "attribute seams unsupported")
-    val numSymbols = b.varintI()
+    val numSymbols = capped("symbol count")
     b.varint() // num encoded split symbols (informational)
     // topology split events, inline before the traversal data
-    val numSplits = b.varintI()
+    val numSplits = capped("split count")
     var splitBySource = Map.empty[Int, List[(Int, Int)]]
     if (numSplits > 0) {
       val raw = new Array[(Int, Int)](numSplits)

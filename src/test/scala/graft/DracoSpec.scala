@@ -88,6 +88,44 @@ class DracoSpec extends AnyFunSuite {
     assert(totalF == 10370, s"total faces $totalF")
   }
 
+  test("mutation/truncation fuzz: every failure is the declared error type, bounded") {
+    // the decoder sits on the mesh read path: hostile bytes must
+    // terminate as IllegalArgumentException (never a hang, an escaped
+    // JVM bounds check, or a multi-GB decode-bomb allocation — the
+    // count varints are capped at 256 elements per input byte)
+    val rnd = new scala.util.Random(20260816)
+    val frs = fragments
+    val samples = Seq(frs.head, frs(frs.size / 2), frs.last)
+    for (p <- samples) {
+      val base = Files.readAllBytes(p)
+      for (_ <- 1 to 250) {
+        val mutated = base.clone()
+        rnd.nextInt(3) match {
+          case 0 =>
+            val i = rnd.nextInt(mutated.length)
+            mutated(i) = (mutated(i) ^ (1 << rnd.nextInt(8))).toByte
+          case 1 =>
+            mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+          case _ => ()
+        }
+        val input = if (rnd.nextBoolean()) mutated
+          else java.util.Arrays.copyOf(mutated, 1 + rnd.nextInt(mutated.length))
+        try {
+          val m = Draco.decode(input)
+          // a survivor must still be self-consistent
+          assert(m.positions.length == m.numVertices * 3)
+          assert(m.faces.forall(v => v >= 0 && v < m.numVertices))
+        } catch {
+          case _: IllegalArgumentException => // the declared error type
+        }
+      }
+    }
+    // the decode-bomb rail specifically: a tiny stream claiming 2^28
+    // vertices must be rejected by the ceiling, not allocated
+    val bomb = Files.readAllBytes(samples.head).take(30)
+    intercept[IllegalArgumentException](Draco.decode(bomb))
+  }
+
   test("tiny fragment decodes to the known 9-vertex fan") {
     val p = fragments.find(_.getFileName.toString.startsWith("186578533298995658")).get
     val m = Draco.decode(Files.readAllBytes(p))
