@@ -153,10 +153,33 @@ object Compresso {
     java.util.Arrays.binarySearch(labels(payload), label) >= 0
 
   /** Decode to voxel labels in F-order (index = x + sx*(y + sy*z)). */
-  def decode(payload: Array[Byte]): (Vec3, Array[Long]) = {
+  /** Decode-bomb ceiling: the header's u16 dims are untrusted bytes,
+    * and sx*sy*sz drives the two output allocations — a corrupt header
+    * can claim 30000³ voxels from a 40-byte payload (multi-GB alloc or
+    * silent Int overflow), where real compresso chunks top out around
+    * 512×512×64 = 2^24. Same concern as Brotli.decompress's maxOutput
+    * and the draco count rails.
+    */
+  val MaxVoxels: Long = 1L << 25
+
+  def decode(payload: Array[Byte]): (Vec3, Array[Long]) =
+    try decodeImpl(payload)
+    catch {
+      case e: IndexOutOfBoundsException => // truncated stream: buffer reads
+        throw new IllegalArgumentException(
+          "truncated or corrupt compresso payload", e)
+      case e: NegativeArraySizeException =>
+        throw new IllegalArgumentException(
+          "corrupt compresso payload (negative size field)", e)
+    }
+
+  private def decodeImpl(payload: Array[Byte]): (Vec3, Array[Long]) = {
     val h = parseHeader(payload)
     val b = buf(payload)
     val sx = h.sx; val sy = h.sy; val sz = h.sz
+    require(sx.toLong * sy * sz <= MaxVoxels,
+      s"compresso dims ${sx}x${sy}x$sz exceed the $MaxVoxels-voxel " +
+        "decode ceiling")
     val nwx = sx / 4; val nwy = sy / 4
     val slice = sx * sy
 

@@ -59,6 +59,41 @@ class CompressoSpec extends AnyFunSuite {
     assert(!Compresso.contains(payload, 42L))
   }
 
+  test("mutation/truncation fuzz: declared error type, bounded allocations") {
+    // hostile-input contract (the brotli/draco pattern): mutated or
+    // truncated payloads terminate as IllegalArgumentException or
+    // decode to a self-consistent volume — never a hang, an escaped
+    // bounds check, or a header-driven multi-GB allocation
+    val base = readChunk("8_8_40/512-768_0-256_128-192.gz")
+    val rnd = new scala.util.Random(20260816)
+    for (_ <- 1 to 400) {
+      val mutated = base.clone()
+      rnd.nextInt(3) match {
+        case 0 =>
+          val i = rnd.nextInt(mutated.length)
+          mutated(i) = (mutated(i) ^ (1 << rnd.nextInt(8))).toByte
+        case 1 =>
+          mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+        case _ => ()
+      }
+      val input = if (rnd.nextBoolean()) mutated
+        else java.util.Arrays.copyOf(mutated, 1 + rnd.nextInt(mutated.length))
+      try {
+        val (dims, vox) = Compresso.decode(input)
+        assert(vox.length == dims.x * dims.y * dims.z)
+      } catch {
+        case _: IllegalArgumentException => // declared rejection
+      }
+    }
+    // the voxel ceiling specifically: a header claiming 30000^2 x 64
+    // voxels must be rejected before allocation
+    val bomb = base.clone()
+    bomb(6) = 0x30; bomb(7) = 0x75 // sx = 30000
+    bomb(8) = 0x30; bomb(9) = 0x75 // sy = 30000
+    val e = intercept[IllegalArgumentException](Compresso.decode(bomb))
+    assert(e.getMessage.contains("ceiling"), e.getMessage)
+  }
+
   test("encode/decode roundtrip on synthetic volumes") {
     val rnd = new scala.util.Random(7)
     for (trial <- 0 until 5) {
