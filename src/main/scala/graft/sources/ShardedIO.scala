@@ -23,6 +23,24 @@ import graft.core._
   */
 object ShardedIO {
 
+  /** Byte-range read validated against the file itself: index offsets
+    * and sizes are UNTRUSTED file bytes, and allocating
+    * `(e0 - s0).toInt` straight off a corrupt index is a decode bomb
+    * (a 2^40 range truncates to a negative or multi-GB allocation
+    * before readFully ever hits EOF) — the same hostile-input rail as
+    * Brotli/Draco/Compresso's output ceilings.
+    */
+  private def rangedRead(raf: RandomAccessFile, s0: Long, e0: Long,
+      what: String): Array[Byte] = {
+    val flen = raf.length()
+    require(s0 >= 0 && e0 >= s0 && e0 <= flen,
+      s"corrupt shard index: $what range [$s0, $e0) outside the " +
+        s"$flen-byte shard file")
+    val buf = new Array[Byte]((e0 - s0).toInt)
+    raf.seek(s0); raf.readFully(buf)
+    buf
+  }
+
   private def mortonUdf(grid: Vec3) =
     udf((gx: Long, gy: Long, gz: Long) =>
       Morton.encode(Vec3(gx, gy, gz), grid))
@@ -65,19 +83,14 @@ object ShardedIO {
       val entries = neededMsn.flatMap { msn =>
         val (s0, e0) = fixed(msn.toInt)
         if (e0 <= s0) Seq.empty
-        else {
-          val buf = new Array[Byte]((e0 - s0).toInt)
-          raf.seek(s0); raf.readFully(buf)
-          ShardCodec.decodeMinishardIndex(buf, spec)
-        }
+        else ShardCodec.decodeMinishardIndex(
+          rangedRead(raf, s0, e0, "minishard index"), spec)
       }.filter(e => want.contains(e.label))
       // coalesce adjacent data ranges into bundled reads (S7/W3)
       val ranges = entries.map(e => (e.offset, e.offset + e.size))
       val bundles = ShardIndex.coalesceRanges(ranges)
       val data = bundles.map { case (s0, e0) =>
-        val buf = new Array[Byte]((e0 - s0).toInt)
-        raf.seek(s0); raf.readFully(buf)
-        (s0, buf)
+        (s0, rangedRead(raf, s0, e0, "data bundle"))
       }
       def slice(off: Long, len: Long): Array[Byte] = {
         val (bs, bbuf) = data.find { case (s0, b) =>
@@ -147,12 +160,9 @@ object ShardedIO {
         val name = Paths.get(path).getFileName.toString
         fixed.zipWithIndex.flatMap { case ((s0, e0), msn) =>
           if (e0 <= s0) Seq.empty
-          else {
-            val buf = new Array[Byte]((e0 - s0).toInt)
-            raf.seek(s0); raf.readFully(buf)
-            ShardCodec.decodeMinishardIndex(buf, spec)
-              .map(e => (name, msn.toLong, e.label, e.offset, e.size))
-          }
+          else ShardCodec.decodeMinishardIndex(
+              rangedRead(raf, s0, e0, "minishard index"), spec)
+            .map(e => (name, msn.toLong, e.label, e.offset, e.size))
         }.toSeq
       } finally raf.close()
     }.toDF("shard_file", "minishard", "label", "offset", "size")

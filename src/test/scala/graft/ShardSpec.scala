@@ -120,6 +120,32 @@ class ShardSpec extends AnyFunSuite {
       ShardingSpec(0, 2, 2, "something else") }
   }
 
+  test("corrupt fixed index fails loudly instead of allocating the claimed range") {
+    // index offsets/sizes are untrusted file bytes: a fixed-index entry
+    // claiming a 2^40 range must be rejected against the file's real
+    // length, never allocated (ShardedIO.rangedRead's bomb rail)
+    val spec = ShardingSpec(preshiftBits = 1, minishardBits = 3,
+      shardBits = 4, hashName = "identity",
+      minishardIndexEncoding = "raw", dataEncoding = "raw")
+    val group = randomGroup(spec, shard = 3, n = 8)
+    val shard = ShardCodec.synthesizeShard(spec, group)
+    val dir = java.nio.file.Files.createTempDirectory("shard_bomb")
+    val p = dir.resolve("3.shard")
+    val corrupt = shard.clone()
+    // EVERY fixed-index entry's end offset = 2^40 (little-endian u64 at
+    // bytes 8 + 16k), so whichever minishard the probe labels hash to
+    // trips the rail — immune to the shared rng's state
+    val bb = java.nio.ByteBuffer.wrap(corrupt)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until (1 << spec.minishardBits)).foreach(k =>
+      bb.putLong(8 + 16 * k, 1L << 40))
+    java.nio.file.Files.write(p, corrupt)
+    val e = intercept[IllegalArgumentException](
+      graft.sources.ShardedIO.readLabelsRangedWithOffsets(
+        p.toString, spec, group.map(_._1)))
+    assert(e.getMessage.contains("corrupt shard index"), e.getMessage)
+  }
+
   test("missing shard file reads as label-absent, not an error") {
     // sharding.py:573-579: a probe hashing to an unwritten shard
     // returns None per label — the ranged reader yields no rows
