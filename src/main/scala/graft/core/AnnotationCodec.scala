@@ -190,6 +190,13 @@ object AnnotationCodec {
     if (!spec.isPolyline)
       require(binary.length == 8 + n * (spec.recordBytes + 8),
         s"length ${binary.length} != expected ${8 + n * (spec.recordBytes + 8)}")
+    else
+      // polyline records are variable-length but each still costs >= 4
+      // bytes (its vertex count) — bound n BEFORE the two n-sized
+      // allocations so a corrupt header can't demand 2^31 slots from a
+      // tiny buffer (decode-bomb rail, as in the chunk codecs)
+      require(n <= binary.length / 4,
+        s"annotation count $n impossible for ${binary.length} bytes")
     val geoms = new Array[Array[Float]](n.toInt)
     val props = new Array[Array[Double]](n.toInt)
     (0 until n.toInt).foreach { i =>

@@ -91,7 +91,10 @@ object MeshCodec {
   def decode(binary: Array[Byte]): MeshFragment = {
     val buf = ByteBuffer.wrap(binary).order(ByteOrder.LITTLE_ENDIAN)
     val nv = buf.getInt()
-    require(binary.length >= 4 + 12 * nv,
+    // nv >= 0 first, and compare in Long: a negative or 2^28+ count
+    // would otherwise pass the Int-overflowed size check and throw a
+    // raw NegativeArraySizeException (or allocate GBs) below
+    require(nv >= 0 && binary.length.toLong >= 4L + 12L * nv,
       s"mesh binary too small: ${binary.length}B for $nv vertices")
     val vertices = new Array[Float](3 * nv)
     var i = 0
