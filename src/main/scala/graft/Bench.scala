@@ -517,12 +517,12 @@ object Bench {
       s"""(task_time 11 s / 32 threads = 0.35 s parallel compute); """ +
       s"""j6b_leaves_stop_layer = 13 frontier-checkpoint jobs x ~0.07 s """ +
       s"""(task_time 0.15 s); j5f_lineage_window = 23 jobs x ~0.04 s; """ +
-      s"""graph_pagerank3/graph_lpa pay ~4 extra checkpoint jobs since """ +
-      s"""the r15 Frontier.fixpoint port (uniform per-round """ +
-      s"""materialization; pagerank 1.3 -> 2.2 s is that job floor, not """ +
-      s"""a plan change) — at bench scale these medians are """ +
-      s"""job-submission floors; the per-job work is the data term """ +
-      s"""that grows at cluster scale"}},""" +
+      s"""graph_pagerank3 after the r16 restructure (degree-annotated """ +
+      s"""adjacency, no rebase join, no single-consumer final """ +
+      s"""checkpoint) = ~13 AQE stage jobs x ~0.1 s over ~0.03 s of """ +
+      s"""parallel compute (Scratch --floor) — at bench scale these """ +
+      s"""medians are job-submission floors; the per-job work is the """ +
+      s"""data term that grows at cluster scale"}},""" +
       s""""outlier_retries":$retriesJson,""" +
       s""""fixture_rebuilds_in_timed_loop":$rebuildsJson,""" +
       s""""n_failed":${errs.size},"errors":$errJson,$mbpsJson,"sf":"$sfDir"}"""
