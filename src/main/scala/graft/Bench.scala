@@ -351,8 +351,25 @@ object Bench {
     // a forensic session.
     case class PassRec(name: String, pass: Int, pos: Int, prev: String,
       wall: Double, gcMs: Long, rebuilds: Int, storageBytes: Long,
-      load: Double)
+      load: Double, jobs: Long, taskMs: Long)
     val passRecs = scala.collection.mutable.ArrayBuffer.empty[PassRec]
+    // Per-entry Spark job count + executor task time (r16 verdict item
+    // 1): "the wall is a job-submission floor" claims must be checkable
+    // IN-SUITE, not only via isolated Scratch --floor reps. Events ride
+    // the async listener bus, so each entry drains the bus (BusDrain)
+    // before snapshotting — the drain happens after the wall clock
+    // stops, so it never inflates the published number.
+    @volatile var jobsSeen = 0L
+    @volatile var taskMsSeen = 0L
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobsSeen += 1
+        override def onStageCompleted(
+            st: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          taskMsSeen += st.stageInfo.taskMetrics.executorRunTime
+      })
     val gcBeans = {
       import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
@@ -372,6 +389,8 @@ object Bench {
       order.zipWithIndex.foreach { case ((name, fn), pos) =>
         val rb0 = graft.ops.FixtureLog.rebuildsSince(0L).size
         val gc0 = gcTimeMs()
+        org.apache.spark.graftbridge.BusDrain.drain(spark.sparkContext)
+        val j0 = jobsSeen; val tm0 = taskMsSeen
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case e: Throwable =>
@@ -380,6 +399,9 @@ object Bench {
         }
         val dt = (System.nanoTime() - t0) / 1e9
         timings(name) = timings.getOrElse(name, Vector.empty) :+ dt
+        // drain AFTER the clock stops: attribution cost, not entry cost
+        org.apache.spark.graftbridge.BusDrain.drain(spark.sparkContext)
+        val dJobs = jobsSeen - j0; val dTaskMs = taskMsSeen - tm0
         // release this invocation's leaked checkpoint/cache blocks
         // (memo-pinned and fixture-era blocks survive), THEN record the
         // resident storage footprint — the breadcrumb that proves (or
@@ -387,7 +409,8 @@ object Bench {
         graft.ops.BlockPins.sweep(spark, baselineIds)
         passRecs += PassRec(name, pass, pos, prev, dt, gcTimeMs() - gc0,
           graft.ops.FixtureLog.rebuildsSince(0L).size - rb0,
-          graft.ops.BlockPins.storageBytes(spark), loadAvg())
+          graft.ops.BlockPins.storageBytes(spark), loadAvg(),
+          dJobs, dTaskMs)
         prev = name
       }
       System.gc()
@@ -408,6 +431,12 @@ object Bench {
       wall: Double, gcMs: Long, load: Double, replaced: Boolean)
     val retryRecs = scala.collection.mutable.ArrayBuffer.empty[RetryRec]
     val SpreadTarget = 5.0
+    // Pre-retry snapshot (r16 advisor): the retry is one-sided (a rerun
+    // can only REPLACE the worst rep when faster), so post-retry medians
+    // are biased down vs the raw 3-pass protocol. Cross-round regression
+    // calls should compare against median_preretry (published per entry
+    // in query_stats whenever it differs).
+    val preRetryTimings: Map[String, Vector[Double]] = timings.toMap
     if (!cutoutOnly) {
       var budget = 60
       val byName = sorted.toMap
@@ -436,9 +465,23 @@ object Bench {
     }
     val results: Seq[(String, Double)] =
       timings.toSeq.map { case (k, v) => k -> median(v) }
+    // per-entry job-count/task-time medians across passes: the in-suite
+    // counterpart of Scratch --floor (jobs x per-job overhead explains a
+    // multi-exchange entry's wall at bench scale)
+    val jobsByName = passRecs.groupBy(_.name).map { case (k, rs) =>
+      k -> (median(rs.map(_.jobs.toDouble).toSeq).toLong,
+            median(rs.map(_.taskMs.toDouble).toSeq).toLong)
+    }
     val statsJson = timings.map { case (k, v) =>
+      val pre = preRetryTimings.get(k).map(median)
+      val preStr = pre.filter(p => math.abs(p - median(v)) > 5e-4)
+        .map(p => ",\"median_preretry\":" + num(p, 3)).getOrElse("")
+      val jobsStr = jobsByName.get(k)
+        .map { case (j, tm) => s""",\"jobs\":$j,\"task_ms\":$tm""" }
+        .getOrElse("")
       s"\"" + k + "\":{\"median\":" + num(median(v), 3) +
-        ",\"min\":" + num(v.min, 3) + ",\"max\":" + num(v.max, 3) + "}"
+        ",\"min\":" + num(v.min, 3) + ",\"max\":" + num(v.max, 3) +
+        preStr + jobsStr + "}"
     }.mkString("{", ",", "}")
     val mbpsStatsJson = mbpsReps.map { case (k, v) =>
       s"\"" + k + "\":{\"median\":" + num(median(v), 1) +
@@ -457,7 +500,8 @@ object Bench {
       s"""{"q":"${jstr(r.name)}","pass":${r.pass},"pos":${r.pos},""" +
       s""""prev":"${jstr(r.prev)}","wall":${num(r.wall, 3)},""" +
       s""""gc_ms":${r.gcMs},"rebuilds":${r.rebuilds},""" +
-      s""""storage_bytes":${r.storageBytes},"load_avg":${num(r.load, 2)}}"""
+      s""""storage_bytes":${r.storageBytes},"load_avg":${num(r.load, 2)},""" +
+      s""""jobs":${r.jobs},"task_ms":${r.taskMs}}"""
     }.mkString("[", ",", "]")
     // outlier-retry audit trail: raw pass walls stay in query_passes;
     // query_stats reflect post-retry values, and this list is the proof
@@ -523,6 +567,11 @@ object Bench {
       s"""parallel compute (Scratch --floor) — at bench scale these """ +
       s"""medians are job-submission floors; the per-job work is the """ +
       s"""data term that grows at cluster scale"}},""" +
+      s""""outlier_retry_policy":"one-sided: a rerun replaces the worst """ +
+      s"""rep only when faster, so post-retry medians are biased down vs """ +
+      s"""the raw 3-pass protocol; regression calls should use """ +
+      s"""query_stats.median_preretry (published when it differs) or the """ +
+      s"""raw walls in query_passes",""" +
       s""""outlier_retries":$retriesJson,""" +
       s""""fixture_rebuilds_in_timed_loop":$rebuildsJson,""" +
       s""""n_failed":${errs.size},"errors":$errJson,$mbpsJson,"sf":"$sfDir"}"""

@@ -252,7 +252,9 @@ object Blosc {
 
   // ---- frame decode ----
 
-  def decompress(frame: Array[Byte]): Array[Byte] = {
+  def decompress(frame: Array[Byte],
+      maxOutput: Int = Codec.MaxDecodedChunkBytes): Array[Byte] =
+      Codec.asCorrupt("blosc") {
     require(frame.length >= 16, s"blosc frame too short: ${frame.length}")
     val hdr = ByteBuffer.wrap(frame, 0, 16).order(ByteOrder.LITTLE_ENDIAN)
     hdr.get() // format version (2 for all c-blosc1 frames — see below)
@@ -262,6 +264,12 @@ object Blosc {
     val nbytes = hdr.getInt
     val blocksize = hdr.getInt
     val cbytes = hdr.getInt
+    // nbytes sizes the output allocation and is UNTRUSTED header
+    // content — the decode-bomb rail (same contract as
+    // Codec.MaxDecodedChunkBytes elsewhere) must fire before it
+    require(nbytes >= 0 && nbytes <= maxOutput,
+      s"blosc declared nbytes $nbytes outside [0, $maxOutput] " +
+        "(corrupt frame or decode bomb)")
     require(cbytes <= frame.length,
       s"blosc cbytes $cbytes > frame ${frame.length}")
     require((flags & DoBitShuffle) == 0,
@@ -269,8 +277,11 @@ object Blosc {
     if ((flags & MemCpyed) != 0) {
       require(frame.length >= 16 + nbytes,
         s"blosc memcpy frame truncated: need ${16 + nbytes}, have ${frame.length}")
-      return java.util.Arrays.copyOfRange(frame, 16, 16 + nbytes)
-    }
+      java.util.Arrays.copyOfRange(frame, 16, 16 + nbytes)
+    } else if (nbytes == 0) Array.emptyByteArray
+    else {
+    require(blocksize > 0,
+      s"corrupt blosc frame: blocksize $blocksize with nbytes $nbytes")
     val code = flags >>> 5
     val doShuf = (flags & DoShuffle) != 0 && ts > 1
     // c-blosc >= 1.14 records the split decision in flag 0x10. The
@@ -283,6 +294,9 @@ object Blosc {
     // only for the header dump.
     val frameSplit = (flags & DontSplit) == 0 && ts > 1
     val nblocks = (nbytes + blocksize - 1) / blocksize
+    require(16L + 4L * nblocks <= frame.length,
+      s"blosc frame truncated: $nblocks-entry block-start table " +
+        s"does not fit in ${frame.length} bytes")
     val bst = ByteBuffer.wrap(frame, 16, 4 * nblocks)
       .order(ByteOrder.LITTLE_ENDIAN)
     val out = new Array[Byte](nbytes)
@@ -296,9 +310,18 @@ object Blosc {
       val block = new Array[Byte](bsize)
       var j = 0
       while (j < nsplits) {
+        // block-start offsets and split sizes are untrusted frame
+        // content: bound every dereference or a corrupt table reads
+        // (or arraycopies) outside the frame
+        require(off >= 0 && off + 4 <= frame.length,
+          s"corrupt blosc frame: split header at $off outside " +
+            s"${frame.length}-byte frame")
         val csize = ByteBuffer.wrap(frame, off, 4)
           .order(ByteOrder.LITTLE_ENDIAN).getInt
         off += 4
+        require(csize >= 0 && off.toLong + csize <= frame.length,
+          s"corrupt blosc frame: split of $csize bytes at $off " +
+            s"outside ${frame.length}-byte frame")
         // the final split of an unsplit leftover block may be ragged
         val want = if (j == nsplits - 1) bsize - j * neblock else neblock
         if (csize == want)
@@ -315,5 +338,6 @@ object Blosc {
       b += 1
     }
     out
+    }
   }
 }

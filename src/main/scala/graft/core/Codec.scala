@@ -129,6 +129,53 @@ object Codec {
 
   // ---- second-stage compression (datasource/precomputed/common.py) ----
 
+  /** Hard ceiling on any single decompressed chunk payload (256 MiB —
+    * comfortably above the largest real chunk in this engine, the
+    * 105 MB benchmark volume, and far below executor OOM). Compressed
+    * bytes are UNTRUSTED: a kilobyte-sized gzip/bzip2/zstd/blosc bomb
+    * must fail as IllegalArgumentException at this rail, not OOM the
+    * executor — the same decode-bomb contract as Brotli.decompress's
+    * maxOutput and Draco/Compresso's element ceilings.
+    */
+  val MaxDecodedChunkBytes: Int = 1 << 28
+
+  /** Decoder-boundary exception contract: these functions take
+    * in-memory UNTRUSTED bytes, so an IOException (stream corruption
+    * detected by the wrapped library), DataFormatException, or any
+    * library RuntimeException (ZstdException, LZ4Exception,
+    * BufferUnderflow) can only mean corrupt input — convert to the
+    * repo-wide IllegalArgumentException with the cause preserved, so
+    * every decode path fails the same declared way.
+    */
+  private[graft] def asCorrupt[T](what: String)(body: => T): T =
+    try body
+    catch {
+      case e: IllegalArgumentException => throw e
+      case e @ (_: java.io.IOException | _: RuntimeException |
+          _: java.util.zip.DataFormatException) =>
+        throw new IllegalArgumentException(
+          s"corrupt $what stream: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName)}", e)
+    }
+
+  /** Drain a decompressor stream with the output ceiling enforced
+    * incrementally, so a decode bomb fails before the big allocation.
+    */
+  private def readCapped(in: java.io.InputStream, maxOutput: Int,
+      what: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(64 * 1024)
+    val buf = new Array[Byte](65536)
+    var n = in.read(buf)
+    while (n >= 0) {
+      if (bos.size.toLong + n > maxOutput)
+        throw new IllegalArgumentException(
+          s"$what output exceeds the $maxOutput-byte ceiling " +
+            "(corrupt stream or decode bomb)")
+      bos.write(buf, 0, n)
+      n = in.read(buf)
+    }
+    bos.toByteArray
+  }
+
   def gzip(data: Array[Byte], level: Int = Deflater.DEFAULT_COMPRESSION)
       : Array[Byte] = {
     val bos = new ByteArrayOutputStream(data.length / 2 + 64)
@@ -139,7 +186,8 @@ object Codec {
     bos.toByteArray
   }
 
-  def gunzip(data: Array[Byte]): Array[Byte] = {
+  def gunzip(data: Array[Byte],
+      maxOutput: Int = MaxDecodedChunkBytes): Array[Byte] = {
     // fast path: single-member gzip carries the exact output size in the
     // ISIZE trailer — inflate straight into one right-sized array. The
     // streaming fallback's ByteArrayOutputStream doubles its way up to
@@ -148,15 +196,13 @@ object Codec {
     // bench breadcrumbs showed as 20-30 ms of GC INSIDE every timed
     // read rep). Integrity matches GZIPInputStream: CRC32 + ISIZE of
     // the inflated bytes are verified, any mismatch falls back.
-    val fast = gunzipExact(data)
-    if (fast != null) fast
-    else {
-      val in = new GZIPInputStream(new ByteArrayInputStream(data))
-      val bos = new ByteArrayOutputStream(data.length * 3 + 64)
-      val buf = new Array[Byte](65536)
-      var n = in.read(buf)
-      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
-      bos.toByteArray
+    asCorrupt("gzip") {
+      val fast = gunzipExact(data, maxOutput)
+      if (fast != null) fast
+      else {
+        val in = new GZIPInputStream(new ByteArrayInputStream(data))
+        readCapped(in, maxOutput, "gzip")
+      }
     }
   }
 
@@ -165,7 +211,7 @@ object Codec {
     * member streams, >2 GB outputs, header variants that fail to
     * parse) — callers fall back to the streaming path.
     */
-  private def gunzipExact(data: Array[Byte]): Array[Byte] = {
+  private def gunzipExact(data: Array[Byte], maxOutput: Int): Array[Byte] = {
     val n = data.length
     if (n < 18 || (data(0) & 0xff) != 0x1f || (data(1) & 0xff) != 0x8b ||
       data(2) != 8) return null
@@ -188,6 +234,14 @@ object Codec {
     val isizeL = (data(n - 4) & 0xffL) | ((data(n - 3) & 0xffL) << 8) |
       ((data(n - 2) & 0xffL) << 16) | ((data(n - 1) & 0xffL) << 24)
     if (isizeL > Int.MaxValue - 8) return null
+    // the ISIZE trailer is untrusted: a bomb claiming a huge output
+    // must fail HERE, before the isize-sized allocation — the streaming
+    // fallback would enforce the same ceiling, but only after this
+    // path had already allocated the claimed size
+    if (isizeL > maxOutput)
+      throw new IllegalArgumentException(
+        s"gzip ISIZE $isizeL exceeds the $maxOutput-byte ceiling " +
+          "(corrupt stream or decode bomb)")
     val isize = isizeL.toInt
     val out = new Array[Byte](isize)
     val inf = new java.util.zip.Inflater(true)
@@ -226,7 +280,8 @@ object Codec {
     bos.toByteArray
   }
 
-  def zlibDecompress(data: Array[Byte]): Array[Byte] = {
+  def zlibDecompress(data: Array[Byte],
+      maxOutput: Int = MaxDecodedChunkBytes): Array[Byte] = asCorrupt("zlib") {
     val inf = new java.util.zip.Inflater()
     inf.setInput(data)
     val bos = new ByteArrayOutputStream(data.length * 3 + 64)
@@ -235,6 +290,10 @@ object Codec {
       val n = inf.inflate(buf)
       if (n == 0 && inf.needsInput())
         throw new IllegalArgumentException("truncated zlib stream")
+      if (bos.size.toLong + n > maxOutput)
+        throw new IllegalArgumentException(
+          s"zlib output exceeds the $maxOutput-byte ceiling " +
+            "(corrupt stream or decode bomb)")
       bos.write(buf, 0, n)
     }
     inf.end()
@@ -249,9 +308,15 @@ object Codec {
   def zstd(data: Array[Byte], level: Int = 3): Array[Byte] =
     com.github.luben.zstd.Zstd.compress(data, level)
 
-  def unzstd(data: Array[Byte]): Array[Byte] = {
+  def unzstd(data: Array[Byte],
+      maxOutput: Int = MaxDecodedChunkBytes): Array[Byte] = {
+    // the frame-header content size is untrusted: bound it before the
+    // n-sized allocation (and before n.toInt can truncate negative)
     val n = com.github.luben.zstd.Zstd.getFrameContentSize(data)
-    com.github.luben.zstd.Zstd.decompress(data, n.toInt)
+    require(n >= 0 && n <= maxOutput,
+      s"zstd declared content size $n outside [0, $maxOutput] " +
+        "(corrupt stream or decode bomb)")
+    asCorrupt("zstd")(com.github.luben.zstd.Zstd.decompress(data, n.toInt))
   }
 
   /** F10 PNG codec for uint8 voxels: the 3-D chunk is reshaped to a
@@ -470,10 +535,13 @@ object Codec {
     bos.toByteArray
   }
 
-  def unlz4Block(data: Array[Byte]): Array[Byte] = {
-    val in = new net.jpountz.lz4.LZ4BlockInputStream(
-      new ByteArrayInputStream(data))
-    try in.readAllBytes() finally in.close()
+  def unlz4Block(data: Array[Byte],
+      maxOutput: Int = MaxDecodedChunkBytes): Array[Byte] = {
+    asCorrupt("lz4") {
+      val in = new net.jpountz.lz4.LZ4BlockInputStream(
+        new ByteArrayInputStream(data))
+      try readCapped(in, maxOutput, "lz4") finally in.close()
+    }
   }
 
   /** N5's bzip2 compression (Bzip2Compression delegates to
@@ -487,10 +555,13 @@ object Codec {
     bos.toByteArray
   }
 
-  def unbzip2(data: Array[Byte]): Array[Byte] = {
-    val in = new org.apache.commons.compress.compressors.bzip2
-      .BZip2CompressorInputStream(new ByteArrayInputStream(data))
-    try in.readAllBytes() finally in.close()
+  def unbzip2(data: Array[Byte],
+      maxOutput: Int = MaxDecodedChunkBytes): Array[Byte] = {
+    asCorrupt("bzip2") {
+      val in = new org.apache.commons.compress.compressors.bzip2
+        .BZip2CompressorInputStream(new ByteArrayInputStream(data))
+      try readCapped(in, maxOutput, "bzip2") finally in.close()
+    }
   }
 
   /** N5's xz compression (XzCompression wraps the org.tukaani LZMA2
@@ -504,9 +575,12 @@ object Codec {
     bos.toByteArray
   }
 
-  def unxz(data: Array[Byte]): Array[Byte] = {
-    val in = new org.tukaani.xz.XZInputStream(new ByteArrayInputStream(data))
-    try in.readAllBytes() finally in.close()
+  def unxz(data: Array[Byte],
+      maxOutput: Int = MaxDecodedChunkBytes): Array[Byte] = {
+    asCorrupt("xz") {
+      val in = new org.tukaani.xz.XZInputStream(new ByteArrayInputStream(data))
+      try readCapped(in, maxOutput, "xz") finally in.close()
+    }
   }
 
   /** F10 npz codec (chunks.py:286-300 encode_npz, :336-338

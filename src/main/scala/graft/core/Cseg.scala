@@ -129,10 +129,31 @@ object Cseg {
     buf.array()
   }
 
+  /** Word accessor over UNTRUSTED bytes: header offsets are file
+    * content, so every dereference is bounds-checked and a corrupt
+    * offset fails as IllegalArgumentException (the repo-wide hostile-
+    * input contract) instead of a raw IndexOutOfBoundsException.
+    */
   private final class Words(bytes: Array[Byte]) {
     private val bb = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    def apply(i: Int): Int = bb.getInt(4 * i)
+    private val nWords = bytes.length / 4
+    def apply(i: Int): Int = {
+      require(i >= 0 && i < nWords,
+        s"corrupt cseg stream: word $i outside the $nWords-word payload")
+      bb.getInt(4 * i)
+    }
+  }
+
+  /** Encoded-bits header field must be one of the spec's widths; any
+    * other value means a corrupt or non-cseg stream (and 1L << bits
+    * would silently wrap for bits > 63).
+    */
+  private def checkBits(bits: Int): Int = {
+    require(bits == 0 || bits == 1 || bits == 2 || bits == 4 ||
+        bits == 8 || bits == 16 || bits == 32,
+      s"corrupt cseg stream: encoded-bits $bits not in {0,1,2,4,8,16,32}")
+    bits
   }
 
   /** Decode to F-order voxels. */
@@ -155,7 +176,7 @@ object Cseg {
         var bx = 0
         while (bx < gx) {
           val w0 = w(chOff + bi * 2)
-          val bits = w0 >>> 24
+          val bits = checkBits(w0 >>> 24)
           val tableOff = chOff + (w0 & 0xffffff)
           val valOff = chOff + w(chOff + bi * 2 + 1)
           val mask = if (bits == 0) 0L else (1L << bits) - 1L
@@ -208,7 +229,8 @@ object Cseg {
     val gz = Geom.ceilDiv(volSize.z, blockSize.z).toInt
     (0 until gx * gy * gz).map { bi =>
       val w0 = w(chOff + bi * 2)
-      (w0 >>> 24, chOff + (w0 & 0xffffff), chOff + w(chOff + bi * 2 + 1))
+      (checkBits(w0 >>> 24), chOff + (w0 & 0xffffff),
+        chOff + w(chOff + bi * 2 + 1))
     }
   }
 
@@ -329,7 +351,7 @@ object Cseg {
     val bz = (z / blockSize.z).toInt
     val bi = bx + gx * (by + gy * bz)
     val w0 = w(chOff + bi * 2)
-    val bits = w0 >>> 24
+    val bits = checkBits(w0 >>> 24)
     val tableOff = chOff + (w0 & 0xffffff)
     val valOff = chOff + w(chOff + bi * 2 + 1)
     val i = (x % blockSize.x + blockSize.x *

@@ -46,13 +46,30 @@ object SkeletonCodec {
   }
 
   def decode(binary: Array[Byte]): Skeleton = {
+    require(binary.length >= 8,
+      s"skeleton binary ${binary.length}B shorter than the 8-byte header")
     val buf = ByteBuffer.wrap(binary).order(ByteOrder.LITTLE_ENDIAN)
     val nv = buf.getInt()
     val ne = buf.getInt()
-    require(binary.length == 8 + 12 * nv + 8 * ne + 4 * nv + nv,
-      s"skeleton binary ${binary.length}B != expected for nv=$nv ne=$ne")
+    // counts are UNTRUSTED: negative or huge values must fail here, not
+    // as a NegativeArraySizeException/OOM in Array.fill — and the
+    // expected-length check must run in Long arithmetic, or a crafted
+    // nv can wrap 32-bit math back onto the actual payload length
+    require(nv >= 0 && ne >= 0,
+      s"corrupt skeleton binary: negative counts nv=$nv ne=$ne")
+    val expected = 8L + 12L * nv + 8L * ne + 4L * nv + nv.toLong
+    require(binary.length.toLong == expected,
+      s"skeleton binary ${binary.length}B != expected $expected for nv=$nv ne=$ne")
     val vertices = Array.fill(3 * nv)(buf.getFloat())
     val edges = Array.fill(2 * ne)(buf.getInt())
+    // edge endpoints feed array indexing in every downstream op
+    // (adjacency/paths/components); validate once at the trust boundary
+    var i = 0
+    while (i < edges.length) {
+      require(edges(i) >= 0 && edges(i) < nv,
+        s"corrupt skeleton binary: edge endpoint ${edges(i)} outside [0, $nv)")
+      i += 1
+    }
     val radii = Array.fill(nv)(buf.getFloat())
     val vtypes = new Array[Byte](nv)
     buf.get(vtypes)

@@ -151,16 +151,29 @@ object N5IO {
   /** Decode one block -> (clamped dims, F-order voxels). */
   def decodeBlock(binary: Array[Byte], dtb: Int, compression: String)
       : (Vec3, Array[Long]) = {
+    require(binary.length >= 16,
+      s"n5 block ${binary.length}B shorter than the 16-byte header")
     val buf = ByteBuffer.wrap(binary).order(ByteOrder.BIG_ENDIAN)
     val mode = buf.getShort()
     require(mode == 0, s"n5 mode $mode unsupported (image.py:55-61)")
     val ndim = buf.getShort()
     require(ndim == 3, s"ndim $ndim")
     val dims = Vec3(buf.getInt().toLong, buf.getInt().toLong, buf.getInt().toLong)
+    // header dims are untrusted and size the decode: negative or
+    // bomb-sized dims must fail here, before decompression allocates.
+    // Per-axis bound first so the product below cannot overflow Long
+    // (3 x 20 bits + 3 bits of dtype width < 63).
+    require(dims.x > 0 && dims.y > 0 && dims.z > 0 &&
+        dims.x <= (1 << 20) && dims.y <= (1 << 20) && dims.z <= (1 << 20),
+      s"corrupt n5 block header: dims $dims outside (0, 2^20] per axis")
+    val nvox = dims.x * dims.y * dims.z
+    require(nvox * dtb <= Codec.MaxDecodedChunkBytes,
+      s"corrupt n5 block header: dims $dims (x$dtb B/voxel) outside " +
+        s"the ${Codec.MaxDecodedChunkBytes}-byte decode ceiling")
     val body = java.util.Arrays.copyOfRange(binary, 16, binary.length)
     val data = unpack(compression, body)
     val vox = Codec.decodeRawToLongs(data, dtb, ByteOrder.BIG_ENDIAN)
-    require(vox.length == dims.x * dims.y * dims.z,
+    require(vox.length == nvox,
       s"block ${vox.length} voxels != ${dims}")
     (dims, vox)
   }

@@ -416,10 +416,21 @@ final class NgMicroBatchStream(layerDir: String, scale: ScaleMeta,
     n.stripSuffix(".gz").stripSuffix(".br")
   private val entries = new scala.collection.mutable.ArrayBuffer[String]
   private val seen = new scala.collection.mutable.HashSet[String]
+  // A duplicate-base journal line is TOMBSTONED, not dropped: a journal
+  // written before the dedup rule can hold both 'name' and 'name.gz',
+  // and Spark's committed offsets index journal LINES — shrinking
+  // `entries` on recovery would silently shift every later offset
+  // (skip/re-emit on restart). The tombstone keeps the offset space
+  // 1:1 with journal lines; gridOf() cannot parse it, so the cell is
+  // still emitted exactly once (r16 advisor).
+  private val DupTombstone = "#dup "
   if (Files.exists(journal)) {
     import scala.jdk.CollectionConverters._
     Files.readAllLines(journal).asScala.foreach { l =>
-      if (l.nonEmpty && seen.add(baseName(l))) entries += l
+      if (l.nonEmpty) {
+        if (seen.add(baseName(l))) entries += l
+        else entries += DupTombstone + l
+      }
     }
   }
   private var availableNowTarget: Option[Long] = None

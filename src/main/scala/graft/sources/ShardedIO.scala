@@ -36,6 +36,12 @@ object ShardedIO {
     require(s0 >= 0 && e0 >= s0 && e0 <= flen,
       s"corrupt shard index: $what range [$s0, $e0) outside the " +
         s"$flen-byte shard file")
+    // for shard files over 2 GiB an in-bounds corrupt range can still
+    // exceed a JVM array: (e0-s0).toInt would wrap negative and throw
+    // a raw NegativeArraySizeException instead of this rail
+    require(e0 - s0 <= Int.MaxValue,
+      s"corrupt shard index: $what range [$s0, $e0) spans " +
+        s"${e0 - s0} bytes, beyond the 2 GiB single-read ceiling")
     val buf = new Array[Byte]((e0 - s0).toInt)
     raf.seek(s0); raf.readFully(buf)
     buf

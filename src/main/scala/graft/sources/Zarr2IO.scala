@@ -534,6 +534,10 @@ object Zarr2IO {
           if (!Files.exists(p)) Array.fill((cs.x * cs.y * cs.z).toInt)(fill)
           else Codec.decodeRawToLongs(unpack(meta, Files.readAllBytes(p)),
             dtb, bo)
+        // a corrupt object decoding to the wrong voxel count must fail
+        // here, not as a raw index error in the clip loop below
+        require(vox.length == cs.x * cs.y * cs.z,
+          s"corrupt zarr2 chunk $p: ${vox.length} voxels != chunk shape $cs")
         val lo = Vec3(gx * cs.x, gy * cs.y, gz * cs.z)
         val out = scala.collection.mutable.ArrayBuffer
           .empty[(Long, Long, Long, Long)]
@@ -586,6 +590,10 @@ object Zarr2IO {
             if (isF) Codec.decodeRawToLongs(raw, dtb, bo)
             else Zarr3IO.decodeChunkToF(raw, cs, dtb, bo)
           }
+        // decodeChunkToF validates the count; the F path must too — a
+        // corrupt object fails loudly, not as a raw index error below
+        require(vox.length == cs.x * cs.y * cs.z,
+          s"corrupt zarr2 chunk $p: ${vox.length} voxels != chunk shape $cs")
         val lo = Vec3(gx * cs.x, gy * cs.y, gz * cs.z)
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
         var z = math.max(lo.z, clip.minpt.z)

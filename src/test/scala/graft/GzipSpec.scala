@@ -64,6 +64,8 @@ class GzipSpec extends AnyFunSuite {
     val data = Array.tabulate[Byte](4096)(i => i.toByte)
     val gz = Codec.gzip(data)
     gz(gz.length - 5) = (gz(gz.length - 5) ^ 0x55).toByte // flip CRC byte
-    intercept[java.io.IOException](Codec.gunzip(gz))
+    // decoder-boundary contract (r17): corrupt in-memory streams fail
+    // as IllegalArgumentException, never a library IOException
+    intercept[IllegalArgumentException](Codec.gunzip(gz))
   }
 }

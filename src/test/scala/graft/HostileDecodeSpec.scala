@@ -1,0 +1,267 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.core._
+import graft.sources.{N5IO, Zarr2IO}
+
+/** Hostile-input contract for the four decode paths the r16 round
+  * left uncovered (cseg, skeleton binary, the zarr2 compressor chain,
+  * n5 blocks) plus the shared second-stage codecs they ride on.
+  * Mirrors DracoSpec's treatment: mutation + truncation fuzz over
+  * real encoded payloads, decode-bomb ceilings, and the invariant
+  * that EVERY failure surfaces as IllegalArgumentException — never a
+  * raw bounds error, a NegativeArraySizeException, a wrapped-library
+  * IOException, or a multi-GB allocation. Reference risk:
+  * chunks.py:362-484 codec-level ops trust header counts the same
+  * way these paths do.
+  */
+class HostileDecodeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val rnd = new scala.util.Random(20260817)
+
+  /** One fuzz round: bit-flip or byte-set, then maybe truncate. */
+  private def mutate(base: Array[Byte]): Array[Byte] = {
+    val m = base.clone()
+    if (m.nonEmpty) rnd.nextInt(3) match {
+      case 0 =>
+        val i = rnd.nextInt(m.length)
+        m(i) = (m(i) ^ (1 << rnd.nextInt(8))).toByte
+      case 1 => m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      case _ => ()
+    }
+    if (m.nonEmpty && rnd.nextBoolean())
+      java.util.Arrays.copyOf(m, 1 + rnd.nextInt(m.length))
+    else m
+  }
+
+  /** Run `decode` over `rounds` mutations of `base`; any failure must
+    * be IllegalArgumentException (NumberFormatException included) —
+    * anything else (raw index errors, NegativeArraySize, OOM-path
+    * allocations, library IOExceptions) fails the test loudly.
+    */
+  private def fuzz(base: Array[Byte], rounds: Int)(decode: Array[Byte] => Any)
+      : Unit = {
+    for (r <- 1 to rounds) {
+      val input = mutate(base)
+      try { decode(input); () }
+      catch {
+        case _: IllegalArgumentException => () // the declared error type
+        case e: Throwable =>
+          fail(s"round $r: ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+  }
+
+  // ---- cseg -------------------------------------------------------
+
+  private val csegVol = Vec3(13, 9, 6)
+  private val csegBlock = Vec3(8, 8, 8)
+  private def csegVox: Array[Long] = {
+    val r = new scala.util.Random(5)
+    Array.fill((csegVol.x * csegVol.y * csegVol.z).toInt)(
+      r.nextInt(40).toLong * 0x100000007L)
+  }
+
+  test("cseg: mutation/truncation fuzz over decode/labels/contains/readVoxel") {
+    for (dtb <- Seq(4, 8)) {
+      val vox = if (dtb == 4) csegVox.map(_ & 0xffffffffL) else csegVox
+      val enc = Cseg.encode(vox, csegVol, csegBlock, dtb)
+      // sanity: the clean stream still round-trips
+      assert(Cseg.decode(enc, csegVol, csegBlock, dtb).toSeq == vox.toSeq)
+      fuzz(enc, 300)(b => Cseg.decode(b, csegVol, csegBlock, dtb))
+      fuzz(enc, 150)(b => Cseg.labels(b, csegVol, csegBlock, dtb))
+      fuzz(enc, 150)(b => Cseg.contains(b, csegVol, csegBlock, dtb, vox(0)))
+      fuzz(enc, 150)(b => Cseg.readVoxel(b, csegVol, csegBlock, dtb, 5, 3, 2))
+      fuzz(enc, 150)(b => Cseg.remap(b, csegVol, csegBlock, dtb,
+        Map.empty[Long, Long], preserveMissing = true))
+    }
+  }
+
+  test("cseg: corrupt header offsets and widths fail as the declared type") {
+    val enc = Cseg.encode(csegVox, csegVol, csegBlock, 8)
+    // channel offset pointing far outside the stream
+    val far = enc.clone()
+    ByteBuffer.wrap(far).order(ByteOrder.LITTLE_ENDIAN).putInt(0, 1 << 28)
+    intercept[IllegalArgumentException](
+      Cseg.decode(far, csegVol, csegBlock, 8))
+    // encoded-bits not in {0,1,2,4,8,16,32}
+    val badBits = enc.clone()
+    val bb = ByteBuffer.wrap(badBits).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, (bb.getInt(4) & 0xffffff) | (3 << 24))
+    intercept[IllegalArgumentException](
+      Cseg.decode(badBits, csegVol, csegBlock, 8))
+    // empty / sub-header streams
+    intercept[IllegalArgumentException](
+      Cseg.decode(Array.emptyByteArray, csegVol, csegBlock, 8))
+    intercept[IllegalArgumentException](
+      Cseg.labels(Array[Byte](1, 2), csegVol, csegBlock, 8))
+  }
+
+  // ---- skeleton binary --------------------------------------------
+
+  private def testSkeleton: SkeletonCodec.Skeleton = SkeletonCodec.Skeleton(
+    vertices = Array.tabulate(30)(i => i.toFloat * 1.5f),
+    edges = Array(0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6, 7, 7, 8, 8, 9),
+    radii = Array.tabulate(10)(i => 0.5f + i),
+    vertexTypes = Array.tabulate(10)(i => (i % 5).toByte))
+
+  test("skeleton: mutation/truncation fuzz over decode (+ downstream ops)") {
+    val enc = SkeletonCodec.encode(testSkeleton)
+    assert(SkeletonCodec.decode(enc).nv == 10)
+    fuzz(enc, 500) { b =>
+      val s = SkeletonCodec.decode(b)
+      // a survivor must be safe for every downstream traversal
+      SkeletonCodec.paths(s)
+      SkeletonCodec.components(s)
+      SkeletonCodec.downsample(s, 2)
+    }
+  }
+
+  test("skeleton: decode bombs and inconsistent counts are rejected") {
+    // header claiming 2^30 vertices over an 8-byte payload
+    val bomb = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(1 << 30).putInt(0).array()
+    intercept[IllegalArgumentException](SkeletonCodec.decode(bomb))
+    // negative counts
+    val neg = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(-5).putInt(2).array()
+    intercept[IllegalArgumentException](SkeletonCodec.decode(neg))
+    // a crafted nv whose 32-bit expected-length arithmetic wraps
+    // exactly onto the real payload length (17*nv + 8 ≡ 64 mod 2^32):
+    // int math would have accepted it and died in Array.fill; the
+    // Long-math + sign rails reject it as the declared type
+    val wrap = ByteBuffer.allocate(64).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(0xb4b4b4b8).putInt(0).array()
+    intercept[IllegalArgumentException](SkeletonCodec.decode(wrap))
+    // edge endpoint outside [0, nv)
+    val s = testSkeleton
+    val bad = SkeletonCodec.encode(s)
+    // edges start at 8 + 12*nv; set first endpoint to nv+7
+    ByteBuffer.wrap(bad).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(8 + 12 * s.nv, s.nv + 7)
+    intercept[IllegalArgumentException](SkeletonCodec.decode(bad))
+  }
+
+  // ---- second-stage codecs (zarr2 compressor chain) ---------------
+
+  private def payload(n: Int): Array[Byte] =
+    Array.tabulate(n)(i => ((i * 31 + (i >> 5)) & 0xff).toByte)
+
+  test("second-stage codecs: fuzz every zarr2/n5 compressor id") {
+    val data = payload(40000)
+    val encoded: Seq[(String, Array[Byte], Array[Byte] => Array[Byte])] = Seq(
+      ("gzip", Codec.gzip(data), Codec.gunzip(_)),
+      ("zlib", Codec.zlibCompress(data), Codec.zlibDecompress(_)),
+      ("zstd", Codec.zstd(data), Codec.unzstd(_)),
+      ("lz4", Codec.lz4Block(data), Codec.unlz4Block(_)),
+      ("bzip2", Codec.bzip2(data), Codec.unbzip2(_)),
+      ("xz", Codec.xz(data), Codec.unxz(_)),
+      ("blosc", Blosc.compress(data, 4), Blosc.decompress(_)))
+    for ((name, enc, dec) <- encoded) {
+      assert(dec(enc).toSeq == data.toSeq, s"$name clean round-trip")
+      fuzz(enc, 200)(dec(_))
+    }
+  }
+
+  test("second-stage codecs: declared-size decode bombs hit the ceiling") {
+    // gzip: forge the ISIZE trailer of a real member to claim 200 MiB+
+    val gz = Codec.gzip(payload(1000))
+    val n = gz.length
+    ByteBuffer.wrap(gz).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(n - 4, Int.MaxValue - 16)
+    intercept[IllegalArgumentException](Codec.gunzip(gz, maxOutput = 1 << 20))
+    // zstd: frame header content size beyond the ceiling
+    val zs = Codec.zstd(payload(1000))
+    intercept[IllegalArgumentException](Codec.unzstd(zs, maxOutput = 100))
+    // blosc: header nbytes beyond the ceiling
+    val bl = Blosc.compress(payload(1000), 4)
+    intercept[IllegalArgumentException](Blosc.decompress(bl, maxOutput = 100))
+    // blosc: negative nbytes must not reach the allocation
+    val blNeg = bl.clone()
+    ByteBuffer.wrap(blNeg).order(ByteOrder.LITTLE_ENDIAN).putInt(4, -7)
+    intercept[IllegalArgumentException](Blosc.decompress(blNeg))
+    // streaming formats without a declared size (bzip2/xz/lz4/zlib):
+    // genuinely large output must stop AT the ceiling, incrementally
+    val big = new Array[Byte](1 << 22) // 4 MiB of zeros, tiny compressed
+    intercept[IllegalArgumentException](
+      Codec.unbzip2(Codec.bzip2(big), maxOutput = 1 << 16))
+    intercept[IllegalArgumentException](
+      Codec.unxz(Codec.xz(big), maxOutput = 1 << 16))
+    intercept[IllegalArgumentException](
+      Codec.unlz4Block(Codec.lz4Block(big), maxOutput = 1 << 16))
+    intercept[IllegalArgumentException](
+      Codec.zlibDecompress(Codec.zlibCompress(big), maxOutput = 1 << 16))
+    intercept[IllegalArgumentException](
+      Codec.gunzip(Codec.gzip(big), maxOutput = 1 << 16))
+  }
+
+  // ---- n5 blocks ---------------------------------------------------
+
+  test("n5: mutation/truncation fuzz over decodeBlock, raw and gzip") {
+    val dims = Vec3(7, 5, 3)
+    val vox = Array.tabulate((dims.x * dims.y * dims.z).toInt)(
+      i => (i * 97L) & 0xffffL)
+    for (comp <- Seq("raw", "gzip", "lz4", "blosc")) {
+      val enc = N5IO.encodeBlock(vox, dims, 2, comp)
+      val (d2, v2) = N5IO.decodeBlock(enc, 2, comp)
+      assert(d2 == dims && v2.toSeq == vox.toSeq, s"$comp clean round-trip")
+      fuzz(enc, 250)(b => N5IO.decodeBlock(b, 2, comp))
+    }
+  }
+
+  test("n5: bomb-sized and negative header dims are rejected pre-allocation") {
+    val dims = Vec3(4, 4, 4)
+    val vox = new Array[Long](64)
+    val enc = N5IO.encodeBlock(vox, dims, 8, "gzip")
+    val bomb = enc.clone()
+    // dims live at offsets 4, 8, 12 (big-endian)
+    ByteBuffer.wrap(bomb).order(ByteOrder.BIG_ENDIAN)
+      .putInt(4, 1 << 24).putInt(8, 1 << 24).putInt(12, 1 << 24)
+    intercept[IllegalArgumentException](N5IO.decodeBlock(bomb, 8, "gzip"))
+    val neg = enc.clone()
+    ByteBuffer.wrap(neg).order(ByteOrder.BIG_ENDIAN).putInt(4, -3)
+    intercept[IllegalArgumentException](N5IO.decodeBlock(neg, 8, "gzip"))
+    intercept[IllegalArgumentException](
+      N5IO.decodeBlock(Array[Byte](0, 0), 8, "gzip"))
+  }
+
+  // ---- zarr2 chunk chain (through the Spark read path) -------------
+
+  test("zarr2: a corrupt chunk object fails the cutout loudly, not as garbage") {
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val dir = Files.createTempDirectory("graft_hostile_zarr2").toString
+      val m = Zarr2IO.Zarr2Meta(
+        shape = Vec3(4, 4, 4), chunkShape = Vec3(4, 4, 4),
+        dtype = "<u4", fillValue = 0L, compressor = "zstd")
+      Zarr2IO.writeMeta(dir, m)
+      // chunk whose decompressed payload is the WRONG voxel count
+      Files.write(Paths.get(dir, "0.0.0"),
+        Codec.zstd(new Array[Byte](4 * 7))) // 7 voxels, not 64
+      val e = intercept[Exception] {
+        Zarr2IO.cutoutVoxels(spark, dir,
+          Bbox(Vec3(0, 0, 0), Vec3(4, 4, 4))).count()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: causes(t.getCause)
+      assert(causes(e).exists(_.isInstanceOf[IllegalArgumentException]),
+        s"expected IllegalArgumentException in the cause chain, got $e")
+      // and a truncated compressed stream also surfaces as the contract
+      Files.write(Paths.get(dir, "0.0.0"),
+        Codec.zstd(new Array[Byte](4 * 64)).take(5))
+      val e2 = intercept[Exception] {
+        Zarr2IO.cutoutVoxels(spark, dir,
+          Bbox(Vec3(0, 0, 0), Vec3(4, 4, 4))).count()
+      }
+      assert(causes(e2).exists(_.isInstanceOf[IllegalArgumentException]),
+        s"expected IllegalArgumentException in the cause chain, got $e2")
+    } finally spark.stop()
+  }
+}
