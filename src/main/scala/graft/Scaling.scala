@@ -31,7 +31,13 @@ object Scaling {
     "a1_unique")
 
   def main(args: Array[String]): Unit = {
-    val names = if (args.nonEmpty) args.toSeq else DefaultQueries
+    // --all (r16 verdict item 3): the FULL registered suite, not just
+    // the headline tier — entries whose slope is fine alone can go bad
+    // composed (memo interplay, pinned-block pressure, AQE coalescing)
+    val names =
+      if (args.toSeq == Seq("--all")) SparkEntry.queries.keys.toSeq.sorted
+      else if (args.nonEmpty) args.toSeq
+      else DefaultQueries
     // r16 (verdict item 3): SPARK_GRAFT_SHUFFLE_PARTITIONS scales the
     // shuffle width with the synthesized corpus — on a cluster the
     // partition count grows with the data, and the sf30 copurchase

@@ -246,7 +246,22 @@ object GraftFunctions {
     ("graft_kmv", info("graft_kmv", classOf[KmvSketchAgg]),
       (args: Seq[Expression]) => KmvSketchAgg.build(args)),
     ("graft_label_set", info("graft_label_set", classOf[LabelSetAgg]),
-      (args: Seq[Expression]) => LabelSetAgg.build(args)))
+      (args: Seq[Expression]) => LabelSetAgg.build(args)),
+    // F4/F5/F9 family (BboxExprs.scala) — completes the SQL surface:
+    // spatial predicates, volumes, the chunk-filename codec, and the
+    // graphene label fields are all callable from pure spark.sql(...)
+    ("graft_bbox_overlaps", info("graft_bbox_overlaps", classOf[BboxOverlapsExpr]),
+      (args: Seq[Expression]) => BboxOverlapsExpr(args)),
+    ("graft_bbox_volume", info("graft_bbox_volume", classOf[BboxVolumeExpr]),
+      (args: Seq[Expression]) => BboxVolumeExpr(args)),
+    ("graft_bbox_filename", info("graft_bbox_filename", classOf[BboxFilenameExpr]),
+      (args: Seq[Expression]) => BboxFilenameExpr(args)),
+    ("graft_graphene_layer", info("graft_graphene_layer", classOf[GrapheneLayerExpr]),
+      (args: Seq[Expression]) => GrapheneLayerExpr(args)),
+    ("graft_graphene_segid", info("graft_graphene_segid", classOf[GrapheneSegidExpr]),
+      (args: Seq[Expression]) => GrapheneSegidExpr(args)),
+    ("graft_parse_u64", info("graft_parse_u64", classOf[ParseU64Expr]),
+      (args: Seq[Expression]) => ParseU64Expr(args)))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, inf, builder) =>

@@ -111,6 +111,54 @@ object SpatialIndexQueries {
     Files.writeString(marker, want)
   }
 
+  /** Tiles with segid keys in uint64 territory: odd labels get the
+    * top bit and render as UNSIGNED decimal JSON keys — the exact
+    * encoding the reference fights in spatial_index.py:876-879 (a
+    * signed render would write a '-' the JSON map key grammar of other
+    * readers chokes on, and Spark's CAST(key AS BIGINT) NULLs the
+    * high half on read). Lives inside its own dir so ensure()'s
+    * whole-Root rebuild also invalidates it (marker inside the dir).
+    */
+  val TileDirU64 = s"$Root/spatial0_u64"
+
+  def ensureU64(s: SparkSession, sfDir: String): Unit = synchronized {
+    val marker = Paths.get(TileDirU64, ".built_from")
+    val want = Fixtures.srcStamp(sfDir)
+    if (Files.exists(marker) && Files.readString(marker) == want) return
+    FixtureLog.rebuild(marker)
+    val dirP = Paths.get(TileDirU64)
+    if (Files.exists(dirP)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(dirP).iterator.asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+    Files.createDirectories(dirP)
+    val dirStr = TileDirU64
+    val u64Boxes = labelBoxes(s, sfDir).withColumn("label",
+      when(col("label") % 2 === 1,
+        col("label").bitwiseOR(lit(Long.MinValue))).otherwise(col("label")))
+    withTiles(u64Boxes)
+      .groupBy("filename")
+      .agg(sort_array(collect_list(struct(col("label"), col("x0"), col("y0"),
+        col("z0"), col("x1"), col("y1"), col("z1")))).as("entries"))
+      .foreachPartition { rows: Iterator[Row] =>
+        rows.foreach { r =>
+          val sb = new StringBuilder("{")
+          val entries = r.getSeq[Row](1)
+          entries.zipWithIndex.foreach { case (e, i) =>
+            if (i > 0) sb.append(',')
+            sb.append('"')
+              .append(java.lang.Long.toUnsignedString(e.getLong(0)))
+              .append("\":[")
+              .append((1 to 6).map(e.getLong).mkString(",")).append(']')
+          }
+          sb.append('}')
+          Files.writeString(Paths.get(dirStr, r.getString(0)), sb.toString)
+        }
+      }
+    Files.writeString(marker, want)
+  }
+
   /** Scan + parse the tile files: (filename, label, x0..z1). */
   private def tileRows(s: SparkSession): DataFrame = {
     val mapType = MapType(StringType, ArrayType(LongType))
@@ -175,6 +223,65 @@ object SpatialIndexQueries {
         |  '/root/repo/src/test/resources/golden/skeleton_spatial.parquet')
         |WHERE x0 < 1024 AND x1 > 0 AND y0 < 1024 AND y1 > 0
         |  AND z0 < 2048 AND z1 > 0""".stripMargin)),
+
+    // The §2 marquee as PURE SQL (r16 verdict item 6): no DataFrame
+    // combinators anywhere — the tile scan is a CREATE TEMPORARY VIEW
+    // ... USING text, the JSON parse is SQL from_json, and the spatial
+    // predicate is the registered codegen'd graft_bbox_overlaps
+    // expression (functions/BboxExprs.scala). Same query box as
+    // a3_spatial_real, so the two entries cross-check each other.
+    "a3d_spatial_sql" -> Q(
+      (s, dir) => {
+        ensure(s, dir)
+        graft.functions.GraftFunctions.register(s)
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW graft_spatial_tiles
+          |USING text OPTIONS (path '$TileDir', wholetext 'true')""".stripMargin)
+        s.sql("""
+          |SELECT DISTINCT CAST(t.label AS BIGINT) AS label
+          |FROM graft_spatial_tiles
+          |LATERAL VIEW explode(from_json(value,
+          |  'map<string,array<bigint>>')) t AS label, b
+          |WHERE graft_bbox_overlaps(b[0], b[1], b[2], b[3], b[4], b[5],
+          |                          8, 6, 3, 40, 44, 20)""".stripMargin)
+      },
+      Some(s"""WITH $LblCte
+        |SELECT DISTINCT label FROM lbl
+        |WHERE x0 < 40 AND x1 > 8 AND y0 < 44 AND y1 > 6
+        |  AND z0 < 20 AND z1 > 3""".stripMargin)),
+
+    // A3/J1 with labels STRADDLING 2^63 (r16 verdict item 5): real
+    // tile files whose JSON keys are unsigned decimals >= 2^63,
+    // parsed by the codegen'd graft_parse_u64 (CAST would NULL them —
+    // the reference's uint64 fight, spatial_index.py:876-879), spatial
+    // overlap via graft_bbox_overlaps, then distinct + UNSIGNED rank
+    // through the native label-set aggregate (no global window).
+    "j1c_spatial_u64" -> Q(
+      (s, dir) => {
+        ensureU64(s, dir)
+        graft.functions.GraftFunctions.register(s)
+        val mapType = MapType(StringType, ArrayType(LongType))
+        val rows = s.read.option("wholetext", "true").text(TileDirU64)
+          .select(explode(from_json(col("value"), mapType)).as(Seq("k", "b")))
+          .select(expr("graft_parse_u64(k)").as("label"),
+            col("b").getItem(0).as("x0"), col("b").getItem(1).as("y0"),
+            col("b").getItem(2).as("z0"), col("b").getItem(3).as("x1"),
+            col("b").getItem(4).as("y1"), col("b").getItem(5).as("z1"))
+        rows.filter(expr(
+            "graft_bbox_overlaps(x0, y0, z0, x1, y1, z1, 8, 6, 3, 40, 44, 20)"))
+          .agg(expr("graft_label_set(label)").as("set"))
+          .select(posexplode(col("set")).as(Seq("i", "label")))
+          .select((col("i") + 1).cast("long").as("rank"), col("label"))
+      },
+      Some(s"""WITH $LblCte,
+        |m AS (SELECT CAST(CASE WHEN label % 2 = 1
+        |        THEN label - 9223372036854775808 ELSE label END AS BIGINT)
+        |        AS h, x0, y0, z0, x1, y1, z1 FROM lbl),
+        |q AS (SELECT DISTINCT h FROM m
+        |      WHERE x0 < 40 AND x1 > 8 AND y0 < 44 AND y1 > 6
+        |        AND z0 < 20 AND z1 > 3)
+        |SELECT CAST(row_number() OVER (ORDER BY (h < 0), h) AS BIGINT)
+        |    AS rank, h AS label
+        |FROM q""".stripMargin)),
 
     // A3/J2 write side: BUILD a spatial index from the real layer's
     // voxels (the reference's index construction — per-task label

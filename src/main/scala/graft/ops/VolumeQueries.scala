@@ -793,6 +793,45 @@ object VolumeQueries {
         |       CAST(0 AS BIGINT) AS preshift_bits
         |FROM u""".stripMargin)),
 
+    // F3/J3 with labels STRADDLING 2^63 (r16 verdict item 5): shard
+    // location + minishard assignment over uint64 labels through the
+    // codegen'd expressions (identity hash so DuckDB can replay the
+    // unsigned shifts via HUGEINT), with each (shard, minishard)
+    // bucket's UNSIGNED min/max recovered through the native
+    // label-set aggregate — the sharded format orders labels unsigned
+    // (sharding.py:32-34), so signed min/max would misplace the high
+    // half. No global window, one keyed shuffle.
+    "f3c_shard_u64" -> Q(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        voxels(s, dir).select(
+            when(col("label") % 2 === 1,
+              col("label").bitwiseOR(lit(Long.MinValue)))
+              .otherwise(col("label")).as("h")).distinct()
+          .withColumn("shard_no", expr("graft_shard_of(h, 2, 3, 3, 0)"))
+          .withColumn("minishard_no", expr("graft_minishard_of(h, 2, 3, 0)"))
+          .groupBy("shard_no", "minishard_no")
+          .agg(expr("graft_label_set(h)").as("set"))
+          .select(col("shard_no"), col("minishard_no"),
+            size(col("set")).cast("long").as("n"),
+            element_at(col("set"), 1).as("lo"),
+            element_at(col("set"), -1).as("hi"))
+      },
+      Some(s"""WITH $VoxelsCte,
+        |u AS (SELECT DISTINCT CAST(CASE WHEN label % 2 = 1
+        |        THEN label - 9223372036854775808 ELSE label END AS BIGINT)
+        |        AS h FROM voxels),
+        |uu AS (SELECT h, CASE WHEN h < 0
+        |        THEN h::HUGEINT + 18446744073709551616
+        |        ELSE h::HUGEINT END AS uv FROM u),
+        |m AS (SELECT h, uv,
+        |        CAST(((uv // 4) // 8) % 8 AS BIGINT) AS shard_no,
+        |        CAST((uv // 4) % 8 AS BIGINT) AS minishard_no FROM uu)
+        |SELECT shard_no, minishard_no, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(arg_min(h, uv) AS BIGINT) AS lo,
+        |       CAST(arg_max(h, uv) AS BIGINT) AS hi
+        |FROM m GROUP BY shard_no, minishard_no""".stripMargin)),
+
     // F2: murmurhash3_x86_128 oracle gate. DuckDB cannot compute mmh3,
     // so the expected rows are frozen literals generated by an
     // INDEPENDENT Python implementation of the public algorithm

@@ -125,6 +125,99 @@ class NgStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       causes(q).mkString(" | "))
   }
 
+  test("layer-to-layer ETL killed mid-run resumes from the checkpoint " +
+      "and converges to the uninterrupted result (r16 verdict item 4)") {
+    // st17's restart story, proven by failure injection: the same
+    // source layer is ETL'd into two destination layers — once
+    // uninterrupted, once stopped after the first committed batch and
+    // resumed from the same checkpoint — and the decoded voxel
+    // contents must match exactly. Reference precedent: the reference
+    // tests exception propagation through its pools
+    // (test/test_cloudvolume.py:2046).
+    val root = Files.createTempDirectory("ng_restart_spec")
+    val src = root.resolve("src").toString
+    val srcMeta = VolumeMeta(
+      layerType = "segmentation", dataType = "uint32", numChannels = 1,
+      scales = Seq(ScaleMeta(
+        key = "1_1_1", encoding = "raw", resolution = Seq(1, 1, 1),
+        chunkSize = Vec3(4, 4, 4), size = Vec3(16, 8, 4),
+        voxelOffset = Vec3(0, 0, 0))))
+    PrecomputedIO.writeInfo(src, srcMeta)
+    val s = spark
+    import s.implicits._
+    val chunks = (for (gx <- 0L to 3L; gy <- 0L to 1L) yield (gx, gy))
+      .map { case (gx, gy) =>
+        (gx, gy, 0L,
+          Codec.encodeRawFromLongs(
+            Array.tabulate(64)(i => gx * 1000 + gy * 100 + i), 4))
+      }.toDF("gx", "gy", "gz", "payload")
+    PrecomputedIO.writeChunks(chunks, src, srcMeta, 0)
+
+    // the relabel stage sleeps per chunk so the mid-run stop() lands
+    // between batches, not after full drain
+    val relabel = udf((p: Array[Byte]) => {
+      Thread.sleep(150)
+      val bb = java.nio.ByteBuffer.wrap(p.clone())
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < p.length) { bb.putInt(i, bb.getInt(i) * 3 + 1); i += 4 }
+      bb.array()
+    })
+    def runEtl(dst: String, ck: String, stopEarly: Boolean): Unit = {
+      PrecomputedIO.writeInfo(dst, srcMeta)
+      val q = spark.readStream.format("neuroglancer")
+        .option("path", src)
+        .option("max_chunks_per_trigger", "1") // 8 batches
+        .load()
+        .select(col("gx"), col("gy"), col("gz"),
+          relabel(col("payload")).as("payload"))
+        .writeStream.format("neuroglancer")
+        .option("path", dst)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      if (stopEarly) {
+        // wait for >= 1 committed batch, then kill the query mid-run
+        val commits = Paths.get(ck, "commits")
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while ({
+          val n = if (Files.exists(commits))
+            Files.list(commits).toArray.map(_.toString.split('/').last)
+              .count(!_.startsWith("."))
+          else 0
+          n < 1 && q.isActive && System.nanoTime() < deadline
+        }) Thread.sleep(20)
+        q.stop()
+        q.awaitTermination()
+      } else q.awaitTermination()
+    }
+    val dstA = root.resolve("dst_uninterrupted").toString
+    runEtl(dstA, root.resolve("ckpt_a").toString, stopEarly = false)
+
+    val dstB = root.resolve("dst_restarted").toString
+    val ckB = root.resolve("ckpt_b").toString
+    runEtl(dstB, ckB, stopEarly = true)
+    val committedAtKill = Files.list(Paths.get(ckB, "commits")).toArray
+      .map(_.toString.split('/').last).count(!_.startsWith("."))
+    assert(committedAtKill < 8,
+      s"kill landed after full drain ($committedAtKill batches) — " +
+        "the restart leg would prove nothing")
+    // resume from the SAME checkpoint; AvailableNow drains the rest
+    runEtl(dstB, ckB, stopEarly = false)
+
+    def voxelMap(dst: String): Map[(Long, Long, Long), Long] =
+      PrecomputedIO.cutoutVoxels(spark, dst,
+          Bbox(Vec3(0, 0, 0), Vec3(16, 8, 4)))
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
+        .toMap
+    val a = voxelMap(dstA)
+    val b = voxelMap(dstB)
+    assert(a.size == 16 * 8 * 4)
+    assert(b == a, "restarted ETL diverged from the uninterrupted run")
+  }
+
   test("discovery window prunes the journal, not just the result") {
     val ckpt2 = s"$dir/ckpt2"
     val q = spark.readStream.format("neuroglancer")
