@@ -561,12 +561,13 @@ object Bench {
       s"""(task_time 11 s / 32 threads = 0.35 s parallel compute); """ +
       s"""j6b_leaves_stop_layer = 13 frontier-checkpoint jobs x ~0.07 s """ +
       s"""(task_time 0.15 s); j5f_lineage_window = 23 jobs x ~0.04 s; """ +
-      s"""graph_pagerank3 after the r16 restructure (degree-annotated """ +
-      s"""adjacency, no rebase join, no single-consumer final """ +
-      s"""checkpoint) = ~13 AQE stage jobs x ~0.1 s over ~0.03 s of """ +
-      s"""parallel compute (Scratch --floor) — at bench scale these """ +
-      s"""medians are job-submission floors; the per-job work is the """ +
-      s"""data term that grows at cluster scale"}},""" +
+      s"""graph_pagerank3 = 15 jobs x 0.085-0.11 s (r17 Scratch --floor: """ +
+      s"""wall 1.30 s isolated / 1.07-1.15 s JIT-warm, jobs=15, """ +
+      s"""task_time 0.8 s over 32 threads = 0.025 s parallel compute); """ +
+      s"""per-entry jobs/task_ms now ride query_stats and query_passes, """ +
+      s"""so wall ~= jobs x per-job floor is checkable in-suite — at """ +
+      s"""bench scale these medians are job-submission floors; the """ +
+      s"""per-job work is the data term that grows at cluster scale"}},""" +
       s""""outlier_retry_policy":"one-sided: a rerun replaces the worst """ +
       s"""rep only when faster, so post-retry medians are biased down vs """ +
       s"""the raw 3-pass protocol; regression calls should use """ +
