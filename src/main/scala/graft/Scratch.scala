@@ -54,6 +54,30 @@ object Scratch {
       }
       spark.stop(); return
     }
+    // --udfseq: print the RUNTIME class a Seq[Float] UDF argument
+    // deserializes to (List = O(n) indexing = quadratic per-row loops)
+    if (flags.contains("--udfseq")) {
+      import org.apache.spark.sql.functions.udf
+      val probe = udf((vs: Seq[Float]) => vs.getClass.getName)
+      import spark.implicits._
+      val r = Seq(Seq(1f, 2f, 3f)).toDF("vs")
+        .select(probe($"vs")).head().getString(0)
+      println(s"[udfseq] Seq[Float] arrives as: $r")
+      val probeA = udf((vs: Array[Float]) => vs.getClass.getName + ":" + vs(2))
+      val ra = Seq(Seq(1f, 2f, 3f)).toDF("vs")
+        .select(probeA($"vs")).head().getString(0)
+      println(s"[udfseq] Array[Float] arrives as: $ra")
+      val probeR = udf((vs: Array[Float], n: Int) => {
+        var s = 0.0f; var i = 0
+        while (i < n) { s += vs(i % vs.length); i += 1 }; s
+      })
+      val t0 = System.nanoTime()
+      Seq(Seq.fill(15000)(1f)).toDF("vs")
+        .select(probeR($"vs", org.apache.spark.sql.functions.lit(45000000)))
+        .head()
+      println(f"[udfseq] 45M array-indexed accesses: ${(System.nanoTime()-t0)/1e9}%.2f s")
+      spark.stop(); return
+    }
     // --floor: attribute an entry's wall time to Spark job count x
     // per-job overhead (r14 brief item 7: the stream-stream join and
     // the frontier descents are multi-job fixed-cost floors at bench

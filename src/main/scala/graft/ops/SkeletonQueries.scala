@@ -211,7 +211,13 @@ object SkeletonQueries {
     "skel_decode" -> Q(
       (s, dir) => {
         ensure(s, dir)
-        val vertRows = udf((vs: Seq[Float], rs: Seq[Float], ts: Seq[Long]) =>
+        // Array params, NOT Seq: Spark 4 / Scala 2.13 deserializes a
+        // Seq[Float] UDF argument as a List, so every vs(3*i) below
+        // would be O(nv) and the loop O(nv^2) per skeleton — the r17
+        // full-suite sf1 slope run caught exactly this (skel_decode
+        // 20x on 10x data). Array args arrive as primitive arrays.
+        val vertRows = udf((vs: Array[Float], rs: Array[Float],
+            ts: Array[Long]) =>
           rs.indices.map(i => (i.toLong, vs(3 * i).toLong,
             vs(3 * i + 1).toLong, vs(3 * i + 2).toLong, rs(i).toLong,
             ts(i))))
@@ -242,7 +248,13 @@ object SkeletonQueries {
         }
         Files.createDirectories(tp)
         writeSkeletons(s, dir, target)
-        val vertRows = udf((vs: Seq[Float], rs: Seq[Float], ts: Seq[Long]) =>
+        // Array params, NOT Seq: Spark 4 / Scala 2.13 deserializes a
+        // Seq[Float] UDF argument as a List, so every vs(3*i) below
+        // would be O(nv) and the loop O(nv^2) per skeleton — the r17
+        // full-suite sf1 slope run caught exactly this (skel_decode
+        // 20x on 10x data). Array args arrive as primitive arrays.
+        val vertRows = udf((vs: Array[Float], rs: Array[Float],
+            ts: Array[Long]) =>
           rs.indices.map(i => (i.toLong, vs(3 * i).toLong,
             vs(3 * i + 1).toLong, vs(3 * i + 2).toLong, rs(i).toLong,
             ts(i))))
@@ -269,10 +281,9 @@ object SkeletonQueries {
     "skel_swc_roundtrip" -> Q(
       (s, dir) => {
         ensure(s, dir)
-        val swcRows = udf((vs: Seq[Float], es: Seq[Int], rs: Seq[Float],
-            ts: Seq[Long]) => {
-          val sk = SkeletonCodec.Skeleton(vs.toArray, es.toArray,
-            rs.toArray, ts.map(_.toByte).toArray)
+        val swcRows = udf((vs: Array[Float], es: Array[Int],
+            rs: Array[Float], ts: Array[Long]) => {
+          val sk = SkeletonCodec.Skeleton(vs, es, rs, ts.map(_.toByte))
           val back = SkeletonCodec.fromSwc(SkeletonCodec.toSwc(sk))
           require(back.ne == sk.ne, s"SWC edge count ${back.ne} != ${sk.ne}")
           back.radii.indices.map(i => (i.toLong,
@@ -301,10 +312,9 @@ object SkeletonQueries {
     "skel_downsample" -> Q(
       (s, dir) => {
         ensure(s, dir)
-        val dsRows = udf((vs: Seq[Float], es: Seq[Int], rs: Seq[Float],
-            ts: Seq[Long]) => {
-          val sk = SkeletonCodec.Skeleton(vs.toArray, es.toArray,
-            rs.toArray, ts.map(_.toByte).toArray)
+        val dsRows = udf((vs: Array[Float], es: Array[Int],
+            rs: Array[Float], ts: Array[Long]) => {
+          val sk = SkeletonCodec.Skeleton(vs, es, rs, ts.map(_.toByte))
           val d = SkeletonCodec.downsample(sk, 2)
           d.radii.indices.map(i => (i.toLong,
             d.vertices(3 * i).toLong, d.vertices(3 * i + 1).toLong,
@@ -389,12 +399,13 @@ object SkeletonQueries {
     "skel_prune_disconnected" -> Q(
       (s, dir) => {
         ensure(s, dir)
-        val pruneRows = udf((vs: Seq[Float], es: Seq[Int], segid: Long) => {
+        val pruneRows = udf((vs: Array[Float], es: Array[Int],
+            segid: Long) => {
           val nv = vs.length / 3
           val p = ((segid * 7) % (nv + 1)).toInt
-          val vs2 = (vs.take(3 * p) ++ Seq(9999f, 9999f, 9999f) ++
-            vs.drop(3 * p)).toArray
-          val es2 = es.map(e => if (e >= p) e + 1 else e).toArray
+          val vs2 = vs.take(3 * p) ++ Array(9999f, 9999f, 9999f) ++
+            vs.drop(3 * p)
+          val es2 = es.map(e => if (e >= p) e + 1 else e)
           val pruned = SkeletonCodec.removeDisconnected(
             SkeletonCodec.Skeleton(vs2, es2,
               new Array[Float](nv + 1), new Array[Byte](nv + 1)))
@@ -423,7 +434,9 @@ object SkeletonQueries {
     "skel_cable" -> Q(
       (s, dir) => {
         ensure(s, dir)
-        val edgeRows = udf((vs: Seq[Float], es: Seq[Int]) =>
+        // Array args (see skel_decode): indexed access on a List-backed
+        // Seq made this O(ne^2) per skeleton — 31x on 10x data at sf1
+        val edgeRows = udf((vs: Array[Float], es: Array[Int]) =>
           (0 until es.length / 2).map { i =>
             val a = es(2 * i); val b = es(2 * i + 1)
             val dx = (vs(3 * a) - vs(3 * b)).toLong
@@ -465,7 +478,7 @@ object SkeletonQueries {
             col("edges"), size(col("radii")).cast("long").as("nv"))
           .withColumn("off", coalesce(sum(col("nv")).over(
             w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        val edgeRows = udf((es: Seq[Int], off: Long) =>
+        val edgeRows = udf((es: Array[Int], off: Long) =>
           (0 until es.length / 2).map(i =>
             (off + es(2 * i), off + es(2 * i + 1))))
         withOff
@@ -495,11 +508,11 @@ object SkeletonQueries {
     "skel_crop" -> Q(
       (s, dir) => {
         ensure(s, dir)
-        val vertRows = udf((vs: Seq[Float]) =>
+        val vertRows = udf((vs: Array[Float]) =>
           (0 until vs.length / 3).map(i =>
             (i.toLong, vs(3 * i).toLong, vs(3 * i + 1).toLong,
               vs(3 * i + 2).toLong)))
-        val edgeRows = udf((es: Seq[Int]) =>
+        val edgeRows = udf((es: Array[Int]) =>
           (0 until es.length / 2).map(i =>
             (es(2 * i).toLong, es(2 * i + 1).toLong)))
         val d = decoded(s).localCheckpoint() // feeds verts AND edges
@@ -540,7 +553,7 @@ object SkeletonQueries {
     "skel_transform" -> Q(
       (s, dir) => {
         ensure(s, dir)
-        val vertRows = udf((vs: Seq[Float], rs: Seq[Float]) =>
+        val vertRows = udf((vs: Array[Float], rs: Array[Float]) =>
           (0 until vs.length / 3).map(i =>
             (i.toLong, vs(3 * i).toLong, vs(3 * i + 1).toLong,
               vs(3 * i + 2).toLong, rs(i).toLong)))
