@@ -50,6 +50,42 @@ class ShardSpec extends AnyFunSuite {
     }
   }
 
+  test("u64 labels straddling 2^63: shard location + container round-trip " +
+      "(identity and mmh3)") {
+    // the reference fights uint64 exactly here (sharding.py:32-34
+    // masks to uint64; spatial_index.py:876-879): a signed-shift
+    // shardLocation would misroute every label with the top bit set.
+    // Known answers, identity hash (preshift 2, msb 3, sb 3):
+    // chunkId = label >>> 2 (UNSIGNED), minishard = chunkId & 7,
+    // shard = (chunkId >>> 3) & 7.
+    val idSpec = ShardingSpec(preshiftBits = 2, minishardBits = 3,
+      shardBits = 3, hashName = "identity",
+      minishardIndexEncoding = "raw", dataEncoding = "raw")
+    // label = 2^63 + 13: chunkId = 2^61 + 3 -> minishard 3, shard 0
+    val l1 = Long.MinValue + 13L
+    assert(ShardingSpec.minishardOf(l1, 2, 3, mmh3 = false) == 3L)
+    assert(ShardingSpec.shardOf(l1, 2, 3, 3, mmh3 = false) == 0L)
+    // label = 0xFFFFFFFFFFFFFFFF (u64 max): chunkId = 0x3FFF... ->
+    // minishard 7, shard 7
+    assert(ShardingSpec.minishardOf(-1L, 2, 3, mmh3 = false) == 7L)
+    assert(ShardingSpec.shardOf(-1L, 2, 3, 3, mmh3 = false) == 7L)
+    // container round-trip with high labels, both hashes
+    for (hash <- Seq("identity", "murmurhash3_x86_128")) {
+      val spec = idSpec.copy(hashName = hash)
+      val labels = Seq(Long.MinValue + 13L, Long.MinValue + 1337L, -1L,
+        Long.MaxValue, 42L)
+      val byShard = labels.groupBy(l => spec.shardLocation(l)._1)
+      byShard.foreach { case (_, ls) =>
+        val group = ls.map(l => l -> s"payload-$l".getBytes("UTF-8").toSeq.toArray)
+        val shard = ShardCodec.synthesizeShard(spec, group)
+        group.foreach { case (l, bytes) =>
+          assert(ShardCodec.getData(shard, spec, l).get.toSeq == bytes.toSeq,
+            s"hash=$hash label=$l")
+        }
+      }
+    }
+  }
+
   test("empty minishards have zero-length index ranges") {
     val spec = ShardingSpec(0, 2, 2, "identity")
     // labels 0 and 1 -> minishards 0 and 1 of shard 0; 2,3 empty
