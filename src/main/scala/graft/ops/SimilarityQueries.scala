@@ -29,7 +29,12 @@ object SimilarityQueries {
     * nearest-representable-half trap, which needs a full 53-bit
     * mantissa to construct.
     */
-  private val quantUdf = udf { (e: Seq[Float]) =>
+  // Array param, NOT Seq: Spark 4 / Scala 2.13 deserializes Seq UDF
+  // args as List, so indexed loops over them are O(n^2) per row (the
+  // r17 sf1 sweep caught this class in the skeleton family; these
+  // vector kernels index the same way — at 64 dims it hides, at
+  // production embedding widths it would not).
+  private val quantUdf = udf { (e: Array[Float]) =>
     val out = new Array[Long](e.length)
     var i = 0
     while (i < e.length) {
@@ -168,8 +173,8 @@ object SimilarityQueries {
     * replays: plane(i,j,t) = ((i*1000003 + j*10007 + t*101)
     * * 2654435761) % 1000000007 % 13 - 6.
     */
-  private val annSigsUdf = udf((q: Seq[Long]) => {
-    val arr = q.toArray
+  private val annSigsUdf = udf((q: Array[Long]) => {
+    val arr = q
     val sigs = new Array[Long](AnnTables)
     var t = 0
     while (t < AnnTables) {
@@ -196,8 +201,8 @@ object SimilarityQueries {
   /** 4 tables x 8 bits signatures for the near-dup path:
     * plane(i,j,t) = (i*31 + j*17 + t*53) % 7 - 3.
     */
-  private val nnSigsUdf = udf((q: Seq[Long]) => {
-    val arr = q.toArray
+  private val nnSigsUdf = udf((q: Array[Long]) => {
+    val arr = q
     val sigs = new Array[Long](4)
     var t = 0
     while (t < 4) {
@@ -482,8 +487,8 @@ object SimilarityQueries {
           .map(_.getSeq[Long](1).toArray)
         // compiled per-row coder: nearest codebook entry per subspace
         // by squared L2, smallest code on ties
-        val codesUdf = udf { (q: Seq[Long]) =>
-          val arr = q.toArray
+        val codesUdf = udf { (q: Array[Long]) =>
+          val arr = q
           val out = new Array[Int](M)
           var m = 0
           while (m < M) {
@@ -506,7 +511,7 @@ object SimilarityQueries {
         }
         // ADC: approximate dot = sum over subspaces of the query's dot
         // with the coded centroid (integer, order-safe)
-        val approxUdf = udf { (qv: Seq[Long], codes: Seq[Int]) =>
+        val approxUdf = udf { (qv: Array[Long], codes: Array[Int]) =>
           var s = 0L; var m = 0
           while (m < M) {
             val c = cb(codes(m))
@@ -602,7 +607,7 @@ object SimilarityQueries {
           .localCheckpoint() // feeds cents/cellOf/probes/queries
         val cents = e.filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("cid_c"), col("q").as("qc"))
-        val subUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
+        val subUdf = udf { (a: Array[Long], b: Array[Long]) =>
           val out = new Array[Long](a.length)
           var i = 0
           while (i < a.length) { out(i) = a(i) - b(i); i += 1 }
@@ -644,8 +649,8 @@ object SimilarityQueries {
           .select("vec_id", "resid").collect()
           .sortBy(_.getLong(0))
           .map(_.getSeq[Long](1).toArray)
-        val codesUdf = udf { (r: Seq[Long]) =>
-          val arr = r.toArray
+        val codesUdf = udf { (r: Array[Long]) =>
+          val arr = r
           val out = new Array[Int](M)
           var m = 0
           while (m < M) {
@@ -667,7 +672,7 @@ object SimilarityQueries {
           out
         }
         // ADC fine term: query subvector dot the coded residual
-        val adcUdf = udf { (qv: Seq[Long], codes: Seq[Int]) =>
+        val adcUdf = udf { (qv: Array[Long], codes: Array[Int]) =>
           var s = 0L; var m = 0
           while (m < M) {
             val c = cb(codes(m))
@@ -840,7 +845,7 @@ object SimilarityQueries {
         val cents: Array[(Long, Array[Long])] =
           e.filter(col("vec_id") < 8).as[(Long, Array[Long])]
             .collect().sortBy(_._1)
-        val assignUdf = udf { (q: Seq[Long]) =>
+        val assignUdf = udf { (q: Array[Long]) =>
           var best = -1L; var bestD = Long.MaxValue
           cents.foreach { case (cid, cv) =>
             var d = 0L; var i = 0
