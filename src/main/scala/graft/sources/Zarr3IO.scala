@@ -405,7 +405,7 @@ object Zarr3IO {
         .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
       val got = crc32c(raw, 16 * n)
       if (want != got)
-        throw new IllegalStateException(
+        throw new IllegalArgumentException( // the decoder-boundary contract
           s"shard index crc32c mismatch: stored $want computed $got")
       (0 until n).map(i => (bb.getLong(i * 16), bb.getLong(i * 16 + 8))).toArray
     } finally ch.close()
@@ -415,9 +415,24 @@ object Zarr3IO {
   private def readRange(file: java.nio.file.Path, off: Long, len: Long): Array[Byte] = {
     val ch = java.nio.channels.FileChannel.open(file)
     try {
+      // the (offset, nbytes) pair comes from the shard's own index —
+      // crc32c catches corruption but not a CRAFTED index, so bound
+      // the range like ShardedIO.rangedRead: inside the file, and
+      // under the decode ceiling (len.toInt would wrap a 2^40 claim
+      // negative; an off past EOF would make read() return -1 and the
+      // fill loop below spin forever)
+      val sz = ch.size()
+      require(off >= 0 && len >= 0 && off + len <= sz,
+        s"corrupt zarr3 shard index: range [$off, ${off + len}) outside " +
+          s"the $sz-byte shard object")
+      require(len <= graft.core.Codec.MaxDecodedChunkBytes,
+        s"corrupt zarr3 shard index: $len-byte inner chunk exceeds the " +
+          s"${graft.core.Codec.MaxDecodedChunkBytes}-byte ceiling")
       val bb = java.nio.ByteBuffer.allocate(len.toInt)
       ch.position(off)
-      while (bb.hasRemaining) ch.read(bb)
+      while (bb.hasRemaining && ch.read(bb) >= 0) ()
+      require(!bb.hasRemaining,
+        s"corrupt zarr3 shard object: EOF inside range [$off, ${off + len})")
       bb.array()
     } finally ch.close()
   }

@@ -229,6 +229,75 @@ class HostileDecodeSpec extends AnyFunSuite with BeforeAndAfterAll {
       N5IO.decodeBlock(Array[Byte](0, 0), 8, "gzip"))
   }
 
+  // ---- zarr3 sharded container --------------------------------------
+
+  test("zarr3 shard: corrupt, truncated, and CRC-valid-but-crafted " +
+      "indexes all fail as the declared type") {
+    import graft.sources.Zarr3IO
+    val m = Zarr3IO.Zarr3Meta(
+      shape = Vec3(8, 8, 8), chunkShape = Vec3(8, 8, 8),
+      dataType = "uint32", fillValue = 0L, compressor = "gzip",
+      innerChunkShape = Some(Vec3(4, 4, 4)))
+    val vox = Array.tabulate(512)(i => (i * 7L) & 0xffffL)
+    val shard = Zarr3IO.synthesizeShard(vox, m)
+    val dir = Files.createTempDirectory("graft_hostile_z3")
+    def idxOf(bytes: Array[Byte]): java.nio.file.Path = {
+      val p = dir.resolve(s"s${bytes.hashCode & 0x7fffffff}")
+      Files.write(p, bytes); p
+    }
+    // clean parse works
+    val idx = Zarr3IO.readShardIndex(idxOf(shard), m)
+    assert(idx.length == 8)
+    // bit flips in the trailing index region: crc32c catches them
+    val rnd2 = new scala.util.Random(7)
+    for (_ <- 1 to 100) {
+      val mm = shard.clone()
+      val i = mm.length - 1 - rnd2.nextInt(16 * 8 + 4)
+      mm(i) = (mm(i) ^ (1 << rnd2.nextInt(8))).toByte
+      intercept[IllegalArgumentException](Zarr3IO.readShardIndex(idxOf(mm), m))
+    }
+    // truncation below the index length
+    intercept[IllegalArgumentException](
+      Zarr3IO.readShardIndex(idxOf(shard.take(16)), m))
+    // a CRAFTED index with a VALID crc but a bomb-sized range: crc is
+    // an integrity check, not an authenticity check — the range rail
+    // in readRange must fire (exercised through the cutout read)
+    val crafted = shard.clone()
+    val n = 8
+    val idxOff = crafted.length - (16 * n + 4)
+    val bb = ByteBuffer.wrap(crafted, idxOff, 16 * n + 4)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.putLong(idxOff, 0L) // offset 0
+    bb.putLong(idxOff + 8, 1L << 40) // 1 TiB claimed length
+    val c = new java.util.zip.CRC32C()
+    c.update(crafted, idxOff, 16 * n)
+    bb.putInt(idxOff + 16 * n, c.getValue.toInt)
+    // readShardIndex itself parses fine (crc is valid)...
+    val idx2 = Zarr3IO.readShardIndex(idxOf(crafted), m)
+    assert(idx2(0)._2 == (1L << 40))
+    // ...so the allocation rail must reject the range on read: write a
+    // minimal sharded layer around the crafted object and cut it out
+    val layerDir = dir.resolve("layer").toString
+    Zarr3IO.writeMeta(layerDir, m)
+    val cdir = Paths.get(layerDir, "c", "0", "0")
+    Files.createDirectories(cdir)
+    Files.write(cdir.resolve("0"), crafted)
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val e = intercept[Exception] {
+        Zarr3IO.cutoutVoxelsAt(spark, layerDir,
+          Bbox(Vec3(0, 0, 0), Vec3(8, 8, 8))).count()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: causes(t.getCause)
+      assert(causes(e).exists(_.isInstanceOf[IllegalArgumentException]),
+        s"expected IllegalArgumentException in the cause chain, got $e")
+    } finally spark.stop()
+  }
+
   // ---- zarr2 chunk chain (through the Spark read path) -------------
 
   test("zarr2: a corrupt chunk object fails the cutout loudly, not as garbage") {

@@ -69,7 +69,8 @@ class Zarr3ShardSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("z3shardbad")
     val f = dir.resolve("0")
     Files.write(f, shard)
-    val e = intercept[IllegalStateException](Zarr3IO.readShardIndex(f, m))
+    // decoder-boundary contract (r17): IllegalArgumentException
+    val e = intercept[IllegalArgumentException](Zarr3IO.readShardIndex(f, m))
     assert(e.getMessage.contains("crc32c"))
   }
 
