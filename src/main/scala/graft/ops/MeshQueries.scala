@@ -560,6 +560,12 @@ object MeshQueries {
             var start = 0L
             var vidBase = 0L
             offs.toSeq.flatMap { sz =>
+              // manifest sizes are UNTRUSTED: copyOfRange would
+              // silently ZERO-PAD past the blob end (and a negative/
+              // wrapping size would throw raw errors) — fail loudly
+              require(sz >= 0 && start + sz <= blob.length,
+                s"corrupt multires manifest: fragment [$start, " +
+                  s"${start + sz}) outside the ${blob.length}-byte blob")
               val frag = MeshCodec.decode(java.util.Arrays.copyOfRange(
                 blob, start.toInt, (start + sz).toInt))
               start += sz
@@ -613,10 +619,20 @@ object MeshQueries {
                 // is read as one buffer, so an over-2GB lod-0 preamble
                 // must fail loudly (fragment-at-a-time ranged reads are
                 // the fallback shape) rather than truncate via toInt
-                require(lod0Size <= Int.MaxValue,
-                  s"lod-0 fragment span $lod0Size exceeds one buffer; " +
-                    "read fragments individually")
+                // manifest-declared spans are UNTRUSTED: bound the
+                // allocation (decode-bomb ceiling) and the seek range
+                // against the real file, or a crafted manifest turns
+                // into a 2 GB allocation / raw EOF/seek errors
+                require(lod0Size >= 0 &&
+                    lod0Size <= graft.core.Codec.MaxDecodedChunkBytes,
+                  s"corrupt multires manifest: lod-0 span $lod0Size " +
+                    s"outside [0, ${graft.core.Codec.MaxDecodedChunkBytes}]")
                 val lod0Start = shardOffset - totalFrag
+                require(lod0Start >= 0 &&
+                    lod0Start + lod0Size <= raf.length(),
+                  s"corrupt multires manifest: lod-0 range [$lod0Start, " +
+                    s"${lod0Start + lod0Size}) outside the " +
+                    s"${raf.length()}-byte shard")
                 val lod0 = new Array[Byte](lod0Size.toInt)
                 raf.seek(lod0Start); raf.readFully(lod0)
                 var start = 0L
