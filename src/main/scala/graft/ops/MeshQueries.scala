@@ -272,12 +272,15 @@ object MeshQueries {
     files.withColumn("off", coalesce(sum(col("nv")).over(w), lit(0L)))
   }
 
-  private val vertRowsUdf = udf((vs: Seq[Float]) =>
+  // Array params (r17, UdfSeqAuditSpec): a Seq arg deserializes as
+  // List — grouped(3) iterates sequentially so these were linear, but
+  // every element paid List-cons boxing on the mesh hot path
+  private val vertRowsUdf = udf((vs: Array[Float]) =>
     vs.grouped(3).zipWithIndex.map { case (v, i) =>
       (i.toLong, v(0).toLong, v(1).toLong, v(2).toLong)
     }.toSeq)
 
-  private val faceRowsUdf = udf((fs: Seq[Int]) =>
+  private val faceRowsUdf = udf((fs: Array[Int]) =>
     fs.grouped(3).zipWithIndex.map { case (f, i) =>
       (i.toLong, f(0).toLong, f(1).toLong, f(2).toLong)
     }.toSeq)
