@@ -309,15 +309,19 @@ object Codec {
     com.github.luben.zstd.Zstd.compress(data, level)
 
   def unzstd(data: Array[Byte],
-      maxOutput: Int = MaxDecodedChunkBytes): Array[Byte] = {
-    // the frame-header content size is untrusted: bound it before the
-    // n-sized allocation (and before n.toInt can truncate negative)
-    val n = com.github.luben.zstd.Zstd.getFrameContentSize(data)
-    require(n >= 0 && n <= maxOutput,
-      s"zstd declared content size $n outside [0, $maxOutput] " +
-        "(corrupt stream or decode bomb)")
-    asCorrupt("zstd")(com.github.luben.zstd.Zstd.decompress(data, n.toInt))
-  }
+      maxOutput: Int = MaxDecodedChunkBytes): Array[Byte] =
+    asCorrupt("zstd") {
+      // the frame-header content size is untrusted: bound it before the
+      // n-sized allocation (and before n.toInt can truncate negative).
+      // getFrameContentSize itself throws a raw AIOOBE on zero-length
+      // input, so it must also sit inside the corrupt-stream boundary.
+      require(data.nonEmpty, "empty zstd stream")
+      val n = com.github.luben.zstd.Zstd.getFrameContentSize(data)
+      require(n >= 0 && n <= maxOutput,
+        s"zstd declared content size $n outside [0, $maxOutput] " +
+          "(corrupt stream or decode bomb)")
+      com.github.luben.zstd.Zstd.decompress(data, n.toInt)
+    }
 
   /** F10 PNG codec for uint8 voxels: the 3-D chunk is reshaped to a
     * 2-D grayscale image (x wide, y*z tall — the reference's as2d,

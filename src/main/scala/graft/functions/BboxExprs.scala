@@ -55,8 +55,14 @@ object BboxOps {
     * 3*ct bits).
     */
   def grapheneSegid(label: Long, layerBits: Long, ct: Long): Long = {
+    // bound ct directly before computing sb: a hostile ct near 2^62
+    // overflows 3*ct, so sb could wrap positive, pass a `sb >= 1`
+    // check, and then (1L << sb) would use only the low 6 shift bits
+    require(layerBits >= 1 && layerBits <= 32 && ct >= 0 && ct <= 21,
+      s"graft_graphene_segid: layer_bits $layerBits / spatial bits $ct " +
+        "outside [1,32] x [0,21]")
     val sb = 64 - layerBits - 3 * ct
-    require(layerBits >= 1 && layerBits <= 32 && ct >= 0 && sb >= 1,
+    require(sb >= 1,
       s"graft_graphene_segid: layer_bits $layerBits / spatial bits $ct " +
         "leave no segid bits")
     label & ((1L << sb.toInt) - 1L)

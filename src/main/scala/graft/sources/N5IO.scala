@@ -162,12 +162,14 @@ object N5IO {
     // header dims are untrusted and size the decode: negative or
     // bomb-sized dims must fail here, before decompression allocates.
     // Per-axis bound first so the product below cannot overflow Long
-    // (3 x 20 bits + 3 bits of dtype width < 63).
+    // (3 x strictly-under-20 bits + 3 bits of dtype width < 63; at
+    // exactly 2^20 per axis and dtb=8 the product is exactly 2^63 and
+    // wraps to Long.MinValue, passing the ceiling check on overflow).
     require(dims.x > 0 && dims.y > 0 && dims.z > 0 &&
-        dims.x <= (1 << 20) && dims.y <= (1 << 20) && dims.z <= (1 << 20),
-      s"corrupt n5 block header: dims $dims outside (0, 2^20] per axis")
+        dims.x < (1 << 20) && dims.y < (1 << 20) && dims.z < (1 << 20),
+      s"corrupt n5 block header: dims $dims outside (0, 2^20) per axis")
     val nvox = dims.x * dims.y * dims.z
-    require(nvox * dtb <= Codec.MaxDecodedChunkBytes,
+    require(nvox <= Codec.MaxDecodedChunkBytes / dtb,
       s"corrupt n5 block header: dims $dims (x$dtb B/voxel) outside " +
         s"the ${Codec.MaxDecodedChunkBytes}-byte decode ceiling")
     val body = java.util.Arrays.copyOfRange(binary, 16, binary.length)

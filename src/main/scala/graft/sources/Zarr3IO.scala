@@ -422,8 +422,10 @@ object Zarr3IO {
       // negative; an off past EOF would make read() return -1 and the
       // fill loop below spin forever)
       val sz = ch.size()
-      require(off >= 0 && len >= 0 && off + len <= sz,
-        s"corrupt zarr3 shard index: range [$off, ${off + len}) outside " +
+      // overflow-safe form: off + len can wrap negative for a crafted
+      // entry (off near 2^63), which would pass `off + len <= sz`
+      require(off >= 0 && len >= 0 && len <= sz && off <= sz - len,
+        s"corrupt zarr3 shard index: range [$off, len $len) outside " +
           s"the $sz-byte shard object")
       require(len <= graft.core.Codec.MaxDecodedChunkBytes,
         s"corrupt zarr3 shard index: $len-byte inner chunk exceeds the " +

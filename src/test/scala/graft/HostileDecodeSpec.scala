@@ -33,8 +33,10 @@ class HostileDecodeSpec extends AnyFunSuite with BeforeAndAfterAll {
       case 1 => m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
       case _ => ()
     }
+    // truncation floor is 0: zero-length inputs must also hit the
+    // declared-error contract (the zstd frame probe used to escape it)
     if (m.nonEmpty && rnd.nextBoolean())
-      java.util.Arrays.copyOf(m, 1 + rnd.nextInt(m.length))
+      java.util.Arrays.copyOf(m, rnd.nextInt(m.length + 1))
     else m
   }
 
@@ -331,6 +333,94 @@ class HostileDecodeSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       assert(causes(e2).exists(_.isInstanceOf[IllegalArgumentException]),
         s"expected IllegalArgumentException in the cause chain, got $e2")
+    } finally spark.stop()
+  }
+
+  // ---- overflow/empty-input rails (r18 advisor regressions) ---------
+
+  test("zstd: zero-length input fails as the declared type, not AIOOBE") {
+    // zstd-jni's getFrameContentSize throws a raw
+    // ArrayIndexOutOfBoundsException on empty input; the decode
+    // boundary must convert it (or pre-reject) as IllegalArgumentException
+    intercept[IllegalArgumentException](Codec.unzstd(Array.emptyByteArray))
+    // and every second-stage codec honors the empty-input contract too
+    for ((name, dec) <- Seq[(String, Array[Byte] => Array[Byte])](
+        ("gzip", Codec.gunzip(_)), ("zlib", Codec.zlibDecompress(_)),
+        ("lz4", Codec.unlz4Block(_)), ("bzip2", Codec.unbzip2(_)),
+        ("xz", Codec.unxz(_)), ("blosc", Blosc.decompress(_)))) {
+      try { dec(Array.emptyByteArray); () }
+      catch {
+        case _: IllegalArgumentException => ()
+        case e: Throwable =>
+          fail(s"$name(empty): ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+  }
+
+  test("graphene segid: hostile spatial-bit count cannot overflow the mask") {
+    import graft.functions.BboxOps
+    // 3*ct overflows Long for ct near 2^62; sb could wrap positive and
+    // (1L << sb) would silently use only the low 6 shift bits
+    for (ct <- Seq(Long.MaxValue / 3 + 1, (1L << 62) + 5L, -1L, 22L))
+      intercept[IllegalArgumentException](
+        BboxOps.grapheneSegid(12345L, 8L, ct))
+    // the legitimate boundary still works: layerBits=1, ct=20 -> sb=3
+    assert(BboxOps.grapheneSegid(0xffL, 1L, 20L) == 7L)
+  }
+
+  test("n5: dims exactly 2^20 per axis cannot wrap the decode ceiling") {
+    // 2^20 per axis at dtb=8 makes nvox*dtb exactly 2^63 ->
+    // Long.MinValue on the old multiply form, which PASSED the ceiling
+    val dims = 1 << 20
+    val hdr = ByteBuffer.allocate(16).order(ByteOrder.BIG_ENDIAN)
+    hdr.putShort(0.toShort).putShort(3.toShort)
+      .putInt(dims).putInt(dims).putInt(dims)
+    intercept[IllegalArgumentException](
+      N5IO.decodeBlock(hdr.array(), 8, "raw"))
+  }
+
+  test("zarr3 shard: index offset near 2^63 cannot wrap the range rail") {
+    import graft.sources.Zarr3IO
+    val m = Zarr3IO.Zarr3Meta(
+      shape = Vec3(8, 8, 8), chunkShape = Vec3(8, 8, 8),
+      dataType = "uint32", fillValue = 0L, compressor = "gzip",
+      innerChunkShape = Some(Vec3(4, 4, 4)))
+    val vox = Array.tabulate(512)(i => (i * 7L) & 0xffffL)
+    val shard = Zarr3IO.synthesizeShard(vox, m)
+    // craft the FIRST index entry to (off near 2^63, small len): the
+    // old `off + len <= sz` wrapped negative and passed; re-crc so the
+    // integrity rail cannot mask the range rail
+    val n = 8
+    val idxOff = shard.length - (16 * n + 4)
+    val bb = ByteBuffer.wrap(shard, idxOff, 16 * n + 4)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.putLong(idxOff, Long.MaxValue - 7L)
+    bb.putLong(idxOff + 8, 64L)
+    val crc = new java.util.zip.CRC32C
+    crc.update(shard, idxOff, 16 * n)
+    ByteBuffer.wrap(shard, idxOff + 16 * n, 4)
+      .order(ByteOrder.LITTLE_ENDIAN).putInt(crc.getValue.toInt)
+    // the crc is valid, so the failure must come from the (now
+    // overflow-safe) range rail inside readRange, as the declared type
+    val dir = Files.createTempDirectory("graft_hostile_z3_ovf")
+    val layerDir = dir.resolve("layer").toString
+    Zarr3IO.writeMeta(layerDir, m)
+    val cdir = Paths.get(layerDir, "c", "0", "0")
+    Files.createDirectories(cdir)
+    Files.write(cdir.resolve("0"), shard)
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val e = intercept[Exception] {
+        Zarr3IO.cutoutVoxelsAt(spark, layerDir,
+          Bbox(Vec3(0, 0, 0), Vec3(8, 8, 8))).count()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: causes(t.getCause)
+      assert(causes(e).exists(_.isInstanceOf[IllegalArgumentException]),
+        s"expected IllegalArgumentException in the cause chain, got $e")
     } finally spark.stop()
   }
 }
