@@ -163,4 +163,39 @@ object Derived {
     val b = Bbox.fromFilename(name)
     (b.minpt.x, b.minpt.y, b.minpt.z, b.maxpt.x, b.maxpt.y, b.maxpt.z)
   })
+
+  /** SQL-registrable decode-and-clip: one uint32 raw chunk payload ->
+    * voxel rows clipped to the request bbox (rx.py:239-379's
+    * shared-memory paste, re-expressed as a generator). Array param
+    * for the payload (UdfSeqAuditSpec contract); the chunk bbox and
+    * request bbox ride as plain longs so the whole thing is callable
+    * from pure `spark.sql` (s4f_cutout_sql_pushdown).
+    */
+  val clipVoxelsFn: (Long, Long, Long, Long, Long, Long, Array[Byte],
+      Long, Long, Long, Long, Long, Long) => Seq[ClipVox] =
+    (x0, y0, z0, x1, y1, z1, payload, bx0, by0, bz0, bx1, by1, bz1) => {
+      val sx = x1 - x0; val sy = y1 - y0
+      val vox = Codec.decodeRawToLongs(payload, 4)
+      val out = scala.collection.mutable.ArrayBuffer.empty[ClipVox]
+      var z = math.max(z0, bz0)
+      while (z < math.min(z1, bz1)) {
+        var y = math.max(y0, by0)
+        while (y < math.min(y1, by1)) {
+          var x = math.max(x0, bx0)
+          while (x < math.min(x1, bx1)) {
+            out += ClipVox(x, y, z,
+              vox(((x - x0) + sx * ((y - y0) + sy * (z - z0))).toInt))
+            x += 1
+          }
+          y += 1
+        }
+        z += 1
+      }
+      out.toSeq
+    }
 }
+
+/** Row shape for clipVoxelsFn (top-level so UDF return-type reflection
+  * resolves the encoder).
+  */
+final case class ClipVox(x: Long, y: Long, z: Long, label: Long)

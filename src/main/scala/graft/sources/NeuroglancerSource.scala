@@ -46,6 +46,29 @@ class NeuroglancerSource extends TableProvider with DataSourceRegister {
 }
 
 object Neuroglancer {
+  /** PlanAudit-style rail for queries that claim SQL-level partition
+    * pruning (r17 verdict item 1): the optimized plan must hold an
+    * NgScan whose pushed-filter list is non-empty — i.e. Catalyst's
+    * V2ScanRelationPushDown actually translated the WHERE clause into
+    * grid bounds (NgScanBuilder.tryPush), it didn't silently fall back
+    * to a full-grid scan with a post-filter. Returns the frame so the
+    * check composes inline.
+    */
+  def requirePushedFilters(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan
+    }
+    val ng = scans.collect { case s: NgScan => s }
+    require(ng.nonEmpty,
+      "pushdown rail: no neuroglancer scan in the optimized plan")
+    require(ng.forall(_.pushed.nonEmpty),
+      "pushdown rail: a neuroglancer scan has an EMPTY pushed-filter " +
+        s"list: ${ng.map(_.description()).mkString("; ")}")
+    df
+  }
+
   val Schema: StructType = StructType(Seq(
     StructField("gx", LongType, nullable = false),
     StructField("gy", LongType, nullable = false),
@@ -296,7 +319,7 @@ final class NgScanBuilder(layerDir: String, mip: Int, fillMissing: Boolean,
     val hi = Vec3(math.min(grid.x - 1, ghi(0)), math.min(grid.y - 1, ghi(1)),
       math.min(grid.z - 1, ghi(2)))
     new NgScan(layerDir, scale, meta.dtypeBytes, lo, hi, required,
-      fillMissing, maxChunksPerTrigger)
+      fillMissing, maxChunksPerTrigger, pushed = accepted)
   }
 }
 
@@ -307,7 +330,8 @@ final case class NgInputPartition(
 
 final class NgScan(layerDir: String, scale: ScaleMeta, dtypeBytes: Int,
     lo: Vec3, hi: Vec3, required: StructType, fillMissing: Boolean,
-    maxChunksPerTrigger: Int = 0)
+    maxChunksPerTrigger: Int = 0,
+    val pushed: Array[Filter] = Array.empty)
   extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -316,8 +340,12 @@ final class NgScan(layerDir: String, scale: ScaleMeta, dtypeBytes: Int,
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new NgMicroBatchStream(layerDir, scale, lo, hi, required, fillMissing,
       checkpointLocation, maxChunksPerTrigger)
+  // PushedFilters is named to match the V1 EXPLAIN convention so a
+  // plan read (EXPLAIN.md) can confirm pruning fired from pure SQL
   override def description(): String =
-    s"neuroglancer $layerDir key=${scale.key} grid=[$lo..$hi] cols=${required.fieldNames.mkString(",")}"
+    s"neuroglancer $layerDir key=${scale.key} grid=[$lo..$hi] " +
+      s"cols=${required.fieldNames.mkString(",")} " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val pts = for {

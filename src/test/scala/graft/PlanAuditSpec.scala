@@ -47,4 +47,30 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  test("SQL against the neuroglancer table pushes chunk-key filters " +
+      "into the scan (non-empty PushedFilters)") {
+    // build the pure-SQL cutout entry; its own builder already runs
+    // Neuroglancer.requirePushedFilters, so a silent fall-back to a
+    // full-grid scan fails HERE, not at 100 TB. Then re-assert from
+    // the outside so the rail itself is covered.
+    val df = SparkEntry.queries("s4f_cutout_sql_pushdown")(spark, sfDir)
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val ng = df.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan
+    }.collect { case s: graft.sources.NgScan => s }
+    assert(ng.nonEmpty, "no NgScan in the optimized plan")
+    assert(ng.forall(_.pushed.length >= 6),
+      s"expected all 6 bbox-overlap predicates pushed, got: " +
+        ng.map(_.description()).mkString("; "))
+    // and the rail rejects a genuinely unpushable query (payload-only
+    // predicate -> nothing for tryPush to translate)
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW graft_ng_unpushed
+      |USING neuroglancer OPTIONS (
+      |  path '${graft.ops.RealLayerQueries.LayerDir}', mip '0')""".stripMargin)
+    val bad = spark.sql(
+      "SELECT gx FROM graft_ng_unpushed WHERE length(payload) > 0")
+    intercept[IllegalArgumentException](
+      graft.sources.Neuroglancer.requirePushedFilters(bad))
+  }
 }
