@@ -895,6 +895,69 @@ object VolumeQueries {
         |         PARTITION BY shard_no, minishard_no ORDER BY label), 0) AS delta
         |FROM m""".stripMargin)),
 
+    // W2/S12 write lane with labels STRADDLING 2^63 (r17 verdict item
+    // 4): j1c/f3c proved u64 through the QUERY lanes; this proves the
+    // SYNTHESIS lane, where unsigned order actually bites — a signed
+    // sort would interleave 2^63±k labels and emit negative deltas
+    // (sharding.py:902-932 sorts a numpy uint64 array ascending).
+    // Each shard group synthesizes a REAL shard file on the executor
+    // (identity hash so DuckDB can replay the bit fields), then
+    // re-reads it through the same ShardCodec reader: `rank` is the
+    // position in the minishard index AS READ BACK, and `payload_str`
+    // round-trips through getData + the gzip data encoding. The oracle
+    // recomputes rank with an unsigned HUGEINT sort — a signed-order
+    // synthesis hash-mismatches immediately.
+    "w2b_shard_synth_u64" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val spec = graft.core.ShardingSpec(
+          preshiftBits = 0, minishardBits = 2, shardBits = 2,
+          hashName = "identity", minishardIndexEncoding = "gzip",
+          dataEncoding = "gzip")
+        val labels = voxels(s, dir).select("label").distinct()
+          .select(when(col("label") % 2 === 1,
+              col("label") + lit(Long.MinValue))
+            .otherwise(col("label")).as("label"))
+        labels.as[Long]
+          .groupByKey(l => spec.shardLocation(l)._1)
+          .flatMapGroups { (shardNo, it) =>
+            val pairs = it.map(l =>
+              l -> java.lang.Long.toUnsignedString(l)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)).toSeq
+            val shard = graft.core.ShardCodec.synthesizeShard(spec, pairs)
+            var lastMsn = -1L
+            var rank = 0L
+            graft.core.ShardCodec.allEntries(shard, spec).map {
+              case (msn, ent) =>
+                rank = if (msn == lastMsn) rank + 1 else 1L
+                lastMsn = msn
+                val payload = graft.core.ShardCodec
+                  .getData(shard, spec, ent.label)
+                  .getOrElse(sys.error(s"label ${ent.label} vanished"))
+                (ent.label, shardNo, msn, rank,
+                  new String(payload, java.nio.charset.StandardCharsets.UTF_8))
+            }
+          }
+          .toDF("label", "shard_no", "minishard_no", "rank", "payload_str")
+      },
+      Some(s"""WITH $VoxelsCte,
+        |u AS (SELECT DISTINCT label FROM voxels),
+        |lab AS (SELECT CAST(CASE WHEN label % 2 = 1
+        |          THEN label - 9223372036854775808 ELSE label END AS BIGINT)
+        |          AS label
+        |        FROM u),
+        |uns AS (SELECT label,
+        |          label::HUGEINT + CASE WHEN label < 0
+        |            THEN 18446744073709551616 ELSE 0 END AS ul
+        |        FROM lab)
+        |SELECT label,
+        |  CAST(ul % 4 AS BIGINT) AS minishard_no,
+        |  CAST((ul // 4) % 4 AS BIGINT) AS shard_no,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY (ul // 4) % 4, ul % 4 ORDER BY ul) AS BIGINT) AS rank,
+        |  CAST(ul AS VARCHAR) AS payload_str
+        |FROM uns""".stripMargin)),
+
     // F5: filename <-> bbox codec round trip (lib.py:520-601)
     "f5_filename_codec" -> Q(
       (s, dir) => {

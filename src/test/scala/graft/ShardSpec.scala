@@ -206,4 +206,30 @@ class ShardSpec extends AnyFunSuite {
     assert(Seq(bb.getLong(0), bb.getLong(8), bb.getLong(16)) == Seq(10L, 7L, 23L))
     assert(Seq(bb.getLong(48), bb.getLong(56), bb.getLong(64)) == Seq(1L, 2L, 1L))
   }
+
+  test("delta wire bytes with labels STRADDLING 2^63: unsigned sort " +
+      "order, exact deltas (r17 verdict item 4)") {
+    // sharding.py:902-932 sorts a numpy uint64 array ascending; a
+    // signed Long sort would put 2^63+5 FIRST and emit a negative
+    // delta. Unsigned ascending order of {3, 2^63-1, 2^63+5} is
+    // exactly that sequence, so the wire deltas are known answers:
+    // first absolute (3), then 2^63-4, then 6.
+    val spec = ShardingSpec(0, 0, 0, "identity") // single shard+minishard
+    val labels = Seq(Long.MinValue + 5L, 3L, Long.MaxValue) // scrambled input
+    val shard = ShardCodec.synthesizeShard(spec,
+      labels.map(l => l -> Array[Byte](l.toByte)))
+    val idxBytes = shard.takeRight(72) // 3 labels * 3 runs * 8 bytes
+    val bb = java.nio.ByteBuffer.wrap(idxBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(Seq(bb.getLong(0), bb.getLong(8), bb.getLong(16)) ==
+      Seq(3L, Long.MaxValue - 3L, 6L),
+      "label-delta run must reflect UNSIGNED ascending order")
+    // read-back order matches unsigned ascending, and every payload
+    // survives the round-trip
+    val entries = ShardCodec.allEntries(shard, spec).map(_._2.label)
+    assert(entries == Seq(3L, Long.MaxValue, Long.MinValue + 5L))
+    labels.foreach { l =>
+      assert(ShardCodec.getData(shard, spec, l).get.toSeq == Seq(l.toByte))
+    }
+  }
 }
