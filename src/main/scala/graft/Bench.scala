@@ -375,7 +375,33 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
     }
     def gcTimeMs(): Long = gcBeans.map(_.getCollectionTime.max(0L)).sum
+    // In-run per-job floor probe (r17 verdict item 3): multi-exchange
+    // entries' walls at bench scale are jobs x per-job overhead, but the
+    // overhead itself moves with ambient box load — an isolated Scratch
+    // --floor on a quiet box under-explains a loaded driver run. Measure
+    // the floor INSIDE the same session, once per pass: N trivial
+    // shuffle actions (32-partition exchange + count, the same
+    // AQE-stage shape that dominates these entries' job streams),
+    // seconds / jobs-submitted from the same listener. Published as
+    // job_floor_s per pass so "wall ~= jobs x same-run floor" is
+    // checkable from BENCH_DETAIL alone.
+    def measureJobFloor(): Double = {
+      org.apache.spark.graftbridge.BusDrain.drain(spark.sparkContext)
+      val j0 = jobsSeen
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < 6) {
+        spark.range(0, 32, 1, 32).repartition(32).count()
+        i += 1
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graftbridge.BusDrain.drain(spark.sparkContext)
+      dt / math.max(1L, jobsSeen - j0)
+    }
+    if (passes > 0) measureJobFloor() // JIT-warm the probe shape, untimed
+    val passFloors = scala.collection.mutable.ArrayBuffer.empty[Double]
     for (pass <- 1 to passes) {
+      passFloors += measureJobFloor()
       // Deterministically DIFFERENT order per pass (seed = pass): r9/r10
       // forensics showed the alphabetical loop charges each query the
       // async residue (stream-state unload, block/shuffle cleanup) of
@@ -543,6 +569,19 @@ object Bench {
     val timedRebuilds = graft.ops.FixtureLog.rebuildsSince(timedLoopStart)
     val rebuildsJson = timedRebuilds.map(m => "\"" + jstr(m) + "\"")
       .mkString("[", ",", "]")
+    // same-run floor + load summary (r17 verdict items 3 & 6): the
+    // per-pass floor makes "wall ~= jobs x floor" checkable from this
+    // artifact alone, and the pass-level load medians let a reader tell
+    // a quiet-box run from a loaded one without replaying query_passes
+    val floorJson = passFloors.map(num(_, 4)).mkString("[", ",", "]")
+    val loadByPass = (1 to passes).map { p =>
+      val ls = passRecs.filter(_.pass == p).map(_.load)
+      if (ls.isEmpty) 0.0 else median(ls.toSeq)
+    }
+    val loadSummaryJson =
+      s"""{"pass_load_median":${loadByPass.map(num(_, 2)).mkString("[", ",", "]")},""" +
+      s""""load_max":${num(if (passRecs.isEmpty) 0.0 else passRecs.map(_.load).max, 2)},""" +
+      s""""outlier_retry_count":${retryRecs.size}}"""
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,""" +
       s""""queries":$qs,"query_stats":$statsJson,"mbps_stats":$mbpsStatsJson,""" +
@@ -574,6 +613,12 @@ object Bench {
       s"""query_stats.median_preretry (published when it differs) or the """ +
       s"""raw walls in query_passes",""" +
       s""""outlier_retries":$retriesJson,""" +
+      s""""job_floor_s":$floorJson,""" +
+      s""""job_floor_note":"per-pass seconds-per-job of 6 trivial """ +
+      s"""32-partition shuffle actions measured in THIS session — """ +
+      s"""multi-exchange entries should satisfy wall ~= jobs x floor + """ +
+      s"""task_ms/32; floors move with box load, so use the same-pass value",""" +
+      s""""load_summary":$loadSummaryJson,""" +
       s""""fixture_rebuilds_in_timed_loop":$rebuildsJson,""" +
       s""""n_failed":${errs.size},"errors":$errJson,$mbpsJson,"sf":"$sfDir"}"""
     // Full per-query timings for humans/judge: one stdout line (NOT the

@@ -59,6 +59,31 @@ object Scaling {
       .getOrElse(Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1"))
     val medians = scala.collection.mutable.Map[(String, String), Double]()
     val rows = scala.collection.mutable.Map[(String, String), Long]()
+    // jobs/task_ms attribution per entry per sf (r17 verdict item 2):
+    // the Bench listener ported here so composed-run outliers carry
+    // their own evidence IN the artifact — task_ms flat while wall
+    // inflates proves session contention (block-manager/CPU residue
+    // from hundreds of neighbors), task_ms growing with wall proves a
+    // real data term. Same BusDrain discipline as Bench: drain before
+    // the snapshot, after the clock stops.
+    val jobsMed = scala.collection.mutable.Map[(String, String), Long]()
+    val taskMsMed = scala.collection.mutable.Map[(String, String), Long]()
+    val loadMed = scala.collection.mutable.Map[(String, String), Double]()
+    @volatile var jobsSeen = 0L
+    @volatile var taskMsSeen = 0L
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobsSeen += 1
+        override def onStageCompleted(
+            st: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          taskMsSeen += st.stageInfo.taskMetrics.executorRunTime
+      })
+    def loadAvg(): Double =
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+      catch { case _: Throwable => -1.0 }
     for (sfDir <- sfs) {
       graft.ops.Fixtures.ensureAll(spark, sfDir)
       // warm pass: fixture (re)builds at this sf + JIT, untimed
@@ -71,16 +96,26 @@ object Scaling {
         // a failing query records NaN and the sweep continues — one
         // broken entry must not void the other ratios
         try {
-          val reps = (1 to 3).map { _ =>
+          val recs = (1 to 3).map { _ =>
+            org.apache.spark.graftbridge.BusDrain.drain(spark.sparkContext)
+            val j0 = jobsSeen; val tm0 = taskMsSeen; val ld = loadAvg()
             val t0 = System.nanoTime()
             val c = SparkEntry.queries(n)(spark, sfDir).count()
+            val dt = (System.nanoTime() - t0) / 1e9
             rows((n, sfDir)) = c
-            (System.nanoTime() - t0) / 1e9
-          }.sorted
+            org.apache.spark.graftbridge.BusDrain.drain(spark.sparkContext)
+            (dt, jobsSeen - j0, taskMsSeen - tm0, ld)
+          }
+          val reps = recs.map(_._1).sorted
+          def medL(v: Seq[Long]): Long = v.sorted.apply(v.size / 2)
           medians((n, sfDir)) = reps(1)
+          jobsMed((n, sfDir)) = medL(recs.map(_._2))
+          taskMsMed((n, sfDir)) = medL(recs.map(_._3))
+          loadMed((n, sfDir)) = recs.map(_._4).sorted.apply(recs.size / 2)
           println(f"[scaling] $n @ ${sfDir.split('/').last}: " +
             f"median=${reps(1)}%.3f s reps=${reps.map(r => f"$r%.3f").mkString(",")} " +
-            f"rows=${rows((n, sfDir))}")
+            f"rows=${rows((n, sfDir))} jobs=${jobsMed((n, sfDir))} " +
+            f"task_ms=${taskMsMed((n, sfDir))} load=${loadMed((n, sfDir))}%.2f")
         } catch { case e: Throwable =>
           medians((n, sfDir)) = Double.NaN
           System.err.println(s"[scaling] timed $n @ $sfDir FAILED: $e")
@@ -88,12 +123,17 @@ object Scaling {
       }
     }
     val sfA = sfs(0).split('/').last; val sfB = sfs(1).split('/').last
-    println(s"query\t${sfA}_s\t${sfB}_s\tratio\trows_$sfA\trows_$sfB")
+    println(s"query\t${sfA}_s\t${sfB}_s\tratio\trows_$sfA\trows_$sfB\t" +
+      s"jobs_$sfA\tjobs_$sfB\ttask_ms_$sfA\ttask_ms_$sfB\tload_$sfA\tload_$sfB")
     names.foreach { n =>
       val a = medians.getOrElse((n, sfs(0)), Double.NaN)
       val b = medians.getOrElse((n, sfs(1)), Double.NaN)
       println(f"$n\t$a%.3f\t$b%.3f\t${b / a}%.2f\t" +
-        f"${rows.getOrElse((n, sfs(0)), -1L)}\t${rows.getOrElse((n, sfs(1)), -1L)}")
+        f"${rows.getOrElse((n, sfs(0)), -1L)}\t${rows.getOrElse((n, sfs(1)), -1L)}\t" +
+        f"${jobsMed.getOrElse((n, sfs(0)), -1L)}\t${jobsMed.getOrElse((n, sfs(1)), -1L)}\t" +
+        f"${taskMsMed.getOrElse((n, sfs(0)), -1L)}\t${taskMsMed.getOrElse((n, sfs(1)), -1L)}\t" +
+        f"${loadMed.getOrElse((n, sfs(0)), -1.0)}%.2f\t" +
+        f"${loadMed.getOrElse((n, sfs(1)), -1.0)}%.2f")
     }
     spark.stop()
   }
