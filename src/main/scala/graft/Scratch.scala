@@ -78,6 +78,42 @@ object Scratch {
       println(f"[udfseq] 45M array-indexed accesses: ${(System.nanoTime()-t0)/1e9}%.2f s")
       spark.stop(); return
     }
+    // --jobfloor: calibrate per-job overhead of two probe shapes —
+    // trivial shuffle vs broadcast-join+agg (the structural primitive
+    // of the iterative-join entries) — to pick Bench's in-run floor
+    if (flags.contains("--jobfloor")) {
+      import spark.implicits._
+      @volatile var jobs = 0
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            jobs += 1
+        })
+      val base = spark.range(0, 200, 1, 32)
+        .selectExpr("id as u", "id % 7 + 1 as deg").localCheckpoint()
+      val dim = spark.range(0, 200, 1, 4)
+        .selectExpr("id as u", "id * 3 as pr").localCheckpoint()
+      def bjAgg(): Long = base.join(dim, Seq("u"))
+        .selectExpr("u % 50 as g", "pr / deg as w")
+        .groupBy("g").agg(org.apache.spark.sql.functions.sum("w")).count()
+      def trivial(): Long = spark.range(0, 32, 1, 32).repartition(32).count()
+      for ((nm, fn) <- Seq[(String, () => Long)](
+          ("trivial_shuffle", () => trivial()),
+          ("bcast_join_agg", () => bjAgg()))) {
+        (1 to 4).foreach(_ => fn()) // warm
+        for (rep <- 1 to 3) {
+          jobs = 0
+          val t0 = System.nanoTime()
+          (1 to 6).foreach(_ => fn())
+          Thread.sleep(200)
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(f"[jobfloor] $nm rep$rep wall=$dt%.3f s jobs=$jobs " +
+            f"per_job=${dt / math.max(1, jobs)}%.4f s")
+        }
+      }
+      spark.stop(); return
+    }
     // --floor: attribute an entry's wall time to Spark job count x
     // per-job overhead (r14 brief item 7: the stream-stream join and
     // the frontier descents are multi-job fixed-cost floors at bench
