@@ -828,6 +828,98 @@ object SimilarityQueries {
         |WHERE round(dot / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)), 6)
         |      >= 0.30""".stripMargin)),
 
+    // SemDeDup-style semantic dedup (Abbas et al. 2023, public):
+    // cluster the embedding corpus, then prune near-duplicates WITHIN
+    // each cluster — the clustering bounds the pairwise work, which is
+    // the method's entire point at web scale (K grows with the corpus
+    // so cluster populations stay bounded; cross-cluster pairs are
+    // never formed). Deterministic replay: centroids are the first 8
+    // vectors (same seeding as cluster_kmeans_assign), assignment is
+    // exact integer squared-L2 on milli-quantized arrays (ties to the
+    // smallest centroid id), and an item is dropped when some LOWER-id
+    // member of its cluster has cosine >= 0.30 with it (keep the
+    // earliest representative). Scale shape: assignment is a narrow
+    // compiled map (centroids broadcast in the UDF closure), the
+    // within-cluster pair generation is a cluster-keyed equi-join, and
+    // the verdict is a left anti against the dropped set. K SCALES
+    // WITH THE CORPUS (max(8, n/256)) — the method's own scale
+    // contract: a fixed K makes cluster populations grow linearly and
+    // the within-cluster pairwise quadratic (measured: 39x for 10x
+    // data at K=8; ~linear with K ∝ n), so K is derived from the
+    // corpus count and the oracle replays the same rule.
+    "dedup_semantic" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val e = quantNorm(s, dir)
+        val kk = math.max(8L, e.count() / 256L)
+        val cents: Array[(Long, Array[Long])] =
+          e.filter(col("vec_id") < kk).select(col("vec_id"), col("q"))
+            .as[(Long, Array[Long])].collect().sortBy(_._1)
+        val assignUdf = udf { (q: Array[Long]) =>
+          var best = -1L; var bestD = Long.MaxValue
+          cents.foreach { case (cid, cv) =>
+            var d = 0L; var i = 0
+            while (i < cv.length) {
+              val diff = q(i) - cv(i); d += diff * diff; i += 1
+            }
+            if (d < bestD) { bestD = d; best = cid }
+          }
+          best
+        }
+        val a = e.select(col("vec_id"), col("q"), col("nrm"),
+          assignUdf(col("q")).as("cluster")).localCheckpoint()
+        val x = a.select(col("cluster"), col("vec_id").as("a"),
+          col("q").as("qa"), col("nrm").as("na"))
+        val y = a.select(col("cluster"), col("vec_id").as("b"),
+          col("q").as("qb"), col("nrm").as("nb"))
+        val dropped = x.join(y, Seq("cluster"))
+          .filter(col("a") < col("b"))
+          .withColumn("cosine", round(
+            dotUdf(col("qa"), col("qb")) /
+              sqrt(col("na").cast("double") * col("nb").cast("double")), 6))
+          .filter(col("cosine") >= 0.30)
+          .select(col("b").as("vec_id")).distinct()
+        // emit the RETAINED corpus (left anti), not an all-rows keep
+        // flag: a keep-flag left join against a distinct-keyed right
+        // side is provably non-multiplying, so Catalyst eliminates the
+        // join under the harness's count() and the timing would never
+        // pay for the pairwise work it claims to measure
+        a.join(dropped, Seq("vec_id"), "left_anti")
+          .select(col("vec_id"), col("cluster"))
+      },
+      Some("""WITH t AS (SELECT vec_id, embedding,
+        |         unnest(generate_series(1, 64)) AS k FROM embeddings),
+        |q AS (SELECT vec_id, k,
+        |        CAST(round(embedding[k]::DOUBLE * 1000) AS BIGINT) AS qv FROM t),
+        |nrm AS (SELECT vec_id, CAST(sum(qv * qv) AS BIGINT) AS nrm
+        |        FROM q GROUP BY vec_id),
+        |kv AS (SELECT GREATEST(8, count(*) // 256) AS kk FROM embeddings),
+        |c AS (SELECT vec_id AS cid, k, qv AS cv FROM q
+        |      WHERE vec_id < (SELECT kk FROM kv)),
+        |d AS (SELECT q.vec_id, c.cid,
+        |        CAST(sum((qv - cv) * (qv - cv)) AS BIGINT) AS d2
+        |      FROM q JOIN c ON c.k = q.k GROUP BY q.vec_id, c.cid),
+        |asg AS (SELECT vec_id, cid AS cluster FROM (
+        |          SELECT vec_id, cid, row_number() OVER (
+        |            PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+        |          FROM d) WHERE rn = 1),
+        |pairs AS (SELECT xa.vec_id AS a, xb.vec_id AS b
+        |          FROM asg xa JOIN asg xb
+        |            ON xa.cluster = xb.cluster AND xa.vec_id < xb.vec_id),
+        |dt AS (SELECT p.a, p.b, sum(qa.qv * qb.qv) AS dot
+        |       FROM pairs p
+        |       JOIN q qa ON qa.vec_id = p.a
+        |       JOIN q qb ON qb.vec_id = p.b AND qb.k = qa.k
+        |       GROUP BY p.a, p.b),
+        |dup AS (SELECT DISTINCT dt.b AS vec_id FROM dt
+        |        JOIN nrm na ON na.vec_id = dt.a
+        |        JOIN nrm nb ON nb.vec_id = dt.b
+        |        WHERE round(dot / sqrt(CAST(na.nrm AS DOUBLE)
+        |                * CAST(nb.nrm AS DOUBLE)), 6) >= 0.30)
+        |SELECT a.vec_id, a.cluster
+        |FROM asg a LEFT JOIN dup USING (vec_id)
+        |WHERE dup.vec_id IS NULL""".stripMargin)),
+
     // K-means assignment step (one Lloyd iteration's E-step) over the
     // embedding corpus: centroids are the first 8 vectors (a
     // deterministic seeding so the oracle can replay it), every vector
