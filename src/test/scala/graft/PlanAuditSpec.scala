@@ -63,6 +63,14 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ng.forall(_.pushed.length >= 6),
       s"expected all 6 bbox-overlap predicates pushed, got: " +
         ng.map(_.description()).mkString("; "))
+    // column pruning reached the scan too: the SQL never touches the
+    // grid-coordinate columns, so the read schema must not carry them
+    // (a scan reading all 10 columns for a 7-column consumer is wrong)
+    ng.foreach { sc =>
+      val read = sc.readSchema().fieldNames.toSet
+      assert(Seq("gx", "gy", "gz").forall(c => !read.contains(c)),
+        s"grid columns not pruned from the SQL scan: $read")
+    }
     // and the rail rejects a genuinely unpushable query (payload-only
     // predicate -> nothing for tryPush to translate)
     spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW graft_ng_unpushed
