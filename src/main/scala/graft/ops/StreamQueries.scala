@@ -34,7 +34,7 @@ object StreamQueries {
 
   /** Bench setup hook: stage the stream-source directories up front. */
   def prepare(s: SparkSession, sfDir: String): Unit = {
-    stageEvents(s, sfDir); stageDocs(s, sfDir)
+    stageEvents(s, sfDir); stageDocs(s, sfDir); stageNearDocs(s, sfDir)
   }
 
   /** Stage events.parquet into a stream-source directory (file stream
@@ -77,6 +77,71 @@ object StreamQueries {
       }
       dir.toString
     }
+
+  /** Stage the NEAR-duplicate corpus (TextQueries.corpus: even doc_ids
+    * re-keyed to +10000 with the FIRST WORD dropped) as a stream
+    * source for st18 — partial band collisions, so the LSH S-curve is
+    * actually exercised (the exact-dup corpus of st4 would collide in
+    * every band).
+    */
+  private[graft] def stageNearDocs(s: SparkSession, sfDir: String): String =
+    synchronized {
+      val dir = Paths.get(Root, "docs_near")
+      val marker = Paths.get(Root, ".docs_near_from")
+      val srcId = Fixtures.srcStamp(sfDir)
+      if (!Files.exists(marker) || Files.readString(marker) != srcId) {
+        FixtureLog.rebuild(marker)
+        val docs = s.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        docs.unionAll(docs.filter(col("doc_id") % 2 === 0)
+            .select((col("doc_id") + 10000).as("doc_id"),
+              expr("substr(text, instr(text, ' ') + 1)").as("text")))
+          .write.mode("overwrite").parquet(dir.toString)
+        Files.writeString(marker, srcId)
+      }
+      dir.toString
+    }
+
+  // minhash permutation coefficients as an array for the compiled
+  // signature loop (TextQueries.MinhashFns is the shared source of
+  // truth; List indexing inside the per-shingle loop would be O(k))
+  private val MhFns: Array[(Long, Long)] = TextQueries.MinhashFns.toArray
+
+  /** Whole-document minhash band keys in ONE compiled pass — the
+    * map-side formulation of the batch signature pipeline
+    * (TextQueries.minhashPairs shuffles exploded shingles into a
+    * per-doc aggregate; at ingest time the signature never needs to
+    * leave the row). Arithmetic is bit-identical to the batch
+    * expressions: word trigram shingles, hv = first 48 bits of
+    * md5(shingle), mh_i = min((hv*a_i + b_i) mod P), band key =
+    * "mh_{2b}_mh_{2b+1}". StreamSpec pins the equivalence
+    * differentially against the Catalyst expression pipeline.
+    */
+  private[graft] val bandKeysFn: String => Array[BandKey] = text => {
+    val w = text.split(" ", -1)
+    if (w.length < 3) Array.empty[BandKey]
+    else {
+      val mh = Array.fill(MhFns.length)(Long.MaxValue)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var i = 0
+      while (i <= w.length - 3) {
+        val d = md.digest((w(i) + " " + w(i + 1) + " " + w(i + 2))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var hv = 0L
+        var j = 0
+        while (j < 6) { hv = (hv << 8) | (d(j) & 0xffL); j += 1 }
+        var k = 0
+        while (k < MhFns.length) {
+          val v = (hv * MhFns(k)._1 + MhFns(k)._2) % TextQueries.P
+          if (v < mh(k)) mh(k) = v
+          k += 1
+        }
+        i += 1
+      }
+      Array.tabulate(MhFns.length / 2)(b =>
+        BandKey(b + 1L, s"${mh(2 * b)}_${mh(2 * b + 1)}"))
+    }
+  }
 
   private def deleteTree(root: java.nio.file.Path): Unit =
     if (Files.exists(root)) {
@@ -361,6 +426,44 @@ object StreamQueries {
         |SELECT ('0x' || substr(md5(lower(trim(text))), 1, 12))::BIGINT AS h,
         |       min(doc_id) AS keeper, count(*) AS n_copies
         |FROM corpus GROUP BY 1""".stripMargin)),
+
+    // §2.9 streaming NEAR-dedup — minhash LSH at ingest time, the
+    // streaming analogue of dedup_minhash_lsh (st4 catches only
+    // byte-identical copies; a crawler re-fetching boilerplate-mutated
+    // pages needs near-dup state). Signatures are computed map-side in
+    // one compiled pass per document (bandKeysFn — no shingle explode,
+    // no per-doc aggregate, so nothing corpus-sized enters streaming
+    // state), and the ONLY state is the band-bucket table:
+    // groupBy(bid, band) -> (earliest doc_id, member count), one state
+    // row per OCCUPIED bucket — bounded by corpus band cardinality,
+    // partitioned by key across the state store, and exactly the
+    // keeper table batch LSH elects. Emitted buckets are collision
+    // buckets (n >= 2) under the same mega-bucket cap as the batch
+    // lane; min/count are arrival-order-independent, so the result is
+    // deterministic under any micro-batch split. At 100 TB this runs
+    // in update mode into a keyed sink; complete-into-memory is the
+    // oracle-checkable test face (same contract as st4/st9).
+    "st18_stream_near_dedup" -> Q(
+      (s, dir) => {
+        val src = stageNearDocs(s, dir)
+        val schema = s.read.parquet(src).schema
+        val bandsUdf = udf(bandKeysFn)
+        val stream = s.readStream.schema(schema).parquet(src)
+          .select(col("doc_id"), explode(bandsUdf(col("text"))).as("bk"))
+          .select(col("doc_id"), col("bk.bid").as("bid"),
+            col("bk.band").as("band"))
+          .groupBy("bid", "band")
+          .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_members"))
+        runToTable(s, stream, "graft_st18", "complete")
+          .filter(col("n_members") >= 2 &&
+            col("n_members") <= TextQueries.MaxBucket)
+      },
+      Some(s"""WITH ${TextQueries.BandsCtes}
+        |SELECT CAST(bid AS BIGINT) AS bid, band,
+        |       min(doc_id) AS keeper, count(*) AS n_members
+        |FROM bands GROUP BY bid, band
+        |HAVING count(*) BETWEEN 2 AND ${TextQueries.MaxBucket}"""
+        .stripMargin)),
 
     // §2.9 end-to-end INGEST PIPELINE: the composition a continuous
     // training-data ingestion actually runs — stream in documents,
@@ -972,3 +1075,8 @@ object StreamQueries {
         |FROM g""".stripMargin)),
   )
 }
+
+/** Exploded row shape of [[StreamQueries.bandKeysFn]] (top-level so
+  * UDF return-type reflection resolves the encoder).
+  */
+final case class BandKey(bid: Long, band: String)

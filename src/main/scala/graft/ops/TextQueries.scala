@@ -52,7 +52,7 @@ object TextQueries {
   /** Word 3-gram shingles with 48-bit md5-derived hash, as Spark cols.
     * Input must have (doc_id, text); output (doc_id, hv).
     */
-  private def shingleHashes(c: DataFrame): DataFrame =
+  private[graft] def shingleHashes(c: DataFrame): DataFrame =
     c.select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(expr(
@@ -107,19 +107,19 @@ object TextQueries {
       |  AS simhash FROM bs)""".stripMargin
 
   // (a, b) coefficients of the 4 minhash permutations
-  private val MinhashFns = Seq(
+  private[graft] val MinhashFns = Seq(
     (3L, 1L), (5L, 8L), (7L, 15L), (9L, 22L),
     (11L, 29L), (13L, 36L), (17L, 43L), (19L, 50L))
-  private val P = 2147483647L
+  private[graft] val P = 2147483647L
   /** LSH banding: rows-per-band = 2 -> NumBands bands over the
     * signature. The (band count, row count) pair sets the match
     * S-curve; 8 perms x 4 bands is the standard small config rather
     * than a toy 4x2.
     */
-  private val NumBands = MinhashFns.length / 2
+  private[graft] val NumBands = MinhashFns.length / 2
   // LSH mega-bucket cap: band buckets above this size are degenerate
   // (boilerplate keys) and dropped before the candidate self-join
-  private val MaxBucket = 100L
+  private[graft] val MaxBucket = 100L
 
   /** MinHash-LSH candidate pairs (a < b) over the dirty corpus —
     * signature → band → capped-bucket self-join. Shared by the pair
@@ -243,7 +243,10 @@ object TextQueries {
   /** DuckDB CTE chain ending in `pairs(a, b)` — the oracle twin of
     * [[minhashPairs]]. Callers prepend WITH [RECURSIVE].
     */
-  private val PairsCtes: String =
+  /** corpus -> per-doc minhash band keys, the shared prefix of the
+    * batch pair pipeline and the streaming near-dedup oracle (st18).
+    */
+  private[graft] val BandsCtes: String =
     s"""$CorpusCte,
       |$ShinglesSql,
       |mh AS (SELECT doc_id,
@@ -254,7 +257,10 @@ object TextQueries {
       |${(0 until NumBands).map { b =>
           s"  SELECT doc_id, ${b + 1} AS bid, " +
             s"mh${2 * b} || '_' || mh${2 * b + 1} AS band FROM mh"
-        }.mkString("\n  UNION ALL\n")}),
+        }.mkString("\n  UNION ALL\n")})""".stripMargin
+
+  private val PairsCtes: String =
+    s"""$BandsCtes,
       |ok AS (SELECT bid, band FROM bands GROUP BY bid, band
       |       HAVING count(*) <= $MaxBucket),
       |sized AS (SELECT b.* FROM bands b JOIN ok

@@ -19,6 +19,41 @@ class StreamSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("st18 streaming near-dedup bucket state equals the batch " +
+      "Catalyst band pipeline") {
+    // Differential gate for the compiled signature UDF: the streaming
+    // entry computes minhash bands in a hand-rolled MessageDigest loop
+    // (map-side, per row), the batch lane through Catalyst md5/conv/
+    // min expressions over exploded shingles. Any drift in shingling,
+    // 48-bit truncation, permutation arithmetic, or band formatting
+    // makes the two bucket tables diverge.
+    val s = spark
+    val sfDir = "/root/testdata/sf0.001"
+    val streamed =
+      SparkEntry.queries("st18_stream_near_dedup")(s, sfDir)
+    val src = graft.ops.StreamQueries.stageNearDocs(s, sfDir)
+    val tq = graft.ops.TextQueries
+    val mhAggs = tq.MinhashFns.zipWithIndex.map { case ((a, b), i) =>
+      min((col("hv") * a + b) % tq.P).as(s"mh$i")
+    }
+    val mh = tq.shingleHashes(s.read.parquet(src))
+      .groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+    val bands = (0 until tq.NumBands).map { b =>
+      mh.select(col("doc_id"), lit(b + 1L).as("bid"),
+        concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))
+          .as("band"))
+    }.reduce(_ unionAll _)
+    val expected = bands.groupBy("bid", "band")
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_members"))
+      .filter(col("n_members") >= 2 &&
+        col("n_members") <= tq.MaxBucket)
+    assert(streamed.count() > 0, "no collision buckets detected")
+    assert(streamed.except(expected).isEmpty,
+      "streamed buckets absent from the batch pipeline")
+    assert(expected.except(streamed).isEmpty,
+      "batch buckets absent from the streamed state")
+  }
+
   test("windowed agg with watermark drops late events in append mode") {
     val s = spark
     import s.implicits._
