@@ -364,21 +364,30 @@ object Bench {
     // in-job wall time: wall - job_ms = driver-side BETWEEN-job time
     // (AQE re-planning of the remaining plan at each stage boundary) —
     // the term that makes an iterative entry's wall exceed jobs x
-    // trivial-job floor, now measured per entry instead of inferred
+    // trivial-job floor, now measured per entry instead of inferred.
+    // job_ms is the UNION of in-job intervals, not the per-job sum:
+    // AQE materializes independent shuffle inputs (and broadcast
+    // stages) as CONCURRENT jobs, and a plain sum then exceeds the
+    // entry wall (63/1026 passes in the first r18 artifact), making
+    // the between-job term negative. The listener bus delivers events
+    // FIFO on one thread, so a depth counter over event times measures
+    // the union exactly.
     @volatile var jobMsSeen = 0L
-    val jobStartedAt =
-      new java.util.concurrent.ConcurrentHashMap[Integer, java.lang.Long]()
+    var activeJobs = 0
+    var unionStartMs = 0L
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
             j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           jobsSeen += 1
-          jobStartedAt.put(j.jobId, j.time)
+          if (activeJobs == 0) unionStartMs = j.time
+          activeJobs += 1
         }
         override def onJobEnd(
             j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-          val t0 = jobStartedAt.remove(Integer.valueOf(j.jobId))
-          if (t0 != null) jobMsSeen += math.max(0L, j.time - t0.longValue)
+          activeJobs = math.max(0, activeJobs - 1)
+          if (activeJobs == 0)
+            jobMsSeen += math.max(0L, j.time - unionStartMs)
         }
         override def onStageCompleted(
             st: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
@@ -622,9 +631,10 @@ object Bench {
       s"""fewer checkpoints 14 jobs/1.4 s, split deg 17 jobs/1.3 s, """ +
       s"""shuffle_hash rounds 1.6 s — 15 is this plan's optimum); """ +
       s"""per-entry jobs/task_ms/job_ms ride query_stats and """ +
-      s"""query_passes: wall decomposes as job_ms (in-job wall, incl. """ +
-      s"""serial task time of AQE-coalesced 1-partition stages) + """ +
-      s"""between-job driver time (AQE re-planning, ~wall - job_ms), """ +
+      s"""query_passes: wall decomposes as job_ms (in-job wall — the """ +
+      s"""UNION of in-job intervals, concurrent AQE jobs merged — """ +
+      s"""incl. serial task time of AQE-coalesced 1-partition stages) """ +
+      s"""+ between-job driver time (AQE re-planning, ~wall - job_ms), """ +
       s"""so the floor claim is checkable in-suite per entry; the """ +
       s"""per-job work is the data term that grows at cluster scale"}},""" +
       s""""outlier_retry_policy":"one-sided: a rerun replaces the worst """ +

@@ -106,8 +106,11 @@ object Scratch {
           jobs = 0
           val t0 = System.nanoTime()
           (1 to 6).foreach(_ => fn())
-          Thread.sleep(200)
+          // stop the clock BEFORE the listener-bus drain sleep (the
+          // sibling --floor block does the same); timing the sleep
+          // inflated the floor ~0.2/jobs s per rep
           val dt = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(200)
           println(f"[jobfloor] $nm rep$rep wall=$dt%.3f s jobs=$jobs " +
             f"per_job=${dt / math.max(1, jobs)}%.4f s")
         }

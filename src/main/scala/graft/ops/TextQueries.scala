@@ -240,9 +240,6 @@ object TextQueries {
       })
   }
 
-  /** DuckDB CTE chain ending in `pairs(a, b)` — the oracle twin of
-    * [[minhashPairs]]. Callers prepend WITH [RECURSIVE].
-    */
   /** corpus -> per-doc minhash band keys, the shared prefix of the
     * batch pair pipeline and the streaming near-dedup oracle (st18).
     */
@@ -259,6 +256,9 @@ object TextQueries {
             s"mh${2 * b} || '_' || mh${2 * b + 1} AS band FROM mh"
         }.mkString("\n  UNION ALL\n")})""".stripMargin
 
+  /** DuckDB CTE chain ending in `pairs(a, b)` — the oracle twin of
+    * [[minhashPairs]]. Callers prepend WITH [RECURSIVE].
+    */
   private val PairsCtes: String =
     s"""$BandsCtes,
       |ok AS (SELECT bid, band FROM bands GROUP BY bid, band

@@ -162,12 +162,13 @@ object N5IO {
     // header dims are untrusted and size the decode: negative or
     // bomb-sized dims must fail here, before decompression allocates.
     // Per-axis bound first so the product below cannot overflow Long
-    // (3 x strictly-under-20 bits + 3 bits of dtype width < 63; at
-    // exactly 2^20 per axis and dtb=8 the product is exactly 2^63 and
-    // wraps to Long.MinValue, passing the ceiling check on overflow).
+    // (3 x 20-bit axes = a 60-bit product at most), then the ceiling
+    // in DIVISION form so no multiply by dtb can wrap. A legitimate
+    // 2^20-long axis is legal as long as the total fits the ceiling —
+    // the bound rejects axis sizes, the ceiling rejects volumes.
     require(dims.x > 0 && dims.y > 0 && dims.z > 0 &&
-        dims.x < (1 << 20) && dims.y < (1 << 20) && dims.z < (1 << 20),
-      s"corrupt n5 block header: dims $dims outside (0, 2^20) per axis")
+        dims.x <= (1 << 20) && dims.y <= (1 << 20) && dims.z <= (1 << 20),
+      s"corrupt n5 block header: dims $dims outside (0, 2^20] per axis")
     val nvox = dims.x * dims.y * dims.z
     require(nvox <= Codec.MaxDecodedChunkBytes / dtb,
       s"corrupt n5 block header: dims $dims (x$dtb B/voxel) outside " +

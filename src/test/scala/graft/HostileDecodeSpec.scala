@@ -379,6 +379,19 @@ class HostileDecodeSpec extends AnyFunSuite with BeforeAndAfterAll {
       N5IO.decodeBlock(hdr.array(), 8, "raw"))
   }
 
+  test("n5: a legitimate 2^20-long axis decodes when the volume fits " +
+      "the ceiling") {
+    // the bomb rail must reject VOLUMES, not axis lengths: (2^20,1,1)
+    // at dtb=1 is 1 MiB — legal. Guards against over-tightening the
+    // per-axis bound (r18 briefly shipped a strict < 2^20).
+    val nx = 1 << 20
+    val hdr = ByteBuffer.allocate(16 + nx).order(ByteOrder.BIG_ENDIAN)
+    hdr.putShort(0.toShort).putShort(3.toShort)
+      .putInt(nx).putInt(1).putInt(1)
+    val (dims, vox) = N5IO.decodeBlock(hdr.array(), 1, "raw")
+    assert(dims.x == nx && vox.length == nx && vox.forall(_ == 0L))
+  }
+
   test("zarr3 shard: index offset near 2^63 cannot wrap the range rail") {
     import graft.sources.Zarr3IO
     val m = Zarr3IO.Zarr3Meta(

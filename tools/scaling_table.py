@@ -34,7 +34,11 @@ def main() -> None:
 
     for r in rows:
         r["_ratio"] = f(r[hdr[3]])
-        ta, tb = f(r[hdr[7]]), f(r[hdr[8]])
+        # TSV layout: query, sfA_s, sfB_s, ratio, rows_a, rows_b,
+        # jobs_a, jobs_b, task_ms_a, task_ms_b, load_a, load_b —
+        # task_ms ratio is hdr[9]/hdr[8] (r18 shipped hdr[8]/hdr[7],
+        # i.e. task_ms_sfA/jobs_sfB: garbage; fixed + re-published)
+        ta, tb = f(r[hdr[8]]), f(r[hdr[9]])
         r["_task_ratio"] = (tb / ta) if ta > 0 else float("nan")
         wall_r, task_r = r["_ratio"], r["_task_ratio"]
         r["_flag"] = (
