@@ -54,6 +54,43 @@ class StreamSpec extends AnyFunSuite {
       "batch buckets absent from the streamed state")
   }
 
+  test("bandKeysFn matches the batch pipeline on randomized texts " +
+      "including empty words and double spaces") {
+    // the corpus differential (above) only exercises well-formed
+    // single-spaced text; this pins the compiled UDF to the Catalyst
+    // expressions on the edges where split semantics could drift —
+    // consecutive spaces (empty words), <3-word docs, empty text.
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(12021)
+    def word(): String =
+      (0 until (1 + rnd.nextInt(6)))
+        .map(_ => ('a' + rnd.nextInt(10)).toChar).mkString
+    val texts = (0 until 60).map { i =>
+      (i.toLong, (0 until rnd.nextInt(12)).map(_ => word()).mkString(" "))
+    } ++ Seq((100L, ""), (101L, "a b"), (102L, "x  y z w"))
+    val df = texts.toDF("doc_id", "text")
+    val tq = graft.ops.TextQueries
+    val mhAggs = tq.MinhashFns.zipWithIndex.map { case ((a, b), i) =>
+      min((col("hv") * a + b) % tq.P).as(s"mh$i")
+    }
+    val mh = tq.shingleHashes(df).groupBy("doc_id")
+      .agg(mhAggs.head, mhAggs.tail: _*)
+    val expected = (0 until tq.NumBands).map { b =>
+      mh.select(col("doc_id"), lit(b + 1L).as("bid"),
+        concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))
+          .as("band"))
+    }.reduce(_ unionAll _)
+    val udfRows = texts.flatMap { case (id, t) =>
+      graft.ops.StreamQueries.bandKeysFn(t).map(bk => (id, bk.bid, bk.band))
+    }.toDF("doc_id", "bid", "band")
+    assert(udfRows.count() === expected.count())
+    assert(udfRows.except(expected).isEmpty,
+      "UDF band keys absent from the Catalyst pipeline")
+    assert(expected.except(udfRows).isEmpty,
+      "Catalyst band keys absent from the UDF")
+  }
+
   test("windowed agg with watermark drops late events in append mode") {
     val s = spark
     import s.implicits._
