@@ -102,6 +102,11 @@ object Scratch {
           ("trivial_shuffle", () => trivial()),
           ("bcast_join_agg", () => bjAgg()))) {
         (1 to 4).foreach(_ => fn()) // warm
+        // drain the async listener bus so the warm loop's late
+        // JobStart events don't leak into rep1's count (Bench's
+        // measureJobFloor drains likewise); reps 2-3 were already
+        // protected by the post-rep sleep
+        org.apache.spark.graftbridge.BusDrain.drain(spark.sparkContext)
         for (rep <- 1 to 3) {
           jobs = 0
           val t0 = System.nanoTime()

@@ -175,7 +175,18 @@ object Derived {
       Long, Long, Long, Long, Long, Long) => Seq[ClipVox] =
     (x0, y0, z0, x1, y1, z1, payload, bx0, by0, bz0, bx1, by1, bz1) => {
       val sx = x1 - x0; val sy = y1 - y0
+      // corrupt-input contract (HostileDecodeSpec): a null payload
+      // (fill_missing view) or a short/truncated chunk must fail as a
+      // typed IllegalArgumentException at the decode boundary, not as
+      // an NPE/AIOOBE from the voxel indexing below
+      require(payload != null,
+        "graft_clip_voxels: null payload (fill_missing view rows " +
+          "must be filtered or coalesced before the clip)")
       val vox = Codec.decodeRawToLongs(payload, 4)
+      require(vox.length == sx * sy * (z1 - z0),
+        s"graft_clip_voxels: chunk [$x0,$y0,$z0..$x1,$y1,$z1] declares " +
+          s"${sx * sy * (z1 - z0)} voxels but payload decodes " +
+          s"${vox.length} (truncated or mis-sized chunk object)")
       val out = scala.collection.mutable.ArrayBuffer.empty[ClipVox]
       var z = math.max(z0, bz0)
       while (z < math.min(z1, bz1)) {

@@ -125,22 +125,32 @@ object TextQueries {
     * signature → band → capped-bucket self-join. Shared by the pair
     * query and the cluster/keeper stage downstream.
     */
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, text) -> (doc_id, bid, band): the Catalyst minhash band
+    * pipeline (shingle -> signature -> banded keys). ONE copy of this
+    * load-bearing arithmetic — shared by the batch pair generation and
+    * the st18 streaming differential tests (StreamSpec), so a change
+    * to the permutations, band count, or key format cannot silently
+    * desynchronize the tests from the operator.
+    */
+  private[graft] def bandTable(c: DataFrame): DataFrame = {
     val mhAggs = MinhashFns.zipWithIndex.map { case ((a, b), i) =>
       min((col("hv") * a + b) % P).as(s"mh$i")
     }
-    val mh = shingleHashes(corpus(s, dir)).groupBy("doc_id")
+    val mh = shingleHashes(c).groupBy("doc_id")
       .agg(mhAggs.head, mhAggs.tail: _*)
-    // localCheckpoint: the band table feeds the bucket-size agg
-    // and both sides of the candidate self-join — materialize the
-    // shingle+minhash pipeline once instead of 4x (at cluster
-    // scale this is persist() on the signature table)
-    val bands = (0 until NumBands).map { b =>
+    (0 until NumBands).map { b =>
       mh.select(col("doc_id"), lit(b.toLong + 1).as("bid"),
         concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))
           .as("band"))
     }.reduce(_ unionAll _)
-      .localCheckpoint()
+  }
+
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint: the band table feeds the bucket-size agg
+    // and both sides of the candidate self-join — materialize the
+    // shingle+minhash pipeline once instead of 4x (at cluster
+    // scale this is persist() on the signature table)
+    val bands = bandTable(corpus(s, dir)).localCheckpoint()
     // Mega-bucket guard: a degenerate band key (boilerplate-heavy
     // corpus) makes the self-join quadratic on that key. Cap bucket
     // size; oversized buckets are dropped (standard LSH practice —

@@ -33,17 +33,8 @@ class StreamSpec extends AnyFunSuite {
       SparkEntry.queries("st18_stream_near_dedup")(s, sfDir)
     val src = graft.ops.StreamQueries.stageNearDocs(s, sfDir)
     val tq = graft.ops.TextQueries
-    val mhAggs = tq.MinhashFns.zipWithIndex.map { case ((a, b), i) =>
-      min((col("hv") * a + b) % tq.P).as(s"mh$i")
-    }
-    val mh = tq.shingleHashes(s.read.parquet(src))
-      .groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
-    val bands = (0 until tq.NumBands).map { b =>
-      mh.select(col("doc_id"), lit(b + 1L).as("bid"),
-        concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))
-          .as("band"))
-    }.reduce(_ unionAll _)
-    val expected = bands.groupBy("bid", "band")
+    val expected = tq.bandTable(s.read.parquet(src))
+      .groupBy("bid", "band")
       .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_members"))
       .filter(col("n_members") >= 2 &&
         col("n_members") <= tq.MaxBucket)
@@ -70,17 +61,7 @@ class StreamSpec extends AnyFunSuite {
       (i.toLong, (0 until rnd.nextInt(12)).map(_ => word()).mkString(" "))
     } ++ Seq((100L, ""), (101L, "a b"), (102L, "x  y z w"))
     val df = texts.toDF("doc_id", "text")
-    val tq = graft.ops.TextQueries
-    val mhAggs = tq.MinhashFns.zipWithIndex.map { case ((a, b), i) =>
-      min((col("hv") * a + b) % tq.P).as(s"mh$i")
-    }
-    val mh = tq.shingleHashes(df).groupBy("doc_id")
-      .agg(mhAggs.head, mhAggs.tail: _*)
-    val expected = (0 until tq.NumBands).map { b =>
-      mh.select(col("doc_id"), lit(b + 1L).as("bid"),
-        concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))
-          .as("band"))
-    }.reduce(_ unionAll _)
+    val expected = graft.ops.TextQueries.bandTable(df)
     val udfRows = texts.flatMap { case (id, t) =>
       graft.ops.StreamQueries.bandKeysFn(t).map(bk => (id, bk.bid, bk.band))
     }.toDF("doc_id", "bid", "band")

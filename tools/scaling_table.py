@@ -39,7 +39,16 @@ def main() -> None:
         # task_ms ratio is hdr[9]/hdr[8] (r18 shipped hdr[8]/hdr[7],
         # i.e. task_ms_sfA/jobs_sfB: garbage; fixed + re-published)
         ta, tb = f(r[hdr[8]]), f(r[hdr[9]])
-        r["_task_ratio"] = (tb / ta) if ta > 0 else float("nan")
+        # ta == 0 must not suppress the flag: zero->nonzero work is
+        # work-driven (ratio inf, never flags), but flat-ZERO work
+        # under an inflating wall is the strongest metadata/contention
+        # signal of all (ratio 1, flags whenever wall > 3x)
+        if ta > 0:
+            r["_task_ratio"] = tb / ta
+        elif tb > 0:
+            r["_task_ratio"] = float("inf")
+        else:
+            r["_task_ratio"] = 1.0
         wall_r, task_r = r["_ratio"], r["_task_ratio"]
         r["_flag"] = (
             "contention" if task_r == task_r and wall_r >= 2 * task_r and wall_r > 3
