@@ -122,15 +122,71 @@ object Scratch {
       }
       spark.stop(); return
     }
+    // --ngprobe: localize the per-task fixed cost of DSv2-scan stages
+    // (bench task_ms ~ 24x job_ms on fixture-layer entries): time a
+    // bare metadata scan, a payload scan, the decode-UDF explode, and
+    // a trivial 32-task shuffle, each with per-stage run/cpu ms
+    if (flags.contains("--ngprobe")) {
+      import org.apache.spark.sql.functions._
+      graft.ops.RealLayerQueries.ensure(spark, sfDir)
+      val recs =
+        scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Long)]
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              st: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+            recs.synchronized {
+              recs += ((st.stageInfo.stageId, st.stageInfo.numTasks,
+                st.stageInfo.taskMetrics.executorRunTime,
+                st.stageInfo.taskMetrics.executorCpuTime / 1000000L))
+            }
+        })
+      val dir = graft.ops.RealLayerQueries.LayerDir
+      def probe(nm: String)(act: => Unit): Unit = {
+        act // warm
+        (1 to 3).foreach { rep =>
+          recs.synchronized(recs.clear())
+          val t0 = System.nanoTime()
+          act
+          val dt = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(200)
+          recs.synchronized(recs.foreach { case (id, nt, run, cpu) =>
+            println(f"[ngprobe] $nm rep$rep wall=$dt%.3f stage=$id " +
+              f"tasks=$nt run_ms=$run cpu_ms=$cpu")
+          })
+        }
+      }
+      probe("meta_only") {
+        graft.sources.PrecomputedIO.readChunks(spark, dir)
+          .select("gx").count()
+      }
+      probe("payload_len") {
+        graft.sources.PrecomputedIO.readChunks(spark, dir)
+          .agg(sum(length(col("payload")))).head()
+      }
+      probe("decode_explode") {
+        graft.sources.PrecomputedIO.cutoutVoxels(spark, dir,
+          graft.core.Bbox(graft.core.Vec3(0, 0, 0),
+            graft.core.Vec3(60, 60, 28))).count()
+      }
+      probe("range32") {
+        spark.range(0, 64, 1, 32).repartition(32).count()
+      }
+      spark.stop(); return
+    }
+
     // --floor: attribute an entry's wall time to Spark job count x
     // per-job overhead (r14 brief item 7: the stream-stream join and
     // the frontier descents are multi-job fixed-cost floors at bench
     // scale — measure it so future rounds stop re-investigating)
     if (flags.contains("--floor")) {
       graft.ops.Fixtures.ensureAll(spark, sfDir)
+      val stageDetail = flags.contains("--stages")
       @volatile var jobs = 0
       @volatile var stages = 0
       @volatile var taskMs = 0L
+      val stageRecs =
+        scala.collection.mutable.ArrayBuffer.empty[(Int, String, Int, Long, Long)]
       spark.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
           override def onJobStart(
@@ -140,12 +196,20 @@ object Scratch {
               st: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
             stages += 1
             taskMs += st.stageInfo.taskMetrics.executorRunTime
+            if (stageDetail) stageRecs.synchronized {
+              stageRecs += ((st.stageInfo.stageId,
+                st.stageInfo.name.takeWhile(_ != '('.toChar).take(40),
+                st.stageInfo.numTasks,
+                st.stageInfo.taskMetrics.executorRunTime,
+                st.stageInfo.taskMetrics.executorCpuTime / 1000000L))
+            }
           }
         })
       for (n <- names) {
         SparkEntry.queries(n)(spark, sfDir).count() // warm
         for (rep <- 1 to 3) {
           jobs = 0; stages = 0; taskMs = 0L
+          stageRecs.synchronized(stageRecs.clear())
           val t0 = System.nanoTime()
           SparkEntry.queries(n)(spark, sfDir).count()
           val dt = (System.nanoTime() - t0) / 1e9
@@ -153,6 +217,15 @@ object Scratch {
           println(f"[floor] $n rep$rep wall=$dt%.3f s jobs=$jobs " +
             f"stages=$stages task_time=${taskMs / 1e3}%.2f s " +
             f"per_job_overhead=${(dt - taskMs / 1e3 / 32) / math.max(jobs, 1)}%.4f s")
+          // per-stage run vs CPU: run >> cpu means tasks were BLOCKED
+          // (lock / IO / CPU oversubscription), run ~= cpu means real
+          // compute — the split that localizes a task_ms anomaly
+          if (stageDetail) stageRecs.synchronized {
+            stageRecs.foreach { case (id, nm, nt, runMs, cpuMs) =>
+              println(f"[floor-stage] $n rep$rep stage=$id tasks=$nt " +
+                f"run_ms=$runMs cpu_ms=$cpuMs $nm")
+            }
+          }
         }
       }
       spark.stop(); return

@@ -393,7 +393,8 @@ object AnnotationQueries {
       .filter(Files.isRegularFile(_)) // skip spatial-level subdirs
       .map(_.getFileName.toString).filter(_ != "info").toSeq.sorted
     val rows = names.toDS()
-      .repartition(math.max(names.size / 2, 1))
+      // file-count-aware sizing (guide §6; ScanSizing open-cost rule)
+      .repartition(graft.sources.ScanSizing.partitions(s, names.size, 0L))
       .flatMap { n =>
         AnnotationCodec.decode(spec,
           Files.readAllBytes(Paths.get(layerDir, n))).map { a =>
@@ -725,7 +726,7 @@ object AnnotationQueries {
           .map(_.getFileName.toString).filter(_.toLong < 8).toSeq.sorted
         val spec = PointSpec
         wanted.toDS()
-          .repartition(math.max(wanted.size / 2, 1))
+          .repartition(graft.sources.ScanSizing.partitions(s, wanted.size, 0L))
           .flatMap { n =>
             val segid = n.toLong
             AnnotationCodec.decode(spec,
@@ -753,7 +754,9 @@ object AnnotationQueries {
           .map(_.getFileName.toString).toSeq.sorted
         val spec = PointSpec
         names.toDS()
-          .repartition(math.max(names.size / 8, 1))
+          // file-count-aware sizing: was names/8 = 357 launch-dominated
+          // tasks of 8 tiny files each at bench scale
+          .repartition(graft.sources.ScanSizing.partitions(s, names.size, 0L))
           .map { n =>
             val aid = n.toLong
             val (a, rels) = AnnotationCodec.decodeSingle(spec, 2, aid,
@@ -963,7 +966,7 @@ object AnnotationQueries {
         val ids = Files.list(byIdDir).iterator.asScala
           .map(_.getFileName.toString.toLong).toSeq.sorted
         s.createDataset(ids)
-          .repartition(math.max(ids.size / 64, 1))
+          .repartition(graft.sources.ScanSizing.partitions(s, ids.size, 0L))
           .map { aid =>
             val (a, rels) = AnnotationCodec.decodeSingle(rspec, nRels, aid,
               Files.readAllBytes(Paths.get(byIdStr, aid.toString)))
@@ -1002,7 +1005,7 @@ object AnnotationQueries {
         val names = Files.list(Paths.get(layerDir)).iterator.asScala
           .map(_.getFileName.toString).filter(_ != "info").toSeq.sorted
         val v = names.toDS()
-          .repartition(math.max(names.size / 2, 1))
+          .repartition(graft.sources.ScanSizing.partitions(s, names.size, 0L))
           .flatMap { n =>
             AnnotationCodec.decode(spec,
               Files.readAllBytes(Paths.get(layerDir, n))).flatMap { a =>

@@ -68,7 +68,9 @@ object ConnectedComponents {
     */
   def propagateMin(s: SparkSession, edges0: DataFrame, nodes: DataFrame): DataFrame = {
     import s.implicits._
-    val localMap = edges0
+    // observe: the row count rides the checkpoint job's accumulators,
+    // so the empty-graph branch below costs no separate isEmpty job
+    val localPre = edges0
       .select(col("vid").cast("long"), col("nvid").cast("long"))
       .as[(Long, Long)]
       .mapPartitions { it =>
@@ -91,7 +93,11 @@ object ConnectedComponents {
         }
         import scala.jdk.CollectionConverters._
         parent.keySet.asScala.iterator.map(v => (v.toLong, find(v)))
-      }.toDF("vid", "lroot").localCheckpoint()
+      }.toDF("vid", "lroot")
+      .observe("graft_localmap", count(lit(1)).as("n"))
+    val localMap = localPre.localCheckpoint()
+    val localN =
+      localPre.queryExecution.observedMetrics("graft_localmap").getLong(0)
     // stitch edges: a vid split across partitions carries one lroot
     // row per partition; star them onto the smallest
     val multi = localMap.groupBy("vid")
@@ -103,7 +109,7 @@ object ConnectedComponents {
       .unionAll(multi.select(col("b").as("vid"), col("a").as("nvid")))
     val rootNodes = localMap.select(col("lroot").as("vid")).distinct()
     val rootComp =
-      if (localMap.isEmpty)
+      if (localN == 0L)
         localMap.select(col("vid"), col("vid").as("comp"))
       else iterateMin(stitch, rootNodes)
     val mapped = localMap
@@ -118,13 +124,21 @@ object ConnectedComponents {
     * round), monotone-sum convergence probe.
     */
   private def iterateMin(edges0: DataFrame, nodes: DataFrame): DataFrame = {
-    val edges = edges0.localCheckpoint()
+    // pre-partition the (fixed) edge table by the join key it is
+    // probed on every round: localCheckpoint preserves the output
+    // partitioning, so the per-round neighborhood join re-shuffles
+    // only the (shrinking-entropy) comp table, never the edges
+    val edges = edges0.repartition(col("nvid")).localCheckpoint()
     // convergence probe: per-node labels are non-increasing (least()
     // then jump to comp(comp) <= comp), so the global sum strictly
     // decreases every non-converged round. decimal(38,0) keeps the
-    // sum exact at any node count / id range.
+    // sum exact at any node count / id range. The sum is observed
+    // DURING the round's checkpoint job (Frontier.fixpointObserved) —
+    // no separate aggregate job per round.
     var prev: java.math.BigDecimal = null
-    Frontier.fixpoint(nodes.select(col("vid"), col("vid").as("comp"))) {
+    Frontier.fixpointObserved(
+      nodes.select(col("vid"), col("vid").as("comp")),
+      sum(col("comp").cast("decimal(38,0)")).as("comp_sum")) {
       (comp, _) =>
         // round part 1: take the min comp over the neighborhood
         val nbrMin = edges.as("e")
@@ -139,9 +153,8 @@ object ConnectedComponents {
           .join(ptr.as("p"), col("s.comp") === col("p.cvid"), "left")
           .select(col("s.vid").as("vid"),
             coalesce(col("p.ccomp"), col("s.comp")).as("comp"))
-    } { (jumped, _) =>
-      val cur = jumped
-        .agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+    } { (row, _) =>
+      val cur = Option(row.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
       val done = prev != null && cur.compareTo(prev) == 0
       prev = cur
       done

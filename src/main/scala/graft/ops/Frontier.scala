@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, Row}
 
 /** The ONE accumulate-and-descend loop shared by every iterative
   * frontier traversal (graphene root resolution / leaves-of-root /
@@ -93,6 +93,38 @@ object Frontier {
     while (!done && round < maxRounds) {
       state = step(state, round).localCheckpoint()
       done = converged(state, round)
+      round += 1
+    }
+    state
+  }
+
+  /** [[fixpoint]] with the convergence metric computed INSIDE each
+    * round's checkpoint job via `Dataset.observe` (CollectMetricsExec
+    * fills a driver-side accumulator while the localCheckpoint action
+    * materializes the round), so a round costs ONE job submission
+    * instead of two. At bench scale the separate probe was a full
+    * extra job (+ AQE re-planning) per round on every propagateMin
+    * caller; at 100 TB it was an extra pass over the state table per
+    * round. Accumulator updates ride task completion on the scheduler
+    * path (not the async listener bus), so the metric row is complete
+    * as soon as the checkpoint job returns.
+    *
+    * @param metric    aggregate expression(s) evaluated over the new
+    *                  state during its materialization
+    * @param converged probe on the observed metric Row; true stops
+    */
+  def fixpointObserved(start: DataFrame, metric: Column,
+      maxRounds: Int = 64)(
+      step: (DataFrame, Int) => DataFrame)(
+      converged: (Row, Int) => Boolean): DataFrame = {
+    var state = start.localCheckpoint()
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val name = s"graft_fixpoint_$round"
+      val observed = step(state, round).observe(name, metric)
+      state = observed.localCheckpoint()
+      done = converged(observed.queryExecution.observedMetrics(name), round)
       round += 1
     }
     state

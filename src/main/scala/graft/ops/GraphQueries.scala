@@ -240,13 +240,55 @@ object GraphQueries {
     // top-20 by TakeOrderedAndProject.
     "graph_copurchase" -> Q(
       (s, dir) => {
-        val lp = table(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"),
+        import s.implicits._
+        // ONE exchange co-locates each order's lines; the task streams
+        // the sorted run, dedups parts per order, and emits its
+        // (p < p2) pairs; one partial-aggregated pair count follows.
+        // Replaces the distinct + self-join formulation: same two
+        // logical shuffles at 100 TB, but no distinct exchange, no
+        // second SMJ sort, and no join-probe re-materialization of the
+        // pair fan-out. Per-order state is the line count (~7), so the
+        // fan-out stays bounded exactly as before.
+        table(s, dir, "lineitem")
+          .select(col("l_orderkey").cast("long").as("ok"),
             col("l_partkey").cast("long").as("p"))
-          .distinct()
-        lp.join(lp.select(col("ok"), col("p").as("p2")), Seq("ok"))
-          .filter(col("p") < col("p2"))
-          .groupBy(col("p").as("pa"), col("p2").as("pb"))
+          .repartition(col("ok"))
+          .sortWithinPartitions("ok", "p")
+          .as[(Long, Long)]
+          .mapPartitions { rows =>
+            new Iterator[(Long, Long)] {
+              private val it = rows.buffered
+              private var parts: Array[Long] = Array.emptyLongArray
+              private var i = 0
+              private var j = 1
+              private def loadNextOrder(): Boolean = {
+                if (!it.hasNext) return false
+                val ok = it.head._1
+                val b = scala.collection.mutable.ArrayBuilder.make[Long]
+                var last = 0L; var any = false
+                while (it.hasNext && it.head._1 == ok) {
+                  val p = it.next()._2
+                  if (!any || p != last) { b += p; last = p; any = true }
+                }
+                parts = b.result(); i = 0; j = 1
+                true
+              }
+              override def hasNext: Boolean = {
+                var ready = false; var more = true
+                while (!ready && more) {
+                  if (i < parts.length - 1) {
+                    if (j < parts.length) ready = true
+                    else { i += 1; j = i + 1 }
+                  } else more = loadNextOrder()
+                }
+                ready
+              }
+              override def next(): (Long, Long) = {
+                val r = (parts(i), parts(j)); j += 1; r
+              }
+            }
+          }.toDF("pa", "pb")
+          .groupBy("pa", "pb")
           .agg(count(lit(1)).as("n_orders"))
           .orderBy(col("n_orders").desc, col("pa").asc, col("pb").asc)
           .limit(20)

@@ -554,7 +554,8 @@ object MeshQueries {
         val segids = Files.list(Paths.get(MultiresDir)).iterator.asScala
           .map(_.getFileName.toString).filter(_.endsWith(".index"))
           .map(_.stripSuffix(".index").toLong).toSeq.sorted
-        segids.toDS().repartition(math.max(segids.size / 2, 1))
+        segids.toDS().repartition(
+          graft.sources.ScanSizing.partitions(s, segids.size, 65536L))
           .flatMap { segid =>
             val man = MeshCodec.decodeManifest(
               Files.readAllBytes(Paths.get(mrDir, s"$segid.index")))

@@ -1393,15 +1393,17 @@ object RealLayerQueries {
           val ax = (x1 - x0).toInt; val ay = (y1 - y0).toInt
           val az = (z1 - z0).toInt
           val vox = Codec.decodeRawToLongs(p, 4)
-          val internal =
-            scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+          // labels are uint32 here (dtb = 4), so an (a, b) pair packs
+          // into one Long key — a primitive-keyed LongMap instead of a
+          // boxed-tuple HashMap in the per-voxel-face loop
+          val internal = scala.collection.mutable.LongMap.empty[Long]
           val out = scala.collection.mutable.ArrayBuffer
             .empty[(Int, Long, Long, Long, Long, Long)]
           @inline def at(x: Int, y: Int, z: Int): Long =
             vox(x + ax * (y + ay * z))
           @inline def pair(a: Long, b: Long): Unit =
             if (b != 0L && b != a) {
-              val k = if (a < b) (a, b) else (b, a)
+              val k = if (a < b) (a << 32) | b else (b << 32) | a
               internal(k) = internal.getOrElse(k, 0L) + 1L
             }
           var z = 0
@@ -1436,8 +1438,8 @@ object RealLayerQueries {
             }
             z += 1
           }
-          internal.foreach { case ((a, b), n) =>
-            out += ((0, a, b, 0L, 0L, n))
+          internal.foreach { case (k, n) =>
+            out += ((0, k >>> 32, k & 0xffffffffL, 0L, 0L, n))
           }
           out
         }.toDF("tag", "k1", "k2", "k3", "k4", "v")

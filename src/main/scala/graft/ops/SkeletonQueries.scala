@@ -115,7 +115,9 @@ object SkeletonQueries {
     val dirStr = skelDir
     val names = Files.list(Paths.get(dirStr)).iterator.asScala
       .map(_.getFileName.toString).filter(_.matches("\\d+")).toSeq.sorted
-    names.toDS().repartition(math.max(names.size / 2, 1))
+    // skeleton files are KB-scale: open-cost-aware sizing (guide §6)
+    names.toDS().repartition(
+      graft.sources.ScanSizing.partitions(s, names.size, 4096L))
       .map { n =>
         val sk = SkeletonCodec.decode(Files.readAllBytes(Paths.get(dirStr, n)))
         (n.toLong, sk.vertices, sk.edges, sk.radii,

@@ -51,16 +51,49 @@ object TextQueries {
 
   /** Word 3-gram shingles with 48-bit md5-derived hash, as Spark cols.
     * Input must have (doc_id, text); output (doc_id, hv).
+    *
+    * ONE compiled pass per document: split -> 3-gram -> MD5 -> first 6
+    * digest bytes as an unsigned big-endian long. Bit-identical to the
+    * previous expression chain (split / transform+sequence / concat /
+    * md5 / substring / conv — Spark's array HOFs are interpreted, and
+    * the md5->hex->substring->conv detour allocated a 32-char hex
+    * string per shingle just to parse 12 chars of it back into the
+    * number the digest already held). The digest reuses one
+    * MessageDigest per task; `split(" ", -1)` matches Spark's
+    * `split(text, " ")` exactly (regex, trailing empties kept), and
+    * docs under 3 words emit an empty array, which explode drops —
+    * the same rows the old `size(w) >= 3` filter kept. Pinned against
+    * the old chain by ShingleHashSpec.
     */
+  private[graft] val shingleHashUdf = udf((text: String) => {
+    if (text == null) Array.empty[Long]
+    else {
+      val w = text.split(" ", -1)
+      if (w.length < 3) Array.empty[Long]
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val out = new Array[Long](w.length - 2)
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i < w.length - 2) {
+          sb.setLength(0)
+          sb.append(w(i)).append(' ').append(w(i + 1)).append(' ')
+            .append(w(i + 2))
+          md.reset()
+          val d = md.digest(
+            sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          out(i) = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+            ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+            ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+          i += 1
+        }
+        out
+      }
+    }
+  })
+
   private[graft] def shingleHashes(c: DataFrame): DataFrame =
-    c.select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(w) - 3), " +
-          "i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))")).as("s"))
-      .select(col("doc_id"),
-        conv(substring(md5(col("s").cast("binary")), 1, 12), 16, 10)
-          .cast("long").as("hv"))
+    c.select(col("doc_id"), explode(shingleHashUdf(col("text"))).as("hv"))
 
   private val ShinglesSql: String =
     """ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),

@@ -225,7 +225,9 @@ object N5IO {
     val fm = fillMissing
     import spark.implicits._
     spark.createDataset(pts.map(g => (g.x, g.y, g.z)))
-      .repartition(math.max(pts.size / 4, 1))
+      // bytes-aware split sizing (guide §6; shared rule in ScanSizing)
+      .repartition(ScanSizing.partitions(spark, pts.size,
+        bs.x * bs.y * bs.z * dtb))
       .flatMap { case (gx, gy, gz) =>
         val p = Paths.get(dirStr, dsName, gx.toString, gy.toString,
           gz.toString)

@@ -354,8 +354,11 @@ final class NgScan(layerDir: String, scale: ScaleMeta, dtypeBytes: Int,
       gx <- lo.x to hi.x
     } yield Array(gx, gy, gz)
     if (pts.isEmpty) return Array.empty
-    val parallelism = math.max(SparkSession.active.sparkContext.defaultParallelism, 1)
-    val nParts = math.min(pts.size, math.max(parallelism, pts.size / 64))
+    // bytes-aware split sizing (guide §6): tiny grids decode in one
+    // task instead of one launch-dominated task per core; real-scale
+    // grids keep the parallelism/64-chunks-per-task rule
+    val nParts = ScanSizing.partitions(SparkSession.active, pts.size,
+      scale.chunkSize.x * scale.chunkSize.y * scale.chunkSize.z * dtypeBytes)
     val b = scale.bounds
     pts.grouped(Geom.ceilDiv(pts.size, nParts).toInt).map { group =>
       NgInputPartition(layerDir, scale.key, group.toArray,
@@ -547,12 +550,11 @@ final class NgMicroBatchStream(layerDir: String, scale: ScaleMeta,
     val grids = entries.slice(a, b).flatMap(gridOf)
     if (grids.isEmpty) return Array.empty
     val bd = scale.bounds
-    // same split math as the batch scan: a small micro-batch still
-    // spreads across the cluster instead of decoding in one task
-    val parallelism = math.max(
-      SparkSession.active.sparkContext.defaultParallelism, 1)
-    val nParts = math.min(grids.size,
-      math.max(parallelism, grids.size / 64))
+    // same bytes-aware split math as the batch scan (dtype bytes are
+    // not plumbed into the stream; 4 B/voxel is the segmentation
+    // default and only biases the estimate, never correctness)
+    val nParts = ScanSizing.partitions(SparkSession.active, grids.size,
+      scale.chunkSize.x * scale.chunkSize.y * scale.chunkSize.z * 4L)
     grids.map(g => Array(g.x, g.y, g.z))
       .grouped(Geom.ceilDiv(grids.size, nParts).toInt).map { group =>
         NgInputPartition(layerDir, scale.key, group.toArray,

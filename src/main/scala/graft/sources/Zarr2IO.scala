@@ -524,7 +524,9 @@ object Zarr2IO {
     val be = m.byteOrder == java.nio.ByteOrder.BIG_ENDIAN
     import spark.implicits._
     spark.createDataset(pts.map(g => (g.x, g.y, g.z)))
-      .repartition(math.max(pts.size / 4, 1))
+      // bytes-aware split sizing (guide §6; shared rule in ScanSizing)
+      .repartition(ScanSizing.partitions(spark, pts.size,
+        cs.x * cs.y * cs.z * dtb))
       .flatMap { case (gx, gy, gz) =>
         val bo = if (be) java.nio.ByteOrder.BIG_ENDIAN
           else java.nio.ByteOrder.LITTLE_ENDIAN
@@ -575,7 +577,9 @@ object Zarr2IO {
     val fill = m.fillValue
     import spark.implicits._
     spark.createDataset(pts.map(g => (g.x, g.y, g.z)))
-      .repartition(math.max(pts.size / 4, 1))
+      // bytes-aware split sizing (guide §6; shared rule in ScanSizing)
+      .repartition(ScanSizing.partitions(spark, pts.size,
+        cs.x * cs.y * cs.z * dtb))
       .flatMap { case (gx, gy, gz) =>
         val bo = if (be) java.nio.ByteOrder.BIG_ENDIAN
           else java.nio.ByteOrder.LITTLE_ENDIAN

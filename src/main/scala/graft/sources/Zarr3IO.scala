@@ -544,7 +544,9 @@ object Zarr3IO {
       gz <- 0L until g.z; gy <- 0L until g.y; gx <- 0L until g.x
     } yield (gx, gy, gz)
     spark.createDataset(grid)
-      .repartition(math.max(grid.size / 2, 1))
+      // bytes-aware split sizing (guide §6; shared rule in ScanSizing)
+      .repartition(ScanSizing.partitions(spark, grid.size,
+        cs.x * cs.y * cs.z * dtb))
       .flatMap { t: (Long, Long, Long) =>
         val (gx, gy, gz) = t
         val key = spatialKey(m, gx, gy, gz)
@@ -709,7 +711,9 @@ object Zarr3IO {
     val keyParts = prefix.map(_.toString)
     import spark.implicits._
     spark.createDataset(pts.map(g => (g.x, g.y, g.z)))
-      .repartition(math.max(pts.size / 4, 1))
+      // bytes-aware split sizing (guide §6; shared rule in ScanSizing)
+      .repartition(ScanSizing.partitions(spark, pts.size,
+        cs.x * cs.y * cs.z * dtb))
       .flatMap { case (gx, gy, gz) =>
         var p = Paths.get(dirStr, "c")
         (keyParts ++ spatialKey(m, gx, gy, gz)).foreach(k => p = p.resolve(k))
@@ -804,7 +808,10 @@ object Zarr3IO {
     val dirStr = dir
     import spark.implicits._
     spark.createDataset(shardPts.map(g => (g.x, g.y, g.z)))
-      .repartition(math.max(shardPts.size / 2, 1))
+      // bytes-aware split sizing (guide §6); the full-shard volume
+      // OVERestimates the ranged read, which only costs parallelism
+      .repartition(ScanSizing.partitions(spark, shardPts.size,
+        cs.x * cs.y * cs.z * dtb))
       .flatMap { case (sx, sy, sz) =>
         val file = Paths.get(dirStr, "c", sx.toString, sy.toString,
           sz.toString)
