@@ -273,11 +273,16 @@ object TextQueries {
           explode(split(col("text"), " ")).as("term"))
         val tf = wd.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
           .localCheckpoint()
-        val dl = wd.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        // dl, df and the corpus totals all FOLD from the tf blocks
+        // (tf is one row per distinct (doc_id, term) with its count):
+        // dl = Σtf per doc, df = rows per term, total_dl = Σtf,
+        // n_docs = distinct doc over tf — identical numbers with one
+        // corpus tokenization instead of four
+        val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
           .localCheckpoint()
-        val dfT = wd.select("doc_id", "term").distinct()
-          .groupBy("term").agg(count(lit(1)).as("df")).localCheckpoint()
-        val stats = wd.agg(count(lit(1)).as("total_dl"),
+        val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+          .localCheckpoint()
+        val stats = tf.agg(sum("tf").as("total_dl"),
           countDistinct("doc_id").as("n_docs")).localCheckpoint()
         (tf, dl, dfT, stats)
       })
@@ -1716,9 +1721,12 @@ object TextQueries {
       (s, dir) => {
         val wd = table(s, dir, "documents")
           .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        // tf already holds one row per distinct (doc_id, term), so df
+        // folds from it directly — the old plan re-split the corpus
+        // and paid a second distinct exchange for the same numbers
         val tf = wd.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val df = wd.select("doc_id", "term").distinct()
-          .groupBy("term").agg(count(lit(1)).as("df"))
+          .localCheckpoint()
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
         tf.join(broadcast(df), Seq("term"))
           .withColumn("rank", row_number().over(
             Window.partitionBy("doc_id")
@@ -2426,19 +2434,43 @@ object TextQueries {
           s"((length(bin($c)) - 1) * 65536L + (($c - " +
             s"shiftleft(1L, length(bin($c)) - 1)) * 65536L) div " +
             s"shiftleft(1L, length(bin($c)) - 1))"
-        val wp = table(s, dir, "documents")
-          .select(col("doc_id"),
-            posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-          .localCheckpoint() // feeds unigrams, totals, both join sides
-        val uni = wp.groupBy("w").agg(count(lit(1)).as("n"))
-        val tot = wp.agg(count(lit(1)).as("tot_tokens"))
-        val p2 = wp.select(col("doc_id"), col("pos").as("pos2"),
-          col("w").as("w2"))
-        val co = wp.join(p2, Seq("doc_id"))
-          .filter((col("pos2") - col("pos")).between(1, 2))
-          .select(least(col("w"), col("w2")).as("wa"),
-            greatest(col("w"), col("w2")).as("wb"))
+        // window-2 co-occurrence pairs emitted IN-TASK from the split
+        // array (one compiled pass, fan-out exactly 2 per token) —
+        // replaces the positional self-join whose pre-filter fan-out
+        // was len² per document and which re-ran for both consumers.
+        // least/greatest stay Spark expressions so string ordering is
+        // bit-identical to the old plan.
+        val pairUdf = udf((ws: Array[String]) => {
+          if (ws == null) Array.empty[(String, String)]
+          else {
+            val out = new scala.collection.mutable.ArrayBuffer[(String, String)](
+              2 * ws.length)
+            var i = 0
+            while (i < ws.length) {
+              if (i + 1 < ws.length) out += ((ws(i), ws(i + 1)))
+              if (i + 2 < ws.length) out += ((ws(i), ws(i + 2)))
+              i += 1
+            }
+            out.toArray
+          }
+        })
+        val words = table(s, dir, "documents")
+          .select(split(col("text"), " ").as("ws"))
+        // unigram counts feed two broadcasts AND the token total
+        // (tot = Σn, identical to the old count over all tokens)
+        val uni = words.select(explode(col("ws")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("n"))
+          .localCheckpoint()
+        val tot = uni.agg(sum("n").as("tot_tokens"))
+        // pair counts feed the pair total AND the final selection —
+        // materialize once (the old plan recomputed the self-join for
+        // each consumer)
+        val co = words
+          .select(explode(pairUdf(col("ws"))).as("p"))
+          .select(least(col("p._1"), col("p._2")).as("wa"),
+            greatest(col("p._1"), col("p._2")).as("wb"))
           .groupBy("wa", "wb").agg(count(lit(1)).as("n_ab"))
+          .localCheckpoint()
         val tp = co.agg(sum("n_ab").as("tot_pairs"))
         co.filter(col("n_ab") >= 5)
           .join(broadcast(uni.select(col("w").as("wa"),
@@ -2768,12 +2800,14 @@ object TextQueries {
         val docs = table(s, dir, "documents").select("doc_id", "text")
         val wd = docs.select(col("doc_id"),
           explode(split(col("text"), " ")).as("term"))
+        // dl/df/corpus totals all FOLD from tf (one row per distinct
+        // (doc_id, term) with its count): one corpus tokenization
+        // instead of four, same numbers — the shape bm25Stats uses
         val tf = wd.groupBy("doc_id", "term")
-          .agg(count(lit(1)).as("tf"))
-        val dl = wd.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-        val dfT = wd.select("doc_id", "term").distinct()
-          .groupBy("term").agg(count(lit(1)).as("df"))
-        val stats = wd.agg(count(lit(1)).as("total_dl"),
+          .agg(count(lit(1)).as("tf")).localCheckpoint()
+        val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+        val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val stats = tf.agg(sum("tf").as("total_dl"),
           countDistinct("doc_id").as("n_docs"))
         val qterms = docs.filter(col("doc_id").isin(7L, 42L, 128L))
           .select(col("doc_id").as("query_id"),
@@ -2781,7 +2815,9 @@ object TextQueries {
           .distinct()
         val scored = tf
           .join(broadcast(qterms), Seq("term"))
-          .join(dl, Seq("doc_id"))
+          // dl is doc-count-sized (no stats after the checkpoint —
+          // Spark would plan sort-merge): broadcast like the rrf arm
+          .join(broadcast(dl), Seq("doc_id"))
           .join(broadcast(dfT), Seq("term"))
           .crossJoin(broadcast(stats))
           // BM25 denom in ppm: 1e6*tf + k1*(1-b)*1e6 + k1*b*dl/avgdl
