@@ -751,10 +751,15 @@ object StreamQueries {
         val sketch = runToTable(s, hist, "graft_st11", "complete")
         val lower = sketch.select(col("bucket").as("lb"),
           col("n").as("ln"))
+        // cum feeds BOTH the quantile pick and the final join —
+        // checkpoint the 64-row table so the bucket self-join runs
+        // once, and fold the total from it (cum_n at the largest
+        // bucket IS Σn) instead of re-aggregating the sketch
         val cum = sketch
           .join(broadcast(lower), col("lb") <= col("bucket"))
           .groupBy("bucket").agg(sum(col("ln")).as("cum_n"))
-        val total = sketch.agg(sum("n").as("total_n"))
+          .localCheckpoint()
+        val total = cum.agg(max("cum_n").as("total_n"))
         val qs = Seq(50L, 90L, 99L).toDF("q")
         val pick = cum.crossJoin(broadcast(total))
           .crossJoin(broadcast(qs))
