@@ -175,6 +175,41 @@ object Scratch {
       spark.stop(); return
     }
 
+    // --stprobe: run st entries under a StreamingQueryListener and dump
+    // every micro-batch's durationMs breakdown (triggerExecution,
+    // queryPlanning, walCommit, addBatch, commitOffsets, ...) plus the
+    // batch count — localizes the streaming lane's per-entry fixed cost
+    // (replan vs WAL vs state-store vs no-data finalize batch).
+    if (flags.contains("--stprobe")) {
+      graft.ops.Fixtures.ensureAll(spark, sfDir)
+      val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+      spark.streams.addListener(
+        new org.apache.spark.sql.streaming.StreamingQueryListener {
+          import org.apache.spark.sql.streaming.StreamingQueryListener._
+          override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+          override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+          override def onQueryProgress(e: QueryProgressEvent): Unit =
+            lines.synchronized {
+              val p = e.progress
+              lines += f"[stbatch] ${p.name} batch=${p.batchId} " +
+                f"rows=${p.numInputRows} durationMs=${p.durationMs}"
+            }
+        })
+      for (n <- names) {
+        SparkEntry.queries(n)(spark, sfDir).count() // warm
+        for (rep <- 1 to 3) {
+          lines.synchronized(lines.clear())
+          val t0 = System.nanoTime()
+          SparkEntry.queries(n)(spark, sfDir).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(300) // streaming listener bus is async
+          println(f"[stprobe] $n rep$rep wall=$dt%.3f s")
+          lines.synchronized(lines.foreach(println))
+        }
+      }
+      spark.stop(); return
+    }
+
     // --floor: attribute an entry's wall time to Spark job count x
     // per-job overhead (r14 brief item 7: the stream-stream join and
     // the frontier descents are multi-job fixed-cost floors at bench

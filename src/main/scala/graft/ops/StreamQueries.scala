@@ -32,6 +32,49 @@ object StreamQueries {
 
   private val Root = "/tmp/graft_stream"
 
+  /** Stream-checkpoint root. The checkpoint of these one-shot
+    * AvailableNow queries is pure micro-batch machinery (offset/commit
+    * WAL + state-store deltas), never recovered across invocations —
+    * each run deletes and recreates it, so every invocation recomputes
+    * from the staged inputs. Putting it on tmpfs removes the
+    * disk-metadata cost of the WAL/state files from every micro-batch
+    * (guide §6 small-files; ~30+ tiny file creates+renames per entry).
+    * Production long-running streams need a durable checkpoint and set
+    * this conf to one; the local default prefers /dev/shm when present.
+    */
+  private def ckptDir(s: SparkSession, name: String): java.nio.file.Path = {
+    val root = s.conf.getOption("spark.graft.stream.checkpointRoot")
+      .getOrElse {
+        if (Files.isDirectory(Paths.get("/dev/shm"))) "/dev/shm/graft_stream_ckpt"
+        else s"$Root/ckpt"
+      }
+    Paths.get(root, name)
+  }
+
+  /** Scope a streaming run: state-partition count sized to state
+    * volume, and the trailing no-data micro-batch disabled. The
+    * no-data batch exists to finalize event-time watermark state
+    * (emit closed append-mode windows / evict join state / fire
+    * timers); every stream in this suite is either watermark-free or
+    * (st7) an INNER stream-stream join whose matches all emit in the
+    * data batch — state eviction after the last batch of a one-shot
+    * run produces no rows, so skipping the extra batch is
+    * result-identical while saving a full replan + state-store
+    * open/commit cycle per entry (VERDICT r18 item 1).
+    */
+  private[graft] def scopedStream[T](s: SparkSession)(body: => T): T = {
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData =
+      s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try body
+    finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    }
+  }
+
   /** Bench setup hook: stage the stream-source directories up front. */
   def prepare(s: SparkSession, sfDir: String): Unit = {
     stageEvents(s, sfDir); stageDocs(s, sfDir); stageNearDocs(s, sfDir)
@@ -186,17 +229,20 @@ object StreamQueries {
     // cardinality. Scoped + restored so batch queries are unaffected.
     // (st7/st8 apply the same scoping around their runToTable calls —
     // re-setting 8 there is a no-op.)
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = df.writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode(outputMode)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    val ckpt = ckptDir(s, name)
+    deleteTree(ckpt)
+    scopedStream(s) {
+      try {
+        val q = df.writeStream
+          .format("memory")
+          .queryName(name)
+          .outputMode(outputMode)
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally deleteTree(ckpt) // one-shot: never recovered
+    }
     s.table(name)
   }
 
@@ -327,11 +373,13 @@ object StreamQueries {
         // same state-partition sizing as runToTable: the complete-mode
         // agg's state stores (and the inner per-batch regroup) are
         // ~40k tiny rows — 8 partitions, scoped + restored
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val ckpt = ckptDir(s, "graft_st3")
+        deleteTree(ckpt)
+        scopedStream(s) {
         try {
         val q = frames.writeStream
           .outputMode("complete")
+          .option("checkpointLocation", ckpt.toString)
           .trigger(Trigger.AvailableNow())
           .foreachBatch { (batch: DataFrame, _: Long) =>
             // one dense 16x16 u32 frame object per time chunk
@@ -353,7 +401,8 @@ object StreamQueries {
           }
           .start()
         q.awaitTermination()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        } finally deleteTree(ckpt)
+        }
         // batch read-back: decode every frame, emit nonzero cells
         import s.implicits._
         import scala.jdk.CollectionConverters._
@@ -573,15 +622,11 @@ object StreamQueries {
             unix_micros(col("v_ts")).as("v_us"),
             unix_micros(col("c_ts")).as("c_us"))
         // a streaming JOIN runs FOUR state stores per partition (two
-        // per side); state-partition count is frozen at query start
-        // from this conf. Size it to the state volume — 8 here (tens
-        // of KB of state), not the batch-shuffle 32; a 100 TB ingest
-        // sizes it to the key cardinality instead. Scoped + restored:
-        // batch queries are unaffected.
-        val prev = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        try runToTable(s, joined, "graft_st7", "append")
-        finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        // per side); runToTable sizes the state-partition count to the
+        // state volume (8) and skips the trailing no-data batch — an
+        // INNER interval join emits every match in the data batch, the
+        // no-data batch only evicted state after the one-shot run.
+        runToTable(s, joined, "graft_st7", "append")
       },
       Some("""WITH v AS (SELECT user_id, epoch_ns(ts) // 1000 AS v_us
         |           FROM events WHERE event_type = 'view'),
@@ -628,13 +673,9 @@ object StreamQueries {
               (user, n, sum, mn, mx)
           }
           .toDF("user_id", "n", "sum_vc", "first_us", "last_us")
-        // state sized to the user population (1.5k keys), not the
-        // batch-shuffle width — same scoped conf note as st7
-        val prev = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        val updates =
-          try runToTable(s, stream, "graft_st8", "update")
-          finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        // state sized to the user population (1.5k keys) by
+        // runToTable's scoped conf — same note as st7
+        val updates = runToTable(s, stream, "graft_st8", "update")
         updates
           .groupBy("user_id")
           .agg(max(struct(col("n"), col("sum_vc"), col("first_us"),
@@ -886,24 +927,28 @@ object StreamQueries {
         // leftover checkpoint would make the restart a no-op replay
         deleteTree(root)
         val srcDir = root.resolve("specs")
-        val ckpt = root.resolve("ckpt")
+        val ckpt = ckptDir(s, "graft_st15")
+        deleteTree(ckpt)
         val target = root.resolve("layer").toString
         Files.createDirectories(srcDir)
         chunkSpecs(s)
           .repartition(4).write.mode("overwrite").parquet(srcDir.toString)
         PrecomputedIO.writeInfo(target, ChunkLayerMeta)
         val schema = s.read.parquet(srcDir.toString).schema
-        val q = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
-          .select(col("gx"), col("gy"), col("gz"),
-            chunkPayloadUdf(col("base")).as("payload"))
-          .writeStream.format("neuroglancer")
-          .option("path", target)
-          .option("checkpointLocation", ckpt.toString)
-          .outputMode("append")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        scopedStream(s) {
+          val q = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+            .select(col("gx"), col("gy"), col("gz"),
+              chunkPayloadUdf(col("base")).as("payload"))
+            .writeStream.format("neuroglancer")
+            .option("path", target)
+            .option("checkpointLocation", ckpt.toString)
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        deleteTree(ckpt)
         val cut = PrecomputedIO.cutoutVoxels(s, target,
           Bbox(Vec3(0, 0, 0), Vec3(64, 64, 32)))
         val gxc = shiftrightunsigned(col("x"), 4)
@@ -948,7 +993,8 @@ object StreamQueries {
         val root = Paths.get(Root, "st16")
         deleteTree(root)
         val target = root.resolve("layer").toString
-        val ckpt = root.resolve("ckpt")
+        val ckpt = ckptDir(s, "graft_st16")
+        deleteTree(ckpt)
         PrecomputedIO.writeInfo(target, ChunkLayerMeta)
         // batch writes resolve against the full table schema; the bbox
         // columns are derived (the writer ignores them, bounds come
@@ -965,9 +1011,7 @@ object StreamQueries {
           val a = graft.core.Codec.decodeRawToLongs(p, 4)
           (a.length.toLong, a.sum)
         })
-        val prev = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        try {
+        scopedStream(s) {
           val q = s.readStream.format("neuroglancer")
             .option("path", target)
             .option("max_chunks_per_trigger", "8")
@@ -987,7 +1031,8 @@ object StreamQueries {
             .trigger(Trigger.AvailableNow())
             .start()
           q.awaitTermination()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        }
+        deleteTree(ckpt)
         s.table("graft_st16")
       },
       Some("""WITH g AS (
@@ -1018,7 +1063,8 @@ object StreamQueries {
         deleteTree(root)
         val src = root.resolve("src").toString
         val dst = root.resolve("dst").toString
-        val ckpt = root.resolve("ckpt")
+        val ckpt = ckptDir(s, "graft_st17")
+        deleteTree(ckpt)
         PrecomputedIO.writeInfo(src, ChunkLayerMeta)
         PrecomputedIO.writeInfo(dst, ChunkLayerMeta)
         chunkSpecs(s)
@@ -1039,19 +1085,22 @@ object StreamQueries {
           }
           bb.array()
         })
-        val q = s.readStream.format("neuroglancer")
-          .option("path", src)
-          .option("max_chunks_per_trigger", "8")
-          .load()
-          .select(col("gx"), col("gy"), col("gz"),
-            relabelUdf(col("payload")).as("payload"))
-          .writeStream.format("neuroglancer")
-          .option("path", dst)
-          .option("checkpointLocation", ckpt.toString)
-          .outputMode("append")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        scopedStream(s) {
+          val q = s.readStream.format("neuroglancer")
+            .option("path", src)
+            .option("max_chunks_per_trigger", "8")
+            .load()
+            .select(col("gx"), col("gy"), col("gz"),
+              relabelUdf(col("payload")).as("payload"))
+            .writeStream.format("neuroglancer")
+            .option("path", dst)
+            .option("checkpointLocation", ckpt.toString)
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        deleteTree(ckpt)
         val cut = PrecomputedIO.cutoutVoxels(s, dst,
           Bbox(Vec3(0, 0, 0), Vec3(64, 64, 32)))
         val gxc = shiftrightunsigned(col("x"), 4)
