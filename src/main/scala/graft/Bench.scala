@@ -668,12 +668,22 @@ object Bench {
     // the prints would turn a COMPLETE bench run into parsed:null with
     // no BENCH_DETAIL either
     def summaryLine(nSlow: Int): String = {
-      val slowest = results.sortBy(-_._2).take(nSlow)
+      val slow = results.sortBy(-_._2).take(nSlow)
+      val slowest = slow
         .map { case (k, v) => s"\"" + k + "\":" + num(v, 3) }
         .mkString("{", ",", "}")
+      // load-independent per-entry stats for the same slowest set
+      // (VERDICT r18 item 2: every sf0.1 wall ratio is floor-bound, so
+      // give the driver's scaling analysis the jobs/task_ms/job_ms
+      // medians it needs to tell a data term from a job floor)
+      val slowStats = slow.map { case (k, _) =>
+        val (j, tm, jm) = jobsByName.getOrElse(k, (0L, 0L, 0L))
+        s"\"" + k + s"\":[$j,$tm,$jm]"
+      }.mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
       s""""passes":$passes,"n_failed":${errs.size},"failed":$errNames,"queries":$slowest,""" +
       s""""queries_note":"median of $passes; slowest $nSlow of ${results.size}; full stats in BENCH_DETAIL.json","""+
+      s""""queries_stats":$slowStats,"queries_stats_note":"[jobs,task_ms,job_ms] medians",""" +
       s"""$mbpsJson,"sf":"$sfDir"}"""
     }
     val lastLine = (10 to 0 by -1).map(summaryLine).find(_.length < 1800)

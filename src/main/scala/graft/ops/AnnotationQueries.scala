@@ -388,13 +388,13 @@ object AnnotationQueries {
   private def decodeLayer(s: SparkSession, layerDir: String,
       spec: AnnotationSpec, outCols: Seq[String]): DataFrame = {
     import s.implicits._
-    import scala.jdk.CollectionConverters._
-    val names = Files.list(Paths.get(layerDir)).iterator.asScala
-      .filter(Files.isRegularFile(_)) // skip spatial-level subdirs
-      .map(_.getFileName.toString).filter(_ != "info").toSeq.sorted
-    val rows = names.toDS()
-      // file-count-aware sizing (guide §6; ScanSizing open-cost rule)
-      .repartition(graft.sources.ScanSizing.partitions(s, names.size, 0L))
+    // streamed listing + file-count-aware sizing (guide §6; ScanSizing
+    // open-cost rule). listedNames spools the directory stream to a
+    // names file instead of materializing every object name on the
+    // driver — a by-id layer at 100 TB is itself big data (VERDICT r18
+    // item 7); regular files only (skips spatial-level subdirs).
+    val rows = graft.sources.ScanSizing
+      .listedNames(s, Paths.get(layerDir), _ != "info", 0L)
       .flatMap { n =>
         AnnotationCodec.decode(spec,
           Files.readAllBytes(Paths.get(layerDir, n))).map { a =>
@@ -720,13 +720,11 @@ object AnnotationQueries {
       (s, dir) => {
         ensure(s, dir)
         import s.implicits._
-        import scala.jdk.CollectionConverters._
         val relDir = s"$Root/rel_presynaptic_to"
-        val wanted = Files.list(Paths.get(relDir)).iterator.asScala
-          .map(_.getFileName.toString).filter(_.toLong < 8).toSeq.sorted
         val spec = PointSpec
-        wanted.toDS()
-          .repartition(graft.sources.ScanSizing.partitions(s, wanted.size, 0L))
+        // streamed listing (no O(objects) driver Seq) + open-cost sizing
+        graft.sources.ScanSizing
+          .listedNames(s, Paths.get(relDir), _.toLong < 8, 0L)
           .flatMap { n =>
             val segid = n.toLong
             AnnotationCodec.decode(spec,
@@ -748,15 +746,13 @@ object AnnotationQueries {
       (s, dir) => {
         ensure(s, dir)
         import s.implicits._
-        import scala.jdk.CollectionConverters._
         val byIdDir = s"$Root/by_id"
-        val names = Files.list(Paths.get(byIdDir)).iterator.asScala
-          .map(_.getFileName.toString).toSeq.sorted
         val spec = PointSpec
-        names.toDS()
-          // file-count-aware sizing: was names/8 = 357 launch-dominated
-          // tasks of 8 tiny files each at bench scale
-          .repartition(graft.sources.ScanSizing.partitions(s, names.size, 0L))
+        // streamed listing (no O(objects) driver Seq) + file-count-aware
+        // sizing: was names/8 = 357 launch-dominated tasks of 8 tiny
+        // files each at bench scale
+        graft.sources.ScanSizing
+          .listedNames(s, Paths.get(byIdDir), _ => true, 0L)
           .map { n =>
             val aid = n.toLong
             val (a, rels) = AnnotationCodec.decodeSingle(spec, 2, aid,
@@ -789,10 +785,12 @@ object AnnotationQueries {
           throw new IllegalStateException("fixture id index not sharded"))
         val annSpec = PointSpec
         val shardDir = s"$ShardedLayerDir/$key"
-        // the id set under test: the same by-id subset p8e reads
-        val ids = Files.list(Paths.get(s"$Root/by_id")).iterator.asScala
-          .map(_.getFileName.toString.toLong).toSeq.sorted
-        s.createDataset(ids)
+        // the id set under test: the same by-id subset p8e reads —
+        // streamed listing, no repartition (groupByKey re-keys anyway)
+        graft.sources.ScanSizing
+          .listedNames(s, Paths.get(s"$Root/by_id"), _ => true, 0L,
+            repartitionBySize = false)
+          .map(_.toLong)
           .groupByKey(aid => spec.shardLocation(aid)._1)
           .flatMapGroups { (shardNo, it) =>
             // index + coalesced byte-range reads (sharding.py:731-766
@@ -963,11 +961,11 @@ object AnnotationQueries {
         // written info, one decode per by-id object
         val rspec = AnnotationCodec.readInfo(target)
         val nRels = AnnotationCodec.readRelationships(target).size
-        val ids = Files.list(byIdDir).iterator.asScala
-          .map(_.getFileName.toString.toLong).toSeq.sorted
-        s.createDataset(ids)
-          .repartition(graft.sources.ScanSizing.partitions(s, ids.size, 0L))
-          .map { aid =>
+        // streamed listing (no O(objects) driver Seq) + open-cost sizing
+        graft.sources.ScanSizing
+          .listedNames(s, byIdDir, _ => true, 0L)
+          .map { nm =>
+            val aid = nm.toLong
             val (a, rels) = AnnotationCodec.decodeSingle(rspec, nRels, aid,
               Files.readAllBytes(Paths.get(byIdStr, aid.toString)))
             (aid, a.geometry(0).toLong, a.geometry(1).toLong,
@@ -1002,10 +1000,9 @@ object AnnotationQueries {
         val layerDir = s"$Root/polylines"
         // route through the layer info (annotation_type POLYLINE)
         val spec = AnnotationCodec.readInfo(layerDir)
-        val names = Files.list(Paths.get(layerDir)).iterator.asScala
-          .map(_.getFileName.toString).filter(_ != "info").toSeq.sorted
-        val v = names.toDS()
-          .repartition(graft.sources.ScanSizing.partitions(s, names.size, 0L))
+        // streamed listing (no O(objects) driver Seq) + open-cost sizing
+        val v = graft.sources.ScanSizing
+          .listedNames(s, Paths.get(layerDir), _ != "info", 0L)
           .flatMap { n =>
             AnnotationCodec.decode(spec,
               Files.readAllBytes(Paths.get(layerDir, n))).flatMap { a =>

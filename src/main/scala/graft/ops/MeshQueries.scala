@@ -250,18 +250,16 @@ object MeshQueries {
     */
   private def fragmentRows(s: SparkSession): DataFrame = {
     import s.implicits._
-    import scala.jdk.CollectionConverters._
     val meshDirStr = MeshDir
-    val names = Files.list(Paths.get(MeshDir)).iterator.asScala
-      .map(_.getFileName.toString)
-      .filter(_.matches("\\d+:0:\\d+"))
-      .toSeq.sorted
-    val files = names.map { n =>
-      val parts = n.split(":")
-      (parts(0).toLong, parts(2).toLong, n)
-    }.toDS().repartition(s.sparkContext.defaultParallelism)
-      .map { case (segid, frag, name) =>
-        (segid, frag, Files.readAllBytes(Paths.get(meshDirStr, name)))
+    // streamed listing (no O(objects) driver Seq) + open-cost sizing —
+    // the draco decode is real work, so per-fragment est bytes keep the
+    // task count at the parallelism cap at bench scale
+    val files = graft.sources.ScanSizing
+      .listedNames(s, Paths.get(MeshDir), _.matches("\\d+:0:\\d+"), 16384L)
+      .map { n =>
+        val parts = n.split(":")
+        (parts(0).toLong, parts(2).toLong,
+          Files.readAllBytes(Paths.get(meshDirStr, n)))
       }.toDF("segid", "frag", "content")
       .select(col("segid"), col("frag"), decodeUdf(col("content")).as("m"))
       .select(col("segid"), col("frag"),
@@ -551,12 +549,12 @@ object MeshQueries {
         import s.implicits._
         import scala.jdk.CollectionConverters._
         val mrDir = MultiresDir
-        val segids = Files.list(Paths.get(MultiresDir)).iterator.asScala
-          .map(_.getFileName.toString).filter(_.endsWith(".index"))
-          .map(_.stripSuffix(".index").toLong).toSeq.sorted
-        segids.toDS().repartition(
-          graft.sources.ScanSizing.partitions(s, segids.size, 65536L))
-          .flatMap { segid =>
+        // streamed listing (no O(objects) driver Seq) + open-cost sizing
+        graft.sources.ScanSizing
+          .listedNames(s, Paths.get(MultiresDir), _.endsWith(".index"),
+            65536L)
+          .flatMap { nm =>
+            val segid = nm.stripSuffix(".index").toLong
             val man = MeshCodec.decodeManifest(
               Files.readAllBytes(Paths.get(mrDir, s"$segid.index")))
             val blob = Files.readAllBytes(Paths.get(mrDir, s"$segid.blob"))
@@ -602,10 +600,11 @@ object MeshQueries {
         import scala.jdk.CollectionConverters._
         val spec = meshShardSpec
         val shardDir = MultiresShardedDir
-        val segids = Files.list(Paths.get(MultiresDir)).iterator.asScala
-          .map(_.getFileName.toString).filter(_.endsWith(".index"))
-          .map(_.stripSuffix(".index").toLong).toSeq.sorted
-        segids.toDS()
+        // streamed id listing, no repartition (groupByKey re-keys)
+        graft.sources.ScanSizing
+          .listedNames(s, Paths.get(MultiresDir), _.endsWith(".index"),
+            0L, repartitionBySize = false)
+          .map(_.stripSuffix(".index").toLong)
           .groupByKey(segid => spec.shardLocation(segid)._1)
           .flatMapGroups { (shardNo, it) =>
             val path =

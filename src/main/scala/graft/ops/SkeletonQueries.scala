@@ -111,13 +111,11 @@ object SkeletonQueries {
   private def decoded(s: SparkSession, skelDir: String = SkelDir)
       : DataFrame = {
     import s.implicits._
-    import scala.jdk.CollectionConverters._
     val dirStr = skelDir
-    val names = Files.list(Paths.get(dirStr)).iterator.asScala
-      .map(_.getFileName.toString).filter(_.matches("\\d+")).toSeq.sorted
-    // skeleton files are KB-scale: open-cost-aware sizing (guide §6)
-    names.toDS().repartition(
-      graft.sources.ScanSizing.partitions(s, names.size, 4096L))
+    // streamed listing (no O(objects) driver Seq — VERDICT r18 item 7)
+    // + open-cost-aware sizing; skeleton files are KB-scale (guide §6)
+    graft.sources.ScanSizing
+      .listedNames(s, Paths.get(dirStr), _.matches("\\d+"), 4096L)
       .map { n =>
         val sk = SkeletonCodec.decode(Files.readAllBytes(Paths.get(dirStr, n)))
         (n.toLong, sk.vertices, sk.edges, sk.radii,
