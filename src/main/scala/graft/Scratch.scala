@@ -175,6 +175,55 @@ object Scratch {
       spark.stop(); return
     }
 
+    // --pngmicro: decoder A/B off the Spark path — the mm fixture
+    // shapes and a chunk-sized gray png, ImageIO (reader reused, the
+    // old per-partition pattern) vs core.PngDecode, same images.
+    if (flags.contains("--pngmicro")) {
+      def mkGray(w: Int, h: Int, seed: Long): Array[Byte] = {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val r = img.getRaster
+        for (y <- 0 until h; x <- 0 until w)
+          r.setSample(x, y, 0, ((seed * 31 + x * 7 + y * 13) % 256).toInt)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      }
+      val tiny = (0 until 500).map(i =>
+        mkGray((8 + i % 25), (6 + i % 17), i.toLong)).toArray
+      val chunk = Array(mkGray(64, 1764, 7L)) // ~a 64x63x28 png chunk
+      def viaImageIO(pngs: Array[Array[Byte]], reps: Int): Long = {
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("png").next()
+        var acc = 0L
+        val t0 = System.nanoTime()
+        for (_ <- 1 to reps; p <- pngs) {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(p))
+          reader.setInput(iis, true, true)
+          val img = try reader.read(0) finally iis.close()
+          acc += img.getRaster.getSample(0, 0, 0)
+        }
+        println(s"  (sink $acc)")
+        (System.nanoTime() - t0) / 1000000L
+      }
+      def viaPngDecode(pngs: Array[Array[Byte]], reps: Int): Long = {
+        var acc = 0L
+        val t0 = System.nanoTime()
+        for (_ <- 1 to reps; p <- pngs)
+          acc += graft.core.PngDecode.gray8(p).get._3(0)
+        println(s"  (sink $acc)")
+        (System.nanoTime() - t0) / 1000000L
+      }
+      for (rep <- 1 to 3) {
+        println(s"[pngmicro] rep$rep tiny500 imageio=${viaImageIO(tiny, 4)} ms " +
+          s"pngdecode=${viaPngDecode(tiny, 4)} ms")
+        println(s"[pngmicro] rep$rep chunk64x1764 imageio=${viaImageIO(chunk, 50)} ms " +
+          s"pngdecode=${viaPngDecode(chunk, 50)} ms")
+      }
+      spark.stop(); return
+    }
+
     // --stprobe: run st entries under a StreamingQueryListener and dump
     // every micro-batch's durationMs breakdown (triggerExecution,
     // queryPlanning, walCommit, addBatch, commitOffsets, ...) plus the

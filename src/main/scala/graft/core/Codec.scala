@@ -339,14 +339,20 @@ object Codec {
     bos.toByteArray
   }
 
-  def decodePng(payload: Array[Byte]): Array[Byte] = {
-    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(payload))
-    require(img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY,
-      s"expected 8-bit gray png, got type ${img.getType}")
-    val out = new Array[Byte](img.getWidth * img.getHeight)
-    img.getRaster.getDataElements(0, 0, img.getWidth, img.getHeight, out)
-    out
-  }
+  def decodePng(payload: Array[Byte]): Array[Byte] =
+    // pure-JVM scanline decoder (one inflate + one defilter pass);
+    // ImageIO's generic reader remains the fallback for any stream
+    // outside the gray8 envelope — and still enforces the dtype check
+    PngDecode.gray8(payload) match {
+      case Some((_, _, px)) => px
+      case None =>
+        val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(payload))
+        require(img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY,
+          s"expected 8-bit gray png, got type ${img.getType}")
+        val out = new Array[Byte](img.getWidth * img.getHeight)
+        img.getRaster.getDataElements(0, 0, img.getWidth, img.getHeight, out)
+        out
+    }
 
   /** F10 16-bit gray png (chunks.py:279-284 — encode_png accepts uint8
     * AND uint16; 16-bit grayscale is the standard microscopy raw
@@ -368,14 +374,17 @@ object Codec {
     bos.toByteArray
   }
 
-  def decodePng16(payload: Array[Byte]): Array[Long] = {
-    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(payload))
-    require(img.getType == java.awt.image.BufferedImage.TYPE_USHORT_GRAY,
-      s"expected 16-bit gray png, got type ${img.getType}")
-    val out = new Array[Short](img.getWidth * img.getHeight)
-    img.getRaster.getDataElements(0, 0, img.getWidth, img.getHeight, out)
-    out.map(_ & 0xffffL)
-  }
+  def decodePng16(payload: Array[Byte]): Array[Long] =
+    PngDecode.gray16(payload) match {
+      case Some((_, _, px)) => px
+      case None =>
+        val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(payload))
+        require(img.getType == java.awt.image.BufferedImage.TYPE_USHORT_GRAY,
+          s"expected 16-bit gray png, got type ${img.getType}")
+        val out = new Array[Short](img.getWidth * img.getHeight)
+        img.getRaster.getDataElements(0, 0, img.getWidth, img.getHeight, out)
+        out.map(_ & 0xffffL)
+    }
 
   /** F10 multi-channel png for uint8 chunks: the reference encodes the
     * 4-D (x,y,z,c) chunk as ONE interleaved-pixel image of width x and
@@ -416,21 +425,28 @@ object Codec {
     */
   def decodePngChannelsToLongs(payload: Array[Byte], nc: Int): Array[Long] = {
     require(nc == 3 || nc == 4, s"png channel count must be 3 or 4, got $nc")
-    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(payload))
-    val sx = img.getWidth
-    val h = img.getHeight
-    val plane = sx * h
-    val out = new Array[Long](plane * nc)
-    var i = 0
-    while (i < plane) {
-      val argb = img.getRGB(i % sx, i / sx)
-      out(i) = (argb >>> 16) & 0xff
-      out(i + plane) = (argb >>> 8) & 0xff
-      out(i + 2 * plane) = argb & 0xff
-      if (nc == 4) out(i + 3 * plane) = (argb >>> 24) & 0xff
-      i += 1
+    // scanline fast path (the getRGB fallback below converts through
+    // the color model PER PIXEL — by far the slowest decode loop in
+    // the png family); both produce identical planar values
+    PngDecode.planar(payload, nc) match {
+      case Some(out) => out
+      case None =>
+        val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(payload))
+        val sx = img.getWidth
+        val h = img.getHeight
+        val plane = sx * h
+        val out = new Array[Long](plane * nc)
+        var i = 0
+        while (i < plane) {
+          val argb = img.getRGB(i % sx, i / sx)
+          out(i) = (argb >>> 16) & 0xff
+          out(i + plane) = (argb >>> 8) & 0xff
+          out(i + 2 * plane) = argb & 0xff
+          if (nc == 4) out(i + 3 * plane) = (argb >>> 24) & 0xff
+          i += 1
+        }
+        out
     }
-    out
   }
 
   /** F10 JPEG codec for uint8 image chunks (chunks.py:286-301

@@ -26,38 +26,54 @@ object MultimodalOps {
   final case class RasterFeatures(doc_id: Long, width: Long, height: Long,
       pix_sum: Long, pix_sq_sum: Long, edge_h: Long, edge_v: Long)
 
+  /** payload -> (width, height, row-major gray8 pixels): the pure-JVM
+    * scanline decoder (core/PngDecode — one inflate + one defilter
+    * pass) with ImageIO as the fallback for anything outside its
+    * envelope. The mm images are KB-scale, so ImageIO's per-image
+    * framework cost (stream + reader reset + metadata + color model)
+    * dominated the decode; PngDecodeSpec pins byte-exact agreement on
+    * every fixture byte shape.
+    */
+  private def gray8(payload: Array[Byte]): (Int, Int, Array[Byte]) =
+    graft.core.PngDecode.gray8(payload).getOrElse {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      val w = img.getWidth; val h = img.getHeight
+      val r = img.getRaster
+      val out = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { out(y * w + x) = r.getSample(x, y, 0).toByte; x += 1 }
+        y += 1
+      }
+      (w, h, out)
+    }
+
   /** Raster-statistics feature extraction over REAL decoded PNG
     * payloads: per-image pixel sum + sum of squares (mean/variance)
     * and horizontal/vertical edge energy (sum of |neighbor deltas|) —
     * all integer-exact so the oracle can replay the deterministic
-    * pixel formula cell-by-cell. One ImageIO reader per partition.
+    * pixel formula cell-by-cell.
     */
   def extractFeatures(png: DataFrame): DataFrame = {
     val s = png.sparkSession
     import s.implicits._
     png.as[(Long, Array[Byte])].mapPartitions { rows =>
-      val reader = javax.imageio.ImageIO
-        .getImageReadersByFormatName("png").next()
       rows.map { case (id, payload) =>
-        val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(payload))
-        reader.setInput(iis, true, true)
-        val img = try reader.read(0) finally iis.close()
-        val raster = img.getRaster
-        val w = img.getWidth
-        val h = img.getHeight
+        val (w, h, px) = gray8(payload)
         var sum = 0L; var sq = 0L; var eh = 0L; var ev = 0L
         var y = 0
         while (y < h) {
           var x = 0
           while (x < w) {
-            val p = raster.getSample(x, y, 0).toLong
+            val p = (px(y * w + x) & 0xff).toLong
             sum += p
             sq += p * p
             if (x + 1 < w)
-              eh += math.abs(raster.getSample(x + 1, y, 0).toLong - p)
+              eh += math.abs((px(y * w + x + 1) & 0xff).toLong - p)
             if (y + 1 < h)
-              ev += math.abs(raster.getSample(x, y + 1, 0).toLong - p)
+              ev += math.abs((px((y + 1) * w + x) & 0xff).toLong - p)
             x += 1
           }
           y += 1
@@ -81,20 +97,12 @@ object MultimodalOps {
     val s = png.sparkSession
     import s.implicits._
     png.as[(Long, Array[Byte])].mapPartitions { rows =>
-      val reader = javax.imageio.ImageIO
-        .getImageReadersByFormatName("png").next()
       rows.map { case (id, payload) =>
-        val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(payload))
-        reader.setInput(iis, true, true)
-        val img = try reader.read(0) finally iis.close()
-        val raster = img.getRaster
-        val w = img.getWidth
-        val h = img.getHeight
+        val (w, h, pxa) = gray8(payload)
         val ph = (h + 1) / 2
         val pw = (w + 1) / 2
         def px(y: Int, x: Int): Long =
-          if (x >= w || y >= h) 0L else raster.getSample(x, y, 0).toLong
+          if (x >= w || y >= h) 0L else (pxa(y * w + x) & 0xff).toLong
         var sum = 0L
         var pr = 0
         while (pr < ph) {
@@ -271,28 +279,12 @@ object MultimodalOps {
         val sess = s
         import sess.implicits._
         pngTable(s, dir).as[(Long, Array[Byte])].mapPartitions { rows =>
-          // one reader per partition: ImageIO.read's static path does a
-          // synchronized registry lookup + stream allocation per image,
-          // which contends across 32 decode threads — reuse the plugin
-          // reader like a real media pipeline would
-          val reader = javax.imageio.ImageIO
-            .getImageReadersByFormatName("png").next()
           rows.map { case (id, payload) =>
-            val iis = javax.imageio.ImageIO.createImageInputStream(
-              new java.io.ByteArrayInputStream(payload))
-            reader.setInput(iis, true, true)
-            val img = try reader.read(0) finally iis.close()
-            val raster = img.getRaster
+            val (w, h, px) = gray8(payload)
             var sum = 0L
-            var y = 0
-            while (y < img.getHeight) {
-              var x = 0
-              while (x < img.getWidth) {
-                sum += raster.getSample(x, y, 0); x += 1
-              }
-              y += 1
-            }
-            (id, img.getWidth.toLong, img.getHeight.toLong, sum)
+            var i = 0
+            while (i < px.length) { sum += px(i) & 0xff; i += 1 }
+            (id, w.toLong, h.toLong, sum)
           }
         }.toDF("doc_id", "width", "height", "pix_sum")
       },
@@ -439,15 +431,8 @@ object MultimodalOps {
         import sess.implicits._
         val hashed = pngTable(s, dir).as[(Long, Array[Byte])]
           .mapPartitions { rows =>
-            val reader = javax.imageio.ImageIO
-              .getImageReadersByFormatName("png").next()
             rows.map { case (id, payload) =>
-              val iis = javax.imageio.ImageIO.createImageInputStream(
-                new java.io.ByteArrayInputStream(payload))
-              reader.setInput(iis, true, true)
-              val img = try reader.read(0) finally iis.close()
-              val raster = img.getRaster
-              val w = img.getWidth; val h = img.getHeight
+              val (w, h, px) = gray8(payload)
               val cellSum = new Array[Long](32)
               val cellN = new Array[Long](32)
               var tot = 0L
@@ -456,7 +441,7 @@ object MultimodalOps {
                 val cy = y * 4 / h
                 var x = 0
                 while (x < w) {
-                  val p = raster.getSample(x, y, 0).toLong
+                  val p = (px(y * w + x) & 0xff).toLong
                   val c = cy * 8 + x * 8 / w
                   cellSum(c) += p; cellN(c) += 1; tot += p
                   x += 1
@@ -517,24 +502,12 @@ object MultimodalOps {
         import sess.implicits._
         val frames = pngTable(s, dir).as[(Long, Array[Byte])]
           .mapPartitions { rows =>
-            val reader = javax.imageio.ImageIO
-              .getImageReadersByFormatName("png").next()
             rows.map { case (id, payload) =>
-              val iis = javax.imageio.ImageIO.createImageInputStream(
-                new java.io.ByteArrayInputStream(payload))
-              reader.setInput(iis, true, true)
-              val img = try reader.read(0) finally iis.close()
-              val raster = img.getRaster
+              val (w, h, px) = gray8(payload)
               var sum = 0L
-              var y = 0
-              while (y < img.getHeight) {
-                var x = 0
-                while (x < img.getWidth) {
-                  sum += raster.getSample(x, y, 0); x += 1
-                }
-                y += 1
-              }
-              (id % 50, id / 50, sum, img.getWidth.toLong * img.getHeight)
+              var i = 0
+              while (i < px.length) { sum += px(i) & 0xff; i += 1 }
+              (id % 50, id / 50, sum, w.toLong * h)
             }
           }.toDF("video_id", "frame_idx", "lum_sum", "n_px")
         val w = Window.partitionBy("video_id").orderBy("frame_idx")
@@ -603,24 +576,11 @@ object MultimodalOps {
         val sess = s
         import sess.implicits._
         pngTable(s, dir).as[(Long, Array[Byte])].mapPartitions { rows =>
-          val reader = javax.imageio.ImageIO
-            .getImageReadersByFormatName("png").next()
           rows.map { case (id, payload) =>
-            val iis = javax.imageio.ImageIO.createImageInputStream(
-              new java.io.ByteArrayInputStream(payload))
-            reader.setInput(iis, true, true)
-            val img = try reader.read(0) finally iis.close()
-            val raster = img.getRaster
-            val w = img.getWidth; val h = img.getHeight
+            val (w, h, px) = gray8(payload)
             val hist = new Array[Long](16)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                hist(raster.getSample(x, y, 0) / 16) += 1; x += 1
-              }
-              y += 1
-            }
+            var i = 0
+            while (i < px.length) { hist((px(i) & 0xff) / 16) += 1; i += 1 }
             val cdf = new Array[Long](16)
             var acc = 0L
             var b = 0
@@ -632,16 +592,12 @@ object MultimodalOps {
             }
             val nPx = w.toLong * h
             var eqSum = 0L
-            y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val c = cdf(raster.getSample(x, y, 0) / 16)
-                if (nPx > cdfMin)
-                  eqSum += (c - cdfMin) * 255 / (nPx - cdfMin)
-                x += 1
-              }
-              y += 1
+            i = 0
+            while (i < px.length) {
+              val c = cdf((px(i) & 0xff) / 16)
+              if (nPx > cdfMin)
+                eqSum += (c - cdfMin) * 255 / (nPx - cdfMin)
+              i += 1
             }
             (id, nPx, cdfMin, eqSum)
           }
@@ -761,24 +717,12 @@ object MultimodalOps {
         import sess.implicits._
         val frames = pngTable(s, dir).as[(Long, Array[Byte])]
           .mapPartitions { rows =>
-            val reader = javax.imageio.ImageIO
-              .getImageReadersByFormatName("png").next()
             rows.map { case (id, payload) =>
-              val iis = javax.imageio.ImageIO.createImageInputStream(
-                new java.io.ByteArrayInputStream(payload))
-              reader.setInput(iis, true, true)
-              val img = try reader.read(0) finally iis.close()
-              val raster = img.getRaster
+              val (w, h, px) = gray8(payload)
               var sum = 0L
-              var y = 0
-              while (y < img.getHeight) {
-                var x = 0
-                while (x < img.getWidth) {
-                  sum += raster.getSample(x, y, 0); x += 1
-                }
-                y += 1
-              }
-              (id % 50, id / 50, sum, img.getWidth.toLong * img.getHeight)
+              var i = 0
+              while (i < px.length) { sum += px(i) & 0xff; i += 1 }
+              (id % 50, id / 50, sum, w.toLong * h)
             }
           }.toDF("video_id", "frame_idx", "lum_sum", "n_px")
         val w = Window.partitionBy("video_id").orderBy("frame_idx")
@@ -828,23 +772,17 @@ object MultimodalOps {
         val sess = s
         import sess.implicits._
         pngTable(s, dir).as[(Long, Array[Byte])].mapPartitions { rows =>
-          val reader = javax.imageio.ImageIO
-            .getImageReadersByFormatName("png").next()
           rows.flatMap { case (id, payload) =>
-            val iis = javax.imageio.ImageIO.createImageInputStream(
-              new java.io.ByteArrayInputStream(payload))
-            reader.setInput(iis, true, true)
-            val img = try reader.read(0) finally iis.close()
-            val raster = img.getRaster
-            val tw = img.getWidth / 4
-            val th = img.getHeight / 4
+            val (w, h, px) = gray8(payload)
+            val tw = w / 4
+            val th = h / 4
             for { ty <- 0 until th; tx <- 0 until tw } yield {
               var sum = 0L; var mn = 255L; var mx = 0L
               var y = ty * 4
               while (y < ty * 4 + 4) {
                 var x = tx * 4
                 while (x < tx * 4 + 4) {
-                  val p = raster.getSample(x, y, 0).toLong
+                  val p = (px(y * w + x) & 0xff).toLong
                   sum += p
                   if (p < mn) mn = p
                   if (p > mx) mx = p

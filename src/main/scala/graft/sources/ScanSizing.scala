@@ -30,6 +30,22 @@ object ScanSizing {
       math.max(spark.sparkContext.defaultParallelism, 1), minB, openC)
   }
 
+  /** Shuffle width for an in-memory state table of `rows` rows — the
+    * bytes-only sibling of [[partitions]]: rows are not stored objects,
+    * so no per-object open cost applies, only the amortize-the-task-
+    * launch floor. Used to size iterative-loop execution to the
+    * OBSERVED state (ConnectedComponents / pagerank pins); capped at
+    * the session parallelism, so at real scale it returns the cap and
+    * the callers' pins never engage.
+    */
+  def rowWidth(spark: SparkSession, rows: Long, rowBytes: Long): Int = {
+    val minB = spark.conf.get(MinBytesPerTaskKey, (1L << 20).toString).toLong
+    val p = math.max(spark.sparkContext.defaultParallelism, 1).toLong
+    val byBytes = math.max(1L,
+      rows * math.max(rowBytes, 1L) / math.max(minB, 1L))
+    math.max(1L, math.min(p, byBytes)).toInt
+  }
+
   /** By-id object listing WITHOUT an O(objects) driver allocation
     * (VERDICT r18 item 7): the directory stream is spooled straight to
     * a names file — O(1) driver heap, the local-fs analogue of a paged
